@@ -1,0 +1,77 @@
+"""Text column-expression helpers.
+
+Native Column expressions for key normalization (reference
+silver_to_gold.py:15-36 did this as a row-at-a-time Python function —
+here it is a codegen'd regex chain, the Spark-first fast path) and for
+the LLM-pipeline text ops (tokenization, shingling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_join_key(
+    col: Column | str,
+    strip_suffixes: tuple[str, ...] = (r",\s*georgia\b", r"\s+county\b"),
+) -> Column:
+    """Canonicalize a messy human name into a join key.
+
+    Generalizes the reference's county normalizer (silver_to_gold.py:19-36):
+    strip configured suffix patterns (case-insensitive), trim, lowercase,
+    empty→NULL. NULL propagates natively (the reference's None/NaN
+    passthrough at silver_to_gold.py:26-31).
+    """
+    c = _c(col).cast("string")
+    for pat in strip_suffixes:
+        c = F.regexp_replace(c, f"(?i){pat}", "")
+    return F.nullif(F.lower(F.trim(c)), F.lit(""))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact-dedup: lowercase, collapse whitespace,
+    strip. NULL stays NULL, empty string → NULL."""
+    c = F.regexp_replace(F.lower(F.trim(_c(col).cast("string"))), r"\s+", " ")
+    return F.nullif(c, F.lit(""))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>; empty/NULL text → empty array."""
+    c = F.trim(_c(col).cast("string"))
+    return F.when(
+        c.isNull() | (c == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(c, r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Rough subword-token estimate: count regex word pieces + runs of
+    punctuation, the way BPE vocabularies split text. Native regexp_count."""
+    c = _c(col).cast("string")
+    return F.regexp_count(c, r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]").cast("bigint")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles (n-grams joined by a single space) → array<string>.
+
+    Built from native higher-order functions: split → transform over an
+    index sequence → slice+join. Stays entirely JVM-side; this feeds
+    MinHash/Jaccard dedup at scale, so no Python per row.
+    Texts shorter than k words produce a single whole-text shingle.
+    """
+    arr = tokens(col)
+    n = F.size(arr)
+    short = F.array(F.array_join(arr, " "))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.array_join(F.slice(arr, i + F.lit(1), F.lit(k)), " "),
+    )
+    return F.when(n < F.lit(k), short).otherwise(grams)

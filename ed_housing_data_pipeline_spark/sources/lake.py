@@ -1,0 +1,66 @@
+"""Lake layout catalog + parquet sink.
+
+The reference stores layers as ``<layer>/<dataset>/ingest_date=YYYY-MM-DD/<file>``
+(bronze_to_silver.py:18-31) over either local disk or ADLS Gen2 via a
+custom byte-copy layer (storage_io.py). On Spark none of the custom I/O
+survives: any Hadoop-compatible URI (``file://``, ``hdfs://``, ``s3a://``,
+``abfss://``) plugs into the same reader/writer, so the engine keeps only
+the *path builder* and the write-mode policy.
+
+Scale notes:
+- writes are ``partitionBy("ingest_date")`` so reads prune partitions;
+- ``partitionOverwriteMode=dynamic`` makes a re-run of one ingest_date
+  overwrite only that date's partition (idempotent re-runs, the
+  reference's overwrite semantics at storage_io.py:121, without
+  clobbering history).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def default_ingest_date() -> str:
+    """Env-driven ingest date, defaulting to today (reference
+    bronze_to_silver.py:13-15)."""
+    return (os.getenv("INGEST_DATE") or _dt.date.today().isoformat()).strip()
+
+
+@dataclass(frozen=True)
+class LakeCatalog:
+    """Builds canonical lake paths under any Hadoop-compatible base URI."""
+
+    base: str  # e.g. "file:///tmp/lake", "s3a://bucket/lake", "abfss://..."
+
+    def dataset_root(self, layer: str, dataset: str) -> str:
+        return f"{self.base.rstrip('/')}/{layer}/{dataset}"
+
+    def partition(self, layer: str, dataset: str, ingest_date: str) -> str:
+        return f"{self.dataset_root(layer, dataset)}/ingest_date={ingest_date}"
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *partition_by
+        )
+    writer.parquet(path)
+
+
+def summarize(df: DataFrame, output_path: str) -> dict:
+    """Row/column-count run summary (reference bronze_to_silver.py:206-222)."""
+    return {
+        "rows": df.count(),
+        "columns": len(df.columns),
+        "output_path": output_path,
+    }
