@@ -12,12 +12,13 @@ from pyspark.sql import Column, functions as F
 def coerce_double(col: Column | str) -> Column:
     """String→double with invalid→NULL.
 
-    Spark's cast already has pandas ``to_numeric(errors="coerce")``
-    semantics (reference bronze_to_silver.py:96-98): non-numeric
-    strings become NULL, not an error.
+    Uses ``try_cast``: Spark 4 runs with ANSI mode on by default, where
+    a plain ``cast`` *throws* on malformed input. ``try_cast`` restores
+    the pandas ``to_numeric(errors="coerce")`` semantics the reference
+    relies on (bronze_to_silver.py:96-98) under both ANSI settings.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double")
+    return c.try_cast("double")
 
 
 def null_if_zero(col: Column | str) -> Column:
@@ -45,4 +46,4 @@ def horizontal_sum(*cols: Column | str, null_as_zero: bool = True) -> Column:
     """
     arr = F.array(*[F.col(c) if isinstance(c, str) else c for c in cols])
     elem = (lambda x: F.coalesce(x, F.lit(0.0))) if null_as_zero else (lambda x: x)
-    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + elem(x.cast("double")))
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + elem(x.try_cast("double")))

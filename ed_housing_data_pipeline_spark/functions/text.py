@@ -56,7 +56,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """Rough subword-token estimate: count regex word pieces + runs of
     punctuation, the way BPE vocabularies split text. Native regexp_count."""
     c = _c(col).cast("string")
-    return F.regexp_count(c, r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]").cast("bigint")
+    return F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]")).cast("bigint")
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
@@ -65,13 +65,16 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     Built from native higher-order functions: split → transform over an
     index sequence → slice+join. Stays entirely JVM-side; this feeds
     MinHash/Jaccard dedup at scale, so no Python per row.
-    Texts shorter than k words produce a single whole-text shingle.
+    Texts shorter than k words produce a single whole-text shingle;
+    NULL/empty text produces an EMPTY array (not ``[""]``) so empty
+    documents never hash as near-duplicates of each other.
     """
     arr = tokens(col)
     n = F.size(arr)
+    empty = F.array().cast("array<string>")
     short = F.array(F.array_join(arr, " "))
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
         lambda i: F.array_join(F.slice(arr, i + F.lit(1), F.lit(k)), " "),
     )
-    return F.when(n < F.lit(k), short).otherwise(grams)
+    return F.when(n == 0, empty).when(n < F.lit(k), short).otherwise(grams)

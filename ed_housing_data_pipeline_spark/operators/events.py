@@ -71,6 +71,7 @@ def sessionize(
     ts_col: str,
     user_col: str,
     gap_minutes: int,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Assign a session_id per user: a new session starts when the gap
     from the previous event exceeds ``gap_minutes``.
@@ -78,10 +79,19 @@ def sessionize(
     lag → gap flag → running sum, all partition-local after one shuffle
     on the user key. This is the batch twin of
     ``session_window``-based streaming sessionization.
+
+    ``tiebreak_col`` makes the within-user order total when timestamps
+    collide; pass ``None`` for DataFrames without a unique id column.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    ordering = [F.col(ts_col).asc()]
+    if tiebreak_col is not None and tiebreak_col in df.columns:
+        ordering.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*ordering)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_sec = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    # unix_micros, not cast("double"): timestamp→numeric casts are
+    # forbidden under ANSI mode (Spark 4 default), and µs-integer math
+    # is exact where double seconds would round.
+    gap_sec = (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) / F.lit(1e6)
     new_session = F.when(
         prev_ts.isNull() | (gap_sec > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -96,12 +106,13 @@ def session_stats(
 ) -> DataFrame:
     """Per-session summary (event count, span seconds, total value)."""
     s = sessionize(df, ts_col, user_col, gap_minutes)
+    span = (
+        F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col)))
+    ) / F.lit(1e6)
     return s.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(F.col(ts_col)).cast("double") - F.min(F.col(ts_col)).cast("double")).alias(
-            "span_sec"
-        ),
+        span.alias("span_sec"),
         F.sum("value").alias("total_value"),
     )

@@ -1,0 +1,282 @@
+"""Dedup & similarity-search operators for LLM-scale data pipelines.
+
+The reference has no dedup beyond keep-first drop_duplicates
+(silver_to_gold.py:81); these operators are the 100 TB extension the
+builder brief requires. Design rules:
+
+- **No all-pairs.** Near-dup candidates come from LSH band buckets
+  (O(n·bands) shuffle), never a crossJoin; ANN search is either
+  bounded-query brute force (small broadcast side) or label-blocked.
+- **JVM-side hot path.** Shingling, hashing, signatures, and cosine
+  are native Column expressions (higher-order functions + md5);
+  nothing here runs Python per row.
+- **Deterministic & oracle-portable.** The hash is a 60-bit md5-prefix
+  (plans/_base.hash60) reproducible bit-for-bit in DuckDB, so every
+  operator has an exact SQL oracle.
+
+Scale notes per operator are in the docstrings — each one states the
+shuffle structure it produces, which is the thing that matters at
+1000 executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ed_housing_data_pipeline_spark.functions.text import normalize_text, word_shingles
+from ed_housing_data_pipeline_spark.functions.vectors import cosine_similarity
+from ed_housing_data_pipeline_spark.operators.joins import dedup_one_per_key
+from ed_housing_data_pipeline_spark.operators.windows import top_k_per_group
+
+HashFn = Callable[[Column], Column]
+
+
+def _default_hash(c: Column) -> Column:
+    """60-bit md5-prefix hash (bigint) — DuckDB-reproducible."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# --------------------------------------------------------------- exact
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on normalized text, deterministic survivor (min/max id).
+
+    hash-groupBy shape: one shuffle on the normalized text. At 100 TB
+    you shuffle (norm_key, id) pairs only — project before calling.
+    """
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.withColumn("_norm", normalize_text(text_col))
+        .groupBy("_norm")
+        .agg(agg_id.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_norm")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    hash_fn: HashFn | None = None,
+    prefix: str = "mh_",
+) -> DataFrame:
+    """Attach MinHash columns ``mh_0..mh_{n-1}`` (bigint; NULL when the
+    document has no shingles).
+
+    MinHash family i is ``min over shingles of hash(i || ':' || s)`` —
+    the salted-hash construction (one md5 per family per shingle, all
+    native exprs). Narrow transform: no shuffle at all; at 100 TB this
+    runs inside the scan stage.
+    """
+    h = hash_fn or _default_hash
+    sh = word_shingles(text_col, k=shingle_k)
+    out = df.withColumn("_sh", F.array_distinct(sh))
+    for i in range(n_hashes):
+        # NB: single-arg lambda — a two-arg lambda would make Spark pass
+        # the array index as the second argument, clobbering the salt.
+        salt = F.lit(f"{i}:")
+        out = out.withColumn(
+            f"{prefix}{i}",
+            F.array_min(F.transform(F.col("_sh"), lambda s: h(F.concat(salt, s)))),
+        )
+    return out.drop("_sh")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    prefix: str = "mh_",
+) -> DataFrame:
+    """LSH banding: docs sharing ANY band of the signature become a
+    candidate pair ``(id_a < id_b)``, distinct.
+
+    Shuffle structure: explode to n_docs×bands band-key rows, one
+    shuffle on band key, self-join inside buckets. O(n·bands) rows
+    shuffled vs O(n²) for all-pairs — this is the scale path. Skewed
+    buckets (e.g. a boilerplate band) are split by AQE skew handling;
+    a production run would also cap bucket width.
+    """
+    rows_per_band = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"{prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_shingles(a: Column, b: Column) -> Column:
+    """Set Jaccard over two shingle arrays; NULL when the union is empty."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / F.nullif(union, F.lit(0.0))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: HashFn | None = None,
+) -> DataFrame:
+    """MinHash → LSH bands → within-bucket verification join.
+
+    Returns ``(id_a, id_b, jaccard)`` for pairs with shingle-set
+    Jaccard ≥ threshold. The verification join re-attaches the two
+    shingle arrays ONLY for candidate pairs (bounded by banding), so
+    the expensive exact comparison never goes quadratic.
+    """
+    sig = with_minhash_signature(
+        df, text_col, n_hashes=n_hashes, shingle_k=shingle_k, hash_fn=hash_fn
+    )
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, bands=bands)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh")
+    )
+    pairs = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard_shingles(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+# ------------------------------------------------------------- SimHash
+def simhash(
+    text_col: str | Column,
+    bits: int = 16,
+    hash_fn: HashFn | None = None,
+) -> Column:
+    """SimHash fingerprint (bigint) over whitespace tokens.
+
+    bit b of the fingerprint is set when more than half of the token
+    hashes have bit b set (ties → 0). Pure HOF expression — ``bits``
+    filters over the token array, no shuffle, no Python.
+    """
+    from ed_housing_data_pipeline_spark.functions.text import tokens
+
+    h = hash_fn or _default_hash
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda x: h(x))
+    n = F.size(hashes)
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        # Single-arg lambda (two-arg would receive the array index).
+        mask = F.lit(2**b).cast("bigint")
+        cnt = F.size(F.filter(hashes, lambda x: x.bitwiseAND(mask) != 0))
+        fp = fp + F.when(cnt * 2 > n, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return fp
+
+
+# ------------------------------------------------------- vector search
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, per-group top-k.
+
+    The correctness baseline for ANN. Scale shape: queries MUST be
+    bounded (they're broadcast); the corpus streams through one pass —
+    cost O(|corpus|·|queries|) compute but no shuffle of the corpus
+    (top_k_per_group shuffles only (q_id, nn_id, sim) triples).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"))
+    scored = (
+        c.join(F.broadcast(q), on=F.col("q_id") != F.col("nn_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "nn_vec"))
+        .select("q_id", "nn_id", "sim")
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["q_id"],
+        ordering=[F.col("sim").desc_nulls_last(), F.col("nn_id").asc()],
+        k=k,
+        rank_col="rn",
+    )
+
+
+def knn_within_block(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    k: int,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Blocked (IVF-style) ANN: candidates share the query's block
+    (label / coarse-cluster id), exact cosine inside the block.
+
+    This is the scale path: the join key is the block id, so the plan
+    is a plain equi-join (shuffle or broadcast by block), never a
+    cartesian product. With blocks from k-means centroids this is
+    exactly IVF-Flat; here the block column is supplied (the driver's
+    ``embeddings.label``).
+    """
+    q = df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(block_col).alias("block"),
+    )
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    c = df.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("nn_vec"),
+        F.col(block_col).alias("block"),
+    )
+    scored = (
+        q.join(c, on="block")
+        .filter(F.col("q_id") != F.col("nn_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "nn_vec"))
+        .select("q_id", "nn_id", "sim")
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["q_id"],
+        ordering=[F.col("sim").desc_nulls_last(), F.col("nn_id").asc()],
+        k=k,
+        rank_col="rn",
+    )

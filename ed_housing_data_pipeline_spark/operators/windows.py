@@ -52,15 +52,18 @@ def top_k_per_group(
     partition_by: Sequence[str],
     ordering: Sequence[Column],
     k: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Classic top-k-per-group: row_number ≤ k inside each partition.
 
     Distributed-friendly: one shuffle on the group key, then a
-    partition-local sort; no global ordering required.
+    partition-local sort; no global ordering required. Pass
+    ``rank_col`` to keep the within-group position (bigint) in the
+    output instead of dropping it.
     """
     w = Window.partitionBy(*partition_by).orderBy(*ordering)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    name = rank_col or "_rn"
+    out = df.withColumn(name, F.row_number().over(w).cast("bigint")).filter(
+        F.col(name) <= k
     )
+    return out if rank_col else out.drop(name)

@@ -1,0 +1,503 @@
+"""Core relational queries (SURVEY.md §2.2–§2.8) with DuckDB oracles.
+
+One registered query per operator group, composed from the engine's
+operator library over the driver's lake tables. Each ``oracle=`` string
+is ANSI SQL DuckDB runs on the same parquet views; column names/types
+match the Spark result exactly (see plans/registry.py conventions).
+
+Reference parity notes are cited per query (reference = the pandas +
+DuckDB pipeline at /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ed_housing_data_pipeline_spark.functions.numeric import horizontal_sum, safe_div
+from ed_housing_data_pipeline_spark.functions.text import normalize_join_key
+from ed_housing_data_pipeline_spark.operators import aggs, joins, setops, topk, windows
+from ed_housing_data_pipeline_spark.plans._base import t
+from ed_housing_data_pipeline_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------- P1-P3
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag AS flag, l_quantity AS qty
+    FROM lineitem WHERE l_returnflag <> 'A'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filter (string ≠) + projection + rename — P1/P2/P3
+    (reference bronze_to_silver.py:64-85 label-row drop + keep-list)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") != "A").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+# ---------------------------------------------------------------- P4/E1
+@register(
+    "coerce_json_field",
+    oracle="""
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    """,
+)
+def q_coerce_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + numeric coercion (invalid→NULL) + NULL-predicate
+    filter — E1/P4 generalized to the events feed (reference coerce:
+    bronze_to_silver.py:96-98)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("double")
+    return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val").isNotNull())
+
+
+# ---------------------------------------------------------------- E2/E4
+@register(
+    "safe_division",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / NULLIF(l_quantity, 0) * 100.0, 4) AS price_per_unit_pct
+    FROM lineitem
+    """,
+)
+def q_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-division ratio ×100, denominator 0 → NULL — E2/E4
+    (reference bronze_to_silver.py:109-112)."""
+    li = t(spark, sf_dir, "lineitem")
+    ratio = safe_div(F.col("l_extendedprice"), F.col("l_quantity"), scale=100.0)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(ratio, 4).alias("price_per_unit_pct")
+    )
+
+
+# ---------------------------------------------------------------- A2/E3
+@register(
+    "horizontal_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(COALESCE(l_quantity, 0) + COALESCE(l_discount, 0)
+                 + COALESCE(l_tax, 0), 4) AS components_sum
+    FROM lineitem
+    """,
+)
+def q_horizontal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise N-column sum with NULL→0 — A2/E3 (reference
+    bronze_to_silver.py:109-110 ``fillna(0).sum(axis=1)``)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = horizontal_sum("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(s, 4).alias("components_sum")
+    )
+
+
+# ------------------------------------------------------------------ A1
+@register(
+    "grouped_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + named multi-agg (TPC-H Q1 shape) — A1 (reference
+    silver_to_gold.py:63-70). Map-side partial agg + one shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return aggs.grouped_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "avg_price": F.round(F.avg("l_extendedprice"), 2),
+            "sum_disc_price": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+# ------------------------------------------------------------------ A3
+@register(
+    "count_star",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar count — A3 (reference sample_queries.sql:9)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ------------------------------------------------------------------ J1
+@register(
+    "left_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join, bounded dim side broadcast — J1 (reference
+    silver_to_gold.py:73-77). Fact side never shuffles."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    j = joins.equi_join(
+        orders,
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey",
+        how="left",
+        broadcast_right=True,
+    )
+    return j.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+# ------------------------------------------------------------------ J2
+@register(
+    "inner_join_agg",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop inner equi-join + grouped agg — J2 (reference
+    silver_to_gold.py:80-84); both dims broadcast."""
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    j = joins.equi_join(
+        joins.equi_join(customer, nation, on="c_nationkey", broadcast_right=True),
+        region,
+        on="n_regionkey",
+        broadcast_right=True,
+    )
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
+# -------------------------------------------------------- J3/E5/E6/E7
+@register(
+    "normalize_key_group",
+    oracle="""
+    SELECT NULLIF(LOWER(TRIM(REGEXP_REPLACE(p_name, '(?i)\\bsmall\\b', '', 'g'))), '')
+             AS name_key,
+           COUNT(*) AS n_parts
+    FROM part
+    GROUP BY 1
+    """,
+)
+def q_normalize_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex key normalization (case-insensitive strip + trim + lower +
+    empty→NULL) then group — J3/E5/E6/E7 (reference county normalizer,
+    silver_to_gold.py:15-36). Native codegen'd regex chain, no UDF."""
+    part = t(spark, sf_dir, "part")
+    key = normalize_join_key("p_name", strip_suffixes=(r"\bsmall\b",))
+    return part.groupBy(key.alias("name_key")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+
+
+# ------------------------------------------------------------ semi/anti
+@register(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — engine surface beyond the reference."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return joins.semi_join(customer, orders, on="c_custkey").select("c_custkey")
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — engine surface beyond the reference."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return joins.anti_join(customer, orders, on="c_custkey").select("c_custkey")
+
+
+# ------------------------------------------------------------------ J4
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-row-per-key dedup (earliest order per customer,
+    orderkey tie-break) — J4 (reference drop_duplicates keep-first,
+    silver_to_gold.py:81). One shuffle + partition-local window."""
+    orders = t(spark, sf_dir, "orders")
+    d = joins.dedup_one_per_key(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return d.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# -------------------------------------------------------------- W1/W2
+@register(
+    "rank_asc_nulls_last",
+    oracle="""
+    SELECT c_custkey,
+           CAST(rank() OVER (ORDER BY c_acctbal ASC NULLS LAST) AS BIGINT) AS rnk
+    FROM customer
+    """,
+)
+def q_rank_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank ASC NULLS LAST — W1 (reference view_gold.py:97).
+    Unpartitioned window: single-partition exchange, dimension-scale only."""
+    customer = t(spark, sf_dir, "customer")
+    r = windows.ranked(
+        customer, {"rnk": windows.order_col("c_acctbal", ascending=True)}
+    )
+    return r.select("c_custkey", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@register(
+    "rank_desc_nulls_last",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(rank() OVER (ORDER BY s_acctbal DESC NULLS LAST) AS BIGINT) AS rnk
+    FROM supplier
+    """,
+)
+def q_rank_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank DESC NULLS LAST — W2 (reference view_gold.py:98-99)."""
+    supplier = t(spark, sf_dir, "supplier")
+    r = windows.ranked(
+        supplier, {"rnk": windows.order_col("s_acctbal", ascending=False)}
+    )
+    return r.select("s_suppkey", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+# ------------------------------------------------------------- W3/E8
+RANK_SUM_ORACLE = """
+WITH nation_metrics AS (
+    SELECT n_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           ROUND(AVG(c.c_acctbal), 6) AS avg_acctbal,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spend
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n_name
+), ranked AS (
+    SELECT *,
+        CAST(rank() OVER (ORDER BY avg_acctbal DESC NULLS LAST) AS BIGINT) AS r_acctbal,
+        CAST(rank() OVER (ORDER BY n_customers DESC NULLS LAST) AS BIGINT) AS r_customers,
+        CAST(rank() OVER (ORDER BY total_spend DESC NULLS LAST) AS BIGINT) AS r_spend
+    FROM nation_metrics
+)
+SELECT n_name, r_acctbal, r_customers, r_spend,
+       (r_acctbal + r_customers + r_spend) AS overall_rank_sum
+FROM ranked
+ORDER BY overall_rank_sum ASC, n_name ASC
+LIMIT 1
+"""
+
+
+@register("rank_sum_top1", oracle=RANK_SUM_ORACLE)
+def q_rank_sum_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ranked-CTE → rank-sum → top-1 analysis — W3/E8,
+    mirroring the reference's best-overall-county query
+    (duckdb_viewer/view_gold.py:94-113) over the lake tables: rank
+    nations on three metrics, sum the ranks, return the best."""
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    joined = joins.equi_join(
+        customer.withColumnRenamed("c_nationkey", "n_nationkey"),
+        nation,
+        on="n_nationkey",
+        broadcast_right=True,
+    ).join(orders.withColumnRenamed("o_custkey", "c_custkey"), on="c_custkey")
+    metrics = joined.groupBy("n_name").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    ranked = windows.ranked(
+        metrics,
+        {
+            "r_acctbal": windows.order_col("avg_acctbal", ascending=False),
+            "r_customers": windows.order_col("n_customers", ascending=False),
+            "r_spend": windows.order_col("total_spend", ascending=False),
+        },
+    )
+    ranked = ranked.select(
+        "n_name",
+        *[F.col(c).cast("bigint").alias(c) for c in ("r_acctbal", "r_customers", "r_spend")],
+    ).withColumn(
+        "overall_rank_sum",
+        F.col("r_acctbal") + F.col("r_customers") + F.col("r_spend"),
+    )
+    return topk.top_k(
+        ranked, [F.col("overall_rank_sum").asc(), F.col("n_name").asc()], k=1
+    )
+
+
+# -------------------------------------------------------------- O1/O2
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by metric with unique tie-break — O1/O2 (reference
+    sample_queries.sql:12-29). Compiles to TakeOrderedAndProject."""
+    orders = t(spark, sf_dir, "orders")
+    return topk.top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()],
+        k=20,
+    )
+
+
+# ------------------------------------------------------------------ O3
+@register(
+    "limit_head",
+    oracle="SELECT r_regionkey, r_name FROM region LIMIT 10",
+)
+def q_limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered LIMIT — O3 (reference view_gold.py:35). Hash-stable
+    because k exceeds the table size (region has 5 rows)."""
+    region = t(spark, sf_dir, "region")
+    return topk.head(region.select("r_regionkey", "r_name"), 10)
+
+
+# ---------------------------------------------------------------- §2.8
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — §2.8 engine surface."""
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    return setops.intersect_distinct(
+        customer.select(F.col("c_nationkey").alias("nationkey")),
+        supplier.select(F.col("s_nationkey").alias("nationkey")),
+    )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — §2.8 engine surface."""
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    return setops.except_all(
+        nation.select(F.col("n_nationkey").alias("nationkey")),
+        supplier.select(F.col("s_nationkey").alias("nationkey")),
+    )
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+    (SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+     ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC LIMIT 5)
+    UNION ALL
+    (SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer
+     ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC LIMIT 5)
+    """,
+)
+def q_setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by column name — §2.8 engine surface (top-5 ∪ bottom-5
+    customers by balance)."""
+    customer = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal")
+    )
+    hi = topk.top_k(
+        customer, [F.col("acctbal").desc_nulls_last(), F.col("c_custkey").asc()], 5
+    )
+    lo = topk.top_k(
+        customer, [F.col("acctbal").asc_nulls_last(), F.col("c_custkey").asc()], 5
+    )
+    return setops.union_by_name(hi, lo)
+
+
+# -------------------------------------------- top-k per group (windows)
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS BIGINT) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority class — partitioned window variant of
+    O1/O2; one shuffle on the group key, partition-local sort."""
+    orders = t(spark, sf_dir, "orders")
+    return windows.top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        partition_by=["o_orderpriority"],
+        ordering=[F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_col="rn",
+    )
+
+
+# ------------------------------------------------------------------ A4
+@register(
+    "table_summary",
+    oracle="SELECT COUNT(*) AS n_rows, 11 AS n_cols FROM lineitem",
+)
+def q_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row/column-count run summary — A4 (reference JSON summary,
+    bronze_to_silver.py:206-222)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(li.columns)).alias("n_cols"),
+    )

@@ -1,0 +1,142 @@
+"""Event-time analytics queries (SURVEY.md §2.9) with DuckDB oracles.
+
+The events table stores ``ts`` as INT64 TIMESTAMP(NANOS); the Spark
+side reads it as bigint ns (nanosAsLong) and truncates to a µs
+timestamp (sources/tables.events_with_ts) — exactly the truncation
+DuckDB applies reading TIMESTAMP_NS, so both engines see identical
+µs instants. Buckets are exported as epoch seconds (bigint) so no raw
+timestamp ever reaches the comparator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ed_housing_data_pipeline_spark.operators import events as ev_ops
+from ed_housing_data_pipeline_spark.plans._base import events_ts
+from ed_housing_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "events_hourly_by_type",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly buckets × event type — batch twin of a streaming
+    windowed agg; plain groupBy, map-side partial agg."""
+    ev = events_ts(spark, sf_dir)
+    out = ev_ops.tumbling_agg(
+        ev,
+        ts_col="ts",
+        unit="hour",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+    )
+    return out.select(
+        F.unix_seconds(F.col("bucket")).alias("bucket_s"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "events_daily_active_users",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
+           COUNT(DISTINCT user_id) AS active_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — distinct-agg inside time buckets."""
+    ev = events_ts(spark, sf_dir)
+    out = ev_ops.tumbling_agg(
+        ev,
+        ts_col="ts",
+        unit="day",
+        keys=[],
+        aggs={
+            "active_users": F.countDistinct("user_id"),
+            "n_events": F.count(F.lit(1)),
+        },
+    )
+    return out.select(
+        F.unix_seconds(F.col("bucket")).alias("bucket_s"),
+        "active_users",
+        "n_events",
+    )
+
+
+@register(
+    "events_json_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-prop extraction (native get_json_object, no UDF) feeding a
+    grouped agg — the §2.5 extension the events feed motivates."""
+    ev = events_ts(spark, sf_dir)
+    ev = ev_ops.with_json_field(ev, "props", "k", out="k_val")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(F.col("k_val").try_cast("double")), 4).alias("avg_k"),
+    )
+
+
+# µs-integer gap/span arithmetic on both sides (date_diff here,
+# unix_micros in Spark) — exact, no double-epoch rounding drift.
+SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+    SELECT *, CAST(SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0, 3) AS span_sec,
+       ROUND(SUM(value), 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize_stats", oracle=SESSION_ORACLE)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session stats — the
+    lag→flag→cumsum formulation; one shuffle on user_id, then
+    partition-local window scans."""
+    ev = events_ts(spark, sf_dir)
+    s = ev_ops.session_stats(ev, ts_col="ts", user_col="user_id", gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.round(F.col("span_sec"), 3).alias("span_sec"),
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    )

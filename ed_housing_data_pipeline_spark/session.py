@@ -43,11 +43,36 @@ def get_spark(app_name: str = "ed_housing_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.getenv("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if not os.getenv("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cores}]")
     spark = builder.getOrCreate()
+    ensure_runtime_confs(spark)
     spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set the runtime-settable confs the engine's semantics depend on.
+
+    Called by every registered query so the engine behaves identically
+    under an externally-created SparkSession (the driver harness builds
+    its own). All three are runtime-settable (verified on PySpark 4.1):
+
+    - ``nanosAsLong``: the testdata ``events.parquet`` stores ts as
+      INT64 TIMESTAMP(NANOS), which PySpark 4 refuses to read otherwise
+      ([PARQUET_TYPE_ILLEGAL]); with the flag it reads as bigint ns and
+      :func:`sources.tables.events_with_ts` converts to timestamp.
+    - UTC session timezone: oracle (DuckDB) timestamps are naive-UTC.
+    - AQE on: runtime shuffle coalescing / skew-join handling.
+
+    ANSI mode is deliberately left at the session default: all engine
+    expressions are ANSI-safe (``try_cast``, ``nullif`` guards) so
+    results are identical either way.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark

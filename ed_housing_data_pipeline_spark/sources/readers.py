@@ -73,13 +73,18 @@ def read_csv_skip_rows(
         .withColumn("_line", F.monotonically_increasing_id())
         .filter(F.col("_line") >= skip_rows)
     )
-    header_line = lines.orderBy("_line").select("value").first()[0]
-    columns = next(_csv.reader(io.StringIO(header_line), delimiter=sep))
-    ddl_schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    header_row = lines.orderBy("_line").select("value").first()
+    if header_row is None:
+        raise ValueError(
+            f"read_csv_skip_rows: {path!r} has no header line after "
+            f"skipping {skip_rows} rows"
+        )
+    columns = next(_csv.reader(io.StringIO(header_row[0]), delimiter=sep))
+    # Backtick-quote: human-written preamble CSVs routinely carry
+    # spaces/commas in headers, which an unquoted DDL string can't parse.
+    ddl = ", ".join(f"`{c.replace('`', '')}` STRING" for c in columns)
     body = lines.filter(F.col("_line") > skip_rows)
-    parsed = body.select(
-        F.from_csv(F.col("value"), ddl_schema.simpleString(), {"sep": sep}).alias("r")
-    )
+    parsed = body.select(F.from_csv(F.col("value"), ddl, {"sep": sep}).alias("r"))
     return parsed.select([F.col(f"r.`{c}`").alias(c) for c in columns])
 
 

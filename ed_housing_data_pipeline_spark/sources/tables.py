@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -31,6 +31,23 @@ DEFAULT_SF_DIR = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` as a proper µs timestamp.
+
+    The testdata stores ``ts`` as INT64 TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by
+    :func:`session.ensure_runtime_confs`) it arrives as bigint
+    nanoseconds. ``timestamp_micros(ts DIV 1000)`` truncates ns→µs —
+    the same truncation DuckDB applies when it reads TIMESTAMP_NS into
+    its µs TIMESTAMP, so oracle comparisons agree exactly.
+    """
+    from ed_housing_data_pipeline_spark.session import ensure_runtime_confs  # noqa: PLC0415
+
+    ensure_runtime_confs(spark)
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
