@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark for the spark-graft driver.
+
+Runs a representative slice of the registered queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"grouped_agg": <sec>, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the no-op sink (full plan executes
+on the executors; nothing is collected to the driver), which is the
+honest proxy for cluster throughput — a ``collect()`` would bench the
+driver's Python deserialization instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# One per operator family; heavy hitters (joins, windows, dedup, events,
+# minhash, ANN) all represented so a regression anywhere shows up here.
+HEADLINE = [
+    "grouped_agg",          # TPC-H Q1 shape: scan + partial/final agg
+    "safe_division",        # full-table projection arithmetic
+    "left_join",            # broadcast left join, fact side unshuffled
+    "inner_join_agg",       # two-hop broadcast join + agg
+    "dedup_keep_first",     # shuffle + partition-local window
+    "rank_sum_top1",        # flagship: joins + agg + 3 ranks + top-1
+    "topk_orders",          # TakeOrderedAndProject
+    "topk_per_group",       # partitioned window top-k
+    "events_hourly_by_type",    # ns-ts conversion + time bucket agg
+    "events_sessionize_stats",  # lag + cumsum sessionization
+    "doc_exact_dedup",      # normalize + hash-groupBy dedup
+    "doc_minhash_signature",    # shingles + 32 minhashes
+    "doc_neardup_pairs",    # LSH banding join
+    "doc_quality_score",    # text stats battery
+    "embedding_knn_blocked",    # label-blocked cosine top-k
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from ed_housing_data_pipeline_spark.plans.registry import query_map
+    from ed_housing_data_pipeline_spark.session import ensure_runtime_confs
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_runtime_confs(spark)
+
+    qmap = query_map()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        df = qmap[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
+        t0 = time.perf_counter()
+        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_token = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_token)
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

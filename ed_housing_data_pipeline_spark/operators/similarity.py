@@ -32,10 +32,43 @@ from ed_housing_data_pipeline_spark.operators.windows import top_k_per_group
 
 HashFn = Callable[[Column], Column]
 
+# Prime modulus for the MinHash permutation family (fits 31 bits, so
+# a*h+b stays < 2^62 — no bigint overflow even under ANSI mode).
+MINHASH_P = (1 << 31) - 1
+
 
 def _default_hash(c: Column) -> Column:
     """60-bit md5-prefix hash (bigint) — DuckDB-reproducible."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_params(n_hashes: int, p: int = MINHASH_P) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine-permutation constants per MinHash
+    family: ``h_i(x) = (a_i * x + b_i) mod p``. One base hash per
+    shingle + N cheap integer perms ≫ N salted md5 passes (the round-1
+    design) — 8× less hashing on the hot path, same collision math.
+    Shared by the Spark exprs and the generated DuckDB oracle SQL.
+    """
+    out = []
+    for i in range(n_hashes):
+        a = ((2 * i + 1) * 0x9E3779B1) % p
+        b = (i * 0x85EBCA77 + 1) % p
+        out.append((a or 1, b))
+    return out
+
+
+def scale_out(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan produced fewer splits than cores
+    (tiny/single-file inputs), so CPU-bound narrow transforms (md5 over
+    every shingle) aren't serialized on one task. At real scale the
+    scan already has thousands of splits and this is a no-op — we never
+    unconditionally reshuffle the input.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # --------------------------------------------------------------- exact
@@ -64,27 +97,38 @@ def with_minhash_signature(
     shingle_k: int = 3,
     hash_fn: HashFn | None = None,
     prefix: str = "mh_",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Attach MinHash columns ``mh_0..mh_{n-1}`` (bigint; NULL when the
     document has no shingles).
 
-    MinHash family i is ``min over shingles of hash(i || ':' || s)`` —
-    the salted-hash construction (one md5 per family per shingle, all
-    native exprs). Narrow transform: no shuffle at all; at 100 TB this
-    runs inside the scan stage.
+    Universal-hash construction: ONE base md5 per distinct shingle,
+    then family i is ``min over shingles of (a_i*h + b_i) mod p``
+    (constants from :func:`minhash_params`) — integer arithmetic, so
+    adding hash families is nearly free. Narrow transform: no shuffle;
+    at 100 TB this runs inside the scan stage. Pass ``shingles_col``
+    to reuse a precomputed shingle array instead of re-shingling.
     """
     h = hash_fn or _default_hash
-    sh = word_shingles(text_col, k=shingle_k)
-    out = df.withColumn("_sh", F.array_distinct(sh))
-    for i in range(n_hashes):
-        # NB: single-arg lambda — a two-arg lambda would make Spark pass
-        # the array index as the second argument, clobbering the salt.
-        salt = F.lit(f"{i}:")
+    if shingles_col is None:
+        sh = F.array_distinct(word_shingles(text_col, k=shingle_k))
+    else:
+        sh = F.col(shingles_col)
+    # NB: single-arg lambdas throughout — a two-arg lambda would make
+    # Spark pass the array index as the second argument.
+    out = df.withColumn(
+        "_hs", F.transform(sh, lambda s: F.pmod(h(s), F.lit(MINHASH_P)))
+    )
+    def _perm(a: int, b: int):
+        # Factory closure: the returned lambda must be single-argument
+        # (default-arg tricks change the arity PySpark inspects).
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+
+    for i, (a, b) in enumerate(minhash_params(n_hashes)):
         out = out.withColumn(
-            f"{prefix}{i}",
-            F.array_min(F.transform(F.col("_sh"), lambda s: h(F.concat(salt, s)))),
+            f"{prefix}{i}", F.array_min(F.transform(F.col("_hs"), _perm(a, b)))
         )
-    return out.drop("_sh")
+    return out.drop("_hs")
 
 
 def lsh_candidate_pairs(
@@ -113,9 +157,15 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Docs with no shingles have NULL signatures; concat_ws would fold
+    # them all into one "" band key and pair every empty doc with every
+    # other — drop them before banding (the oracle's NULL keys never
+    # join, so this also keeps Spark/DuckDB behavior identical).
+    exploded = (
+        sig.filter(F.col(f"{prefix}0").isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -158,13 +208,16 @@ def near_dup_pairs(
     shingle arrays ONLY for candidate pairs (bounded by banding), so
     the expensive exact comparison never goes quadratic.
     """
+    # Shingle once; signatures and the verification join both hang off
+    # this projection, so the expensive text pass isn't tripled.
+    sh = scale_out(df).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh"),
+    )
     sig = with_minhash_signature(
-        df, text_col, n_hashes=n_hashes, shingle_k=shingle_k, hash_fn=hash_fn
+        sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
     )
     cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, bands=bands)
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh")
-    )
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
