@@ -20,10 +20,11 @@ def with_json_field(
     df: DataFrame, json_col: str, field: str, out: str, cast: str | None = None
 ) -> DataFrame:
     """Extract ``$.field`` from a JSON-string column (get_json_object —
-    native Jackson parse, no UDF)."""
+    native Jackson parse, no UDF). ``try_cast`` so malformed values
+    coerce to NULL instead of throwing under ANSI mode (Spark 4 default)."""
     c = F.get_json_object(F.col(json_col), f"$.{field}")
     if cast:
-        c = c.cast(cast)
+        c = c.try_cast(cast)
     return df.withColumn(out, c)
 
 

@@ -1,0 +1,111 @@
+"""Unit tests for operators/{clean,joins,aggs,setops}.py — the
+relational core, including plan-shape assertions (broadcast joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_housing_data_pipeline_spark.operators import aggs, clean, joins, setops
+from tests.conftest import rows
+
+
+# ----------------------------------------------------------------- clean
+def test_project_rename_handles_spaces(spark):
+    df = spark.createDataFrame([(1, "x")], "`School Age Total` int, b string")
+    out = clean.project_rename(df, {"School Age Total": "total", "b": "name"})
+    assert out.columns == ["total", "name"]
+    assert out.first()["total"] == 1
+
+
+def test_coerce_numeric_multiple_columns(spark):
+    df = spark.createDataFrame([("1", "(X)"), ("2.5", "7")], "a string, b string")
+    out = clean.coerce_numeric(df, ["a", "b"])
+    assert rows(out) == [(1.0, None), (2.5, 7.0)]
+
+
+def test_drop_null_keys(spark):
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (2, None)], "k int, v string")
+    assert rows(clean.drop_null_keys(df, ["k"])) == [(1, "a"), (2, None)]
+    assert rows(clean.drop_null_keys(df, ["k", "v"])) == [(1, "a")]
+
+
+# ----------------------------------------------------------------- joins
+def _dims(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, lv string"
+    )
+    right = spark.createDataFrame([(1, "R1"), (2, "R2")], "k int, rv string")
+    return left, right
+
+
+def test_left_join_null_pattern(spark):
+    left, right = _dims(spark)
+    out = joins.equi_join(left, right, on="k", how="left")
+    assert rows(out, "k", "rv") == [(1, "R1"), (2, "R2"), (3, None)]
+
+
+def test_inner_join_drops_unmatched(spark):
+    left, right = _dims(spark)
+    assert rows(joins.equi_join(left, right, on="k"), "k") == [(1,), (2,)]
+
+
+def test_broadcast_join_plan(spark):
+    left, right = _dims(spark)
+    out = joins.equi_join(left, right, on="k", broadcast_right=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join(spark):
+    left, right = _dims(spark)
+    assert rows(joins.semi_join(left, right, on="k"), "k") == [(1,), (2,)]
+    assert rows(joins.anti_join(left, right, on="k"), "k") == [(3,)]
+
+
+def test_dedup_one_per_key_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 3, "z"), ("a", 1, "y"), ("a", 1, "x"), ("b", 9, "w")],
+        "k string, n int, s string",
+    )
+    out = joins.dedup_one_per_key(
+        df, keys=["k"], order_by=[F.col("n").asc(), F.col("s").asc()]
+    )
+    # survivor = lowest n, then lowest s — fully deterministic
+    assert rows(out) == [("a", 1, "x"), ("b", 9, "w")]
+    assert "_rn" not in out.columns
+
+
+# ------------------------------------------------------------------ aggs
+def test_grouped_agg_null_key_policy(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("a", 3.0)], "k string, v double"
+    )
+    spec = {"total": F.sum("v"), "n": F.count(F.lit(1))}
+    kept = aggs.grouped_agg(df, ["k"], spec)
+    assert rows(kept) == [(None, 2.0, 1), ("a", 4.0, 2)]
+    # pandas-parity mode: NaN-keyed rows silently dropped (SURVEY §2.4 A1)
+    dropped = aggs.grouped_agg(df, ["k"], spec, drop_null_keys=True)
+    assert rows(dropped) == [("a", 4.0, 2)]
+
+
+def test_grouped_agg_countdistinct_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", "s1"), ("a", "s1"), ("a", None), ("a", "s2")], "k string, s string"
+    )
+    out = aggs.grouped_agg(df, ["k"], {"nuniq": F.countDistinct("s")})
+    assert rows(out) == [("a", 2)]
+
+
+# ---------------------------------------------------------------- setops
+def test_union_by_name_reorders_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id int")
+    assert rows(setops.union_by_name(a, b)) == [(1, "x"), (2, "y")]
+
+
+def test_intersect_distinct_and_except_all(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(1,), (3,), (3,)], "x int")
+    assert rows(setops.intersect_distinct(a, b)) == [(1,), (3,)]
+    # EXCEPT ALL is multiset subtraction: {1,1,2,3} - {1,3,3} = {1,2}
+    assert rows(setops.except_all(a, b)) == [(1,), (2,)]

@@ -1,0 +1,117 @@
+"""Unit tests for operators/similarity.py — dedup, MinHash/LSH,
+SimHash, and vector search, including plan-shape (no cartesian)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_housing_data_pipeline_spark.operators import similarity as sim
+from tests.conftest import rows
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick  brown fox jumps over the lazy dog "),  # ws-variant of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+    (4, "completely different text about spark engines and shuffles"),
+    (5, ""),
+    (6, None),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_min_survivor(spark):
+    out = sim.exact_dedup(_docs(spark), "text", "doc_id", keep="min")
+    got = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    # 1 and 2 normalize identically -> survivor 1 with count 2
+    assert got[1] == 2
+    assert 2 not in got
+    # empty and NULL both normalize to NULL -> one NULL group (5, 6)
+    assert got[5] == 2
+
+
+def test_minhash_identical_and_empty(spark):
+    out = sim.with_minhash_signature(_docs(spark), "text", n_hashes=4).collect()
+    r = {row["doc_id"]: [row[f"mh_{i}"] for i in range(4)] for row in out}
+    assert r[1] == r[2]  # whitespace variants share every family min
+    assert r[1] != r[4]
+    assert r[5] == [None] * 4 and r[6] == [None] * 4
+    assert all(0 <= v < sim.MINHASH_P for v in r[1])
+
+
+def test_lsh_candidates_exclude_empty_docs(spark):
+    sig = sim.with_minhash_signature(_docs(spark), "text", n_hashes=4)
+    pairs = rows(sim.lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2))
+    assert (1, 2) in pairs
+    # empty/NULL docs must never pair up via the "" band key
+    assert (5, 6) not in pairs
+
+
+def test_near_dup_pairs_threshold(spark):
+    out = sim.near_dup_pairs(
+        _docs(spark), "text", "doc_id", threshold=0.5, n_hashes=4, bands=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert all(j >= 0.5 for j in got.values())
+    assert not any(4 in p or 5 in p or 6 in p for p in got)
+
+
+def test_simhash_properties(spark):
+    out = _docs(spark).select(
+        "doc_id", sim.simhash("text", bits=16).alias("fp")
+    ).collect()
+    r = {row["doc_id"]: row["fp"] for row in out}
+    assert r[1] == r[2]
+    assert 0 <= r[1] < 2**16
+    assert r[5] == 0 and r[6] == 0  # no tokens -> all bits 0
+
+
+def _vectors(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [0.0, 1.0], 1),
+            (5, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+
+def test_knn_bruteforce_nearest(spark):
+    emb = _vectors(spark)
+    out = sim.knn_bruteforce(
+        queries=emb.filter(F.col("vec_id") == 1),
+        corpus=emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=1,
+    )
+    r = out.collect()
+    assert len(r) == 1
+    assert r[0]["q_id"] == 1 and r[0]["nn_id"] == 2  # self excluded
+
+
+def test_knn_within_block_plan_and_result(spark):
+    emb = _vectors(spark)
+    out = sim.knn_within_block(
+        emb, vec_col="embedding", id_col="vec_id", block_col="label", k=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {r["q_id"]: r["nn_id"] for r in out.collect()}
+    assert got[1] == 2
+    assert got[4] == 5  # candidates restricted to label 1, not global 3
+
+
+def test_scale_out_only_upscales(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    n0 = df.rdd.getNumPartitions()
+    out = sim.scale_out(df)
+    n1 = out.rdd.getNumPartitions()
+    assert n1 >= n0
+    assert n1 >= min(spark.sparkContext.defaultParallelism, n0)
