@@ -10,7 +10,8 @@ reusable, 100-TB-scale-minded operators:
                   bronze_to_silver.py:18-31).
 - ``operators`` : relational operator library — clean/cast/derive, joins,
                   aggregations, windows, top-k, set ops, event-time
-                  analytics, dedup, similarity search
+                  analytics, dedup, similarity search, multimodal
+                  (binary-column) plumbing
                   (reference: bronze_to_silver.py, silver_to_gold.py,
                   duckdb_viewer/*).
 - ``functions`` : column-expression helpers (safe division, key

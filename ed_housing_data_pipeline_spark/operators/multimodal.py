@@ -1,0 +1,138 @@
+"""Multimodal (binary) column operators.
+
+Engine surface beyond the reference (which is tabular-only): treat
+image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, and run decode/feature-extraction through Arrow-batched
+``mapInPandas`` — the pattern a 100 TB training-data pipeline uses so
+Python media libraries see whole batches, never row-at-a-time.
+
+The Spark-side plumbing here is REAL and tested: schemas, partition
+behavior, batch iteration, column passthrough. The pixel/sample decode
+itself is a **deterministic stub** (``_fake_decode``) because no media
+codec library (PIL/cv2/librosa) ships in this container — swap
+``decode_fn`` for a real decoder on a cluster with the libs installed;
+nothing else changes.
+
+Scale notes: metadata extraction is pure native exprs (codegen over
+the scan); mapInPandas stages are narrow (no shuffle) and parallelize
+by input split; keep ``spark.sql.execution.arrow.maxRecordsPerBatch``
+sized so a batch of decoded frames fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# magic-prefix → format tag, checked against the first bytes of the payload
+_MAGIC = {
+    "89504e47": "png",
+    "ffd8ff": "jpeg",
+    "52494646": "riff",  # wav/avi container
+    "66747970": "mp4",  # ftyp at offset 4; handled below
+}
+
+
+def media_format(data: Column | str) -> Column:
+    """Best-effort container detection from magic bytes — native exprs
+    only (hex prefix compare), no Python."""
+    c = F.col(data) if isinstance(data, str) else data
+    head = F.lower(F.hex(F.substring(c, 1, 4)))
+    head2 = F.lower(F.hex(F.substring(c, 5, 4)))  # mp4 ftyp sits at offset 4
+    expr = F.lit(None).cast("string")
+    out = F.when(head.startswith("89504e47"), F.lit("png"))
+    out = out.when(head.startswith("ffd8ff"), F.lit("jpeg"))
+    out = out.when(head.startswith("52494646"), F.lit("riff"))
+    out = out.when(head2.startswith("66747970"), F.lit("mp4"))
+    return out.otherwise(expr)
+
+
+def with_media_metadata(
+    df: DataFrame, data_col: str, prefix: str = "media_"
+) -> DataFrame:
+    """Attach typed metadata for an opaque binary column: byte size,
+    md5 digest, detected format. All JVM-side."""
+    c = F.col(data_col)
+    return df.withColumns(
+        {
+            f"{prefix}bytes": F.octet_length(c).cast("bigint"),
+            f"{prefix}md5": F.md5(c),
+            f"{prefix}format": media_format(c),
+        }
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """DETERMINISTIC STUB for image decode (no codec libs in this
+    container). Derives (width, height, mean_luma) from the payload
+    digest so tests are exact and repeatable. Replace with a real
+    decoder (PIL/cv2) via the ``decode_fn`` parameter on a cluster."""
+    d = hashlib.md5(payload or b"").digest()
+    width = 16 + d[0] % 64
+    height = 16 + d[1] % 64
+    mean_luma = d[2] / 255.0
+    return width, height, mean_luma
+
+
+DecodeFn = Callable[[bytes], tuple[int, int, float]]
+
+
+def decode_image_features(
+    df: DataFrame,
+    data_col: str,
+    id_col: str,
+    decode_fn: DecodeFn | None = None,
+) -> DataFrame:
+    """Decode images to (width, height, mean_luma) via Arrow-batched
+    ``mapInPandas`` — narrow stage, whole-batch Python calls, schema
+    declared up front. NULL payloads yield NULL features."""
+    import pandas as pd  # noqa: PLC0415
+
+    fn = decode_fn or _fake_decode
+    schema = f"{id_col} long, width int, height int, mean_luma double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                (None, None, None) if b is None else fn(bytes(b))
+                for b in pdf[data_col]
+            ]
+            out = pd.DataFrame(feats, columns=["width", "height", "mean_luma"])
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    data_col: str,
+    id_col: str,
+    n_frames: int,
+    decode_fn: DecodeFn | None = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame with a
+    frame index and (stubbed) per-frame features. Exercises the
+    row-expanding mapInPandas shape (1 input row → n output rows)."""
+    import pandas as pd  # noqa: PLC0415
+
+    fn = decode_fn or _fake_decode
+    schema = f"{id_col} long, frame_idx int, width int, height int, mean_luma double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for media_id, b in zip(pdf[id_col], pdf[data_col]):
+                if b is None:
+                    continue
+                for i in range(n_frames):
+                    # stub: frame i decodes the payload salted with i
+                    w, h, luma = fn(bytes(b) + bytes([i]))
+                    recs.append((media_id, i, w, h, luma))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "frame_idx", "width", "height", "mean_luma"]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)

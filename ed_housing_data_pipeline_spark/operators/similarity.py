@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ed_housing_data_pipeline_spark.functions.text import normalize_text, word_shingles
@@ -258,6 +260,39 @@ def simhash(
 
 
 # ------------------------------------------------------- vector search
+def cosine_similarity_pandas(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched Pandas-UDF cosine — the rerank-path variant of
+    ``functions.vectors.cosine_similarity``.
+
+    The native HOF expression wins for one-off scoring inside codegen;
+    this one wins when a stage is dominated by vector math over wide
+    arrays: NumPy sees a whole Arrow batch, stacks it into a matrix,
+    and does the dot/norm as BLAS calls (~10-100× row-at-a-time
+    Python). NULL in either side → NULL.
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        mask = (xs.notna() & ys.notna()).to_numpy()
+        # nullable Float64 so NaN (zero-norm) and missing rows both
+        # arrive in Spark as NULL, matching the native expression.
+        out = pd.array([pd.NA] * len(xs), dtype="Float64")
+        if mask.any():
+            xm = np.stack(xs[mask].to_numpy()).astype(np.float64)
+            ym = np.stack(ys[mask].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", xm, ym)
+            denom = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, np.nan, dots / denom)
+            out[mask] = pd.array(sims, dtype="Float64")
+        return pd.Series(out)
+
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return _cos(ac, bc)
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,

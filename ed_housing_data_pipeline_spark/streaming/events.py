@@ -1,0 +1,126 @@
+"""Structured Streaming event analytics.
+
+The reference is batch-only (SURVEY.md §2.9 — its closest notion is
+re-runnable ingest_date batches), so this module is engine surface
+beyond the reference: the streaming twins of operators/events.py,
+built on ``readStream`` + watermarked event-time windows +
+``session_window``. Each transformation takes a streaming DataFrame
+and returns one, so the caller picks source, sink, trigger, and
+checkpoint location.
+
+Scale notes:
+- Watermarks bound the state store: without one, a windowed agg keeps
+  every window open forever (unbounded state at 100 TB/day rates).
+- ``session_window`` state is per (user, open-session); the watermark
+  closes sessions ``gap`` after their last event.
+- These run identically in batch mode (a static DataFrame runs the
+  same expressions) — that is how the unit tests cross-check results
+  against the batch operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-source stream over an events directory: each new file is a
+    micro-batch (the lake-ingestion pattern; at scale this is the same
+    API over Kafka — swap ``format``)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str = "2 hours",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    ``operators.events.tumbling_agg``.
+
+    Late rows beyond ``watermark`` are dropped and their windows
+    finalized; state is bounded by (watermark / window) open windows
+    per key.
+    """
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    w = F.window(F.col(ts_col), window)
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *keys)
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def stream_sessionize_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation — the streaming twin of
+    ``operators.events.session_stats``. A session closes when no event
+    arrives within ``gap``; the watermark finalizes (and evicts) it."""
+    sw = F.session_window(F.col(ts_col), gap)
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(sw.alias("s"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    return out.select(
+        F.col("s.start").alias("session_start"),
+        F.col("s.end").alias("session_end"),
+        user_col,
+        "n_events",
+        "total_value",
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain everything currently available into an in-memory table and
+    stop — the test/backfill trigger (``availableNow``). Production
+    sinks swap ``format``/``trigger``; the transformation DataFrame is
+    unchanged."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,64 @@
+"""Unit tests for operators/multimodal.py — binary-column metadata
+(native exprs) and the mapInPandas decode plumbing."""
+
+from __future__ import annotations
+
+from ed_housing_data_pipeline_spark.operators import multimodal as mm
+from tests.conftest import rows
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"payload-1"
+JPG = b"\xff\xd8\xff\xe0" + b"payload-2"
+MP4 = b"\x00\x00\x00\x18ftypmp42" + b"payload-3"
+
+
+def _media(spark):
+    return spark.createDataFrame(
+        [(1, bytearray(PNG)), (2, bytearray(JPG)), (3, bytearray(MP4)),
+         (4, bytearray(b"plain")), (5, None)],
+        "media_id long, data binary",
+    )
+
+
+def test_with_media_metadata(spark):
+    out = mm.with_media_metadata(_media(spark), "data")
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[1]["media_format"] == "png"
+    assert got[2]["media_format"] == "jpeg"
+    assert got[3]["media_format"] == "mp4"
+    assert got[4]["media_format"] is None
+    assert got[1]["media_bytes"] == len(PNG)
+    assert got[5]["media_bytes"] is None and got[5]["media_md5"] is None
+
+
+def test_decode_image_features_schema_and_determinism(spark):
+    out = mm.decode_image_features(_media(spark), "data", "media_id")
+    assert out.columns == ["media_id", "width", "height", "mean_luma"]
+    a = rows(out)
+    b = rows(mm.decode_image_features(_media(spark), "data", "media_id"))
+    assert a == b  # stub decode is deterministic
+    got = {r[0]: r for r in a}
+    assert got[5][1] is None  # NULL payload -> NULL features
+    assert 16 <= got[1][1] < 80 and 16 <= got[1][2] < 80
+    assert 0.0 <= got[1][3] <= 1.0
+
+
+def test_decode_custom_decoder(spark):
+    out = mm.decode_image_features(
+        _media(spark), "data", "media_id", decode_fn=lambda b: (len(b), 2, 0.5)
+    )
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[1]["width"] == len(PNG) and got[1]["height"] == 2
+
+
+def test_sample_frames_expands_rows(spark):
+    out = mm.sample_frames(_media(spark), "data", "media_id", n_frames=3)
+    got = rows(out, "media_id", "frame_idx")
+    # 4 non-null payloads x 3 frames; NULL payload contributes none
+    assert len(got) == 12
+    assert (1, 0) in got and (1, 2) in got
+    assert not any(m == 5 for m, _ in got)
+    # frames of the same video differ (salted stub) but are stable
+    first = {r["frame_idx"]: r["mean_luma"] for r in out.filter("media_id=1").collect()}
+    again = {r["frame_idx"]: r["mean_luma"] for r in
+             mm.sample_frames(_media(spark), "data", "media_id", 3).filter("media_id=1").collect()}
+    assert first == again

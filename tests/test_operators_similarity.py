@@ -108,6 +108,30 @@ def test_knn_within_block_plan_and_result(spark):
     assert got[4] == 5  # candidates restricted to label 1, not global 3
 
 
+def test_cosine_pandas_matches_native(spark):
+    from ed_housing_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+            (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero norm -> NULL
+            (4, None, [1.0, 1.0, 1.0]),  # NULL side -> NULL
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    out = df.select(
+        "id",
+        cosine_similarity("a", "b").alias("native"),
+        sim.cosine_similarity_pandas("a", "b").alias("arrow"),
+    ).collect()
+    for r in out:
+        if r["native"] is None:
+            assert r["arrow"] is None
+        else:
+            assert abs(r["native"] - r["arrow"]) < 1e-12
+
+
 def test_scale_out_only_upscales(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "x int")
     n0 = df.rdd.getNumPartitions()

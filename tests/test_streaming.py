@@ -1,0 +1,73 @@
+"""Structured Streaming tests: real readStream → transform →
+writeStream runs (availableNow trigger, memory sink), cross-checked
+against the batch operators on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_housing_data_pipeline_spark.operators import events as batch_events
+from ed_housing_data_pipeline_spark.streaming import events as stream_events
+from tests.conftest import rows
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+ROWS = [
+    (1, ts(10, 0), 100, "view", 1.0, None),
+    (2, ts(10, 20), 100, "view", 2.0, None),
+    (3, ts(10, 40), 200, "buy", 3.0, None),
+    (4, ts(12, 5), 100, "view", 4.0, None),
+]
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    df = spark.createDataFrame(ROWS, stream_events.EVENTS_SCHEMA)
+    df.write.mode("overwrite").parquet(str(d / "in"))
+    return d
+
+
+def test_stream_tumbling_counts(spark, events_dir):
+    src = stream_events.read_events_stream(spark, str(events_dir / "in"))
+    assert src.isStreaming
+    agg = stream_events.stream_tumbling_counts(src, window="1 hour")
+    stream_events.run_available_now(agg, "tumbling_t", str(events_dir / "cp1"))
+    got = rows(spark.table("tumbling_t"), "window_start", "event_type", "n_events")
+    assert got == [
+        (ts(10), "buy", 1),
+        (ts(10), "view", 2),
+        (ts(12), "view", 1),
+    ]
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(str(events_dir / "in"))
+    b = batch_events.tumbling_agg(
+        batch, "ts", "hour", ["event_type"], {"n_events": F.count(F.lit(1))}
+    )
+    assert rows(b, "bucket", "event_type", "n_events") == rows(
+        spark.table("tumbling_t"), "window_start", "event_type", "n_events"
+    )
+
+
+def test_stream_sessionize_stats(spark, events_dir):
+    src = stream_events.read_events_stream(spark, str(events_dir / "in"))
+    s = stream_events.stream_sessionize_stats(src, gap="30 minutes")
+    stream_events.run_available_now(s, "sessions_t", str(events_dir / "cp2"))
+    got = rows(spark.table("sessions_t"), "user_id", "n_events", "total_value")
+    # user 100: 10:00+10:20 one session; 12:05 alone. user 200: one.
+    assert got == [(100, 1, 4.0), (100, 2, 3.0), (200, 1, 3.0)]
+    # session bounds: close = last event + gap
+    r = {
+        (row["user_id"], row["n_events"]): row
+        for row in spark.table("sessions_t").collect()
+    }
+    assert r[(100, 2)]["session_start"] == ts(10, 0)
+    assert r[(100, 2)]["session_end"] == ts(10, 50)
