@@ -501,3 +501,38 @@ def q_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(len(li.columns)).alias("n_cols"),
     )
+
+
+# ------------------------------------------------------------ pivot (A1+)
+@register(
+    "orders_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+               AS open_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status → columns) with an explicit value list — bounded
+    output width, single shuffle, no second distinct-values scan."""
+    orders = t(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("val"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.col("O_val").alias("open_value"),
+    )

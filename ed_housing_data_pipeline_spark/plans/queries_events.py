@@ -140,3 +140,71 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("span_sec"), 3).alias("span_sec"),
         F.round(F.col("total_value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "events_sliding_counts",
+    oracle="""
+    WITH grid AS (
+        SELECT e.ts, e.value,
+               time_bucket(INTERVAL 30 MINUTES, e.ts) - (o.o * INTERVAL 30 MINUTES)
+                   AS ws
+        FROM events e, (SELECT UNNEST([0, 1]) AS o) o
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM grid
+    GROUP BY 1
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows (each event in 2 windows) — Spark's
+    ``window()`` with slide; the oracle reproduces the epoch-aligned
+    window grid with an explicit 2-offset expansion."""
+    ev = events_ts(spark, sf_dir)
+    out = ev_ops.sliding_window_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        slide="30 minutes",
+        keys=[],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+    )
+    return out.select(
+        F.unix_seconds(F.col("window_start")).alias("window_start_s"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "events_rollup_day_type",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+           event_type,
+           CAST(GROUPING(CAST(epoch(date_trunc('day', ts)) AS BIGINT),
+                         event_type) AS BIGINT) AS gid,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP(1, 2)
+    """,
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (day, event_type): per-type, per-day subtotal, and
+    grand total in one pass — grouping-sets engine surface (§2.4
+    extension; Catalyst expands to a single shuffle). ``gid``
+    disambiguates rollup NULLs from data NULLs."""
+    ev = events_ts(spark, sf_dir)
+    d = ev.withColumn("day_s", F.unix_seconds(F.date_trunc("day", F.col("ts"))))
+    return (
+        d.rollup("day_s", "event_type")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("day_s", "event_type", "gid", "n_events")
+    )
