@@ -210,11 +210,22 @@ def near_dup_pairs(
     shingle arrays ONLY for candidate pairs (bounded by banding), so
     the expensive exact comparison never goes quadratic.
     """
-    # Shingle once; signatures and the verification join both hang off
-    # this projection, so the expensive text pass isn't tripled.
-    sh = scale_out(df).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh"),
+    # Shingle once; signatures and both verification joins hang off this
+    # projection. persist() materializes it a single time instead of
+    # recomputing the scan+shingle pass for each of the three consumers
+    # (Spark re-executes shared subtrees per branch otherwise). The
+    # cache holds only (id, shingles) — a fraction of the input — and is
+    # evicted LRU / on session close; at cluster scale swap for an
+    # explicit checkpoint in the orchestrating pipeline if preferred.
+    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+    sh = (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = with_minhash_signature(
         sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
