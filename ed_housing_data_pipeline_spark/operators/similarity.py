@@ -337,6 +337,38 @@ def knn_bruteforce(
     )
 
 
+def srp_params(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for signed-random-projection
+    (SRP) LSH over embeddings. Seeded so the Spark expressions and any
+    oracle SQL are generated from identical constants."""
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def srp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """SRP-LSH bucket id: bit i = sign(v · plane_i). Cosine-similar
+    vectors collide with high probability; 2^n_planes buckets shard the
+    corpus so ANN search is an equi-join on the bucket id — the
+    LSH-bucketed scale path (vs label/IVF blocking in
+    :func:`knn_within_block`). Pure native fold expressions."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                c,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
 def knn_within_block(
     df: DataFrame,
     vec_col: str,

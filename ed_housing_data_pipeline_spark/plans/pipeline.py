@@ -270,3 +270,25 @@ def gold_rank_sum_top1(gold: DataFrame) -> DataFrame:
     return topk.top_k(
         ranked, [F.col("overall_rank_sum").asc(), F.col("county").asc()], k=1
     )
+
+
+if __name__ == "__main__":
+    # CLI runner printing a JSON summary (reference C5:
+    # bronze_to_silver.py:288-302, silver_to_gold.py:118-123).
+    # Env contract mirrors the reference: LAKE_BASE (required),
+    # INGEST_DATE (default today), SCHOOL_FORMAT (xlsx|csv).
+    import json
+    import os
+    import sys
+
+    from ed_housing_data_pipeline_spark.session import get_spark
+
+    base = os.environ.get("LAKE_BASE")
+    if not base:
+        sys.exit("LAKE_BASE env var required (e.g. file:///tmp/lake)")
+    p = PipelinePaths(
+        catalog=lake.LakeCatalog(base),
+        ingest_date=lake.default_ingest_date(),
+        school_format=os.environ.get("SCHOOL_FORMAT", "xlsx"),
+    )
+    print(json.dumps(run_pipeline(get_spark("medallion-pipeline"), p), indent=2))
