@@ -22,11 +22,17 @@ def normalize_join_key(
     """Canonicalize a messy human name into a join key.
 
     Generalizes the reference's county normalizer (silver_to_gold.py:19-36):
-    strip configured suffix patterns (case-insensitive), trim, lowercase,
-    empty→NULL. NULL propagates natively (the reference's None/NaN
-    passthrough at silver_to_gold.py:26-31).
+    trim, strip configured suffix patterns (case-insensitive), trim,
+    lowercase, empty→NULL. NULL propagates natively (the reference's
+    None/NaN passthrough at silver_to_gold.py:26-31).
+
+    Operation order matters and matches the reference exactly: the
+    outer strip happens BEFORE the substitutions, so a value like
+    ``" County"`` keeps its (now unprefixed-by-whitespace) word rather
+    than collapsing to NULL — property-tested against the reference
+    regexes in tests/test_property_based.py.
     """
-    c = _c(col).cast("string")
+    c = F.trim(_c(col).cast("string"))
     for pat in strip_suffixes:
         c = F.regexp_replace(c, f"(?i){pat}", "")
     return F.nullif(F.lower(F.trim(c)), F.lit(""))

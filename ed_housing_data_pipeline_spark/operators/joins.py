@@ -61,3 +61,56 @@ def dedup_one_per_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_left: str,
+    ts_right: str,
+    value_cols: Sequence[str],
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row
+    with ``ts_right <= ts_left`` within the same ``on`` key (backward
+    as-of, ties take the right row).
+
+    Spark-first formulation (no per-row Python, no range cross-join):
+    union the two sides tagged, ONE shuffle on the key, then a
+    partition-local ``last_value(..., ignoreNulls)`` window ordered by
+    (ts, side) carries the latest right values forward onto left rows.
+    Cost is a single exchange + sort — the same shape as
+    sessionization, so it scales like any windowed fact-table op.
+
+    ``tolerance_sec`` drops matches older than the tolerance (NULLs
+    out the carried values), like pandas ``merge_asof(tolerance=...)``.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(ts_right).alias(ts_left),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => ties match
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_left).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    carried = {}
+    for c in value_cols:
+        src = F.when(F.col("_side") == 0, F.col(c))
+        out = out.withColumn(c, F.last(src, ignorenulls=True).over(w))
+        carried[c] = out[c]
+    if tolerance_sec is not None:
+        match_ts = F.last(
+            F.when(F.col("_side") == 0, F.col(ts_left)), ignorenulls=True
+        ).over(w)
+        age = F.unix_micros(F.col(ts_left)) - F.unix_micros(match_ts)
+        stale = match_ts.isNull() | (age > int(tolerance_sec * 1e6))
+        for c in value_cols:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out.filter(F.col("_side") == 1).drop("_side")

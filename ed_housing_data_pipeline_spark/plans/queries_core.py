@@ -536,3 +536,53 @@ def q_orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
         F.col("O_val").alias("open_value"),
     )
+
+
+# ----------------------------------------------------- quantiles (A1+)
+@register(
+    "lineitem_quantity_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At fact scale swap for
+    ``approx_percentile`` — same call shape, sketch-based merge."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("price_p99"),
+    )
+
+
+# ----------------------------------------------------- string agg (A1+)
+@register(
+    "region_nation_list",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — collect_list + array_sort +
+    concat_ws (deterministic regardless of partitioning, unlike a bare
+    collect_list)."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "n_regionkey"
+    )
+    j = joins.equi_join(nation, region, on="n_regionkey", broadcast_right=True)
+    return j.groupBy("r_name").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

@@ -208,3 +208,57 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_s", "event_type", "gid", "n_events")
     )
+
+
+ASOF_ORACLE = """
+WITH views_d AS (
+    SELECT user_id, ts, value, event_id
+    FROM events
+    WHERE event_type = 'view'
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) = 1
+), purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       ROUND(v.value, 4) AS last_view_value
+FROM purchases p
+ASOF LEFT JOIN views_d v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("events_asof_last_view", oracle=ASOF_ORACLE)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the value of the
+    user's most recent view at-or-before it (DuckDB native ASOF JOIN as
+    oracle). Spark side is operators.joins.asof_join — union + one
+    shuffle on user_id + partition-local last_value window; right-side
+    ties pre-deduped so both engines pick the same row."""
+    from ed_housing_data_pipeline_spark.operators.joins import (
+        asof_join,
+        dedup_one_per_key,
+    )
+
+    ev = events_ts(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = dedup_one_per_key(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("vts"), "value", "event_id"
+        ),
+        keys=["user_id", "vts"],
+        order_by=[F.col("event_id").asc()],
+    ).select("user_id", "vts", "value")
+    out = asof_join(
+        purchases, views, on="user_id", ts_left="ts", ts_right="vts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value"), 4).alias("last_view_value"),
+    )

@@ -44,7 +44,11 @@ def test_normalize_join_key_reference_county(spark):
 
 def test_normalize_join_key_null_and_empty(spark):
     assert one(spark, normalize_join_key("c"), None) is None
-    assert one(spark, normalize_join_key("c"), "  County, Georgia ") is None
+    assert one(spark, normalize_join_key("c"), "   ") is None
+    # reference order: outer strip happens BEFORE the suffix subs, so a
+    # bare " County, Georgia" keeps its word (silver_to_gold.py:29-36)
+    assert one(spark, normalize_join_key("c"), "  County, Georgia ") == "county"
+    assert one(spark, normalize_join_key("c"), "Fulton County, Georgia ") == "fulton"
 
 
 def test_normalize_text(spark):

@@ -109,3 +109,47 @@ def test_intersect_distinct_and_except_all(spark):
     assert rows(setops.intersect_distinct(a, b)) == [(1,), (3,)]
     # EXCEPT ALL is multiset subtraction: {1,1,2,3} - {1,3,3} = {1,2}
     assert rows(setops.except_all(a, b)) == [(1,), (2,)]
+
+
+# ------------------------------------------------------------- asof join
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, "u", at(5)), (2, "u", at(10)), (3, "u", at(0)), (4, "v", at(7))],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", at(1), 10.0), ("u", at(5), 20.0), ("u", at(9), 30.0)],
+        "k string, rts timestamp, px double",
+    )
+    out = joins.asof_join(left, right, on="k", ts_left="ts", ts_right="rts",
+                          value_cols=["px"])
+    got = {r["id"]: r["px"] for r in out.collect()}
+    # id=1 at 10:05 -> tie with right at 10:05 -> 20.0 (backward, ties match)
+    # id=2 at 10:10 -> latest right 10:09 -> 30.0
+    # id=3 at 10:00 -> no right yet -> NULL
+    # id=4 key v    -> no rights for key -> NULL
+    assert got == {1: 20.0, 2: 30.0, 3: None, 4: None}
+    assert out.count() == 4  # left rows preserved exactly
+
+
+def test_asof_join_tolerance(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", t0 + dt.timedelta(seconds=100))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", t0, 1.0)], "k string, rts timestamp, px double"
+    )
+    ok = joins.asof_join(left, right, "k", "ts", "rts", ["px"], tolerance_sec=200)
+    assert ok.first()["px"] == 1.0
+    stale = joins.asof_join(left, right, "k", "ts", "rts", ["px"], tolerance_sec=50)
+    assert stale.first()["px"] is None

@@ -1,0 +1,72 @@
+"""Property-based spot checks (SURVEY §5 item 4, hypothesis): the
+native normalization expression vs the reference's Python regexes, and
+safe_div vs exact rational arithmetic. Batched — hypothesis generates
+value lists, each checked through one DataFrame pass."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ed_housing_data_pipeline_spark.functions.numeric import safe_div
+from ed_housing_data_pipeline_spark.functions.text import normalize_join_key
+
+# The reference's regexes, verbatim semantics (silver_to_gold.py:15-16,19-36)
+_COUNTY = re.compile(r"\s+county\b", flags=re.IGNORECASE)
+_STATE = re.compile(r",\s*georgia\b", flags=re.IGNORECASE)
+
+
+def _reference_normalize(value):
+    if value is None:
+        return None
+    s = str(value).strip()
+    if not s:
+        return None
+    s = _STATE.sub("", s)
+    s = _COUNTY.sub("", s)
+    s = s.strip()
+    return s.lower() if s else None
+
+
+name_st = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Zs"), whitelist_characters=",-'"
+        ),
+        max_size=40,
+    ),
+)
+
+suffix_st = st.sampled_from(["", " County", " county, Georgia", ", GEORGIA", " COUNTY "])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(name_st, suffix_st), min_size=1, max_size=30))
+def test_normalize_matches_reference(spark, pairs):
+    values = [None if base is None else base + suf for base, suf in pairs]
+    df = spark.createDataFrame([(v,) for v in values], "c string")
+    got = [r["out"] for r in df.select(normalize_join_key("c").alias("out")).collect()]
+    expected = [_reference_normalize(v) for v in values]
+    assert got == expected
+
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=50))
+def test_safe_div_matches_python(spark, pairs):
+    df = spark.createDataFrame(pairs, "n double, d double")
+    out = df.select(safe_div(F.col("n"), F.col("d"), scale=100.0).alias("r"))
+    got = [r["r"] for r in out.collect()]
+    for (n, d), g in zip(pairs, got):
+        if d == 0.0:
+            assert g is None  # never Inf/NaN
+        else:
+            assert g is not None and math.isclose(g, n / d * 100.0, rel_tol=1e-9)
