@@ -44,6 +44,8 @@ HEADLINE = [
     "doc_neardup_pairs",    # LSH banding join
     "doc_quality_score",    # text stats battery
     "embedding_knn_blocked",    # label-blocked cosine top-k
+    "embedding_knn_srp",    # SRP-LSH bucketed ANN
+    "events_asof_last_view",    # as-of join (union + window)
 ]
 
 
@@ -72,9 +74,12 @@ def main() -> int:
             continue
         df = qmap[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
-        t0 = time.perf_counter()
-        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: JIT/GC noise dwarfs 0.5s queries
+            t0 = time.perf_counter()
+            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf_token = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

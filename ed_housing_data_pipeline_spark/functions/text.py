@@ -15,6 +15,14 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _py_strip(c: Column) -> Column:
+    """Python ``str.strip()`` semantics: remove leading/trailing
+    UNICODE whitespace. Spark's ``trim`` strips only ASCII spaces, so
+    values like ``"Fulton\\u00a0"`` would keep their NBSP and miss the
+    join key — caught by the property tests against the reference."""
+    return F.regexp_replace(c, r"(?U)^\s+|\s+$", "")
+
+
 def normalize_join_key(
     col: Column | str,
     strip_suffixes: tuple[str, ...] = (r",\s*georgia\b", r"\s+county\b"),
@@ -32,10 +40,10 @@ def normalize_join_key(
     than collapsing to NULL — property-tested against the reference
     regexes in tests/test_property_based.py.
     """
-    c = F.trim(_c(col).cast("string"))
+    c = _py_strip(_c(col).cast("string"))
     for pat in strip_suffixes:
         c = F.regexp_replace(c, f"(?i){pat}", "")
-    return F.nullif(F.lower(F.trim(c)), F.lit(""))
+    return F.nullif(F.lower(_py_strip(c)), F.lit(""))
 
 
 def normalize_text(col: Column | str) -> Column:

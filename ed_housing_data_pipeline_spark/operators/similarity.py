@@ -411,3 +411,38 @@ def knn_within_block(
         k=k,
         rank_col="rn",
     )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a < id_b, sim)``
+    within a blocking column (label / IVF centroid / SRP bucket).
+
+    The blocked equi-join bounds candidate generation exactly like the
+    MinHash banding path does for text: shuffle on the block id, exact
+    cosine only inside blocks — never an all-pairs plan. Pick the
+    block source to match recall needs (SRP buckets for
+    data-independent blocking, k-means cells for IVF-style).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col(block_col).alias("block"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col(block_col).alias("block"),
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_similarity("va", "vb"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
