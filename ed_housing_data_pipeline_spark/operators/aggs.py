@@ -34,3 +34,36 @@ def grouped_agg(
     return df.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
+
+
+def salted_grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Mapping[str, Column],
+    final_aggs: Mapping[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys: salt → partial agg
+    on (keys, salt) → final agg on keys.
+
+    A hot key (one giant group) serializes on a single reducer in a
+    plain groupBy; salting splits it across ``salt_buckets`` reducers
+    first, then merges the partials. Only algebraic aggregates compose:
+    ``partial_aggs`` produce per-bucket values; ``final_aggs`` combine
+    them, referencing the partial output names (e.g. partial ``sum(v)``
+    → final ``sum(partial)``; avg must be expressed sum/count).
+
+    AQE's skew handling covers skewed JOINS; skewed aggregation still
+    benefits from explicit salting when one key dominates.
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[e.alias(n) for n, e in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[e.alias(n) for n, e in final_aggs.items()]
+    )

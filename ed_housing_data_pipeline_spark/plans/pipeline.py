@@ -272,6 +272,50 @@ def gold_rank_sum_top1(gold: DataFrame) -> DataFrame:
     )
 
 
+def analyze_gold(spark: SparkSession, gold: DataFrame) -> dict[str, DataFrame]:
+    """The reference's DuckDB analysis suite over the gold table
+    (duckdb_viewer/view_gold.py:37-118), re-expressed as ``spark.sql``
+    over a temp view — the same SQL-over-parquet-view pattern, with
+    explicit NULLS LAST (DuckDB's default, not Spark's).
+
+    Returns the four named analyses: most-affordable county, best mean
+    CCRPI, most-inclusive, and the rank-sum best-overall (top-1 each).
+    """
+    gold.createOrReplaceTempView("gold")
+    top1 = "ORDER BY {metric} {dir} NULLS LAST, county ASC LIMIT 1"
+    queries = {
+        "most_affordable": f"""
+            SELECT county, district_name, total_cost_burden_30_plus_pct
+            FROM gold WHERE total_cost_burden_30_plus_pct IS NOT NULL
+            {top1.format(metric="total_cost_burden_30_plus_pct", dir="ASC")}""",
+        "best_ccrpi": f"""
+            SELECT county, district_name, ccrpi_score_2023_mean
+            FROM gold WHERE ccrpi_score_2023_mean IS NOT NULL
+            {top1.format(metric="ccrpi_score_2023_mean", dir="DESC")}""",
+        "most_inclusive": f"""
+            SELECT county, district_name, pct_inclusive_80_plus
+            FROM gold WHERE pct_inclusive_80_plus IS NOT NULL
+            {top1.format(metric="pct_inclusive_80_plus", dir="DESC")}""",
+        "best_overall": """
+            WITH ranked AS (
+                SELECT *,
+                    rank() OVER (ORDER BY total_cost_burden_30_plus_pct
+                                 ASC NULLS LAST) AS r_affordable,
+                    rank() OVER (ORDER BY ccrpi_score_2023_mean
+                                 DESC NULLS LAST) AS r_ccrpi,
+                    rank() OVER (ORDER BY pct_inclusive_80_plus
+                                 DESC NULLS LAST) AS r_inclusive
+                FROM gold
+            )
+            SELECT county, district_name,
+                   (r_affordable + r_ccrpi + r_inclusive) AS overall_rank_sum
+            FROM ranked
+            ORDER BY overall_rank_sum ASC, county ASC
+            LIMIT 1""",
+    }
+    return {name: spark.sql(sql) for name, sql in queries.items()}
+
+
 if __name__ == "__main__":
     # CLI runner printing a JSON summary (reference C5:
     # bronze_to_silver.py:288-302, silver_to_gold.py:118-123).

@@ -586,3 +586,35 @@ def q_region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+# ------------------------------------------------- salted agg (skew path)
+@register(
+    "grouped_agg_salted",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_grouped_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: l_returnflag has only 3 values
+    (every group is a hot key), so the salted partial/final shape is
+    exactly what a 100 TB run needs — identical results to the plain
+    groupBy, verified by the same oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    out = aggs.salted_grouped_agg(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs={"ps": F.sum("l_quantity"), "pn": F.count(F.lit(1))},
+        final_aggs={
+            "sum_qty": F.round(F.sum("ps"), 2),
+            "n_rows": F.sum("pn"),
+            "avg_qty": F.round(F.sum("ps") / F.sum("pn"), 6),
+        },
+        salt_buckets=16,
+    )
+    return out

@@ -153,3 +153,24 @@ def test_asof_join_tolerance(spark):
     assert ok.first()["px"] == 1.0
     stale = joins.asof_join(left, right, "k", "ts", "rts", ["px"], tolerance_sec=50)
     assert stale.first()["px"] is None
+
+
+def test_salted_grouped_agg_matches_plain(spark):
+    import random
+
+    random.seed(1)
+    data = [("hot", float(i % 7)) for i in range(500)] + [
+        (f"k{i % 5}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(data, "k string, v double")
+    plain = aggs.grouped_agg(
+        df, ["k"], {"total": F.sum("v"), "n": F.count(F.lit(1))}
+    )
+    salted = aggs.salted_grouped_agg(
+        df,
+        ["k"],
+        partial_aggs={"ps": F.sum("v"), "pn": F.count(F.lit(1))},
+        final_aggs={"total": F.sum("ps"), "n": F.sum("pn")},
+        salt_buckets=8,
+    )
+    assert rows(plain) == rows(salted)

@@ -144,6 +144,18 @@ def test_gold_rank_sum_top1(gold):
     assert best[0]["overall_rank_sum"] == 4
 
 
+def test_analyze_gold_suite(spark, gold):
+    """The reference's four viewer analyses (view_gold.py:37-118) give
+    the hand-computable winners on the fixture gold."""
+    _, df = gold
+    out = pipeline.analyze_gold(spark, df)
+    assert out["most_affordable"].first()["county"] == "cobb"  # 10.0 < 19.0
+    assert out["best_ccrpi"].first()["county"] == "fulton"  # 85.0
+    assert out["most_inclusive"].first()["county"] == "fulton"  # 75.0 only non-null
+    best = out["best_overall"].first()
+    assert best["county"] == "fulton" and best["overall_rank_sum"] == 4
+
+
 def test_silver_roundtrip_matches_inmemory_gold(spark, gold):
     """Reference entry 3: gold rebuilt FROM silver parquet must equal the
     in-memory gold (silver_to_gold.py:87-115)."""
