@@ -1,0 +1,57 @@
+"""Plan-shape regression guard: every registered query must keep the
+plan properties the 100 TB design depends on. Plans are built (not
+executed) against sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from ed_housing_data_pipeline_spark.plans.registry import query_map
+from ed_housing_data_pipeline_spark.session import ensure_runtime_confs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    ensure_runtime_confs(spark)
+    out = {}
+    for name, fn in query_map().items():
+        df = fn(spark, SF)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"cartesian plans: {offenders}"
+
+
+def test_no_sort_merge_joins(plans):
+    # every join in the registry has a bounded side — broadcast expected
+    offenders = [n for n, p in plans.items() if "SortMergeJoin" in p]
+    assert not offenders, f"unexpected sort-merge joins: {offenders}"
+
+
+def test_no_python_udfs_in_registered_queries(plans):
+    # registered queries must stay JVM-side (worker-path independence)
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BatchEvalPython" in p or "ArrowEvalPython" in p or "MapInPandas" in p
+    ]
+    assert not offenders, f"Python in driver-contract plans: {offenders}"
+
+
+def test_topk_uses_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["topk_orders"]
+    assert "TakeOrderedAndProject" in plans["rank_sum_top1"]
+
+
+def test_joins_are_broadcast(plans):
+    for name in ("left_join", "inner_join_agg", "rank_sum_top1"):
+        assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in plans["filter_project"]
