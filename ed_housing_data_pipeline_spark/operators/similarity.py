@@ -446,3 +446,74 @@ def cosine_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def kmeans_blocks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    out_col: str = "block",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: Lloyd's k-means over the embedding column,
+    returning (df + assigned ``out_col``, final centroids).
+
+    Spark-first shape (same as MLlib's impl): centroids live on the
+    driver (k×dim floats — bounded and tiny), each iteration is ONE
+    distributed pass — assign via a broadcast-literal argmin expression,
+    then re-estimate centroids with posexplode → groupBy(cluster, dim)
+    avg (a single shuffle of (k·dim) partial sums thanks to map-side
+    combine). Deterministic: seeds are the k lowest ids.
+
+    Use the returned blocks with :func:`knn_within_block` /
+    :func:`cosine_neardup_pairs` for true IVF-Flat search; at 100 TB
+    train on a sample and broadcast the centroids.
+    """
+    seeds = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+
+    def assign_expr(cents: list[list[float]]) -> Column:
+        # argmin over squared L2 distances, all native folds
+        best_idx = F.lit(0)
+        best_dist = None
+        for i, c in enumerate(cents):
+            lit_vec = F.array(*[F.lit(x) for x in c])
+            dist = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), lit_vec, lambda a, b: (a.cast("double") - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            if best_dist is None:
+                best_dist = dist
+            else:
+                cond = dist < best_dist
+                best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+                best_dist = F.when(cond, dist).otherwise(best_dist)
+        return best_idx
+
+    for _ in range(iters):
+        assigned = df.withColumn(out_col, assign_expr(centroids))
+        means = (
+            assigned.select(out_col, F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .groupBy(out_col, "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r[out_col], {})[r["dim"]] = r["m"]
+        centroids = [
+            [by_cluster[c][d] for d in sorted(by_cluster[c])]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+    return df.withColumn(out_col, assign_expr(centroids)), centroids

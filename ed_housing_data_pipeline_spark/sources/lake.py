@@ -64,3 +64,26 @@ def summarize(df: DataFrame, output_path: str) -> dict:
         "columns": len(df.columns),
         "output_path": output_path,
     }
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED catalog table (hash-partitioned files by
+    ``bucket_by``, optionally sorted within buckets).
+
+    This is the co-located-join design for 100 TB fact tables: two
+    tables bucketed on the same key with the same bucket count join
+    WITHOUT any Exchange — the shuffle was paid once at write time and
+    amortized over every subsequent join/agg on that key. Bucketing
+    requires the catalog (saveAsTable), not a bare path.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)

@@ -139,3 +139,28 @@ def test_scale_out_only_upscales(spark):
     n1 = out.rdd.getNumPartitions()
     assert n1 >= n0
     assert n1 >= min(spark.sparkContext.defaultParallelism, n0)
+
+
+def test_kmeans_blocks_recovers_clusters(spark):
+    import random
+
+    random.seed(3)
+    pts = []
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 10.0)]
+    for i in range(90):
+        cx, cy = centers[i % 3]
+        pts.append((i, [cx + random.uniform(-1, 1), cy + random.uniform(-1, 1)]))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    blocked, cents = sim.kmeans_blocks(df, "embedding", "vec_id", k=3, iters=4)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+    got = blocked.collect()
+    # every true cluster maps to exactly one block label
+    by_true = {}
+    for r in got:
+        by_true.setdefault(r["vec_id"] % 3, set()).add(r["block"])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len({next(iter(s)) for s in by_true.values()}) == 3
+    # blocks compose with the ANN search path
+    out = sim.knn_within_block(blocked, "embedding", "vec_id", "block", k=1)
+    r0 = {r["q_id"]: r["nn_id"] for r in out.collect()}
+    assert r0[0] % 3 == 0  # nearest neighbor of point 0 is in its cluster

@@ -97,3 +97,29 @@ def test_summarize(spark):
 def test_default_ingest_date_env(monkeypatch):
     monkeypatch.setenv("INGEST_DATE", " 2024-02-03 ")
     assert lake.default_ingest_date() == "2024-02-03"
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    orders = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(200)], "o_id int, cust int, total double"
+    )
+    cust = spark.createDataFrame(
+        [(i % 10, f"c{i % 10}") for i in range(10)], "cust int, name string"
+    )
+    lake.write_bucketed_table(orders, "t_orders_b", ["cust"], 4)
+    lake.write_bucketed_table(cust, "t_cust_b", ["cust"], 4)
+    try:
+        a, b = spark.table("t_orders_b"), spark.table("t_cust_b")
+        # force a non-broadcast join so the bucketing is what saves the shuffle
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, "cust")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # co-located: shuffle paid at write
+            assert j.count() == 200
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
