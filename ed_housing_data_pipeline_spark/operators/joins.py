@@ -85,7 +85,23 @@ def asof_join(
 
     ``tolerance_sec`` drops matches older than the tolerance (NULLs
     out the carried values), like pandas ``merge_asof(tolerance=...)``.
+
+    Caveats (asserted / documented):
+    - ``value_cols`` must not already exist on ``left`` (the union
+      would silently merge them) — raises ValueError.
+    - NULL-key left rows match NULL-key right rows (window partitions
+      group NULLs), unlike a SQL ASOF equality join which drops them;
+      pre-filter NULL keys for strict SQL parity.
+    - Right-side ties at identical (key, ts) are resolved arbitrarily;
+      dedup the right side first for determinism (see
+      events_asof_last_view).
     """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: value_cols {sorted(clash)} already exist on the "
+            "left side; rename them before joining"
+        )
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         F.col(on),
