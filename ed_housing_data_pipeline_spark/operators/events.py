@@ -85,8 +85,18 @@ def sessionize(
     collide; pass ``None`` for DataFrames without a unique id column.
     """
     ordering = [F.col(ts_col).asc()]
-    if tiebreak_col is not None and tiebreak_col in df.columns:
-        ordering.append(F.col(tiebreak_col).asc())
+    if tiebreak_col is not None:
+        if tiebreak_col in df.columns:
+            ordering.append(F.col(tiebreak_col).asc())
+        elif tiebreak_col != "event_id":
+            # The DEFAULT is allowed to be absent (convenience for
+            # arbitrary frames); an explicitly requested column that
+            # doesn't exist is a caller error — silently dropping it
+            # would reintroduce nondeterministic session ids.
+            raise ValueError(
+                f"sessionize: tiebreak_col {tiebreak_col!r} not in columns "
+                f"{df.columns}"
+            )
     w = Window.partitionBy(user_col).orderBy(*ordering)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     # unix_micros, not cast("double"): timestamp→numeric casts are

@@ -78,10 +78,14 @@ def asof_join(
 
     Spark-first formulation (no per-row Python, no range cross-join):
     union the two sides tagged, ONE shuffle on the key, then a
-    partition-local ``last_value(..., ignoreNulls)`` window ordered by
-    (ts, side) carries the latest right values forward onto left rows.
-    Cost is a single exchange + sort — the same shape as
-    sessionization, so it scales like any windowed fact-table op.
+    partition-local window carries the latest right ROW forward onto
+    left rows. The carried payload is a STRUCT of (ts, values): the
+    struct is non-NULL for every right row even when individual value
+    columns are NULL, so a matched row with NULL values is carried
+    faithfully (never skipped in favor of an older row) and
+    multi-column values always come from one single right row. Cost is
+    a single exchange + sort — the same shape as sessionization, so it
+    scales like any windowed fact-table op.
 
     ``tolerance_sec`` drops matches older than the tolerance (NULLs
     out the carried values), like pandas ``merge_asof(tolerance=...)``.
@@ -115,18 +119,21 @@ def asof_join(
         .orderBy(F.col(ts_left).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    carried = {}
-    for c in value_cols:
-        src = F.when(F.col("_side") == 0, F.col(c))
-        out = out.withColumn(c, F.last(src, ignorenulls=True).over(w))
-        carried[c] = out[c]
+    # Carry the whole right row as one struct: non-NULL iff a right row
+    # exists, regardless of NULLs inside its value columns.
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col(ts_left).alias("_mts"), *[F.col(c) for c in value_cols]),
+    )
+    out = unioned.withColumn("_m", F.last(payload, ignorenulls=True).over(w))
     if tolerance_sec is not None:
-        match_ts = F.last(
-            F.when(F.col("_side") == 0, F.col(ts_left)), ignorenulls=True
-        ).over(w)
-        age = F.unix_micros(F.col(ts_left)) - F.unix_micros(match_ts)
-        stale = match_ts.isNull() | (age > int(tolerance_sec * 1e6))
-        for c in value_cols:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.filter(F.col("_side") == 1).drop("_side")
+        age = F.unix_micros(F.col(ts_left)) - F.unix_micros(F.col("_m._mts"))
+        out = out.withColumn(
+            "_m",
+            F.when(age > int(tolerance_sec * 1e6), F.lit(None)).otherwise(
+                F.col("_m")
+            ),
+        )
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"_m.{c}"))
+    return out.filter(F.col("_side") == 1).drop("_side", "_m")

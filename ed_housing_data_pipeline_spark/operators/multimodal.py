@@ -26,27 +26,26 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# magic-prefix → format tag, checked against the first bytes of the payload
-_MAGIC = {
-    "89504e47": "png",
-    "ffd8ff": "jpeg",
-    "52494646": "riff",  # wav/avi container
-    "66747970": "mp4",  # ftyp at offset 4; handled below
-}
+# (byte offset, hex magic prefix) → format tag; media_format's
+# when-chain is generated from this table.
+_MAGIC: list[tuple[int, str, str]] = [
+    (1, "89504e47", "png"),
+    (1, "ffd8ff", "jpeg"),
+    (1, "52494646", "riff"),  # wav/avi container
+    (5, "66747970", "mp4"),  # ftyp box sits at byte offset 4
+]
 
 
 def media_format(data: Column | str) -> Column:
-    """Best-effort container detection from magic bytes — native exprs
-    only (hex prefix compare), no Python."""
+    """Best-effort container detection from magic bytes (``_MAGIC``
+    table) — native exprs only (hex prefix compare), no Python."""
     c = F.col(data) if isinstance(data, str) else data
-    head = F.lower(F.hex(F.substring(c, 1, 4)))
-    head2 = F.lower(F.hex(F.substring(c, 5, 4)))  # mp4 ftyp sits at offset 4
-    expr = F.lit(None).cast("string")
-    out = F.when(head.startswith("89504e47"), F.lit("png"))
-    out = out.when(head.startswith("ffd8ff"), F.lit("jpeg"))
-    out = out.when(head.startswith("52494646"), F.lit("riff"))
-    out = out.when(head2.startswith("66747970"), F.lit("mp4"))
-    return out.otherwise(expr)
+    out = None
+    for offset, magic, tag in _MAGIC:
+        head = F.lower(F.hex(F.substring(c, offset, len(magic) // 2)))
+        cond = head.startswith(magic)
+        out = F.when(cond, F.lit(tag)) if out is None else out.when(cond, F.lit(tag))
+    return out.otherwise(F.lit(None).cast("string"))
 
 
 def with_media_metadata(

@@ -38,6 +38,10 @@ HashFn = Callable[[Column], Column]
 # a*h+b stays < 2^62 — no bigint overflow even under ANSI mode).
 MINHASH_P = (1 << 31) - 1
 
+# near_dup_pairs keeps exactly one shingle cache alive per session
+# (previous call's cache is unpersisted on the next call).
+_prev_shingle_cache: DataFrame | None = None
+
 
 def _default_hash(c: Column) -> Column:
     """60-bit md5-prefix hash (bigint) — DuckDB-reproducible."""
@@ -149,6 +153,13 @@ def lsh_candidate_pairs(
     buckets (e.g. a boilerplate band) are split by AQE skew handling;
     a production run would also cap bucket width.
     """
+    if bands <= 0 or bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"lsh_candidate_pairs: bands ({bands}) must evenly divide "
+            f"n_hashes ({n_hashes}) — zero-width bands would collapse every "
+            "doc into one bucket (all-pairs explosion), and a remainder "
+            "would silently drop signature columns"
+        )
     rows_per_band = n_hashes // bands
     band_structs = [
         F.struct(
@@ -214,11 +225,18 @@ def near_dup_pairs(
     # projection. persist() materializes it a single time instead of
     # recomputing the scan+shingle pass for each of the three consumers
     # (Spark re-executes shared subtrees per branch otherwise). The
-    # cache holds only (id, shingles) — a fraction of the input — and is
-    # evicted LRU / on session close; at cluster scale swap for an
-    # explicit checkpoint in the orchestrating pipeline if preferred.
+    # cache holds only (id, shingles) — a fraction of the input. The
+    # PREVIOUS call's cache is released here, bounding the session to
+    # one live entry; at cluster scale swap for an explicit checkpoint
+    # owned by the orchestrating pipeline.
     from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
 
+    global _prev_shingle_cache
+    if _prev_shingle_cache is not None:
+        try:
+            _prev_shingle_cache.unpersist()
+        except Exception:  # session may be gone; never fail the new query
+            pass
     sh = (
         scale_out(df)
         .select(
@@ -227,6 +245,7 @@ def near_dup_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _prev_shingle_cache = sh
     sig = with_minhash_signature(
         sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
     )
@@ -477,6 +496,9 @@ def kmeans_blocks(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    if not centroids:
+        raise ValueError("kmeans_blocks: input has no rows")
+    k = min(k, len(centroids))  # degrade gracefully when rows < k
 
     def assign_expr(cents: list[list[float]]) -> Column:
         # argmin over squared L2 distances, all native folds

@@ -451,16 +451,19 @@ def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL by column name — §2.8 engine surface (top-5 ∪ bottom-5
     customers by balance)."""
-    customer = t(spark, sf_dir, "customer").select(
-        "c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal")
-    )
+    # Rank on the RAW balance (the oracle orders by raw values too) and
+    # round only in the output projection — rounding before the sort
+    # would rank by a different key than the oracle near ties.
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     hi = topk.top_k(
-        customer, [F.col("acctbal").desc_nulls_last(), F.col("c_custkey").asc()], 5
+        customer, [F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc()], 5
     )
     lo = topk.top_k(
-        customer, [F.col("acctbal").asc_nulls_last(), F.col("c_custkey").asc()], 5
+        customer, [F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc()], 5
     )
-    return setops.union_by_name(hi, lo)
+    return setops.union_by_name(hi, lo).select(
+        "c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal")
+    )
 
 
 # -------------------------------------------- top-k per group (windows)

@@ -35,6 +35,9 @@ def get_spark(app_name: str = "ed_housing_data_pipeline_spark") -> SparkSession:
     cores = _local_cores()
     builder = (
         SparkSession.builder.appName(app_name)
+        # Takes effect when this builder launches the JVM (plain-python
+        # local runs); a cluster's spark-submit sets its own.
+        .config("spark.driver.memory", os.getenv("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -174,3 +174,35 @@ def test_salted_grouped_agg_matches_plain(spark):
         salt_buckets=8,
     )
     assert rows(plain) == rows(salted)
+
+
+def test_asof_join_carries_null_values_faithfully(spark):
+    """A matched right row whose value is NULL must be carried as NULL,
+    not skipped in favor of an older non-null row (merge_asof / SQL
+    ASOF semantics)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame([(1, "u", at(10))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", at(1), 5.0, "a"), ("u", at(5), None, "b")],
+        "k string, rts timestamp, px double, tag string",
+    )
+    out = joins.asof_join(left, right, "k", "ts", "rts", ["px", "tag"]).first()
+    assert out["px"] is None  # most recent row's NULL, not the older 5.0
+    assert out["tag"] == "b"  # both values from the SAME right row
+
+
+def test_asof_join_rejects_value_col_collision(spark):
+    import datetime as dt
+    import pytest
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, "u", t0, 0.0)], "id int, k string, ts timestamp, px double")
+    right = spark.createDataFrame([("u", t0, 1.0)], "k string, rts timestamp, px double")
+    with pytest.raises(ValueError, match="px"):
+        joins.asof_join(left, right, "k", "ts", "rts", ["px"])

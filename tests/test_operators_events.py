@@ -83,3 +83,10 @@ def test_session_stats(spark):
     assert s1["span_sec"] == 1200.0
     assert s1["total_value"] == 3.0
     assert r[(100, 2)]["n_events"] == 1
+
+
+def test_sessionize_rejects_unknown_explicit_tiebreak(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        events.sessionize(_events(spark), "ts", "user_id", 30, tiebreak_col="nope")

@@ -164,3 +164,22 @@ def test_kmeans_blocks_recovers_clusters(spark):
     out = sim.knn_within_block(blocked, "embedding", "vec_id", "block", k=1)
     r0 = {r["q_id"]: r["nn_id"] for r in out.collect()}
     assert r0[0] % 3 == 0  # nearest neighbor of point 0 is in its cluster
+
+
+def test_lsh_rejects_bad_band_config(spark):
+    import pytest
+
+    sig = sim.with_minhash_signature(_docs(spark), "text", n_hashes=4)
+    with pytest.raises(ValueError, match="evenly divide"):
+        sim.lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=8)
+    with pytest.raises(ValueError, match="evenly divide"):
+        sim.lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=3)
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    blocked, cents = sim.kmeans_blocks(df, "embedding", "vec_id", k=5, iters=2)
+    assert len(cents) == 2  # degraded to the available rows
+    assert blocked.count() == 2
