@@ -137,3 +137,52 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(c, F.col(f"_m.{c}"))
     return out.filter(F.col("_side") == 1).drop("_side", "_m")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval/range join: pair each left row with right rows whose
+    ``right_ts`` falls in ``[left_ts + lower_sec, left_ts + upper_sec]``
+    (plus optional equi-keys).
+
+    Spark's naive plan for a pure inequality join is a nested-loop /
+    cartesian — a scale-killer. This operator makes it an EQUI-join:
+    timestamps are bucketed into bins of width ``upper-lower``; a right
+    row lands in exactly one bin, a left interval overlaps at most two
+    adjacent bins, so the left side explodes to ≤2 probe rows and the
+    join runs as a plain (keys..., bin) hash join with the exact range
+    re-checked afterwards. Shuffle volume: 2·|left| + |right| rows —
+    O(n), never O(n²).
+    """
+    width = upper_sec - lower_sec
+    if width <= 0:
+        raise ValueError("range_join_binned: upper_sec must exceed lower_sec")
+
+    def _us(name: str):
+        # NTZ-tolerant epoch micros (parquet dates read as TIMESTAMP_NTZ;
+        # the session tz is pinned UTC so the cast is deterministic)
+        return F.unix_micros(F.col(name).cast("timestamp"))
+
+    l_us = _us(left_ts)
+    r_us = _us(right_ts)
+    w_us = int(width * 1e6)
+    lo_us = int(lower_sec * 1e6)
+    up_us = int(upper_sec * 1e6)
+    start_bin = F.floor((l_us + F.lit(lo_us)) / F.lit(w_us))
+    end_bin = F.floor((l_us + F.lit(up_us)) / F.lit(w_us))
+    lt = left.withColumn(
+        "_bin", F.explode(F.sequence(start_bin, end_bin))
+    )
+    rt = right.withColumn("_bin", F.floor(r_us / F.lit(w_us)))
+    joined = lt.join(rt, on=[*extra_keys, "_bin"]).drop("_bin")
+    in_range = (_us(right_ts) >= _us(left_ts) + lo_us) & (
+        _us(right_ts) <= _us(left_ts) + up_us
+    )
+    return joined.filter(in_range)

@@ -621,3 +621,40 @@ def q_grouped_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=16,
     )
     return out
+
+
+# ------------------------------------------------------ range join (J+)
+@register(
+    "orders_nearby_range_join",
+    oracle="""
+    SELECT l.o_orderkey AS okey, COUNT(*) AS n_nearby
+    FROM orders l
+    JOIN orders r
+      ON r.o_orderdate >= l.o_orderdate - INTERVAL 2 DAY
+     AND r.o_orderdate <= l.o_orderdate + INTERVAL 2 DAY
+     AND r.o_orderkey <> l.o_orderkey
+    WHERE l.o_orderkey % 1000 = 0
+    GROUP BY 1
+    """,
+)
+def q_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the binned equi-join rewrite
+    (operators.joins.range_join_binned): count orders dated within ±2
+    days of each sampled order. The naive inequality join is a
+    nested-loop; the rewrite shuffles O(n) (bin, row) pairs instead."""
+    from ed_housing_data_pipeline_spark.operators.joins import range_join_binned
+
+    orders = t(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("okey"), F.col("o_orderdate").alias("lts")
+    )
+    right = orders.select(
+        F.col("o_orderkey").alias("rkey"), F.col("o_orderdate").alias("rts")
+    )
+    day = 86400
+    j = range_join_binned(left, right, "lts", "rts", -2 * day, 2 * day)
+    return (
+        j.filter(F.col("rkey") != F.col("okey"))
+        .groupBy(F.col("okey"))
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )

@@ -124,3 +124,19 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``id_cols`` arriving
+    within the watermark (at-least-once sources → effectively-once
+    downstream). State holds one entry per id seen inside the watermark
+    horizon — bounded, unlike a naive dropDuplicates on a stream which
+    keeps ALL ids forever."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [*id_cols]
+    )

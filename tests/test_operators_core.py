@@ -206,3 +206,26 @@ def test_asof_join_rejects_value_col_collision(spark):
     right = spark.createDataFrame([("u", t0, 1.0)], "k string, rts timestamp, px double")
     with pytest.raises(ValueError, match="px"):
         joins.asof_join(left, right, "k", "ts", "rts", ["px"])
+
+
+def test_range_join_binned(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, at(100)), (2, at(1000))], "lid int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, at(95)), (11, at(100)), (12, at(150)), (13, at(161)), (14, at(1050))],
+        "rid int, rts timestamp",
+    )
+    # rights within [lts, lts + 60s]; 150 vs left@100 crosses a bin edge
+    out = joins.range_join_binned(left, right, "lts", "rts", 0, 60)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 11), (1, 12), (2, 14)]  # 95 too early, 161 too late
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -71,3 +71,27 @@ def test_stream_sessionize_stats(spark, events_dir):
     }
     assert r[(100, 2)]["session_start"] == ts(10, 0)
     assert r[(100, 2)]["session_end"] == ts(10, 50)
+
+
+def test_stream_dedup(spark, events_dir, tmp_path):
+    # duplicate the input rows into a second file: at-least-once delivery
+    src_dir = tmp_path / "dup_in"
+    df = spark.read.parquet(str(events_dir / "in"))
+    df.write.mode("overwrite").parquet(str(src_dir))
+    df.write.mode("append").parquet(str(src_dir))
+    assert spark.read.parquet(str(src_dir)).count() == 8  # 4 rows x2
+
+    src = stream_events.read_events_stream(spark, str(src_dir))
+    deduped = stream_events.stream_dedup(src)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_t")
+    assert got.count() == 4
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3, 4]
