@@ -658,3 +658,32 @@ def q_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("okey"))
         .agg(F.count(F.lit(1)).alias("n_nearby"))
     )
+
+
+# ---------------------------------------------------- lag/lead windows
+@register(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate ASC, o_orderkey ASC),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over a partitioned window: days since the customer's
+    previous order (NULL for the first) — the W-surface beyond rank
+    (SURVEY §2.6 note). One shuffle on o_custkey."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_orderdate").over(w)
+    gap = F.datediff(F.col("o_orderdate"), prev).cast("bigint")
+    return orders.select(
+        "o_custkey", "o_orderkey", gap.alias("days_since_prev")
+    )

@@ -262,3 +262,29 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("ts_us"),
         F.round(F.col("value"), 4).alias("last_view_value"),
     )
+
+
+@register(
+    "events_props_struct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+               AS n_with_k,
+           ROUND(MAX(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: ``from_json`` into a typed struct (vs
+    get_json_object's per-path extraction) feeding a grouped agg.
+    PERMISSIVE mode nulls malformed documents, matching TRY_CAST."""
+    ev = events_ts(spark, sf_dir)
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k double", {"mode": "PERMISSIVE"})
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.col("p.k")).alias("n_with_k"),
+        F.round(F.max(F.col("p.k")), 4).alias("max_k"),
+    )

@@ -123,3 +123,17 @@ def test_bucketed_tables_join_without_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_partition_pruned_read(spark, tmp_path):
+    """Reads filtered on the partition column must prune at plan time
+    (PartitionFilters in the scan), not post-filter all files."""
+    root = str(tmp_path / "pruned")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}") for i in range(30)], "x int, d string"
+    )
+    lake.write_parquet(df, root, partition_by=["d"])
+    rd = spark.read.parquet(root).filter(F.col("d") == "2024-01-02")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    assert rd.count() == 10
