@@ -29,7 +29,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ed_housing_data_pipeline_spark.functions.text import normalize_text, word_shingles
 from ed_housing_data_pipeline_spark.functions.vectors import cosine_similarity
-from ed_housing_data_pipeline_spark.operators.joins import dedup_one_per_key
 from ed_housing_data_pipeline_spark.operators.windows import top_k_per_group
 
 HashFn = Callable[[Column], Column]
