@@ -164,23 +164,38 @@ def range_join_binned(
     width = upper_sec - lower_sec
     if width <= 0:
         raise ValueError("range_join_binned: upper_sec must exceed lower_sec")
+    overlap = (set(left.columns) & set(right.columns)) - set(extra_keys)
+    if overlap:
+        raise ValueError(
+            f"range_join_binned: columns {sorted(overlap)} exist on both "
+            "sides (only extra_keys may be shared) — rename one side, or "
+            "the output would carry ambiguous duplicate columns"
+        )
 
     def _us(name: str):
         # NTZ-tolerant epoch micros (parquet dates read as TIMESTAMP_NTZ;
         # the session tz is pinned UTC so the cast is deterministic)
         return F.unix_micros(F.col(name).cast("timestamp"))
 
+    def _floor_div(x, w: int):
+        # exact floor division on bigints: pmod keeps the subtraction an
+        # exact multiple, decimal division avoids double rounding past
+        # 2^53 (F.floor(x / w) would go through doubles)
+        return (
+            (x - F.pmod(x, F.lit(w))).cast("decimal(38,0)") / F.lit(w)
+        ).cast("bigint")
+
     l_us = _us(left_ts)
     r_us = _us(right_ts)
     w_us = int(width * 1e6)
     lo_us = int(lower_sec * 1e6)
     up_us = int(upper_sec * 1e6)
-    start_bin = F.floor((l_us + F.lit(lo_us)) / F.lit(w_us))
-    end_bin = F.floor((l_us + F.lit(up_us)) / F.lit(w_us))
+    start_bin = _floor_div(l_us + F.lit(lo_us), w_us)
+    end_bin = _floor_div(l_us + F.lit(up_us), w_us)
     lt = left.withColumn(
         "_bin", F.explode(F.sequence(start_bin, end_bin))
     )
-    rt = right.withColumn("_bin", F.floor(r_us / F.lit(w_us)))
+    rt = right.withColumn("_bin", _floor_div(r_us, w_us))
     joined = lt.join(rt, on=[*extra_keys, "_bin"]).drop("_bin")
     in_range = (_us(right_ts) >= _us(left_ts) + lo_us) & (
         _us(right_ts) <= _us(left_ts) + up_us

@@ -267,24 +267,36 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_struct",
     oracle="""
+    WITH parsed AS (
+        SELECT event_type,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+               END AS k_val
+        FROM events
+    )
     SELECT event_type,
-           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
-               AS n_with_k,
-           ROUND(MAX(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
-               AS max_k
-    FROM events
+           COUNT(k_val) AS n_with_k,
+           ROUND(MAX(k_val), 4) AS max_k
+    FROM parsed
     GROUP BY event_type
     """,
 )
 def q_events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-full JSON parsing: ``from_json`` into a typed struct (vs
     get_json_object's per-path extraction) feeding a grouped agg.
-    PERMISSIVE mode nulls malformed documents, matching TRY_CAST."""
+
+    Parity detail: the struct field is STRING + try_cast, not DOUBLE —
+    ``from_json(.., "k double")`` nulls a string-encoded number like
+    ``{"k": "7.5"}`` that the oracle's TRY_CAST accepts; extracting the
+    raw string then casting makes both engines agree for numeric,
+    string-encoded, non-numeric, and malformed payloads alike (the
+    oracle's json_valid guard mirrors PERMISSIVE's null-on-malformed).
+    """
     ev = events_ts(spark, sf_dir)
     parsed = ev.withColumn(
-        "p", F.from_json(F.col("props"), "k double", {"mode": "PERMISSIVE"})
-    )
+        "p", F.from_json(F.col("props"), "k string", {"mode": "PERMISSIVE"})
+    ).withColumn("k_val", F.col("p.k").try_cast("double"))
     return parsed.groupBy("event_type").agg(
-        F.count(F.col("p.k")).alias("n_with_k"),
-        F.round(F.max(F.col("p.k")), 4).alias("max_k"),
+        F.count(F.col("k_val")).alias("n_with_k"),
+        F.round(F.max(F.col("k_val")), 4).alias("max_k"),
     )

@@ -6,11 +6,12 @@ Usage: python scripts/explain_query.py [query ...]   (default: all)
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def main() -> int:
@@ -21,6 +22,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qmap = query_map()
     names = sys.argv[1:] or sorted(qmap)
+    unknown = [n for n in names if n not in qmap]
+    if unknown:
+        print(f"unknown queries: {unknown}\navailable: {sorted(qmap)}")
+        return 1
     for name in names:
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         qmap[name](spark, SF_DIR).explain("formatted")

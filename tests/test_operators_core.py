@@ -229,3 +229,14 @@ def test_range_join_binned(spark):
     assert got == [(1, 11), (1, 12), (2, 14)]  # 95 too early, 161 too late
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_rejects_column_collision(spark):
+    import datetime as dt
+    import pytest
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, "x", t0)], "id int, tag string, ts timestamp")
+    right = spark.createDataFrame([(2, "y", t0)], "id int, tag string, rts timestamp")
+    with pytest.raises(ValueError, match="both"):
+        joins.range_join_binned(left, right, "ts", "rts", 0, 60)
