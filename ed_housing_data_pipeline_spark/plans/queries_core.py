@@ -687,3 +687,30 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey", "o_orderkey", gap.alias("days_since_prev")
     )
+
+
+# ------------------------------------------------------------------ S9
+@register(
+    "schema_introspect",
+    oracle="""
+    SELECT column_name AS col_name,
+           CASE lower(column_type)
+               WHEN 'varchar' THEN 'string'
+               WHEN 'integer' THEN 'int'
+               WHEN 'timestamp' THEN 'timestamp'
+               ELSE lower(column_type)
+           END AS dtype
+    FROM (DESCRIBE lineitem)
+    """,
+)
+def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema introspection as a queryable result — S9 (reference
+    ``DESCRIBE gold``, duckdb_viewer/view_gold.py:32). Driver-side
+    metadata (no scan); type names canonicalized so both engines
+    agree (varchar→string, integer→int, ntz-timestamp→timestamp)."""
+    li = t(spark, sf_dir, "lineitem")
+    rows = [
+        (f.name, f.dataType.simpleString().replace("timestamp_ntz", "timestamp"))
+        for f in li.schema.fields
+    ]
+    return spark.createDataFrame(rows, "col_name string, dtype string")
