@@ -714,3 +714,108 @@ def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in li.schema.fields
     ]
     return spark.createDataFrame(rows, "col_name string, dtype string")
+
+
+# ------------------------------------------------- window frames (W+)
+@register(
+    "customer_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_last3
+    FROM orders
+    """,
+)
+def q_customer_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec (ROWS BETWEEN): 3-order moving average per
+    customer — the frame surface beyond plain rank windows."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_last3"),
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT)
+               AS quartile
+    FROM customer
+    """,
+)
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (total order via the custkey tie-break so both
+    engines assign identical quartiles)."""
+    from pyspark.sql import Window
+
+    customer = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return customer.select(
+        "c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    )
+
+
+# ------------------------------------------------------- HAVING (A1+)
+@register(
+    "big_spenders_having",
+    oracle="""
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(o_totalprice) > 1000000
+    """,
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — filter over the agg output,
+    pushed nowhere (it can't be), one shuffle total."""
+    orders = t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_raw_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        g.filter(F.col("_raw_spend") > 1000000)
+        .select(
+            "o_custkey",
+            F.round(F.col("_raw_spend"), 2).alias("total_spend"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------- CUBE (A1+)
+@register(
+    "orders_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass; gid disambiguates cube NULLs from data NULLs."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
+    )
