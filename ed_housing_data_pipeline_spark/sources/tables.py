@@ -57,6 +57,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every lake table as a temp view for ``spark.sql`` use
     (mirrors the reference's DuckDB ``CREATE VIEW gold AS read_parquet``
-    pattern — duckdb_viewer/view_gold.py:25-28)."""
+    pattern — duckdb_viewer/view_gold.py:25-28). Sets the engine's
+    runtime confs first: the events table is unreadable without the
+    nanos conf on a vanilla session."""
+    from ed_housing_data_pipeline_spark.session import ensure_runtime_confs  # noqa: PLC0415
+
+    ensure_runtime_confs(spark)
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

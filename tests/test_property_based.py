@@ -70,3 +70,48 @@ def test_safe_div_matches_python(spark, pairs):
             assert g is None  # never Inf/NaN
         else:
             assert g is not None and math.isclose(g, n / d * 100.0, rel_tol=1e-9)
+
+
+P = (1 << 31) - 1
+B = 1_000_003
+
+
+def _py_hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=12),
+                         max_size=8), min_size=1, max_size=10))
+def test_rolling_hash_matches_python(spark, docs):
+    """The native-fold rolling hash equals a pure-Python reference."""
+    from ed_housing_data_pipeline_spark.plans.queries_llm import ROLL_B
+    from ed_housing_data_pipeline_spark.operators.similarity import MINHASH_P
+
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from ed_housing_data_pipeline_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    hashed = F.transform(
+        tokens("text"),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(MINHASH_P),
+        ),
+    )
+    fp = F.aggregate(
+        hashed, F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * ROLL_B + x, F.lit(MINHASH_P)),
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fp.alias("fp")).collect()}
+    for i, text in enumerate(texts):
+        toks = text.strip().split() if text.strip() else []
+        acc = 0
+        for tk in toks:
+            acc = (acc * ROLL_B + _py_hash60(tk) % MINHASH_P) % MINHASH_P
+        assert got[i] == acc, (i, text)

@@ -21,3 +21,34 @@ def test_entry_contract_importable():
     assert callable(e.entry)
     assert set(e.queries()) == set(query_map())
     assert set(e.oracle_sql()) == set(oracle_sql_map())
+
+
+def test_sql_over_registered_views(spark):
+    """The reference's usage pattern — ad-hoc SQL over parquet views
+    (duckdb_viewer/sample_queries.sql) — works verbatim modulo the
+    documented NULLS LAST dialect note."""
+    from ed_housing_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql("SELECT COUNT(*) AS n_rows FROM lineitem").first()["n_rows"]
+    assert n == 6000
+    top = spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice IS NOT NULL
+        ORDER BY o_totalprice DESC NULLS LAST LIMIT 5
+        """
+    ).collect()
+    assert len(top) == 5
+    assert top[0]["o_totalprice"] >= top[-1]["o_totalprice"]
+    ranked = spark.sql(
+        """
+        WITH ranked AS (
+            SELECT n_name,
+                   rank() OVER (ORDER BY n_nationkey ASC NULLS LAST) AS r
+            FROM nation
+        )
+        SELECT * FROM ranked ORDER BY r LIMIT 1
+        """
+    ).first()
+    assert ranked["r"] == 1
