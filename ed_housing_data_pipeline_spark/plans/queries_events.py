@@ -300,3 +300,94 @@ def q_events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("k_val")).alias("n_with_k"),
         F.round(F.max(F.col("k_val")), 4).alias("max_k"),
     )
+
+
+@register(
+    "events_funnel_signup_purchase",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+        SELECT s.user_id,
+               MIN(e.ts) AS first_purchase_ts
+        FROM first_signup s
+        JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= s.signup_ts
+         AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+        GROUP BY s.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM first_signup) AS n_signup_users,
+           (SELECT COUNT(*) FROM conv) AS n_converted_7d
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: users converting signup → purchase within 7
+    days. One agg per step + an equi-join on user_id (range predicate
+    rides along as a join filter, never a cartesian)."""
+    ev = events_ts(spark, sf_dir)
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(purchases, on="user_id")
+        .filter(
+            (F.col("pts") >= F.col("signup_ts"))
+            & (F.col("pts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return signup.agg(F.count(F.lit(1)).alias("n_signup_users")).crossJoin(
+        conv.agg(F.count(F.lit(1)).alias("n_converted_7d"))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_day,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+        FROM events e JOIN first_day f ON f.user_id = e.user_id
+    )
+    SELECT CAST(epoch(cohort_day) AS BIGINT) AS cohort_day_s,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: users grouped by first-seen day,
+    counted per day-offset of later activity. Two shuffles on user_id
+    (cohort agg + join) then one on the cohort key."""
+    ev = events_ts(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(first_day, on="user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.unix_seconds(F.col("cohort_day")).alias("cohort_day_s"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        "n_users",
+    )
