@@ -1,0 +1,126 @@
+"""Registered queries that exercise the Structured Streaming surface.
+
+The reference is batch-only, so these are engine surface beyond it
+(SURVEY.md §2.9 note): each query runs a REAL streaming job — file
+source → watermarked stateful transformation → memory sink — drained
+to completion with ``trigger(availableNow=True)``, then returns the
+sink table as a batch DataFrame. Over a bounded input the drained
+result equals the batch aggregation, which is what makes these
+oracle-checkable in DuckDB like every other registered query.
+
+Scale notes: the same code runs unbounded by swapping source/sink/
+trigger — the watermark bounds window/dedup state either way. The
+memory sink + complete mode here is the bounded-drain test harness,
+not the production sink (that would be a parquet/Kafka sink in append
+mode).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ed_housing_data_pipeline_spark.plans.registry import register
+from ed_housing_data_pipeline_spark.session import ensure_runtime_confs
+from ed_housing_data_pipeline_spark.streaming import events as se
+
+# Physical schema of the driver's events.parquet under
+# spark.sql.legacy.parquet.nanosAsLong=true: ts is INT64 nanoseconds
+# (see sources/tables.events_with_ts for the batch twin).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table with ``ts`` as a µs timestamp
+    (same ns→µs truncation as the batch path, so oracles agree)."""
+    ensure_runtime_confs(spark)
+    # Glob, not the bare file path: FileStreamSource requires its
+    # basePath to be a directory, and the glob's parent dir is one.
+    raw = se.read_events_stream(
+        spark, f"{sf_dir}/events.parque[t]", schema=_EVENTS_RAW_SCHEMA
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+    """Run the stream to exhaustion into a memory table; return it."""
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    se.run_available_now(
+        stream_df,
+        table_name=name,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"),
+        output_mode=output_mode,
+    )
+    return spark.table(name)
+
+
+@register(
+    "events_stream_hourly",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-hour agg executed AS A STREAM and drained
+    with availableNow — the streaming twin of ``events_hourly_by_type``,
+    proving batch/stream parity on the same input (complete output mode
+    keeps every window, so the bounded drain equals the batch agg)."""
+    agg = se.stream_tumbling_counts(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        window="1 hour",
+        keys=("event_type",),
+        watermark="2 hours",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+        },
+    )
+    out = _drain(agg, spark, output_mode="complete")
+    return out.select(
+        F.unix_seconds(F.col("window_start")).alias("bucket_s"),
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "events_stream_dedup_count",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_unique,
+           COUNT(*) AS n_raw
+    FROM events
+    """,
+)
+def q_events_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) drained to
+    completion, cross-checked against the distinct count. State holds
+    one id per watermark horizon — bounded, unlike naive stream
+    dropDuplicates."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = se.stream_dedup(ev, id_cols=("event_id",), ts_col="ts")
+    out = _drain(deduped, spark, output_mode="append")
+    n_raw = ev.sparkSession.read.schema(_EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    return out.agg(F.count(F.lit(1)).alias("n_unique")).crossJoin(
+        n_raw.agg(F.count(F.lit(1)).alias("n_raw"))
+    )

@@ -62,6 +62,7 @@ def _load_all() -> None:
         queries_core,
         queries_events,
         queries_llm,
+        queries_streaming,
     )
 
     _LOADED = True
