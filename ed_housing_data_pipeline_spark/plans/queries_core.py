@@ -819,3 +819,80 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
     )
+
+
+# ------------------------------------------------- numeric profiling
+@register(
+    "lineitem_numeric_profile",
+    oracle="""
+    SELECT col, n, n_null,
+           ROUND(vmin, 4) AS vmin, ROUND(vmax, 4) AS vmax,
+           ROUND(vavg, 4) AS vavg, ROUND(vstd, 4) AS vstd
+    FROM (
+        SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n,
+               COUNT(*) - COUNT(l_quantity) AS n_null,
+               MIN(l_quantity) AS vmin, MAX(l_quantity) AS vmax,
+               AVG(l_quantity) AS vavg, STDDEV_SAMP(l_quantity) AS vstd
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(l_extendedprice),
+               COUNT(*) - COUNT(l_extendedprice),
+               MIN(l_extendedprice), MAX(l_extendedprice),
+               AVG(l_extendedprice), STDDEV_SAMP(l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(l_discount),
+               COUNT(*) - COUNT(l_discount),
+               MIN(l_discount), MAX(l_discount),
+               AVG(l_discount), STDDEV_SAMP(l_discount)
+        FROM lineitem
+    )
+    """,
+)
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the distributed `df.describe`): per
+    numeric column count/nulls/min/max/mean/stddev, computed in ONE
+    scan via stack() → groupBy (not one job per column as naive
+    profilers do; at 100 TB the single-pass shape is the operator)."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stacked = li.select(
+        F.expr(
+            "stack({n}, {args}) AS (col, v)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols),
+            )
+        )
+    )
+    return stacked.groupBy("col").agg(
+        F.count("v").alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.round(F.min("v"), 4).alias("vmin"),
+        F.round(F.max("v"), 4).alias("vmax"),
+        F.round(F.avg("v"), 4).alias("vavg"),
+        F.round(F.stddev_samp("v"), 4).alias("vstd"),
+    )
+
+
+# ------------------------------------------- bivariate statistics (A1+)
+@register(
+    "lineitem_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped bivariate stats (Pearson corr, sample covariance) —
+    single-pass streaming aggregates (co-moment accumulators), no
+    second scan or join."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
