@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ed_housing_data_pipeline_spark.functions.numeric import horizontal_sum, safe_div
 from ed_housing_data_pipeline_spark.functions.text import normalize_join_key
 from ed_housing_data_pipeline_spark.operators import aggs, joins, setops, topk, windows
-from ed_housing_data_pipeline_spark.plans._base import t
+from ed_housing_data_pipeline_spark.plans._base import hash60, hash60_sql, t
 from ed_housing_data_pipeline_spark.plans.registry import register
 
 
@@ -895,4 +895,63 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+# -------------------------------------------- deterministic sampling
+@register(
+    "orders_hash_sample",
+    oracle=f"""
+    SELECT COUNT(*) AS n_sampled,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           ROUND(SUM(o_totalprice), 2) AS sampled_spend
+    FROM orders
+    WHERE {hash60_sql("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
+    """,
+)
+def q_orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample by key hash — the reproducible
+    downsampling a training-data pipeline needs (unlike TABLESAMPLE,
+    the same rows are selected on every engine, every run, any
+    partitioning). The predicate is a pure row-local expression: no
+    shuffle, prunes at scan time, trivially parallel at 100 TB."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            hash60(F.col("o_orderkey").cast("string")) % 20 == 0
+        ).agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_spend"),
+        )
+    )
+
+
+# ---------------------------------------------- date-part seasonality
+@register(
+    "orders_seasonality",
+    oracle="""
+    SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS order_dow,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part aggregation (month × ISO weekday): date functions
+    computed row-local before a small-key groupBy (84 groups max —
+    partial agg collapses the shuffle to nothing at any scale)."""
+    orders = t(spark, sf_dir, "orders")
+    # weekday(date) is 0=Monday; ISO dow is 1=Monday — shift by one.
+    return (
+        orders.groupBy(
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+            (F.weekday("o_orderdate") + 1).cast("bigint").alias("order_dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
     )
