@@ -140,3 +140,36 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [*id_cols]
     )
+
+
+def stream_running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value total) maintained across
+    micro-batches — the arbitrary-state escape hatch for semantics the
+    built-in windows can't express (here: monotone lifetime totals).
+
+    State is one (bigint, double) pair per user — bounded by user
+    cardinality, not event volume; Arrow batches move the rows, so the
+    Python hop is vectorized. Output mode is ``update``: each user
+    emits a refreshed row only in batches where it had events.
+    """
+    import pandas as pd  # noqa: PLC0415 - worker-side import
+
+    def update_totals(key, pdfs, state):
+        (user_id,) = key
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -95,3 +95,28 @@ def test_stream_dedup(spark, events_dir, tmp_path):
     got = spark.table("dedup_t")
     assert got.count() == 4
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_stream_running_user_totals_matches_batch(spark, events_dir):
+    """The applyInPandasWithState running totals, drained over the
+    bounded input, equal the batch groupBy count/sum per user."""
+    src = stream_events.read_events_stream(spark, str(events_dir / "in"))
+    totals = stream_events.stream_running_user_totals(src)
+    stream_events.run_available_now(
+        totals,
+        table_name="t_running_totals",
+        checkpoint_dir=str(events_dir / "ckpt_totals"),
+        output_mode="update",
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("t_running_totals").collect()
+    }
+    batch = spark.createDataFrame(ROWS, stream_events.EVENTS_SCHEMA)
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
