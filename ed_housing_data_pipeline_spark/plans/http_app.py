@@ -45,6 +45,11 @@ def process_payload(spark: SparkSession) -> tuple[int, dict]:
         return 500, {"status": "error", "message": str(exc)}
 
 
+# Serializes pipeline runs: concurrent requests would overwrite the
+# same silver/gold output paths mid-write (health stays concurrent).
+_process_lock = threading.Lock()
+
+
 def make_server(spark: SparkSession, port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port 0 picks a free port."""
 
@@ -61,7 +66,8 @@ def make_server(spark: SparkSession, port: int = 0) -> ThreadingHTTPServer:
             if self.path == "/api/health":
                 self._send(200, health_payload())
             elif self.path == "/api/process-bronze-to-silver":
-                self._send(*process_payload(spark))
+                with _process_lock:
+                    self._send(*process_payload(spark))
             else:
                 self._send(404, {"status": "error", "message": "not found"})
 

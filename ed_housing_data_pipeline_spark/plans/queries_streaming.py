@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from ed_housing_data_pipeline_spark.plans._base import t
 from ed_housing_data_pipeline_spark.plans.registry import register
 from ed_housing_data_pipeline_spark.session import ensure_runtime_confs
 from ed_housing_data_pipeline_spark.streaming import events as se
@@ -55,15 +56,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
-    """Run the stream to exhaustion into a memory table; return it."""
+    """Run the stream to exhaustion into a memory table; return its
+    contents detached from the sink (localCheckpoint), so the temp view
+    and checkpoint dir can be cleaned up immediately — repeated harness
+    invocations must not accumulate /tmp state or temp views."""
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    se.run_available_now(
-        stream_df,
-        table_name=name,
-        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"),
-        output_mode=output_mode,
-    )
-    return spark.table(name)
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        se.run_available_now(
+            stream_df,
+            table_name=name,
+            checkpoint_dir=ckpt,
+            output_mode=output_mode,
+        )
+        out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @register(
@@ -118,9 +125,7 @@ def q_events_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     deduped = se.stream_dedup(ev, id_cols=("event_id",), ts_col="ts")
     out = _drain(deduped, spark, output_mode="append")
-    n_raw = ev.sparkSession.read.schema(_EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parquet"
-    )
+    n_raw = t(spark, sf_dir, "events")
     return out.agg(F.count(F.lit(1)).alias("n_unique")).crossJoin(
         n_raw.agg(F.count(F.lit(1)).alias("n_raw"))
     )

@@ -148,28 +148,36 @@ def stream_running_user_totals(events: DataFrame) -> DataFrame:
     micro-batches — the arbitrary-state escape hatch for semantics the
     built-in windows can't express (here: monotone lifetime totals).
 
-    State is one (bigint, double) pair per user — bounded by user
-    cardinality, not event volume; Arrow batches move the rows, so the
-    Python hop is vectorized. Output mode is ``update``: each user
+    State is one (bigint, bigint, double) triple per user — bounded by
+    user cardinality, not event volume; Arrow batches move the rows, so
+    the Python hop is vectorized. Output mode is ``update``: each user
     emits a refreshed row only in batches where it had events.
+    ``total_value`` is NULL until a non-null value arrives — the same
+    null-skipping semantics as batch ``F.sum``.
     """
     import pandas as pd  # noqa: PLC0415 - worker-side import
 
     def update_totals(key, pdfs, state):
         (user_id,) = key
-        n, total = state.get() if state.exists else (0, 0.0)
+        # GroupState.get is a PROPERTY in PySpark (returns the tuple).
+        n, n_vals, total = state.get if state.exists else (0, 0, 0.0)
         for pdf in pdfs:
             n += int(len(pdf))
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            n_vals += int(pdf["value"].notna().sum())
+            total += float(pdf["value"].sum())  # pandas sum skips NaN
+        state.update((n, n_vals, total))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total if n_vals > 0 else None],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update_totals,
         outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total double",
+        stateStructType="n bigint, n_vals bigint, total double",
         outputMode="update",
         timeoutConf="NoTimeout",
     )

@@ -97,22 +97,49 @@ def test_stream_dedup(spark, events_dir, tmp_path):
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3, 4]
 
 
-def test_stream_running_user_totals_matches_batch(spark, events_dir):
-    """The applyInPandasWithState running totals, drained over the
-    bounded input, equal the batch groupBy count/sum per user."""
-    src = stream_events.read_events_stream(spark, str(events_dir / "in"))
+def test_stream_running_user_totals_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState running totals, drained over TWO
+    micro-batches (maxFilesPerTrigger=1 forces the cross-batch state
+    path), equal the batch groupBy count/sum per user — including the
+    all-null-value user, where F.sum yields NULL."""
+    batch1 = ROWS[:2]  # user 100 ×2
+    batch2 = ROWS[2:] + [(5, ts(13), 300, "view", None, None)]  # 100, 200, 300(null)
+    all_rows = batch1 + batch2
+    # The file stream source lists files directly under the path (no
+    # recursion into write.parquet output dirs) — flatten part files.
+    import shutil
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    for i, rows_b in enumerate((batch1, batch2), 1):
+        out = tmp_path / f"w{i}"
+        spark.createDataFrame(rows_b, stream_events.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(out))
+        part = next(out.glob("part-*.parquet"))
+        shutil.copy(part, src_dir / f"b{i}.parquet")
+    src = (
+        spark.readStream.format("parquet")
+        .schema(stream_events.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src_dir))
+    )
     totals = stream_events.stream_running_user_totals(src)
     stream_events.run_available_now(
         totals,
         table_name="t_running_totals",
-        checkpoint_dir=str(events_dir / "ckpt_totals"),
+        checkpoint_dir=str(tmp_path / "ckpt_totals"),
         output_mode="update",
     )
-    got = {
-        r.user_id: (r.n_events, r.total_value)
-        for r in spark.table("t_running_totals").collect()
-    }
-    batch = spark.createDataFrame(ROWS, stream_events.EVENTS_SCHEMA)
+    sink = spark.table("t_running_totals").collect()
+    # update mode emits one row per user per batch it had events in;
+    # totals are monotone in n_events, so the max-n row is the final.
+    assert len(sink) == 4  # user 100 twice (two batches), 200 + 300 once
+    got = {}
+    for r in sink:
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.total_value)
+    batch = spark.createDataFrame(all_rows, stream_events.EVENTS_SCHEMA)
     want = {
         r.user_id: (r.n, r.tv)
         for r in batch.groupBy("user_id")
@@ -120,3 +147,4 @@ def test_stream_running_user_totals_matches_batch(spark, events_dir):
         .collect()
     }
     assert got == want
+    assert got[300] == (1, None)  # null-skipping sum parity
