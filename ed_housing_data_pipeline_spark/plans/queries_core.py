@@ -955,3 +955,60 @@ def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+# --------------------------------------------- filtered aggregation
+@register(
+    "orders_filtered_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+               AS avg_open_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (SQL FILTER clause) in one pass —
+    count_if / when-guarded avg, no per-condition re-scan or self-join."""
+    orders = t(spark, sf_dir, "orders")
+    is_open_price = F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.round(F.avg(is_open_price), 2).alias("avg_open_price"),
+    )
+
+
+# ------------------------------------------------------ argmax (A1+)
+@register(
+    "nation_top_customer_argmax",
+    oracle="""
+    SELECT c_nationkey, c_custkey AS top_custkey,
+           ROUND(c_acctbal, 2) AS top_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey DESC
+               ) AS rn
+        FROM customer
+    )
+    WHERE rn = 1
+    """,
+)
+def q_nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation argmax via max_by over a (balance, key) struct —
+    single-pass, deterministic on balance ties (key breaks them), and
+    no window/sort: the agg state is one row per group at any scale."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by(
+            F.col("c_custkey"), F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+        ).alias("top_custkey"),
+        F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
+    )
