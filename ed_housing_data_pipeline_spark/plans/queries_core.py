@@ -1012,3 +1012,31 @@ def q_nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_custkey"),
         F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
     )
+
+
+# -------------------------------------------- distribution windows (W+)
+@register(
+    "supplier_balance_distribution",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q_supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) per
+    nation partition — partitioned windows shard the sort by key, so no
+    global single-partition exchange; suppkey tie-break keeps the
+    ordering total and both engines deterministic."""
+    from pyspark.sql.window import Window
+
+    sup = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
