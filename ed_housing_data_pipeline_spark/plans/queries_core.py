@@ -1040,3 +1040,33 @@ def q_supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ------------------------------------------- fact-fact shuffle join
+@register(
+    "priority_revenue_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join (TPC-H Q3/Q4 shape): orders and lineitem
+    BOTH scale with the data, so this is the one join class that must
+    NOT broadcast — both sides shuffle on the join key (sort-merge /
+    shuffled-hash, AQE picks at runtime and splits skewed partitions).
+    At 100 TB the right long-term answer is bucketing both tables on
+    the order key (sources/lake.write_bucketed_table) which removes the
+    shuffle entirely; this query keeps the ad-hoc path honest."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -27,10 +27,34 @@ def test_no_cartesian_products(plans):
     assert not offenders, f"cartesian plans: {offenders}"
 
 
+# Fact-to-fact joins: both sides scale with the data, so a shuffle
+# join is the CORRECT plan and broadcast would OOM at scale.
+FACT_FACT = {"priority_revenue_fact_join"}
+
+
 def test_no_sort_merge_joins(plans):
-    # every join in the registry has a bounded side — broadcast expected
-    offenders = [n for n, p in plans.items() if "SortMergeJoin" in p]
+    # every other join in the registry has a bounded side — broadcast
+    offenders = [
+        n for n, p in plans.items() if "SortMergeJoin" in p and n not in FACT_FACT
+    ]
     assert not offenders, f"unexpected sort-merge joins: {offenders}"
+
+
+def test_fact_fact_join_shuffles_not_broadcasts(spark):
+    """At tiny SF the stats-based broadcast is fine; what must hold is
+    that the query carries NO broadcast hint — with size-based
+    broadcast off, the plan degrades to a shuffle join (the 100 TB
+    shape), never a forced broadcast."""
+    ensure_runtime_confs(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = query_map()["priority_revenue_fact_join"](spark, SF)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "BroadcastHashJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_no_python_udfs_in_registered_queries(plans):
