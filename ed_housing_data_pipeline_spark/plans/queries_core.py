@@ -1070,3 +1070,30 @@ def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ------------------------------------------ SQL surface + NOT IN (J+)
+@register(
+    "customers_without_orders_sql",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN anti-join, expressed through the engine's SQL
+    surface (register_views + spark.sql — the reference's DuckDB-view
+    workflow, duckdb_viewer/view_gold.py:25-28): identical SQL runs on
+    both engines. Catalyst compiles the single-column NOT IN to a
+    null-aware anti join (broadcast build side), not a cartesian."""
+    from ed_housing_data_pipeline_spark.sources.tables import register_views  # noqa: PLC0415
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """
+    )
