@@ -15,6 +15,26 @@ def test_registry_complete_and_paired():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
+def test_driver_window_covers_every_family():
+    """The driver's correctness harness checks the FIRST 50 registered
+    queries; pin the window so every operator family — including all
+    doc_/embedding_/streaming extension queries — has a hard
+    driver-verified row (VERDICT r02 top-next)."""
+    from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
+
+    names = list(query_map())
+    assert len(_PRIORITY_ORDER) == 50
+    assert names[:50] == list(_PRIORITY_ORDER)
+    window = set(names[:50])
+    extension = {
+        n
+        for n in names
+        if n.startswith(("doc_", "embedding_", "events_stream"))
+        or n in ("events_funnel_signup_purchase", "events_retention_cohorts")
+    }
+    assert extension <= window, f"extension queries outside window: {extension - window}"
+
+
 def test_entry_contract_importable():
     import __spark_entry__ as e
 
