@@ -136,21 +136,85 @@ def with_minhash_signature(
     return out.drop("_hs")
 
 
+def oversized_bucket_stats(
+    exploded: DataFrame, key_cols: list[str], max_bucket_width: int
+) -> DataFrame:
+    """Per-bucket widths for buckets over the cap — ``key_cols + (_bw,
+    _ns)`` where ``_bw`` is the bucket width and ``_ns`` the shard count
+    the guard will use. Pipelines should log/sink this next to any
+    capped near-dup run so dropped-recall volume is auditable."""
+    return (
+        exploded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bw"))
+        .filter(F.col("_bw") > max_bucket_width)
+        .withColumn(
+            "_ns", F.ceil(F.col("_bw") / F.lit(float(max_bucket_width))).cast("bigint")
+        )
+    )
+
+
+def _shard_oversized_buckets(
+    exploded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket_width: int,
+    oversize: str,
+) -> tuple[DataFrame, list[str]]:
+    """Bound the O(width²) within-bucket self-join: buckets wider than
+    ``max_bucket_width`` are either dropped (``oversize='drop'``) or
+    deterministically salt-sharded (``'shard'``: pairs must share
+    ``hash(id) % ceil(width/cap)``, so per-shard width ≈ the cap).
+
+    Scale shape: one aggregation on the bucket key (map-side combine
+    keeps partials at one row per distinct key per partition), then a
+    join back against ONLY the oversized keys — at most n_rows/cap of
+    them, so the optimizer broadcasts it in any non-pathological run.
+    AQE skew-split rebalances the *shuffle*; this guard bounds the
+    *pair count*, which AQE cannot.
+    """
+    oversized = oversized_bucket_stats(exploded, key_cols, max_bucket_width)
+    if oversize == "drop":
+        return exploded.join(oversized.select(*key_cols), key_cols, "left_anti"), []
+    if oversize != "shard":
+        raise ValueError(f"oversize must be 'shard' or 'drop', got {oversize!r}")
+    out = (
+        exploded.join(oversized.select(*key_cols, "_ns"), key_cols, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_ns").isNotNull(),
+                F.pmod(_default_hash(F.col(id_col).cast("string")), F.col("_ns")),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .drop("_ns")
+    )
+    return out, ["_salt"]
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
     n_hashes: int = 8,
     bands: int = 4,
     prefix: str = "mh_",
+    max_bucket_width: int | None = 4096,
+    oversize: str = "shard",
 ) -> DataFrame:
     """LSH banding: docs sharing ANY band of the signature become a
     candidate pair ``(id_a < id_b)``, distinct.
 
     Shuffle structure: explode to n_docs×bands band-key rows, one
     shuffle on band key, self-join inside buckets. O(n·bands) rows
-    shuffled vs O(n²) for all-pairs — this is the scale path. Skewed
-    buckets (e.g. a boilerplate band) are split by AQE skew handling;
-    a production run would also cap bucket width.
+    shuffled vs O(n²) for all-pairs — this is the scale path.
+
+    A boilerplate band (thousands of near-identical docs sharing one
+    band key) would still make the within-bucket join quadratic in that
+    bucket, so buckets wider than ``max_bucket_width`` are salt-sharded
+    (or dropped — see ``oversize``) before the join, bounding any
+    bucket's pair count to ~cap²·shards. Sharding trades recall only
+    inside pathological buckets (cross-shard pairs are missed);
+    ``max_bucket_width=None`` disables the guard. Audit what the guard
+    touched via :func:`oversized_bucket_stats` on the exploded keys.
     """
     if bands <= 0 or bands > n_hashes or n_hashes % bands:
         raise ValueError(
@@ -178,6 +242,11 @@ def lsh_candidate_pairs(
         .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    salt_cols: list[str] = []
+    if max_bucket_width is not None:
+        exploded, salt_cols = _shard_oversized_buckets(
+            exploded, ["band", "key"], id_col, max_bucket_width, oversize
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -186,6 +255,7 @@ def lsh_candidate_pairs(
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.key") == F.col("b.key"),
+                *[F.col(f"a.{s}") == F.col(f"b.{s}") for s in salt_cols],
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
@@ -437,6 +507,8 @@ def cosine_neardup_pairs(
     id_col: str,
     block_col: str,
     threshold: float,
+    max_block_width: int | None = 8192,
+    oversize: str = "shard",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(id_a < id_b, sim)``
     within a blocking column (label / IVF centroid / SRP bucket).
@@ -446,20 +518,39 @@ def cosine_neardup_pairs(
     cosine only inside blocks — never an all-pairs plan. Pick the
     block source to match recall needs (SRP buckets for
     data-independent blocking, k-means cells for IVF-style).
+
+    Blocks wider than ``max_block_width`` get the same salt-shard /
+    drop guard as :func:`lsh_candidate_pairs` — at extreme skew (one
+    label holding most of the corpus) the in-block all-pairs count is
+    bounded to ~cap²·shards instead of width². ``None`` disables.
     """
-    a = df.select(
+    base = df.select(
+        F.col(id_col), F.col(vec_col), F.col(block_col).alias("block")
+    )
+    salt_cols: list[str] = []
+    if max_block_width is not None:
+        base, salt_cols = _shard_oversized_buckets(
+            base, ["block"], id_col, max_block_width, oversize
+        )
+    a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        F.col(block_col).alias("block"),
+        F.col("block").alias("block_a"),
+        *[F.col(s).alias(f"{s}_a") for s in salt_cols],
     )
-    b = df.select(
+    b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        F.col(block_col).alias("block"),
+        F.col("block").alias("block_b"),
+        *[F.col(s).alias(f"{s}_b") for s in salt_cols],
     )
+    cond = [
+        F.col("block_a") == F.col("block_b"),
+        *[F.col(f"{s}_a") == F.col(f"{s}_b") for s in salt_cols],
+        F.col("id_a") < F.col("id_b"),
+    ]
     return (
-        a.join(b, on="block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, on=cond)
         .withColumn("sim", cosine_similarity("va", "vb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

@@ -176,6 +176,76 @@ def test_lsh_rejects_bad_band_config(spark):
         sim.lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=3)
 
 
+def test_lsh_bucket_cap_bounds_boilerplate_corpus(spark):
+    """1k identical docs share every band key; uncapped that is
+    C(1000,2)≈500k candidate pairs. The shard guard must bound the
+    pair count to ~shards·C(cap,2) and still finish fast."""
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate header repeated verbatim in every doc") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    sig = sim.with_minhash_signature(docs, "text", n_hashes=4)
+    capped = sim.lsh_candidate_pairs(
+        sig, "doc_id", n_hashes=4, bands=2, max_bucket_width=32, oversize="shard"
+    )
+    n = capped.count()
+    # 32 shards of ~32 docs -> at most ~32*C(32,2)=15.9k pairs, far
+    # below the 499.5k of the unguarded plan
+    assert 0 < n < 50_000
+    dropped = sim.lsh_candidate_pairs(
+        sig, "doc_id", n_hashes=4, bands=2, max_bucket_width=32, oversize="drop"
+    )
+    assert dropped.count() == 0  # every bucket is oversized -> all dropped
+
+
+def test_lsh_bucket_cap_noop_on_normal_data(spark):
+    """When no bucket exceeds the cap the guarded plan returns exactly
+    the unguarded result (salt is constant 0)."""
+    sig = sim.with_minhash_signature(_docs(spark), "text", n_hashes=4)
+    base = rows(sim.lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2,
+                                        max_bucket_width=None))
+    guarded = rows(sim.lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2,
+                                           max_bucket_width=4096))
+    assert base == guarded
+
+
+def test_oversized_bucket_stats(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(100)] + [(100, "unique snowflake words")],
+        "doc_id long, text string",
+    )
+    sig = sim.with_minhash_signature(docs, "text", n_hashes=4)
+    exploded = (
+        sig.filter(F.col("mh_0").isNotNull())
+        .select("doc_id", F.concat_ws(":", "mh_0", "mh_1").alias("key"))
+    )
+    stats = sim.oversized_bucket_stats(exploded, ["key"], 10).collect()
+    assert len(stats) == 1
+    assert stats[0]["_bw"] == 100 and stats[0]["_ns"] == 10
+
+
+def test_cosine_neardup_block_cap(spark):
+    """One giant block: shard guard bounds pairs; identical vectors
+    still pair within shards; no-trigger case returns the full set."""
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0], 0) for i in range(300)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    full = sim.cosine_neardup_pairs(
+        df, "embedding", "vec_id", "label", threshold=0.99, max_block_width=None
+    ).count()
+    assert full == 300 * 299 // 2
+    capped = sim.cosine_neardup_pairs(
+        df, "embedding", "vec_id", "label", threshold=0.99, max_block_width=30
+    ).count()
+    assert 0 < capped < full / 3
+    dropped = sim.cosine_neardup_pairs(
+        df, "embedding", "vec_id", "label", threshold=0.99,
+        max_block_width=30, oversize="drop",
+    ).count()
+    assert dropped == 0
+
+
 def test_kmeans_fewer_rows_than_k(spark):
     df = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [9.0, 9.0])], "vec_id long, embedding array<double>"
