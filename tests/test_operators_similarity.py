@@ -59,6 +59,28 @@ def test_near_dup_pairs_threshold(spark):
     assert not any(4 in p or 5 in p or 6 in p for p in got)
 
 
+def test_near_dup_pairs_interleaved_calls_keep_caches(spark):
+    """Two in-flight near_dup_pairs plans must not evict each other
+    (round-2 module-global cache did); a CacheScope releases its own
+    caches and only its own."""
+    with sim.CacheScope() as scope:
+        p1 = sim.near_dup_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.5, n_hashes=4, bands=2,
+            cache=scope,
+        )
+        p2 = sim.near_dup_pairs(  # second call before p1 is consumed
+            _docs(spark), "text", "doc_id", threshold=0.9, n_hashes=4, bands=2,
+            cache=scope,
+        )
+        r1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
+        r2 = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+        assert (1, 2) in r1 and (1, 2) in r2
+        assert len(scope._dfs) == 2
+        assert all(df.is_cached for df in scope._dfs)
+    assert not any(df.is_cached for df in scope._dfs if scope._dfs)
+    assert len(scope._dfs) == 0
+
+
 def test_simhash_properties(spark):
     out = _docs(spark).select(
         "doc_id", sim.simhash("text", bits=16).alias("fp")
@@ -253,3 +275,48 @@ def test_kmeans_fewer_rows_than_k(spark):
     blocked, cents = sim.kmeans_blocks(df, "embedding", "vec_id", k=5, iters=2)
     assert len(cents) == 2  # degraded to the available rows
     assert blocked.count() == 2
+
+
+def test_kmeans_null_vectors_guarded(spark):
+    """NULL/empty/wrong-dim vectors never seed, never vote, and get a
+    NULL block (ADVICE r02: previously a TypeError on NULL seeds)."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.1, 0.1]), (3, [9.0, 9.0]), (4, [9.1, 9.1]),
+         (5, None), (6, []), (7, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    blocked, cents = sim.kmeans_blocks(df, "embedding", "vec_id", k=2, iters=2)
+    got = {r["vec_id"]: r["block"] for r in blocked.collect()}
+    assert got[5] is None and got[6] is None and got[7] is None
+    assert got[1] == got[2] and got[3] == got[4] and got[1] != got[3]
+    assert all(all(x is not None for x in c) for c in cents)
+
+
+def test_kmeans_arrow_path_large_k(spark):
+    """k·dim over the literal budget must route through the Arrow
+    mapInPandas argmin — bounded plan size — and still recover
+    structure: 64-dim one-hot blobs, k=64 (k·dim=4096 > 2048)."""
+    import random
+
+    random.seed(7)
+    dim, k, per = 64, 64, 4
+    pts = []
+    for c in range(k):
+        for j in range(per):
+            v = [0.0] * dim
+            v[c] = 10.0
+            v[(c + 1) % dim] += random.uniform(-0.1, 0.1)
+            pts.append((c * per + j, v))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    blocked, cents = sim.kmeans_blocks(df, "embedding", "vec_id", k=k, iters=2)
+    assert len(cents) == k and len(cents[0]) == dim
+    got = blocked.collect()
+    # same-blob points land in the same cluster
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["vec_id"] // per, set()).add(r["block"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    # the arrow plan is O(1) literals: the executed plan must not
+    # contain a km-sized when-chain (spot-check string length)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
