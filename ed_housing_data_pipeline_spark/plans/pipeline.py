@@ -180,7 +180,7 @@ class PipelinePaths:
 
     catalog: lake.LakeCatalog
     ingest_date: str
-    school_format: str = "xlsx"  # "xlsx" | "csv" (csv when openpyxl absent)
+    school_format: str = "xlsx"  # "xlsx" (vendored stdlib reader) | "csv"
 
     def bronze(self, dataset: str, filename: str) -> str:
         return f"{self.catalog.partition('bronze', dataset, self.ingest_date)}/{filename}"

@@ -7,7 +7,8 @@ Covers the reference's ingest surface (SURVEY.md §2.1):
       ``pd.read_csv(header=4)``) — OSS Spark has no skip-N-rows option,
       so this is a small custom scan helper.
 - S3  Excel (xlsx)                      (reference bronze_to_silver.py:52-55)
-      — no built-in Spark reader; gated driver-side pandas fallback.
+      — no built-in Spark reader; openpyxl-pandas when available, else
+      the vendored stdlib zip+XML parser (sources/xlsx.py).
 - S4  Parquet                           (reference silver_to_gold.py:101-103)
 - JSON-lines reader for completeness (events-style feeds).
 
@@ -92,24 +93,29 @@ def read_excel(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFram
     """Excel ingestion (reference bronze_to_silver.py:52-55 uses
     ``pd.read_excel(engine="openpyxl")``).
 
-    Spark has no built-in xlsx source; the honest v1 path is a
-    driver-side pandas read (xlsx inputs are small, hand-maintained
-    workbooks — the 100 TB path is parquet/CSV). Gated behind an
-    import-try: raises a clear error when openpyxl is absent.
+    Spark has no built-in xlsx source; xlsx inputs are small,
+    hand-maintained workbooks (the 100 TB path is parquet/CSV), so
+    this is a driver-side read: openpyxl-backed pandas when the
+    library exists, else the vendored stdlib parser
+    (:mod:`..sources.xlsx` — zip + XML; strings/numbers/bools, dates
+    stay raw serial text). Either way the result is all-string
+    columns, cast deliberately downstream.
     """
     try:
         import pandas as pd  # noqa: PLC0415
 
         pdf = pd.read_excel(path, sheet_name=sheet, engine="openpyxl", dtype=str)
-    except ImportError as exc:  # pragma: no cover - container lacks openpyxl
-        raise NotImplementedError(
-            "Excel ingestion needs openpyxl (or the com.crealytics spark-excel "
-            "package on a real cluster); neither is available in this "
-            "environment. Convert the workbook to CSV and use read_csv."
-        ) from exc
-    pdf = pdf.where(pdf.notna(), None)
-    schema = T.StructType([T.StructField(str(c), T.StringType()) for c in pdf.columns])
-    return spark.createDataFrame(pdf, schema=schema)
+        pdf = pdf.where(pdf.notna(), None)
+        header = [str(c) for c in pdf.columns]
+        data = [list(r) for r in pdf.itertuples(index=False, name=None)]
+    except ImportError:
+        from ed_housing_data_pipeline_spark.sources.xlsx import (  # noqa: PLC0415
+            read_xlsx_table,
+        )
+
+        header, data = read_xlsx_table(path, sheet)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
+    return spark.createDataFrame(data, schema=schema)
 
 
 def read_json_lines(

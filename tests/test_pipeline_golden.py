@@ -156,6 +156,44 @@ def test_analyze_gold_suite(spark, gold):
     assert best["county"] == "fulton" and best["overall_rank_sum"] == 4
 
 
+def test_pipeline_xlsx_school_input_matches_csv(spark, tmp_path_factory, gold):
+    """SCHOOL_FORMAT=xlsx end-to-end: the vendored stdlib xlsx reader
+    (no openpyxl in this container) feeds the same golden pipeline and
+    yields a bit-identical gold table to the CSV run."""
+    base = tmp_path_factory.mktemp("lake_xlsx")
+    paths = pipeline.PipelinePaths(
+        catalog=LakeCatalog(base=str(base)),
+        ingest_date="2024-06-01",
+        school_format="xlsx",
+    )
+    from tests.conftest import write_xlsx
+
+    school_rows = [
+        ["schoolid", "schoolname", "systemid", "systemname", "single_score_23"],
+        ["S1", "School A", 601, "Fulton County", 90.5],
+        ["S2", "School B", 601, "Fulton County", None],
+        ["S1", "School C", 601, "Fulton County", 79.5],
+        ["S3", "School D", 760, "Atlanta City", 88.0],
+        ["S4", "School E", 627, "DeKalb County", 70.0],
+        ["S5", "School F", 633, "Cobb County", 80.0],
+    ]
+    for dataset, fname, content in [
+        ("housing_affordability", "housing2019-23.csv", HOUSING_CSV),
+        ("special_education", "special_education2022-23.csv", SPECIAL_CSV),
+    ]:
+        d = base / "bronze" / dataset / "ingest_date=2024-06-01"
+        d.mkdir(parents=True)
+        (d / fname).write_text(content)
+    d = base / "bronze" / "school_performance" / "ingest_date=2024-06-01"
+    d.mkdir(parents=True)
+    write_xlsx(d / "school_performance.xlsx", school_rows)
+    summary = pipeline.run_pipeline(spark, paths)
+    assert summary["silver"]["school"]["rows"] == 6
+    got = spark.read.parquet(paths.gold("county_analysis"))
+    _, csv_gold = gold
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, csv_gold.collect()))
+
+
 def test_silver_roundtrip_matches_inmemory_gold(spark, gold):
     """Reference entry 3: gold rebuilt FROM silver parquet must equal the
     in-memory gold (silver_to_gold.py:87-115)."""

@@ -41,23 +41,81 @@ def test_read_csv_skip_rows_past_eof_raises(spark, tmp_path):
         readers.read_csv_skip_rows(spark, str(p), skip_rows=5)
 
 
-def test_read_excel_gated(spark, tmp_path):
-    try:
-        import openpyxl  # noqa: F401
+def test_read_excel_vendored(spark, tmp_path):
+    """S3 executes in this container via the vendored stdlib parser
+    (openpyxl absent): strings via sharedStrings, numbers as raw text,
+    sparse cells as NULL, all-string schema."""
+    from tests.conftest import write_xlsx
 
-        have_openpyxl = True
-    except ImportError:
-        have_openpyxl = False
-    if not have_openpyxl:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            readers.read_excel(spark, str(tmp_path / "missing.xlsx"))
-    else:  # pragma: no cover - exercised only where openpyxl exists
-        import pandas as pd
+    xp = tmp_path / "t.xlsx"
+    write_xlsx(
+        xp,
+        [
+            ["name", "score", "note"],
+            ["alpha", 90.5, "ok"],
+            ["beta", 601, None],
+        ],
+    )
+    df = readers.read_excel(spark, str(xp))
+    assert df.columns == ["name", "score", "note"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    assert rows(df) == [("alpha", "90.5", "ok"), ("beta", "601", None)]
 
-        xp = tmp_path / "t.xlsx"
-        pd.DataFrame({"a": [1], "b": ["x"]}).to_excel(xp, index=False)
-        df = readers.read_excel(spark, str(xp))
-        assert rows(df) == [("1", "x")]
+
+def test_read_xlsx_table_edge_cells(tmp_path):
+    """Hand-built sheet exercising inlineStr, rich-text shared strings,
+    booleans, missing header cells, and sparse rows."""
+    import zipfile
+
+    from ed_housing_data_pipeline_spark.sources.xlsx import read_xlsx_table
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkgrel = "http://schemas.openxmlformats.org/package/2006/relationships"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="inlineStr">'
+        "<is><t>c_col</t></is></c></row>"
+        '<row r="2"><c r="A2" t="b"><v>1</v></c><c r="B2"><v>3.25</v></c>'
+        '<c r="C2" t="s"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    # si[1] is a rich-text run pair -> concatenated "richtext"
+    sst = (
+        f'<sst xmlns="{ns}"><si><t>a col</t></si>'
+        "<si><r><t>rich</t></r><r><t>text</t></r></si></sst>"
+    )
+    xp = tmp_path / "edge.xlsx"
+    with zipfile.ZipFile(xp, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rel}"><sheets>'
+            '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pkgrel}"><Relationship Id="rId1" '
+            f'Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, data = read_xlsx_table(str(xp))
+    assert header == ["a col", "Unnamed: 1", "c_col"]
+    assert data == [["True", "3.25", "richtext"]]
+
+
+def test_read_xlsx_sheet_selection_errors(tmp_path):
+    from tests.conftest import write_xlsx
+
+    from ed_housing_data_pipeline_spark.sources.xlsx import read_xlsx_table
+
+    xp = tmp_path / "s.xlsx"
+    write_xlsx(xp, [["h"], ["v"]], sheet_name="Data")
+    assert read_xlsx_table(str(xp), "Data")[1] == [["v"]]
+    with pytest.raises(ValueError, match="out of range"):
+        read_xlsx_table(str(xp), 3)
+    with pytest.raises(ValueError, match="not found"):
+        read_xlsx_table(str(xp), "Nope")
 
 
 def test_read_json_lines(spark, tmp_path):
