@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# --sweep also runs these (skipping SF_DIR itself) for scaling trends.
+SWEEP_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 # One per operator family; heavy hitters (joins, windows, dedup, events,
 # minhash, ANN) all represented so a regression anywhere shows up here.
@@ -40,7 +42,7 @@ HEADLINE = [
     "events_hourly_by_type",    # ns-ts conversion + time bucket agg
     "events_sessionize_stats",  # lag + cumsum sessionization
     "doc_exact_dedup",      # normalize + hash-groupBy dedup
-    "doc_minhash_signature",    # shingles + 32 minhashes
+    "doc_minhash_signature",    # shingles + 8 universal-hash minhashes
     "doc_neardup_pairs",    # LSH banding join
     "doc_quality_score",    # text stats battery
     "embedding_knn_blocked",    # label-blocked cosine top-k
@@ -49,10 +51,36 @@ HEADLINE = [
 ]
 
 
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    from ed_housing_data_pipeline_spark.plans.registry import query_map
+
+    qmap = query_map()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: JIT/GC noise dwarfs 0.5s queries
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def _sf_of(sf_dir: str) -> float | None:
+    sf_token = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        return float(sf_token)
+    except ValueError:
+        return None
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    from ed_housing_data_pipeline_spark.plans.registry import query_map
     from ed_housing_data_pipeline_spark.session import ensure_runtime_confs
 
     spark = (
@@ -67,36 +95,29 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_runtime_confs(spark)
 
-    qmap = query_map()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qmap:
-            continue
-        df = qmap[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
-        best = float("inf")
-        for _ in range(2):  # best-of-2: JIT/GC noise dwarfs 0.5s queries
-            t0 = time.perf_counter()
-            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
-    sf_token = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    try:
-        sf = float(sf_token)
-    except ValueError:
-        sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    timings = run_suite(spark, SF_DIR)
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+    }
+    if "--sweep" in sys.argv:
+        # Scaling check: same frozen query list at each SF so a
+        # regression in the *slope* (not just the total) is visible
+        # round-over-round. Keyed by SF token, e.g. {"0.01": {...}}.
+        sweep: dict[str, dict] = {}
+        for d in SWEEP_DIRS:
+            if d == SF_DIR or not os.path.isdir(d):
+                continue
+            t = run_suite(spark, d)
+            sweep[str(_sf_of(d))] = {
+                "total": round(sum(t.values()), 3),
+                "queries": t,
             }
-        )
-    )
+        result["sweep"] = sweep
+    print(json.dumps(result))
     return 0
 
 
