@@ -43,6 +43,44 @@ class LakeCatalog:
         return f"{self.dataset_root(layer, dataset)}/ingest_date={ingest_date}"
 
 
+def abfss_base(container: str, account: str, path: str = "") -> str:
+    """Canonical ADLS Gen2 URI for a :class:`LakeCatalog` base:
+    ``abfss://<container>@<account>.dfs.core.windows.net/<path>``."""
+    suffix = f"/{path.strip('/')}" if path.strip("/") else ""
+    return f"abfss://{container}@{account}.dfs.core.windows.net{suffix}"
+
+
+def abfss_conf(
+    account: str,
+    tenant_id: str | None = None,
+    client_id: str | None = None,
+) -> dict[str, str]:
+    """Hadoop confs for managed-identity auth against an ADLS Gen2
+    account — the Spark-native replacement for the reference's custom
+    azure-identity client (storage_io.py:46-58). Apply with::
+
+        for k, v in abfss_conf("myaccount").items():
+            spark.conf.set(k, v)
+
+    then any ``abfss://`` URI from :func:`abfss_base` reads/writes
+    through the standard hadoop-azure connector. ``client_id`` selects
+    a user-assigned managed identity; omit both optionals for the
+    system-assigned one.
+    """
+    host = f"{account}.dfs.core.windows.net"
+    conf = {
+        f"fs.azure.account.auth.type.{host}": "OAuth",
+        f"fs.azure.account.oauth.provider.type.{host}": (
+            "org.apache.hadoop.fs.azurebfs.oauth2.MsiTokenProvider"
+        ),
+    }
+    if tenant_id:
+        conf[f"fs.azure.account.oauth2.msi.tenant.{host}"] = tenant_id
+    if client_id:
+        conf[f"fs.azure.account.oauth2.client.id.{host}"] = client_id
+    return conf
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

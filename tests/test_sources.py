@@ -135,6 +135,26 @@ def test_catalog_paths():
     )
 
 
+def test_abfss_conf_and_base():
+    assert (
+        lake.abfss_base("lake", "acct", "bronze/housing")
+        == "abfss://lake@acct.dfs.core.windows.net/bronze/housing"
+    )
+    assert lake.abfss_base("lake", "acct") == "abfss://lake@acct.dfs.core.windows.net"
+    conf = lake.abfss_conf("acct")
+    host = "acct.dfs.core.windows.net"
+    assert conf == {
+        f"fs.azure.account.auth.type.{host}": "OAuth",
+        f"fs.azure.account.oauth.provider.type.{host}": (
+            "org.apache.hadoop.fs.azurebfs.oauth2.MsiTokenProvider"
+        ),
+    }
+    full = lake.abfss_conf("acct", tenant_id="tid", client_id="cid")
+    assert full[f"fs.azure.account.oauth2.msi.tenant.{host}"] == "tid"
+    assert full[f"fs.azure.account.oauth2.client.id.{host}"] == "cid"
+    assert len(full) == 4
+
+
 def test_write_parquet_dynamic_partition_overwrite(spark, tmp_path):
     root = str(tmp_path / "ds")
     d1 = spark.createDataFrame([(1, "2024-01-01"), (2, "2024-01-02")], "x int, d string")
