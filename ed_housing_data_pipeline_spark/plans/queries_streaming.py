@@ -121,7 +121,16 @@ def q_events_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark) drained to
     completion, cross-checked against the distinct count. State holds
     one id per watermark horizon — bounded, unlike naive stream
-    dropDuplicates."""
+    dropDuplicates.
+
+    Oracle-equivalence condition (by design, not accident): the
+    COUNT(DISTINCT event_id) twin holds because duplicate event_ids in
+    the test corpus arrive within the 2h watermark horizon — the
+    availableNow drain reads the single parquet file as one batch, so
+    no duplicate can straddle a state eviction. A production stream
+    with duplicate ids farther apart in event time than the watermark
+    would legitimately emit both; that is watermarked-dedup semantics,
+    not a bug, and the oracle would need a (id, horizon-bucket) twin."""
     ev = _events_stream(spark, sf_dir)
     deduped = se.stream_dedup(ev, id_cols=("event_id",), ts_col="ts")
     out = _drain(deduped, spark, output_mode="append")
