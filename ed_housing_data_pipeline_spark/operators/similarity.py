@@ -387,6 +387,129 @@ def simhash(
     return fp
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_fn: HashFn | None = None,
+    max_bucket_width: int | None = 4096,
+    oversize: str = "shard",
+) -> DataFrame:
+    """SimHash near-duplicate pairs ``(id_a < id_b, hamming)``: band the
+    fingerprint into ``bands`` equal bit-slices, docs sharing ANY slice
+    become candidates, verified by full-fingerprint Hamming distance
+    ≤ ``max_hamming``.
+
+    This is the classic simhash dedup table scheme: a pair within
+    Hamming distance d collides on some slice whenever d < bands
+    (pigeonhole), so recall is exact for ``max_hamming < bands``.
+    Shuffle shape matches the MinHash path — explode to n·bands
+    (band, key) rows, equi-self-join per bucket — with the same
+    oversized-bucket guard. Key width is bits/bands; wider fingerprints
+    sharpen buckets (keyspace 2^(bits/bands) per band). Token-less
+    docs (fingerprint has no votes) are excluded — they would all
+    collide at an all-zeros fingerprint.
+
+    The fingerprint rides through the explode (one bigint per row), so
+    verification needs no join back.
+    """
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
+    from ed_housing_data_pipeline_spark.functions.text import tokens  # noqa: PLC0415
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = df.filter(F.size(tokens(text_col)) > 0).select(
+        F.col(id_col), simhash(text_col, bits=bits, hash_fn=hash_fn).alias("_fp")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("_fp"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = fp.select(
+        id_col, "_fp", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "_fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    salt_cols: list[str] = []
+    if max_bucket_width is not None:
+        exploded, salt_cols = _shard_oversized_buckets(
+            exploded, ["band", "key"], id_col, max_bucket_width, oversize
+        )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                *[F.col(f"a.{s}") == F.col(f"b.{s}") for s in salt_cols],
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Dedup-cluster assignment: connected components over near-dup
+    ``(id_a, id_b)`` pairs via iterative min-label propagation,
+    returning every doc as ``(doc_id, cluster_id)`` with
+    ``cluster_id = min id of its component`` (singletons map to
+    themselves). Keeping ``cluster_id == doc_id`` rows IS the dedup.
+
+    Spark-first iterative shape (the GraphX/HashToMin pattern): each
+    round sends every vertex's label across its edges and takes the
+    min — one shuffle per round — then ``localCheckpoint`` truncates
+    the growing lineage and a scalar count checks convergence (rounds
+    needed = component diameter; near-dup clusters are band-overlap
+    cliques, so 2-3 in practice). The driver only ever holds that one
+    count. At 100 TB swap localCheckpoint for reliable checkpoints and
+    add large-star/small-star contraction if components can be deep
+    chains.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    lab = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = edges.join(lab, edges["u"] == lab["id"]).select(
+            F.col("v").alias("id"), F.col("label")
+        )
+        new_lab = (
+            lab.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------------- vector search
 def cosine_similarity_pandas(a: Column | str, b: Column | str) -> Column:
     """Arrow-batched Pandas-UDF cosine — the rerank-path variant of

@@ -138,3 +138,44 @@ def q_events_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count(F.lit(1)).alias("n_unique")).crossJoin(
         n_raw.agg(F.count(F.lit(1)).alias("n_raw"))
     )
+
+
+@register(
+    "events_stream_sliding",
+    oracle="""
+    WITH grid AS (
+        SELECT e.ts, e.value,
+               time_bucket(INTERVAL 30 MINUTES, e.ts) - (o.o * INTERVAL 30 MINUTES)
+                   AS ws
+        FROM events e, (SELECT UNNEST([0, 1]) AS o) o
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM grid
+    GROUP BY 1
+    """,
+)
+def q_events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windowed agg executed AS A STREAM (watermarked,
+    availableNow drain, complete mode) — the streaming twin of
+    ``events_sliding_counts``, sharing its epoch-aligned window-grid
+    oracle. Proves overlapping-window state management on top of the
+    file-source micro-batch path."""
+    agg = se.stream_sliding_counts(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        duration="1 hour",
+        slide="30 minutes",
+        watermark="2 hours",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+        },
+    )
+    out = _drain(agg, spark, output_mode="complete")
+    return out.select(
+        F.unix_seconds(F.col("window_start")).alias("window_start_s"),
+        "n_events",
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    )

@@ -94,7 +94,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "doc_neardup_pairs",
     "doc_simhash",
     "doc_jaccard_adjacent",
-    "doc_fingerprint",
+    "doc_dedup_clusters",
     "doc_rolling_hash",
     "doc_fuzzy_pairs_levenshtein",
     "doc_token_stats_by_lang",

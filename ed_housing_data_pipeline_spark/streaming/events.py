@@ -77,6 +77,35 @@ def stream_tumbling_counts(
     )
 
 
+def stream_sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: tuple[str, ...] = (),
+    watermark: str = "2 hours",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Watermarked sliding-window aggregation — the streaming twin of
+    ``operators.events.sliding_window_agg``. Each event lands in
+    duration/slide overlapping windows; the watermark finalizes a
+    window ``watermark`` after its end, so open state is bounded by
+    (watermark + duration)/slide windows per key."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    w = F.window(F.col(ts_col), duration, slide)
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *keys)
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
 def stream_sessionize_stats(
     events: DataFrame,
     ts_col: str = "ts",

@@ -81,6 +81,35 @@ def test_near_dup_pairs_interleaved_calls_keep_caches(spark):
     assert len(scope._dfs) == 0
 
 
+def test_simhash_neardup_pairs(spark):
+    out = sim.simhash_neardup_pairs(
+        _docs(spark), "text", "doc_id", bits=32, bands=4, max_hamming=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 2)] == 0  # identical token stream -> identical fp
+    assert all(h <= 3 for h in got.values())
+    # token-less docs excluded: the all-zero fingerprints never pair
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_simhash_neardup_rejects_bad_bands(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        sim.simhash_neardup_pairs(_docs(spark), "text", "doc_id", bits=32, bands=5)
+
+
+def test_neardup_clusters_min_label(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = sim.neardup_clusters(docs, pairs, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    # chain 1-2-3 needs >1 propagation round to reach 3
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
 def test_simhash_properties(spark):
     out = _docs(spark).select(
         "doc_id", sim.simhash("text", bits=16).alias("fp")
