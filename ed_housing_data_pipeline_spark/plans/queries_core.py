@@ -1097,3 +1097,37 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """
     )
+
+
+@register(
+    "customer_rolling_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS spend_30d
+    FROM orders
+    """,
+)
+def q_customer_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the rolling sum of order
+    value over the trailing 30 days — the frame family beyond ROWS
+    (a RANGE frame spans a *value* interval of the order key, so
+    same-day orders share a frame regardless of row order). Ordering
+    key is epoch-day, making the Spark rangeBetween and the DuckDB
+    RANGE PRECEDING grids identical. One shuffle on o_custkey."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("spend_30d"),
+    )

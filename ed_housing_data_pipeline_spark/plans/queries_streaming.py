@@ -179,3 +179,66 @@ def q_events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("total_value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "events_stream_join_view_purchase",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+               AS secs_to_purchase
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_events_stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: views joined to same-user purchases
+    within the following hour, both sides watermarked so the join
+    state evicts views older than watermark+1h — the attribution-join
+    pattern. The time-bound in the join condition is what makes the
+    state finite; without it a stream-stream join buffers both sides
+    forever. Drained with availableNow; the bounded drain emits every
+    match, which is what makes the batch interval-join oracle exact."""
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        on=F.expr(
+            """
+            user_id = p_user_id AND
+            p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR
+            """
+        ),
+    )
+    out = _drain(joined, spark, output_mode="append")
+    return out.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (
+            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("secs_to_purchase"),
+    )
