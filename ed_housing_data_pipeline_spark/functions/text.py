@@ -92,3 +92,31 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         lambda i: F.array_join(F.slice(arr, i + F.lit(1), F.lit(k)), " "),
     )
     return F.when(n == 0, empty).when(n < F.lit(k), short).otherwise(grams)
+
+
+# PII scrubbing — patterns kept RE2-compatible (no backreferences, no
+# lookaround) so the exact same regex runs in Spark's Java engine and
+# DuckDB's RE2 oracle. Deliberately high-recall/simple: production
+# scrubbing layers more patterns, same shape.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts; NULL text counts as 0."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails then phone-number-shaped spans with typed tags.
+    Order matters (an email's digits could partially match the phone
+    pattern once the local part is gone) and is fixed email-first on
+    both engines. Narrow row-local expression — runs inside the scan
+    stage at any scale."""
+    c = F.coalesce(_c(col), F.lit(""))
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")

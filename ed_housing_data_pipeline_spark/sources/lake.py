@@ -104,6 +104,48 @@ def summarize(df: DataFrame, output_path: str) -> dict:
     }
 
 
+def compact_partition(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(bytes / target_file_bytes)`` files, optionally range-
+    clustered + sorted on ``sort_by`` so parquet min/max statistics
+    prune reads on those columns afterward.
+
+    The operational half of a 100 TB lake: streaming ingest and
+    per-ingest-date overwrites accumulate files far below the ideal
+    scan unit, and scan parallelism degrades into per-file task
+    overhead. Rewrite goes to a sibling temp dir first, then an
+    atomic-enough delete+rename swap (same-FS rename) — a failed
+    compaction leaves the original intact. Returns the file count
+    written.
+    """
+    import math  # noqa: PLC0415
+
+    df = spark.read.parquet(path)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(size / target_file_bytes))
+    if sort_by:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        cols = [F.col(c) for c in sort_by]
+        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(jpath, True)
+    fs.rename(jtmp, jpath)
+    return n
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -136,3 +136,26 @@ def test_cosine_zero_vector_is_null(spark):
         [([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
     )
     assert df.select(cosine_similarity("a", "b").alias("c")).first()["c"] is None
+
+
+def test_pii_redact_and_counts(spark):
+    from ed_housing_data_pipeline_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call (404) 555-0123 now"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "id long, s string",
+    )
+    n_em, n_ph = tx.pii_counts("s")
+    out = df.select(
+        "id", n_em.alias("e"), n_ph.alias("p"), tx.redact_pii("s").alias("r")
+    ).collect()
+    r = {row["id"]: row for row in out}
+    assert (r[1]["e"], r[1]["p"]) == (1, 1)
+    assert "<EMAIL>" in r[1]["r"] and "<PHONE>" in r[1]["r"]
+    assert "example" not in r[1]["r"] and "555" not in r[1]["r"]
+    assert (r[2]["e"], r[2]["p"], r[2]["r"]) == (0, 0, "no pii here")
+    assert (r[3]["e"], r[3]["p"], r[3]["r"]) == (0, 0, "")

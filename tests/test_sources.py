@@ -135,6 +135,29 @@ def test_catalog_paths():
     )
 
 
+def test_compact_partition(spark, tmp_path):
+    """20 tiny files -> 1 compacted file, same rows; sorted variant
+    leaves the data range-clustered for min/max pruning."""
+    root = str(tmp_path / "many")
+    df = spark.range(0, 2000).selectExpr("id", "id % 7 AS k")
+    df.repartition(20).write.parquet(root)
+    import glob
+
+    assert len(glob.glob(f"{root}/part-*")) == 20
+    n = lake.compact_partition(spark, root, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{root}/part-*")) == 1
+    assert spark.read.parquet(root).count() == 2000
+
+    sroot = str(tmp_path / "sorted")
+    df.repartition(8).write.parquet(sroot)
+    lake.compact_partition(spark, sroot, target_file_bytes=1 << 30, sort_by=["id"])
+    back = spark.read.parquet(sroot)
+    assert back.count() == 2000
+    ids = [r["id"] for r in back.toLocalIterator()]
+    assert ids == sorted(ids)  # single sorted file: fully clustered
+
+
 def test_abfss_conf_and_base():
     assert (
         lake.abfss_base("lake", "acct", "bronze/housing")
