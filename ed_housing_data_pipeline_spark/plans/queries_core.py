@@ -1131,3 +1131,30 @@ def q_customer_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 4).alias("spend_30d"),
     )
+
+
+@register(
+    "orders_key_skew_stats",
+    oracle="""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           ROUND(AVG(n), 4) AS avg_n,
+           ROUND(MAX(n) / AVG(n), 4) AS skew_ratio
+    FROM c
+    """,
+)
+def q_orders_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key cardinality profile of
+    o_custkey collapsed to (n_keys, max, avg, max/avg ratio) — the
+    measurement you run BEFORE choosing salting / AQE skew-join for a
+    100 TB key. Two-level aggregation, both with map-side partials;
+    output is one row."""
+    orders = t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.round(F.avg("n"), 4).alias("avg_n"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )

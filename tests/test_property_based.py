@@ -115,3 +115,54 @@ def test_rolling_hash_matches_python(spark, docs):
         for tk in toks:
             acc = (acc * ROLL_B + _py_hash60(tk) % MINHASH_P) % MINHASH_P
         assert got[i] == acc, (i, text)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-10**9, max_value=10**9),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+                    ),
+                    max_size=40,
+                ),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_xlsx_roundtrip_property(grid):
+    """write_xlsx → read_xlsx_grid round-trips any grid: strings
+    verbatim (incl. unicode), numbers as their repr text, None as
+    None-padded sparse cells."""
+    import tempfile
+    from pathlib import Path
+
+    from ed_housing_data_pipeline_spark.sources.xlsx import read_xlsx_grid
+    from tests.conftest import write_xlsx
+
+    width = max(len(r) for r in grid)
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "t.xlsx"
+        write_xlsx(p, grid)
+        got = read_xlsx_grid(str(p))
+    assert len(got) == len(grid)
+    for want_row, got_row in zip(grid, got):
+        padded = list(want_row) + [None] * (width - len(want_row))
+        for want, g in zip(padded, got_row):
+            if want is None:
+                assert g is None
+            elif isinstance(want, str):
+                assert g == want
+            elif isinstance(want, int):
+                assert g == repr(want)
+            else:
+                assert g is not None and abs(float(g) - want) <= 1e-6 * max(1.0, abs(want))
