@@ -242,3 +242,49 @@ def q_events_stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> Data
         .cast("bigint")
         .alias("secs_to_purchase"),
     )
+
+
+# Static event_type -> category dim, shared verbatim with the oracle's
+# VALUES clause (the classic stream-static enrichment pattern).
+_TYPE_CATEGORIES = [
+    ("view", "browse"),
+    ("click", "browse"),
+    ("signup", "conversion"),
+    ("purchase", "conversion"),
+]
+
+
+@register(
+    "events_stream_enrich_category",
+    oracle=f"""
+    WITH dim(event_type, category) AS (
+        VALUES {", ".join(f"('{t_}', '{c}')" for t_, c in _TYPE_CATEGORIES)}
+    )
+    SELECT COALESCE(d.category, 'other') AS category,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e LEFT JOIN dim d ON d.event_type = e.event_type
+    GROUP BY 1
+    """,
+)
+def q_events_stream_enrich_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream left-joins a small static
+    dimension (event_type → category) and aggregates per category.
+    The static side is broadcast into every micro-batch — no stream
+    state at all for the join (only the agg holds state), which is why
+    stream-static is the cheapest enrichment shape and the first
+    choice before stream-stream. Dim rows are shared verbatim with the
+    oracle's VALUES clause."""
+    ev = _events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(_TYPE_CATEGORIES, "event_type string, category string")
+    enriched = ev.join(F.broadcast(dim), on="event_type", how="left").withColumn(
+        "category", F.coalesce(F.col("category"), F.lit("other"))
+    )
+    agg = enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    out = _drain(agg, spark, output_mode="complete")
+    return out.select(
+        "category", "n_events", F.round(F.col("total_value"), 4).alias("total_value")
+    )

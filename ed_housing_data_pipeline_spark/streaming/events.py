@@ -210,3 +210,25 @@ def stream_running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the stream into a parquet directory with availableNow —
+    the production file-sink path. Spark's file sink commits written
+    files through the checkpoint's file-manifest log, so a re-run with
+    the SAME checkpoint resumes exactly-once: already-committed input
+    files are never reprocessed and readers see no duplicates (the
+    manifest, not directory listing, defines sink contents)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

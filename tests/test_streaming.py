@@ -148,3 +148,30 @@ def test_stream_running_user_totals_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got[300] == (1, None)  # null-skipping sum parity
+
+
+def test_parquet_sink_exactly_once_resume(spark, tmp_path):
+    """Draining twice with the same checkpoint must not duplicate
+    rows: the file-sink manifest remembers committed input files."""
+    import shutil
+
+    from ed_housing_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)], "event_id long, user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    # file sources need files directly in the dir (no _SUCCESS issues)
+    schema = "event_id long, user_id long, value double"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    se.run_to_parquet(stream.select("event_id", "value"), out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+    se.run_to_parquet(
+        spark.readStream.schema(schema).parquet(str(src)).select("event_id", "value"),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == 100  # no reprocessing
+    shutil.rmtree(ckpt)
