@@ -104,6 +104,36 @@ def summarize(df: DataFrame, output_path: str) -> dict:
     }
 
 
+def expire_partitions(
+    spark,
+    dataset_root: str,
+    keep_latest: int,
+    partition_col: str = "ingest_date",
+) -> list[str]:
+    """Retention: drop all but the newest ``keep_latest`` values of a
+    Hive-style partition directory (lexicographic order — ISO dates
+    sort correctly). Returns the deleted partition values.
+
+    The cleanup half of idempotent re-runs: dynamic overwrite keeps
+    history growing forever otherwise. Listing + delete go through the
+    Hadoop FS API, so the same call works on any supported URI."""
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(dataset_root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return []
+    prefix = f"{partition_col}="
+    parts = sorted(
+        st.getPath().getName()[len(prefix):]
+        for st in fs.listStatus(jroot)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+    drop = parts[:-keep_latest] if keep_latest > 0 else parts
+    for value in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dataset_root}/{prefix}{value}"), True)
+    return drop
+
+
 def compact_partition(
     spark,
     path: str,

@@ -238,3 +238,35 @@ def test_partition_pruned_read(spark, tmp_path):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-02" in plan
     assert rd.count() == 10
+
+
+def test_expire_partitions(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        spark.createDataFrame([(1, d)], "x int, ingest_date string").write.mode(
+            "append"
+        ).partitionBy("ingest_date").parquet(root)
+    dropped = lake.expire_partitions(spark, root, keep_latest=1)
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    # partition-value inference types the dir name as a DATE — cast back
+    left = {
+        r["ingest_date"]
+        for r in spark.read.parquet(root)
+        .withColumn("ingest_date", F.col("ingest_date").cast("string"))
+        .collect()
+    }
+    assert left == {"2024-01-03"}
+    assert lake.expire_partitions(spark, str(tmp_path / "nope"), 1) == []
+
+
+def test_read_parquet_schema_evolution(spark, tmp_path):
+    """mergeSchema unions per-file schemas — the additive-column
+    evolution a long-lived lake accumulates; missing columns read as
+    NULL from older files."""
+    root = tmp_path / "evo"
+    spark.createDataFrame([(1,)], "a int").write.parquet(str(root / "p=1"))
+    spark.createDataFrame([(2, "x")], "a int, b string").write.parquet(str(root / "p=2"))
+    df = spark.read.option("mergeSchema", True).parquet(str(root / "p=*"))
+    assert set(df.columns) == {"a", "b"}
+    got = {r["a"]: r["b"] for r in df.collect()}
+    assert got == {1: None, 2: "x"}
