@@ -542,6 +542,67 @@ def neardup_clusters(
     return lab.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def crosssource_contamination(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    shingle_k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Per-source contamination counts: how many docs share at least
+    one ``shingle_k``-word shingle with a doc from a DIFFERENT source
+    (the train/eval overlap check). Returns (source, n_docs,
+    n_contaminated).
+
+    Shape: explode doc-shingles, distinct to a (shingle, source)
+    postings table (bounded by vocabulary × sources), LEFT SEMI join
+    exploded shingles against other-source postings — never doc×doc.
+
+    ``max_doc_freq`` drops stop-shingles first: a shingle appearing in
+    more than that many docs ("for more information see") matches
+    everything, blowing up the postings join while carrying no overlap
+    signal — the same pathological-key guard as the LSH bucket cap.
+    Counting doc-frequency is one extra aggregation on the shingle key.
+    """
+    ex = scale_out(docs).select(
+        F.col(id_col),
+        F.col(source_col).alias("_src"),
+        F.explode(F.array_distinct(word_shingles(text_col, k=shingle_k))).alias("_g"),
+    )
+    if max_doc_freq is not None:
+        stop = (
+            ex.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_g")
+        )
+        ex = ex.join(stop, "_g", "left_anti")
+    posts = ex.select("_g", "_src").distinct()
+    hits = (
+        ex.alias("e")
+        .join(
+            posts.alias("p"),
+            on=[
+                F.col("p._g") == F.col("e._g"),
+                F.col("p._src") != F.col("e._src"),
+            ],
+            how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.join(hits, on=id_col, how="left")
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+
+
 # ------------------------------------------------------- vector search
 def cosine_similarity_pandas(a: Column | str, b: Column | str) -> Column:
     """Arrow-batched Pandas-UDF cosine — the rerank-path variant of

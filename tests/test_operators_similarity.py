@@ -349,3 +349,26 @@ def test_kmeans_arrow_path_large_k(spark):
     # contain a km-sized when-chain (spot-check string length)
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_crosssource_contamination_and_stop_shingle_cap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "a"),
+            (2, "alpha beta gamma epsilon", "b"),   # overlaps 1 cross-source
+            (3, "zeta eta theta iota", "a"),        # clean
+            (4, "common footer text here", "a"),
+            (5, "common footer text here too", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = sim.crosssource_contamination(docs, "text", "doc_id", "source")
+    got = {r["source"]: (r["n_docs"], r["n_contaminated"]) for r in out.collect()}
+    assert got == {"a": (3, 2), "b": (2, 2)}
+    # cap=1: every cross-source shingle here appears in exactly 2 docs,
+    # so all overlap signal is dropped -> zero contamination
+    capped = sim.crosssource_contamination(
+        docs, "text", "doc_id", "source", max_doc_freq=1
+    )
+    cgot = {r["source"]: r["n_contaminated"] for r in capped.collect()}
+    assert cgot == {"a": 0, "b": 0}
