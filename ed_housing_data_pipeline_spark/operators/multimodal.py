@@ -64,15 +64,46 @@ def with_media_metadata(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """DETERMINISTIC STUB for image decode (no codec libs in this
-    container). Derives (width, height, mean_luma) from the payload
-    digest so tests are exact and repeatable. Replace with a real
-    decoder (PIL/cv2) via the ``decode_fn`` parameter on a cluster."""
+    """DETERMINISTIC STUB for image decode. Derives (width, height,
+    mean_luma) from the payload digest so tests are exact and
+    repeatable — the fallback when Pillow is absent (this container
+    has no codec libs)."""
     d = hashlib.md5(payload or b"").digest()
     width = 16 + d[0] % 64
     height = 16 + d[1] % 64
     mean_luma = d[2] / 255.0
     return width, height, mean_luma
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real image decode via Pillow: (width, height, mean luminance in
+    [0, 1]) from the actual pixels. Only reachable when PIL imports
+    (see :func:`default_decode_fn`); undecodable payloads raise and
+    should be routed to a quarantine by the caller at scale."""
+    import io  # noqa: PLC0415
+
+    from PIL import Image  # noqa: PLC0415
+
+    with Image.open(io.BytesIO(payload)) as img:
+        grey = img.convert("L")
+        hist = grey.histogram()  # 256 bins — no full-pixel materialize
+        n = sum(hist)
+        mean = sum(i * c for i, c in enumerate(hist)) / (255.0 * n) if n else 0.0
+        return img.width, img.height, mean
+
+
+def default_decode_fn() -> tuple["DecodeFn", bool]:
+    """(decode_fn, is_real): the Pillow decoder when the library is
+    importable, else the deterministic stub — the same optional-import
+    upgrade pattern as sources/readers.py's openpyxl-vs-vendored xlsx
+    path. The Spark-side plumbing (schema, Arrow batching, 1→N frame
+    expansion) is identical either way."""
+    try:
+        from PIL import Image  # noqa: F401, PLC0415
+
+        return _pil_decode, True
+    except ImportError:
+        return _fake_decode, False
 
 
 DecodeFn = Callable[[bytes], tuple[int, int, float]]
@@ -86,10 +117,12 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode images to (width, height, mean_luma) via Arrow-batched
     ``mapInPandas`` — narrow stage, whole-batch Python calls, schema
-    declared up front. NULL payloads yield NULL features."""
+    declared up front. NULL payloads yield NULL features. With no
+    explicit ``decode_fn`` the decoder upgrades itself to Pillow when
+    installed (``default_decode_fn``), else the deterministic stub."""
     import pandas as pd  # noqa: PLC0415
 
-    fn = decode_fn or _fake_decode
+    fn = decode_fn or default_decode_fn()[0]
     schema = f"{id_col} long, width int, height int, mean_luma double"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,7 +147,11 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame with a
     frame index and (stubbed) per-frame features. Exercises the
-    row-expanding mapInPandas shape (1 input row → n output rows)."""
+    row-expanding mapInPandas shape (1 input row → n output rows).
+
+    Default stays the deterministic stub: per-frame decode needs a
+    video codec (cv2/ffmpeg), which Pillow does not provide — pass a
+    real ``decode_fn`` on a cluster that ships one."""
     import pandas as pd  # noqa: PLC0415
 
     fn = decode_fn or _fake_decode

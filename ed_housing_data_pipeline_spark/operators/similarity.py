@@ -100,18 +100,55 @@ def minhash_params(n_hashes: int, p: int = MINHASH_P) -> list[tuple[int, int]]:
     return out
 
 
-def scale_out(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the scan produced fewer splits than cores
-    (tiny/single-file inputs), so CPU-bound narrow transforms (md5 over
-    every shingle) aren't serialized on one task. At real scale the
-    scan already has thousands of splits and this is a no-op — we never
-    unconditionally reshuffle the input.
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '1g')."""
+    s = conf_val.strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def scale_out(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the scan would produce fewer splits than
+    cores (tiny/single-file inputs), so CPU-bound narrow transforms
+    (md5 over every shingle) aren't serialized on one task. At real
+    scale the scan already has thousands of splits and this is a no-op
+    — we never unconditionally reshuffle the input.
+
+    The split estimate comes from ``df.inputFiles()`` (file count,
+    plus size/maxPartitionBytes for stat-able local files — one big
+    local file still yields many splits and must NOT be reshuffled),
+    never ``df.rdd``: converting to an RDD triggers full physical
+    planning on every call, a per-query constant cost. Callers that
+    know their layout can pass ``n_partitions`` and skip the file
+    probe entirely.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if n_partitions is not None:
+        return df.repartition(target) if n_partitions < target else df
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-scan-rooted frame — leave the plan alone
+        return df
+    if not files or len(files) >= target:
+        return df
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = 0
+    import os  # noqa: PLC0415
+
+    for f in files:
+        path = f.removeprefix("file:")
+        if os.path.exists(path):
+            splits += max(1, -(-os.path.getsize(path) // max_pb))
+        else:  # object store: can't stat cheaply; count the file once
+            splits += 1
+        if splits >= target:
+            return df
+    return df.repartition(target)
 
 
 # --------------------------------------------------------------- exact
@@ -853,6 +890,139 @@ def _assign_expr(vec_col: str, cents: list[list[float]]) -> Column:
 # it would be ~3M literals). The Arrow path ships the centroids as a
 # pickled closure matrix instead — O(1) plan size.
 _EXPR_ASSIGN_MAX_LITERALS = 2048
+
+
+def _probe_expr(vec_col: str, cents: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids as an ``array<int>`` — the
+    multi-probe twin of :func:`_assign_expr`. Native form: an array of
+    (dist, idx) structs, ``array_sort`` (struct ordering is
+    field-by-field, so distance then index — deterministic ties),
+    slice, project the idx. Same k·dim literal budget as assignment."""
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == len(cents[0]))
+    pairs = []
+    for i, c in enumerate(cents):
+        lit_vec = F.array(*[F.lit(x) for x in c])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit_vec, lambda a, b: (a.cast("double") - b) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pairs.append(F.struct(dist.alias("d"), F.lit(i).alias("i")))
+    probes = F.transform(
+        F.slice(F.array_sort(F.array(*pairs)), 1, nprobe), lambda s: s["i"]
+    )
+    return F.when(valid, probes).otherwise(F.lit(None).cast("array<int>"))
+
+
+def _probe_arrow(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str,
+    cents: list[list[float]],
+    nprobe: int,
+) -> DataFrame:
+    """Arrow multi-probe assignment: one BLAS matmul per batch, then a
+    partial ``argpartition``+sort for the nprobe smallest distances —
+    O(1) plan size at IVF-real k (the Arrow twin of
+    :func:`_assign_arrow`)."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    c_mat = np.asarray(cents, dtype=np.float64)
+    c_norms = (c_mat**2).sum(axis=1)
+    dim = c_mat.shape[1]
+    p = min(nprobe, len(cents))
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mask = vecs.map(
+                lambda v: v is not None and len(v) == dim  # noqa: B023
+            ).to_numpy(dtype=bool)
+            rows_out: list[list[int] | None] = [None] * len(pdf)
+            if mask.any():
+                vm = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+                scores = c_norms[None, :] - 2.0 * (vm @ c_mat.T)
+                part = np.argpartition(scores, p - 1, axis=1)[:, :p]
+                order = np.take_along_axis(scores, part, axis=1).argsort(axis=1)
+                top = np.take_along_axis(part, order, axis=1)
+                # per-row python lists (NOT out[mask] = list(top): a 2-D
+                # value is flattened element-wise by pandas masked set)
+                it = iter(top.tolist())
+                rows_out = [next(it) if m else None for m in mask]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(rows_out, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(probe, schema)
+
+
+def knn_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[list[float]],
+    k: int,
+    nprobe: int = 1,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Multi-probe IVF-Flat ANN: the corpus is inverted on its nearest
+    cell; each query probes its ``nprobe`` nearest cells and runs exact
+    cosine against just those inverted lists (FAISS's IVF search
+    shape). Returns (q_id, nn_id, sim, rn).
+
+    Scale shape: corpus assignment is one narrow pass; the query side
+    explodes ×nprobe and joins on the cell id — a plain equi-join
+    (broadcast when the query set is bounded), never a cartesian.
+    Recall rises with nprobe at probe-proportional cost; on
+    cluster-structured real embeddings few probes recover most
+    neighbors, while on uniform random vectors recall ≈ the corpus
+    fraction probed — no structure to exploit (see
+    tests/test_operators_similarity.py::test_knn_ivf_recall_vs_bruteforce).
+    """
+    n_lits = len(cents) * len(cents[0])
+    if n_lits <= _EXPR_ASSIGN_MAX_LITERALS:
+        corpus = df.withColumn("_cell", _assign_expr(vec_col, cents))
+        probed = df.withColumn("_probes", _probe_expr(vec_col, cents, nprobe))
+    else:
+        corpus = _assign_arrow(df, vec_col, "_cell", cents)
+        probed = _probe_arrow(df, vec_col, "_probes", cents, nprobe)
+    if query_filter is not None:
+        probed = probed.filter(query_filter)
+    q = probed.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode("_probes").alias("_cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"), "_cell"
+    )
+    # a filtered query set is bounded by contract → broadcast it;
+    # all-pairs self-search shuffles both sides on the cell id instead
+    if query_filter is not None:
+        q = F.broadcast(q)
+    scored = (
+        c.join(q, on="_cell")
+        .filter(F.col("q_id") != F.col("nn_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "nn_vec"))
+        .select("q_id", "nn_id", "sim")
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["q_id"],
+        ordering=[F.col("sim").desc_nulls_last(), F.col("nn_id").asc()],
+        k=k,
+        rank_col="rn",
+    )
 
 
 def _assign_arrow(

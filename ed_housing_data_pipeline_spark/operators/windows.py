@@ -47,6 +47,63 @@ def ranked(
     return out
 
 
+def sharded_running_sum(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str],
+    order_by: str,
+    shard: Column,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Distributed prefix sum: running ``SUM(value) OVER (PARTITION BY
+    partition_by ORDER BY order_by ROWS UNBOUNDED PRECEDING)`` computed
+    WITHOUT a single task per partition key — the giant-source guard
+    for cumulative bucketing (sequence packing, cumulative quotas).
+
+    ``shard`` must be deterministic and monotone non-decreasing in
+    ``order_by`` within each partition (contiguous ranges — e.g.
+    ``F.floor(F.col(order_by) / span)`` for roughly-dense ids), so
+    that shard-local order concatenates to partition order.
+
+    Exact two-pass decomposition (no approximation, so any SQL oracle
+    of the plain window form matches bit-for-bit on integer sums):
+
+    1. shard-local running sum — window partitioned by
+       (partition_by…, shard): parallelism = #shards, not #sources;
+    2. per-shard totals (map-side-combinable agg) → per-partition
+       exclusive prefix over shard totals — a window over #shards rows
+       per partition key, tiny;
+    3. broadcast the (partition, shard) → offset table back and add.
+
+    Pick the shard span so one shard ≈ one comfortable task (10^5-10^6
+    rows); the offset table stays ≤ #partitions × #shards rows.
+    """
+    shard_c, local_c, off_c = "_prefix_shard", "_local_cum", "_shard_off"
+    sh = df.withColumn(shard_c, shard)
+    w_local = (
+        Window.partitionBy(*partition_by, shard_c)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sh.withColumn(local_c, F.sum(value_col).over(w_local))
+    totals = sh.groupBy(*partition_by, shard_c).agg(F.sum(value_col).alias("_tot"))
+    w_off = (
+        Window.partitionBy(*partition_by)
+        .orderBy(shard_c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *partition_by,
+        shard_c,
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias(off_c),
+    )
+    return (
+        local.join(F.broadcast(offsets), [*partition_by, shard_c])
+        .withColumn(out_col, F.col(local_c) + F.col(off_c))
+        .drop(shard_c, local_c, off_c)
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

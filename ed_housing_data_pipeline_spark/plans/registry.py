@@ -53,12 +53,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _LOADED = False
 
 # The driver's differential-correctness harness checks the FIRST 50 registered
-# queries, so registration order is part of the contract.  This list pins the
-# window to one representative per operator family — core relational, windows,
-# events, and (crucially) every doc_/embedding_/streaming extension query —
-# while redundant variants of already-covered families (count_star vs
-# table_summary, rank_desc vs rank_asc, limit_head vs topk_orders,
-# setop_except_all vs setop_intersect, ...) follow after position 50.
+# queries, so registration order is part of the contract.  Round 4 rotates the
+# window: ~12 slots whose operator family already earned a hard driver row in
+# round 3 (CORRECTNESS_r03.json, all green) and still has a second in-window
+# representative are swapped for the highest-value never-driver-verified
+# queries, so the UNION of r3+r4 driver rows covers 62 distinct queries.
+# Swapped out (r3-verified, family still represented): anti_join (semi_join),
+# dedup_keep_first, setop_intersect, events_sliding_counts (sessionize),
+# doc_jaccard_adjacent, doc_rolling_hash, doc_token_stats_by_lang
+# (lang_breakdown), doc_bpe_token_estimate, doc_word_topk,
+# doc_source_bucket_extract, embedding_norms, embedding_knn_blocked (srp).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "filter_project",
@@ -71,19 +75,21 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "inner_join_agg",
     "normalize_key_group",
     "semi_join",
-    "anti_join",
-    "dedup_keep_first",
+    "customers_without_orders_sql",
+    "priority_revenue_fact_join",
     "rank_asc_nulls_last",
     "rank_sum_top1",
     "topk_orders",
+    "topk_per_group",
     "schema_introspect",
-    "setop_intersect",
     "big_spenders_having",
     "customer_order_gaps",
     "orders_nearby_range_join",
+    "orders_cube_status_priority",
+    "lineitem_numeric_profile",
+    "nation_top_customer_argmax",
     # event-time analytics (batch)
     "events_sessionize_stats",
-    "events_sliding_counts",
     "events_asof_last_view",
     "events_rollup_day_type",
     "events_funnel_signup_purchase",
@@ -93,28 +99,26 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "doc_minhash_signature",
     "doc_neardup_pairs",
     "doc_simhash",
-    "doc_jaccard_adjacent",
+    "doc_simhash_neardup",
     "doc_dedup_clusters",
-    "doc_rolling_hash",
     "doc_fuzzy_pairs_levenshtein",
-    "doc_token_stats_by_lang",
+    "doc_pii_scrub",
+    "doc_crosssource_contamination",
+    "doc_pack_assignment",
     "doc_lang_breakdown",
     "doc_lang_id_heuristic",
     "doc_quality_score",
-    "doc_bpe_token_estimate",
-    "doc_word_topk",
-    "doc_source_bucket_extract",
     "doc_binary_bytes",
     # LLM-data-pipeline surface: embeddings / similarity search
-    "embedding_norms",
     "embedding_knn_bruteforce",
-    "embedding_knn_blocked",
     "embedding_knn_srp",
     "embedding_neardup_pairs",
     "embedding_label_centroids",
     # structured-streaming twins
     "events_stream_hourly",
     "events_stream_dedup_count",
+    "events_stream_sliding",
+    "events_stream_join_view_purchase",
 )
 
 

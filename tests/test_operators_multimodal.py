@@ -31,15 +31,72 @@ def test_with_media_metadata(spark):
 
 
 def test_decode_image_features_schema_and_determinism(spark):
-    out = mm.decode_image_features(_media(spark), "data", "media_id")
+    # pin the stub explicitly: the payloads here are fake bytes a real
+    # decoder would reject (default_decode_fn upgrades to PIL when
+    # present — covered by test_decode_real_pil below)
+    out = mm.decode_image_features(
+        _media(spark), "data", "media_id", decode_fn=mm._fake_decode
+    )
     assert out.columns == ["media_id", "width", "height", "mean_luma"]
     a = rows(out)
-    b = rows(mm.decode_image_features(_media(spark), "data", "media_id"))
+    b = rows(
+        mm.decode_image_features(
+            _media(spark), "data", "media_id", decode_fn=mm._fake_decode
+        )
+    )
     assert a == b  # stub decode is deterministic
     got = {r[0]: r for r in a}
     assert got[5][1] is None  # NULL payload -> NULL features
     assert 16 <= got[1][1] < 80 and 16 <= got[1][2] < 80
     assert 0.0 <= got[1][3] <= 1.0
+
+
+def _pil_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_default_decode_fn_gate():
+    """The optional-import gate picks the real decoder iff Pillow
+    imports (same pattern as the openpyxl/vendored-xlsx fallback)."""
+    fn, is_real = mm.default_decode_fn()
+    if _pil_available():
+        assert is_real and fn is mm._pil_decode
+    else:
+        assert not is_real and fn is mm._fake_decode
+
+
+def test_decode_real_pil(spark):
+    """Real-decoder path: exact (width, height, mean_luma) from pixels
+    PIL itself generated. Skipped where Pillow is not installed (this
+    container) — the gate test above still pins the fallback."""
+    import pytest
+
+    if not _pil_available():
+        pytest.skip("Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h, value):
+        buf = io.BytesIO()
+        Image.new("L", (w, h), value).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png_bytes(8, 4, 0))), (2, bytearray(png_bytes(3, 5, 255)))],
+        "media_id long, data binary",
+    )
+    out = mm.decode_image_features(df, "data", "media_id")
+    got = {r["media_id"]: r for r in out.collect()}
+    assert (got[1]["width"], got[1]["height"]) == (8, 4)
+    assert (got[2]["width"], got[2]["height"]) == (3, 5)
+    assert got[1]["mean_luma"] == 0.0
+    assert got[2]["mean_luma"] == 1.0
 
 
 def test_decode_custom_decoder(spark):

@@ -63,3 +63,46 @@ def test_top_k_nulls_last_and_plan(spark):
 
 def test_head_limit(spark):
     assert topk.head(_scores(spark), 2).count() == 2
+
+
+def test_sharded_running_sum_matches_naive_window(spark):
+    """Exactness of the two-pass prefix-sum decomposition: sharded
+    result equals the plain one-window running sum, including a
+    source whose ids straddle many shard boundaries and a tiny source
+    that fits in one shard."""
+    from pyspark.sql import Window
+
+    data = [(i, "big" if i < 900 else "small", (i * 7) % 13 + 1) for i in range(1000)]
+    df = spark.createDataFrame(data, "doc_id long, source string, n long")
+    naive_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r["source"], r["doc_id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("n").over(naive_w)).collect()
+    }
+    sharded = windows.sharded_running_sum(
+        df, "n", ["source"], "doc_id", shard=F.floor(F.col("doc_id") / 64), out_col="cum"
+    )
+    got = {(r["source"], r["doc_id"]): r["cum"] for r in sharded.collect()}
+    assert got == naive
+
+
+def test_sharded_running_sum_skewed_source_parallelizes(spark):
+    """The giant-source guard: with one skewed source the main window
+    must partition on (source, shard) — never a single task per
+    source. The executed plan's window spec carries the shard column."""
+    df = spark.createDataFrame(
+        [(i, "onlysource", 1) for i in range(5000)], "doc_id long, source string, n long"
+    )
+    out = windows.sharded_running_sum(
+        df, "n", ["source"], "doc_id", shard=F.floor(F.col("doc_id") / 256), out_col="cum"
+    )
+    # correctness on the skewed source: cum is 1..5000 in doc_id order
+    assert sorted(r["cum"] for r in out.collect()) == list(range(1, 5001))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the heavy (per-row) window is keyed by the shard column, so the
+    # 5000-row source spreads over ~20 hash partitions instead of 1
+    assert "_prefix_shard" in plan

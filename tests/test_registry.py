@@ -20,37 +20,42 @@ def test_registry_complete_and_paired():
 def test_driver_window_covers_every_family():
     """The driver's correctness harness checks the FIRST 50 registered
     queries; pin the window so every operator family — including all
-    doc_/embedding_/streaming extension queries — has a hard
-    driver-verified row (VERDICT r02 top-next)."""
+    doc_/embedding_/streaming extension families — has a hard
+    driver-verified row. The window ROTATES between rounds (r4 swapped
+    ~12 r3-verified redundant-family slots for never-driver-verified
+    queries so the r3+r4 union covers 62 distinct names), but one
+    anchor per family may never leave."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
     assert len(_PRIORITY_ORDER) == 50
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
-    # One representative per extension family MUST hold a driver row
-    # (VERDICT r02 minimum + the family map); as the surface grows past
-    # 50 queries, additional variants may sit outside the window but
-    # these anchors may not regress out of it.
+    # One representative per extension family MUST hold a driver row;
+    # as the surface grows past 50 queries, additional variants may
+    # rotate outside the window but these anchors may not regress out.
     must_have = {
         "doc_exact_dedup",          # exact dedup
         "doc_minhash_signature",    # minhash sketch
         "doc_neardup_pairs",        # LSH banding + verify
         "doc_dedup_clusters",       # connected-components dedup
         "doc_simhash",              # simhash family
+        "doc_simhash_neardup",      # simhash banding pairs (r4 in)
         "doc_fuzzy_pairs_levenshtein",  # edit-distance blocking
-        "doc_rolling_hash",         # rolling-hash fingerprints
         "doc_lang_id_heuristic",    # text analysis
         "doc_quality_score",
-        "doc_bpe_token_estimate",
+        "doc_pii_scrub",            # PII redaction (r4 in)
+        "doc_crosssource_contamination",  # decontamination (r4 in)
+        "doc_pack_assignment",      # sequence packing (r4 in)
         "doc_binary_bytes",         # multimodal plumbing
         "embedding_knn_bruteforce", # ANN baseline
-        "embedding_knn_blocked",    # IVF-style ANN
-        "embedding_knn_srp",        # SRP-LSH ANN
+        "embedding_knn_srp",        # LSH-bucketed ANN
         "embedding_neardup_pairs",  # cosine near-dup
         "embedding_label_centroids",
         "events_stream_hourly",     # streaming twins
         "events_stream_dedup_count",
+        "events_stream_sliding",            # (r4 in)
+        "events_stream_join_view_purchase", # (r4 in)
         "events_funnel_signup_purchase",
         "events_retention_cohorts",
     }
