@@ -96,7 +96,13 @@ def write_parquet(
 
 
 def summarize(df: DataFrame, output_path: str) -> dict:
-    """Row/column-count run summary (reference bronze_to_silver.py:206-222)."""
+    """Row/column-count run summary (reference bronze_to_silver.py:206-222).
+
+    ``df.count()`` is an EXTRA action: called on an unpersisted frame it
+    re-executes the whole lineage, doubling the read at 100 TB. Callers
+    sinking + summarizing the same frame must persist it first — the
+    pipeline's clean-once contract does exactly that
+    (plans/pipeline.py, asserted in tests/test_pipeline_golden.py)."""
     return {
         "rows": df.count(),
         "columns": len(df.columns),
@@ -114,9 +120,19 @@ def expire_partitions(
     Hive-style partition directory (lexicographic order — ISO dates
     sort correctly). Returns the deleted partition values.
 
+    ``keep_latest`` must be ≥ 1: a retention call can trim history, but
+    "keep zero" (or a negative from bad arithmetic upstream) would
+    silently wipe the whole dataset — that's a delete, not retention,
+    so it raises instead.
+
     The cleanup half of idempotent re-runs: dynamic overwrite keeps
     history growing forever otherwise. Listing + delete go through the
     Hadoop FS API, so the same call works on any supported URI."""
+    if keep_latest < 1:
+        raise ValueError(
+            f"keep_latest must be >= 1, got {keep_latest}; refusing to "
+            "drop every partition (use fs delete explicitly for that)"
+        )
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(dataset_root)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -128,7 +144,7 @@ def expire_partitions(
         for st in fs.listStatus(jroot)
         if st.isDirectory() and st.getPath().getName().startswith(prefix)
     )
-    drop = parts[:-keep_latest] if keep_latest > 0 else parts
+    drop = parts[:-keep_latest]
     for value in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dataset_root}/{prefix}{value}"), True)
     return drop
@@ -148,10 +164,21 @@ def compact_partition(
     The operational half of a 100 TB lake: streaming ingest and
     per-ingest-date overwrites accumulate files far below the ideal
     scan unit, and scan parallelism degrades into per-file task
-    overhead. Rewrite goes to a sibling temp dir first, then an
-    atomic-enough delete+rename swap (same-FS rename) — a failed
-    compaction leaves the original intact. Returns the file count
-    written.
+    overhead. Returns the file count written.
+
+    Swap protocol (crash-safe on a real filesystem): write to a
+    sibling ``.compact-tmp`` dir, rename the original aside to
+    ``.compact-old``, rename tmp into place, delete the old dir. At
+    every intermediate state the full data exists under either the
+    original or an adjacent recoverable name — no window where a crash
+    leaves only the tmp dir. A stale ``.compact-old`` from a previous
+    crash is detected and refused (operator must recover it first).
+
+    Object-store caveat: HDFS/local ``rename`` is an atomic metadata
+    op, but S3/ADLS "rename" is copy+delete — concurrent readers can
+    observe a partial directory mid-swap there. On object stores
+    prefer a table format with atomic commit (Delta/Iceberg) or
+    compact into a NEW dated directory and flip a pointer.
     """
     import math  # noqa: PLC0415
 
@@ -169,10 +196,23 @@ def compact_partition(
     else:
         out = df.repartition(n)
     tmp = path.rstrip("/") + ".compact-tmp"
-    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(jpath, True)
-    fs.rename(jtmp, jpath)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        raise RuntimeError(
+            f"stale {old} exists — a previous compaction crashed mid-swap; "
+            "recover (rename it back or delete it) before compacting again"
+        )
+    out.write.mode("overwrite").parquet(tmp)
+    if not fs.rename(jpath, jold):  # original aside (atomic on real FS)
+        fs.delete(jtmp, True)
+        raise RuntimeError(f"could not move {path} aside to {old}")
+    if not fs.rename(jtmp, jpath):  # tmp into place
+        fs.rename(jold, jpath)  # roll back: original restored
+        fs.delete(jtmp, True)
+        raise RuntimeError(f"could not move {tmp} into place at {path}")
+    fs.delete(jold, True)
     return n
 
 

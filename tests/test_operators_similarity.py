@@ -110,6 +110,35 @@ def test_neardup_clusters_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_neardup_clusters_deep_chain_pointer_jumping(spark):
+    """A 40-vertex path has diameter 39: plain min-propagation would
+    need 39 rounds, far past the default max_iters=10. Pointer jumping
+    reaches the fixed point in ~log2(39) rounds — all vertices must
+    land on cluster 1 without raising."""
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    out = sim.neardup_clusters(docs, pairs, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_neardup_clusters_raises_on_nonconvergence(spark):
+    """Exhausting max_iters before the fixed point must raise, never
+    silently return split components (ADVICE r03)."""
+    import pytest
+
+    n = 30
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        sim.neardup_clusters(docs, pairs, "doc_id", max_iters=2)
+
+
 def test_simhash_properties(spark):
     out = _docs(spark).select(
         "doc_id", sim.simhash("text", bits=16).alias("fp")

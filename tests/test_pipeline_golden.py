@@ -69,6 +69,42 @@ def gold(spark, tmp_path_factory):
     return summary, gold_df
 
 
+def test_clean_once_frames_persisted_before_sinks(spark, tmp_path_factory, monkeypatch):
+    """The reference's clean-once contract (bronze_to_silver.py:253):
+    every cleaned frame must be persisted BEFORE the silver sinks and
+    summarize() counts, or each of the 4 sinks + 4 counts re-executes
+    the full bronze lineage (summarize's extra-action caveat)."""
+    from ed_housing_data_pipeline_spark.sources import lake as lake_mod
+
+    base = tmp_path_factory.mktemp("lake_persist")
+    paths = pipeline.PipelinePaths(
+        catalog=LakeCatalog(base=str(base)),
+        ingest_date="2024-06-01",
+        school_format="csv",
+    )
+    for dataset, fname, content in [
+        ("housing_affordability", "housing2019-23.csv", HOUSING_CSV),
+        ("school_performance", "school_performance.csv", SCHOOL_CSV),
+        ("special_education", "special_education2022-23.csv", SPECIAL_CSV),
+    ]:
+        d = base / "bronze" / dataset / "ingest_date=2024-06-01"
+        d.mkdir(parents=True)
+        (d / fname).write_text(content)
+
+    silver_writes_cached = []
+    orig_write = lake_mod.write_parquet
+
+    def spy_write(df, path, **kw):
+        if "/silver/" in path:
+            silver_writes_cached.append(df.is_cached)
+        return orig_write(df, path, **kw)
+
+    monkeypatch.setattr(pipeline.lake, "write_parquet", spy_write)
+    pipeline.run_pipeline(spark, paths)
+    assert len(silver_writes_cached) == 3
+    assert all(silver_writes_cached), "silver sink saw an unpersisted frame"
+
+
 def test_summary_counts(gold):
     summary, _ = gold
     assert summary["silver"]["housing"]["rows"] == 5  # label row dropped

@@ -14,11 +14,18 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    from ed_housing_data_pipeline_spark.plans import queries_llm
+
     ensure_runtime_confs(spark)
     out = {}
-    for name, fn in query_map().items():
-        df = fn(spark, SF)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    # audit the real pre-checkpoint plans of the cache-owning queries
+    queries_llm.AUDIT_LAZY_PLANS = True
+    try:
+        for name, fn in query_map().items():
+            df = fn(spark, SF)
+            out[name] = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        queries_llm.AUDIT_LAZY_PLANS = False
     return out
 
 

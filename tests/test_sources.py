@@ -156,6 +156,23 @@ def test_compact_partition(spark, tmp_path):
     assert back.count() == 2000
     ids = [r["id"] for r in back.toLocalIterator()]
     assert ids == sorted(ids)  # single sorted file: fully clustered
+    # the swap leaves no intermediate dirs behind
+    assert not glob.glob(f"{sroot}.compact-*")
+
+
+def test_compact_partition_refuses_stale_old_dir(spark, tmp_path):
+    """A leftover .compact-old dir means a previous swap crashed with
+    the original moved aside — compacting again must refuse loudly
+    instead of deleting the only surviving copy."""
+    import pytest
+
+    root = str(tmp_path / "ds")
+    spark.range(0, 100).write.parquet(root)
+    (tmp_path / "ds.compact-old").mkdir()
+    with pytest.raises(RuntimeError, match="compact-old"):
+        lake.compact_partition(spark, root)
+    # original untouched by the refused run
+    assert spark.read.parquet(root).count() == 100
 
 
 def test_abfss_conf_and_base():
@@ -246,6 +263,13 @@ def test_expire_partitions(spark, tmp_path):
         spark.createDataFrame([(1, d)], "x int, ingest_date string").write.mode(
             "append"
         ).partitionBy("ingest_date").parquet(root)
+    import pytest
+
+    # keep_latest < 1 would wipe the dataset — must refuse, not obey
+    with pytest.raises(ValueError, match="keep_latest"):
+        lake.expire_partitions(spark, root, keep_latest=0)
+    with pytest.raises(ValueError, match="keep_latest"):
+        lake.expire_partitions(spark, root, keep_latest=-3)
     dropped = lake.expire_partitions(spark, root, keep_latest=1)
     assert dropped == ["2024-01-01", "2024-01-02"]
     # partition-value inference types the dir name as a DATE — cast back
