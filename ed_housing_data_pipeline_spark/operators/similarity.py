@@ -274,6 +274,7 @@ def lsh_candidate_pairs(
     prefix: str = "mh_",
     max_bucket_width: int | None = 4096,
     oversize: str = "shard",
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing ANY band of the signature become a
     candidate pair ``(id_a < id_b)``, distinct.
@@ -316,6 +317,17 @@ def lsh_candidate_pairs(
         sig.filter(F.col(f"{prefix}0").isNotNull())
         .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    # (id, band, key) is consumed by the width-guard aggregation AND
+    # both self-join sides — unpersisted, each consumer re-runs the
+    # md5+permutation signature pass (measured 3× the minhash cost at
+    # sf0.1). n·bands short rows: a sliver of the input.
+    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+    exploded = (
+        cache.add(exploded)
+        if cache is not None
+        else exploded.persist(StorageLevel.MEMORY_AND_DISK)
     )
     salt_cols: list[str] = []
     if max_bucket_width is not None:
@@ -384,7 +396,9 @@ def near_dup_pairs(
     sig = with_minhash_signature(
         sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
     )
-    cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, bands=bands)
+    cand = lsh_candidate_pairs(
+        sig, id_col, n_hashes=n_hashes, bands=bands, cache=cache
+    )
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -614,6 +628,7 @@ def crosssource_contamination(
     source_col: str,
     shingle_k: int = 3,
     max_doc_freq: int | None = None,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Per-source contamination counts: how many docs share at least
     one ``shingle_k``-word shingle with a doc from a DIFFERENT source
@@ -629,12 +644,21 @@ def crosssource_contamination(
     everything, blowing up the postings join while carrying no overlap
     signal — the same pathological-key guard as the LSH bucket cap.
     Counting doc-frequency is one extra aggregation on the shingle key.
+
+    The exploded postings table feeds the df-guard aggregation, the
+    distinct, and the semi-join probe side (~4 consumers). Pass a
+    :class:`CacheScope` to persist it across them — OPT-IN because at
+    corpus scale the exploded table is ≈ every token of every doc;
+    with no scope each consumer recomputes the (narrow, scan-fused)
+    explode instead, which is often the right trade at 100 TB.
     """
     ex = scale_out(docs).select(
         F.col(id_col),
         F.col(source_col).alias("_src"),
         F.explode(F.array_distinct(word_shingles(text_col, k=shingle_k))).alias("_g"),
     )
+    if cache is not None:
+        ex = cache.add(ex)
     if max_doc_freq is not None:
         stop = (
             ex.groupBy("_g")

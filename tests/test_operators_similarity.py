@@ -75,7 +75,9 @@ def test_near_dup_pairs_interleaved_calls_keep_caches(spark):
         r1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
         r2 = {(r["id_a"], r["id_b"]) for r in p2.collect()}
         assert (1, 2) in r1 and (1, 2) in r2
-        assert len(scope._dfs) == 2
+        # 2 caches per call: the shingle projection + the exploded
+        # band-key table (both multi-consumer)
+        assert len(scope._dfs) == 4
         assert all(df.is_cached for df in scope._dfs)
     assert not any(df.is_cached for df in scope._dfs if scope._dfs)
     assert len(scope._dfs) == 0
