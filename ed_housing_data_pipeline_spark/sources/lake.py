@@ -216,6 +216,70 @@ def compact_partition(
     return n
 
 
+def upsert_partitions(
+    spark,
+    dataset_root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str = "ingest_date",
+    order_col: str | None = None,
+) -> list[str]:
+    """Keyed merge (upsert) into a Hive-partitioned parquet dataset
+    WITHOUT a table format: rewrite only the partitions the updates
+    touch. Returns the affected partition values.
+
+    Per affected partition value: read the existing rows (partition
+    pruning keeps the scan to just those directories), union with the
+    updates, keep one row per key, then dynamic-overwrite exactly
+    those partitions. Winner per key: with ``order_col``, the greatest
+    value wins regardless of side (true last-writer-wins — a STALE
+    update cannot clobber a newer stored row), updates breaking ties;
+    without it, updates simply beat existing.
+
+    Scale shape: the shuffle is one window over (partition, key) on
+    affected partitions ONLY — cost scales with the touched slice, not
+    the dataset. The overwrite itself has the same read-visibility
+    caveats as any non-transactional parquet rewrite (readers
+    mid-rewrite can see a partial partition; use a table format where
+    that matters).
+    """
+    from pyspark.sql import Window, functions as F  # noqa: PLC0415
+
+    values = [
+        r[0]
+        for r in updates.select(F.col(partition_col).cast("string")).distinct().collect()
+    ]
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(dataset_root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        write_parquet(updates, dataset_root, partition_by=[partition_col])
+        return sorted(values)
+    existing = (
+        spark.read.parquet(dataset_root)
+        .filter(F.col(partition_col).cast("string").isin(values))
+        .withColumn("_is_update", F.lit(0))
+    )
+    merged = updates.withColumn("_is_update", F.lit(1)).unionByName(
+        existing.select(*updates.columns, "_is_update")
+    )
+    ordering = [F.col("_is_update").desc()]
+    if order_col is not None:
+        ordering.insert(0, F.col(order_col).desc_nulls_last())
+    w = Window.partitionBy(partition_col, *key_cols).orderBy(*ordering)
+    winner = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_update")
+    )
+    # materialize BEFORE the overwrite: Spark cannot overwrite a path
+    # that the same job is still reading from. Memory bound = the
+    # affected partitions only (spills to disk past that).
+    winner = winner.localCheckpoint(eager=True)
+    write_parquet(winner, dataset_root, partition_by=[partition_col])
+    return sorted(values)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

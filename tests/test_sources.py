@@ -160,6 +160,52 @@ def test_compact_partition(spark, tmp_path):
     assert not glob.glob(f"{sroot}.compact-*")
 
 
+def test_upsert_partitions(spark, tmp_path):
+    """Keyed merge touching one partition: updated key takes the new
+    value, new key appears, untouched keys and partitions survive."""
+    root = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [(1, "a", 10, "2024-01-01"), (2, "b", 20, "2024-01-01"),
+         (3, "c", 30, "2024-01-02")],
+        "id int, name string, v int, ingest_date string",
+    )
+    lake.write_parquet(base, root, partition_by=["ingest_date"])
+    updates = spark.createDataFrame(
+        [(1, "a2", 11, "2024-01-01"), (9, "z", 99, "2024-01-01")],
+        "id int, name string, v int, ingest_date string",
+    )
+    touched = lake.upsert_partitions(spark, root, updates, key_cols=["id"])
+    assert touched == ["2024-01-01"]
+    got = {
+        (r["id"], r["ingest_date"]): (r["name"], r["v"])
+        for r in spark.read.parquet(root)
+        .withColumn("ingest_date", F.col("ingest_date").cast("string"))
+        .collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): ("a2", 11),   # updated in place
+        (2, "2024-01-01"): ("b", 20),    # untouched key survives
+        (9, "2024-01-01"): ("z", 99),    # new key inserted
+        (3, "2024-01-02"): ("c", 30),    # untouched partition survives
+    }
+
+
+def test_upsert_partitions_order_col_and_bootstrap(spark, tmp_path):
+    root = str(tmp_path / "fresh")
+    u1 = spark.createDataFrame(
+        [(1, 5, "2024-01-01")], "id int, ver int, ingest_date string"
+    )
+    # dataset does not exist yet -> plain write
+    assert lake.upsert_partitions(spark, root, u1, ["id"]) == ["2024-01-01"]
+    # stale update (lower ver) must NOT clobber when order_col given
+    u2 = spark.createDataFrame(
+        [(1, 3, "2024-01-01")], "id int, ver int, ingest_date string"
+    )
+    lake.upsert_partitions(spark, root, u2, ["id"], order_col="ver")
+    row = spark.read.parquet(root).first()
+    assert row["ver"] == 5
+
+
 def test_compact_partition_refuses_stale_old_dir(spark, tmp_path):
     """A leftover .compact-old dir means a previous swap crashed with
     the original moved aside — compacting again must refuse loudly
