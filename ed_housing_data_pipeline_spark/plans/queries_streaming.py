@@ -288,3 +288,52 @@ def q_events_stream_enrich_category(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         "category", "n_events", F.round(F.col("total_value"), 4).alias("total_value")
     )
+
+
+@register(
+    "events_stream_upsert_sink",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           user_id,
+           event_id AS last_event_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS last_ts_s
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY CAST(ts AS DATE), user_id ORDER BY ts DESC) = 1
+    """,
+)
+def q_events_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM → foreachBatch keyed-UPSERT sink: the event stream is
+    merged into a Hive-partitioned parquet table (partition=event date,
+    key=user, latest ts wins) via lake.upsert_partitions, then the
+    final table is read back — the CDC-into-a-lake pattern end to end.
+    Only partitions a micro-batch touches are rewritten; replays
+    converge because the greatest-ts row wins regardless of which
+    batch carried it. The oracle is the batch latest-event-per-
+    (date, user) window — exact because (user_id, ts) is unique in the
+    corpus, so the winner per key is deterministic."""
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "event_date", F.col("ts").cast("date").cast("string")
+    )
+    with tempfile.TemporaryDirectory(prefix="upsert_") as root, tempfile.TemporaryDirectory(
+        prefix="ckpt_"
+    ) as ckpt:
+        se.run_foreach_batch_upsert(
+            ev.select("event_id", "user_id", "ts", "event_date"),
+            dataset_root=f"{root}/by_user",
+            key_cols=["user_id"],
+            checkpoint_dir=ckpt,
+            partition_col="event_date",
+            order_col="ts",
+        )
+        out = (
+            spark.read.parquet(f"{root}/by_user")
+            .select(
+                F.col("event_date").cast("string").alias("event_date"),
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.unix_seconds(F.col("ts")).alias("last_ts_s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out

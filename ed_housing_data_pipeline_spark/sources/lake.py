@@ -252,17 +252,16 @@ def upsert_partitions(
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(dataset_root)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jroot):
-        write_parquet(updates, dataset_root, partition_by=[partition_col])
-        return sorted(values)
-    existing = (
-        spark.read.parquet(dataset_root)
-        .filter(F.col(partition_col).cast("string").isin(values))
-        .withColumn("_is_update", F.lit(0))
-    )
-    merged = updates.withColumn("_is_update", F.lit(1)).unionByName(
-        existing.select(*updates.columns, "_is_update")
-    )
+    merged = updates.withColumn("_is_update", F.lit(1))
+    if fs.exists(jroot):
+        existing = (
+            spark.read.parquet(dataset_root)
+            .filter(F.col(partition_col).cast("string").isin(values))
+            .withColumn("_is_update", F.lit(0))
+        )
+        merged = merged.unionByName(existing.select(*updates.columns, "_is_update"))
+    # no existing-dataset shortcut: a fresh batch can itself carry
+    # duplicate keys and must be keyed the same way
     ordering = [F.col("_is_update").desc()]
     if order_col is not None:
         ordering.insert(0, F.col(order_col).desc_nulls_last())

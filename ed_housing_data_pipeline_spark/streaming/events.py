@@ -232,3 +232,48 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    dataset_root: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    partition_col: str = "ingest_date",
+    order_col: str | None = None,
+) -> None:
+    """Drain the stream with availableNow through a ``foreachBatch``
+    keyed-upsert sink (:func:`sources.lake.upsert_partitions`): each
+    micro-batch is merged into the Hive-partitioned parquet dataset by
+    key, rewriting only the partitions that batch touches — the
+    CDC-into-a-lake pattern without a table format.
+
+    Semantics across batches: with ``order_col`` the greatest version
+    wins no matter which batch carried it, so replays and out-of-order
+    micro-batches converge to the same table. foreachBatch runs the
+    merge ONCE per micro-batch (at-least-once on failure/retry — the
+    merge is idempotent by key, which is exactly why this sink pattern
+    requires keyed writes, not blind appends)."""
+    from ed_housing_data_pipeline_spark.sources.lake import (  # noqa: PLC0415
+        upsert_partitions,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitions(
+            batch_df.sparkSession,
+            dataset_root,
+            batch_df,
+            key_cols=key_cols,
+            partition_col=partition_col,
+            order_col=order_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
