@@ -556,17 +556,24 @@ def neardup_clusters(
     ``cluster_id = min id of its component`` (singletons map to
     themselves). Keeping ``cluster_id == doc_id`` rows IS the dedup.
 
-    Spark-first iterative shape (the GraphX/HashToMin pattern with
-    pointer jumping): each round (a) sends every vertex's label across
-    its edges and takes the min, then (b) pointer-jumps — replaces each
-    vertex's label with its LABEL's label (labels are themselves vertex
-    ids, so this doubles the propagation distance). Effective reach
-    grows geometrically, so rounds needed ≈ log2(component diameter):
-    ``max_iters=10`` covers diameters past 1000, vs 10 for plain
-    propagation. Two shuffles per round; ``localCheckpoint`` truncates
-    the growing lineage, and the driver only ever holds the one scalar
-    convergence count. At 100 TB swap localCheckpoint for reliable
-    checkpoints.
+    Spark-first iterative shape (the GraphX/HashToMin pattern): each
+    round sends every vertex's label across its edges and takes the
+    min — one union+groupBy shuffle. From round 3 a pointer-jump pass
+    is added (label ← label(label); labels are vertex ids, so this
+    doubles the propagation reach per round), giving ~log2(diameter)
+    convergence on deep chains while costing the common case — shallow
+    band-overlap cliques that settle in 2 rounds — nothing.
+    ``max_iters=10`` therefore covers diameters past 1000.
+    ``localCheckpoint`` truncates the growing lineage, and the driver
+    only ever holds the one scalar convergence count. At 100 TB swap
+    localCheckpoint for reliable checkpoints.
+
+    Only vertices that APPEAR IN AN EDGE enter the iteration: in a
+    near-dup graph the overwhelming majority of docs are singletons
+    (no candidate pair at all), and their label trivially equals their
+    id — they are attached by one left join at the end. Per-round
+    shuffle cost therefore scales with the near-duplicate subgraph,
+    not the corpus.
 
     Raises ``RuntimeError`` if the loop ends before reaching the fixed
     point — a silently split component would diverge from the
@@ -577,48 +584,79 @@ def neardup_clusters(
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .localCheckpoint(eager=True)
     )
-    lab = docs.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Size every iterated frame to the SUBGRAPH, not the session's
+    # shuffle-partition conf: the near-dup subgraph is typically a tiny
+    # fraction of the corpus, and a 10-stage-per-round loop at 32-task
+    # stages is pure scheduling overhead on a 50-edge graph (measured
+    # ~2× the whole query at sf0.01). ~1M edges per partition.
+    n_parts = max(1, int(edges.count() // 1_000_000) + 1)
+    edges = edges.repartition(n_parts, "u").localCheckpoint(eager=True)
+    # from the materialized edges (NOT from pairs — that would execute
+    # the candidate-generation plan a second time)
+    lab = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .repartition(n_parts, "id")
+        .localCheckpoint(eager=True)
+    )
     changed = -1
-    for _ in range(max_iters):
+    for round_i in range(max_iters):
         msgs = edges.join(lab, edges["u"] == lab["id"]).select(
             F.col("v").alias("id"), F.col("label")
         )
-        prop = lab.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
-        # pointer jump: label ← label(label). Every label IS a doc id,
-        # so the lookup is an equi-self-join; min() keeps it monotone.
-        jumped = (
-            prop.alias("x")
-            .join(
-                prop.select(
-                    F.col("id").alias("label"), F.col("label").alias("_ll")
-                ).alias("y"),
-                on="label",
-                how="left",
+        # fresh-alias BOTH union branches: a Union whose branches share
+        # attribute ids (lab's appear in both lab and msgs) trips a
+        # Catalyst constraint-rewrite bug (key not found: id#N in
+        # Union.rewriteConstraints); per-branch Projects give each
+        # branch its own output attributes.
+        b1 = lab.select(F.col("id").alias("id"), F.col("label").alias("label"))
+        b2 = msgs.select(F.col("id").alias("id"), F.col("label").alias("label"))
+        prop = b1.unionByName(b2).groupBy("id").agg(F.min("label").alias("label"))
+        if round_i >= 2:
+            # deep-graph fallback — pointer jump (label ← label(label),
+            # an equi-self-join; labels are vertex ids) doubles the
+            # propagation reach per round, giving ~log2(diameter)
+            # convergence on chains. Skipped for the first rounds:
+            # near-dup components are usually band-overlap cliques that
+            # settle in 2, and the jump join would be pure overhead.
+            prop = (
+                prop.alias("x")
+                .join(
+                    prop.select(
+                        F.col("id").alias("label"), F.col("label").alias("_ll")
+                    ).alias("y"),
+                    on="label",
+                    how="left",
+                )
+                .select(
+                    "id",
+                    F.least(F.col("label"), F.coalesce("_ll", "label")).alias(
+                        "label"
+                    ),
+                )
             )
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_lab = prop.repartition(n_parts, "id").localCheckpoint(eager=True)
         changed = (
-            jumped.alias("n")
+            new_lab.alias("n")
             .join(lab.alias("o"), "id")
             .filter(F.col("n.label") < F.col("o.label"))
             .count()
         )
-        lab = jumped
+        lab = new_lab
         if changed == 0:
             break
     if changed != 0:
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iters} rounds "
             f"({changed} labels still shrinking) — component diameter "
-            f"exceeds 2^{max_iters}; raise max_iters"
+            "out of reach (doubling from round 3); raise max_iters"
         )
-    return lab.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        lab.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")),
+        on="doc_id",
+        how="left",
+    ).select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
 
 
 def crosssource_contamination(
