@@ -166,3 +166,88 @@ def test_xlsx_roundtrip_property(grid):
                 assert g == repr(want)
             else:
                 assert g is not None and abs(float(g) - want) <= 1e-6 * max(1.0, abs(want))
+
+
+# ----------------------------- chunk-plan geometry invariants
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=12),
+)
+def test_chunk_plan_geometry_invariants(spark, token_counts):
+    """For ANY doc lengths: chunks tile [0, n) with stride spacing —
+    starts are 0, stride, 2·stride, …; every end ≤ n; consecutive
+    chunks overlap by exactly CHUNK_TOKENS-stride (except a short
+    final chunk); a doc's token count is recoverable as the max end;
+    zero-token docs produce no chunks."""
+    from ed_housing_data_pipeline_spark.plans.queries_llm import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(token_counts)],
+        "doc_id long, text string",
+    )
+    # reuse the registered query's expression shape on a local frame
+    n = F.size(F.when(F.trim("text") == "", F.array().cast("array<string>"))
+               .otherwise(F.split(F.trim("text"), r"\s+"))).cast("bigint")
+    starts = F.when(n == 0, F.array().cast("array<bigint>")).otherwise(
+        F.sequence(F.lit(0).cast("bigint"), n - 1, F.lit(CHUNK_STRIDE).cast("bigint"))
+    )
+    ex = docs.select("doc_id", n.alias("n"), F.explode(starts).alias("s"))
+    rows = ex.select(
+        "doc_id", "n", "s",
+        F.least(F.col("s") + CHUNK_TOKENS, F.col("n")).alias("e"),
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["s"], r["e"], r["n"]))
+    for i, n_tok in enumerate(token_counts):
+        chunks = sorted(by_doc.get(i, []))
+        if n_tok == 0:
+            assert chunks == []
+            continue
+        assert [s for s, _, _ in chunks] == list(range(0, n_tok, CHUNK_STRIDE))
+        assert all(e <= n_tok for _, e, _ in chunks)
+        assert chunks[-1][1] == n_tok  # the final chunk reaches the end
+        for (s1, e1, _), (s2, _, _) in zip(chunks, chunks[1:]):
+            assert s2 - s1 == CHUNK_STRIDE
+            assert e1 - s2 in range(0, CHUNK_TOKENS)  # genuine overlap
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # source bucket
+            st.integers(min_value=0, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_sharded_running_sum_property(spark, rows_in):
+    """Sharded prefix sum == plain running sum for arbitrary
+    source/value shapes and an arbitrary shard span."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.operators import windows
+
+    data = [(i, f"s{src}", v) for i, (src, v) in enumerate(rows_in)]
+    df = spark.createDataFrame(data, "doc_id long, source string, n long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r["source"], r["doc_id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("n").over(w)).collect()
+    }
+    sharded = windows.sharded_running_sum(
+        df, "n", ["source"], "doc_id", shard=F.floor(F.col("doc_id") / 7), out_col="cum"
+    )
+    got = {(r["source"], r["doc_id"]): r["cum"] for r in sharded.collect()}
+    assert got == naive
