@@ -172,3 +172,119 @@ def sample_frames(
             )
 
     return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
+
+
+# -------------------------------------------------- resize / audio
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """DETERMINISTIC STUB resize: digest-prefixed, size-bounded payload
+    standing in for re-encoded pixels (no codec libs here). Stable for
+    tests; replace via ``resize_fn`` or install Pillow."""
+    d = hashlib.md5(payload or b"").digest()
+    body = (payload or b"")[: width * height]
+    return bytes([width % 256, height % 256]) + d[:6] + body
+
+
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize via Pillow: decode, LANCZOS-resample to (width,
+    height), re-encode as PNG bytes."""
+    import io  # noqa: PLC0415
+
+    from PIL import Image  # noqa: PLC0415
+
+    with Image.open(io.BytesIO(payload)) as img:
+        out = img.resize((width, height), Image.LANCZOS)
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def default_resize_fn():
+    """(resize_fn, is_real) — Pillow when importable, else the stub
+    (same upgrade gate as :func:`default_decode_fn`)."""
+    try:
+        from PIL import Image  # noqa: F401, PLC0415
+
+        return _pil_resize, True
+    except ImportError:
+        return _fake_resize, False
+
+
+def resize_images(
+    df: DataFrame,
+    data_col: str,
+    id_col: str,
+    width: int,
+    height: int,
+    resize_fn=None,
+) -> DataFrame:
+    """Batch image resize to a fixed (width, height) — the
+    normalize-before-training step. Emits (id, resized binary, byte
+    size). Arrow ``mapInPandas``: one Python call per batch, narrow, no
+    shuffle; output partitioning follows the input splits so a
+    downstream parquet sink writes resized shards co-located with their
+    sources. NULL payloads stay NULL."""
+    import pandas as pd  # noqa: PLC0415
+
+    fn = resize_fn or default_resize_fn()[0]
+    schema = f"{id_col} long, resized binary, resized_bytes bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payloads = [
+                None if b is None else fn(bytes(b), width, height)
+                for b in pdf[data_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": out_payloads,
+                    "resized_bytes": [
+                        None if p is None else len(p) for p in out_payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
+
+
+def _fake_audio_features(payload: bytes) -> tuple[float, float, int]:
+    """DETERMINISTIC STUB audio feature extraction: (duration_s,
+    rms, sample_rate) derived from the payload digest — no audio codec
+    ships in this container. The Spark plumbing around it is real."""
+    d = hashlib.md5(payload or b"").digest()
+    duration_s = 1.0 + d[0] / 16.0
+    rms = d[1] / 255.0
+    sample_rate = 8000 * (1 + d[2] % 5)
+    return duration_s, rms, sample_rate
+
+
+def audio_features(
+    df: DataFrame,
+    data_col: str,
+    id_col: str,
+    extract_fn=None,
+) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads:
+    (duration_s, rms, sample_rate) per clip via Arrow ``mapInPandas``.
+    Same narrow batch shape as image decode; swap ``extract_fn`` for a
+    real decoder (librosa/soundfile) on a cluster that ships one —
+    this container has none, so the default is the deterministic
+    stub."""
+    import pandas as pd  # noqa: PLC0415
+
+    fn = extract_fn or _fake_audio_features
+    schema = f"{id_col} long, duration_s double, rms double, sample_rate int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                (None, None, None) if b is None else fn(bytes(b))
+                for b in pdf[data_col]
+            ]
+            out = pd.DataFrame(
+                feats, columns=["duration_s", "rms", "sample_rate"]
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)

@@ -119,3 +119,50 @@ def test_sample_frames_expands_rows(spark):
     again = {r["frame_idx"]: r["mean_luma"] for r in
              mm.sample_frames(_media(spark), "data", "media_id", 3).filter("media_id=1").collect()}
     assert first == again
+
+
+def test_resize_images_stub_and_nulls(spark):
+    out = mm.resize_images(
+        _media(spark), "data", "media_id", 32, 16, resize_fn=mm._fake_resize
+    )
+    assert out.columns == ["media_id", "resized", "resized_bytes"]
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[5]["resized"] is None and got[5]["resized_bytes"] is None
+    assert got[1]["resized_bytes"] == len(bytes(got[1]["resized"]))
+    assert bytes(got[1]["resized"])[0] == 32 and bytes(got[1]["resized"])[1] == 16
+    # deterministic
+    again = {r["media_id"]: bytes(r["resized"]) for r in mm.resize_images(
+        _media(spark), "data", "media_id", 32, 16, resize_fn=mm._fake_resize
+    ).collect() if r["resized"] is not None}
+    assert all(bytes(got[k]["resized"]) == v for k, v in again.items())
+
+
+def test_resize_images_real_pil(spark):
+    import pytest
+
+    if not _pil_available():
+        pytest.skip("Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    def png(w, h, v):
+        buf = io.BytesIO()
+        Image.new("L", (w, h), v).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png(64, 64, 128)))], "media_id long, data binary"
+    )
+    out = mm.resize_images(df, "data", "media_id", 8, 4).collect()
+    with Image.open(io.BytesIO(bytes(out[0]["resized"]))) as img:
+        assert (img.width, img.height) == (8, 4)
+
+
+def test_audio_features_stub(spark):
+    out = mm.audio_features(_media(spark), "data", "media_id")
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[5]["duration_s"] is None
+    assert 1.0 <= got[1]["duration_s"] <= 17.0
+    assert 0.0 <= got[1]["rms"] <= 1.0
+    assert got[1]["sample_rate"] % 8000 == 0
