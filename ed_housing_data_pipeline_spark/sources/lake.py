@@ -279,6 +279,115 @@ def upsert_partitions(
     return sorted(values)
 
 
+# ------------------------------------------------ snapshot versioning
+# A poor-man's table format: every write lands in a fresh v=N directory
+# and a one-line _LATEST pointer file flips to it afterwards. Readers
+# resolve the pointer first, then read an immutable directory — so a
+# reader NEVER observes a half-written dataset, closing the
+# concurrent-reader caveat that raw overwrite/compact/upsert carry on
+# object stores. What this does NOT give you (use Delta/Iceberg for
+# real): multi-writer conflict detection, row-level transaction log,
+# schema enforcement.
+
+
+def _snapshot_dir(dataset_root: str, version: int) -> str:
+    return f"{dataset_root.rstrip('/')}/v={version}"
+
+
+def snapshot_versions(spark, dataset_root: str) -> list[int]:
+    """All snapshot versions present under the dataset root, ascending."""
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(dataset_root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_snapshot(
+    spark,
+    df: DataFrame,
+    dataset_root: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as the next immutable snapshot of the dataset and
+    flip the ``_LATEST`` pointer to it. Returns the new version.
+
+    The pointer flip is a same-FS rename of a freshly written temp
+    file — a metadata op on HDFS/local; on object stores a one-small-
+    object copy, which is still effectively atomic for READERS because
+    they either see the old pointer or the new one, never a partial
+    data directory."""
+    version = (snapshot_versions(spark, dataset_root) or [0])[-1] + 1
+    path = _snapshot_dir(dataset_root, version)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    jvm = spark._jvm
+    root = dataset_root.rstrip("/")
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
+    out = fs.create(tmp, True)
+    out.write(str(version).encode("ascii"))
+    out.close()
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise RuntimeError(f"could not flip {root}/_LATEST to v={version}")
+    return version
+
+
+def read_snapshot(spark, dataset_root: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot: the ``_LATEST`` pointer's version by default,
+    or any pinned historical ``version`` (time travel) — snapshots are
+    immutable until expired."""
+    if version is None:
+        jvm = spark._jvm
+        root = dataset_root.rstrip("/")
+        fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
+        if not fs.exists(final):
+            raise FileNotFoundError(f"no _LATEST pointer under {dataset_root}")
+        # the pointer is a handful of ASCII bytes — read it byte-wise
+        # (py4j has no clean readFully binding)
+        stream = fs.open(final)
+        size = int(fs.getFileStatus(final).getLen())
+        data = bytearray(stream.readByte() & 0xFF for _ in range(size))
+        stream.close()
+        version = int(bytes(data).decode("ascii").strip())
+    return spark.read.parquet(_snapshot_dir(dataset_root, version))
+
+
+def expire_snapshots(spark, dataset_root: str, keep_latest: int) -> list[int]:
+    """Drop all but the newest ``keep_latest`` snapshot directories
+    (never the one ``_LATEST`` points to). Same wipe-guard contract as
+    :func:`expire_partitions`."""
+    if keep_latest < 1:
+        raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    versions = snapshot_versions(spark, dataset_root)
+    drop = versions[:-keep_latest]
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(dataset_root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_snapshot_dir(dataset_root, v)), True)
+    return drop
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

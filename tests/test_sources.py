@@ -340,3 +340,33 @@ def test_read_parquet_schema_evolution(spark, tmp_path):
     assert set(df.columns) == {"a", "b"}
     got = {r["a"]: r["b"] for r in df.collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_snapshot_versioning_roundtrip(spark, tmp_path):
+    """Write → pointer flip → read-latest; historical versions stay
+    readable (time travel); expiry keeps the newest N and honors the
+    wipe guard."""
+    import pytest
+
+    root = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    d2 = spark.createDataFrame([(1, "b"), (2, "c")], "id int, v string")
+    assert lake.write_snapshot(spark, d1, root) == 1
+    assert lake.write_snapshot(spark, d2, root) == 2
+    assert lake.snapshot_versions(spark, root) == [1, 2]
+    assert lake.read_snapshot(spark, root).count() == 2          # latest = v2
+    assert lake.read_snapshot(spark, root, version=1).count() == 1  # time travel
+    d3 = spark.createDataFrame([(9, "z")], "id int, v string")
+    assert lake.write_snapshot(spark, d3, root) == 3
+    with pytest.raises(ValueError, match="keep_latest"):
+        lake.expire_snapshots(spark, root, keep_latest=0)
+    assert lake.expire_snapshots(spark, root, keep_latest=2) == [1]
+    assert lake.snapshot_versions(spark, root) == [2, 3]
+    assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"z"}
+
+
+def test_read_snapshot_missing_pointer(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="_LATEST"):
+        lake.read_snapshot(spark, str(tmp_path / "nope"))
