@@ -391,3 +391,70 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("bigint").alias("day_offset"),
         "n_users",
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, bucket_s, n_events,
+               COUNT(n_events) OVER tw AS cnt,
+               CAST(SUM(n_events) OVER tw AS DOUBLE) AS s,
+               CAST(SUM(n_events * n_events) OVER tw AS DOUBLE) AS ss
+        FROM h
+        WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_s
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_s, n_events,
+           ROUND(CASE WHEN cnt >= 12
+                       AND (ss - s * s / cnt) / (cnt - 1) > 0
+                      THEN (n_events - s / cnt)
+                           / sqrt((ss - s * s / cnt) / (cnt - 1))
+                 END, 4) AS z
+    FROM w
+    """,
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly score: each (type, hour) bucket's count
+    z-scored against its own TRAILING 24 buckets (current excluded) —
+    the monitoring primitive for traffic spikes/drops. NULL until 12
+    trailing buckets exist or when the trailing variance is zero.
+
+    Exactness across engines: the variance comes from integer moment
+    sums — (Σx², Σx exact in 64-bit, cast to double before any
+    division) — NOT stddev_samp, whose streaming implementations
+    differ at the last ulp between engines and would flap the rounded
+    hash. Scale shape: one groupBy + one partitioned window; the frame
+    is 24 rows per partition regardless of data volume."""
+    from pyspark.sql import Window
+
+    ev = events_ts(spark, sf_dir)
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.unix_seconds(F.date_trunc("hour", F.col("ts"))).alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(-24, -1)
+    )
+    cnt = F.count("n_events").over(tw)
+    s = F.sum("n_events").over(tw).cast("double")
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(tw).cast("double")
+    var = (ss - s * s / cnt) / (cnt - 1)
+    z = F.when(
+        (cnt >= 12) & (var > 0),
+        (F.col("n_events") - s / cnt) / F.sqrt(var),
+    )
+    return h.select(
+        "event_type", "bucket_s", "n_events", F.round(z, 4).alias("z")
+    )
