@@ -36,10 +36,15 @@ def test_no_cartesian_products(plans):
 
 # Fact-to-fact joins: both sides scale with the data, so a shuffle
 # join is the CORRECT plan and broadcast would OOM at scale.
-# doc_dedup_clusters' final docs⋈labels attach joins the corpus against
-# the edge-vertex label set (both corpus-scale; the checkpointed label
-# frame also carries no stats) — shuffle, never broadcast.
-FACT_FACT = {"priority_revenue_fact_join", "doc_dedup_clusters"}
+# The dedup-cluster queries' final corpus⋈labels attach joins the
+# corpus against the edge-vertex label set (both corpus-scale; the
+# checkpointed label frame also carries no stats) — shuffle, never
+# broadcast.
+FACT_FACT = {
+    "priority_revenue_fact_join",
+    "doc_dedup_clusters",
+    "embedding_dedup_clusters",
+}
 
 
 def test_no_sort_merge_joins(plans):
