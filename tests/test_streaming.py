@@ -175,3 +175,62 @@ def test_parquet_sink_exactly_once_resume(spark, tmp_path):
     )
     assert spark.read.parquet(out).count() == 100  # no reprocessing
     shutil.rmtree(ckpt)
+
+
+def test_foreach_batch_upsert_replay_idempotent(spark, tmp_path):
+    """The CDC upsert sink must converge under replay: (1) draining the
+    SAME checkpoint twice reprocesses nothing; (2) new data arriving
+    later merges by key — updates win, older partitions survive; (3) a
+    stale lower-version replay cannot clobber the newer stored row."""
+    src = tmp_path / "in"
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = spark.createDataFrame(
+        [(1, 100, 5, "2024-01-01"), (2, 200, 5, "2024-01-02")],
+        "id int, payload int, ver int, d string",
+    )
+    d1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        "id int, payload int, ver int, d string"
+    ).parquet(str(src))
+    stream_events.run_foreach_batch_upsert(
+        stream, out, key_cols=["id"], checkpoint_dir=ckpt,
+        partition_col="d", order_col="ver",
+    )
+    first = rows(spark.read.parquet(out).withColumn("d", F.col("d").cast("string")))
+    # replay with the same checkpoint: no new input -> table unchanged
+    stream2 = spark.readStream.schema(
+        "id int, payload int, ver int, d string"
+    ).parquet(str(src))
+    stream_events.run_foreach_batch_upsert(
+        stream2, out, key_cols=["id"], checkpoint_dir=ckpt,
+        partition_col="d", order_col="ver",
+    )
+    assert rows(
+        spark.read.parquet(out).withColumn("d", F.col("d").cast("string"))
+    ) == first
+    # new file: key 1 updated (higher ver), key 1 stale (lower ver) ignored
+    d2 = spark.createDataFrame(
+        [(1, 111, 7, "2024-01-01"), (1, 99, 3, "2024-01-01"),
+         (3, 300, 5, "2024-01-01")],
+        "id int, payload int, ver int, d string",
+    )
+    d2.write.mode("append").parquet(str(src))
+    stream3 = spark.readStream.schema(
+        "id int, payload int, ver int, d string"
+    ).parquet(str(src))
+    stream_events.run_foreach_batch_upsert(
+        stream3, out, key_cols=["id"], checkpoint_dir=ckpt,
+        partition_col="d", order_col="ver",
+    )
+    got = {
+        (r["id"], r["d"]): (r["payload"], r["ver"])
+        for r in spark.read.parquet(out)
+        .withColumn("d", F.col("d").cast("string"))
+        .collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): (111, 7),   # highest version won
+        (3, "2024-01-01"): (300, 5),   # new key inserted
+        (2, "2024-01-02"): (200, 5),   # untouched partition survives
+    }
