@@ -117,20 +117,40 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode images to (width, height, mean_luma) via Arrow-batched
     ``mapInPandas`` — narrow stage, whole-batch Python calls, schema
-    declared up front. NULL payloads yield NULL features. With no
-    explicit ``decode_fn`` the decoder upgrades itself to Pillow when
-    installed (``default_decode_fn``), else the deterministic stub."""
+    declared up front. NULL payloads yield NULL features.
+
+    Default decoder resolution happens ON THE EXECUTOR (inside the
+    batch closure), not the driver: a cluster where Pillow is
+    installed on the driver only must not ship a PIL closure to
+    workers that cannot import it. With the auto-resolved default,
+    undecodable payloads yield NULL features instead of failing the
+    job — at 10^9 rows one truncated image must not kill the scan
+    (filter ``width IS NULL`` for the quarantine). An EXPLICIT
+    ``decode_fn`` keeps its own error semantics untouched."""
     import pandas as pd  # noqa: PLC0415
 
-    fn = decode_fn or default_decode_fn()[0]
     schema = f"{id_col} long, width int, height int, mean_luma double"
+    explicit = decode_fn
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if explicit is not None:
+            fn, tolerant = explicit, False
+        else:
+            fn, _is_real = default_decode_fn()  # executor-local probe
+            tolerant = True
+
+        def one(b):
+            if b is None:
+                return (None, None, None)
+            if not tolerant:
+                return fn(bytes(b))
+            try:
+                return fn(bytes(b))
+            except Exception:
+                return (None, None, None)
+
         for pdf in it:
-            feats = [
-                (None, None, None) if b is None else fn(bytes(b))
-                for b in pdf[data_col]
-            ]
+            feats = [one(b) for b in pdf[data_col]]
             out = pd.DataFrame(feats, columns=["width", "height", "mean_luma"])
             out.insert(0, id_col, pdf[id_col].values)
             yield out
@@ -222,18 +242,35 @@ def resize_images(
     size). Arrow ``mapInPandas``: one Python call per batch, narrow, no
     shuffle; output partitioning follows the input splits so a
     downstream parquet sink writes resized shards co-located with their
-    sources. NULL payloads stay NULL."""
+    sources. NULL payloads stay NULL. Default resizer resolution and
+    error tolerance follow :func:`decode_image_features`: the Pillow
+    probe runs on the executor, and with the auto default an
+    unresizable payload yields NULL instead of failing the job (an
+    explicit ``resize_fn`` keeps its own error semantics)."""
     import pandas as pd  # noqa: PLC0415
 
-    fn = resize_fn or default_resize_fn()[0]
+    explicit = resize_fn
     schema = f"{id_col} long, resized binary, resized_bytes bigint"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if explicit is not None:
+            fn, tolerant = explicit, False
+        else:
+            fn, _is_real = default_resize_fn()  # executor-local probe
+            tolerant = True
+
+        def one(b):
+            if b is None:
+                return None
+            if not tolerant:
+                return fn(bytes(b), width, height)
+            try:
+                return fn(bytes(b), width, height)
+            except Exception:
+                return None
+
         for pdf in it:
-            out_payloads = [
-                None if b is None else fn(bytes(b), width, height)
-                for b in pdf[data_col]
-            ]
+            out_payloads = [one(b) for b in pdf[data_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

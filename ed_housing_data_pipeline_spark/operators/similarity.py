@@ -139,10 +139,16 @@ def scale_out(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     )
     splits = 0
     import os  # noqa: PLC0415
+    from urllib.parse import unquote, urlparse  # noqa: PLC0415
 
     for f in files:
-        path = f.removeprefix("file:")
-        if os.path.exists(path):
+        # inputFiles() returns percent-encoded URIs ('file:/a/my%20dir/x')
+        # — decode before statting, or a big local file in a path with a
+        # space would be undercounted as 1 split and trigger the very
+        # full-input reshuffle this function exists to prevent
+        parsed = urlparse(f)
+        path = unquote(parsed.path) if parsed.scheme in ("file", "") else None
+        if path is not None and os.path.exists(path):
             splits += max(1, -(-os.path.getsize(path) // max_pb))
         else:  # object store: can't stat cheaply; count the file once
             splits += 1
@@ -321,7 +327,10 @@ def lsh_candidate_pairs(
     # (id, band, key) is consumed by the width-guard aggregation AND
     # both self-join sides — unpersisted, each consumer re-runs the
     # md5+permutation signature pass (measured 3× the minhash cost at
-    # sf0.1). n·bands short rows: a sliver of the input.
+    # sf0.1). n·bands short rows: a sliver of the input. As with
+    # near_dup_pairs' shingle cache: with cache=None the persist is
+    # left to Spark's LRU (one entry per call — long-lived sessions
+    # calling this repeatedly should pass a CacheScope and release).
     from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
 
     exploded = (

@@ -70,9 +70,13 @@ def sharded_running_sum(
 
     1. shard-local running sum — window partitioned by
        (partition_by…, shard): parallelism = #shards, not #sources;
-    2. per-shard totals (map-side-combinable agg) → per-partition
-       exclusive prefix over shard totals — a window over #shards rows
-       per partition key, tiny;
+    2. per-shard totals taken FROM the window output (the running sum
+       at the shard's max ``order_by`` row IS the shard total via
+       ``max_by``) → per-partition exclusive prefix over shard totals
+       — a window over #shards rows per partition key, tiny. Deriving
+       totals from the same windowed frame (not the raw input) lets
+       Spark reuse the one (partition, shard) exchange instead of
+       scanning + deriving ``value_col`` twice;
     3. broadcast the (partition, shard) → offset table back and add.
 
     Pick the shard span so one shard ≈ one comfortable task (10^5-10^6
@@ -86,7 +90,9 @@ def sharded_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = sh.withColumn(local_c, F.sum(value_col).over(w_local))
-    totals = sh.groupBy(*partition_by, shard_c).agg(F.sum(value_col).alias("_tot"))
+    totals = local.groupBy(*partition_by, shard_c).agg(
+        F.max_by(local_c, F.col(order_by)).alias("_tot")
+    )
     w_off = (
         Window.partitionBy(*partition_by)
         .orderBy(shard_c)

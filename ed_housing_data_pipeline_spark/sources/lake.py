@@ -249,16 +249,33 @@ def upsert_partitions(
         r[0]
         for r in updates.select(F.col(partition_col).cast("string")).distinct().collect()
     ]
+    if any(v is None for v in values):
+        # NULL never matches the isin() partition filter, so the merge
+        # would skip existing NULL-partition rows and the dynamic
+        # overwrite would clobber them — refuse up front instead
+        raise ValueError(
+            f"upsert_partitions: updates contain NULL {partition_col} values; "
+            "partition values must be concrete"
+        )
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(dataset_root)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
     merged = updates.withColumn("_is_update", F.lit(1))
     if fs.exists(jroot):
-        existing = (
-            spark.read.parquet(dataset_root)
-            .filter(F.col(partition_col).cast("string").isin(values))
-            .withColumn("_is_update", F.lit(0))
-        )
+        existing = spark.read.parquet(dataset_root)
+        lost = set(existing.columns) - set(updates.columns)
+        if lost:
+            # projecting existing rows down to the updates schema would
+            # silently erase these columns for EVERY row of a rewritten
+            # partition, touched keys or not
+            raise ValueError(
+                f"upsert_partitions: updates are missing stored columns "
+                f"{sorted(lost)}; supply every dataset column (read-modify "
+                "the batch or backfill the schema first)"
+            )
+        existing = existing.filter(
+            F.col(partition_col).cast("string").isin(values)
+        ).withColumn("_is_update", F.lit(0))
         merged = merged.unionByName(existing.select(*updates.columns, "_is_update"))
     # no existing-dataset shortcut: a fresh batch can itself carry
     # duplicate keys and must be keyed the same way
@@ -312,6 +329,35 @@ def snapshot_versions(spark, dataset_root: str) -> list[int]:
     return sorted(out)
 
 
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _committed_version(spark, dataset_root: str) -> int | None:
+    """The newest COMMITTED version: pointers are write-once files
+    named ``_LATEST.v<N>`` and readers take the max N. No pointer is
+    ever deleted-then-recreated, so there is no instant with zero
+    pointers once the first commit lands (a crash mid-write leaves the
+    previous pointer governing; the orphaned data dir is invisible)."""
+    root = dataset_root.rstrip("/")
+    jvm, fs = _fs(spark, root)
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jroot):
+        return None
+    best = None
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if name.startswith("_LATEST.v"):
+            try:
+                v = int(name[len("_LATEST.v"):])
+            except ValueError:
+                continue
+            best = v if best is None or v > best else best
+    return best
+
+
 def write_snapshot(
     spark,
     df: DataFrame,
@@ -319,73 +365,76 @@ def write_snapshot(
     partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next immutable snapshot of the dataset and
-    flip the ``_LATEST`` pointer to it. Returns the new version.
+    commit it by creating the write-once pointer ``_LATEST.v<N>``.
+    Returns the new version.
 
-    The pointer flip is a same-FS rename of a freshly written temp
-    file — a metadata op on HDFS/local; on object stores a one-small-
-    object copy, which is still effectively atomic for READERS because
-    they either see the old pointer or the new one, never a partial
-    data directory."""
-    version = (snapshot_versions(spark, dataset_root) or [0])[-1] + 1
+    Commit protocol (single writer): data lands fully in ``v=N/``,
+    then the pointer file appears via a same-FS rename to a name that
+    never existed before — readers resolve max(_LATEST.v*) and so see
+    either the previous version or the new one, never a partial
+    directory and never a missing pointer (the delete-then-recreate
+    window a single mutable pointer file would have). A crash before
+    the rename leaves an orphaned v=N dir that no reader resolves;
+    the next write claims version N+1 and the orphan is swept by
+    :func:`expire_snapshots`."""
+    data_versions = snapshot_versions(spark, dataset_root)
+    committed = _committed_version(spark, dataset_root)
+    version = max(data_versions[-1] if data_versions else 0, committed or 0) + 1
     path = _snapshot_dir(dataset_root, version)
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    jvm = spark._jvm
     root = dataset_root.rstrip("/")
-    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
+    jvm, fs = _fs(spark, root)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
+    final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.v{version}")
     out = fs.create(tmp, True)
     out.write(str(version).encode("ascii"))
     out.close()
-    fs.delete(final, False)
     if not fs.rename(tmp, final):
-        raise RuntimeError(f"could not flip {root}/_LATEST to v={version}")
+        raise RuntimeError(f"could not commit pointer {root}/_LATEST.v{version}")
+    # sweep superseded pointer files (AFTER the new one is visible —
+    # readers take the max, so stale ones are harmless if this dies)
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(root)):
+        name = st.getPath().getName()
+        if name.startswith("_LATEST.v") and name != f"_LATEST.v{version}":
+            fs.delete(st.getPath(), False)
     return version
 
 
 def read_snapshot(spark, dataset_root: str, version: int | None = None) -> DataFrame:
-    """Read a snapshot: the ``_LATEST`` pointer's version by default,
-    or any pinned historical ``version`` (time travel) — snapshots are
+    """Read a snapshot: the newest COMMITTED version by default, or any
+    pinned historical ``version`` (time travel) — snapshots are
     immutable until expired."""
     if version is None:
-        jvm = spark._jvm
-        root = dataset_root.rstrip("/")
-        fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
-        if not fs.exists(final):
-            raise FileNotFoundError(f"no _LATEST pointer under {dataset_root}")
-        # the pointer is a handful of ASCII bytes — read it byte-wise
-        # (py4j has no clean readFully binding)
-        stream = fs.open(final)
-        size = int(fs.getFileStatus(final).getLen())
-        data = bytearray(stream.readByte() & 0xFF for _ in range(size))
-        stream.close()
-        version = int(bytes(data).decode("ascii").strip())
+        version = _committed_version(spark, dataset_root)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {dataset_root}")
     return spark.read.parquet(_snapshot_dir(dataset_root, version))
 
 
 def expire_snapshots(spark, dataset_root: str, keep_latest: int) -> list[int]:
-    """Drop all but the newest ``keep_latest`` snapshot directories
-    (never the one ``_LATEST`` points to). Same wipe-guard contract as
-    :func:`expire_partitions`."""
+    """Drop old snapshot directories, keeping the newest
+    ``keep_latest`` COMMITTED versions. The committed (pointed-to)
+    version is never dropped regardless of ``keep_latest``; orphaned
+    uncommitted dirs NEWER than the committed version (a writer crash
+    before its pointer rename) are swept too. Same wipe-guard contract
+    as :func:`expire_partitions`."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    committed = _committed_version(spark, dataset_root)
     versions = snapshot_versions(spark, dataset_root)
-    drop = versions[:-keep_latest]
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(dataset_root).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    for v in drop:
+    committed_versions = [
+        v for v in versions if committed is not None and v <= committed
+    ]
+    drop = [v for v in committed_versions[:-keep_latest] if v != committed]
+    # orphans: data dirs above the committed pointer are failed writes
+    drop += [v for v in versions if committed is not None and v > committed]
+    jvm, fs = _fs(spark, dataset_root)
+    for v in sorted(drop):
         fs.delete(jvm.org.apache.hadoop.fs.Path(_snapshot_dir(dataset_root, v)), True)
-    return drop
+    return sorted(drop)
 
 
 def write_bucketed_table(

@@ -368,5 +368,51 @@ def test_snapshot_versioning_roundtrip(spark, tmp_path):
 def test_read_snapshot_missing_pointer(spark, tmp_path):
     import pytest
 
-    with pytest.raises(FileNotFoundError, match="_LATEST"):
+    with pytest.raises(FileNotFoundError, match="snapshot"):
         lake.read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_snapshot_crash_before_commit_is_invisible_and_swept(spark, tmp_path):
+    """A writer crash after the data dir but before the pointer rename:
+    readers keep resolving the previous committed version; expiry
+    sweeps the orphan and NEVER the committed version, even with
+    keep_latest=1."""
+    root = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert lake.write_snapshot(spark, d1, root) == 1
+    # simulate the crash: v=2 data lands, no pointer
+    spark.createDataFrame([(2, "b")], "id int, v string").write.parquet(
+        f"{root}/v=2"
+    )
+    assert lake.snapshot_versions(spark, root) == [1, 2]
+    assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"a"}
+    # next write claims v=3 (above the orphan), commits, and is read
+    d3 = spark.createDataFrame([(3, "c")], "id int, v string")
+    assert lake.write_snapshot(spark, d3, root) == 3
+    assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"c"}
+    # keep_latest=1: drops committed v=1 and the v=2 orphan, keeps v=3
+    assert lake.expire_snapshots(spark, root, keep_latest=1) == [1, 2]
+    assert lake.snapshot_versions(spark, root) == [3]
+    assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"c"}
+
+
+def test_upsert_partitions_rejects_null_partition_and_lost_columns(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [(1, "a", 7, "2024-01-01")], "id int, name string, extra int, ingest_date string"
+    )
+    lake.write_parquet(base, root, partition_by=["ingest_date"])
+    # NULL partition value: refused before any write happens
+    null_part = spark.createDataFrame(
+        [(2, "b", 1, None)], "id int, name string, extra int, ingest_date string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        lake.upsert_partitions(spark, root, null_part, key_cols=["id"])
+    # updates lacking a stored column would erase it partition-wide
+    narrow = spark.createDataFrame(
+        [(1, "a2", "2024-01-01")], "id int, name string, ingest_date string"
+    )
+    with pytest.raises(ValueError, match="extra"):
+        lake.upsert_partitions(spark, root, narrow, key_cols=["id"])
+    # dataset untouched by both refusals
+    assert spark.read.parquet(root).count() == 1
