@@ -117,12 +117,15 @@ def scale_out(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     — we never unconditionally reshuffle the input.
 
     The split estimate comes from ``df.inputFiles()`` (file count,
-    plus size/maxPartitionBytes for stat-able local files — one big
-    local file still yields many splits and must NOT be reshuffled),
-    never ``df.rdd``: converting to an RDD triggers full physical
-    planning on every call, a per-query constant cost. Callers that
-    know their layout can pass ``n_partitions`` and skip the file
-    probe entirely.
+    plus size/maxPartitionBytes per file — local paths via ``os.stat``,
+    object-store/HDFS URIs via the Hadoop FileSystem API, so one big
+    s3a/abfss parquet file that Spark scans as ~80 splits is NOT
+    undercounted as 1 and reshuffled), never ``df.rdd``: converting to
+    an RDD triggers full physical planning on every call, a per-query
+    constant cost. The loop bails as soon as the running split count
+    reaches core count, so at most ~cores remote stats happen and only
+    for suspiciously-few-file inputs. Callers that know their layout
+    can pass ``n_partitions`` and skip the file probe entirely.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -141,17 +144,35 @@ def scale_out(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     import os  # noqa: PLC0415
     from urllib.parse import unquote, urlparse  # noqa: PLC0415
 
+    jvm, fs_cache = None, {}
     for f in files:
         # inputFiles() returns percent-encoded URIs ('file:/a/my%20dir/x')
         # — decode before statting, or a big local file in a path with a
         # space would be undercounted as 1 split and trigger the very
         # full-input reshuffle this function exists to prevent
         parsed = urlparse(f)
-        path = unquote(parsed.path) if parsed.scheme in ("file", "") else None
-        if path is not None and os.path.exists(path):
-            splits += max(1, -(-os.path.getsize(path) // max_pb))
-        else:  # object store: can't stat cheaply; count the file once
-            splits += 1
+        size = None
+        if parsed.scheme in ("file", ""):
+            path = unquote(parsed.path)
+            if os.path.exists(path):
+                size = os.path.getsize(path)
+        else:
+            # Remote URI (s3a/abfss/hdfs/…): stat through the Hadoop
+            # FileSystem API — one cached FS handle per (scheme,
+            # authority). A failed stat falls back to 1 split.
+            try:
+                if jvm is None:
+                    jvm = spark._jvm
+                    hconf = spark._jsc.hadoopConfiguration()
+                jpath = jvm.org.apache.hadoop.fs.Path(f)
+                fs_key = (parsed.scheme, parsed.netloc)
+                fs = fs_cache.get(fs_key)
+                if fs is None:
+                    fs = fs_cache[fs_key] = jpath.getFileSystem(hconf)
+                size = fs.getFileStatus(jpath).getLen()
+            except Exception:
+                size = None
+        splits += 1 if size is None else max(1, -(-size // max_pb))
         if splits >= target:
             return df
     return df.repartition(target)
@@ -327,17 +348,14 @@ def lsh_candidate_pairs(
     # (id, band, key) is consumed by the width-guard aggregation AND
     # both self-join sides — unpersisted, each consumer re-runs the
     # md5+permutation signature pass (measured 3× the minhash cost at
-    # sf0.1). n·bands short rows: a sliver of the input. As with
-    # near_dup_pairs' shingle cache: with cache=None the persist is
-    # left to Spark's LRU (one entry per call — long-lived sessions
-    # calling this repeatedly should pass a CacheScope and release).
-    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
-
-    exploded = (
-        cache.add(exploded)
-        if cache is not None
-        else exploded.persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # sf0.1). n·bands short rows: a sliver of the input. The persist is
+    # strictly OPT-IN via CacheScope: an unconditional persist here
+    # leaked one LRU cache entry per direct call in long-lived sessions
+    # (ADVICE r4) — callers on the hot path (the registered queries'
+    # _own_caches) pass a scope and own the release point; bare calls
+    # trade recomputation for a leak-free default.
+    if cache is not None:
+        exploded = cache.add(exploded)
     salt_cols: list[str] = []
     if max_bucket_width is not None:
         exploded, salt_cols = _shard_oversized_buckets(
@@ -387,21 +405,20 @@ def near_dup_pairs(
     shingle arrays ONLY for candidate pairs (bounded by banding), so
     the expensive exact comparison never goes quadratic.
 
-    The (id, shingles) projection is shingled once and persisted —
-    signatures and both verification joins hang off it, and Spark
-    would otherwise re-execute the scan+shingle pass per consumer.
-    Pass a :class:`CacheScope` to own the release point (recommended
-    for pipelines); with ``cache=None`` the cache is left to Spark's
-    LRU eviction — it holds only (id, shingles), a fraction of the
-    input, and evicts cleanly under memory pressure.
+    The (id, shingles) projection is shingled once and — when a
+    :class:`CacheScope` is passed — persisted: signatures and both
+    verification joins hang off it, and Spark would otherwise
+    re-execute the scan+shingle pass per consumer. Persisting is
+    OPT-IN (pass a scope and own the release point, as the registered
+    queries do); with ``cache=None`` nothing is persisted, so bare
+    calls recompute but never leak a cache entry (ADVICE r4).
     """
-    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
-
     sh = scale_out(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh"),
     )
-    sh = cache.add(sh) if cache is not None else sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache is not None:
+        sh = cache.add(sh)
     sig = with_minhash_signature(
         sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
     )
@@ -485,12 +502,15 @@ def simhash_neardup_pairs(
     become candidates, verified by full-fingerprint Hamming distance
     ≤ ``max_hamming``.
 
-    The (id, fingerprint) projection is persisted before banding: the
-    bucket self-join and the width-guard aggregation would otherwise
-    each re-evaluate the O(tokens·bits) fingerprint expression — ~5
-    recomputes of the most expensive narrow stage (measured 3× slower
-    unpersisted at sf0.1). Two bigints per doc, a sliver of the input;
-    pass a :class:`CacheScope` to own the release point.
+    The (id, fingerprint) projection is persisted before banding when
+    a :class:`CacheScope` is passed: the bucket self-join and the
+    width-guard aggregation otherwise each re-evaluate the
+    O(tokens·bits) fingerprint expression — ~5 recomputes of the most
+    expensive narrow stage (measured 3× slower unpersisted at sf0.1).
+    Two bigints per doc, a sliver of the input. Persisting is OPT-IN
+    (scope owns the release point, as the registered queries do);
+    ``cache=None`` never persists, so bare calls recompute but don't
+    leak a cache entry (ADVICE r4).
 
     This is the classic simhash dedup table scheme: a pair within
     Hamming distance d collides on some slice whenever d < bands
@@ -509,14 +529,13 @@ def simhash_neardup_pairs(
         raise ValueError(f"bands ({bands}) must evenly divide bits ({bits})")
     from ed_housing_data_pipeline_spark.functions.text import tokens  # noqa: PLC0415
 
-    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
-
     width = bits // bands
     mask = (1 << width) - 1
     fp = scale_out(df.filter(F.size(tokens(text_col)) > 0)).select(
         F.col(id_col), simhash(text_col, bits=bits, hash_fn=hash_fn).alias("_fp")
     )
-    fp = cache.add(fp) if cache is not None else fp.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache is not None:
+        fp = cache.add(fp)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -70,13 +70,16 @@ def sharded_running_sum(
 
     1. shard-local running sum — window partitioned by
        (partition_by…, shard): parallelism = #shards, not #sources;
-    2. per-shard totals taken FROM the window output (the running sum
-       at the shard's max ``order_by`` row IS the shard total via
-       ``max_by``) → per-partition exclusive prefix over shard totals
-       — a window over #shards rows per partition key, tiny. Deriving
-       totals from the same windowed frame (not the raw input) lets
-       Spark reuse the one (partition, shard) exchange instead of
-       scanning + deriving ``value_col`` twice;
+    2. per-shard totals = ``SUM(value)`` grouped over the SAME
+       windowed frame → per-partition exclusive prefix over shard
+       totals — a window over #shards rows per partition key, tiny.
+       Aggregating the frame that already carries the (partition,
+       shard) exchange lets Spark reuse that one shuffle instead of
+       scanning + deriving ``value_col`` twice. (A ``max_by(local_cum,
+       order_by)`` variant would be wrong under duplicated ``order_by``
+       values: ties make the arg-max row arbitrary and its running sum
+       can exclude sibling tied rows, corrupting every later shard's
+       offset — ``SUM`` is tie-safe and costs the same.)
     3. broadcast the (partition, shard) → offset table back and add.
 
     Pick the shard span so one shard ≈ one comfortable task (10^5-10^6
@@ -91,7 +94,7 @@ def sharded_running_sum(
     )
     local = sh.withColumn(local_c, F.sum(value_col).over(w_local))
     totals = local.groupBy(*partition_by, shard_c).agg(
-        F.max_by(local_c, F.col(order_by)).alias("_tot")
+        F.sum(value_col).alias("_tot")
     )
     w_off = (
         Window.partitionBy(*partition_by)

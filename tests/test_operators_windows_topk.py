@@ -90,6 +90,36 @@ def test_sharded_running_sum_matches_naive_window(spark):
     assert got == naive
 
 
+def test_sharded_running_sum_tied_order_keys_exact(spark):
+    """Regression (ADVICE r4): duplicated order_by values within a
+    (partition, shard) must not understate the shard total. The old
+    max_by(local_cum, order_by) picked an arbitrary tied row whose
+    running sum could exclude its tied siblings, corrupting every later
+    shard's offset; shard totals are now SUM(value) and tie-safe.
+
+    With ties the within-tie running sum is itself order-ambiguous, so
+    the exact assertion is on per-shard BOUNDARIES: the cum at each
+    shard's last row (any tied order) must equal the true prefix total,
+    and the multiset of cums inside a tie group is a contiguous run.
+    """
+    # 4 rows per order value, 8 order values per shard of span 8 → every
+    # shard's max order_by is a 4-way tie.
+    data = [(v, "s", 1) for v in range(64) for _ in range(4)]
+    df = spark.createDataFrame(data, "ord long, source string, n long")
+    out = windows.sharded_running_sum(
+        df, "n", ["source"], "ord", shard=F.floor(F.col("ord") / 8), out_col="cum"
+    ).collect()
+    # global exactness independent of tie order: the multiset of cums
+    # must be exactly 1..256 (each row consumes one unit)
+    assert sorted(r["cum"] for r in out) == list(range(1, 257))
+    # and each order value's cums occupy its true contiguous range
+    by_ord: dict[int, list[int]] = {}
+    for r in out:
+        by_ord.setdefault(r["ord"], []).append(r["cum"])
+    for v, cums in by_ord.items():
+        assert sorted(cums) == list(range(4 * v + 1, 4 * v + 5))
+
+
 def test_sharded_running_sum_skewed_source_parallelizes(spark):
     """The giant-source guard: with one skewed source the main window
     must partition on (source, shard) — never a single task per
