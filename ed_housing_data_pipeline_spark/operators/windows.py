@@ -67,19 +67,64 @@ def monotone_value_shard(
     return F.when(c.isNull(), null_bucket).otherwise(bucket)
 
 
+def quantile_shard(
+    df: DataFrame,
+    key: str,
+    ascending: bool = True,
+    nulls_last: bool = True,
+    num_shards: int | None = None,
+    relative_error: float | None = None,
+) -> Column:
+    """Deterministic, balanced shard expression for :func:`global_rank`
+    over a NUMERIC key, learned from the data.
+
+    One lightweight sampling job (``approxQuantile`` — Greenwald-Khanna,
+    driver holds only ``num_shards - 1`` doubles) yields cut points;
+    the returned Column buckets each row by counting boundaries ≤ value
+    (≥ for DESC), a pure function of the value — so every evaluation
+    site agrees, unlike ``spark_partition_id()`` after an independent
+    range exchange. Equal keys always share a bucket and the bucket id
+    is monotone in the requested global order; NULLs map to the extreme
+    bucket matching their placement. Boundary quality only affects
+    balance, never correctness.
+
+    Per-row cost is O(num_shards) comparisons inside a JVM higher-order
+    function — keep ``num_shards`` near cluster parallelism (default),
+    not per-row-granular."""
+    n = num_shards or df.sparkSession.sparkContext.defaultParallelism
+    err = relative_error if relative_error is not None else max(0.001, 0.25 / n)
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(key, probs, err))) if probs else []
+    c = F.col(key)
+    if not bounds:  # ≤1 distinct non-null value: a single bucket is exact
+        bucket = F.lit(0).cast("bigint")
+    else:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        cmp = (lambda b: b <= c) if ascending else (lambda b: b >= c)
+        bucket = F.size(F.filter(arr, cmp)).cast("bigint")
+    null_bucket = F.lit((1 << 60) if nulls_last else -(1 << 60)).cast("bigint")
+    return F.when(c.isNull(), null_bucket).otherwise(bucket)
+
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
 def global_rank(
     df: DataFrame,
-    ordering: Column,
+    key: str | Column,
+    ascending: bool = True,
+    nulls_last: bool = True,
     shard: Column | None = None,
     out_col: str = "rnk",
     method: str = "rank",
     num_partitions: int | None = None,
+    extra_order: Sequence[Column] = (),
 ) -> DataFrame:
     """Scale-safe global ``rank()``/``row_number()`` — the fix for the
     classic ``WindowExec: No Partition Defined`` scale-killer: an
     unpartitioned window moves the WHOLE table through one task, fine
-    for the reference's ≤200-county gold table, fatal for a fact table
-    at 100 TB.
+    for the reference's ≤200-county gold table (view_gold.py:94-113),
+    fatal for a fact table at 100 TB.
 
     Decomposition (same two-pass shape as :func:`sharded_running_sum`):
 
@@ -94,32 +139,65 @@ def global_rank(
        within-shard rank. (``dense_rank`` would need distinct-value
        offsets — unsupported here.)
 
-    ``shard`` must be non-NULL, deterministic, and monotone
-    non-decreasing in the global order, with ties mapped to one shard
-    — :func:`monotone_value_shard` builds one from a numeric key with
-    no extra pass over the data, so the whole plan costs ONE shuffle.
-    With ``shard=None`` the shard key is derived by range
-    repartitioning on the ordering + ``spark_partition_id()`` —
-    domain-free, but that costs a second exchange (range + hash);
-    prefer an explicit shard when the key's domain is known.
+    Shard resolution, best first:
+
+    - explicit ``shard`` Column (must be non-NULL, deterministic,
+      monotone non-decreasing in the global order, ties on one shard —
+      :func:`monotone_value_shard` builds one from a known domain with
+      zero extra passes);
+    - numeric ``key`` named by string → :func:`quantile_shard`
+      (one sampling job, then a value-deterministic bucket expression).
+      The full table shuffles ONCE (hash on shard for the window); the
+      shard-count branch re-scans just the key column and partially
+      aggregates map-side, so its shuffle is #shards rows;
+    - otherwise ``repartitionByRange`` on the ordering +
+      ``spark_partition_id()``. Domain-free, but each plan branch
+      re-derives the range exchange (column pruning defeats
+      ReuseExchange), so the key column crosses the wire twice, and
+      consistency leans on RangePartitioner's deterministic sampling
+      over identical input splits.
+
+    ``extra_order`` appends tie-break orderings WITHIN the window only
+    — sharding still keys on the primary alone, which stays exact
+    because the shard is monotone in the composite order (primary
+    monotone, primary-ties co-sharded).
     """
     fn = {"rank": F.rank, "row_number": F.row_number}[method]
     shard_c, local_c, off_c = "_gr_shard", "_gr_local", "_gr_off"
-    if shard is None:
-        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-        # Range partitioning assigns equal keys to one partition, so
-        # partition id is a valid tie-preserving monotone shard. Both
-        # plan branches below hang off this same exchange and Spark's
-        # ReuseExchange dedups them, so the sampled boundaries are
-        # computed once and stay consistent.
-        sh = df.repartitionByRange(n, ordering).withColumn(
-            shard_c, F.spark_partition_id().cast("bigint")
+    if isinstance(key, str):
+        ordering = order_col(key, ascending=ascending, nulls_last=nulls_last)
+        key_is_numeric = any(
+            f.dataType.simpleString().startswith(_NUMERIC_PREFIXES)
+            for f in df.schema.fields
+            if f.name == key
         )
     else:
+        if ascending:
+            ordering = key.asc_nulls_last() if nulls_last else key.asc_nulls_first()
+        else:
+            ordering = key.desc_nulls_last() if nulls_last else key.desc_nulls_first()
+        key_is_numeric = False
+    if shard is not None:
         sh = df.withColumn(shard_c, shard)
-    w_local = Window.partitionBy(shard_c).orderBy(ordering)
+    elif key_is_numeric:
+        sh = df.withColumn(
+            shard_c,
+            quantile_shard(
+                df,
+                key,
+                ascending=ascending,
+                nulls_last=nulls_last,
+                num_shards=num_partitions,
+            ),
+        )
+    else:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        sh = df.repartitionByRange(n, ordering, *extra_order).withColumn(
+            shard_c, F.spark_partition_id().cast("bigint")
+        )
+    w_local = Window.partitionBy(shard_c).orderBy(ordering, *extra_order)
     local = sh.withColumn(local_c, fn().over(w_local))
-    counts = local.groupBy(shard_c).agg(F.count(F.lit(1)).alias("_n"))
+    counts = sh.groupBy(shard_c).agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
         Window.orderBy(shard_c).rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -130,6 +208,56 @@ def global_rank(
         local.join(F.broadcast(offsets), [shard_c])
         .withColumn(out_col, F.col(local_c) + F.col(off_c))
         .drop(shard_c, local_c, off_c)
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    key: str | Column,
+    n_tiles: int,
+    ascending: bool = True,
+    nulls_last: bool = True,
+    out_col: str = "tile",
+    extra_order: Sequence[Column] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global ``ntile(k)`` — same scale-killer class as the
+    unpartitioned rank (the whole table through one ``WindowExec``).
+
+    ``ntile`` is a pure function of (global row_number, total count):
+    with ``q = n div k`` and ``r = n mod k``, the first ``r`` tiles
+    hold ``q + 1`` rows and the rest ``q`` — exactly Spark's and
+    DuckDB's remainder placement. So: distributed row_number via
+    :func:`global_rank`, a 1-row total-count broadcast, then closed-form
+    arithmetic. No single-partition exchange anywhere.
+    """
+    rn_c, n_c = "_nt_rn", "_nt_n"
+    ranked_df = global_rank(
+        df,
+        key,
+        ascending=ascending,
+        nulls_last=nulls_last,
+        out_col=rn_c,
+        method="row_number",
+        num_partitions=num_partitions,
+        extra_order=extra_order,
+    )
+    total = df.agg(F.count(F.lit(1)).alias(n_c))
+    rn, n = F.col(rn_c), F.col(n_c)
+    k = F.lit(n_tiles).cast("bigint")
+    idiv = lambda a, b: F.floor(a / b).cast("bigint")  # noqa: E731 — operands ≥ 0
+    q, r = idiv(n, k), n % k
+    big_span = r * (q + F.lit(1))
+    tile = F.when(rn <= big_span, idiv(rn + q, q + F.lit(1))).otherwise(
+        # q = 0 implies rn <= n = big_span, so this branch never
+        # divides by zero (floor(x/0) on doubles is NULL/Inf, never
+        # taken — when/otherwise evaluates lazily per row)
+        r + idiv(rn - big_span - F.lit(1), q) + F.lit(1)
+    )
+    return (
+        ranked_df.join(F.broadcast(total), how="cross")
+        .withColumn(out_col, tile.cast("bigint"))
+        .drop(rn_c, n_c)
     )
 
 

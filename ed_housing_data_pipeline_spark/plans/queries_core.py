@@ -278,11 +278,14 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rank_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global rank ASC NULLS LAST — W1 (reference view_gold.py:97).
-    Unpartitioned window: single-partition exchange, dimension-scale only."""
+
+    The reference only ever ranks its ≤200-county gold table, but
+    TPC-H customer scales with SF, so the engine query uses
+    :func:`windows.global_rank` (range-repartition → rank within
+    shards → broadcast prefix offsets) instead of the single-partition
+    unpartitioned window — identical output, no scale-killer."""
     customer = t(spark, sf_dir, "customer")
-    r = windows.ranked(
-        customer, {"rnk": windows.order_col("c_acctbal", ascending=True)}
-    )
+    r = windows.global_rank(customer, "c_acctbal", ascending=True)
     return r.select("c_custkey", F.col("rnk").cast("bigint").alias("rnk"))
 
 
@@ -295,11 +298,10 @@ def q_rank_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rank_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global rank DESC NULLS LAST — W2 (reference view_gold.py:98-99)."""
+    """Global rank DESC NULLS LAST — W2 (reference view_gold.py:98-99).
+    Scale-safe via :func:`windows.global_rank`; see q_rank_asc."""
     supplier = t(spark, sf_dir, "supplier")
-    r = windows.ranked(
-        supplier, {"rnk": windows.order_col("s_acctbal", ascending=False)}
-    )
+    r = windows.global_rank(supplier, "s_acctbal", ascending=False)
     return r.select("s_suppkey", F.col("rnk").cast("bigint").alias("rnk"))
 
 
@@ -757,14 +759,19 @@ def q_customer_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing (total order via the custkey tie-break so both
-    engines assign identical quartiles)."""
-    from pyspark.sql import Window
-
+    engines assign identical quartiles). Scale-safe: decomposed through
+    :func:`windows.global_ntile` (sharded row_number + closed-form tile
+    arithmetic) instead of one unpartitioned ntile window."""
     customer = t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return customer.select(
-        "c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    out = windows.global_ntile(
+        customer,
+        "c_acctbal",
+        n_tiles=4,
+        ascending=True,
+        out_col="quartile",
+        extra_order=[F.col("c_custkey").asc()],
     )
+    return out.select("c_custkey", "quartile")
 
 
 # ------------------------------------------------------- HAVING (A1+)

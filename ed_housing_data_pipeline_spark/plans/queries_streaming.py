@@ -21,38 +21,29 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
-
 from ed_housing_data_pipeline_spark.plans._base import t
+from ed_housing_data_pipeline_spark.sources import tables
 from ed_housing_data_pipeline_spark.plans.registry import register
 from ed_housing_data_pipeline_spark.session import ensure_runtime_confs
 from ed_housing_data_pipeline_spark.streaming import events as se
 
-# Physical schema of the driver's events.parquet under
-# spark.sql.legacy.parquet.nanosAsLong=true: ts is INT64 nanoseconds
-# (see sources/tables.events_with_ts for the batch twin).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table with ``ts`` as a µs timestamp
-    (same ns→µs truncation as the batch path, so oracles agree)."""
+    (same normalization as the batch path, so oracles agree).
+
+    FileStreamSource needs an explicit schema, and the physical shape
+    of ``ts`` varies by testdata generation (INT64 nanos under
+    ``nanosAsLong`` vs plain µs TIMESTAMP_NTZ) — so probe the batch
+    reader's inferred schema (a footer read, no data scan) and reuse
+    it, then normalize via the shared helper."""
     ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # Glob, not the bare file path: FileStreamSource requires its
     # basePath to be a directory, and the glob's parent dir is one.
     raw = se.read_events_stream(
-        spark, f"{sf_dir}/events.parque[t]", schema=_EVENTS_RAW_SCHEMA
+        spark, f"{sf_dir}/events.parque[t]", schema=schema
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return tables.normalize_event_ts(raw)
 
 
 def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -376,17 +377,25 @@ def write_snapshot(
     window a single mutable pointer file would have). A crash before
     the rename leaves an orphaned v=N dir that no reader resolves;
     the next write claims version N+1 and the orphan is swept by
-    :func:`expire_snapshots`."""
+    :func:`expire_snapshots` once it is provably stale (see the
+    ``_INTENT.v<N>`` marker below)."""
     data_versions = snapshot_versions(spark, dataset_root)
     committed = _committed_version(spark, dataset_root)
     version = max(data_versions[-1] if data_versions else 0, committed or 0) + 1
     path = _snapshot_dir(dataset_root, version)
+    root = dataset_root.rstrip("/")
+    jvm, fs = _fs(spark, root)
+    # declare intent BEFORE any data lands: a concurrent
+    # expire_snapshots sees the marker (or the young dir) and leaves
+    # the in-flight version alone until the grace period passes
+    intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.v{version}")
+    out = fs.create(intent, True)
+    out.write(str(version).encode("ascii"))
+    out.close()
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    root = dataset_root.rstrip("/")
-    jvm, fs = _fs(spark, root)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
     final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.v{version}")
     out = fs.create(tmp, True)
@@ -394,8 +403,9 @@ def write_snapshot(
     out.close()
     if not fs.rename(tmp, final):
         raise RuntimeError(f"could not commit pointer {root}/_LATEST.v{version}")
-    # sweep superseded pointer files (AFTER the new one is visible —
-    # readers take the max, so stale ones are harmless if this dies)
+    # cleanup AFTER the new pointer is visible — readers take the max,
+    # so stale pointers/markers are harmless if this dies mid-sweep
+    fs.delete(intent, False)
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(root)):
         name = st.getPath().getName()
         if name.startswith("_LATEST.v") and name != f"_LATEST.v{version}":
@@ -414,13 +424,26 @@ def read_snapshot(spark, dataset_root: str, version: int | None = None) -> DataF
     return spark.read.parquet(_snapshot_dir(dataset_root, version))
 
 
-def expire_snapshots(spark, dataset_root: str, keep_latest: int) -> list[int]:
+def expire_snapshots(
+    spark,
+    dataset_root: str,
+    keep_latest: int,
+    orphan_grace_sec: float = 24 * 3600,
+) -> list[int]:
     """Drop old snapshot directories, keeping the newest
     ``keep_latest`` COMMITTED versions. The committed (pointed-to)
-    version is never dropped regardless of ``keep_latest``; orphaned
-    uncommitted dirs NEWER than the committed version (a writer crash
-    before its pointer rename) are swept too. Same wipe-guard contract
-    as :func:`expire_partitions`."""
+    version is never dropped regardless of ``keep_latest``. Same
+    wipe-guard contract as :func:`expire_partitions`.
+
+    Uncommitted dirs NEWER than the committed version are either a
+    crashed writer's debris or a LIVE writer that has not yet flipped
+    its pointer — indistinguishable by name alone. They are swept only
+    when provably stale: the newest modification time among the
+    version's ``_INTENT.v<N>`` marker (written before any data —
+    see :func:`write_snapshot`) and the data directory itself must be
+    older than ``orphan_grace_sec``. This makes expiry safe to run
+    from a cron alongside the (single) writer: an in-flight write is
+    always younger than any sane grace period."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
     committed = _committed_version(spark, dataset_root)
@@ -429,11 +452,34 @@ def expire_snapshots(spark, dataset_root: str, keep_latest: int) -> list[int]:
         v for v in versions if committed is not None and v <= committed
     ]
     drop = [v for v in committed_versions[:-keep_latest] if v != committed]
-    # orphans: data dirs above the committed pointer are failed writes
-    drop += [v for v in versions if committed is not None and v > committed]
     jvm, fs = _fs(spark, dataset_root)
+    root = dataset_root.rstrip("/")
+    now_ms = time.time() * 1000.0
+
+    def _mtime_ms(path: str) -> float | None:
+        jp = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(jp):
+            return None
+        return float(fs.getFileStatus(jp).getModificationTime())
+
+    stale_orphans = []
+    for v in versions:
+        if committed is not None and v > committed:
+            marks = [
+                m
+                for m in (
+                    _mtime_ms(f"{root}/_INTENT.v{v}"),
+                    _mtime_ms(_snapshot_dir(root, v)),
+                )
+                if m is not None
+            ]
+            if marks and now_ms - max(marks) > orphan_grace_sec * 1000.0:
+                stale_orphans.append(v)
+    drop += stale_orphans
     for v in sorted(drop):
         fs.delete(jvm.org.apache.hadoop.fs.Path(_snapshot_dir(dataset_root, v)), True)
+        if v in stale_orphans:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.v{v}"), False)
     return sorted(drop)
 
 

@@ -33,21 +33,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table with ``ts`` as a proper µs timestamp.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a session-TZ µs TIMESTAMP,
+    whatever physical shape the lake stored it in:
 
-    The testdata stores ``ts`` as INT64 TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by
-    :func:`session.ensure_runtime_confs`) it arrives as bigint
-    nanoseconds. ``timestamp_micros(ts DIV 1000)`` truncates ns→µs —
-    the same truncation DuckDB applies when it reads TIMESTAMP_NS into
-    its µs TIMESTAMP, so oracle comparisons agree exactly.
+    - INT64 TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` → bigint ns →
+      ``timestamp_micros(ts DIV 1000)`` (the same ns→µs truncation
+      DuckDB applies reading TIMESTAMP_NS, so oracles agree exactly);
+    - TIMESTAMP_NTZ (plain µs parquet timestamp, isAdjustedToUTC=false,
+      the round-5 testdata shape) → cast to TIMESTAMP — an identity on
+      the instant under the engine's pinned UTC session timezone;
+    - TIMESTAMP → already canonical.
     """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` as a proper µs timestamp
+    (see :func:`normalize_event_ts` for the accepted physical shapes)."""
     from ed_housing_data_pipeline_spark.session import ensure_runtime_confs  # noqa: PLC0415
 
     ensure_runtime_confs(spark)
-    df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

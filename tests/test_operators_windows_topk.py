@@ -136,3 +136,153 @@ def test_sharded_running_sum_skewed_source_parallelizes(spark):
     # the heavy (per-row) window is keyed by the shard column, so the
     # 5000-row source spreads over ~20 hash partitions instead of 1
     assert "_prefix_shard" in plan
+
+
+def _rank_fixture(spark, seed_rows=400):
+    """Values with heavy ties (mod 17), NULLs sprinkled in, plus a
+    unique id so results compare positionally."""
+    data = [
+        (i, None if i % 29 == 0 else float((i * 7) % 17)) for i in range(seed_rows)
+    ]
+    return spark.createDataFrame(data, "id long, v double")
+
+
+def _naive_global_rank(spark, df, ascending, method="rank"):
+    from pyspark.sql import Window
+
+    oc = windows.order_col("v", ascending=ascending)
+    fn = {"rank": F.rank, "row_number": F.row_number}[method]
+    return df.withColumn("rnk", fn().over(Window.orderBy(oc)))
+
+
+def test_global_rank_quantile_path_matches_naive(spark):
+    """Numeric string key → quantile_shard path: exact vs the
+    single-partition window, ties and NULLs included, both orders."""
+    df = _rank_fixture(spark)
+    for ascending in (True, False):
+        got = rows(
+            windows.global_rank(df, "v", ascending=ascending), "id", "rnk"
+        )
+        want = rows(_naive_global_rank(spark, df, ascending), "id", "rnk")
+        assert got == want, f"ascending={ascending}"
+
+
+def test_global_rank_row_number_total_order(spark):
+    """row_number yields a permutation of 1..n consistent with the
+    global order (ties may permute, so check order of v, not ids)."""
+    df = _rank_fixture(spark, 200)
+    out = windows.global_rank(df, "v", ascending=True, method="row_number").collect()
+    assert sorted(r["rnk"] for r in out) == list(range(1, 201))
+    by_rnk = sorted(out, key=lambda r: r["rnk"])
+    vals = [r["v"] for r in by_rnk]
+    non_null = [v for v in vals if v is not None]
+    assert non_null == sorted(non_null)
+    assert all(v is None for v in vals[len(non_null):])  # NULLS LAST
+
+
+def test_global_rank_range_fallback_path(spark):
+    """Column-expression key (non-numeric-string) → repartitionByRange
+    fallback; still exact."""
+    df = _rank_fixture(spark)
+    got = rows(
+        windows.global_rank(df, F.col("v") * 2, ascending=True), "id", "rnk"
+    )
+    want = rows(_naive_global_rank(spark, df, True), "id", "rnk")
+    assert got == want
+
+
+def test_global_rank_explicit_shard(spark):
+    df = _rank_fixture(spark)
+    shard = windows.monotone_value_shard("v", span=3.0, ascending=False)
+    got = rows(
+        windows.global_rank(df, "v", ascending=False, shard=shard), "id", "rnk"
+    )
+    want = rows(_naive_global_rank(spark, df, False), "id", "rnk")
+    assert got == want
+
+
+def test_global_rank_degenerate_inputs(spark):
+    # all-NULL key and single-value key: quantile boundaries are empty
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    assert sorted(
+        r["rnk"] for r in windows.global_rank(all_null, "v").collect()
+    ) == [1, 1]
+    one_val = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "id long, v double")
+    assert sorted(
+        r["rnk"] for r in windows.global_rank(one_val, "v").collect()
+    ) == [1, 1, 1]
+
+
+def test_global_rank_no_single_partition_window_over_input(spark):
+    """The whole point: the windowed full-table pass must be
+    partitioned. Only the bounded shard-count frame (post-aggregate)
+    may use an unpartitioned window."""
+    df = _rank_fixture(spark)
+    good = windows.global_rank(df, "v")._jdf.queryExecution().sparkPlan()
+    assert not _unbounded_global_windows(good)
+    # and the walker itself must catch the naive shape (not vacuous)
+    naive = (
+        windows.ranked(df, {"r": windows.order_col("v")})
+        ._jdf.queryExecution()
+        .sparkPlan()
+    )
+    assert _unbounded_global_windows(naive)
+
+
+def _unbounded_global_windows(plan) -> list[str]:
+    """WindowExec nodes with an empty partitionSpec whose subtree has
+    no Aggregate (i.e. unbounded input straight through one task).
+    Pass ``queryExecution().sparkPlan()`` — the post-AQE
+    ``executedPlan()`` wraps the tree in AdaptiveSparkPlanExec, whose
+    ``children()`` is empty, which would make the walk vacuous."""
+    out = []
+
+    def subtree_has_agg(node) -> bool:
+        if "Aggregate" in node.getClass().getSimpleName():
+            return True
+        return any(
+            subtree_has_agg(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "WindowExec" and node.partitionSpec().size() == 0:
+            if not subtree_has_agg(node):
+                out.append(node.toString().splitlines()[0])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    return out
+
+
+def test_global_ntile_matches_naive(spark):
+    """Closed-form tile arithmetic vs Spark's ntile, across tile counts
+    that do and don't divide n evenly, with ties broken by id."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, float((i * 3) % 5)) for i in range(103)], "id long, v double"
+    )
+    for k in (2, 4, 7, 103, 200):
+        naive = df.withColumn(
+            "tile",
+            F.ntile(k)
+            .over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+            .cast("bigint"),
+        )
+        got = windows.global_ntile(
+            df, "v", n_tiles=k, extra_order=[F.col("id").asc()]
+        )
+        assert rows(got, "id", "tile") == rows(naive, "id", "tile"), k
+
+
+def test_global_ntile_plan_has_no_unpartitioned_window(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 9)) for i in range(50)], "id long, v double"
+    )
+    out = windows.global_ntile(df, "v", n_tiles=4, extra_order=[F.col("id").asc()])
+    assert not _unbounded_global_windows(out._jdf.queryExecution().sparkPlan())

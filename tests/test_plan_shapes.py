@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
+def dfs(spark):
     from ed_housing_data_pipeline_spark.plans import queries_llm
 
     ensure_runtime_confs(spark)
@@ -22,11 +22,18 @@ def plans(spark):
     queries_llm.AUDIT_LAZY_PLANS = True
     try:
         for name, fn in query_map().items():
-            df = fn(spark, SF)
-            out[name] = df._jdf.queryExecution().executedPlan().toString()
+            out[name] = fn(spark, SF)
     finally:
         queries_llm.AUDIT_LAZY_PLANS = False
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(dfs):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in dfs.items()
+    }
 
 
 def test_no_cartesian_products(plans):
@@ -94,3 +101,19 @@ def test_joins_are_broadcast(plans):
 
 def test_filter_pushdown_reaches_scan(plans):
     assert "PushedFilters: [IsNotNull(l_returnflag)" in plans["filter_project"]
+
+
+def test_no_single_partition_window_over_base_tables(dfs):
+    """The last scale-killer class: an unpartitioned window whose
+    input is NOT bounded by an aggregate moves the whole table through
+    one task. Every registered plan must be free of it (r4 VERDICT
+    'What's wrong #1' — the W1/W2 global ranks now decompose through
+    operators.windows.global_rank)."""
+    from tests.test_operators_windows_topk import _unbounded_global_windows
+
+    offenders = {
+        name: hits
+        for name, df in dfs.items()
+        if (hits := _unbounded_global_windows(df._jdf.queryExecution().sparkPlan()))
+    }
+    assert not offenders, f"single-partition windows over unbounded input: {offenders}"

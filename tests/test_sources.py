@@ -390,10 +390,54 @@ def test_snapshot_crash_before_commit_is_invisible_and_swept(spark, tmp_path):
     d3 = spark.createDataFrame([(3, "c")], "id int, v string")
     assert lake.write_snapshot(spark, d3, root) == 3
     assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"c"}
-    # keep_latest=1: drops committed v=1 and the v=2 orphan, keeps v=3
+    # the crash debris must age past the orphan grace before the sweep
+    # may touch it (a young uncommitted dir could be a live writer)
+    _backdate(f"{root}/v=2", days=2)
+    # keep_latest=1: drops committed v=1 and the stale v=2 orphan
     assert lake.expire_snapshots(spark, root, keep_latest=1) == [1, 2]
     assert lake.snapshot_versions(spark, root) == [3]
     assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"c"}
+
+
+def _backdate(path, days):
+    """Rewind mtime so the orphan-grace gate sees the path as stale."""
+    import os
+    import time
+
+    old = time.time() - days * 86400
+    os.utime(path, (old, old))
+
+
+def test_expire_snapshots_spares_inflight_writer(spark, tmp_path):
+    """The ADVICE race: a second process is mid-write_snapshot (data
+    landed or landing, pointer not yet flipped) while a retention cron
+    fires. The young version — signalled by the _INTENT marker and the
+    dir mtime — must survive; once stale (writer truly dead) it goes."""
+    root = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert lake.write_snapshot(spark, d1, root) == 1
+    # freeze a write_snapshot at the point where intent + data exist
+    # but the pointer rename has not happened yet
+    with open(f"{root}/_INTENT.v2", "w") as f:
+        f.write("2")
+    spark.createDataFrame([(2, "b")], "id int, v string").write.parquet(
+        f"{root}/v=2"
+    )
+    assert lake.expire_snapshots(spark, root, keep_latest=1) == []
+    assert lake.snapshot_versions(spark, root) == [1, 2]  # v2 intact
+    # a fresh intent alone keeps the version alive even if the data
+    # dir is old (writer still mid-flight on a slow job)
+    _backdate(f"{root}/v=2", days=2)
+    assert lake.expire_snapshots(spark, root, keep_latest=1) == []
+    # writer is truly dead: both signals stale -> swept, marker too
+    _backdate(f"{root}/_INTENT.v2", days=2)
+    assert lake.expire_snapshots(spark, root, keep_latest=1) == [2]
+    assert lake.snapshot_versions(spark, root) == [1]
+    import os
+
+    assert not os.path.exists(f"{root}/_INTENT.v2")
+    # and the committed version still reads
+    assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"a"}
 
 
 def test_upsert_partitions_rejects_null_partition_and_lost_columns(spark, tmp_path):
