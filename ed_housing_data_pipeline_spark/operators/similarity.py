@@ -293,6 +293,46 @@ def _shard_oversized_buckets(
     return out, ["_salt"]
 
 
+def band_keys(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    prefix: str = "mh_",
+) -> DataFrame:
+    """Explode a MinHash signature frame to its LSH band-key rows
+    ``(id, band, key)`` — the shared first half of the self-join
+    (:func:`lsh_candidate_pairs`) and probe-join
+    (:func:`lsh_probe_pairs`) paths, and the exact shape a persisted
+    band INDEX stores on disk for incremental dedup."""
+    if bands <= 0 or bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"band_keys: bands ({bands}) must evenly divide "
+            f"n_hashes ({n_hashes}) — zero-width bands would collapse every "
+            "doc into one bucket (all-pairs explosion), and a remainder "
+            "would silently drop signature columns"
+        )
+    rows_per_band = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"{prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    # Docs with no shingles have NULL signatures; concat_ws would fold
+    # them all into one "" band key and pair every empty doc with every
+    # other — drop them before banding (the oracle's NULL keys never
+    # join, so this also keeps Spark/DuckDB behavior identical).
+    return (
+        sig.filter(F.col(f"{prefix}0").isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -319,32 +359,7 @@ def lsh_candidate_pairs(
     ``max_bucket_width=None`` disables the guard. Audit what the guard
     touched via :func:`oversized_bucket_stats` on the exploded keys.
     """
-    if bands <= 0 or bands > n_hashes or n_hashes % bands:
-        raise ValueError(
-            f"lsh_candidate_pairs: bands ({bands}) must evenly divide "
-            f"n_hashes ({n_hashes}) — zero-width bands would collapse every "
-            "doc into one bucket (all-pairs explosion), and a remainder "
-            "would silently drop signature columns"
-        )
-    rows_per_band = n_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ":", *[F.col(f"{prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    # Docs with no shingles have NULL signatures; concat_ws would fold
-    # them all into one "" band key and pair every empty doc with every
-    # other — drop them before banding (the oracle's NULL keys never
-    # join, so this also keeps Spark/DuckDB behavior identical).
-    exploded = (
-        sig.filter(F.col(f"{prefix}0").isNotNull())
-        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    exploded = band_keys(sig, id_col, n_hashes=n_hashes, bands=bands, prefix=prefix)
     # (id, band, key) is consumed by the width-guard aggregation AND
     # both self-join sides — unpersisted, each consumer re-runs the
     # md5+permutation signature pass (measured 3× the minhash cost at
@@ -380,6 +395,53 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_probe_pairs(
+    probe_bands: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    max_bucket_width: int | None = 1024,
+) -> DataFrame:
+    """Incremental LSH: candidate pairs between a NEW batch and a
+    PERSISTED band index — the cross-snapshot dedup shape. Both inputs
+    are ``(id, band, key)`` frames (:func:`band_keys`); the index side
+    is typically a parquet scan of a previously-written band table, so
+    the corpus is never re-shingled.
+
+    Returns distinct ``(id_probe, id_index)``. One equi-join on
+    (band, key): O(batch·bands + matched-bucket rows) — never
+    corpus×batch.
+
+    Width guard: for a probe join, salt-sharding (the self-join guard)
+    does NOT bound the pair count — replicating probes to every shard
+    reproduces every pair. The guard that does is the stop-band rule
+    (same reasoning as stop-shingles in contamination): an index
+    bucket wider than ``max_bucket_width`` is boilerplate carrying no
+    dedup signal, and every probe hitting it would fan out by the full
+    width — drop those buckets, deterministically (mirror the cap in
+    any oracle)."""
+    ib = index_bands
+    if max_bucket_width is not None:
+        wide = (
+            ib.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bw"))
+            .filter(F.col("_bw") > max_bucket_width)
+            .select("band", "key")
+        )
+        ib = ib.join(wide, ["band", "key"], "left_anti")
+    return (
+        probe_bands.alias("p")
+        .join(
+            ib.alias("i"),
+            on=[F.col("p.band") == F.col("i.band"), F.col("p.key") == F.col("i.key")],
+        )
+        .select(
+            F.col(f"p.{id_col}").alias("id_probe"),
+            F.col(f"i.{id_col}").alias("id_index"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_shingles(a: Column, b: Column) -> Column:
     """Set Jaccard over two shingle arrays; NULL when the union is empty."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
@@ -397,6 +459,7 @@ def near_dup_pairs(
     shingle_k: int = 3,
     hash_fn: HashFn | None = None,
     cache: CacheScope | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash → LSH bands → within-bucket verification join.
 
@@ -412,16 +475,24 @@ def near_dup_pairs(
     OPT-IN (pass a scope and own the release point, as the registered
     queries do); with ``cache=None`` nothing is persisted, so bare
     calls recompute but never leak a cache entry (ADVICE r4).
+
+    ``sig``: a precomputed ``(id, _sh, mh_*)`` signature frame (e.g.
+    the session-shared one the registered query family reuses, or a
+    parquet-persisted index) — when given, the scan+shingle+signature
+    pass is skipped entirely and caching it is the CALLER's concern.
     """
-    sh = scale_out(df).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh"),
-    )
-    if cache is not None:
-        sh = cache.add(sh)
-    sig = with_minhash_signature(
-        sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
-    )
+    if sig is not None:
+        sh = sig.select(F.col(id_col), "_sh")
+    else:
+        sh = scale_out(df).select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, k=shingle_k)).alias("_sh"),
+        )
+        if cache is not None:
+            sh = cache.add(sh)
+        sig = with_minhash_signature(
+            sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
+        )
     cand = lsh_candidate_pairs(
         sig, id_col, n_hashes=n_hashes, bands=bands, cache=cache
     )

@@ -1165,3 +1165,39 @@ def q_orders_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n"), 4).alias("avg_n"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
     )
+
+
+# ------------------------------------------------- snapshot lake (S8)
+@register(
+    "lake_snapshot_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name
+    FROM nation WHERE n_regionkey <= 1
+    """,
+)
+def q_lake_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the snapshot layer as a driver-checkable
+    query: write v1 (a filtered nation slice) and v2 (the full table)
+    through the write-once pointer commit, then TIME-TRAVEL back to the
+    pinned v1 — the returned rows must equal the v1 input, which is
+    what the oracle recomputes relationally. If the pointer protocol,
+    version isolation, or the pinned read ever regress, this row goes
+    red. The result is detached (localCheckpoint) before the temp
+    dataset root is deleted."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    nation = t(spark, sf_dir, "nation")
+    v1 = nation.filter(F.col("n_regionkey") <= 1).select("n_nationkey", "n_name")
+    v2 = nation.select("n_nationkey", "n_name")
+    with tempfile.TemporaryDirectory(prefix="lake_snap_rt_") as root:
+        ds = f"{root}/ds"
+        assert lake.write_snapshot(spark, v1, ds) == 1
+        assert lake.write_snapshot(spark, v2, ds) == 2
+        # the pointer must resolve to v2; the pin must see exactly v1
+        latest_n = lake.read_snapshot(spark, ds).count()
+        if latest_n != nation.count():
+            raise AssertionError(f"latest snapshot lost rows: {latest_n}")
+        pinned = lake.read_snapshot(spark, ds, version=1)
+        return pinned.localCheckpoint(eager=True)

@@ -522,3 +522,77 @@ def test_probe_arrow_matches_expr(spark):
     assert expr == arrow
     assert expr[6] is None and expr[7] is None
     assert expr[1] == [0, 1]  # nearest then next-nearest
+
+
+def test_lsh_probe_pairs_batch_vs_index(spark, tmp_path):
+    """Incremental probe join: candidates come ONLY from batch×index
+    band-key matches (never index×index or batch×batch), and the
+    stop-band cap drops oversized index buckets deterministically."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated corpus text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "nothing like anything else in any corpus anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    csig = sim.with_minhash_signature(corpus, "text", n_hashes=8)
+    bsig = sim.with_minhash_signature(batch, "text", n_hashes=8)
+    idx_path = str(tmp_path / "bands")
+    sim.band_keys(csig, "doc_id", n_hashes=8, bands=4).write.parquet(idx_path)
+    pairs = sim.lsh_probe_pairs(
+        sim.band_keys(bsig, "doc_id", n_hashes=8, bands=4),
+        spark.read.parquet(idx_path),
+        "doc_id",
+    )
+    got = {(r["id_probe"], r["id_index"]) for r in pairs.collect()}
+    assert got == {(100, 1), (100, 2)}
+    # corpus docs 1 and 2 are identical -> every band bucket holding
+    # them has width 2; cap=1 treats them as stop-bands and drops all
+    capped = sim.lsh_probe_pairs(
+        sim.band_keys(bsig, "doc_id", n_hashes=8, bands=4),
+        spark.read.parquet(idx_path),
+        "doc_id",
+        max_bucket_width=1,
+    )
+    assert capped.count() == 0
+
+
+def test_near_dup_pairs_with_external_sig_matches_internal(spark):
+    """The sig= reuse path (session-shared signature table) must give
+    byte-identical pairs to the self-contained path."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words live in this document here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    internal = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in sim.near_dup_pairs(
+            docs, "text", "doc_id", threshold=0.1, n_hashes=8, bands=4
+        ).collect()
+    }
+    from ed_housing_data_pipeline_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles("text", k=3)).alias("_sh")
+    )
+    sig = sim.with_minhash_signature(sh, "text", n_hashes=8, shingles_col="_sh")
+    external = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in sim.near_dup_pairs(
+            docs, "text", "doc_id", threshold=0.1, n_hashes=8, bands=4, sig=sig
+        ).collect()
+    }
+    assert internal == external and internal

@@ -103,6 +103,22 @@ def test_filter_pushdown_reaches_scan(plans):
     assert "PushedFilters: [IsNotNull(l_returnflag)" in plans["filter_project"]
 
 
+def test_incremental_neardup_probes_persisted_index(plans):
+    """The incremental dedup query must read the corpus from its
+    persisted band/shingle index (parquet), touching documents.parquet
+    only for the new batch — re-shingling the corpus per batch is the
+    O(corpus-per-ingest) anti-pattern the query exists to avoid."""
+    p = plans["doc_incremental_neardup"]
+    assert "incr_lsh_index_" in p
+    # every documents.parquet scan must be the batch side, i.e. carry
+    # the pushed source-equality filter (the probe and verify branches
+    # each scan the batch; neither may read the whole corpus)
+    for chunk in p.split("Scan parquet")[1:]:
+        loc = chunk.split("ReadSchema")[0]
+        if "documents.parquet" in loc:
+            assert "EqualTo(source,src0)" in loc, loc
+
+
 def test_no_single_partition_window_over_base_tables(dfs):
     """The last scale-killer class: an unpartitioned window whose
     input is NOT bounded by an aggregate moves the whole table through
