@@ -62,9 +62,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         df = qmap[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
         best = float("inf")
-        # best-of-3: host CPU contention showed 2× swings on single
-        # timed runs (round 4); the min of 3 is the stable honest cost
-        for _ in range(3):
+        # per-query min of 5: host CPU contention showed uniform
+        # 1.3-2× swings on single timed runs (rounds 4-5); the min
+        # across in-process repetitions is the stable honest cost
+        for _ in range(5):
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -460,6 +460,7 @@ def near_dup_pairs(
     hash_fn: HashFn | None = None,
     cache: CacheScope | None = None,
     sig: DataFrame | None = None,
+    max_bucket_width: int | None = 4096,
 ) -> DataFrame:
     """MinHash → LSH bands → within-bucket verification join.
 
@@ -494,7 +495,12 @@ def near_dup_pairs(
             sh, text_col, n_hashes=n_hashes, hash_fn=hash_fn, shingles_col="_sh"
         )
     cand = lsh_candidate_pairs(
-        sig, id_col, n_hashes=n_hashes, bands=bands, cache=cache
+        sig,
+        id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        cache=cache,
+        max_bucket_width=max_bucket_width,
     )
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
