@@ -170,8 +170,14 @@ def sample_frames(
     row-expanding mapInPandas shape (1 input row → n output rows).
 
     Default stays the deterministic stub: per-frame decode needs a
-    video codec (cv2/ffmpeg), which Pillow does not provide — pass a
-    real ``decode_fn`` on a cluster that ships one."""
+    video codec (cv2/ffmpeg), which neither Pillow nor the stdlib
+    provides — there is no always-available real path to gate to
+    (unlike audio's stdlib ``wave``). On a cluster shipping OpenCV,
+    pass a ``decode_fn`` that writes the payload to a temp file, opens
+    it with ``cv2.VideoCapture``, grabs evenly-spaced frame indices
+    via ``CAP_PROP_FRAME_COUNT`` + ``set(CAP_PROP_POS_FRAMES, i)``,
+    and returns each frame's (width, height, mean luma) — the Arrow
+    batching, 1→N row expansion, and schema here stay identical."""
     import pandas as pd  # noqa: PLC0415
 
     fn = decode_fn or _fake_decode
@@ -286,13 +292,76 @@ def resize_images(
 
 def _fake_audio_features(payload: bytes) -> tuple[float, float, int]:
     """DETERMINISTIC STUB audio feature extraction: (duration_s,
-    rms, sample_rate) derived from the payload digest — no audio codec
-    ships in this container. The Spark plumbing around it is real."""
+    rms, sample_rate) derived from the payload digest — the opt-in
+    fake for pipelines whose audio column holds synthetic placeholders
+    (pass ``extract_fn=_fake_audio_features``). The default is a REAL
+    decoder — see :func:`default_audio_fn`."""
     d = hashlib.md5(payload or b"").digest()
     duration_s = 1.0 + d[0] / 16.0
     rms = d[1] / 255.0
     sample_rate = 8000 * (1 + d[2] % 5)
     return duration_s, rms, sample_rate
+
+
+def _wave_audio_features(payload: bytes) -> tuple[float, float, int]:
+    """Real WAV decode via the stdlib ``wave`` module (always
+    available): (duration_s, rms in [0, 1], sample_rate) over all
+    channels of 8/16/32-bit PCM. Non-WAV/compressed payloads raise —
+    the tolerant default path maps them to NULL features."""
+    import array  # noqa: PLC0415
+    import io  # noqa: PLC0415
+    import math  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    duration_s = n / sr if sr else 0.0
+    code = {1: "b", 2: "h", 4: "i"}.get(width)
+    if code is None:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    samples = array.array(code, raw[: len(raw) - len(raw) % width])
+    if width == 1:
+        # 8-bit WAV is unsigned with a 128 midpoint
+        samples = array.array("h", (b - 128 for b in raw))
+        full = 127.0
+    else:
+        full = float(2 ** (8 * width - 1) - 1)
+    if not samples:
+        return duration_s, 0.0, sr
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / full
+    return duration_s, rms, sr
+
+
+def _soundfile_audio_features(payload: bytes) -> tuple[float, float, int]:
+    """Real decode via soundfile (any libsndfile format) — only
+    reachable when the library imports (see :func:`default_audio_fn`)."""
+    import io  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import soundfile as sf  # noqa: PLC0415
+
+    data, sr = sf.read(io.BytesIO(payload), dtype="float64", always_2d=False)
+    n = data.shape[0] if getattr(data, "shape", None) else 0
+    duration_s = n / sr if sr else 0.0
+    rms = float(np.sqrt(np.mean(np.square(data)))) if n else 0.0
+    return duration_s, rms, int(sr)
+
+
+def default_audio_fn():
+    """(extract_fn, is_real): soundfile when importable (any
+    libsndfile format), else the stdlib ``wave`` PCM parser — so the
+    default audio path is ALWAYS a real decoder (unlike images, where
+    losing Pillow forces the stub). Same executor-side resolution
+    contract as :func:`default_decode_fn`."""
+    try:
+        import soundfile  # noqa: F401, PLC0415
+
+        return _soundfile_audio_features, True
+    except ImportError:
+        return _wave_audio_features, True
 
 
 def audio_features(
@@ -303,21 +372,39 @@ def audio_features(
 ) -> DataFrame:
     """Audio feature extraction over opaque binary payloads:
     (duration_s, rms, sample_rate) per clip via Arrow ``mapInPandas``.
-    Same narrow batch shape as image decode; swap ``extract_fn`` for a
-    real decoder (librosa/soundfile) on a cluster that ships one —
-    this container has none, so the default is the deterministic
-    stub."""
+    Same narrow batch shape as image decode.
+
+    Default decoder resolution happens ON THE EXECUTOR
+    (:func:`default_audio_fn`: soundfile if present, else the stdlib
+    WAV parser), and undecodable payloads yield NULL features instead
+    of failing the scan — filter ``duration_s IS NULL`` for the
+    quarantine. An explicit ``extract_fn`` (e.g. the deterministic
+    :func:`_fake_audio_features` for placeholder corpora, or a
+    librosa wrapper) keeps its own error semantics."""
     import pandas as pd  # noqa: PLC0415
 
-    fn = extract_fn or _fake_audio_features
+    explicit = extract_fn
     schema = f"{id_col} long, duration_s double, rms double, sample_rate int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if explicit is not None:
+            fn, tolerant = explicit, False
+        else:
+            fn, _is_real = default_audio_fn()  # executor-local probe
+            tolerant = True
+
+        def one(b):
+            if b is None:
+                return (None, None, None)
+            if not tolerant:
+                return fn(bytes(b))
+            try:
+                return fn(bytes(b))
+            except Exception:
+                return (None, None, None)
+
         for pdf in it:
-            feats = [
-                (None, None, None) if b is None else fn(bytes(b))
-                for b in pdf[data_col]
-            ]
+            feats = [one(b) for b in pdf[data_col]]
             out = pd.DataFrame(
                 feats, columns=["duration_s", "rms", "sample_rate"]
             )

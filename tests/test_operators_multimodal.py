@@ -159,10 +159,86 @@ def test_resize_images_real_pil(spark):
         assert (img.width, img.height) == (8, 4)
 
 
-def test_audio_features_stub(spark):
-    out = mm.audio_features(_media(spark), "data", "media_id")
+def test_audio_features_explicit_stub(spark):
+    """The deterministic fake stays available as an explicit opt-in
+    for placeholder corpora (it is no longer the default)."""
+    out = mm.audio_features(
+        _media(spark), "data", "media_id", extract_fn=mm._fake_audio_features
+    )
     got = {r["media_id"]: r for r in out.collect()}
     assert got[5]["duration_s"] is None
     assert 1.0 <= got[1]["duration_s"] <= 17.0
     assert 0.0 <= got[1]["rms"] <= 1.0
     assert got[1]["sample_rate"] % 8000 == 0
+
+
+def _wav_bytes(sr=8000, seconds=0.5, amp=0.25, width=2, channels=1):
+    """In-memory PCM WAV: a full-scale-fraction square wave whose RMS
+    equals ``amp`` exactly — analytic ground truth for the decoder."""
+    import io
+    import wave
+
+    n = int(sr * seconds)
+    full = 2 ** (8 * width - 1) - 1
+    val = int(amp * full)
+    frames = bytearray()
+    for i in range(n):
+        s = val if i % 2 == 0 else -val
+        frames += int(s).to_bytes(width, "little", signed=True) * channels
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_audio_features_real_wave_default(spark):
+    """Default path = REAL decode (stdlib wave in this container):
+    duration/sample-rate exact, RMS matches the analytic square-wave
+    value; garbage and NULL payloads yield NULL features instead of
+    failing the job."""
+    wav = _wav_bytes(sr=16000, seconds=0.25, amp=0.5)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav)),
+            (2, bytearray(b"not audio at all")),
+            (3, None),
+        ],
+        "media_id long, data binary",
+    )
+    got = {r["media_id"]: r for r in mm.audio_features(df, "data", "media_id").collect()}
+    assert abs(got[1]["duration_s"] - 0.25) < 1e-9
+    assert got[1]["sample_rate"] == 16000
+    assert abs(got[1]["rms"] - 0.5) < 0.01
+    assert got[2]["duration_s"] is None and got[2]["sample_rate"] is None
+    assert got[3]["duration_s"] is None
+
+
+def test_audio_features_wave_stereo_and_8bit(spark):
+    import pytest
+
+    fn = mm._wave_audio_features
+    stereo = _wav_bytes(sr=8000, seconds=0.1, amp=0.3, width=2, channels=2)
+    d, rms, sr = fn(stereo)
+    assert (round(d, 3), sr) == (0.1, 8000) and abs(rms - 0.3) < 0.01
+    # 8-bit unsigned PCM
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128 + 64, 128 - 64] * 400))
+    d, rms, sr = fn(buf.getvalue())
+    assert sr == 8000 and abs(rms - 64 / 127) < 0.01
+    with pytest.raises(Exception):
+        fn(b"junk")
+
+
+def test_default_audio_fn_is_real_here(spark):
+    fn, is_real = mm.default_audio_fn()
+    assert is_real  # wave is stdlib — the real path always exists
