@@ -21,43 +21,48 @@ def test_driver_window_covers_every_family():
     """The driver's correctness harness checks the FIRST 50 registered
     queries; pin the window so every operator family — including all
     doc_/embedding_/streaming extension families — has a hard
-    driver-verified row. The window ROTATES between rounds (r4 swapped
-    ~12 r3-verified redundant-family slots for never-driver-verified
-    queries so the r3+r4 union covers 62 distinct names), but one
-    anchor per family may never leave."""
+    driver-verified row. The window ROTATES between rounds (r4 union
+    62 distinct names; r5 adds the 13 r4-registered queries plus the
+    new incremental-dedup/snapshot queries → r3∪r4∪r5 union 78). A
+    name may rotate OUT only if it is unchanged and already
+    driver-green in a prior round's CORRECTNESS file; the anchors
+    below are the per-family representatives of the CURRENT window
+    and may not silently regress out."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
     assert len(_PRIORITY_ORDER) == 50
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
-    # One representative per extension family MUST hold a driver row;
-    # as the surface grows past 50 queries, additional variants may
-    # rotate outside the window but these anchors may not regress out.
     must_have = {
         "doc_exact_dedup",          # exact dedup
-        "doc_minhash_signature",    # minhash sketch
+        "doc_minhash_signature",    # minhash sketch (shared-sig rewire)
         "doc_neardup_pairs",        # LSH banding + verify
+        "doc_incremental_neardup",  # batch-vs-persisted-index dedup (r5 new)
         "doc_dedup_clusters",       # connected-components dedup
-        "doc_simhash",              # simhash family
-        "doc_simhash_neardup",      # simhash banding pairs (r4 in)
-        "doc_fuzzy_pairs_levenshtein",  # edit-distance blocking
+        "doc_simhash_neardup",      # simhash family (stronger variant)
         "doc_lang_id_heuristic",    # text analysis
-        "doc_quality_score",
-        "doc_pii_scrub",            # PII redaction (r4 in)
-        "doc_crosssource_contamination",  # decontamination (r4 in)
-        "doc_pack_assignment",      # sequence packing (r4 in)
-        "doc_binary_bytes",         # multimodal plumbing
-        "embedding_knn_bruteforce", # ANN baseline
+        "doc_lang_confusion",       # lang-ID eval (r5 in)
+        "doc_gopher_quality_flags", # quality family (r5 in)
+        "doc_pii_scrub",            # PII redaction
+        "doc_crosssource_contamination",  # decontamination
+        "doc_pack_assignment",      # sequence packing (sharded prefix sum)
+        "doc_train_split",          # curation: deterministic split (r5 in)
+        "doc_stratified_sample",    # curation: sampling (r5 in)
         "embedding_knn_srp",        # LSH-bucketed ANN
         "embedding_neardup_pairs",  # cosine near-dup
-        "embedding_label_centroids",
+        "embedding_dedup_clusters", # semantic dedup components (r5 in)
+        "embedding_random_projection",  # dim reduction (r5 in)
         "events_stream_hourly",     # streaming twins
         "events_stream_dedup_count",
-        "events_stream_sliding",            # (r4 in)
-        "events_stream_join_view_purchase", # (r4 in)
+        "events_stream_sliding",
+        "events_stream_join_view_purchase",
+        "events_stream_enrich_category",  # stream-static enrich (r5 in)
+        "events_stream_upsert_sink",      # foreachBatch CDC sink (r5 in)
         "events_funnel_signup_purchase",
-        "events_retention_cohorts",
+        "lake_snapshot_roundtrip",  # snapshot layer e2e (r5 new)
+        "rank_asc_nulls_last",      # rewired global_rank (r5)
+        "customer_balance_quartiles",  # rewired global_ntile (r5)
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
