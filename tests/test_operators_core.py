@@ -240,3 +240,31 @@ def test_range_join_rejects_column_collision(spark):
     right = spark.createDataFrame([(2, "y", t0)], "id int, tag string, rts timestamp")
     with pytest.raises(ValueError, match="both"):
         joins.range_join_binned(left, right, "ts", "rts", 0, 60)
+
+
+def test_hll_approx_distinct_bound_and_merge(spark):
+    """Distributed cardinality sketching — the 100 TB COUNT(DISTINCT)
+    replacement: (a) approx_count_distinct lands within its rsd bound,
+    (b) per-group HLL sketches MERGE (hll_union_agg) to the same
+    estimate as sketching the whole column — the property that lets a
+    pipeline keep per-partition/per-day sketches and union them later
+    instead of rescanning."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 5000).alias("k"), (F.col("id") % 7).alias("g")
+    )
+    exact = 5000
+    approx = df.agg(F.approx_count_distinct("k", rsd=0.02).alias("a")).first()["a"]
+    assert abs(approx - exact) / exact < 0.08  # few sigma of rsd=2%
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("e")
+    ).first()["e"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("k").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert merged == whole  # sketch union is exact w.r.t. the sketch
+    assert abs(whole - exact) / exact < 0.08
