@@ -40,11 +40,14 @@ def ranked(
     fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[
         method
     ]
-    out = df
-    for name, ordering in rank_cols.items():
-        w = Window.partitionBy(*partition_by).orderBy(ordering)
-        out = out.withColumn(name, fn().over(w))
-    return out
+    # one select, not chained withColumns: every Dataset op triggers a
+    # full analysis pass, which is pure driver latency per plan build
+    new_cols = [
+        fn().over(Window.partitionBy(*partition_by).orderBy(ordering)).alias(name)
+        for name, ordering in rank_cols.items()
+    ]
+    keep = [c for c in df.columns if c not in rank_cols]
+    return df.select(*keep, *new_cols)
 
 
 def monotone_value_shard(

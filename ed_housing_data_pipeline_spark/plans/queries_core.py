@@ -359,12 +359,16 @@ def q_rank_sum_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_spend": windows.order_col("total_spend", ascending=False),
         },
     )
+    rank_cols = [
+        F.col(c).cast("bigint").alias(c)
+        for c in ("r_acctbal", "r_customers", "r_spend")
+    ]
     ranked = ranked.select(
         "n_name",
-        *[F.col(c).cast("bigint").alias(c) for c in ("r_acctbal", "r_customers", "r_spend")],
-    ).withColumn(
-        "overall_rank_sum",
-        F.col("r_acctbal") + F.col("r_customers") + F.col("r_spend"),
+        *rank_cols,
+        (F.col("r_acctbal") + F.col("r_customers") + F.col("r_spend"))
+        .cast("bigint")
+        .alias("overall_rank_sum"),
     )
     return topk.top_k(
         ranked, [F.col("overall_rank_sum").asc(), F.col("n_name").asc()], k=1
