@@ -28,10 +28,9 @@ def project_rename(df: DataFrame, keep: Mapping[str, str]) -> DataFrame:
 def coerce_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """String→double, invalid→NULL, for each named column
     (reference bronze_to_silver.py:96-98 ``pd.to_numeric(errors='coerce')``)."""
-    out = df
-    for c in cols:
-        out = out.withColumn(c, coerce_double(c))
-    return out
+    # one withColumns call — a withColumn per column would trigger one
+    # full analysis pass each (driver latency per plan build)
+    return df.withColumns({c: coerce_double(c) for c in cols})
 
 
 def with_columns(df: DataFrame, derived: Mapping[str, Column]) -> DataFrame:

@@ -134,8 +134,7 @@ def asof_join(
                 F.col("_m")
             ),
         )
-    for c in value_cols:
-        out = out.withColumn(c, F.col(f"_m.{c}"))
+    out = out.withColumns({c: F.col(f"_m.{c}") for c in value_cols})
     return out.filter(F.col("_side") == 1).drop("_side", "_m")
 
 

@@ -231,11 +231,13 @@ def with_minhash_signature(
         # (default-arg tricks change the arity PySpark inspects).
         return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
 
-    for i, (a, b) in enumerate(minhash_params(n_hashes)):
-        out = out.withColumn(
-            f"{prefix}{i}", F.array_min(F.transform(F.col("_hs"), _perm(a, b)))
-        )
-    return out.drop("_hs")
+    # one select, not n_hashes chained withColumns — each Dataset op is
+    # a full analysis pass (driver latency per plan build)
+    mh_cols = [
+        F.array_min(F.transform(F.col("_hs"), _perm(a, b))).alias(f"{prefix}{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    return out.select(*[c for c in out.columns if c != "_hs"], *mh_cols)
 
 
 def oversized_bucket_stats(
