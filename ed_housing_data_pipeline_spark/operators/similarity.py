@@ -423,13 +423,8 @@ def lsh_probe_pairs(
     any oracle)."""
     ib = index_bands
     if max_bucket_width is not None:
-        wide = (
-            ib.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_bw"))
-            .filter(F.col("_bw") > max_bucket_width)
-            .select("band", "key")
-        )
-        ib = ib.join(wide, ["band", "key"], "left_anti")
+        wide = oversized_bucket_stats(ib, ["band", "key"], max_bucket_width)
+        ib = ib.join(wide.select("band", "key"), ["band", "key"], "left_anti")
     return (
         probe_bands.alias("p")
         .join(

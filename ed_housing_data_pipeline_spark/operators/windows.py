@@ -66,8 +66,14 @@ def monotone_value_shard(
     bucket = F.floor(c / F.lit(float(span))).cast("bigint")
     if not ascending:
         bucket = -bucket
-    null_bucket = F.lit((1 << 60) if nulls_last else -(1 << 60)).cast("bigint")
-    return F.when(c.isNull(), null_bucket).otherwise(bucket)
+    return F.when(c.isNull(), _null_extreme_bucket(nulls_last)).otherwise(bucket)
+
+
+def _null_extreme_bucket(nulls_last: bool) -> Column:
+    """The shard id NULL keys map to: past every real bucket on the
+    side their ordering places them (shared by every shard builder so
+    null placement can never silently diverge)."""
+    return F.lit((1 << 60) if nulls_last else -(1 << 60)).cast("bigint")
 
 
 def quantile_shard(
@@ -105,11 +111,7 @@ def quantile_shard(
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         cmp = (lambda b: b <= c) if ascending else (lambda b: b >= c)
         bucket = F.size(F.filter(arr, cmp)).cast("bigint")
-    null_bucket = F.lit((1 << 60) if nulls_last else -(1 << 60)).cast("bigint")
-    return F.when(c.isNull(), null_bucket).otherwise(bucket)
-
-
-_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    return F.when(c.isNull(), _null_extreme_bucket(nulls_last)).otherwise(bucket)
 
 
 def global_rank(
@@ -122,6 +124,7 @@ def global_rank(
     method: str = "rank",
     num_partitions: int | None = None,
     extra_order: Sequence[Column] = (),
+    total_col: str | None = None,
 ) -> DataFrame:
     """Scale-safe global ``rank()``/``row_number()`` — the fix for the
     classic ``WindowExec: No Partition Defined`` scale-killer: an
@@ -164,13 +167,20 @@ def global_rank(
     — sharding still keys on the primary alone, which stays exact
     because the shard is monotone in the composite order (primary
     monotone, primary-ties co-sharded).
+
+    ``total_col``: also attach the TOTAL row count under this name,
+    derived from the shard-count aggregate the decomposition already
+    computes — callers needing n (:func:`global_ntile`) get it without
+    a second pass over the input.
     """
+    from pyspark.sql.types import NumericType  # noqa: PLC0415
+
     fn = {"rank": F.rank, "row_number": F.row_number}[method]
     shard_c, local_c, off_c = "_gr_shard", "_gr_local", "_gr_off"
     if isinstance(key, str):
         ordering = order_col(key, ascending=ascending, nulls_last=nulls_last)
         key_is_numeric = any(
-            f.dataType.simpleString().startswith(_NUMERIC_PREFIXES)
+            isinstance(f.dataType, NumericType)
             for f in df.schema.fields
             if f.name == key
         )
@@ -204,9 +214,16 @@ def global_rank(
     w_off = (
         Window.orderBy(shard_c).rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        shard_c, F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias(off_c)
-    )
+    off_cols = [
+        F.col(shard_c),
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias(off_c),
+    ]
+    if total_col is not None:
+        w_all = Window.orderBy(shard_c).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_n").over(w_all).alias(total_col))
+    offsets = counts.select(*off_cols)
     return (
         local.join(F.broadcast(offsets), [shard_c])
         .withColumn(out_col, F.col(local_c) + F.col(off_c))
@@ -231,8 +248,10 @@ def global_ntile(
     with ``q = n div k`` and ``r = n mod k``, the first ``r`` tiles
     hold ``q + 1`` rows and the rest ``q`` — exactly Spark's and
     DuckDB's remainder placement. So: distributed row_number via
-    :func:`global_rank`, a 1-row total-count broadcast, then closed-form
-    arithmetic. No single-partition exchange anywhere.
+    :func:`global_rank` with the total count riding along on the
+    shard-count aggregate it already computes (no second pass over the
+    input), then closed-form arithmetic. No single-partition exchange
+    anywhere.
     """
     rn_c, n_c = "_nt_rn", "_nt_n"
     ranked_df = global_rank(
@@ -244,8 +263,8 @@ def global_ntile(
         method="row_number",
         num_partitions=num_partitions,
         extra_order=extra_order,
+        total_col=n_c,
     )
-    total = df.agg(F.count(F.lit(1)).alias(n_c))
     rn, n = F.col(rn_c), F.col(n_c)
     k = F.lit(n_tiles).cast("bigint")
     idiv = lambda a, b: F.floor(a / b).cast("bigint")  # noqa: E731 — operands ≥ 0
@@ -257,11 +276,7 @@ def global_ntile(
         # taken — when/otherwise evaluates lazily per row)
         r + idiv(rn - big_span - F.lit(1), q) + F.lit(1)
     )
-    return (
-        ranked_df.join(F.broadcast(total), how="cross")
-        .withColumn(out_col, tile.cast("bigint"))
-        .drop(rn_c, n_c)
-    )
+    return ranked_df.withColumn(out_col, tile.cast("bigint")).drop(rn_c, n_c)
 
 
 def sharded_running_sum(

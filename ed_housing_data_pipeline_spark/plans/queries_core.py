@@ -1197,11 +1197,17 @@ def q_lake_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = nation.select("n_nationkey", "n_name")
     with tempfile.TemporaryDirectory(prefix="lake_snap_rt_") as root:
         ds = f"{root}/ds"
-        assert lake.write_snapshot(spark, v1, ds) == 1
-        assert lake.write_snapshot(spark, v2, ds) == 2
+        # plain calls with explicit checks — NOT assert statements,
+        # which python -O strips along with the write side effects
+        versions = (
+            lake.write_snapshot(spark, v1, ds),
+            lake.write_snapshot(spark, v2, ds),
+        )
+        if versions != (1, 2):
+            raise RuntimeError(f"unexpected snapshot versions: {versions}")
         # the pointer must resolve to v2; the pin must see exactly v1
         latest_n = lake.read_snapshot(spark, ds).count()
         if latest_n != nation.count():
-            raise AssertionError(f"latest snapshot lost rows: {latest_n}")
+            raise RuntimeError(f"latest snapshot lost rows: {latest_n}")
         pinned = lake.read_snapshot(spark, ds, version=1)
         return pinned.localCheckpoint(eager=True)

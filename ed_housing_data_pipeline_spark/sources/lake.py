@@ -480,6 +480,20 @@ def expire_snapshots(
         fs.delete(jvm.org.apache.hadoop.fs.Path(_snapshot_dir(dataset_root, v)), True)
         if v in stale_orphans:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.v{v}"), False)
+    # intent markers at-or-below the committed pointer are debris from a
+    # writer that committed but died before its own marker cleanup —
+    # safe to sweep unconditionally (the commit has already happened)
+    if committed is not None:
+        jroot = jvm.org.apache.hadoop.fs.Path(root)
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if name.startswith("_INTENT.v"):
+                try:
+                    v = int(name[len("_INTENT.v"):])
+                except ValueError:
+                    continue
+                if v <= committed:
+                    fs.delete(st.getPath(), False)
     return sorted(drop)
 
 

@@ -104,3 +104,24 @@ def test_sql_over_registered_views(spark):
         """
     ).first()
     assert ranked["r"] == 1
+
+
+def test_incremental_neardup_survives_audit_then_execute(spark):
+    """Regression: building the query under AUDIT_LAZY_PLANS memoizes
+    the incremental index tempdir; the later REAL run (signature cache
+    still cold) must not evict that tempdir while returning a plan
+    holding paths into it (cache eviction keyed per sf_dir must spare
+    the current key)."""
+    from ed_housing_data_pipeline_spark.plans import queries_llm as qll
+
+    sf = "/root/testdata/sf0.001"
+    fn = query_map()["doc_incremental_neardup"]
+    qll.release_shared_caches()
+    qll.AUDIT_LAZY_PLANS = True
+    try:
+        fn(spark, sf)  # builds + memoizes the index, lazy signatures
+    finally:
+        qll.AUDIT_LAZY_PLANS = False
+    # real run: must reuse (not delete) the memoized index
+    assert fn(spark, sf).count() >= 0
+    qll.release_shared_caches()

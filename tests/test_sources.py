@@ -390,10 +390,11 @@ def test_snapshot_crash_before_commit_is_invisible_and_swept(spark, tmp_path):
     d3 = spark.createDataFrame([(3, "c")], "id int, v string")
     assert lake.write_snapshot(spark, d3, root) == 3
     assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"c"}
-    # the crash debris must age past the orphan grace before the sweep
-    # may touch it (a young uncommitted dir could be a live writer)
-    _backdate(f"{root}/v=2", days=2)
-    # keep_latest=1: drops committed v=1 and the stale v=2 orphan
+    # v=2 sits BELOW the committed pointer (v=3): provably dead — any
+    # live single writer claims a version ABOVE max(data, committed),
+    # so below-pointer debris needs no grace gating (the grace gate
+    # protects only versions above the pointer; see
+    # test_expire_snapshots_spares_inflight_writer)
     assert lake.expire_snapshots(spark, root, keep_latest=1) == [1, 2]
     assert lake.snapshot_versions(spark, root) == [3]
     assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"c"}
@@ -438,6 +439,13 @@ def test_expire_snapshots_spares_inflight_writer(spark, tmp_path):
     assert not os.path.exists(f"{root}/_INTENT.v2")
     # and the committed version still reads
     assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"a"}
+    # a marker at-or-below the committed pointer (writer committed but
+    # died before its own cleanup) is swept unconditionally
+    with open(f"{root}/_INTENT.v1", "w") as f:
+        f.write("1")
+    lake.expire_snapshots(spark, root, keep_latest=1)
+    assert not os.path.exists(f"{root}/_INTENT.v1")
+    assert lake.snapshot_versions(spark, root) == [1]
 
 
 def test_upsert_partitions_rejects_null_partition_and_lost_columns(spark, tmp_path):
