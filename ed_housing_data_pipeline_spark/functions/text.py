@@ -94,6 +94,30 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n == 0, empty).when(n < F.lit(k), short).otherwise(grams)
 
 
+def char_ngrams(col: Column | str, n: int = 8) -> Column:
+    """Character n-grams over the NORMALIZED text (lowercased,
+    whitespace-collapsed — :func:`normalize_text`) → array<string>.
+
+    The character-level counterpart of :func:`word_shingles` for
+    near-dup detection: robust to tokenization differences and
+    whitespace-insensitive edits. Native sequence+substring higher-order
+    expressions, fully JVM-side. Texts shorter than ``n`` chars yield
+    the single whole-text gram; NULL/empty → EMPTY array (empty docs
+    must never pair with each other).
+    """
+    norm = normalize_text(col)
+    length = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), length - F.lit(n - 1)),
+        lambda i: F.substring(norm, i, F.lit(n)),
+    )
+    return (
+        F.when(norm.isNull(), F.array().cast("array<string>"))
+        .when(length <= F.lit(n), F.array(norm))
+        .otherwise(grams)
+    )
+
+
 # PII scrubbing — patterns kept RE2-compatible (no backreferences, no
 # lookaround) so the exact same regex runs in Spark's Java engine and
 # DuckDB's RE2 oracle. Deliberately high-recall/simple: production

@@ -159,3 +159,26 @@ def test_pii_redact_and_counts(spark):
     assert "example" not in r[1]["r"] and "555" not in r[1]["r"]
     assert (r[2]["e"], r[2]["p"], r[2]["r"]) == (0, 0, "no pii here")
     assert (r[3]["e"], r[3]["p"], r[3]["r"]) == (0, 0, "")
+
+
+def test_char_ngrams(spark):
+    from ed_housing_data_pipeline_spark.functions.text import char_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),   # normalization collapses spaces
+            (2, "hi"),              # shorter than n -> whole text
+            (3, ""),                # empty -> []
+            (4, None),              # NULL -> []
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", char_ngrams("t", n=5).alias("g")).collect()
+    }
+    norm = "hello world"
+    assert got[1] == [norm[i : i + 5] for i in range(len(norm) - 4)]
+    assert got[2] == ["hi"]
+    assert got[3] == [] and got[4] == []
