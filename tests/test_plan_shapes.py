@@ -50,6 +50,7 @@ def test_no_cartesian_products(plans):
 FACT_FACT = {
     "priority_revenue_fact_join",
     "doc_dedup_clusters",
+    "doc_dedup_survivors",  # same corpus⋈labels attach as the clusters query
     "embedding_dedup_clusters",
 }
 
