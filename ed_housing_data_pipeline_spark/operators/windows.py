@@ -142,8 +142,11 @@ def global_rank(
        ``rank``/``row_number`` because the shard key is monotone in
        the global order AND equal order keys always share a shard, so
        a row's global rank = rows in strictly-lower shards + its
-       within-shard rank. (``dense_rank`` would need distinct-value
-       offsets — unsupported here.)
+       within-shard rank. ``dense_rank`` offsets by the count of
+       DISTINCT primary keys in lower shards instead (same aggregate,
+       ``count_distinct``) — exact for the same reason, provided the
+       ordering is the primary key alone (``extra_order`` would change
+       which rows tie, so it is rejected for dense_rank).
 
     Shard resolution, best first:
 
@@ -175,7 +178,15 @@ def global_rank(
     """
     from pyspark.sql.types import NumericType  # noqa: PLC0415
 
-    fn = {"rank": F.rank, "row_number": F.row_number}[method]
+    fn = {"rank": F.rank, "row_number": F.row_number, "dense_rank": F.dense_rank}[
+        method
+    ]
+    if method == "dense_rank" and extra_order:
+        raise ValueError(
+            "global_rank: dense_rank offsets count distinct PRIMARY keys, "
+            "so extra_order tie-breaks would corrupt the offset — rank on "
+            "the composite key as a single expression instead"
+        )
     shard_c, local_c, off_c = "_gr_shard", "_gr_local", "_gr_off"
     if isinstance(key, str):
         ordering = order_col(key, ascending=ascending, nulls_last=nulls_last)
@@ -210,7 +221,19 @@ def global_rank(
         )
     w_local = Window.partitionBy(shard_c).orderBy(ordering, *extra_order)
     local = sh.withColumn(local_c, fn().over(w_local))
-    counts = sh.groupBy(shard_c).agg(F.count(F.lit(1)).alias("_n"))
+    if method == "dense_rank":
+        # offset = distinct primary keys in lower shards; NULL keys are
+        # one tie group but count_distinct skips them, so add 1 for any
+        # shard that holds NULLs (the extreme bucket)
+        k_expr = F.col(key) if isinstance(key, str) else key
+        counts = sh.groupBy(shard_c).agg(
+            (
+                F.count_distinct(k_expr)
+                + F.max(F.when(k_expr.isNull(), F.lit(1)).otherwise(F.lit(0)))
+            ).alias("_n")
+        )
+    else:
+        counts = sh.groupBy(shard_c).agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
         Window.orderBy(shard_c).rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -286,3 +286,32 @@ def test_global_ntile_plan_has_no_unpartitioned_window(spark):
     )
     out = windows.global_ntile(df, "v", n_tiles=4, extra_order=[F.col("id").asc()])
     assert not _unbounded_global_windows(out._jdf.queryExecution().sparkPlan())
+
+
+def test_global_rank_dense_rank(spark):
+    """dense_rank decomposition (distinct-key offsets, NULL group
+    counted once) vs the naive window, both null placements."""
+    from pyspark.sql import Window
+
+    df = _rank_fixture(spark)
+    for nulls_last in (True, False):
+        oc = windows.order_col("v", ascending=True, nulls_last=nulls_last)
+        want = rows(
+            df.withColumn("rnk", F.dense_rank().over(Window.orderBy(oc))),
+            "id",
+            "rnk",
+        )
+        got = rows(
+            windows.global_rank(
+                df, "v", ascending=True, nulls_last=nulls_last, method="dense_rank"
+            ),
+            "id",
+            "rnk",
+        )
+        assert got == want, f"nulls_last={nulls_last}"
+    import pytest
+
+    with pytest.raises(ValueError, match="dense_rank"):
+        windows.global_rank(
+            df, "v", method="dense_rank", extra_order=[F.col("id").asc()]
+        )
