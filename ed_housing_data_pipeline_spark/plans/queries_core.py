@@ -305,6 +305,24 @@ def q_rank_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("s_suppkey", F.col("rnk").cast("bigint").alias("rnk"))
 
 
+@register(
+    "rank_dense_global",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dense_rank() OVER (ORDER BY o_totalprice ASC NULLS LAST) AS BIGINT)
+               AS rnk
+    FROM orders
+    """,
+)
+def q_rank_dense_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense_rank over a FACT table — only possible scale-safe
+    because :func:`windows.global_rank` offsets by distinct keys per
+    shard (W1/W2 extension; no unpartitioned window anywhere)."""
+    orders = t(spark, sf_dir, "orders")
+    r = windows.global_rank(orders, "o_totalprice", method="dense_rank")
+    return r.select("o_orderkey", F.col("rnk").cast("bigint").alias("rnk"))
+
+
 # ------------------------------------------------------------- W3/E8
 RANK_SUM_ORACLE = """
 WITH nation_metrics AS (
