@@ -69,6 +69,9 @@ def monotone_value_shard(
     return F.when(c.isNull(), _null_extreme_bucket(nulls_last)).otherwise(bucket)
 
 
+QUANTILE_SHARD_MAX = 4096
+
+
 def _null_extreme_bucket(nulls_last: bool) -> Column:
     """The shard id NULL keys map to: past every real bucket on the
     side their ordering places them (shared by every shard builder so
@@ -99,7 +102,11 @@ def quantile_shard(
 
     Per-row cost is O(num_shards) comparisons inside a JVM higher-order
     function — keep ``num_shards`` near cluster parallelism (default),
-    not per-row-granular."""
+    not per-row-granular. Past :data:`QUANTILE_SHARD_MAX` shards the
+    linear boundary scan stops paying for the saved exchange;
+    :func:`global_rank` automatically switches to the
+    ``repartitionByRange`` path there (Spark's RangePartitioner handles
+    100k+ partitions natively)."""
     n = num_shards or df.sparkSession.sparkContext.defaultParallelism
     err = relative_error if relative_error is not None else max(0.001, 0.25 / n)
     probs = [i / n for i in range(1, n)]
@@ -188,9 +195,13 @@ def global_rank(
             "the composite key as a single expression instead"
         )
     shard_c, local_c, off_c = "_gr_shard", "_gr_local", "_gr_off"
+    n_shards = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if isinstance(key, str):
         ordering = order_col(key, ascending=ascending, nulls_last=nulls_last)
-        key_is_numeric = any(
+        # quantile sharding is a per-row O(n_shards) boundary scan: a
+        # win while it dodges a full exchange, a loss once the giant
+        # cluster's parallelism makes the scan itself the hot loop
+        key_is_numeric = n_shards <= QUANTILE_SHARD_MAX and any(
             isinstance(f.dataType, NumericType)
             for f in df.schema.fields
             if f.name == key
@@ -215,8 +226,7 @@ def global_rank(
             ),
         )
     else:
-        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-        sh = df.repartitionByRange(n, ordering, *extra_order).withColumn(
+        sh = df.repartitionByRange(n_shards, ordering, *extra_order).withColumn(
             shard_c, F.spark_partition_id().cast("bigint")
         )
     w_local = Window.partitionBy(shard_c).orderBy(ordering, *extra_order)
