@@ -55,78 +55,81 @@ _LOADED = False
 # The driver's differential-correctness harness checks the FIRST 50 registered
 # queries, so registration order is part of the contract. The window ROTATES
 # each round: slots whose query is unchanged, already driver-verified in a
-# prior round (r3/r4 CORRECTNESS, all green), and whose operator family keeps
-# another in-window representative are swapped for never-driver-verified or
-# this-round-rewired queries. Union of r3+r4 driver rows: 62 distinct queries;
-# this round's window adds the 13 r4-registered queries (the r4 VERDICT's #1
-# demand), the new doc_incremental_neardup + lake_snapshot_roundtrip, and the
-# rewired customer_balance_quartiles (global_ntile) while keeping the rewired
-# rank_asc_nulls_last (global_rank) in place — pushing r3∪r4∪r5 coverage to
-# 78 distinct queries.
-# Swapped out this round (all driver-green in r3 and/or r4, unchanged):
-# coerce_json_field, horizontal_sum, table_summary, semi_join,
-# schema_introspect, big_spenders_having, topk_orders (topk_per_group stays),
-# events_rollup_day_type, events_retention_cohorts (funnel stays), doc_simhash
-# (simhash_neardup stays), doc_lang_breakdown (lang_id + lang_confusion),
-# doc_quality_score (gopher_quality_flags), doc_binary_bytes,
-# doc_fuzzy_pairs_levenshtein, embedding_knn_bruteforce (srp stays),
-# embedding_label_centroids (random_projection).
+# prior round (CORRECTNESS r3/r4/r5, all green), and whose operator family
+# keeps another in-window representative are swapped for never-driver-verified
+# or this-round-rewired queries. Union of r3+r4+r5 driver rows: 78 distinct
+# queries; this round swaps in 17 of the 29 never-driver-verified queries plus
+# the newly registered embedding_knn_ivf_fixed (oracle-checkable IVF search),
+# pushing cumulative r3∪…∪r6 coverage to 96 of 108. Rewired-this-round queries
+# stay in-window: doc_incremental_neardup (snapshot-lake index),
+# doc_chargram_neardup (measured bucket guard), the global_rank family
+# (rank_asc_nulls_last, customer_balance_quartiles, rank_dense_global,
+# rank_desc_nulls_last — shared quantile cut-point cache).
+# Swapped out this round (all driver-green in r5, unchanged, family rep
+# stays): filter_project, doc_train_split, doc_pii_scrub, doc_pack_assignment,
+# doc_lang_confusion (lang_id stays), doc_chunk_text (chunk_plan stays),
+# doc_quality_weighted_sample (stratified stays), doc_word_idf (tfidf covers
+# IDF), doc_repetition_stats, embedding_random_projection (srp/neardup/
+# clusters stay), lineitem_numeric_profile (corr_stats covers numeric stats),
+# nation_top_customer_argmax (rank_sum_top1/topk stay),
+# orders_cube_status_priority, and 5 of 6 events_stream_* (hourly stays as
+# the streaming rep).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
-    "filter_project",
     "safe_division",
     "grouped_agg",
+    "grouped_agg_salted",
     "left_join",
+    "anti_join",
     "inner_join_agg",
     "normalize_key_group",
     "customers_without_orders_sql",
     "priority_revenue_fact_join",
     "rank_asc_nulls_last",
+    "rank_desc_nulls_last",
+    "rank_dense_global",
     "rank_sum_top1",
     "topk_per_group",
     "customer_balance_quartiles",
     "customer_order_gaps",
+    "customer_rolling_30d_spend",
     "orders_nearby_range_join",
-    "orders_cube_status_priority",
-    "lineitem_numeric_profile",
-    "nation_top_customer_argmax",
+    "orders_key_skew_stats",
+    "orders_seasonality",
+    "lineitem_corr_stats",
+    "setop_except_all",
+    "setop_union_by_name",
     "lake_snapshot_roundtrip",
     # event-time analytics (batch)
     "events_sessionize_stats",
     "events_asof_last_view",
     "events_funnel_signup_purchase",
+    "events_anomaly_zscore",
+    "events_props_struct",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_exact_dedup",
     "doc_minhash_signature",
+    "doc_minhash_estimate_vs_exact",
     "doc_neardup_pairs",
     "doc_incremental_neardup",
     "doc_simhash_neardup",
+    "doc_chargram_neardup",
     "doc_dedup_clusters",
-    "doc_pii_scrub",
+    "doc_dedup_survivors",
     "doc_crosssource_contamination",
-    "doc_pack_assignment",
     "doc_lang_id_heuristic",
-    "doc_lang_confusion",
-    "doc_repetition_stats",
     "doc_gopher_quality_flags",
-    "doc_word_idf",
-    "doc_train_split",
+    "doc_tfidf_top_terms",
+    "doc_rolling_hash",
     "doc_chunk_plan",
-    "doc_chunk_text",
     "doc_stratified_sample",
-    "doc_quality_weighted_sample",
     # LLM-data-pipeline surface: embeddings / similarity search
     "embedding_knn_srp",
+    "embedding_knn_ivf_fixed",
     "embedding_neardup_pairs",
-    "embedding_random_projection",
     "embedding_dedup_clusters",
     # structured-streaming twins
     "events_stream_hourly",
-    "events_stream_dedup_count",
-    "events_stream_sliding",
-    "events_stream_join_view_purchase",
-    "events_stream_enrich_category",
-    "events_stream_upsert_sink",
 )
 
 

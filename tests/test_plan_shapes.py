@@ -18,6 +18,10 @@ def dfs(spark):
 
     ensure_runtime_confs(spark)
     out = {}
+    # pre-build the incremental index snapshot OUTSIDE audit mode so the
+    # audited plan shows the production shape (parquet snapshot scans)
+    # while the plan builds themselves stay job-free
+    queries_llm.ensure_incr_index_built(spark, SF)
     # audit the real pre-checkpoint plans of the cache-owning queries
     queries_llm.AUDIT_LAZY_PLANS = True
     try:

@@ -107,11 +107,11 @@ def test_sql_over_registered_views(spark):
 
 
 def test_incremental_neardup_survives_audit_then_execute(spark):
-    """Regression: building the query under AUDIT_LAZY_PLANS memoizes
-    the incremental index tempdir; the later REAL run (signature cache
-    still cold) must not evict that tempdir while returning a plan
-    holding paths into it (cache eviction keyed per sf_dir must spare
-    the current key)."""
+    """Regression: building the query under AUDIT_LAZY_PLANS must run
+    no jobs (it serves lazy stand-in expressions when no index snapshot
+    exists); the later REAL run builds + memoizes the snapshot index,
+    and a repeat run must reuse (not evict) it — cache eviction keyed
+    per sf_dir must spare the current key."""
     from ed_housing_data_pipeline_spark.plans import queries_llm as qll
 
     sf = "/root/testdata/sf0.001"
@@ -119,9 +119,61 @@ def test_incremental_neardup_survives_audit_then_execute(spark):
     qll.release_shared_caches()
     qll.AUDIT_LAZY_PLANS = True
     try:
-        fn(spark, sf)  # builds + memoizes the index, lazy signatures
+        fn(spark, sf)  # lazy: must not write any index artifact
+        assert (sf, qll.SHINGLE_K, qll.N_HASHES) not in qll._INCR_INDEX
     finally:
         qll.AUDIT_LAZY_PLANS = False
-    # real run: must reuse (not delete) the memoized index
+    # real run: builds the v1 snapshot, then reuses it
+    assert fn(spark, sf).count() >= 0
+    assert (sf, qll.SHINGLE_K, qll.N_HASHES) in qll._INCR_INDEX
     assert fn(spark, sf).count() >= 0
     qll.release_shared_caches()
+
+
+def test_incr_index_ingest_appends_batch_as_next_snapshot(spark):
+    """The versioned-index merge contract: after
+    ``incr_index_ingest``, the committed band table is EXACTLY
+    v1 ∪ batch-bands (set equality both ways, not just counts), the
+    shingle store grows by the batch's docs, v1 stays readable for
+    time travel under keep_latest=2, and a keep_latest=1 ingest of a
+    second batch expires v1."""
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.operators import similarity as sim
+    from ed_housing_data_pipeline_spark.plans import queries_llm as qll
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    sf = "/root/testdata/sf0.001"
+    qll.release_shared_caches()
+    try:
+        qll.ensure_incr_index_built(spark, sf)
+        tmp = qll._INCR_INDEX[(sf, qll.SHINGLE_K, qll.N_HASHES)]
+        v1_bands = lake.read_snapshot(spark, f"{tmp.name}/bands")
+        v1_sh_n = lake.read_snapshot(spark, f"{tmp.name}/shingles").count()
+        batch = qll.shared_signatures(spark, sf).filter(
+            F.col("source") == qll.INCR_BATCH_SOURCE
+        )
+        batch_bands = sim.band_keys(
+            batch, "doc_id", n_hashes=qll.N_HASHES, bands=qll.BANDS
+        )
+        batch_n = batch.count()
+        version = qll.incr_index_ingest(spark, sf)
+        assert version == 2
+        v2 = lake.read_snapshot(spark, f"{tmp.name}/bands")  # latest = v2
+        expected = lake.read_snapshot(
+            spark, f"{tmp.name}/bands", version=1
+        ).unionByName(batch_bands)
+        assert v2.exceptAll(expected).count() == 0
+        assert expected.exceptAll(v2).count() == 0
+        assert (
+            lake.read_snapshot(spark, f"{tmp.name}/shingles").count()
+            == v1_sh_n + batch_n
+        )
+        # keep_latest=2 spared v1 (time travel works)
+        assert lake.snapshot_versions(spark, f"{tmp.name}/bands") == [1, 2]
+        assert lake.read_snapshot(spark, f"{tmp.name}/bands", version=1).count() == v1_bands.count()
+        # a further ingest with keep_latest=1 expires everything older
+        qll.incr_index_ingest(spark, sf, source="src1", keep_latest=1)
+        assert lake.snapshot_versions(spark, f"{tmp.name}/bands") == [3]
+    finally:
+        qll.release_shared_caches()
