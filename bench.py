@@ -48,29 +48,46 @@ HEADLINE = [
     "embedding_knn_blocked",    # label-blocked cosine top-k
     "embedding_knn_srp",    # SRP-LSH bucketed ANN
     "events_asof_last_view",    # as-of join (union + window)
+    # heavy dedup/cluster family + sharded global rank (r5 VERDICT #3:
+    # driver-track their perf, not just correctness)
+    "doc_dedup_clusters",   # LSH pairs -> pointer-jumping components
+    "embedding_dedup_clusters",  # cosine pairs -> components
+    "doc_incremental_neardup",   # batch probe vs persisted snapshot index
+    "rank_dense_global",    # quantile-sharded dense_rank over orders
 ]
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(amortized, cold) per-query seconds.
+
+    ``cold`` is the FIRST end-to-end run: it pays plan build, JIT
+    warm-up, and any session-shared cache/index the query family
+    builds on first use (signature table, incremental LSH index), so
+    it is an upper bound and inter-query order matters. ``amortized``
+    is the min of 5 subsequent runs — steady-state cost with family
+    caches warm, the headline number (and the noise-robust one: host
+    CPU contention showed uniform 1.3-2× swings on single timed runs
+    in rounds 4-5). Reporting both keeps round-over-round trends
+    honest about the caching model (r5 ADVICE)."""
     from ed_housing_data_pipeline_spark.plans.registry import query_map
 
     qmap = query_map()
-    timings: dict[str, float] = {}
+    amortized: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qmap:
             continue
+        t0 = time.perf_counter()
         df = qmap[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
+        df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
-        # per-query min of 5: host CPU contention showed uniform
-        # 1.3-2× swings on single timed runs (rounds 4-5); the min
-        # across in-process repetitions is the stable honest cost
         for _ in range(5):
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-    return timings
+        amortized[name] = round(best, 3)
+    return amortized, cold
 
 
 def _sf_of(sf_dir: str) -> float | None:
@@ -98,13 +115,19 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_runtime_confs(spark)
 
-    timings = run_suite(spark, SF_DIR)
+    timings, cold = run_suite(spark, SF_DIR)
     result = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
+        # caching model disclosure: "queries" are steady-state (family
+        # caches warm, min of 5); "cold_queries" are each query's first
+        # run including shared cache/index builds and JIT warm-up
+        "caching_model": "queries=min-of-5 amortized; cold_queries=first run",
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
     }
     if "--sweep" in sys.argv:
         # Scaling check: same frozen query list at each SF so a
@@ -114,10 +137,11 @@ def main() -> int:
         for d in SWEEP_DIRS:
             if d == SF_DIR or not os.path.isdir(d):
                 continue
-            t = run_suite(spark, d)
+            t, c = run_suite(spark, d)
             sweep[str(_sf_of(d))] = {
                 "total": round(sum(t.values()), 3),
                 "queries": t,
+                "cold_total": round(sum(c.values()), 3),
             }
         result["sweep"] = sweep
     print(json.dumps(result))

@@ -17,6 +17,13 @@ def _c(col: Column | str) -> Column:
 
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
+    # The aggregate/zip_with fold is the FAST path here, not just the
+    # general one: a within-session A/B at sf0.1 (load-controlled)
+    # put a 64-term unrolled `get(a,i)*get(b,i)` sum at ~3× the fold's
+    # per-pair cost — the fold iterates the UnsafeArrayData once,
+    # while per-element accessors re-enter the array 64 times. Keep
+    # norms hoisted OUT of pair joins instead (see
+    # operators.similarity._paired_cosine).
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -7,11 +7,15 @@ metadata, and run decode/feature-extraction through Arrow-batched
 Python media libraries see whole batches, never row-at-a-time.
 
 The Spark-side plumbing here is REAL and tested: schemas, partition
-behavior, batch iteration, column passthrough. The pixel/sample decode
-itself is a **deterministic stub** (``_fake_decode``) because no media
-codec library (PIL/cv2/librosa) ships in this container — swap
-``decode_fn`` for a real decoder on a cluster with the libs installed;
-nothing else changes.
+behavior, batch iteration, column passthrough. Every decode path is
+gated on an executor-side optional import with a deterministic stub as
+the floor: images upgrade to Pillow (:func:`default_decode_fn`), audio
+ALWAYS has a real decoder (soundfile, else the stdlib ``wave`` PCM
+parser — :func:`default_audio_fn`), video upgrades to cv2 or
+imageio-ffmpeg (:func:`default_frames_fn`). In this container none of
+the optional libs ship, so the stubs run in tests; on a cluster with
+the libs installed the same code decodes for real — nothing else
+changes.
 
 Scale notes: metadata extraction is pure native exprs (codegen over
 the scan); mapInPandas stages are narrow (no shuffle) and parallelize
@@ -158,41 +162,170 @@ def decode_image_features(
     return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
 
 
+# Frames decoder contract: (payload, n_frames) → list of
+# (frame_idx, width, height, mean_luma) for up to n_frames sampled
+# frames; raises on undecodable payloads (the tolerant default path
+# quarantines those as a single NULL-feature row).
+FramesFn = Callable[[bytes, int], list[tuple[int, int, int, float]]]
+
+
+def _even_frame_indices(total: int, n_frames: int) -> list[int]:
+    """Evenly spaced, deduplicated frame indices over [0, total)."""
+    if total <= 0:
+        return []
+    if n_frames <= 1 or total == 1:
+        return [0]
+    span = total - 1
+    return sorted({round(i * span / (n_frames - 1)) for i in range(n_frames)})
+
+
+def _fake_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, float]]:
+    """DETERMINISTIC STUB frame sampler: frame i's features decode the
+    payload digest salted with i (no codec libs here). Stable for
+    tests; the gate upgrades to a real decoder where one imports."""
+    return [
+        (i, *_fake_decode((payload or b"") + bytes([i % 256])))
+        for i in range(n_frames)
+    ]
+
+
+def _cv2_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, float]]:
+    """Real frame sampling via OpenCV: payload → temp file (cv2 has no
+    in-memory demuxer) → ``VideoCapture``, evenly spaced indices via
+    ``CAP_PROP_FRAME_COUNT`` / ``CAP_PROP_POS_FRAMES``, per-frame
+    (width, height, BT.601 mean luma in [0, 1])."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import cv2  # noqa: PLC0415
+
+    fd, path = tempfile.mkstemp(suffix=".video")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        cap = cv2.VideoCapture(path)
+        try:
+            if not cap.isOpened():
+                raise ValueError("unreadable video payload")
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+            out = []
+            for i in _even_frame_indices(total, n_frames):
+                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+                ok, frame = cap.read()
+                if not ok:
+                    continue
+                h, w = frame.shape[:2]
+                luma = float(
+                    (
+                        0.114 * frame[..., 0]
+                        + 0.587 * frame[..., 1]
+                        + 0.299 * frame[..., 2]
+                    ).mean()
+                    / 255.0
+                )
+                out.append((int(i), int(w), int(h), luma))
+            if not out:
+                raise ValueError("no decodable frames")
+            return out
+        finally:
+            cap.release()
+    finally:
+        os.unlink(path)
+
+
+def _imageio_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, float]]:
+    """Real frame sampling via imageio(-ffmpeg): stream the demuxed
+    frames (no full-video load) and keep the first ``n_frames`` — the
+    total frame count is not cheaply known up front in streaming mode,
+    so sampling is head-of-stream rather than evenly spaced."""
+    import imageio.v3 as iio  # noqa: PLC0415
+    import numpy as np  # noqa: PLC0415
+
+    out = []
+    for i, frame in enumerate(iio.imiter(payload, extension=".mp4")):
+        if i >= n_frames:
+            break
+        arr = np.asarray(frame, dtype="float64")
+        h, w = arr.shape[:2]
+        if arr.ndim == 3 and arr.shape[2] >= 3:
+            luma = float(
+                (
+                    0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+                ).mean()
+                / 255.0
+            )
+        else:
+            luma = float(arr.mean() / 255.0)
+        out.append((i, int(w), int(h), luma))
+    if not out:
+        raise ValueError("no decodable frames")
+    return out
+
+
+def default_frames_fn() -> tuple[FramesFn, bool]:
+    """(frames_fn, is_real) — OpenCV when importable, else
+    imageio(-ffmpeg), else the deterministic stub. Same executor-side
+    optional-import gate as :func:`default_decode_fn` (images) and
+    :func:`default_audio_fn` (audio); video has no stdlib codec, so
+    the stub remains the floor when neither library ships."""
+    try:
+        import cv2  # noqa: F401, PLC0415
+
+        return _cv2_frames, True
+    except ImportError:
+        pass
+    try:
+        import imageio.v3  # noqa: F401, PLC0415
+
+        return _imageio_frames, True
+    except ImportError:
+        return _fake_frames, False
+
+
 def sample_frames(
     df: DataFrame,
     data_col: str,
     id_col: str,
     n_frames: int,
-    decode_fn: DecodeFn | None = None,
+    frames_fn: FramesFn | None = None,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame with a
-    frame index and (stubbed) per-frame features. Exercises the
-    row-expanding mapInPandas shape (1 input row → n output rows).
+    frame index and per-frame features. Exercises the row-expanding
+    mapInPandas shape (1 input row → n output rows).
 
-    Default stays the deterministic stub: per-frame decode needs a
-    video codec (cv2/ffmpeg), which neither Pillow nor the stdlib
-    provides — there is no always-available real path to gate to
-    (unlike audio's stdlib ``wave``). On a cluster shipping OpenCV,
-    pass a ``decode_fn`` that writes the payload to a temp file, opens
-    it with ``cv2.VideoCapture``, grabs evenly-spaced frame indices
-    via ``CAP_PROP_FRAME_COUNT`` + ``set(CAP_PROP_POS_FRAMES, i)``,
-    and returns each frame's (width, height, mean luma) — the Arrow
-    batching, 1→N row expansion, and schema here stay identical."""
+    Default decoder resolution happens ON THE EXECUTOR (inside the
+    batch closure — :func:`default_frames_fn`: cv2, else
+    imageio-ffmpeg, else the deterministic stub), and an undecodable
+    payload yields ONE quarantine row with NULL frame features
+    (``frame_idx IS NULL``) instead of failing the scan. An explicit
+    ``frames_fn`` keeps its own error semantics — exceptions
+    propagate."""
     import pandas as pd  # noqa: PLC0415
 
-    fn = decode_fn or _fake_decode
+    explicit = frames_fn
     schema = f"{id_col} long, frame_idx int, width int, height int, mean_luma double"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if explicit is not None:
+            fn, tolerant = explicit, False
+        else:
+            fn, _is_real = default_frames_fn()  # executor-local probe
+            tolerant = True
+
         for pdf in it:
             recs = []
             for media_id, b in zip(pdf[id_col], pdf[data_col]):
                 if b is None:
                     continue
-                for i in range(n_frames):
-                    # stub: frame i decodes the payload salted with i
-                    w, h, luma = fn(bytes(b) + bytes([i]))
-                    recs.append((media_id, i, w, h, luma))
+                if tolerant:
+                    try:
+                        frames = fn(bytes(b), n_frames)
+                    except Exception:
+                        recs.append((media_id, None, None, None, None))
+                        continue
+                else:
+                    frames = fn(bytes(b), n_frames)
+                recs.extend((media_id, i, w, h, luma) for i, w, h, luma in frames)
             yield pd.DataFrame(
                 recs, columns=[id_col, "frame_idx", "width", "height", "mean_luma"]
             )

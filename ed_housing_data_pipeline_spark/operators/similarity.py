@@ -28,7 +28,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ed_housing_data_pipeline_spark.functions.text import normalize_text, word_shingles
-from ed_housing_data_pipeline_spark.functions.vectors import cosine_similarity
+from ed_housing_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
 from ed_housing_data_pipeline_spark.operators.windows import top_k_per_group
 
 HashFn = Callable[[Column], Column]
@@ -36,6 +42,21 @@ HashFn = Callable[[Column], Column]
 # Prime modulus for the MinHash permutation family (fits 31 bits, so
 # a*h+b stays < 2^62 — no bigint overflow even under ANSI mode).
 MINHASH_P = (1 << 31) - 1
+
+
+def _paired_cosine(va: str, vb: str, norm_a: str, norm_b: str) -> Column:
+    """Cosine over a candidate-pair join with the norms HOISTED to the
+    row sides (columns ``norm_a``/``norm_b`` computed once per row
+    before the join): per pair only the dot-product fold remains — a
+    third of the per-pair expression work, and the candidate side is
+    pairs while the row sides are rows. Bit-identical to
+    :func:`cosine_similarity` (same expressions over the same values,
+    just evaluated per row instead of per pair); measured ~2× on the
+    label-blocked pair join at sf0.1."""
+    return dot_product(va, vb) / F.nullif(
+        F.col(norm_a) * F.col(norm_b), F.lit(0.0)
+    )
+
 
 class CacheScope:
     """Caller-owned persist lifecycle for operators that materialize a
@@ -646,11 +667,50 @@ def simhash_neardup_pairs(
     )
 
 
+# Below this many (directed) subgraph edges the connected-components
+# labels are computed with a driver-side union-find instead of the
+# iterated min-label loop: the near-dup subgraph is usually a tiny
+# fraction of the corpus, and a 3-4 round distributed iteration is
+# ~10 scheduled jobs of pure overhead on a graph that fits in one
+# task. 500k edges ≈ 8 MB on the driver — bounded by the gate itself;
+# past it the pointer-jumping loop (the 100 TB path) runs unchanged.
+# The same small-side switch GraphFrames' connectedComponents makes.
+LOCAL_CC_MAX_EDGES = 500_000
+
+
+def _local_components(edge_rows, spark) -> DataFrame:
+    """Union-find over collected (u, v) edges → (id, label=min of
+    component). Same labels as the distributed min-propagation loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min keeps the root the component minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(labels, "id long, label long")
+
+
 def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str,
     max_iters: int = 10,
+    max_local_edges: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Dedup-cluster assignment: connected components over near-dup
     ``(id_a, id_b)`` pairs via iterative min-label propagation,
@@ -680,18 +740,50 @@ def neardup_clusters(
     Raises ``RuntimeError`` if the loop ends before reaching the fixed
     point — a silently split component would diverge from the
     transitive-closure oracle with no signal otherwise.
+
+    Small-subgraph fast path: when the (directed) edge count is at
+    most ``max_local_edges``, the labels come from one driver-side
+    union-find over the collected edges instead — identical labels,
+    and it replaces the loop's ~10 scheduled jobs with one collect
+    (the count that gates it was already being computed to size the
+    iteration). The collect is bounded BY the gate; pass
+    ``max_local_edges=0`` to force the distributed loop.
     """
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    if n_edges <= max_local_edges:
+        # one collect job (gate-bounded rows), NOT toLocalIterator —
+        # that would schedule one sequential job per partition
+        lab = _local_components(
+            ((r["u"], r["v"]) for r in edges.collect()),
+            docs.sparkSession,
+        )
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(
+                F.broadcast(
+                    lab.select(
+                        F.col("id").alias("doc_id"),
+                        F.col("label").alias("cluster_id"),
+                    )
+                ),
+                on="doc_id",
+                how="left",
+            )
+            .select(
+                "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+            )
+        )
     # Size every iterated frame to the SUBGRAPH, not the session's
     # shuffle-partition conf: the near-dup subgraph is typically a tiny
     # fraction of the corpus, and a 10-stage-per-round loop at 32-task
     # stages is pure scheduling overhead on a 50-edge graph (measured
     # ~2× the whole query at sf0.01). ~1M edges per partition.
-    n_parts = max(1, int(edges.count() // 1_000_000) + 1)
+    n_parts = max(1, int(n_edges // 1_000_000) + 1)
     edges = edges.repartition(n_parts, "u").localCheckpoint(eager=True)
     # from the materialized edges (NOT from pairs — that would execute
     # the candidate-generation plan a second time)
@@ -882,12 +974,18 @@ def knn_bruteforce(
     (top_k_per_group shuffles only (q_id, nn_id, sim) triples).
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("nn_vec"),
+        l2_norm(vec_col).alias("_nn"),
+    )
     scored = (
         c.join(F.broadcast(q), on=F.col("q_id") != F.col("nn_id"))
-        .withColumn("sim", cosine_similarity("q_vec", "nn_vec"))
+        .withColumn("sim", _paired_cosine("q_vec", "nn_vec", "_qn", "_nn"))
         .select("q_id", "nn_id", "sim")
     )
     return top_k_per_group(
@@ -976,6 +1074,7 @@ def knn_within_block(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(block_col).alias("block"),
+        l2_norm(vec_col).alias("_qn"),
     )
     if query_filter is not None:
         q = q.filter(query_filter)
@@ -983,11 +1082,12 @@ def knn_within_block(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).alias("nn_vec"),
         F.col(block_col).alias("block"),
+        l2_norm(vec_col).alias("_nn"),
     )
     scored = (
         q.join(c, on="block")
         .filter(F.col("q_id") != F.col("nn_id"))
-        .withColumn("sim", cosine_similarity("q_vec", "nn_vec"))
+        .withColumn("sim", _paired_cosine("q_vec", "nn_vec", "_qn", "_nn"))
         .select("q_id", "nn_id", "sim")
     )
     return top_k_per_group(
@@ -1023,7 +1123,10 @@ def cosine_neardup_pairs(
     bounded to ~cap²·shards instead of width². ``None`` disables.
     """
     base = df.select(
-        F.col(id_col), F.col(vec_col), F.col(block_col).alias("block")
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(block_col).alias("block"),
+        l2_norm(vec_col).alias("_vn"),
     )
     salt_cols: list[str] = []
     if max_block_width is not None:
@@ -1034,12 +1137,14 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         F.col("block").alias("block_a"),
+        F.col("_vn").alias("_na"),
         *[F.col(s).alias(f"{s}_a") for s in salt_cols],
     )
     b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         F.col("block").alias("block_b"),
+        F.col("_vn").alias("_nb"),
         *[F.col(s).alias(f"{s}_b") for s in salt_cols],
     )
     cond = [
@@ -1049,7 +1154,7 @@ def cosine_neardup_pairs(
     ]
     return (
         a.join(b, on=cond)
-        .withColumn("sim", cosine_similarity("va", "vb"))
+        .withColumn("sim", _paired_cosine("va", "vb", "_na", "_nb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -1217,10 +1322,14 @@ def knn_ivf(
     q = probed.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("_qn"),
         F.explode("_probes").alias("_cell"),
     )
     c = corpus.select(
-        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"), "_cell"
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("nn_vec"),
+        l2_norm(vec_col).alias("_nn"),
+        "_cell",
     )
     # a filtered query set is bounded by contract → broadcast it;
     # all-pairs self-search shuffles both sides on the cell id instead
@@ -1229,7 +1338,7 @@ def knn_ivf(
     scored = (
         c.join(q, on="_cell")
         .filter(F.col("q_id") != F.col("nn_id"))
-        .withColumn("sim", cosine_similarity("q_vec", "nn_vec"))
+        .withColumn("sim", _paired_cosine("q_vec", "nn_vec", "_qn", "_nn"))
         .select("q_id", "nn_id", "sim")
     )
     return top_k_per_group(

@@ -42,12 +42,15 @@ def ranked(
     ]
     # one select, not chained withColumns: every Dataset op triggers a
     # full analysis pass, which is pure driver latency per plan build
-    new_cols = [
-        fn().over(Window.partitionBy(*partition_by).orderBy(ordering)).alias(name)
+    new_cols = {
+        name: fn().over(Window.partitionBy(*partition_by).orderBy(ordering)).alias(name)
         for name, ordering in rank_cols.items()
-    ]
-    keep = [c for c in df.columns if c not in rank_cols]
-    return df.select(*keep, *new_cols)
+    }
+    # a rank name that collides with an existing column replaces it IN
+    # PLACE (withColumn semantics) — moving it to the end would break
+    # positional consumers and column-order-sensitive comparisons
+    cols = [new_cols.pop(c) if c in new_cols else F.col(c) for c in df.columns]
+    return df.select(*cols, *new_cols.values())
 
 
 def monotone_value_shard(
@@ -70,6 +73,20 @@ def monotone_value_shard(
 
 
 QUANTILE_SHARD_MAX = 4096
+
+# Session-scoped cut-point cache: several rank queries over the same
+# (input plan, key) — e.g. a bench run's ASC rank, ntile quartiles and
+# dense rank on one fact table — would each pay the approxQuantile
+# sampling job at plan-build time. Keyed on the input's semanticHash so
+# semantically-equal plans share one job. Correctness-safe by
+# construction even across a hash collision: cut points only steer
+# shard BALANCE, never values (the bucket is a pure function of the
+# row's key either way).
+_QUANTILE_CUTS: dict[tuple, list[float]] = {}
+
+
+def clear_quantile_cache() -> None:
+    _QUANTILE_CUTS.clear()
 
 
 def _null_extreme_bucket(nulls_last: bool) -> Column:
@@ -110,7 +127,11 @@ def quantile_shard(
     n = num_shards or df.sparkSession.sparkContext.defaultParallelism
     err = relative_error if relative_error is not None else max(0.001, 0.25 / n)
     probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(key, probs, err))) if probs else []
+    ck = (df.semanticHash(), key, n, err)  # ascending/nulls don't move cuts
+    bounds = _QUANTILE_CUTS.get(ck)
+    if bounds is None:
+        bounds = sorted(set(df.stat.approxQuantile(key, probs, err))) if probs else []
+        _QUANTILE_CUTS[ck] = bounds
     c = F.col(key)
     if not bounds:  # ≤1 distinct non-null value: a single bucket is exact
         bucket = F.lit(0).cast("bigint")

@@ -443,7 +443,11 @@ def expire_snapshots(
     see :func:`write_snapshot`) and the data directory itself must be
     older than ``orphan_grace_sec``. This makes expiry safe to run
     from a cron alongside the (single) writer: an in-flight write is
-    always younger than any sane grace period."""
+    always younger than any sane grace period. The staleness probe
+    takes the newest mtime anywhere under the version dir (files keep
+    landing throughout a write, partitioned or not), so
+    ``orphan_grace_sec`` only needs to exceed the longest PAUSE between
+    file materializations — not the total write duration."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
     committed = _committed_version(spark, dataset_root)
@@ -462,6 +466,22 @@ def expire_snapshots(
             return None
         return float(fs.getFileStatus(jp).getModificationTime())
 
+    def _newest_mtime_ms(path: str) -> float | None:
+        """Newest mtime anywhere UNDER a version dir, not just the dir
+        itself: a partitioned write lands files in partition subdirs
+        without refreshing the root dir's mtime, so a root-only check
+        could sweep a single in-flight write that out-lasts the grace
+        period. Recursing over an uncommitted version dir is bounded —
+        it holds at most one write's output."""
+        jp = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(jp):
+            return None
+        best = float(fs.getFileStatus(jp).getModificationTime())
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            best = max(best, float(it.next().getModificationTime()))
+        return best
+
     stale_orphans = []
     for v in versions:
         if committed is not None and v > committed:
@@ -469,7 +489,7 @@ def expire_snapshots(
                 m
                 for m in (
                     _mtime_ms(f"{root}/_INTENT.v{v}"),
-                    _mtime_ms(_snapshot_dir(root, v)),
+                    _newest_mtime_ms(_snapshot_dir(root, v)),
                 )
                 if m is not None
             ]

@@ -112,17 +112,34 @@ def test_neardup_clusters_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_neardup_clusters_local_matches_distributed(spark):
+    """The size-gated driver union-find fast path must produce the
+    EXACT labels of the distributed min-label loop on an awkward mix
+    of chains, cliques and singletons."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 21)], "doc_id long")
+    edge_list = (
+        [(i, i + 1) for i in range(1, 6)]          # chain 1..6
+        + [(8, 9), (9, 10), (8, 10)]               # triangle
+        + [(12, 15), (15, 13), (13, 12), (14, 15)] # cycle + tail
+    )
+    pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    local = sim.neardup_clusters(docs, pairs, "doc_id")
+    dist = sim.neardup_clusters(docs, pairs, "doc_id", max_local_edges=0)
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, dist.collect()))
+
+
 def test_neardup_clusters_deep_chain_pointer_jumping(spark):
     """A 40-vertex path has diameter 39: plain min-propagation would
     need 39 rounds, far past the default max_iters=10. Pointer jumping
     reaches the fixed point in ~log2(39) rounds — all vertices must
-    land on cluster 1 without raising."""
+    land on cluster 1 without raising (forced onto the distributed
+    loop; the default would take the local union-find fast path)."""
     n = 40
     docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
     )
-    out = sim.neardup_clusters(docs, pairs, "doc_id")
+    out = sim.neardup_clusters(docs, pairs, "doc_id", max_local_edges=0)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
 
@@ -138,7 +155,7 @@ def test_neardup_clusters_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        sim.neardup_clusters(docs, pairs, "doc_id", max_iters=2)
+        sim.neardup_clusters(docs, pairs, "doc_id", max_iters=2, max_local_edges=0)
 
 
 def test_simhash_properties(spark):

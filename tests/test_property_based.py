@@ -251,3 +251,86 @@ def test_sharded_running_sum_property(spark, rows_in):
     )
     got = {(r["source"], r["doc_id"]): r["cum"] for r in sharded.collect()}
     assert got == naive
+
+
+# ---------------------------------------------------------------- global_rank
+# The sharded decomposition's correctness-critical edge is duplicated
+# keys straddling quantile cut points (equal keys MUST share a shard,
+# and lower-shard offsets must count exactly the strictly-lower rows /
+# distinct keys). Values are drawn from a tiny integer domain so
+# duplicates land ON the learned boundaries with high probability, and
+# num_partitions=4 keeps several cut points inside the data range.
+
+_rank_vals = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _expected_rank_maps(vals, ascending, nulls_last):
+    """value → (rank, dense_rank) computed by definition in Python."""
+
+    def keyf(v):
+        if v is None:
+            return (1 if nulls_last else -1, 0.0)
+        return (0, float(v) if ascending else -float(v))
+
+    order = sorted(vals, key=keyf)
+    rank_of, dense_of = {}, {}
+    dense = 0
+    for i, v in enumerate(order):
+        if v not in rank_of:
+            dense += 1
+            rank_of[v] = i + 1
+            dense_of[v] = dense
+    return rank_of, dense_of
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    _rank_vals,
+    st.booleans(),  # ascending
+    st.booleans(),  # nulls_last
+    st.sampled_from(["rank", "dense_rank", "row_number"]),
+    st.booleans(),  # column key → repartitionByRange path (no quantile shard)
+)
+def test_global_rank_matches_definition(
+    spark, vals, ascending, nulls_last, method, column_key
+):
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(i, None if v is None else float(v)) for i, v in enumerate(vals)],
+        "id long, v double",
+    )
+    key = F.col("v") if column_key else "v"
+    out = windows.global_rank(
+        df,
+        key,
+        ascending=ascending,
+        nulls_last=nulls_last,
+        method=method,
+        num_partitions=4,
+        out_col="rnk",
+    ).collect()
+    assert len(out) == len(vals)
+    got = {r["id"]: r["rnk"] for r in out}
+    rank_of, dense_of = _expected_rank_maps(vals, ascending, nulls_last)
+    if method == "row_number":
+        # ties are broken arbitrarily, but the result must be a
+        # permutation of 1..n consistent with the global order: every
+        # row's number falls inside its tie group's [rank, rank+ties)
+        assert sorted(got.values()) == list(range(1, len(vals) + 1))
+        for i, v in enumerate(vals):
+            lo = rank_of[v]
+            hi = lo + sum(1 for x in vals if x == v)
+            assert lo <= got[i] < hi, (v, got[i], lo, hi)
+    elif method == "rank":
+        for i, v in enumerate(vals):
+            assert got[i] == rank_of[v], (v, got[i], rank_of[v])
+    else:
+        for i, v in enumerate(vals):
+            assert got[i] == dense_of[v], (v, got[i], dense_of[v])

@@ -401,12 +401,19 @@ def test_snapshot_crash_before_commit_is_invisible_and_swept(spark, tmp_path):
 
 
 def _backdate(path, days):
-    """Rewind mtime so the orphan-grace gate sees the path as stale."""
+    """Rewind mtime (recursively for dirs — the staleness probe takes
+    the newest mtime anywhere under a version dir, so a dead writer's
+    files must all look old) so the orphan-grace gate sees the path as
+    stale."""
     import os
     import time
 
     old = time.time() - days * 86400
     os.utime(path, (old, old))
+    if os.path.isdir(path):
+        for dirpath, dirnames, filenames in os.walk(path):
+            for name in dirnames + filenames:
+                os.utime(os.path.join(dirpath, name), (old, old))
 
 
 def test_expire_snapshots_spares_inflight_writer(spark, tmp_path):
@@ -446,6 +453,29 @@ def test_expire_snapshots_spares_inflight_writer(spark, tmp_path):
     lake.expire_snapshots(spark, root, keep_latest=1)
     assert not os.path.exists(f"{root}/_INTENT.v1")
     assert lake.snapshot_versions(spark, root) == [1]
+
+
+def test_expire_snapshots_spares_partitioned_inflight_write(spark, tmp_path):
+    """A long PARTITIONED write lands files in partition subdirs
+    without refreshing the version dir's own mtime; the staleness
+    probe must see the young leaf files and spare the version even
+    when the root dir and the intent marker both look stale."""
+    import os
+    import time
+
+    root = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a")], "id int, p string")
+    assert lake.write_snapshot(spark, d1, root) == 1
+    with open(f"{root}/_INTENT.v2", "w") as f:
+        f.write("2")
+    spark.createDataFrame([(2, "b")], "id int, p string").write.partitionBy(
+        "p"
+    ).parquet(f"{root}/v=2")
+    _backdate(f"{root}/_INTENT.v2", days=2)
+    old = time.time() - 2 * 86400
+    os.utime(f"{root}/v=2", (old, old))  # root dir only — leaves stay young
+    assert lake.expire_snapshots(spark, root, keep_latest=1) == []
+    assert lake.snapshot_versions(spark, root) == [1, 2]
 
 
 def test_upsert_partitions_rejects_null_partition_and_lost_columns(spark, tmp_path):
