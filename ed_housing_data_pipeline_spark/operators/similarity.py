@@ -754,14 +754,15 @@ def neardup_clusters(
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
-    if n_edges <= max_local_edges:
-        # one collect job (gate-bounded rows), NOT toLocalIterator —
-        # that would schedule one sequential job per partition
-        lab = _local_components(
-            ((r["u"], r["v"]) for r in edges.collect()),
-            docs.sparkSession,
-        )
+    # decide local-vs-distributed with ONE gate-bounded job: collect at
+    # most cap+1 edges off the checkpoint (a separate count() first
+    # would schedule an extra job per call; toLocalIterator would
+    # schedule one per partition). Overflow falls through to the loop.
+    head = (
+        edges.limit(max_local_edges + 1).collect() if max_local_edges > 0 else None
+    )
+    if head is not None and len(head) <= max_local_edges:
+        lab = _local_components(((r["u"], r["v"]) for r in head), docs.sparkSession)
         return (
             docs.select(F.col(id_col).alias("doc_id"))
             .join(
@@ -783,7 +784,7 @@ def neardup_clusters(
     # fraction of the corpus, and a 10-stage-per-round loop at 32-task
     # stages is pure scheduling overhead on a 50-edge graph (measured
     # ~2× the whole query at sf0.01). ~1M edges per partition.
-    n_parts = max(1, int(n_edges // 1_000_000) + 1)
+    n_parts = max(1, int(edges.count() // 1_000_000) + 1)
     edges = edges.repartition(n_parts, "u").localCheckpoint(eager=True)
     # from the materialized edges (NOT from pairs — that would execute
     # the candidate-generation plan a second time)

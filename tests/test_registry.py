@@ -26,8 +26,12 @@ def test_driver_window_covers_every_family():
     new incremental-dedup/snapshot queries → r3∪r4∪r5 union 78). A
     name may rotate OUT only if it is unchanged and already
     driver-green in a prior round's CORRECTNESS file; the anchors
-    below are the per-family representatives of the CURRENT window
-    and may not silently regress out."""
+    below are the per-family representatives of the CURRENT (r6)
+    window and may not silently regress out. The r6 rotation swaps in
+    17 never-driver-verified queries + the new embedding_knn_ivf_fixed
+    (r3∪…∪r6 union 96 of 108); rotated-out r5-green slots keep a
+    family representative in-window (events_stream_hourly carries the
+    streaming family solo this round)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -36,33 +40,41 @@ def test_driver_window_covers_every_family():
     window = set(names[:50])
     must_have = {
         "doc_exact_dedup",          # exact dedup
-        "doc_minhash_signature",    # minhash sketch (shared-sig rewire)
+        "doc_minhash_signature",    # minhash sketch
+        "doc_minhash_estimate_vs_exact",  # sketch-accuracy audit (r6 in)
         "doc_neardup_pairs",        # LSH banding + verify
-        "doc_incremental_neardup",  # batch-vs-persisted-index dedup (r5 new)
+        "doc_incremental_neardup",  # batch-vs-persisted-index (rewired r6:
+                                    # snapshot-lake index)
         "doc_dedup_clusters",       # connected-components dedup
+        "doc_dedup_survivors",      # survivor pick (r6 in)
         "doc_simhash_neardup",      # simhash family (stronger variant)
+        "doc_chargram_neardup",     # char-n-gram family (rewired r6:
+                                    # measured bucket guard)
         "doc_lang_id_heuristic",    # text analysis
-        "doc_lang_confusion",       # lang-ID eval (r5 in)
-        "doc_gopher_quality_flags", # quality family (r5 in)
-        "doc_pii_scrub",            # PII redaction
+        "doc_gopher_quality_flags", # quality family
+        "doc_tfidf_top_terms",      # tf-idf (r6 in)
+        "doc_rolling_hash",         # fingerprinting (r6 in)
         "doc_crosssource_contamination",  # decontamination
-        "doc_pack_assignment",      # sequence packing (sharded prefix sum)
-        "doc_train_split",          # curation: deterministic split (r5 in)
-        "doc_stratified_sample",    # curation: sampling (r5 in)
+        "doc_chunk_plan",           # curation: chunking
+        "doc_stratified_sample",    # curation: sampling
         "embedding_knn_srp",        # LSH-bucketed ANN
-        "embedding_neardup_pairs",  # cosine near-dup
-        "embedding_dedup_clusters", # semantic dedup components (r5 in)
-        "embedding_random_projection",  # dim reduction (r5 in)
-        "events_stream_hourly",     # streaming twins
-        "events_stream_dedup_count",
-        "events_stream_sliding",
-        "events_stream_join_view_purchase",
-        "events_stream_enrich_category",  # stream-static enrich (r5 in)
-        "events_stream_upsert_sink",      # foreachBatch CDC sink (r5 in)
+        "embedding_knn_ivf_fixed",  # oracle-checkable IVF search (r6 new)
+        "embedding_neardup_pairs",  # cosine near-dup (rewired r6: hoisted
+                                    # norms)
+        "embedding_dedup_clusters", # semantic dedup (rewired r6: local-CC
+                                    # fast path)
+        "events_stream_hourly",     # streaming twins (family rep)
         "events_funnel_signup_purchase",
-        "lake_snapshot_roundtrip",  # snapshot layer e2e (r5 new)
-        "rank_asc_nulls_last",      # rewired global_rank (r5)
-        "customer_balance_quartiles",  # rewired global_ntile (r5)
+        "events_anomaly_zscore",    # event analytics (r6 in)
+        "events_props_struct",      # JSON→struct coercion (r6 in)
+        "lake_snapshot_roundtrip",  # snapshot layer e2e
+        "rank_asc_nulls_last",      # global_rank (quantile-cut cache r6)
+        "rank_desc_nulls_last",     # (r6 in)
+        "rank_dense_global",        # (r6 in)
+        "customer_balance_quartiles",  # global_ntile
+        "grouped_agg_salted",       # skew-salted agg (r6 in)
+        "anti_join",                # set-negation join (r6 in)
+        "setop_except_all",         # set ops (r6 in)
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
