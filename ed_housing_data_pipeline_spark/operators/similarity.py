@@ -749,9 +749,21 @@ def neardup_clusters(
     iteration). The collect is bounded BY the gate; pass
     ``max_local_edges=0`` to force the distributed loop.
     """
+    # both edge directions from ONE pass over the pair plan: a
+    # union(pairs, reversed(pairs)) would execute the (expensive)
+    # candidate-generation subtree once per branch — Catalyst does not
+    # share subtrees across Union branches — which doubled the whole
+    # clusters query's cost at bench scale
     edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+                    F.struct(F.col("id_b").alias("u"), F.col("id_a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .localCheckpoint(eager=True)
     )
     # decide local-vs-distributed with ONE gate-bounded job: collect at
