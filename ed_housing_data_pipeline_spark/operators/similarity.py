@@ -423,6 +423,7 @@ def lsh_probe_pairs(
     index_bands: DataFrame,
     id_col: str,
     max_bucket_width: int | None = 1024,
+    stop_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental LSH: candidate pairs between a NEW batch and a
     PERSISTED band index — the cross-snapshot dedup shape. Both inputs
@@ -441,9 +442,19 @@ def lsh_probe_pairs(
     bucket wider than ``max_bucket_width`` is boilerplate carrying no
     dedup signal, and every probe hitting it would fan out by the full
     width — drop those buckets, deterministically (mirror the cap in
-    any oracle)."""
+    any oracle).
+
+    ``stop_bands``: a PRECOMPUTED (band, key) stop-band table — the
+    index artifact's own bucket statistics (written at index
+    build/ingest time, :func:`oversized_bucket_stats`). When given it
+    replaces the per-probe width aggregation: the probe plan is then
+    one anti-join against a tiny (usually empty) table plus the
+    candidate equi-join, and the O(index) stats pass runs once per
+    INGEST instead of once per probe."""
     ib = index_bands
-    if max_bucket_width is not None:
+    if stop_bands is not None:
+        ib = ib.join(stop_bands.select("band", "key"), ["band", "key"], "left_anti")
+    elif max_bucket_width is not None:
         wide = oversized_bucket_stats(ib, ["band", "key"], max_bucket_width)
         ib = ib.join(wide.select("band", "key"), ["band", "key"], "left_anti")
     return (
@@ -744,34 +755,35 @@ def neardup_clusters(
     Small-subgraph fast path: when the (directed) edge count is at
     most ``max_local_edges``, the labels come from one driver-side
     union-find over the collected edges instead — identical labels,
-    and it replaces the loop's ~10 scheduled jobs with one collect
-    (the count that gates it was already being computed to size the
-    iteration). The collect is bounded BY the gate; pass
-    ``max_local_edges=0`` to force the distributed loop.
+    and the whole operator costs exactly one bounded CollectLimit off
+    the pair plan plus the final attach join. The collect is bounded
+    BY the gate; pass ``max_local_edges=0`` to force the distributed
+    loop.
     """
     # both edge directions from ONE pass over the pair plan: a
     # union(pairs, reversed(pairs)) would execute the (expensive)
     # candidate-generation subtree once per branch — Catalyst does not
     # share subtrees across Union branches — which doubled the whole
     # clusters query's cost at bench scale
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
-                    F.struct(F.col("id_b").alias("u"), F.col("id_a").alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .localCheckpoint(eager=True)
-    )
-    # decide local-vs-distributed with ONE gate-bounded job: collect at
-    # most cap+1 edges off the checkpoint (a separate count() first
-    # would schedule an extra job per call; toLocalIterator would
-    # schedule one per partition). Overflow falls through to the loop.
+    edge_plan = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+                F.struct(F.col("id_b").alias("u"), F.col("id_a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    # decide local-vs-distributed with ONE gate-bounded CollectLimit
+    # straight off the pair plan — NOT off an up-front full
+    # materialization: checkpointing all edges before probing cost a
+    # whole extra pass in the dominant small-subgraph case. Only the
+    # overflow path (a huge subgraph headed into a ≥10-job loop, where
+    # one repeated candidate-generation pass is amortized) pays the
+    # checkpoint below.
     head = (
-        edges.limit(max_local_edges + 1).collect() if max_local_edges > 0 else None
+        edge_plan.limit(max_local_edges + 1).collect()
+        if max_local_edges > 0
+        else None
     )
     if head is not None and len(head) <= max_local_edges:
         lab = _local_components(((r["u"], r["v"]) for r in head), docs.sparkSession)
@@ -791,11 +803,14 @@ def neardup_clusters(
                 "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
             )
         )
-    # Size every iterated frame to the SUBGRAPH, not the session's
-    # shuffle-partition conf: the near-dup subgraph is typically a tiny
-    # fraction of the corpus, and a 10-stage-per-round loop at 32-task
-    # stages is pure scheduling overhead on a 50-edge graph (measured
-    # ~2× the whole query at sf0.01). ~1M edges per partition.
+    # Distributed loop: materialize the edge set ONCE (the loop reuses
+    # it every round) and size every iterated frame to the SUBGRAPH,
+    # not the session's shuffle-partition conf: the near-dup subgraph
+    # is typically a tiny fraction of the corpus, and a
+    # 10-stage-per-round loop at 32-task stages is pure scheduling
+    # overhead on a 50-edge graph (measured ~2× the whole query at
+    # sf0.01). ~1M edges per partition.
+    edges = edge_plan.localCheckpoint(eager=True)
     n_parts = max(1, int(edges.count() // 1_000_000) + 1)
     edges = edges.repartition(n_parts, "u").localCheckpoint(eager=True)
     # from the materialized edges (NOT from pairs — that would execute
