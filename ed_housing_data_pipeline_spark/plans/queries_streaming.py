@@ -328,3 +328,101 @@ def q_events_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return out
+
+
+@register(
+    "events_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), sessions AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts ASC
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) + 1800 * 1000000 AS BIGINT) AS session_end_us,
+           user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-WINDOW aggregation executed AS A STREAM
+    (``F.session_window`` + watermark) and drained with availableNow —
+    the streaming twin of ``events_sessionize_stats``. Session state is
+    per (user, open-session) and the watermark closes a session ``gap``
+    after its last event, so state is bounded by concurrently-open
+    sessions, not corpus size.
+
+    Semantics pinned against the engine (probed empirically): an event
+    exactly ``gap`` after the previous one MERGES into the session —
+    a new session starts only when the delta is STRICTLY greater than
+    the gap — which is the same ``> gap`` break the batch lag→cumsum
+    oracle uses; ``session_end = last event ts + gap``. Microsecond
+    epochs in the output dodge second-truncation collisions."""
+    sessions = se.stream_sessionize_stats(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        user_col="user_id",
+        gap="30 minutes",
+        watermark="2 hours",
+    )
+    out = _drain(sessions, spark, output_mode="complete")
+    return out.select(
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "user_id",
+        "n_events",
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "events_stream_state_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_events_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator (``applyInPandasWithState``) as a
+    registered, oracle-checked query: per-user lifetime (count, value
+    total) maintained across micro-batches in Arrow-vectorized Python
+    state — the arbitrary-state escape hatch for semantics the
+    built-in windows can't express. State is one triple per user
+    (bounded by user cardinality, not event volume).
+
+    Update mode emits one refreshed row per (user, micro-batch with
+    activity); the LAST emission per user is its lifetime total, taken
+    with a user-partitioned row_number over the monotone ``n_events``
+    — robust to however many micro-batches the availableNow drain
+    splits the input into. The float total accumulates in batch
+    arrival order, so the 4-decimal round absorbs the
+    addition-order difference from the oracle's single SUM."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    totals = se.stream_running_user_totals(_events_stream(spark, sf_dir))
+    out = _drain(totals, spark, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value"), 4).alias("total_value"),
+        )
+    )

@@ -29,7 +29,8 @@ def test_driver_window_covers_every_family():
     below are the per-family representatives of the CURRENT (r6)
     window and may not silently regress out. The r6 rotation swaps in
     17 never-driver-verified queries + the new embedding_knn_ivf_fixed
-    (r3∪…∪r6 union 96 of 108); rotated-out r5-green slots keep a
+    (r3∪…∪r6 union 96 of 110 — the two r6-registered streaming
+    queries land out-of-window); rotated-out r5-green slots keep a
     family representative in-window (events_stream_hourly carries the
     streaming family solo this round)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
