@@ -334,3 +334,59 @@ def test_global_rank_matches_definition(
     else:
         for i, v in enumerate(vals):
             assert got[i] == dense_of[v], (v, got[i], dense_of[v])
+
+
+# ------------------------------------------------- neardup_clusters
+# The connected-components operator has two execution paths (driver
+# union-find fast path vs distributed min-label propagation with
+# pointer jumping) that must be label-identical on EVERY graph shape —
+# cliques, chains, forests, self-contained singletons. Example-based
+# tests cover known shapes; this drives random edge sets through both
+# paths against an independent reference closure.
+
+
+def _reference_components(n_docs, edges):
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {i: find(i) for i in range(n_docs)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=14),
+    st.data(),
+)
+def test_neardup_clusters_matches_reference_closure(spark, n_docs, data):
+    from ed_housing_data_pipeline_spark.operators import similarity as sim
+
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n_docs - 1),
+                st.integers(min_value=0, max_value=n_docs - 1),
+            ).filter(lambda e: e[0] != e[1]),
+            max_size=20,
+        )
+    )
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+    pair_rows = [(min(u, v), max(u, v)) for u, v in edges] or None
+    expected = _reference_components(n_docs, edges)
+    for max_local in (10_000, 0):  # driver fast path, distributed loop
+        if pair_rows is None:
+            pairs = spark.createDataFrame([], "id_a long, id_b long")
+        else:
+            pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+        out = sim.neardup_clusters(docs, pairs, "doc_id", max_local_edges=max_local)
+        got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+        assert got == expected, f"path max_local_edges={max_local}"
