@@ -59,8 +59,11 @@ _LOADED = False
 # keeps another in-window representative are swapped for never-driver-verified
 # or this-round-rewired queries. Union of r3+r4+r5 driver rows: 78 distinct
 # queries; this round swaps in 17 of the 29 never-driver-verified queries plus
-# the newly registered embedding_knn_ivf_fixed (oracle-checkable IVF search),
-# pushing cumulative r3∪…∪r6 coverage to 96 of 108. Rewired-this-round queries
+# three newly registered ones — embedding_knn_ivf_fixed (oracle-checkable IVF
+# search) and the two new stateful-streaming queries
+# (events_stream_sessionize: session windows; events_stream_state_totals:
+# applyInPandasWithState) — pushing cumulative r3∪…∪r6 coverage to 98 of 110.
+# Rewired-this-round queries
 # stay in-window: doc_incremental_neardup (snapshot-lake index),
 # doc_chargram_neardup (measured bucket guard), the global_rank family
 # (rank_asc_nulls_last, customer_balance_quartiles, rank_dense_global,
@@ -72,8 +75,12 @@ _LOADED = False
 # IDF), doc_repetition_stats, embedding_random_projection (srp/neardup/
 # clusters stay), lineitem_numeric_profile (corr_stats covers numeric stats),
 # nation_top_customer_argmax (rank_sum_top1/topk stay),
-# orders_cube_status_priority, and 5 of 6 events_stream_* (hourly stays as
-# the streaming rep).
+# orders_cube_status_priority, 5 of 6 events_stream_* (hourly stays as
+# the streaming rep), customer_order_gaps (lag/rolling window family keeps
+# customer_rolling_30d_spend + customer_balance_quartiles), and
+# events_sessionize_stats (batch event-time family keeps asof/funnel/
+# anomaly/props, and its exact streaming twin events_stream_sessionize
+# joins the window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -91,7 +98,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "rank_sum_top1",
     "topk_per_group",
     "customer_balance_quartiles",
-    "customer_order_gaps",
     "customer_rolling_30d_spend",
     "orders_nearby_range_join",
     "orders_key_skew_stats",
@@ -101,7 +107,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "setop_union_by_name",
     "lake_snapshot_roundtrip",
     # event-time analytics (batch)
-    "events_sessionize_stats",
     "events_asof_last_view",
     "events_funnel_signup_purchase",
     "events_anomaly_zscore",
@@ -128,8 +133,11 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "embedding_knn_ivf_fixed",
     "embedding_neardup_pairs",
     "embedding_dedup_clusters",
-    # structured-streaming twins
+    # structured-streaming twins (hourly = windowed-agg rep; sessionize =
+    # session windows; state_totals = applyInPandasWithState custom state)
     "events_stream_hourly",
+    "events_stream_sessionize",
+    "events_stream_state_totals",
 )
 
 

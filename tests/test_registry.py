@@ -28,11 +28,11 @@ def test_driver_window_covers_every_family():
     driver-green in a prior round's CORRECTNESS file; the anchors
     below are the per-family representatives of the CURRENT (r6)
     window and may not silently regress out. The r6 rotation swaps in
-    17 never-driver-verified queries + the new embedding_knn_ivf_fixed
-    (r3∪…∪r6 union 96 of 110 — the two r6-registered streaming
-    queries land out-of-window); rotated-out r5-green slots keep a
-    family representative in-window (events_stream_hourly carries the
-    streaming family solo this round)."""
+    17 never-driver-verified queries + three r6-registered ones
+    (embedding_knn_ivf_fixed, events_stream_sessionize,
+    events_stream_state_totals) → r3∪…∪r6 union 98 of 110;
+    rotated-out r5-green slots keep a family representative
+    in-window."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -64,7 +64,9 @@ def test_driver_window_covers_every_family():
                                     # norms)
         "embedding_dedup_clusters", # semantic dedup (rewired r6: local-CC
                                     # fast path)
-        "events_stream_hourly",     # streaming twins (family rep)
+        "events_stream_hourly",     # streaming twins (windowed-agg rep)
+        "events_stream_sessionize",  # session windows (r6 new)
+        "events_stream_state_totals",  # applyInPandasWithState (r6 new)
         "events_funnel_signup_purchase",
         "events_anomaly_zscore",    # event analytics (r6 in)
         "events_props_struct",      # JSON→struct coercion (r6 in)
