@@ -380,13 +380,11 @@ def test_neardup_clusters_matches_reference_closure(spark, n_docs, data):
         )
     )
     docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
-    pair_rows = [(min(u, v), max(u, v)) for u, v in edges] or None
+    pairs = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in edges], "id_a long, id_b long"
+    )
     expected = _reference_components(n_docs, edges)
     for max_local in (10_000, 0):  # driver fast path, distributed loop
-        if pair_rows is None:
-            pairs = spark.createDataFrame([], "id_a long, id_b long")
-        else:
-            pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
         out = sim.neardup_clusters(docs, pairs, "doc_id", max_local_edges=max_local)
         got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
         assert got == expected, f"path max_local_edges={max_local}"

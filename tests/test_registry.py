@@ -192,3 +192,47 @@ def test_incr_index_ingest_appends_batch_as_next_snapshot(spark):
         assert lake.snapshot_versions(spark, f"{tmp.name}/bands") == [3]
     finally:
         qll.release_shared_caches()
+
+
+def test_incr_index_probe_survives_torn_ingest(spark):
+    """A crash between the index's component snapshot commits must not
+    poison probes: with the band table committed at v2 while shingles/
+    stopbands are still at v1, the probe reads the v1-consistent triple
+    (the last FULLY-committed ingest via
+    lake.consistent_snapshot_version), never a newer band table paired
+    with stale bucket stats or a shingle store missing candidate
+    rows."""
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.operators import similarity as sim
+    from ed_housing_data_pipeline_spark.plans import queries_llm as qll
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    sf = "/root/testdata/sf0.001"
+    qll.release_shared_caches()
+    try:
+        fn = query_map()["doc_incremental_neardup"]
+        before = {tuple(r) for r in fn(spark, sf).collect()}
+        tmp = qll._INCR_INDEX[(sf, qll.SHINGLE_K, qll.N_HASHES)]
+        # torn ingest: bands advance to v2 WITH the batch folded in —
+        # probing against that band table would match batch docs to
+        # themselves, so any leak of the v2 bands shows in the result
+        batch = qll.shared_signatures(spark, sf).filter(
+            F.col("source") == qll.INCR_BATCH_SOURCE
+        )
+        batch_bands = sim.band_keys(
+            batch, "doc_id", n_hashes=qll.N_HASHES, bands=qll.BANDS
+        )
+        lake.write_snapshot(
+            spark,
+            lake.read_snapshot(spark, f"{tmp.name}/bands").unionByName(batch_bands),
+            f"{tmp.name}/bands",
+        )
+        roots = tuple(
+            f"{tmp.name}/{ds}" for ds in ("bands", "shingles", "stopbands")
+        )
+        assert lake.consistent_snapshot_version(spark, *roots) == 1
+        after = {tuple(r) for r in fn(spark, sf).collect()}
+        assert after == before
+    finally:
+        qll.release_shared_caches()
