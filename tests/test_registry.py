@@ -196,12 +196,11 @@ def test_incr_index_ingest_appends_batch_as_next_snapshot(spark):
 
 def test_incr_index_probe_survives_torn_ingest(spark):
     """A crash between the index's component snapshot commits must not
-    poison probes: with the band table committed at v2 while shingles/
-    stopbands are still at v1, the probe reads the v1-consistent triple
-    (the last FULLY-committed ingest via
-    lake.consistent_snapshot_version), never a newer band table paired
-    with stale bucket stats or a shingle store missing candidate
-    rows."""
+    poison probes: component snapshots written without a manifest
+    commit are invisible (probes read through the last committed
+    manifest — the atomic commit point), and the RETRIED ingest
+    re-derives the same content instead of doubling the batch; a
+    duplicate complete ingest is content-idempotent."""
     from pyspark.sql import functions as F
 
     from ed_housing_data_pipeline_spark.operators import similarity as sim
@@ -214,6 +213,7 @@ def test_incr_index_probe_survives_torn_ingest(spark):
         fn = query_map()["doc_incremental_neardup"]
         before = {tuple(r) for r in fn(spark, sf).collect()}
         tmp = qll._INCR_INDEX[(sf, qll.SHINGLE_K, qll.N_HASHES)]
+        v1_bands = lake.read_snapshot(spark, f"{tmp.name}/bands")
         # torn ingest: bands advance to v2 WITH the batch folded in —
         # probing against that band table would match batch docs to
         # themselves, so any leak of the v2 bands shows in the result
@@ -224,15 +224,29 @@ def test_incr_index_probe_survives_torn_ingest(spark):
             batch, "doc_id", n_hashes=qll.N_HASHES, bands=qll.BANDS
         )
         lake.write_snapshot(
-            spark,
-            lake.read_snapshot(spark, f"{tmp.name}/bands").unionByName(batch_bands),
-            f"{tmp.name}/bands",
+            spark, v1_bands.unionByName(batch_bands), f"{tmp.name}/bands"
         )
-        roots = tuple(
-            f"{tmp.name}/{ds}" for ds in ("bands", "shingles", "stopbands")
-        )
-        assert lake.consistent_snapshot_version(spark, *roots) == 1
         after = {tuple(r) for r in fn(spark, sf).collect()}
         assert after == before
+        # retried ingest: content = v1 ∪ batch exactly (no doubling,
+        # base taken from the manifest-pinned state, not the torn v2).
+        # keep_latest=4 so the lazily-read v1 frames above stay on disk
+        qll.incr_index_ingest(spark, sf, keep_latest=4)
+        merged = lake.read_snapshot(
+            spark, f"{tmp.name}/bands", version=qll._INCR_PIN[
+                (sf, qll.SHINGLE_K, qll.N_HASHES)
+            ][0]
+        )
+        expected = v1_bands.unionByName(batch_bands)
+        assert merged.exceptAll(expected).count() == 0
+        assert expected.exceptAll(merged).count() == 0
+        # duplicate COMPLETE ingest: content-idempotent
+        n_before = merged.count()
+        qll.incr_index_ingest(spark, sf, keep_latest=4)
+        pin = qll._INCR_PIN[(sf, qll.SHINGLE_K, qll.N_HASHES)]
+        assert (
+            lake.read_snapshot(spark, f"{tmp.name}/bands", version=pin[0]).count()
+            == n_before
+        )
     finally:
         qll.release_shared_caches()
