@@ -37,7 +37,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader's inferred schema (a footer read, no data scan) and reuse
     it, then normalize via the shared helper."""
     ensure_runtime_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = tables.load_table(spark, sf_dir, "events").schema
     # Glob, not the bare file path: FileStreamSource requires its
     # basePath to be a directory, and the glob's parent dir is one.
     raw = se.read_events_stream(
