@@ -234,3 +234,31 @@ def test_foreach_batch_upsert_replay_idempotent(spark, tmp_path):
         (3, "2024-01-01"): (300, 5),   # new key inserted
         (2, "2024-01-02"): (200, 5),   # untouched partition survives
     }
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin the session-merge rule the registered sessionize oracle
+    depends on: an event landing EXACTLY ``gap`` after the previous one
+    MERGES into the session (a new session needs a strictly greater
+    delta), and the session end is last-event ts + gap. session_window
+    evaluates identically on a static frame, which is what makes this
+    cheap to pin without a stream drain."""
+    rows_in = [
+        (1, ts(10, 0), 100, "view", 1.0, None),
+        (2, ts(10, 30), 100, "view", 1.0, None),   # exactly gap -> merges
+        (3, ts(11, 0, ), 100, "view", 1.0, None),  # exactly gap again
+        (4, ts(11, 31), 100, "view", 1.0, None),   # gap+1min -> NEW session
+    ]
+    df = spark.createDataFrame(rows_in, stream_events.EVENTS_SCHEMA)
+    out = stream_events.stream_sessionize_stats(df, gap="30 minutes")
+    got = {
+        (r["session_start"], r["session_end"]): r["n_events"]
+        for r in out.collect()
+    }
+    assert got == {
+        (ts(10, 0), ts(11, 30)): 3,
+        (ts(11, 31), ts(12, 1)): 1,
+    }
+    # the batch lag→cumsum operator draws the identical boundary
+    b = batch_events.session_stats(df, "ts", "user_id", gap_minutes=30)
+    assert sorted(r["n_events"] for r in b.collect()) == [1, 3]
