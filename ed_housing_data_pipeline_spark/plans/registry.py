@@ -58,7 +58,7 @@ _LOADED = False
 # prior round (CORRECTNESS r3/r4/r5, all green), and whose operator family
 # keeps another in-window representative are swapped for never-driver-verified
 # or this-round-rewired queries. Union of r3+r4+r5 driver rows: 78 distinct
-# queries; this round swaps in 17 of the 29 never-driver-verified queries plus
+# queries; this round swaps in 15 of the 29 never-driver-verified queries plus
 # three newly registered ones — embedding_knn_ivf_fixed (oracle-checkable IVF
 # search) and the two new stateful-streaming queries
 # (events_stream_sessionize: session windows; events_stream_state_totals:

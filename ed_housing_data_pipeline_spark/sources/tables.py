@@ -29,20 +29,26 @@ TABLES = (
 DEFAULT_SF_DIR = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Memoized analyzed relations per (application, sf_dir, table):
+# Memoized analyzed relations per (application, session, sf_dir, table):
 # ``spark.read.parquet`` pays a driver-side file listing + parquet
 # footer schema read on EVERY call — pure plan-build latency when each
 # query rebuilds its plan per run (the bench/harness pattern). The memo
 # holds only the analyzed logical relation (no data is cached) and the
 # lake inputs are immutable for a given sf_dir, so reuse is exact.
-# Entries from other applications are pruned on miss, which bounds the
-# dict across session restarts.
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# The SESSION is part of the key because a DataFrame executes with the
+# session state (confs) it was created under — serving session A's
+# relation to session B would silently run B's query with A's confs.
+# ``id(spark)`` cannot alias a dead session: the memoized DataFrames
+# keep their session object alive, so its id is never reused while the
+# entry exists. Entries from other applications are pruned on miss,
+# bounding the dict across session restarts; within one application it
+# holds at most (#sessions × #tables) plan objects.
+_TABLE_MEMO: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir, name)
+    key = (app, id(spark), sf_dir, name)
     df = _TABLE_MEMO.get(key)
     if df is None:
         for k in list(_TABLE_MEMO):

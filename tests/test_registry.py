@@ -28,7 +28,7 @@ def test_driver_window_covers_every_family():
     driver-green in a prior round's CORRECTNESS file; the anchors
     below are the per-family representatives of the CURRENT (r6)
     window and may not silently regress out. The r6 rotation swaps in
-    17 never-driver-verified queries + three r6-registered ones
+    15 never-driver-verified queries + three r6-registered ones
     (embedding_knn_ivf_fixed, events_stream_sessionize,
     events_stream_state_totals) → r3∪…∪r6 union 96 of 110;
     rotated-out r5-green slots keep a family representative
