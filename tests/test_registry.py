@@ -250,3 +250,23 @@ def test_incr_index_probe_survives_torn_ingest(spark):
         )
     finally:
         qll.release_shared_caches()
+
+
+def test_family_caches_are_session_scoped(spark):
+    """A memoized family frame must be served only to the session that
+    built it: a DataFrame executes with its creating session's state,
+    so another session (e.g. a fresh harness session in the same JVM
+    application) gets a rebuild, never a foreign-session plan."""
+    from ed_housing_data_pipeline_spark.plans import queries_llm as qll
+
+    sf = "/root/testdata/sf0.001"
+    qll.release_shared_caches()
+    try:
+        a = qll.shared_signatures(spark, sf)
+        assert qll.shared_signatures(spark, sf) is a  # same-session memo hit
+        other = spark.newSession()
+        b = qll.shared_signatures(other, sf)
+        assert b is not a
+        assert b.sparkSession is other
+    finally:
+        qll.release_shared_caches()
