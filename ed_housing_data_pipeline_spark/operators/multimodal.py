@@ -288,6 +288,7 @@ def sample_frames(
     id_col: str,
     n_frames: int,
     frames_fn: FramesFn | None = None,
+    tolerant: bool | None = None,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame with a
     frame index and per-frame features. Exercises the row-expanding
@@ -298,11 +299,14 @@ def sample_frames(
     imageio-ffmpeg, else the deterministic stub), and an undecodable
     payload yields ONE quarantine row with NULL frame features
     (``frame_idx IS NULL``) instead of failing the scan. An explicit
-    ``frames_fn`` keeps its own error semantics — exceptions
-    propagate."""
+    ``frames_fn`` keeps its own error semantics by default — exceptions
+    propagate — and ``tolerant`` overrides either default (e.g. a
+    custom decoder that should still quarantine instead of failing the
+    scan)."""
     import pandas as pd  # noqa: PLC0415
 
     explicit = frames_fn
+    override = tolerant
     schema = f"{id_col} long, frame_idx int, width int, height int, mean_luma double"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -311,6 +315,8 @@ def sample_frames(
         else:
             fn, _is_real = default_frames_fn()  # executor-local probe
             tolerant = True
+        if override is not None:
+            tolerant = override
 
         for pdf in it:
             recs = []

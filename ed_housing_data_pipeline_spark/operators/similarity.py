@@ -689,9 +689,17 @@ def simhash_neardup_pairs(
 LOCAL_CC_MAX_EDGES = 500_000
 
 
-def _local_components(edge_rows, spark) -> DataFrame:
+def _local_components(edge_rows, spark, id_type) -> DataFrame:
     """Union-find over collected (u, v) edges → (id, label=min of
-    component). Same labels as the distributed min-propagation loop."""
+    component). Same labels as the distributed min-propagation loop.
+    ``id_type`` is the pair frame's id DataType — the operator is
+    generic over any orderable id type (bigint, int, string), so the
+    label frame must not narrow it."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("label", id_type)]
+    )
     parent: dict = {}
 
     def find(x):
@@ -713,7 +721,7 @@ def _local_components(edge_rows, spark) -> DataFrame:
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
     labels = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(labels, "id long, label long")
+    return spark.createDataFrame(labels, schema)
 
 
 def neardup_clusters(
@@ -786,7 +794,11 @@ def neardup_clusters(
         else None
     )
     if head is not None and len(head) <= max_local_edges:
-        lab = _local_components(((r["u"], r["v"]) for r in head), docs.sparkSession)
+        lab = _local_components(
+            ((r["u"], r["v"]) for r in head),
+            docs.sparkSession,
+            pairs.schema["id_a"].dataType,
+        )
         return (
             docs.select(F.col(id_col).alias("doc_id"))
             .join(

@@ -413,39 +413,6 @@ def write_snapshot(
     return version
 
 
-def consistent_snapshot_version(spark, *dataset_roots: str) -> int | None:
-    """The greatest version committed in EVERY given dataset — the
-    consistent read point for a multi-dataset artifact whose components
-    commit as separate snapshots (e.g. an LSH index's band table,
-    shingle store and bucket statistics). A crash between the component
-    commits leaves the pointers at different versions; reading each
-    dataset's own latest would then mix versions — pairing a newer band
-    table with stale bucket stats, or candidates with a shingle store
-    missing their rows. Reading everything at min(committed) always
-    yields the last FULLY-committed ingest. Returns None if any dataset
-    has no committed version yet.
-
-    PRECONDITION — lockstep version numbers: every successful commit
-    must advance ALL components, so that equal version numbers mean
-    "same ingest". A retried partial commit breaks lockstep permanently
-    (the crashed component ends up one number ahead forever), after
-    which min(committed) can pair components from different ingests.
-    Multi-dataset artifacts that must survive torn commits should
-    record component versions in an explicit 1-row MANIFEST dataset and
-    read through it instead (see plans/queries_llm.py's incremental LSH
-    index); this helper fits side-by-side datasets maintained by a
-    single writer that always retries to completion.
-
-    Retention note: expire the components with the same ``keep_latest``
-    and keep it ≥ 2 — after a torn commit the consistent version is one
-    behind the furthest component's pointer, and ``keep_latest=1``
-    would let that component drop it."""
-    versions = [_committed_version(spark, r) for r in dataset_roots]
-    if any(v is None for v in versions):
-        return None
-    return min(versions)
-
-
 def read_snapshot(spark, dataset_root: str, version: int | None = None) -> DataFrame:
     """Read a snapshot: the newest COMMITTED version by default, or any
     pinned historical ``version`` (time travel) — snapshots are

@@ -346,3 +346,42 @@ def test_even_frame_indices():
     assert mm._even_frame_indices(10, 1) == [0]
     assert mm._even_frame_indices(10, 3) == [0, 4, 9]
     assert mm._even_frame_indices(2, 5) == [0, 1]
+
+
+def test_sample_frames_quarantines_undecodable_payloads(spark):
+    """The tolerant path's quarantine contract: a payload whose decoder
+    raises yields exactly ONE row with NULL frame features (frame_idx/
+    width/height/mean_luma all NULL) and the scan keeps going — decoded
+    payloads in the same batch still expand normally. Driven through a
+    real worker round-trip via an explicit raising frames_fn with
+    tolerant=True (the serialized-by-value stand-in for a broken
+    executor decoder)."""
+
+    def broken_then_ok(payload, n):
+        if payload.startswith(b"BAD"):
+            raise ValueError("undecodable")
+        return [(i, 4, 2, 0.5) for i in range(n)]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"BADxxxx")), (2, bytearray(b"OKyyyy")), (3, None)],
+        "media_id long, data binary",
+    )
+    out = mm.sample_frames(
+        df, "data", "media_id", n_frames=2,
+        frames_fn=broken_then_ok, tolerant=True,
+    ).collect()
+    quarantined = [r for r in out if r["media_id"] == 1]
+    assert len(quarantined) == 1
+    assert all(
+        quarantined[0][c] is None
+        for c in ("frame_idx", "width", "height", "mean_luma")
+    )
+    assert sorted(r["frame_idx"] for r in out if r["media_id"] == 2) == [0, 1]
+    assert not [r for r in out if r["media_id"] == 3]  # NULL payload: no row
+    # explicit fn WITHOUT tolerant keeps its own error semantics
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mm.sample_frames(
+            df, "data", "media_id", n_frames=2, frames_fn=broken_then_ok
+        ).collect()

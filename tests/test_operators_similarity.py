@@ -613,3 +613,22 @@ def test_near_dup_pairs_with_external_sig_matches_internal(spark):
         ).collect()
     }
     assert internal == external and internal
+
+
+def test_neardup_clusters_string_ids_both_paths(spark):
+    """The operator is generic over the id type: string ids must work
+    through BOTH the driver union-find fast path (label frame schema is
+    derived from the pair frame, not hard-coded bigint) and the
+    distributed loop, with identical labels."""
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    expect = {"a": "a", "b": "a", "c": "a", "d": "d"}
+    for max_local in (10_000, 0):
+        out = sim.neardup_clusters(
+            docs, pairs, "doc_id", max_local_edges=max_local
+        )
+        assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == expect

@@ -498,21 +498,3 @@ def test_upsert_partitions_rejects_null_partition_and_lost_columns(spark, tmp_pa
         lake.upsert_partitions(spark, root, narrow, key_cols=["id"])
     # dataset untouched by both refusals
     assert spark.read.parquet(root).count() == 1
-
-
-def test_consistent_snapshot_version_lockstep(spark, tmp_path):
-    """min(committed) across side-by-side snapshot datasets: None until
-    every component has a commit, the common version while in lockstep,
-    and the last fully-committed version when one component's pointer
-    runs ahead (torn multi-dataset commit)."""
-    a, b = str(tmp_path / "a"), str(tmp_path / "b")
-    one = spark.createDataFrame([(1,)], "x int")
-    assert lake.consistent_snapshot_version(spark, a, b) is None
-    lake.write_snapshot(spark, one, a)
-    assert lake.consistent_snapshot_version(spark, a, b) is None  # b missing
-    lake.write_snapshot(spark, one, b)
-    assert lake.consistent_snapshot_version(spark, a, b) == 1
-    lake.write_snapshot(spark, one, a)  # torn: a=2, b=1
-    assert lake.consistent_snapshot_version(spark, a, b) == 1
-    lake.write_snapshot(spark, one, b)
-    assert lake.consistent_snapshot_version(spark, a, b) == 2
