@@ -53,6 +53,17 @@ def normalize_text(col: Column | str) -> Column:
     return F.nullif(c, F.lit(""))
 
 
+def hash60(col: Column | str) -> Column:
+    """Deterministic 60-bit bigint hash of a string column, portable
+    across engines (md5-prefix construction: DuckDB computes the
+    identical value as ``('0x' || substr(md5(x),1,15))::UBIGINT`` —
+    see plans/_base.hash60_sql). 60 bits (15 hex chars) fits a signed
+    bigint with headroom on both engines; collision-safe for MinHash/
+    SimHash/sharding at any realistic cardinality. Non-negative by
+    construction."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization → array<string>; empty/NULL text → empty array."""
     c = F.trim(_c(col).cast("string"))

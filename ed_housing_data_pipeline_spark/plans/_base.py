@@ -19,8 +19,9 @@ Cross-engine determinism conventions (see plans/registry.py docstring):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
+from ed_housing_data_pipeline_spark.functions import text as text_fns
 from ed_housing_data_pipeline_spark.session import ensure_runtime_confs
 from ed_housing_data_pipeline_spark.sources.tables import events_with_ts, load_table
 
@@ -35,14 +36,7 @@ def events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_with_ts(spark, sf_dir)
 
 
-def hash60(c: Column) -> Column:
-    """Deterministic 60-bit bigint hash of a string column, portable to
-    DuckDB (same md5-prefix construction — see module docstring).
-
-    60 bits (15 hex chars) fits a signed bigint with headroom on both
-    engines; plenty for MinHash/SimHash at any realistic cardinality.
-    """
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+hash60 = text_fns.hash60  # canonical home: functions/text.py
 
 
 def hash60_sql(expr: str) -> str:

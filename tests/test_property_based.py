@@ -388,3 +388,120 @@ def test_neardup_clusters_matches_reference_closure(spark, n_docs, data):
         out = sim.neardup_clusters(docs, pairs, "doc_id", max_local_edges=max_local)
         got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
         assert got == expected, f"path max_local_edges={max_local}"
+
+
+# ------------------------------------------------------------ asof_join
+# Backward as-of semantics by definition: for each left row, the
+# matched right row is argmax(ts_right) subject to ts_right <= ts_left
+# (and within tolerance when given), per key — ties at equal ts take
+# the right row, NULL keys match NULL keys (documented caveat), and a
+# matched row whose VALUE is NULL must be carried faithfully, never
+# skipped in favor of an older non-NULL row (the struct-carry
+# property). Small integer ts domain forces heavy tie/boundary traffic.
+
+_EPOCH = __import__("datetime").datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    import datetime
+
+    return _EPOCH + datetime.timedelta(seconds=sec)
+
+
+_key_st = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
+_asof_left = st.lists(
+    st.tuples(_key_st, st.integers(min_value=0, max_value=30)),
+    min_size=1,
+    max_size=25,
+)
+_asof_right = st.lists(
+    st.tuples(
+        _key_st,
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_asof_left, _asof_right, st.sampled_from([None, 0, 3, 10]))
+def test_asof_join_matches_definition(spark, left_rows, right_rows, tolerance):
+    from ed_housing_data_pipeline_spark.operators.joins import asof_join
+
+    # dedupe right (key, ts): ties there are documented as arbitrary
+    seen, right = set(), []
+    for k, ts, v in right_rows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((k, ts, v))
+
+    left = spark.createDataFrame(
+        [(i, k, _ts(ts)) for i, (k, ts) in enumerate(left_rows)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(ts), v) for k, ts, v in right],
+        "k long, rts timestamp, v long",
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, rdf, on="k", ts_left="ts", ts_right="rts",
+            value_cols=["v"], tolerance_sec=tolerance,
+        ).collect()
+    }
+    assert len(got) == len(left_rows)
+    for i, (k, ts) in enumerate(left_rows):
+        matches = [
+            (rts, v)
+            for rk, rts, v in right
+            if rk == k and rts <= ts and (tolerance is None or ts - rts <= tolerance)
+        ]
+        expected = max(matches)[1] if matches else None
+        assert got[i] == expected, (i, k, ts, got[i], expected)
+
+
+# ------------------------------------------------------------ sessionize
+# Definition: per user, in (ts, event_id) order, a session break is a
+# gap STRICTLY greater than gap_minutes*60; session_id is the running
+# count of breaks. Equal-ts ties are ordered by the tiebreak id (gap 0
+# keeps them in-session either way; the tiebreak pins lag() inputs).
+
+_sess_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=400),  # ts seconds
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_sess_rows, st.sampled_from([1, 2]))
+def test_sessionize_matches_definition(spark, rows_in, gap_minutes):
+    from ed_housing_data_pipeline_spark.operators.events import sessionize
+
+    df = spark.createDataFrame(
+        [(i, u, _ts(ts)) for i, (u, ts) in enumerate(rows_in)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, "ts", "user_id", gap_minutes).collect()
+    }
+    by_user = {}
+    for i, (u, ts) in enumerate(rows_in):
+        by_user.setdefault(u, []).append((ts, i))
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, i in evs:
+            if prev is None or ts - prev > gap_minutes * 60:
+                sid += 1
+            expected[i] = sid
+            prev = ts
+    assert got == expected

@@ -498,3 +498,88 @@ def test_upsert_partitions_rejects_null_partition_and_lost_columns(spark, tmp_pa
         lake.upsert_partitions(spark, root, narrow, key_cols=["id"])
     # dataset untouched by both refusals
     assert spark.read.parquet(root).count() == 1
+
+
+# ------------------------------------------------ JSONL / shard export
+def _docs_df(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text with\nnewline and \"quotes\" #"), F.col("id")).alias(
+            "text"
+        ),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+
+
+def test_write_json_lines_roundtrip_escapes(spark, tmp_path):
+    from ed_housing_data_pipeline_spark.sources import export
+
+    df = _docs_df(spark, 5)
+    out = str(tmp_path / "plain")
+    export.write_json_lines(df, out)
+    back = spark.read.schema("doc_id BIGINT, text STRING, source STRING").json(out)
+    assert rows(back.select("doc_id", "text", "source")) == rows(df)
+
+
+def test_export_jsonl_shards_membership_and_layout(spark, tmp_path):
+    import glob
+
+    from ed_housing_data_pipeline_spark.functions.text import hash60
+    from ed_housing_data_pipeline_spark.sources import export
+
+    df = _docs_df(spark)
+    out = str(tmp_path / "sharded")
+    export.export_jsonl_shards(
+        df, out, key=F.col("doc_id").cast("string"), n_shards=4
+    )
+    # one gzip file per shard directory (repartition-by-shard co-locates)
+    for d in glob.glob(f"{out}/shard=*"):
+        assert len(glob.glob(f"{d}/part-*.json.gz")) == 1
+    back = export.read_jsonl_shards(
+        spark, out, "doc_id BIGINT, text STRING, source STRING"
+    )
+    # membership matches the portable hash exactly, content survives
+    expected = df.withColumn(
+        "shard", (hash60(F.col("doc_id").cast("string")) % 4).cast("int")
+    )
+    assert rows(back.select(*expected.columns)) == rows(expected)
+
+
+def test_export_jsonl_shards_deterministic_across_runs(spark, tmp_path):
+    from ed_housing_data_pipeline_spark.sources import export
+    from tests.conftest import rows as _rows
+
+    df = _docs_df(spark)
+    outs = [str(tmp_path / f"run{i}") for i in (1, 2)]
+    got = []
+    for out in outs:
+        export.export_jsonl_shards(
+            df.repartition(7), out, key=F.col("doc_id").cast("string"), n_shards=4
+        )
+        back = export.read_jsonl_shards(
+            spark, out, "doc_id BIGINT, text STRING, source STRING"
+        )
+        got.append(_rows(back.select("shard", "doc_id")))
+    assert got[0] == got[1]
+
+
+def test_export_jsonl_shards_rejects_null_key(spark, tmp_path):
+    from ed_housing_data_pipeline_spark.sources import export
+
+    df = _docs_df(spark, 3).withColumn(
+        "doc_id", F.when(F.col("doc_id") == 1, None).otherwise(F.col("doc_id"))
+    )
+    with pytest.raises(ValueError, match="NULL shard key"):
+        export.export_jsonl_shards(
+            df, str(tmp_path / "nulls"), key=F.col("doc_id").cast("string"), n_shards=2
+        )
+
+
+def test_export_jsonl_shards_rejects_shard_collision(spark, tmp_path):
+    from ed_housing_data_pipeline_spark.sources import export
+
+    df = _docs_df(spark, 3).withColumn("shard", F.lit(1))
+    with pytest.raises(ValueError, match="already exists"):
+        export.export_jsonl_shards(
+            df, str(tmp_path / "coll"), key=F.col("doc_id").cast("string"), n_shards=2
+        )
