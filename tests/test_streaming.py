@@ -262,3 +262,107 @@ def test_session_window_exact_gap_boundary(spark):
     # the batch lag→cumsum operator draws the identical boundary
     b = batch_events.session_stats(df, "ts", "user_id", gap_minutes=30)
     assert sorted(r["n_events"] for r in b.collect()) == [1, 3]
+
+
+# -------------------------- streaming incremental near-dup ingest
+def _write_jsonl(path, rows_in):
+    import json
+
+    with open(path, "w") as f:
+        for r in rows_in:
+            f.write(json.dumps(r) + "\n")
+
+
+_LONG = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lamda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def _doc(i, text, source="stream"):
+    return {"doc_id": i, "text": text, "source": source}
+
+
+def test_stream_incremental_dedup_end_to_end(spark, tmp_path):
+    from ed_housing_data_pipeline_spark.streaming import documents as docstream
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "in"
+    src.mkdir()
+    docstream.init_doc_index(spark, root)
+
+    distinct_b1 = "one two three four five six seven eight nine ten"
+    distinct_b2 = "red orange yellow green blue indigo violet pink black white"
+    # batch 1: doc 1 long text, doc 2 distinct, doc 3 = exact content
+    # dup of doc 1 under a new id (within-batch near-dup, jaccard 1.0)
+    _write_jsonl(
+        src / "f1.json",
+        [_doc(1, _LONG), _doc(2, distinct_b1), _doc(3, _LONG)],
+    )
+    # batch 2: doc 4 = content dup of doc 1 (cross-batch, vs the
+    # index), doc 5 novel, doc 1 re-delivered verbatim (id replay),
+    # doc 6 = one-word edit of doc 1 (jaccard 17/19 ≈ 0.89)
+    _write_jsonl(
+        src / "f2.json",
+        [
+            _doc(4, _LONG),
+            _doc(5, distinct_b2),
+            _doc(1, _LONG),
+            _doc(6, _LONG.replace("alpha", "ALPHA")),
+        ],
+    )
+    stream = docstream.read_documents_stream(spark, str(src))
+    docstream.run_stream_incremental_dedup(
+        stream, root, checkpoint_dir=str(tmp_path / "cp1")
+    )
+    accepted = docstream.read_accepted_docs(spark, root)
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 5]
+
+    # full replay with a FRESH checkpoint (forces reprocessing): the
+    # sink must converge — same accepted set, no new committed version
+    from ed_housing_data_pipeline_spark.sources.lake import snapshot_versions
+
+    v_before = snapshot_versions(spark, f"{root}/manifest")
+    stream2 = docstream.read_documents_stream(spark, str(src))
+    docstream.run_stream_incremental_dedup(
+        stream2, root, checkpoint_dir=str(tmp_path / "cp2")
+    )
+    assert sorted(
+        r["doc_id"] for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == [1, 2, 5]
+    assert snapshot_versions(spark, f"{root}/manifest") == v_before
+
+
+def test_stream_incremental_dedup_batch_decision_unit(spark, tmp_path):
+    """dedup_batch_against_index in isolation: exact-id replays drop,
+    near-dups of the index drop, lowest id survives within the batch,
+    short/empty texts (no shingles) pass through."""
+    from ed_housing_data_pipeline_spark.streaming import documents as docstream
+
+    root = str(tmp_path / "index")
+    docstream.init_doc_index(spark, root)
+    seed = spark.createDataFrame(
+        [(100, _LONG, "corpus")], docstream.DOC_STREAM_SCHEMA
+    )
+    # bootstrap: run the seed through the sink path via a 1-file stream
+    src = tmp_path / "seed"
+    src.mkdir()
+    _write_jsonl(src / "s.json", [_doc(100, _LONG, "corpus")])
+    docstream.run_stream_incremental_dedup(
+        docstream.read_documents_stream(spark, str(src)),
+        root,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    index = docstream._pinned(spark, root)
+    batch = spark.createDataFrame(
+        [
+            (100, "whatever text", "s"),  # id replay: dropped pre-content
+            (7, _LONG, "s"),  # near-dup of indexed 100
+            (8, "tiny", "s"),  # no shingles: passes
+            (9, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10", "s"),
+            (10, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10", "s"),  # dup of 9: drop
+        ],
+        docstream.DOC_STREAM_SCHEMA,
+    )
+    got = docstream.dedup_batch_against_index(batch, index)
+    assert sorted(r["doc_id"] for r in got.collect()) == [8, 9]
