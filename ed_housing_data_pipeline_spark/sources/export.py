@@ -79,17 +79,21 @@ def export_jsonl_shards(
 ) -> None:
     """Write ``df`` as ``n_shards`` JSONL shard directories
     ``path/shard=K/`` with deterministic membership (see module
-    docstring). Rows whose ``key`` is NULL are rejected — a training
-    export must not silently drop or misfile records."""
+    docstring). A NULL ``key`` fails the export job (raise_error in
+    the shard expression) — a training export must not silently drop
+    or misfile records."""
     if shard_col in df.columns:
         raise ValueError(f"column {shard_col!r} already exists in the frame")
-    keyed = df.withColumn(shard_col, shard_id(key, n_shards))
     # NULL keys would vanish into a shard=__HIVE_DEFAULT_PARTITION__
-    # directory that a by-number shard reader never opens; fail fast
-    # instead. One narrow pass, runs fused with the export scan.
-    null_keyed = keyed.filter(F.col(shard_col).isNull()).limit(1).count()
-    if null_keyed:
-        raise ValueError("export_jsonl_shards: NULL shard key in input")
+    # directory that a by-number shard reader never opens; fail the
+    # export instead. raise_error keeps the guard INSIDE the single
+    # write pass — a separate precheck job would read the corpus twice.
+    shard = shard_id(key, n_shards)
+    guarded = F.when(
+        shard.isNull(),
+        F.raise_error(F.lit("export_jsonl_shards: NULL shard key in input")),
+    ).otherwise(shard)
+    keyed = df.withColumn(shard_col, guarded)
     write_json_lines(
         keyed.repartition(n_shards, F.col(shard_col)),
         path,

@@ -25,12 +25,14 @@ point); the retried batch re-runs from the last committed manifest
 and converges. Accepted docs are read back through the same manifest
 pin, never by directory listing.
 
-Scale shape per batch: O(batch) shingle/sign compute, one
-(band, key) equi-join against the index band table, one anti-join
-against the (tiny) stop-band table, shingle-store joins only on
-candidate ids. The index copy per commit is the snapshot-isolation
-price (see incr_index_ingest's docstring for the partition-append
-trade); expire_snapshots bounds disk to ``keep_latest`` versions.
+Scale shape per batch: ONE O(batch) shingle/sign pass (the signature
+frame is persisted and feeds the dedup decision and every component
+write), one (band, key) equi-join against the index band table, one
+anti-join against the (tiny) stop-band table, shingle-store joins
+only on candidate ids. The index copy per commit is the
+snapshot-isolation price (see incr_index_ingest's docstring for the
+partition-append trade); expire_snapshots bounds disk to
+``keep_latest`` versions.
 """
 
 from __future__ import annotations
@@ -61,22 +63,89 @@ def read_documents_stream(
     )
 
 
+def _signed(docs: DataFrame, n_hashes: int, shingle_k: int) -> DataFrame:
+    """Attach the dedup signature (``_sh`` shingle array + MinHash
+    columns) — the one shingle/hash pass everything else derives from."""
+    from ed_housing_data_pipeline_spark.functions.text import word_shingles
+
+    return sim.with_minhash_signature(
+        docs.withColumn("_sh", F.array_distinct(word_shingles("text", k=shingle_k))),
+        "text",
+        n_hashes=n_hashes,
+        shingles_col="_sh",
+    )
+
+
+def _index_frames(
+    docs_sig: DataFrame, n_hashes: int, bands: int, max_bucket_width: int
+) -> dict[str, DataFrame]:
+    """A signature frame's index components — shared by the corpus
+    bootstrap and (unioned onto the pinned index) the per-batch commit."""
+    bands_df = sim.band_keys(docs_sig, "doc_id", n_hashes=n_hashes, bands=bands)
+    return {
+        "docs": docs_sig.select("doc_id", "text", "source"),
+        "bands": bands_df,
+        "shingles": docs_sig.select("doc_id", "_sh"),
+        "stopbands": sim.oversized_bucket_stats(
+            bands_df, ["band", "key"], max_bucket_width
+        ),
+    }
+
+
+def _require_uninitialized(spark: SparkSession, root: str) -> None:
+    """Refuse to (re)initialize over a committed index: a bootstrap
+    re-run would otherwise commit a fresh version WITHOUT the docs
+    accepted by streaming since — silently forgetting them, so future
+    replays would re-accept their duplicates."""
+    try:
+        lake.read_snapshot(spark, f"{root}/manifest")
+    except FileNotFoundError:
+        return
+    raise ValueError(
+        f"doc index at {root!r} already has a committed manifest; "
+        "refusing to reset it (expire/remove the root explicitly first)"
+    )
+
+
 def init_doc_index(spark: SparkSession, root: str) -> None:
     """Commit v1 = the EMPTY accepted-set index (docs, bands,
     shingles, stopbands + manifest). Streaming ingest needs a
-    committed starting point; bootstrapping from an existing corpus
-    instead is one ``_commit`` of its signature frames."""
+    committed starting point; to start from an existing corpus use
+    :func:`bootstrap_doc_index`."""
+    _require_uninitialized(spark, root)
     empty = {
         "docs": spark.createDataFrame([], DOC_STREAM_SCHEMA),
         "bands": spark.createDataFrame([], "doc_id bigint, band int, key string"),
-        "shingles": spark.createDataFrame(
-            [], "doc_id bigint, _sh array<string>"
-        ),
+        "shingles": spark.createDataFrame([], "doc_id bigint, _sh array<string>"),
         "stopbands": spark.createDataFrame(
             [], "band int, key string, _bw bigint, _ns bigint"
         ),
     }
-    _commit(spark, root, {c: empty[c] for c in _COMPONENTS})
+    _commit(spark, root, empty)
+
+
+def bootstrap_doc_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_width: int = 4096,
+) -> None:
+    """Commit v1 = an EXISTING corpus's accepted set + signatures —
+    start streaming ingest against an already-curated corpus instead
+    of :func:`init_doc_index`'s empty one. ``corpus`` must carry the
+    ``DOC_STREAM_SCHEMA`` columns and unique doc_ids (it is taken as
+    already deduplicated — run the batch dedup family first if not).
+    The signature frame is persisted across the component writes so
+    the corpus is shingled/hashed once, not once per component."""
+    _require_uninitialized(spark, root)
+    sig = _signed(corpus, n_hashes, shingle_k).persist()
+    try:
+        _commit(spark, root, _index_frames(sig, n_hashes, bands, max_bucket_width))
+    finally:
+        sig.unpersist()
 
 
 def _commit(spark: SparkSession, root: str, frames: dict[str, DataFrame]) -> None:
@@ -106,6 +175,37 @@ def read_accepted_docs(spark: SparkSession, root: str) -> DataFrame:
     return _pinned(spark, root)["docs"]
 
 
+def _verified_dup_ids(
+    cand: DataFrame,
+    probe_col: str,
+    other_col: str,
+    probe_sh: DataFrame,
+    other_sh: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: join the shingle
+    arrays onto both sides, keep pairs at/above ``threshold``, return
+    the distinct ``probe_col`` ids (the side to DROP) as ``doc_id``.
+    ``probe_sh``/``other_sh`` are (doc_id, _sh) frames."""
+    return (
+        cand.join(
+            probe_sh.select(
+                F.col("doc_id").alias(probe_col), F.col("_sh").alias("_sh_p")
+            ),
+            probe_col,
+        )
+        .join(
+            other_sh.select(
+                F.col("doc_id").alias(other_col), F.col("_sh").alias("_sh_o")
+            ),
+            other_col,
+        )
+        .filter(sim.jaccard_shingles(F.col("_sh_p"), F.col("_sh_o")) >= threshold)
+        .select(F.col(probe_col).alias("doc_id"))
+        .distinct()
+    )
+
+
 def dedup_batch_against_index(
     batch: DataFrame,
     index: dict[str, DataFrame],
@@ -113,65 +213,43 @@ def dedup_batch_against_index(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    max_bucket_width: int = 4096,
 ) -> DataFrame:
     """The pure dedup decision for one batch: drop exact-id replays,
     drop docs near-dup (Jaccard >= threshold) of the accepted set,
     then keep the lowest doc_id of each verified near-dup pair WITHIN
-    the batch. Returns the accepted subset of ``batch`` (original
-    columns), deterministic for a given (batch, index)."""
-    from ed_housing_data_pipeline_spark.functions.text import word_shingles
-
+    the batch (``max_bucket_width`` bounds that self-join's buckets,
+    same guard as the committed stop-band stats). Returns the accepted
+    subset of ``batch`` WITH its signature columns (``_sh``, ``mh_*``)
+    so callers never recompute the shingle pass; deterministic for a
+    given (batch, index)."""
     # within-batch id repeats would sail past every near-dup check
     # (a pair needs id_a < id_b); at-least-once sources can produce them
     fresh = batch.dropDuplicates(["doc_id"]).join(
         index["shingles"].select("doc_id"), on="doc_id", how="left_anti"
     )
-    sig = sim.with_minhash_signature(
-        fresh.withColumn(
-            "_sh", F.array_distinct(word_shingles("text", k=shingle_k))
-        ),
-        "text",
-        n_hashes=n_hashes,
-        shingles_col="_sh",
-    )
+    sig = _signed(fresh, n_hashes, shingle_k)
     probe_bands = sim.band_keys(sig, "doc_id", n_hashes=n_hashes, bands=bands)
     cand = sim.lsh_probe_pairs(
         probe_bands, index["bands"], "doc_id", stop_bands=index["stopbands"]
     )
     batch_sh = sig.select("doc_id", "_sh")
-    corpus_dups = (
-        cand.join(
-            batch_sh.select(
-                F.col("doc_id").alias("id_probe"), F.col("_sh").alias("sh_a")
-            ),
-            "id_probe",
-        )
-        .join(
-            index["shingles"].select(
-                F.col("doc_id").alias("id_index"), F.col("_sh").alias("sh_b")
-            ),
-            "id_index",
-        )
-        .filter(sim.jaccard_shingles(F.col("sh_a"), F.col("sh_b")) >= threshold)
-        .select(F.col("id_probe").alias("doc_id"))
-        .distinct()
+    corpus_dups = _verified_dup_ids(
+        cand, "id_probe", "id_index", batch_sh, index["shingles"], threshold
     )
     survivors_sig = sig.join(corpus_dups, "doc_id", "left_anti")
     pairs = sim.lsh_candidate_pairs(
-        survivors_sig, "doc_id", n_hashes=n_hashes, bands=bands
+        survivors_sig,
+        "doc_id",
+        n_hashes=n_hashes,
+        bands=bands,
+        max_bucket_width=max_bucket_width,
     )
-    sh_a = batch_sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = batch_sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    batch_dups = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .filter(sim.jaccard_shingles(F.col("sh_a"), F.col("sh_b")) >= threshold)
-        .select(F.col("id_b").alias("doc_id"))  # id_a < id_b: lowest id survives
-        .distinct()
+    # id_a < id_b: dropping every id_b keeps the lowest id per pair
+    batch_dups = _verified_dup_ids(
+        pairs, "id_b", "id_a", batch_sh, batch_sh, threshold
     )
-    return fresh.join(corpus_dups, "doc_id", "left_anti").join(
-        batch_dups, "doc_id", "left_anti"
-    )
+    return survivors_sig.join(batch_dups, "doc_id", "left_anti")
 
 
 def run_stream_incremental_dedup(
@@ -187,14 +265,16 @@ def run_stream_incremental_dedup(
 ) -> None:
     """Drain the document stream (availableNow) through the
     foreachBatch incremental-dedup sink described in the module
-    docstring. ``init_doc_index`` (or a corpus bootstrap) must have
-    committed manifest v1 first."""
+    docstring. ``init_doc_index`` / :func:`bootstrap_doc_index` must
+    have committed manifest v1 first."""
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         index = _pinned(spark, index_root)
+        # accepted carries its signature columns — persist it so the
+        # ONE shingle/hash pass feeds all four component writes
         accepted = dedup_batch_against_index(
             batch_df,
             index,
@@ -202,34 +282,17 @@ def run_stream_incremental_dedup(
             bands=bands,
             shingle_k=shingle_k,
             threshold=threshold,
-        )
-        # the accepted set feeds four component writes — materialize it
-        # once (tiny: one micro-batch minus dups), release after commit
-        accepted = accepted.persist()
+            max_bucket_width=max_bucket_width,
+        ).persist()
         try:
             if accepted.isEmpty():  # full replay / all dups: nothing to commit
                 return
-            from ed_housing_data_pipeline_spark.functions.text import word_shingles
-
-            sig = sim.with_minhash_signature(
-                accepted.withColumn(
-                    "_sh", F.array_distinct(word_shingles("text", k=shingle_k))
-                ),
-                "text",
-                n_hashes=n_hashes,
-                shingles_col="_sh",
-            )
-            new_bands = index["bands"].unionByName(
-                sim.band_keys(sig, "doc_id", n_hashes=n_hashes, bands=bands)
-            )
+            add = _index_frames(accepted, n_hashes, bands, max_bucket_width)
+            new_bands = index["bands"].unionByName(add["bands"])
             frames = {
-                "docs": index["docs"].unionByName(
-                    accepted.select("doc_id", "text", "source")
-                ),
+                "docs": index["docs"].unionByName(add["docs"]),
                 "bands": new_bands,
-                "shingles": index["shingles"].unionByName(
-                    sig.select("doc_id", "_sh")
-                ),
+                "shingles": index["shingles"].unionByName(add["shingles"]),
                 # bucket stats track the NEW committed band table so
                 # the next batch's probe stays free of the O(index) agg
                 "stopbands": sim.oversized_bucket_stats(

@@ -547,7 +547,6 @@ def test_export_jsonl_shards_membership_and_layout(spark, tmp_path):
 
 def test_export_jsonl_shards_deterministic_across_runs(spark, tmp_path):
     from ed_housing_data_pipeline_spark.sources import export
-    from tests.conftest import rows as _rows
 
     df = _docs_df(spark)
     outs = [str(tmp_path / f"run{i}") for i in (1, 2)]
@@ -559,17 +558,19 @@ def test_export_jsonl_shards_deterministic_across_runs(spark, tmp_path):
         back = export.read_jsonl_shards(
             spark, out, "doc_id BIGINT, text STRING, source STRING"
         )
-        got.append(_rows(back.select("shard", "doc_id")))
+        got.append(rows(back.select("shard", "doc_id")))
     assert got[0] == got[1]
 
 
 def test_export_jsonl_shards_rejects_null_key(spark, tmp_path):
+    # the guard is raise_error INSIDE the write pass (no separate
+    # precheck job), so it surfaces as a Spark execution error
     from ed_housing_data_pipeline_spark.sources import export
 
     df = _docs_df(spark, 3).withColumn(
         "doc_id", F.when(F.col("doc_id") == 1, None).otherwise(F.col("doc_id"))
     )
-    with pytest.raises(ValueError, match="NULL shard key"):
+    with pytest.raises(Exception, match="NULL shard key"):
         export.export_jsonl_shards(
             df, str(tmp_path / "nulls"), key=F.col("doc_id").cast("string"), n_shards=2
         )

@@ -341,10 +341,7 @@ def test_stream_incremental_dedup_batch_decision_unit(spark, tmp_path):
 
     root = str(tmp_path / "index")
     docstream.init_doc_index(spark, root)
-    seed = spark.createDataFrame(
-        [(100, _LONG, "corpus")], docstream.DOC_STREAM_SCHEMA
-    )
-    # bootstrap: run the seed through the sink path via a 1-file stream
+    # seed the index through the sink path via a 1-file stream
     src = tmp_path / "seed"
     src.mkdir()
     _write_jsonl(src / "s.json", [_doc(100, _LONG, "corpus")])
@@ -366,3 +363,50 @@ def test_stream_incremental_dedup_batch_decision_unit(spark, tmp_path):
     )
     got = docstream.dedup_batch_against_index(batch, index)
     assert sorted(r["doc_id"] for r in got.collect()) == [8, 9]
+
+
+def test_stream_incremental_dedup_bootstrap_from_corpus(spark, tmp_path):
+    """bootstrap_doc_index commits an existing corpus as v1; the first
+    streamed batch immediately dedups against it."""
+    from ed_housing_data_pipeline_spark.streaming import documents as docstream
+
+    root = str(tmp_path / "index")
+    corpus = spark.createDataFrame(
+        [(100, _LONG, "corpus"), (101, "aa bb cc dd ee ff gg hh", "corpus")],
+        docstream.DOC_STREAM_SCHEMA,
+    )
+    docstream.bootstrap_doc_index(spark, corpus, root)
+    assert sorted(
+        r["doc_id"]
+        for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == [100, 101]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(
+        src / "f1.json",
+        [_doc(1, _LONG), _doc(2, "zz yy xx ww vv uu tt ss rr qq")],
+    )
+    docstream.run_stream_incremental_dedup(
+        docstream.read_documents_stream(spark, str(src)),
+        root,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == [2, 100, 101]
+
+
+def test_doc_index_refuses_reinit_over_committed_manifest(spark, tmp_path):
+    from ed_housing_data_pipeline_spark.streaming import documents as docstream
+
+    root = str(tmp_path / "index")
+    docstream.init_doc_index(spark, root)
+    with pytest.raises(ValueError, match="already has a committed manifest"):
+        docstream.init_doc_index(spark, root)
+    corpus = spark.createDataFrame(
+        [(1, _LONG, "c")], docstream.DOC_STREAM_SCHEMA
+    )
+    with pytest.raises(ValueError, match="already has a committed manifest"):
+        docstream.bootstrap_doc_index(spark, corpus, root)
