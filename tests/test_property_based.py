@@ -505,3 +505,110 @@ def test_sessionize_matches_definition(spark, rows_in, gap_minutes):
             expected[i] = sid
             prev = ts
     assert got == expected
+
+
+# -------------------------------------------------- range_join_binned
+# The binning rewrite's correctness edges are bin-boundary landings
+# (right ts exactly on a bin edge, interval endpoints exactly on
+# right ts) and negative window bounds. Small integer ts domain +
+# window widths of a few seconds put many rows on those edges.
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 1), st.integers(0, 40)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(  # right: (key, ts)
+        st.tuples(st.integers(0, 1), st.integers(0, 40)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(-10, 10),  # lower_sec
+    st.integers(1, 15),  # width = upper - lower
+    st.booleans(),  # join on the key too?
+)
+def test_range_join_binned_matches_definition(
+    spark, left_rows, right_rows, lower, width, with_key
+):
+    from ed_housing_data_pipeline_spark.operators.joins import range_join_binned
+
+    upper = lower + width
+    left = spark.createDataFrame(
+        [(i, k, _ts(s)) for i, (k, s) in enumerate(left_rows)],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j, k, _ts(s)) for j, (k, s) in enumerate(right_rows)],
+        "rid long, rk long, rts timestamp",
+    )
+    keys = []
+    if with_key:
+        right = right.withColumnRenamed("rk", "k")
+        keys = ["k"]
+    out = range_join_binned(
+        left, right, "lts", "rts", lower, upper, extra_keys=keys
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    expected = sorted(
+        (i, j)
+        for i, (lk, ls) in enumerate(left_rows)
+        for j, (rk, rs) in enumerate(right_rows)
+        if (not with_key or lk == rk) and ls + lower <= rs <= ls + upper
+    )
+    assert got == expected
+
+
+# ------------------------------------------------------- global_ntile
+# ntile is a pure function of (row_number, n): with q = n div k and
+# r = n mod k the first r tiles take q+1 rows. A unique tie-break makes
+# the expected assignment closed-form; duplicates from a tiny value
+# domain stress the shard-offset path exactly like the rank property.
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(0, 4)), min_size=1, max_size=40
+    ),
+    st.integers(1, 5),  # n_tiles
+    st.booleans(),  # ascending
+    st.booleans(),  # nulls_last
+)
+def test_global_ntile_matches_definition(spark, vals, k, ascending, nulls_last):
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(i, None if v is None else float(v)) for i, v in enumerate(vals)],
+        "id long, v double",
+    )
+    out = windows.global_ntile(
+        df,
+        "v",
+        n_tiles=k,
+        ascending=ascending,
+        nulls_last=nulls_last,
+        extra_order=[F.col("id").asc()],
+        num_partitions=3,
+    ).collect()
+    got = {r["id"]: r["tile"] for r in out}
+
+    def keyf(item):
+        i, v = item
+        if v is None:
+            return (1 if nulls_last else -1, 0.0, i)
+        return (0, float(v) if ascending else -float(v), i)
+
+    order = sorted(enumerate(vals), key=keyf)
+    n, q, r = len(vals), len(vals) // k, len(vals) % k
+    expected = {}
+    for pos, (i, _v) in enumerate(order, start=1):
+        if pos <= r * (q + 1):
+            expected[i] = (pos + q) // (q + 1)
+        else:
+            expected[i] = r + ((pos - r * (q + 1)) + q - 1) // max(q, 1)
+    assert got == expected
