@@ -426,3 +426,144 @@ def q_events_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_value"), 4).alias("total_value"),
         )
     )
+
+
+# --------------------------- streaming incremental near-dup ingest
+def _stream_incr_oracle() -> str:
+    """DuckDB twin of the full streaming incremental-dedup loop
+    (streaming/documents.py): index = the non-batch corpus, one
+    micro-batch = the INCR_BATCH_SOURCE docs, accepted = batch minus
+    corpus near-dups minus within-batch drops (lowest id survives).
+    Mirrors the stop-band drop (corpus buckets wider than
+    INCR_MAX_BUCKET never probe) exactly; the within-batch
+    salt-shard guard is NOT mirrored because it can only bind when a
+    single micro-batch carries > INCR_MAX_BUCKET docs sharing one
+    band key — impossible at harness scales (batch ≪ cap) and
+    documented recall-loss-only at pathological scale."""
+    from ed_housing_data_pipeline_spark.plans.queries_llm import (  # noqa: PLC0415
+        INCR_BATCH_SOURCE,
+        INCR_MAX_BUCKET,
+        INCR_THRESHOLD,
+        _bands_cte,
+        _minhash_sql_cols,
+        _shingles_cte,
+    )
+
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / NULLIF("
+        "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 0)"
+    )
+    return f"""
+    WITH {_shingles_cte()},
+    sig AS (
+        SELECT s.doc_id, s.sh,
+               {_minhash_sql_cols()}
+        FROM sh s
+    ),
+    bands AS ({_bands_cte()}),
+    cb AS (
+        SELECT b.doc_id, b.band, b.key
+        FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+        WHERE d.source <> '{INCR_BATCH_SOURCE}'
+    ),
+    pb AS (
+        SELECT b.doc_id, b.band, b.key
+        FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+        WHERE d.source = '{INCR_BATCH_SOURCE}'
+    ),
+    kept AS (
+        SELECT band, key FROM cb GROUP BY band, key
+        HAVING COUNT(*) <= {INCR_MAX_BUCKET}
+    ),
+    cdup AS (
+        SELECT DISTINCT p.doc_id
+        FROM pb p
+        JOIN kept k ON k.band = p.band AND k.key = p.key
+        JOIN cb c ON c.band = p.band AND c.key = p.key
+        JOIN sh sa ON sa.doc_id = p.doc_id
+        JOIN sh sb ON sb.doc_id = c.doc_id
+        WHERE {jac} >= {INCR_THRESHOLD}
+    ),
+    bdup AS (
+        SELECT DISTINCT b.doc_id
+        FROM pb a
+        JOIN pb b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+        JOIN sh sa ON sa.doc_id = a.doc_id
+        JOIN sh sb ON sb.doc_id = b.doc_id
+        WHERE a.doc_id NOT IN (SELECT doc_id FROM cdup)
+          AND b.doc_id NOT IN (SELECT doc_id FROM cdup)
+          AND {jac} >= {INCR_THRESHOLD}
+    )
+    SELECT d.doc_id, md5(COALESCE(d.text, '')) AS text_md5
+    FROM documents d
+    WHERE d.source = '{INCR_BATCH_SOURCE}'
+      AND d.doc_id NOT IN (SELECT doc_id FROM cdup)
+      AND d.doc_id NOT IN (SELECT doc_id FROM bdup)
+    """
+
+
+@register("doc_stream_incremental_dedup", oracle=_stream_incr_oracle())
+def q_doc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming incremental-dedup loop as a registered,
+    oracle-checked query (streaming/documents.py — the production
+    ingest-with-dedup shape): bootstrap the LSH index from the
+    non-batch corpus, run the INCR_BATCH_SOURCE docs through the
+    foreachBatch sink as a real stream (probe the committed index,
+    within-batch survivor pick, manifest commit), then return the
+    accepted batch docs with an md5 of their text — so index
+    bootstrap, probe, verification threshold, stop-band drop,
+    survivor policy, AND the accepted-docs readback path are all
+    hash-checked against DuckDB recomputing the loop relationally.
+    Same constants as the batch twin doc_incremental_neardup."""
+    import tempfile  # noqa: PLC0415
+
+    from ed_housing_data_pipeline_spark.plans.queries_llm import (  # noqa: PLC0415
+        BANDS,
+        INCR_BATCH_SOURCE,
+        INCR_MAX_BUCKET,
+        INCR_THRESHOLD,
+        N_HASHES,
+        SHINGLE_K,
+    )
+    from ed_housing_data_pipeline_spark.streaming import (  # noqa: PLC0415
+        documents as sd,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    with tempfile.TemporaryDirectory(prefix="stream_incr_") as tmp:
+        root = f"{tmp}/index"
+        sd.bootstrap_doc_index(
+            spark,
+            corpus,
+            root,
+            n_hashes=N_HASHES,
+            bands=BANDS,
+            shingle_k=SHINGLE_K,
+            max_bucket_width=INCR_MAX_BUCKET,
+        )
+        batch_stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sf_dir}/documents.parque[t]")
+            .filter(F.col("source") == INCR_BATCH_SOURCE)
+        )
+        sd.run_stream_incremental_dedup(
+            batch_stream,
+            root,
+            checkpoint_dir=f"{tmp}/ckpt",
+            n_hashes=N_HASHES,
+            bands=BANDS,
+            shingle_k=SHINGLE_K,
+            threshold=INCR_THRESHOLD,
+            max_bucket_width=INCR_MAX_BUCKET,
+        )
+        accepted = sd.read_accepted_docs(spark, root).filter(
+            F.col("source") == INCR_BATCH_SOURCE
+        )
+        out = accepted.select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        )
+        return out.localCheckpoint(eager=True)
