@@ -171,9 +171,12 @@ FramesFn = Callable[[bytes, int], list[tuple[int, int, int, float]]]
 
 def _even_frame_indices(total: int, n_frames: int) -> list[int]:
     """Evenly spaced, deduplicated frame indices over [0, total)."""
-    if total <= 0:
+    if total <= 0 or n_frames <= 0:
+        # n_frames=0 must yield NO frames under every decoder — the
+        # stub and imageio paths emit none, so cv2 must agree or the
+        # query's cardinality would depend on which lib is installed
         return []
-    if n_frames <= 1 or total == 1:
+    if n_frames == 1 or total == 1:
         return [0]
     span = total - 1
     return sorted({round(i * span / (n_frames - 1)) for i in range(n_frames)})
@@ -199,6 +202,8 @@ def _cv2_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, floa
 
     import cv2  # noqa: PLC0415
 
+    if n_frames <= 0:  # cardinality parity with the stub/imageio paths
+        return []
     fd, path = tempfile.mkstemp(suffix=".video")
     try:
         with os.fdopen(fd, "wb") as f:
@@ -233,6 +238,22 @@ def _cv2_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, floa
         os.unlink(path)
 
 
+def _container_ext(payload: bytes) -> str | None:
+    """Extension hint for imageio's demuxer from the payload's magic
+    bytes (the Python-side twin of :func:`media_format`'s table) —
+    a hardcoded ``.mp4`` hint would make imageio reject every AVI/MKV
+    payload before ffmpeg could sniff it. ``None`` = let imageio
+    detect from the bytes."""
+    head = payload[:16] if payload else b""
+    if len(head) >= 8 and head[4:8] == b"ftyp":
+        return ".mp4"
+    if head[:4] == b"RIFF":
+        return ".avi"
+    if head[:4] == b"\x1a\x45\xdf\xa3":  # EBML: mkv/webm
+        return ".mkv"
+    return None
+
+
 def _imageio_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, float]]:
     """Real frame sampling via imageio(-ffmpeg): stream the demuxed
     frames (no full-video load) and keep the first ``n_frames`` — the
@@ -241,8 +262,13 @@ def _imageio_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, 
     import imageio.v3 as iio  # noqa: PLC0415
     import numpy as np  # noqa: PLC0415
 
+    if n_frames <= 0:  # cardinality parity with the stub and cv2 paths
+        return []
+    ext = _container_ext(payload)
     out = []
-    for i, frame in enumerate(iio.imiter(payload, extension=".mp4")):
+    for i, frame in enumerate(
+        iio.imiter(payload, **({"extension": ext} if ext else {}))
+    ):
         if i >= n_frames:
             break
         arr = np.asarray(frame, dtype="float64")

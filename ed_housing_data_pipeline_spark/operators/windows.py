@@ -83,9 +83,19 @@ QUANTILE_SHARD_MAX = 4096
 # shard BALANCE, never values (the bucket is a pure function of the
 # row's key either way).
 _QUANTILE_CUTS: dict[tuple, list[float]] = {}
+# Bounded: one entry per distinct (plan, key, shards) would otherwise
+# accumulate forever in a long-lived session issuing many ad-hoc rank
+# plans (each entry is just n_shards-1 doubles, but the dict itself
+# must not be an unbounded leak for callers that never touch
+# release_shared_caches). FIFO eviction — a re-run after eviction
+# repays one approxQuantile job, never changes results.
+_QUANTILE_CUTS_MAX = 256
 
 
 def clear_quantile_cache() -> None:
+    """Free the cut-point cache. Safe any time; the next global_rank
+    over a numeric key re-runs its sampling job. Also called by
+    plans.queries_llm.release_shared_caches."""
     _QUANTILE_CUTS.clear()
 
 
@@ -131,6 +141,8 @@ def quantile_shard(
     bounds = _QUANTILE_CUTS.get(ck)
     if bounds is None:
         bounds = sorted(set(df.stat.approxQuantile(key, probs, err))) if probs else []
+        while len(_QUANTILE_CUTS) >= _QUANTILE_CUTS_MAX:
+            _QUANTILE_CUTS.pop(next(iter(_QUANTILE_CUTS)))
         _QUANTILE_CUTS[ck] = bounds
     c = F.col(key)
     if not bounds:  # ≤1 distinct non-null value: a single bucket is exact

@@ -543,9 +543,14 @@ def q_doc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
             shingle_k=SHINGLE_K,
             max_bucket_width=INCR_MAX_BUCKET,
         )
+        # NO maxFilesPerTrigger: the oracle models ONE ingest batch
+        # (whole-batch lowest-id survivor pick), so the drain must
+        # deliver every file in a single micro-batch — with a rate
+        # limit, a near-dup pair split across two files would be
+        # resolved incrementally (earlier batch wins) and diverge from
+        # the oracle's within-batch policy on multi-file datasets.
         batch_stream = (
             spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
             .parquet(f"{sf_dir}/documents.parque[t]")
             .filter(F.col("source") == INCR_BATCH_SOURCE)
         )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import datetime as _dt
 import os
 import time
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -515,6 +516,64 @@ def expire_snapshots(
                 if v <= committed:
                     fs.delete(st.getPath(), False)
     return sorted(drop)
+
+
+# ------------------------- multi-component manifest commit protocol
+# A dataset made of SEVERAL snapshot components (e.g. an LSH index's
+# bands + shingles + bucket stats) needs one atomic commit point:
+# component pointers alone can be torn by a crash between writes.
+# Protocol: write each component as its next snapshot version, then
+# commit a 1-row MANIFEST snapshot recording the version tuple — the
+# manifest's own pointer rename (write_snapshot) is the atomic commit;
+# readers resolve every component through the last committed manifest
+# and never see a partial multi-component write. Shared by the batch
+# incremental LSH index (plans/queries_llm) and the streaming dedup
+# index (streaming/documents).
+
+
+def write_manifest(spark, root: str, versions: dict[str, int]) -> int:
+    """Commit a component-version manifest for ``root`` (see protocol
+    note above). Returns the manifest's own snapshot version."""
+    if not versions:
+        raise ValueError("write_manifest: empty component map")
+    schema = ", ".join(f"{name} bigint" for name in versions)
+    mdf = spark.createDataFrame([tuple(versions.values())], schema)
+    return write_snapshot(spark, mdf, f"{root}/manifest")
+
+
+def manifest_versions(spark, root: str) -> dict[str, int]:
+    """The last COMMITTED manifest's component→version map.
+    Raises FileNotFoundError when no manifest was ever committed."""
+    row = read_snapshot(spark, f"{root}/manifest").collect()[0]
+    return row.asDict()
+
+
+def commit_components(
+    spark, root: str, frames: dict[str, DataFrame]
+) -> dict[str, int]:
+    """Write every component frame as its next snapshot version under
+    ``root/<name>`` and commit the manifest. The component writes are
+    invisible until the manifest commit lands; a crash in between
+    leaves only orphan versions (swept by :func:`expire_snapshots`)."""
+    versions = {
+        name: write_snapshot(spark, df, f"{root}/{name}")
+        for name, df in frames.items()
+    }
+    write_manifest(spark, root, versions)
+    return versions
+
+
+def read_components(
+    spark, root: str, components: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Every component at the versions pinned by the last committed
+    manifest — the only safe multi-component read path."""
+    pins = manifest_versions(spark, root)
+    names = list(components) if components is not None else list(pins)
+    return {
+        name: read_snapshot(spark, f"{root}/{name}", version=pins[name])
+        for name in names
+    }
 
 
 def write_bucketed_table(

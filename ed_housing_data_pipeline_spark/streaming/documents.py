@@ -44,7 +44,6 @@ from ed_housing_data_pipeline_spark.sources import lake
 
 DOC_STREAM_SCHEMA = "doc_id BIGINT, text STRING, source STRING"
 _COMPONENTS = ("docs", "bands", "shingles", "stopbands")
-_MANIFEST_SCHEMA = "docs bigint, bands bigint, shingles bigint, stopbands bigint"
 
 
 def read_documents_stream(
@@ -149,24 +148,16 @@ def bootstrap_doc_index(
 
 
 def _commit(spark: SparkSession, root: str, frames: dict[str, DataFrame]) -> None:
-    versions = {
-        c: lake.write_snapshot(spark, frames[c], f"{root}/{c}") for c in _COMPONENTS
-    }
-    mdf = spark.createDataFrame(
-        [tuple(versions[c] for c in _COMPONENTS)], _MANIFEST_SCHEMA
-    )
-    lake.write_snapshot(spark, mdf, f"{root}/manifest")
+    """One atomic multi-component commit — the shared manifest
+    protocol (sources/lake.commit_components)."""
+    lake.commit_components(spark, root, {c: frames[c] for c in _COMPONENTS})
 
 
 def _pinned(spark: SparkSession, root: str) -> dict[str, DataFrame]:
     """Every component at the versions the last committed manifest
     records — the only read path (component pointers alone can be
     torn by a crashed commit; the manifest cannot)."""
-    row = lake.read_snapshot(spark, f"{root}/manifest").collect()[0]
-    return {
-        c: lake.read_snapshot(spark, f"{root}/{c}", version=row[c])
-        for c in _COMPONENTS
-    }
+    return lake.read_components(spark, root, _COMPONENTS)
 
 
 def read_accepted_docs(spark: SparkSession, root: str) -> DataFrame:

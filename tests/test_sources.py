@@ -584,3 +584,38 @@ def test_export_jsonl_shards_rejects_shard_collision(spark, tmp_path):
         export.export_jsonl_shards(
             df, str(tmp_path / "coll"), key=F.col("doc_id").cast("string"), n_shards=2
         )
+
+
+# ------------------------- multi-component manifest commit protocol
+def test_commit_components_roundtrip_and_torn_commit_invisible(spark, tmp_path):
+    """commit_components → read_components pins every component to the
+    manifest's version tuple; component snapshots written WITHOUT a
+    manifest commit (a torn multi-component write) stay invisible."""
+    root = str(tmp_path / "ds")
+    a1 = spark.createDataFrame([(1,)], "x long")
+    b1 = spark.createDataFrame([(10,)], "y long")
+    versions = lake.commit_components(spark, root, {"a": a1, "b": b1})
+    assert versions == {"a": 1, "b": 1}
+    got = lake.read_components(spark, root)
+    assert rows(got["a"]) == [(1,)] and rows(got["b"]) == [(10,)]
+
+    # torn commit: component 'a' advances to v2, manifest does not
+    lake.write_snapshot(spark, spark.createDataFrame([(2,)], "x long"), f"{root}/a")
+    got = lake.read_components(spark, root, ["a", "b"])
+    assert rows(got["a"]) == [(1,)]  # still the manifest-pinned v1
+
+    # next full commit claims v3 for 'a' (v2 is orphan debris), v2 for 'b'
+    versions = lake.commit_components(
+        spark,
+        root,
+        {"a": spark.createDataFrame([(3,)], "x long"), "b": b1},
+    )
+    assert versions["a"] == 3 and versions["b"] == 2
+    got = lake.read_components(spark, root)
+    assert rows(got["a"]) == [(3,)]
+    assert lake.manifest_versions(spark, root) == {"a": 3, "b": 2}
+
+
+def test_manifest_versions_missing_manifest_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        lake.manifest_versions(spark, str(tmp_path / "nothing"))
