@@ -385,3 +385,19 @@ def test_sample_frames_quarantines_undecodable_payloads(spark):
         mm.sample_frames(
             df, "data", "media_id", n_frames=2, frames_fn=broken_then_ok
         ).collect()
+
+
+def test_even_frame_indices_zero_frames():
+    # n_frames=0 must be [] so every decoder path (stub, cv2, imageio)
+    # agrees on output cardinality
+    assert mm._even_frame_indices(10, 0) == []
+    assert mm._even_frame_indices(10, -1) == []
+    assert mm._fake_frames(b"payload", 0) == []
+
+
+def test_container_ext_sniffs_magic_bytes():
+    assert mm._container_ext(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8) == ".mp4"
+    assert mm._container_ext(b"RIFF\x24\x00\x00\x00AVI LIST") == ".avi"
+    assert mm._container_ext(b"\x1a\x45\xdf\xa3" + b"\x00" * 12) == ".mkv"
+    assert mm._container_ext(b"not a video") is None
+    assert mm._container_ext(b"") is None
