@@ -62,8 +62,8 @@ _LOADED = False
 # three newly registered ones — embedding_knn_ivf_fixed (oracle-checkable IVF
 # search) and the two new stateful-streaming queries
 # (events_stream_sessionize: session windows; events_stream_state_totals:
-# applyInPandasWithState) — pushing cumulative r3∪…∪r6 coverage to 96 of 114.
-# The r7 rotation tail (never driver-verified by the r3+ convention, 18):
+# applyInPandasWithState) — pushing cumulative r3∪…∪r6 coverage to 96 of 115.
+# The r7 rotation tail (never driver-verified by the r3+ convention, 19):
 # count_star, customer_moving_avg, doc_fingerprint, events_daily_active_users,
 # events_hourly_by_type, events_json_by_type, limit_head,
 # lineitem_quantity_quantiles, orders_filtered_aggs, orders_hash_sample,
@@ -72,6 +72,7 @@ _LOADED = False
 # doc_stream_incremental_dedup (r6-registered full streaming-ingest loop),
 # doc_unigram_surprisal (r6-registered CCNet-style LM quality proxy),
 # doc_dup_span_coverage (r6-registered exact-substring dedup audit),
+# doc_source_mixture_weights (r6-registered temperature mixing weights),
 # plus embedding_knn_ivf (rows-only by design).
 # Rewired-this-round queries
 # stay in-window: doc_incremental_neardup (snapshot-lake index),

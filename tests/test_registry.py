@@ -30,10 +30,10 @@ def test_driver_window_covers_every_family():
     window and may not silently regress out. The r6 rotation swaps in
     15 never-driver-verified queries + three r6-registered ones
     (embedding_knn_ivf_fixed, events_stream_sessionize,
-    events_stream_state_totals) → r3∪…∪r6 union 96 of 114 (the later r6
+    events_stream_state_totals) → r3∪…∪r6 union 96 of 115 (the later r6
     registrations — doc_export_shards, doc_stream_incremental_dedup,
-    doc_unigram_surprisal, doc_dup_span_coverage — join the r7
-    rotation tail);
+    doc_unigram_surprisal, doc_dup_span_coverage,
+    doc_source_mixture_weights — join the r7 rotation tail);
     rotated-out r5-green slots keep a family representative
     in-window."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
