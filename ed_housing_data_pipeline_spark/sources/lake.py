@@ -430,11 +430,14 @@ def expire_snapshots(
     dataset_root: str,
     keep_latest: int,
     orphan_grace_sec: float = 24 * 3600,
+    keep_versions: Sequence[int] = (),
 ) -> list[int]:
     """Drop old snapshot directories, keeping the newest
     ``keep_latest`` COMMITTED versions. The committed (pointed-to)
-    version is never dropped regardless of ``keep_latest``. Same
-    wipe-guard contract as :func:`expire_partitions`.
+    version is never dropped regardless of ``keep_latest``, nor is
+    any version listed in ``keep_versions`` (externally pinned — e.g.
+    by a multi-component manifest, see :func:`expire_components`).
+    Same wipe-guard contract as :func:`expire_partitions`.
 
     Uncommitted dirs NEWER than the committed version are either a
     crashed writer's debris or a LIVE writer that has not yet flipped
@@ -451,12 +454,17 @@ def expire_snapshots(
     file materializations — not the total write duration."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    pinned = set(keep_versions)
     committed = _committed_version(spark, dataset_root)
     versions = snapshot_versions(spark, dataset_root)
     committed_versions = [
         v for v in versions if committed is not None and v <= committed
     ]
-    drop = [v for v in committed_versions[:-keep_latest] if v != committed]
+    drop = [
+        v
+        for v in committed_versions[:-keep_latest]
+        if v != committed and v not in pinned
+    ]
     jvm, fs = _fs(spark, dataset_root)
     root = dataset_root.rstrip("/")
     now_ms = time.time() * 1000.0
@@ -485,7 +493,7 @@ def expire_snapshots(
 
     stale_orphans = []
     for v in versions:
-        if committed is not None and v > committed:
+        if committed is not None and v > committed and v not in pinned:
             marks = [
                 m
                 for m in (
@@ -574,6 +582,41 @@ def read_components(
         name: read_snapshot(spark, f"{root}/{name}", version=pins[name])
         for name in names
     }
+
+
+def expire_components(
+    spark,
+    root: str,
+    keep_latest: int,
+    orphan_grace_sec: float = 24 * 3600,
+) -> dict[str, list[int]]:
+    """Retention for a manifest-committed multi-component dataset —
+    the ONLY safe way to expire one. Component-local
+    :func:`expire_snapshots` alone is NOT safe here: after a torn
+    multi-component write, a component's own pointer runs AHEAD of
+    the manifest pin (each write_snapshot commits its dataset), so
+    a small ``keep_latest`` could sweep the version the committed
+    manifest still points at (found by the protocol crash-fuzz
+    property test). This wrapper reads the current manifest and
+    passes each component its pinned version via ``keep_versions``;
+    the manifest dataset itself expires normally (its committed
+    pointer is its own pin). Older manifests' pins may age out —
+    time travel is bounded by retention, the CURRENT pin never is."""
+    pins = manifest_versions(spark, root)
+    out = {
+        name: expire_snapshots(
+            spark,
+            f"{root}/{name}",
+            keep_latest,
+            orphan_grace_sec,
+            keep_versions=(version,),
+        )
+        for name, version in pins.items()
+    }
+    out["manifest"] = expire_snapshots(
+        spark, f"{root}/manifest", keep_latest, orphan_grace_sec
+    )
+    return out
 
 
 def write_bucketed_table(

@@ -291,10 +291,8 @@ def run_stream_incremental_dedup(
                 ),
             }
             _commit(spark, index_root, frames)
-            for c in (*_COMPONENTS, "manifest"):
-                lake.expire_snapshots(
-                    spark, f"{index_root}/{c}", keep_latest=keep_latest
-                )
+            # manifest-aware retention: never sweeps the pinned versions
+            lake.expire_components(spark, index_root, keep_latest=keep_latest)
         finally:
             accepted.unpersist()
 

@@ -612,3 +612,66 @@ def test_global_ntile_matches_definition(spark, vals, k, ascending, nulls_last):
         else:
             expected[i] = r + ((pos - r * (q + 1)) + q - 1) // max(q, 1)
     assert got == expected
+
+
+# ------------------------- manifest commit protocol crash fuzzing
+# The multi-component snapshot protocol (sources/lake.commit_components)
+# underpins both dedup indexes; fuzz interleavings of full commits,
+# torn commits (component snapshots written, manifest never lands),
+# and retention sweeps — after every step, readers must see exactly
+# the last FULLY committed state, never a torn one, and expiry must
+# never break the committed pin.
+
+_proto_ops = st.lists(
+    st.sampled_from(["commit", "torn_one", "torn_all", "expire"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_proto_ops)
+def test_manifest_protocol_crash_interleavings(spark, ops):
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    def frame(tag):
+        return spark.createDataFrame([(tag,)], "v long")
+
+    with tempfile.TemporaryDirectory(prefix="proto_fuzz_") as root:
+        committed = None  # model: the (a, b) payloads readers must see
+        seq = 0
+        for op in ops:
+            seq += 1
+            if op == "commit":
+                lake.commit_components(
+                    spark, root, {"a": frame(seq), "b": frame(seq + 1000)}
+                )
+                committed = (seq, seq + 1000)
+            elif op == "torn_one":
+                # crash after ONE component write, before the manifest
+                lake.write_snapshot(spark, frame(seq + 2000), f"{root}/a")
+            elif op == "torn_all":
+                # crash after EVERY component write, before the manifest
+                lake.write_snapshot(spark, frame(seq + 3000), f"{root}/a")
+                lake.write_snapshot(spark, frame(seq + 4000), f"{root}/b")
+            else:  # expire (huge grace: live-writer debris must survive)
+                # manifest-aware retention — the torn-commit ops above
+                # advance component pointers PAST the manifest pin, so
+                # component-local expire_snapshots(keep_latest=1) would
+                # sweep the pinned version (the original finding that
+                # motivated expire_components)
+                if committed is not None:
+                    lake.expire_components(
+                        spark, root, keep_latest=1, orphan_grace_sec=10**6
+                    )
+            if committed is None:
+                import pytest as _pytest
+
+                with _pytest.raises(FileNotFoundError):
+                    lake.read_components(spark, root, ["a", "b"])
+            else:
+                got = lake.read_components(spark, root, ["a", "b"])
+                assert [r["v"] for r in got["a"].collect()] == [committed[0]]
+                assert [r["v"] for r in got["b"].collect()] == [committed[1]]
