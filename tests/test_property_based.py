@@ -675,3 +675,67 @@ def test_manifest_protocol_crash_interleavings(spark, ops):
                 got = lake.read_components(spark, root, ["a", "b"])
                 assert [r["v"] for r in got["a"].collect()] == [committed[0]]
                 assert [r["v"] for r in got["b"].collect()] == [committed[1]]
+
+
+# ----------------------------------- upsert_partitions LWW property
+# Model: per (partition, key), the stored row is the last-writer-wins
+# winner by order_col (greatest version wins; a STALE replay must not
+# clobber a newer stored row; ties go to the newer batch; NULL
+# versions lose to any concrete one). Batches are deduped per
+# (partition, key) by the generator — within-batch ties are
+# documented as arbitrary.
+
+_upsert_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.sampled_from(["p1", "p2"]),  # partition
+            st.one_of(st.none(), st.integers(0, 5)),  # version
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_upsert_batches)
+def test_upsert_partitions_last_writer_wins_model(spark, batches):
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    def rank(ver):
+        return (-1, -1) if ver is None else (0, ver)
+
+    with tempfile.TemporaryDirectory(prefix="upsert_fuzz_") as tmp:
+        root = f"{tmp}/ds"
+        model = {}
+        seq = 0
+        for batch in batches:
+            rows_b, seen = [], set()
+            for key, part, ver in batch:
+                if (part, key) in seen:
+                    continue  # within-batch ties are arbitrary: skip
+                seen.add((part, key))
+                seq += 1
+                rows_b.append((key, ver, seq, part))
+                stored = model.get((part, key))
+                # update wins on >= (the _is_update tie-break)
+                if stored is None or rank(ver) >= rank(stored[0]):
+                    model[(part, key)] = (ver, seq)
+            df = spark.createDataFrame(
+                rows_b, "id int, ver int, payload long, d string"
+            )
+            touched = lake.upsert_partitions(
+                spark, root, df, key_cols=["id"], partition_col="d",
+                order_col="ver",
+            )
+            assert touched == sorted({p for _, p, _ in batch})
+        got = {
+            (r["d"], r["id"]): (r["ver"], r["payload"])
+            for r in spark.read.parquet(root).collect()
+        }
+        assert got == model
