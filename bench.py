@@ -54,6 +54,9 @@ HEADLINE = [
     "embedding_dedup_clusters",  # cosine pairs -> components
     "doc_incremental_neardup",   # batch probe vs persisted snapshot index
     "rank_dense_global",    # quantile-sharded dense_rank over orders
+    # r6 token-explode battery (compute-heavy curation audits)
+    "doc_unigram_surprisal",    # per-(doc,word) counts + vocab join
+    "doc_dup_span_coverage",    # gram table + repeated-gram semi-join
 ]
 
 
