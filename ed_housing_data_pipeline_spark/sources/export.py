@@ -114,4 +114,9 @@ def read_jsonl_shards(
     scan); passing it explicitly skips the schema-inference pass — at
     export scale, a second full read of the corpus."""
     df = spark.read.schema(schema).option("basePath", path).json(path)
+    if shard_col not in df.columns:
+        # an EMPTY export writes no shard=K directories, so the scan
+        # discovers no partition column at all — surface the same
+        # schema (with a NULL shard) instead of an analysis error
+        return df.withColumn(shard_col, F.lit(None).cast("int"))
     return df.withColumn(shard_col, F.col(shard_col).cast("int"))

@@ -1,0 +1,60 @@
+"""Empty-corpus degradation smoke: every doc_/embedding_ query must
+run to an empty result on a zero-row documents/embeddings table. A
+production pipeline hits empty partitions and empty ingest slices
+routinely — an AnalysisException there is an engine bug, not a data
+problem (this harness caught exactly one: read_jsonl_shards on an
+export that wrote no shard directories). The one documented
+exception: embedding_knn_ivf TRAINS a quantizer, and training on an
+empty corpus is a caller error that must raise clearly."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+
+from ed_housing_data_pipeline_spark.plans.registry import query_map
+
+_COPY_TABLES = (
+    "region nation customer supplier part orders lineitem events"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in _COPY_TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+    for t in ("documents", "embeddings"):
+        schema = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").schema
+        out = d / f"_{t}"
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(str(out))
+        part = glob.glob(f"{out}/part-*.parquet")[0]
+        shutil.copy(part, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_doc_and_embedding_queries_survive_empty_corpus(spark, empty_sf_dir):
+    from ed_housing_data_pipeline_spark.plans import queries_llm
+
+    queries_llm.release_shared_caches()
+    try:
+        failures = []
+        for name, fn in query_map().items():
+            if not (name.startswith("doc_") or name.startswith("embedding_")):
+                continue
+            if name == "embedding_knn_ivf":
+                with pytest.raises(ValueError, match="no non-null vectors"):
+                    fn(spark, empty_sf_dir).count()
+                continue
+            try:
+                n = fn(spark, empty_sf_dir).count()
+            except Exception as e:  # noqa: BLE001 - collecting all failures
+                failures.append(f"{name}: {type(e).__name__}: {e}")
+                continue
+            if n != 0:
+                failures.append(f"{name}: expected 0 rows on empty corpus, got {n}")
+        assert not failures, "\n".join(failures)
+    finally:
+        queries_llm.release_shared_caches()
