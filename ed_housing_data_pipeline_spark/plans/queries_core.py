@@ -837,17 +837,28 @@ def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): all four grouping sets in one
-    pass; gid disambiguates cube NULLs from data NULLs."""
+    """CUBE over (status, priority): all four grouping sets; gid
+    disambiguates cube NULLs from data NULLs. Non-empty sets via
+    groupingSets + an ungrouped grand total, not ``df.cube`` — Spark's
+    cube emits zero rows on empty input where ANSI engines emit the
+    grand-total row (see q_events_rollup)."""
     orders = t(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
+    s, p = "o_orderstatus", "o_orderpriority"
+    sets = (
+        orders.groupingSets([[s, p], [s], [p]], s, p)
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
+        .select(s, p, "gid", "n_orders")
     )
+    grand = orders.agg(F.count(F.lit(1)).alias("n_orders")).select(
+        F.lit(None).cast("string").alias(s),
+        F.lit(None).cast("string").alias(p),
+        F.lit(3).cast("bigint").alias("gid"),
+        "n_orders",
+    )
+    return sets.unionByName(grand)
 
 
 # ------------------------------------------------- numeric profiling
@@ -882,24 +893,36 @@ def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling summary (the distributed `df.describe`): per
     numeric column count/nulls/min/max/mean/stddev, computed in ONE
     scan via stack() → groupBy (not one job per column as naive
-    profilers do; at 100 TB the single-pass shape is the operator)."""
+    profilers do; at 100 TB the single-pass shape is the operator).
+
+    All per-column aggregates ride ONE ungrouped agg (map-side
+    partials → one row), then a constant-size stack() unpivots the
+    result — better than the earlier stack→groupBy formulation on two
+    counts: no shuffle at all, and ANSI empty-input semantics for free
+    (a scalar aggregate over zero rows yields the n=0/NULL-stats rows
+    the oracle's UNION of scalar aggregates produces, where a groupBy
+    yields nothing — found by the empty-input differential sweep)."""
     li = t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    stacked = li.select(
-        F.expr(
-            "stack({n}, {args}) AS (col, v)".format(
-                n=len(cols),
-                args=", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols),
-            )
-        )
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"n_{c}"),
+            (F.count(F.lit(1)) - F.count(v)).alias(f"nn_{c}"),
+            F.round(F.min(v), 4).alias(f"mn_{c}"),
+            F.round(F.max(v), 4).alias(f"mx_{c}"),
+            F.round(F.avg(v), 4).alias(f"av_{c}"),
+            F.round(F.stddev_samp(v), 4).alias(f"sd_{c}"),
+        ]
+    one = li.agg(*aggs)
+    args = ", ".join(
+        f"'{c}', n_{c}, nn_{c}, mn_{c}, mx_{c}, av_{c}, sd_{c}" for c in cols
     )
-    return stacked.groupBy("col").agg(
-        F.count("v").alias("n"),
-        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
-        F.round(F.min("v"), 4).alias("vmin"),
-        F.round(F.max("v"), 4).alias("vmax"),
-        F.round(F.avg("v"), 4).alias("vavg"),
-        F.round(F.stddev_samp("v"), 4).alias("vstd"),
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {args}) AS (col, n, n_null, vmin, vmax, vavg, vstd)"
+        )
     )
 
 

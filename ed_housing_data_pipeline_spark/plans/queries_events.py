@@ -195,19 +195,33 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (day, event_type): per-type, per-day subtotal, and
-    grand total in one pass — grouping-sets engine surface (§2.4
-    extension; Catalyst expands to a single shuffle). ``gid``
-    disambiguates rollup NULLs from data NULLs."""
+    grand total — grouping-sets engine surface (§2.4 extension).
+    ``gid`` disambiguates rollup NULLs from data NULLs.
+
+    Formulated as groupingSets(non-empty sets) ∪ ungrouped grand
+    total, NOT ``df.rollup``: Spark's rollup/cube return ZERO rows on
+    empty input while ANSI engines (the DuckDB oracle, Postgres,
+    Trino) emit the grand-total row — the ungrouped aggregate restores
+    the standard semantics at every input size (found by the
+    empty-input differential sweep). Same single-scan shape; the grand
+    aggregate's partials collapse to one row."""
     ev = events_ts(spark, sf_dir)
     d = ev.withColumn("day_s", F.unix_seconds(F.date_trunc("day", F.col("ts"))))
-    return (
-        d.rollup("day_s", "event_type")
+    sets = (
+        d.groupingSets([["day_s", "event_type"], ["day_s"]], "day_s", "event_type")
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select("day_s", "event_type", "gid", "n_events")
     )
+    grand = d.agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.lit(None).cast("bigint").alias("day_s"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(3).cast("bigint").alias("gid"),
+        "n_events",
+    )
+    return sets.unionByName(grand)
 
 
 ASOF_ORACLE = """

@@ -20,6 +20,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from ed_housing_data_pipeline_spark.plans._base import t
 from ed_housing_data_pipeline_spark.sources import tables
@@ -317,8 +318,17 @@ def q_events_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_col="event_date",
             order_col="ts",
         )
+        try:
+            stored = spark.read.parquet(f"{root}/by_user")
+        except AnalysisException:
+            # an EMPTY stream never invokes the foreachBatch sink, so
+            # the dataset dir is never created — that is "no rows",
+            # not an error (matches the oracle over an empty table)
+            stored = spark.createDataFrame(
+                [], ev.select("event_id", "user_id", "ts", "event_date").schema
+            )
         out = (
-            spark.read.parquet(f"{root}/by_user")
+            stored
             .select(
                 F.col("event_date").cast("string").alias("event_date"),
                 "user_id",

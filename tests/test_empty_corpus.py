@@ -58,3 +58,37 @@ def test_doc_and_embedding_queries_survive_empty_corpus(spark, empty_sf_dir):
         assert not failures, "\n".join(failures)
     finally:
         queries_llm.release_shared_caches()
+
+
+@pytest.fixture(scope="module")
+def all_empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("all_empty_sf")
+    tables = _COPY_TABLES + ["documents", "embeddings"]
+    for t in tables:
+        schema = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").schema
+        out = d / f"_{t}"
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(str(out))
+        part = glob.glob(f"{out}/part-*.parquet")[0]
+        shutil.copy(part, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_ansi_empty_aggregate_semantics(spark, all_empty_sf_dir):
+    """ROLLUP/CUBE/scalar-profile queries must emit the ANSI
+    grand-total / per-column rows on EMPTY input (Spark's native
+    rollup()/cube() emit nothing there — the queries are formulated
+    as groupingSets ∪ ungrouped agg to match the SQL standard and the
+    DuckDB oracle), and the stream-upsert sink must read back an
+    empty table, not explode on a dataset dir its sink never wrote."""
+    qm = query_map()
+    rollup = qm["events_rollup_day_type"](spark, all_empty_sf_dir).collect()
+    assert [(r["gid"], r["n_events"]) for r in rollup] == [(3, 0)]
+    cube = qm["orders_cube_status_priority"](spark, all_empty_sf_dir).collect()
+    assert [(r["gid"], r["n_orders"]) for r in cube] == [(3, 0)]
+    prof = qm["lineitem_numeric_profile"](spark, all_empty_sf_dir).collect()
+    assert sorted((r["col"], r["n"], r["n_null"], r["vmin"]) for r in prof) == [
+        ("l_discount", 0, 0, None),
+        ("l_extendedprice", 0, 0, None),
+        ("l_quantity", 0, 0, None),
+    ]
+    assert qm["events_stream_upsert_sink"](spark, all_empty_sf_dir).count() == 0
