@@ -48,9 +48,19 @@ def normalize_join_key(
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for exact-dedup: lowercase, collapse whitespace,
-    strip. NULL stays NULL, empty string → NULL."""
-    c = F.regexp_replace(F.lower(F.trim(_c(col).cast("string"))), r"\s+", " ")
-    return F.nullif(c, F.lit(""))
+    strip. NULL stays NULL, empty string → NULL.
+
+    Whitespace is ASCII ``\\s`` by REGEX on both ends — deliberately
+    not ``trim()``: Spark's trim strips all ASCII control whitespace
+    while DuckDB's strips spaces plus U+00A0 but not tabs/newlines, so
+    any trim-based canonicalization diverges across engines on text
+    containing tabs or unicode spaces (found by the pathological-text
+    differential sweep). Non-ASCII spaces (NBSP etc.) are CONTENT
+    under this definition, identically in both engines."""
+    stripped = F.regexp_replace(
+        F.lower(_c(col).cast("string")), r"^\s+|\s+$", ""
+    )
+    return F.nullif(F.regexp_replace(stripped, r"\s+", " "), F.lit(""))
 
 
 def hash60(col: Column | str) -> Column:
@@ -65,11 +75,16 @@ def hash60(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string>; empty/NULL text → empty array."""
-    c = F.trim(_c(col).cast("string"))
-    return F.when(
-        c.isNull() | (c == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(c, r"\s+"))
+    """Whitespace tokenization → array<string>; empty/NULL/whitespace-
+    only text → empty array. Split on ASCII ``\\s+`` then drop empty
+    fragments — no ``trim()``, whose cross-engine semantics differ on
+    tabs and unicode spaces (see :func:`normalize_text`); a run of
+    leading/trailing whitespace only ever produces the empty fragments
+    the filter removes, identically in Spark and DuckDB."""
+    c = _c(col).cast("string")
+    return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(
+        F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+    )
 
 
 def token_count(col: Column | str) -> Column:

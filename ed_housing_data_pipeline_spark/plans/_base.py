@@ -47,7 +47,9 @@ def hash60_sql(expr: str) -> str:
 # DuckDB fragment: whitespace tokens of a text expr, [] for NULL/empty —
 # mirrors functions.text.tokens().
 def tokens_sql(expr: str) -> str:
+    # split-then-filter, NOT trim+split: trim() semantics differ
+    # across engines on tabs / unicode spaces (functions.text.tokens)
     return (
-        f"CASE WHEN {expr} IS NULL OR trim({expr}) = '' THEN []::VARCHAR[] "
-        f"ELSE string_split_regex(trim({expr}), '\\s+') END"
+        f"CASE WHEN {expr} IS NULL THEN []::VARCHAR[] "
+        f"ELSE list_filter(string_split_regex({expr}, '\\s+'), t -> t <> '') END"
     )
