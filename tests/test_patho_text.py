@@ -129,3 +129,71 @@ def test_doc_family_oracles_pass_on_pathological_corpus(spark, tmp_path):
     tail = "\n".join(proc.stdout.splitlines()[-20:])
     assert proc.returncode == 0, f"patho differential failed:\n{tail}"
     assert ", 0 failed" in proc.stdout
+
+
+# ------------------------- pathological embeddings (vector edge cases)
+def _patho_embeddings_rows(dim):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (0, None, 1),                                   # NULL vector
+        (1, [0.0] * dim, 1),                            # zero norm
+        (2, [1.0] * dim, 1),                            # constant
+        (3, [1.0] * dim, 2),                            # exact dup, other label
+        (4, [1.0, 2.0], 1),                             # WRONG dimension
+        (5, [-1.0] * dim, 2),                           # antipode of 2
+        (6, [1e30] + [0.0] * (dim - 1), 1),             # huge magnitude
+        (7, [1e-30] * dim, 2),                          # tiny magnitude
+    ]
+    rows += [
+        (k, [rng.uniform(-1, 1) for _ in range(dim)], k % 3)
+        for k in range(8, 20)
+    ]
+    return rows
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="embedding-family differential over pathological vectors (~2 min); "
+    "set RUN_SLOW=1",
+)
+def test_embedding_family_oracles_pass_on_pathological_vectors(spark, tmp_path):
+    """NULL / zero-norm / wrong-dimension / huge / tiny / duplicate
+    vectors: the family's malformed-row quarantine (queries_llm.emb_t
+    + the mirrored oracle views) and the NULL-on-zero-norm cosine must
+    keep both engines in exact agreement."""
+    from ed_housing_data_pipeline_spark.plans.registry import query_map
+
+    sf = tmp_path / "patho_emb_sf"
+    sf.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet"))
+    from ed_housing_data_pipeline_spark.plans.queries_llm import EMB_DIM
+
+    df = spark.createDataFrame(
+        _patho_embeddings_rows(EMB_DIM),
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = sf / "_e"
+    df.coalesce(1).write.parquet(str(out))
+    shutil.copy(glob.glob(f"{out}/part-*.parquet")[0], str(sf / "embeddings.parquet"))
+
+    emb_queries = [n for n in query_map() if n.startswith("embedding_")]
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "check_correctness.py"),
+            str(sf),
+            *emb_queries,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-15:])
+    assert proc.returncode == 0, f"patho embeddings differential failed:\n{tail}"
+    assert ", 0 failed" in proc.stdout
