@@ -44,9 +44,16 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "coerce_json_field",
     oracle="""
-    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+    -- json_valid guard: DuckDB's json_extract hard-errors on malformed
+    -- JSON where Spark's get_json_object yields NULL
+    SELECT event_id,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS DOUBLE) AS k_val
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    WHERE TRY_CAST(CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END
+                   AS DOUBLE) IS NOT NULL
     """,
 )
 def q_coerce_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:

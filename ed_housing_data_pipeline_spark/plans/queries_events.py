@@ -85,7 +85,10 @@ def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+           -- json_valid guard: see coerce_json_field
+           ROUND(AVG(TRY_CAST(CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS DOUBLE)), 4)
+               AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -110,6 +113,9 @@ WITH flagged AS (
                      OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800 * 1000000
                 THEN 1 ELSE 0 END AS new_s
     FROM events
+    -- event-time quarantine: a NULL-ts event cannot be placed in a
+    -- session (and the engines disagree on NULL ordering in windows)
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sessions AS (
     SELECT *, CAST(SUM(new_s) OVER (
@@ -131,7 +137,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) + per-session stats — the
     lag→flag→cumsum formulation; one shuffle on user_id, then
     partition-local window scans."""
-    ev = events_ts(spark, sf_dir)
+    ev = events_ts(spark, sf_dir).filter(F.col("ts").isNotNull())
     s = ev_ops.session_stats(ev, ts_col="ts", user_col="user_id", gap_minutes=30)
     return s.select(
         "user_id",
@@ -150,6 +156,8 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                time_bucket(INTERVAL 30 MINUTES, e.ts) - (o.o * INTERVAL 30 MINUTES)
                    AS ws
         FROM events e, (SELECT UNNEST([0, 1]) AS o) o
+        -- Spark's window() assigns no window to NULL event time
+        WHERE e.ts IS NOT NULL
     )
     SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
            COUNT(*) AS n_events,

@@ -73,6 +73,8 @@ def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataF
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS total_value
     FROM events
+    -- watermarked streams drop NULL-event-time rows
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -104,9 +106,11 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_stream_dedup_count",
     oracle="""
-    SELECT COUNT(DISTINCT event_id) AS n_unique,
-           COUNT(*) AS n_raw
-    FROM events
+    -- n_unique mirrors the watermarked stream (NULL-event-time rows
+    -- dropped); n_raw is the RAW input count the engine reads batch-side
+    SELECT (SELECT COUNT(DISTINCT event_id) FROM events
+            WHERE ts IS NOT NULL) AS n_unique,
+           (SELECT COUNT(*) FROM events) AS n_raw
     """,
 )
 def q_events_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,6 +144,8 @@ def q_events_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                time_bucket(INTERVAL 30 MINUTES, e.ts) - (o.o * INTERVAL 30 MINUTES)
                    AS ws
         FROM events e, (SELECT UNNEST([0, 1]) AS o) o
+        -- watermarked streams drop NULL-event-time rows
+        WHERE e.ts IS NOT NULL
     )
     SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
            COUNT(*) AS n_events,
@@ -290,6 +296,8 @@ def q_events_stream_enrich_category(spark: SparkSession, sf_dir: str) -> DataFra
            event_id AS last_event_id,
            CAST(epoch_us(ts) // 1000000 AS BIGINT) AS last_ts_s
     FROM events
+    -- NULL event time = NULL partition key: quarantined before the sink
+    WHERE ts IS NOT NULL
     QUALIFY row_number() OVER (
         PARTITION BY CAST(ts AS DATE), user_id ORDER BY ts DESC) = 1
     """,
@@ -304,8 +312,12 @@ def q_events_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch carried it. The oracle is the batch latest-event-per-
     (date, user) window — exact because (user_id, ts) is unique in the
     corpus, so the winner per key is deterministic."""
-    ev = _events_stream(spark, sf_dir).withColumn(
-        "event_date", F.col("ts").cast("date").cast("string")
+    # NULL ts would become a NULL partition key, which the upsert
+    # sink (correctly) refuses — quarantine before the sink
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .withColumn("event_date", F.col("ts").cast("date").cast("string"))
     )
     with tempfile.TemporaryDirectory(prefix="upsert_") as root, tempfile.TemporaryDirectory(
         prefix="ckpt_"
@@ -350,6 +362,8 @@ def q_events_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                             > 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
+        -- watermarked streams drop NULL-event-time rows
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
     ), sessions AS (
         SELECT *, SUM(new_s) OVER (

@@ -197,3 +197,75 @@ def test_embedding_family_oracles_pass_on_pathological_vectors(spark, tmp_path):
     tail = "\n".join(proc.stdout.splitlines()[-15:])
     assert proc.returncode == 0, f"patho embeddings differential failed:\n{tail}"
     assert ", 0 failed" in proc.stdout
+
+
+# ----------------------- pathological events (time/JSON edge cases)
+def _patho_events_rows():
+    import datetime as dt
+
+    T = dt.datetime
+    return [
+        (0, None, 1, "view", 1.0, '{"k": 1}'),                      # NULL ts
+        (1, T(2024, 1, 1), None, "view", 2.0, '{"k": 2}'),          # NULL user
+        (2, T(2024, 1, 1), 1, None, None, None),                    # NULL type/value/props
+        (3, T(2024, 1, 1), 1, "view", 3.0, "not json at all"),      # malformed JSON
+        (4, T(2024, 1, 1), 1, "view", 4.0, '{"k": "strval"}'),      # wrong-typed field
+        (5, T(2024, 1, 1), 1, "purchase", 5.0, "{}"),               # missing field
+        (6, T(2024, 1, 1), 1, "purchase", 5.0, '{"k": null}'),      # JSON null
+        (7, T(1970, 1, 1), 2, "view", 1.0, '{"k": 3}'),             # epoch
+        (8, T(2262, 4, 11, 23, 47, 16), 2, "purchase", 1.0, '{"k": 4}'),
+        (9, T(2024, 1, 1), 2, "signup", -1.5, '{"k": -7}'),
+        (10, T(2024, 1, 1), 2, "view", 1.0, '{"k": 5}'),            # (user, ts) tie
+        (11, T(2024, 1, 1), 2, "view", 2.0, '{"k": 6}'),
+        (12, T(2024, 1, 2, 3, 4, 5, 123456), 3, "purchase", 7.0, '{"k": 9}'),
+        (13, T(2024, 1, 2, 3, 4, 6), 3, "signup", 0.0, '{"k": 10}'),
+        (14, T(2024, 1, 5), 3, "view", 8.0, '{"k": 11}'),
+    ]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="events-family differential over pathological events (~4 min); "
+    "set RUN_SLOW=1",
+)
+def test_events_family_oracles_pass_on_pathological_events(spark, tmp_path):
+    """NULL event times (watermark-drop mirroring, session/window
+    quarantine, NULL partition keys), malformed/missing/typed-wrong
+    JSON props (json_valid-guarded oracles), epoch and ns-max
+    timestamps, ties, negative values: the whole events family must
+    stay in exact cross-engine agreement."""
+    from ed_housing_data_pipeline_spark.plans.registry import query_map
+
+    sf = tmp_path / "patho_ev_sf"
+    sf.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet"))
+    df = spark.createDataFrame(
+        _patho_events_rows(),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sf / "_ev"
+    df.coalesce(1).write.parquet(str(out))
+    shutil.copy(glob.glob(f"{out}/part-*.parquet")[0], str(sf / "events.parquet"))
+
+    ev_queries = [
+        n for n in query_map() if n.startswith("events_") or n == "coerce_json_field"
+    ]
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "check_correctness.py"),
+            str(sf),
+            *ev_queries,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-25:])
+    assert proc.returncode == 0, f"patho events differential failed:\n{tail}"
+    assert ", 0 failed" in proc.stdout
