@@ -525,7 +525,15 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ A4
 @register(
     "table_summary",
-    oracle="SELECT COUNT(*) AS n_rows, 11 AS n_cols FROM lineitem",
+    # n_cols from the catalog, not a hardcoded 11 — the oracle must
+    # track whatever schema the table actually has (a pathological
+    # 8-column lineitem exposed the literal as a latent mismatch)
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST((SELECT COUNT(*) FROM information_schema.columns
+                 WHERE table_name = 'lineitem') AS INT) AS n_cols
+    FROM lineitem
+    """,
 )
 def q_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row/column-count run summary — A4 (reference JSON summary,

@@ -269,3 +269,138 @@ def test_events_family_oracles_pass_on_pathological_events(spark, tmp_path):
     tail = "\n".join(proc.stdout.splitlines()[-25:])
     assert proc.returncode == 0, f"patho events differential failed:\n{tail}"
     assert ", 0 failed" in proc.stdout
+
+
+# --------------------- pathological relational tables (core family)
+def _write_single_parquet(spark, df, path):
+    tmp = str(path) + "._w"
+    df.coalesce(1).write.parquet(tmp)
+    shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(path))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="core-family differential over pathological relational tables "
+    "(~4 min); set RUN_SLOW=1",
+)
+def test_core_family_oracles_pass_on_pathological_tables(spark, tmp_path):
+    """NULL keys/dates/measures, negative and huge values, zero
+    denominators, duplicate keys, leap days, epoch and far-future
+    dates, and a NON-STANDARD lineitem schema (8 columns — which
+    exposed a hardcoded column count in the table_summary oracle):
+    the whole core/window/setop family must stay in exact
+    cross-engine agreement."""
+    import datetime as dt
+    import random
+
+    from ed_housing_data_pipeline_spark.plans.registry import query_map
+
+    sf = tmp_path / "patho_core_sf"
+    sf.mkdir()
+    for t in "region nation events documents embeddings".split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet"))
+    rng = random.Random(11)
+    T = dt.datetime
+    cust = [
+        (1, "alice", 0, None, "BUILDING"),
+        (2, None, 1, -999999.99, None),
+        (3, "bob", None, 1e12, "AUTOMOBILE"),
+        (4, "alice", 0, 0.0, "BUILDING"),
+        (5, "carol", 24, 3.14, "MACHINERY"),
+    ] + [
+        (10 + i, f"c{i}", i % 25, rng.uniform(-1000, 1000), "BUILDING")
+        for i in range(20)
+    ]
+    _write_single_parquet(
+        spark,
+        spark.createDataFrame(
+            cust,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ),
+        sf / "customer.parquet",
+    )
+    _write_single_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, "s1", 0, None), (2, None, None, -5.0), (3, "s3", 24, 1e9)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        sf / "supplier.parquet",
+    )
+    _write_single_parquet(
+        spark,
+        spark.createDataFrame(
+            [
+                (1, "p one", "B1", "T1", None, None),
+                (2, None, None, None, -3, 0.0),
+                (3, "p three", "B1", "T2", 50, 1e7),
+            ],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ),
+        sf / "part.parquet",
+    )
+    orders = [
+        (1, 1, "O", 100.0, T(2024, 1, 1), "1-URGENT"),
+        (2, None, "F", None, None, None),
+        (3, 1, None, -50.0, T(1970, 1, 1), "5-LOW"),
+        (4, 3, "O", 1e15, T(2262, 4, 11), "1-URGENT"),
+        (5, 2, "O", 10.0, T(2024, 2, 29), "2-HIGH"),
+    ] + [
+        (10 + i, 1 + (i % 5), "O", float(i),
+         T(2024, 1 + (i % 12), 1 + (i % 28)), "3-MEDIUM")
+        for i in range(30)
+    ]
+    _write_single_parquet(
+        spark,
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ),
+        sf / "orders.parquet",
+    )
+    li = [
+        (1, 1, "N", "O", None, 10.0, 0.05, 0.01),
+        (1, 2, "A", "F", 0.0, 20.0, None, None),
+        (2, 1, None, None, None, None, None, None),
+        (3, 1, "R", "F", -4.0, -8.0, 1.5, -0.1),
+        (4, 1, "N", "O", 1e9, 1e9, 0.0, 0.0),
+    ] + [
+        (10 + i, 1 + (i % 3), "N", "O", float(i % 7), rng.uniform(1, 100),
+         0.02, 0.01)
+        for i in range(40)
+    ]
+    _write_single_parquet(
+        spark,
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_linenumber int, l_returnflag string, "
+            "l_linestatus string, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double",
+        ),
+        sf / "lineitem.parquet",
+    )
+
+    core = [
+        n
+        for n in query_map()
+        if not n.startswith(("doc_", "embedding_", "events_"))
+        and n != "lake_snapshot_roundtrip"
+    ]
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "check_correctness.py"),
+            str(sf),
+            *core,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-25:])
+    assert proc.returncode == 0, f"patho core differential failed:\n{tail}"
+    assert ", 0 failed" in proc.stdout
