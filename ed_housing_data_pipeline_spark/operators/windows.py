@@ -404,8 +404,21 @@ def sharded_running_sum(
         shard_c,
         F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias(off_c),
     )
+    # NULL-SAFE join back: a window's partitionBy groups NULL keys as
+    # a partition of their own, so the decomposition must too — a
+    # plain equi-join here silently DROPPED every NULL-partition-key
+    # row (found by the pathological-corpus differential sweep)
+    l, o = local.alias("l"), offsets.alias("o")
+    cond = [
+        F.col(f"l.{c}").eqNullSafe(F.col(f"o.{c}"))
+        for c in [*partition_by, shard_c]
+    ]
     return (
-        local.join(F.broadcast(offsets), [*partition_by, shard_c])
+        l.join(F.broadcast(o), cond)
+        .select(
+            *[F.col(f"l.{c}") for c in local.columns],
+            F.col(f"o.{off_c}").alias(off_c),
+        )
         .withColumn(out_col, F.col(local_c) + F.col(off_c))
         .drop(shard_c, local_c, off_c)
     )

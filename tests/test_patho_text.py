@@ -102,8 +102,17 @@ def test_doc_family_oracles_pass_on_pathological_corpus(spark, tmp_path):
         "region nation customer supplier part orders lineitem events embeddings"
     ).split():
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet"))
+    # NULL lang/source rows included: grouping, stratification and the
+    # sharded prefix sum must treat NULL keys as a group of their own
+    # (a plain equi-join in sharded_running_sum once dropped them)
     rows = [
-        (i, t, "en", f"src{i % 3}", len(t) if t else 0)
+        (
+            i,
+            t,
+            "en" if i % 4 else None,
+            f"src{i % 3}" if i % 5 else None,
+            len(t) if t else 0,
+        )
         for i, t in enumerate(PATHO_TEXTS)
     ]
     df = spark.createDataFrame(

@@ -235,7 +235,12 @@ def test_sharded_running_sum_property(spark, rows_in):
 
     from ed_housing_data_pipeline_spark.operators import windows
 
-    data = [(i, f"s{src}", v) for i, (src, v) in enumerate(rows_in)]
+    # source 0 becomes NULL: a window's partitionBy groups NULL keys,
+    # so the decomposition's offset join must be null-safe too
+    data = [
+        (i, None if src == 0 else f"s{src}", v)
+        for i, (src, v) in enumerate(rows_in)
+    ]
     df = spark.createDataFrame(data, "doc_id long, source string, n long")
     w = (
         Window.partitionBy("source")
