@@ -44,6 +44,18 @@ def hash60_sql(expr: str) -> str:
     return f"CAST(CAST('0x' || substr(md5({expr}), 1, 15) AS UBIGINT) AS BIGINT)"
 
 
+# DuckDB fragment: normalized text (lower, strip both ends, collapse
+# inner whitespace, ''→NULL) — mirrors functions.text.normalize_text().
+# Both regexp_replace calls need the 'g' flag: DuckDB is first-match-only
+# by default, so without it '  x  ' keeps a trailing space (Spark's
+# regexp_replace is always global).
+def norm_text_sql(expr: str) -> str:
+    return (
+        f"NULLIF(regexp_replace(regexp_replace(lower({expr}), "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), '')"
+    )
+
+
 # DuckDB fragment: whitespace tokens of a text expr, [] for NULL/empty —
 # mirrors functions.text.tokens().
 def tokens_sql(expr: str) -> str:

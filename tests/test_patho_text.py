@@ -48,6 +48,8 @@ PATHO_TEXTS = [
     "'quoted' \"double\" `tick`",
     "a b c",  # NBSP INSIDE a token: content, not whitespace
     "　wide　space　",  # ideographic space: content too
+    "  hi there  ",  # padded BOTH ends: DuckDB's first-match-only
+    "\t  padded both ends  \n",  # regexp_replace needs the 'g' flag
 ]
 
 
@@ -58,7 +60,7 @@ def test_tokens_and_normalize_parity_with_duckdb(spark):
         normalize_text,
         tokens,
     )
-    from ed_housing_data_pipeline_spark.plans._base import tokens_sql
+    from ed_housing_data_pipeline_spark.plans._base import norm_text_sql, tokens_sql
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(PATHO_TEXTS)], "i long, text string"
@@ -73,10 +75,8 @@ def test_tokens_and_normalize_parity_with_duckdb(spark):
     con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
     for i, t in enumerate(PATHO_TEXTS):
         con.execute("INSERT INTO t VALUES (?, ?)", [i, t])
-    norm_sql = (
-        "NULLIF(regexp_replace(regexp_replace(lower(text), "
-        "'^\\s+|\\s+$', ''), '\\s+', ' ', 'g'), '')"
-    )
+    # one source of truth: the same fragment the registered oracles use
+    norm_sql = norm_text_sql("text")
     for i, otk, ont in con.execute(
         f"SELECT i, {tokens_sql('text')}, {norm_sql} FROM t ORDER BY i"
     ).fetchall():
