@@ -1,0 +1,251 @@
+"""Append-only multi-component LSH index over the segmented-commit
+protocol (sources/lake.append_segments).
+
+The persisted artifact the incremental dedup loops probe — both the
+batch ingest (plans/queries_llm.incr_index_ingest) and the streaming
+sink (streaming/documents) — made O(batch) per commit:
+
+- DATA components (optional ``docs``, plus ``bands`` = the (id, band,
+  key) LSH band table and ``shingles`` = the (id, _sh) verification
+  store) are append-only: each commit writes ONLY the batch's rows as
+  new segments. No copy of the accumulated index, ever — the
+  full-copy snapshot commit did O(index) writes per batch, O(n²)
+  total over a long-running stream.
+- ``bucketcounts`` holds cumulative per-(band, key) bucket widths as
+  additive count segments: each commit appends the batch's O(batch)
+  per-bucket counts; compaction re-aggregates (sum is associative).
+- ``stopbands`` — the oversized buckets probes must skip
+  (operators.similarity.lsh_probe_pairs) — is a DERIVED table, tiny
+  by construction (at most n_rows / cap buckets), re-pinned whole
+  each commit. Because the index is append-only, bucket widths only
+  grow and the stop set only grows, so the per-commit update is exact
+  without any O(index) aggregation: refresh the widths of existing
+  stop rows with the batch's deltas, and find newly-crossed buckets
+  among the TOUCHED buckets only, reading their prior widths from the
+  count segments through a broadcast semi-join on the (micro-batch-
+  bounded) touched key set.
+
+Atomicity is the manifest commit (lake.commit_segment_manifest): a
+crash mid-commit leaves orphan segments no reader resolves; a retried
+commit re-derives the same content from the last committed manifest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ed_housing_data_pipeline_spark.operators import similarity as sim
+from ed_housing_data_pipeline_spark.sources import lake
+
+DATA_COMPONENTS = ("docs", "bands", "shingles")
+DERIVED_COMPONENTS = ("bucketcounts", "stopbands")
+
+
+def bucket_counts(bands_df: DataFrame) -> DataFrame:
+    """Per-(band, key) widths of a band frame — one map-side-combined
+    agg over the frame (O(batch) when fed a batch's bands)."""
+    return bands_df.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+
+
+def stop_from_counts(counts: DataFrame, max_bucket_width: int) -> DataFrame:
+    """The stop-band table a count frame implies: buckets over the cap,
+    with the width and shard-count columns oversized_bucket_stats
+    emits (same schema, so probes and audits are agnostic to whether
+    stats came from a full aggregation or the incremental path)."""
+    total = counts.groupBy("band", "key").agg(F.sum("_n").alias("_bw"))
+    return total.filter(F.col("_bw") > max_bucket_width).withColumn(
+        "_ns",
+        F.ceil(F.col("_bw") / F.lit(float(max_bucket_width))).cast("bigint"),
+    )
+
+
+def merged_stop(
+    old_stop: DataFrame,
+    committed_counts: DataFrame,
+    batch_counts: DataFrame,
+    max_bucket_width: int,
+) -> DataFrame:
+    """The exact next stop-band table without an O(index) pass.
+
+    Sound because the index is append-only: widths only grow, so every
+    old stop row stays a stop row (its width refreshed by the batch's
+    delta, O(stop)+O(batch)), and a NEW stop row can only be a bucket
+    the batch touched — whose prior width is read from the committed
+    count segments via a broadcast semi-join on the touched key set
+    (bounded by batch size × bands), never a full re-aggregation.
+    Differentially pinned against the full recompute in
+    tests/test_streaming.py."""
+    cap = max_bucket_width
+    touched = batch_counts.select("band", "key", F.col("_n").alias("_add"))
+    prior = (
+        committed_counts.join(
+            F.broadcast(touched.select("band", "key")), ["band", "key"]
+        )
+        .groupBy("band", "key")
+        .agg(F.sum("_n").alias("_prior"))
+    )
+    crossed = (
+        touched.join(prior, ["band", "key"], "left")
+        .withColumn("_bw", F.col("_add") + F.coalesce("_prior", F.lit(0)))
+        .filter(F.col("_bw") > cap)
+        .join(old_stop.select("band", "key"), ["band", "key"], "left_anti")
+        .select("band", "key", "_bw")
+    )
+    refreshed = (
+        old_stop.select("band", "key", "_bw")
+        .join(touched, ["band", "key"], "left")
+        .withColumn("_bw", F.col("_bw") + F.coalesce("_add", F.lit(0)))
+        .select("band", "key", "_bw")
+    )
+    return refreshed.unionByName(crossed).withColumn(
+        "_ns", F.ceil(F.col("_bw") / F.lit(float(cap))).cast("bigint")
+    )
+
+
+def bootstrap_index(
+    spark: SparkSession,
+    root: str,
+    frames: dict[str, DataFrame],
+    max_bucket_width: int,
+) -> dict[str, list[int]]:
+    """First commit: the data components (``bands`` + ``shingles``,
+    optionally ``docs``) land as their first segments; bucket counts
+    and the stop table derive from the WRITTEN bands segment (a
+    read-back, not a lineage recompute — one-time O(corpus) agg), and
+    one manifest pins it all. Returns the committed pin map."""
+    unknown = set(frames) - set(DATA_COMPONENTS)
+    if "bands" not in frames or "shingles" not in frames or unknown:
+        raise ValueError(
+            f"bootstrap_index: need bands+shingles (docs optional), got "
+            f"{sorted(frames)}"
+        )
+    pins = {
+        name: [lake.write_segment(spark, df, f"{root}/{name}")]
+        for name, df in frames.items()
+    }
+    bands_read = lake.read_segments(spark, f"{root}/bands", pins["bands"])
+    counts = bucket_counts(bands_read)
+    pins["bucketcounts"] = [
+        lake.write_segment(spark, counts, f"{root}/bucketcounts")
+    ]
+    counts_read = lake.read_segments(
+        spark, f"{root}/bucketcounts", pins["bucketcounts"]
+    )
+    pins["stopbands"] = [
+        lake.write_segment(
+            spark,
+            stop_from_counts(counts_read, max_bucket_width),
+            f"{root}/stopbands",
+        )
+    ]
+    lake.commit_segment_manifest(spark, root, pins)
+    return pins
+
+
+def append_batch(
+    spark: SparkSession,
+    root: str,
+    frames: dict[str, DataFrame],
+    max_bucket_width: int,
+    keep_manifests: int = 2,
+    orphan_grace_sec: float = 24 * 3600,
+) -> dict[str, list[int]]:
+    """One O(batch) index commit: append the batch's data-component
+    rows as new segments, append its per-bucket counts, re-derive the
+    (tiny) stop table incrementally, flip the manifest, run segment
+    retention. Returns the committed pin map.
+
+    Everything the derived updates read comes from WRITTEN segments
+    (the batch's own just-written ones + the previously committed
+    pins), so the batch lineage executes exactly once and a crash at
+    any point leaves only unpinned debris."""
+    unknown = set(frames) - set(DATA_COMPONENTS)
+    if "bands" not in frames or "shingles" not in frames or unknown:
+        raise ValueError(
+            f"append_batch: need bands+shingles (docs optional), got "
+            f"{sorted(frames)}"
+        )
+    pins = lake.segment_pins(spark, root)
+    new_pins = dict(pins)
+    new_segs: dict[str, int] = {}
+    for name, df in frames.items():
+        seg = lake.write_segment(spark, df, f"{root}/{name}")
+        new_segs[name] = seg
+        new_pins[name] = [*pins[name], seg]
+    batch_bands = lake.read_segments(
+        spark, f"{root}/bands", [new_segs["bands"]]
+    )
+    cseg = lake.write_segment(
+        spark, bucket_counts(batch_bands), f"{root}/bucketcounts"
+    )
+    new_pins["bucketcounts"] = [*pins["bucketcounts"], cseg]
+    batch_counts = lake.read_segments(spark, f"{root}/bucketcounts", [cseg])
+    committed_counts = lake.read_segments(
+        spark, f"{root}/bucketcounts", pins["bucketcounts"]
+    )
+    old_stop = lake.read_segments(spark, f"{root}/stopbands", pins["stopbands"])
+    new_pins["stopbands"] = [
+        lake.write_segment(
+            spark,
+            merged_stop(old_stop, committed_counts, batch_counts, max_bucket_width),
+            f"{root}/stopbands",
+        )
+    ]
+    lake.commit_segment_manifest(spark, root, new_pins)
+    lake.expire_segments(
+        spark, root, keep_manifests=keep_manifests,
+        orphan_grace_sec=orphan_grace_sec,
+    )
+    return new_pins
+
+
+def read_index(
+    spark: SparkSession, root: str, components: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Manifest-pinned component frames (each a multi-segment union
+    scan) — the only read path."""
+    return lake.read_segmented_components(spark, root, components)
+
+
+def compact_index(
+    spark: SparkSession,
+    root: str,
+    min_segments: int = 2,
+) -> dict[str, list[int]]:
+    """Fold every multi-segment component to one segment — plain
+    union rewrite for the data components, sum re-aggregation for
+    ``bucketcounts`` (additive). One O(index) rewrite that amortizes
+    over the K O(batch) commits between compactions; run on a cadence
+    (streaming sink's ``compact_every``, or a maintenance cron)."""
+    return lake.compact_segments(
+        spark,
+        root,
+        reducers={
+            "bucketcounts": lambda df: df.groupBy("band", "key").agg(
+                F.sum("_n").alias("_n")
+            )
+        },
+        min_segments=min_segments,
+    )
+
+
+def signature_index_frames(
+    docs_sig: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    doc_cols: Sequence[str] | None = None,
+) -> dict[str, DataFrame]:
+    """The data-component frames of a signature frame (one with the
+    ``_sh`` shingle array + MinHash columns): the band table, the
+    shingle store, and — when ``doc_cols`` is given — the raw doc
+    projection. The ONE shingle/hash pass everything derives from."""
+    frames = {
+        "bands": sim.band_keys(docs_sig, id_col, n_hashes=n_hashes, bands=bands),
+        "shingles": docs_sig.select(id_col, "_sh"),
+    }
+    if doc_cols is not None:
+        frames["docs"] = docs_sig.select(*doc_cols)
+    return frames

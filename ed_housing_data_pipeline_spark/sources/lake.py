@@ -619,6 +619,230 @@ def expire_components(
     return out
 
 
+# -------------------- append-only segmented components (LSM commits)
+# The O(batch) commit protocol for datasets that GROW: a component's
+# content is the UNION of the immutable parquet SEGMENT dirs its
+# manifest pins, so a commit writes only the NEW rows as fresh
+# segments (plus any tiny derived tables, re-pinned whole) and flips
+# the manifest — never a copy of the accumulated dataset. This is what
+# makes a long-running ingest loop O(total input) in write work
+# instead of O(n²) (the full-copy snapshot commit's cost curve).
+#
+# Commit point: one manifest SNAPSHOT under ``root/manifest`` whose
+# rows are (component, seg) pairs — write_snapshot's write-once
+# pointer rename is the atomic flip, exactly as in the
+# whole-dataset protocol above. A crash mid-commit leaves orphan
+# segment dirs no manifest pins (swept by expire_segments after a
+# grace period); readers pinned to the previous manifest never see
+# them. Compaction (compact_segments) folds a component's pinned
+# segments into one — snapshot-isolated like any other commit — so
+# segment-count growth and small files are bounded operationally.
+
+
+def _segment_dir(component_root: str, seg: int) -> str:
+    return f"{component_root.rstrip('/')}/seg={seg}"
+
+
+def segment_numbers(spark, component_root: str) -> list[int]:
+    """All segment dirs present under a component root, ascending
+    (committed or not — pin status lives in the manifest)."""
+    jvm, fs = _fs(spark, component_root)
+    jroot = jvm.org.apache.hadoop.fs.Path(component_root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("seg="):
+            try:
+                out.append(int(name[4:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_segment(spark, df: DataFrame, component_root: str) -> int:
+    """Write ``df`` as the next immutable segment of a component —
+    data only, NO commit: a segment is invisible until a manifest pins
+    it (commit_segment_manifest). Returns the segment number. The
+    ``_INTENT.s<N>`` marker (written before any data) gives
+    expire_segments the same provably-stale test write_snapshot's
+    orphan sweep uses."""
+    root = component_root.rstrip("/")
+    seg = (segment_numbers(spark, root) or [0])[-1] + 1
+    jvm, fs = _fs(spark, root)
+    intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.s{seg}")
+    out = fs.create(intent, True)
+    out.write(str(seg).encode("ascii"))
+    out.close()
+    df.write.mode("errorifexists").parquet(_segment_dir(root, seg))
+    return seg
+
+
+def read_segments(spark, component_root: str, segments: Sequence[int]) -> DataFrame:
+    """A component at a pinned segment list: the UNION of the segment
+    dirs, as one multi-path parquet scan (partition pruning, pushdown,
+    and split planning all apply across segments)."""
+    if not segments:
+        raise ValueError(f"read_segments: empty segment list for {component_root}")
+    root = component_root.rstrip("/")
+    return spark.read.parquet(*[_segment_dir(root, s) for s in segments])
+
+
+def commit_segment_manifest(spark, root: str, pins: dict[str, Sequence[int]]) -> int:
+    """Atomically commit a full component→segment-list pin map as the
+    next manifest snapshot (rows of (component, seg)). Returns the
+    manifest's own snapshot version."""
+    if not pins or any(not segs for segs in pins.values()):
+        raise ValueError(f"commit_segment_manifest: empty pin map/list in {pins!r}")
+    rows = [(name, int(s)) for name, segs in pins.items() for s in segs]
+    mdf = spark.createDataFrame(rows, "component string, seg bigint")
+    return write_snapshot(spark, mdf, f"{root.rstrip('/')}/manifest")
+
+
+def segment_pins(spark, root: str) -> dict[str, list[int]]:
+    """The last COMMITTED manifest's component→segment-list map.
+    Raises FileNotFoundError when no manifest was ever committed."""
+    pins: dict[str, list[int]] = {}
+    for r in read_snapshot(spark, f"{root.rstrip('/')}/manifest").collect():
+        pins.setdefault(r["component"], []).append(int(r["seg"]))
+    return {name: sorted(segs) for name, segs in pins.items()}
+
+
+def read_segmented_components(
+    spark, root: str, components: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Every component at the segment lists pinned by the last
+    committed manifest — the only safe read path (mirrors
+    read_components for the whole-dataset protocol)."""
+    pins = segment_pins(spark, root)
+    names = list(components) if components is not None else list(pins)
+    return {
+        name: read_segments(spark, f"{root}/{name}", pins[name]) for name in names
+    }
+
+
+def append_segments(
+    spark,
+    root: str,
+    appends: dict[str, DataFrame],
+    replaces: dict[str, DataFrame] | None = None,
+    init: bool = False,
+) -> dict[str, list[int]]:
+    """One O(batch) commit: write each ``appends`` frame as a NEW
+    segment of its component (pinned in addition to the committed
+    list), write each ``replaces`` frame as its component's single
+    fresh segment (the re-derived-tiny-table shape — old segments
+    unpin and age out), then flip the manifest. ``init=True`` performs
+    the first commit (no prior manifest required; every component's
+    list starts fresh). Returns the newly committed pin map."""
+    replaces = replaces or {}
+    if set(appends) & set(replaces):
+        raise ValueError("append_segments: a component cannot be in both maps")
+    pins = {} if init else segment_pins(spark, root)
+    new_pins = dict(pins)
+    for name, df in appends.items():
+        seg = write_segment(spark, df, f"{root}/{name}")
+        new_pins[name] = [*pins.get(name, []), seg]
+    for name, df in replaces.items():
+        new_pins[name] = [write_segment(spark, df, f"{root}/{name}")]
+    commit_segment_manifest(spark, root, new_pins)
+    return new_pins
+
+
+def compact_segments(
+    spark,
+    root: str,
+    components: Sequence[str] | None = None,
+    reducers: dict | None = None,
+    min_segments: int = 2,
+) -> dict[str, list[int]]:
+    """Fold each multi-segment component back to ONE segment (read the
+    pinned union — through ``reducers[name]`` if given, e.g. a
+    re-aggregation for additive stats tables — write it as a fresh
+    segment, pin only that) and commit a single manifest for all of
+    them. Components with fewer than ``min_segments`` pinned segments
+    are left alone. Returns the committed pin map.
+
+    This bounds read fan-in and small files under a long append-only
+    ingest: run it on a cadence (every K commits / from a maintenance
+    cron), amortizing the O(dataset) rewrite over the K O(batch)
+    commits it covers."""
+    reducers = reducers or {}
+    pins = segment_pins(spark, root)
+    names = list(components) if components is not None else list(pins)
+    new_pins = dict(pins)
+    changed = False
+    for name in names:
+        if len(pins[name]) < min_segments:
+            continue
+        df = read_segments(spark, f"{root}/{name}", pins[name])
+        reduce = reducers.get(name)
+        if reduce is not None:
+            df = reduce(df)
+        new_pins[name] = [write_segment(spark, df, f"{root}/{name}")]
+        changed = True
+    if changed:
+        commit_segment_manifest(spark, root, new_pins)
+    return new_pins
+
+
+def expire_segments(
+    spark,
+    root: str,
+    keep_manifests: int = 2,
+    orphan_grace_sec: float = 24 * 3600,
+) -> dict[str, list[int]]:
+    """Retention for a segmented dataset: expire old manifest
+    snapshots (normal snapshot retention), then sweep segment dirs no
+    RETAINED manifest pins — but, as in expire_snapshots, only when
+    provably stale (newest mtime among the ``_INTENT.s<N>`` marker and
+    the segment dir older than the grace period), so a live writer's
+    just-written not-yet-committed segments always survive. Pins of
+    every retained manifest version (not just the committed one) are
+    honored, so time travel across retained manifests stays readable."""
+    root = root.rstrip("/")
+    expire_snapshots(
+        spark, f"{root}/manifest", keep_latest=keep_manifests,
+        orphan_grace_sec=orphan_grace_sec,
+    )
+    keep: dict[str, set[int]] = {}
+    for v in snapshot_versions(spark, f"{root}/manifest"):
+        try:
+            rows = read_snapshot(spark, f"{root}/manifest", version=v).collect()
+        except Exception:  # noqa: BLE001 - partial/in-flight manifest dir
+            continue
+        for r in rows:
+            keep.setdefault(r["component"], set()).add(int(r["seg"]))
+    jvm, fs = _fs(spark, root)
+    now_ms = time.time() * 1000.0
+    dropped: dict[str, list[int]] = {}
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name == "manifest":
+            continue
+        comp_root = f"{root}/{name}"
+        for seg in segment_numbers(spark, comp_root):
+            if seg in keep.get(name, set()):
+                continue
+            marks = []
+            jint = jvm.org.apache.hadoop.fs.Path(f"{comp_root}/_INTENT.s{seg}")
+            if fs.exists(jint):
+                marks.append(float(fs.getFileStatus(jint).getModificationTime()))
+            jseg = jvm.org.apache.hadoop.fs.Path(_segment_dir(comp_root, seg))
+            best = float(fs.getFileStatus(jseg).getModificationTime())
+            it = fs.listFiles(jseg, True)
+            while it.hasNext():
+                best = max(best, float(it.next().getModificationTime()))
+            marks.append(best)
+            if now_ms - max(marks) > orphan_grace_sec * 1000.0:
+                fs.delete(jseg, True)
+                fs.delete(jint, False)
+                dropped.setdefault(name, []).append(seg)
+    return {name: sorted(segs) for name, segs in dropped.items()}
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -10,40 +10,44 @@ documents arrive as a file stream, and each micro-batch is
    re-shingled; stop-band stats come precomputed from the index),
 3. near-dup deduped within itself (band self-join, keep-lowest-id
    survivor per verified pair — the deterministic greedy policy),
-4. committed: accepted docs AND their bands/shingles/bucket-stats
-   land as the next snapshot version of a single MANIFEST-committed
-   index (sources/lake.write_snapshot), so later batches dedup
-   against everything accepted before them.
+4. committed O(batch): accepted docs AND their bands/shingles/bucket
+   counts land as NEW SEGMENTS of the append-only index
+   (operators.incr_index over sources/lake.append_segments — never a
+   copy of the accumulated dataset), the tiny stop-band table is
+   re-derived incrementally, and one manifest commit makes it all
+   visible atomically.
 
 Exactly-once story: foreachBatch is at-least-once on retry, so the
 sink must be idempotent — and it is, structurally: a replayed batch's
 doc_ids are already in the accepted set, the exact-id anti-join
 empties it, and an empty batch commits nothing. A crash between
-component writes and the manifest commit leaves orphan snapshot
-versions that no reader resolves (the manifest IS the atomic commit
-point); the retried batch re-runs from the last committed manifest
-and converges. Accepted docs are read back through the same manifest
-pin, never by directory listing.
+segment writes and the manifest commit leaves orphan segments that no
+reader resolves (the manifest IS the atomic commit point); the
+retried batch re-runs from the last committed manifest and converges.
+Accepted docs are read back through the same manifest pin, never by
+directory listing.
 
 Scale shape per batch: ONE O(batch) shingle/sign pass (the signature
 frame is persisted and feeds the dedup decision and every component
 write), one (band, key) equi-join against the index band table, one
 anti-join against the (tiny) stop-band table, shingle-store joins
-only on candidate ids. The index copy per commit is the
-snapshot-isolation price (see incr_index_ingest's docstring for the
-partition-append trade); expire_snapshots bounds disk to
-``keep_latest`` versions.
+only on candidate ids — and O(batch) bytes WRITTEN (the full-copy
+snapshot commit this replaced wrote O(index) per batch, O(n²) over a
+stream's lifetime). ``compact_every`` folds the accumulated segments
+back to one on a cadence, bounding read fan-in and small files;
+``expire_segments`` retention runs inside every commit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ed_housing_data_pipeline_spark.operators import incr_index
 from ed_housing_data_pipeline_spark.operators import similarity as sim
 from ed_housing_data_pipeline_spark.sources import lake
 
 DOC_STREAM_SCHEMA = "doc_id BIGINT, text STRING, source STRING"
-_COMPONENTS = ("docs", "bands", "shingles", "stopbands")
+_DOC_COLS = ("doc_id", "text", "source")
 
 
 def read_documents_stream(
@@ -75,20 +79,14 @@ def _signed(docs: DataFrame, n_hashes: int, shingle_k: int) -> DataFrame:
     )
 
 
-def _index_frames(
-    docs_sig: DataFrame, n_hashes: int, bands: int, max_bucket_width: int
+def _batch_frames(
+    docs_sig: DataFrame, n_hashes: int, bands: int
 ) -> dict[str, DataFrame]:
-    """A signature frame's index components — shared by the corpus
-    bootstrap and (unioned onto the pinned index) the per-batch commit."""
-    bands_df = sim.band_keys(docs_sig, "doc_id", n_hashes=n_hashes, bands=bands)
-    return {
-        "docs": docs_sig.select("doc_id", "text", "source"),
-        "bands": bands_df,
-        "shingles": docs_sig.select("doc_id", "_sh"),
-        "stopbands": sim.oversized_bucket_stats(
-            bands_df, ["band", "key"], max_bucket_width
-        ),
-    }
+    """A signature frame's data-component frames (docs + bands +
+    shingles) — what bootstrap and each per-batch commit append."""
+    return incr_index.signature_index_frames(
+        docs_sig, "doc_id", n_hashes=n_hashes, bands=bands, doc_cols=_DOC_COLS
+    )
 
 
 def _require_uninitialized(spark: SparkSession, root: str) -> None:
@@ -108,19 +106,24 @@ def _require_uninitialized(spark: SparkSession, root: str) -> None:
 
 def init_doc_index(spark: SparkSession, root: str) -> None:
     """Commit v1 = the EMPTY accepted-set index (docs, bands,
-    shingles, stopbands + manifest). Streaming ingest needs a
-    committed starting point; to start from an existing corpus use
-    :func:`bootstrap_doc_index`."""
+    shingles, bucketcounts, stopbands + manifest). Streaming ingest
+    needs a committed starting point; to start from an existing corpus
+    use :func:`bootstrap_doc_index`."""
     _require_uninitialized(spark, root)
-    empty = {
-        "docs": spark.createDataFrame([], DOC_STREAM_SCHEMA),
-        "bands": spark.createDataFrame([], "doc_id bigint, band int, key string"),
-        "shingles": spark.createDataFrame([], "doc_id bigint, _sh array<string>"),
-        "stopbands": spark.createDataFrame(
-            [], "band int, key string, _bw bigint, _ns bigint"
-        ),
-    }
-    _commit(spark, root, empty)
+    incr_index.bootstrap_index(
+        spark,
+        root,
+        {
+            "docs": spark.createDataFrame([], DOC_STREAM_SCHEMA),
+            "bands": spark.createDataFrame(
+                [], "doc_id bigint, band int, key string"
+            ),
+            "shingles": spark.createDataFrame(
+                [], "doc_id bigint, _sh array<string>"
+            ),
+        },
+        max_bucket_width=1,  # no buckets yet; real cap applies per commit
+    )
 
 
 def bootstrap_doc_index(
@@ -142,28 +145,34 @@ def bootstrap_doc_index(
     _require_uninitialized(spark, root)
     sig = _signed(corpus, n_hashes, shingle_k).persist()
     try:
-        _commit(spark, root, _index_frames(sig, n_hashes, bands, max_bucket_width))
+        incr_index.bootstrap_index(
+            spark,
+            root,
+            _batch_frames(sig, n_hashes, bands),
+            max_bucket_width=max_bucket_width,
+        )
     finally:
         sig.unpersist()
 
 
-def _commit(spark: SparkSession, root: str, frames: dict[str, DataFrame]) -> None:
-    """One atomic multi-component commit — the shared manifest
-    protocol (sources/lake.commit_components)."""
-    lake.commit_components(spark, root, {c: frames[c] for c in _COMPONENTS})
-
-
 def _pinned(spark: SparkSession, root: str) -> dict[str, DataFrame]:
-    """Every component at the versions the last committed manifest
-    records — the only read path (component pointers alone can be
-    torn by a crashed commit; the manifest cannot)."""
-    return lake.read_components(spark, root, _COMPONENTS)
+    """Every component at the segments the last committed manifest
+    pins — the only read path (segments alone can be torn-commit
+    debris; the manifest cannot)."""
+    return incr_index.read_index(spark, root)
 
 
 def read_accepted_docs(spark: SparkSession, root: str) -> DataFrame:
     """The accepted (deduplicated) document set as of the last
     committed manifest."""
     return _pinned(spark, root)["docs"]
+
+
+def compact_doc_index(spark: SparkSession, root: str) -> None:
+    """Maintenance: fold each component's accumulated segments back to
+    one (incr_index.compact_index) — content-neutral, bounds read
+    fan-in and small files after many streaming commits."""
+    incr_index.compact_index(spark, root)
 
 
 def _verified_dup_ids(
@@ -253,11 +262,15 @@ def run_stream_incremental_dedup(
     threshold: float = 0.7,
     max_bucket_width: int = 4096,
     keep_latest: int = 2,
+    compact_every: int | None = 64,
 ) -> None:
     """Drain the document stream (availableNow) through the
     foreachBatch incremental-dedup sink described in the module
     docstring. ``init_doc_index`` / :func:`bootstrap_doc_index` must
-    have committed manifest v1 first."""
+    have committed manifest v1 first. Every ``compact_every``-th
+    commit additionally folds the accumulated segments to one
+    (amortized O(index / compact_every) per batch; ``None`` leaves
+    compaction to an external maintenance cadence)."""
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -265,7 +278,7 @@ def run_stream_incremental_dedup(
         spark = batch_df.sparkSession
         index = _pinned(spark, index_root)
         # accepted carries its signature columns — persist it so the
-        # ONE shingle/hash pass feeds all four component writes
+        # ONE shingle/hash pass feeds all the component writes
         accepted = dedup_batch_against_index(
             batch_df,
             index,
@@ -278,21 +291,15 @@ def run_stream_incremental_dedup(
         try:
             if accepted.isEmpty():  # full replay / all dups: nothing to commit
                 return
-            add = _index_frames(accepted, n_hashes, bands, max_bucket_width)
-            new_bands = index["bands"].unionByName(add["bands"])
-            frames = {
-                "docs": index["docs"].unionByName(add["docs"]),
-                "bands": new_bands,
-                "shingles": index["shingles"].unionByName(add["shingles"]),
-                # bucket stats track the NEW committed band table so
-                # the next batch's probe stays free of the O(index) agg
-                "stopbands": sim.oversized_bucket_stats(
-                    new_bands, ["band", "key"], max_bucket_width
-                ),
-            }
-            _commit(spark, index_root, frames)
-            # manifest-aware retention: never sweeps the pinned versions
-            lake.expire_components(spark, index_root, keep_latest=keep_latest)
+            pins = incr_index.append_batch(
+                spark,
+                index_root,
+                _batch_frames(accepted, n_hashes, bands),
+                max_bucket_width=max_bucket_width,
+                keep_manifests=keep_latest,
+            )
+            if compact_every and len(pins["bands"]) >= compact_every:
+                incr_index.compact_index(spark, index_root)
         finally:
             accepted.unpersist()
 

@@ -1,0 +1,304 @@
+"""Contract tests for the append-only segmented LSH index
+(operators/incr_index.py over sources/lake.append_segments).
+
+The protocol exists for ONE scale property: a long-running ingest
+loop must write O(batch) bytes per commit, not O(index) — the
+full-copy snapshot commit it replaced did O(n²) total write work
+over a stream's lifetime. These tests pin that property, the exact
+incremental stop-band maintenance it required, compaction
+content-neutrality, and crash-atomicity at EVERY step of the commit
+sequence (deterministic injection, not sampling).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_housing_data_pipeline_spark.operators import incr_index, similarity as sim
+from ed_housing_data_pipeline_spark.sources import lake
+
+CAP = 3  # tiny stop-band cap so tests can cross it with a handful of rows
+
+
+def _bands_frame(spark, rows):
+    """rows: (doc_id, band, key)"""
+    return spark.createDataFrame(rows, "doc_id bigint, band int, key string")
+
+
+def _shingles_frame(spark, ids):
+    return spark.createDataFrame(
+        [(i, [f"sh{i}"]) for i in ids], "doc_id bigint, _sh array<string>"
+    )
+
+
+def _bootstrap(spark, root, band_rows, ids):
+    return incr_index.bootstrap_index(
+        spark,
+        root,
+        {
+            "bands": _bands_frame(spark, band_rows),
+            "shingles": _shingles_frame(spark, ids),
+        },
+        max_bucket_width=CAP,
+    )
+
+
+def _stop_set(spark, root):
+    return {
+        (r["band"], r["key"], r["_bw"], r["_ns"])
+        for r in incr_index.read_index(spark, root, ["stopbands"])[
+            "stopbands"
+        ].collect()
+    }
+
+
+def _full_recompute_stop(spark, root):
+    bands = incr_index.read_index(spark, root, ["bands"])["bands"]
+    return {
+        (r["band"], r["key"], r["_bw"], r["_ns"])
+        for r in sim.oversized_bucket_stats(bands, ["band", "key"], CAP).collect()
+    }
+
+
+BATCHES = [
+    # batch 1: 2 more rows into bucket (0, k0) -> width 4 > CAP: crosses
+    [(10, 0, "k0"), (11, 0, "k0"), (12, 1, "k1")],
+    # batch 2: grows the existing stop bucket AND starts a fresh one
+    [(20, 0, "k0"), (21, 2, "k2"), (22, 2, "k2"), (23, 2, "k2"), (24, 2, "k2")],
+    # batch 3: touches nothing oversized
+    [(30, 3, "k3")],
+]
+
+
+def test_incremental_stop_equals_full_recompute_across_batches(spark, tmp_path):
+    """The merged_stop update (O(batch) + broadcast semi-join, never a
+    full band-table aggregation) must equal oversized_bucket_stats
+    over the ENTIRE pinned band table after every commit — including
+    widths (_bw) and shard counts (_ns) of buckets that keep growing
+    after crossing the cap."""
+    root = str(tmp_path / "idx")
+    # corpus: bucket (0,'k0') at width 2 (under CAP), (9,'k9') at 4 (over)
+    _bootstrap(
+        spark,
+        root,
+        [(1, 0, "k0"), (2, 0, "k0"), (3, 9, "k9"), (4, 9, "k9"), (5, 9, "k9"),
+         (6, 9, "k9")],
+        [1, 2, 3, 4, 5, 6],
+    )
+    assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
+    assert _stop_set(spark, root) == {(9, "k9", 4, 2)}
+    for i, rows in enumerate(BATCHES):
+        incr_index.append_batch(
+            spark,
+            root,
+            {
+                "bands": _bands_frame(spark, rows),
+                "shingles": _shingles_frame(spark, sorted({r[0] for r in rows})),
+            },
+            max_bucket_width=CAP,
+        )
+        got = _stop_set(spark, root)
+        assert got == _full_recompute_stop(spark, root), f"diverged after batch {i}"
+    # final state spot check: k0 crossed (2+2+1=5), k2 crossed (4), k9 grew
+    assert _stop_set(spark, root) == {
+        (0, "k0", 5, 2),
+        (2, "k2", 4, 2),
+        (9, "k9", 4, 2),
+    }
+
+
+def test_append_batch_writes_only_batch_rows(spark, tmp_path):
+    """Write-cost contract: across consecutive commits, every NEW data
+    segment holds exactly its batch's rows; committed base segments
+    are never rewritten (same segment numbers stay pinned)."""
+    root = str(tmp_path / "idx")
+    pins = _bootstrap(spark, root, [(1, 0, "a")], [1])
+    for rows in BATCHES:
+        prev = pins
+        pins = incr_index.append_batch(
+            spark,
+            root,
+            {
+                "bands": _bands_frame(spark, rows),
+                "shingles": _shingles_frame(spark, sorted({r[0] for r in rows})),
+            },
+            max_bucket_width=CAP,
+        )
+        assert pins["bands"][: len(prev["bands"])] == prev["bands"]
+        new_segs = pins["bands"][len(prev["bands"]):]
+        assert len(new_segs) == 1
+        n = lake.read_segments(spark, f"{root}/bands", new_segs).count()
+        assert n == len(rows)
+        # bucketcounts delta is per-batch too: at most one row per
+        # distinct (band, key) the batch touched
+        new_counts = pins["bucketcounts"][len(prev["bucketcounts"]):]
+        assert (
+            lake.read_segments(spark, f"{root}/bucketcounts", new_counts).count()
+            == len({(b, k) for _, b, k in rows})
+        )
+
+
+def test_compaction_is_content_neutral(spark, tmp_path):
+    """compact_index folds every component to one segment without
+    changing any reader-visible content (bands/shingles sets, the
+    summed bucket counts, the stop table)."""
+    root = str(tmp_path / "idx")
+    _bootstrap(spark, root, [(1, 0, "k0"), (2, 0, "k0")], [1, 2])
+    for rows in BATCHES:
+        incr_index.append_batch(
+            spark,
+            root,
+            {
+                "bands": _bands_frame(spark, rows),
+                "shingles": _shingles_frame(spark, sorted({r[0] for r in rows})),
+            },
+            max_bucket_width=CAP,
+        )
+    before = incr_index.read_index(spark, root)
+    snap = {
+        "bands": {tuple(r) for r in before["bands"].collect()},
+        "shingles": {(r["doc_id"], tuple(r["_sh"])) for r in before["shingles"].collect()},
+        "counts": {
+            tuple(r)
+            for r in before["bucketcounts"]
+            .groupBy("band", "key")
+            .agg(F.sum("_n").alias("n"))
+            .collect()
+        },
+        "stop": _stop_set(spark, root),
+    }
+    pins = incr_index.compact_index(spark, root)
+    assert all(len(segs) == 1 for segs in pins.values()), pins
+    after = incr_index.read_index(spark, root)
+    assert {tuple(r) for r in after["bands"].collect()} == snap["bands"]
+    assert {
+        (r["doc_id"], tuple(r["_sh"])) for r in after["shingles"].collect()
+    } == snap["shingles"]
+    assert {
+        tuple(r)
+        for r in after["bucketcounts"]
+        .groupBy("band", "key")
+        .agg(F.sum("_n").alias("n"))
+        .collect()
+    } == snap["counts"]
+    assert _stop_set(spark, root) == snap["stop"]
+    # and the stop table still matches a full recompute post-compaction
+    assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _index_content(spark, root):
+    idx = incr_index.read_index(spark, root)
+    return (
+        frozenset(tuple(r) for r in idx["bands"].collect()),
+        frozenset((r["doc_id"], tuple(r["_sh"])) for r in idx["shingles"].collect()),
+        frozenset(
+            tuple(r)
+            for r in idx["bucketcounts"]
+            .groupBy("band", "key")
+            .agg(F.sum("_n").alias("n"))
+            .collect()
+        ),
+        frozenset(
+            (r["band"], r["key"], r["_bw"]) for r in idx["stopbands"].collect()
+        ),
+    )
+
+
+def test_commit_crash_at_every_step_is_atomic_and_retryable(
+    spark, tmp_path, monkeypatch
+):
+    """Deterministic crash injection at EVERY point of the commit
+    sequence: before each of the 4+ segment writes of append_batch and
+    before the manifest flip. After each induced crash the index must
+    read back EXACTLY the pre-commit content (torn writes invisible),
+    and a plain retry must land EXACTLY the no-crash content — the
+    protocol's whole claim, checked step by step rather than sampled."""
+    batch = {
+        "bands": lambda: _bands_frame(spark, BATCHES[0]),
+        "shingles": lambda: _shingles_frame(
+            spark, sorted({r[0] for r in BATCHES[0]})
+        ),
+    }
+
+    def fresh_root(name):
+        root = str(tmp_path / name)
+        _bootstrap(
+            spark, root, [(1, 0, "k0"), (2, 0, "k0"), (3, 1, "k1")], [1, 2, 3]
+        )
+        return root
+
+    # reference: the no-crash outcome
+    ref_root = fresh_root("ref")
+    pre_content = _index_content(spark, ref_root)
+    incr_index.append_batch(
+        spark,
+        ref_root,
+        {k: v() for k, v in batch.items()},
+        max_bucket_width=CAP,
+    )
+    ref_content = _index_content(spark, ref_root)
+    assert ref_content != pre_content
+
+    real_write = lake.write_segment
+    real_commit = lake.commit_segment_manifest
+
+    # probe how many segment writes one append_batch performs
+    calls = {"n": 0}
+
+    def counting_write(*a, **kw):
+        calls["n"] += 1
+        return real_write(*a, **kw)
+
+    monkeypatch.setattr(lake, "write_segment", counting_write)
+    probe_root = fresh_root("probe")
+    calls["n"] = 0
+    incr_index.append_batch(
+        spark, probe_root, {k: v() for k, v in batch.items()}, max_bucket_width=CAP
+    )
+    n_writes = calls["n"]
+    monkeypatch.setattr(lake, "write_segment", real_write)
+    assert n_writes >= 4  # bands, shingles, bucketcounts, stopbands
+
+    for crash_at in range(n_writes + 1):  # +1 = crash at the manifest flip
+        root = fresh_root(f"c{crash_at}")
+        before = _index_content(spark, root)
+
+        state = {"k": 0}
+
+        def failing_write(*a, **kw):
+            if state["k"] == crash_at:
+                raise _Boom(f"injected before segment write {crash_at}")
+            state["k"] += 1
+            return real_write(*a, **kw)
+
+        def failing_commit(*a, **kw):
+            if crash_at == n_writes:
+                raise _Boom("injected before manifest flip")
+            return real_commit(*a, **kw)
+
+        monkeypatch.setattr(lake, "write_segment", failing_write)
+        monkeypatch.setattr(lake, "commit_segment_manifest", failing_commit)
+        with pytest.raises(_Boom):
+            incr_index.append_batch(
+                spark,
+                root,
+                {k: v() for k, v in batch.items()},
+                max_bucket_width=CAP,
+            )
+        monkeypatch.setattr(lake, "write_segment", real_write)
+        monkeypatch.setattr(lake, "commit_segment_manifest", real_commit)
+        # torn commit invisible: pre-commit content, exactly
+        assert _index_content(spark, root) == before, f"torn at step {crash_at}"
+        # plain retry converges to the no-crash content
+        incr_index.append_batch(
+            spark,
+            root,
+            {k: v() for k, v in batch.items()},
+            max_bucket_width=CAP,
+        )
+        assert _index_content(spark, root) == ref_content, f"retry at {crash_at}"

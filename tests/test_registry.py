@@ -148,13 +148,14 @@ def test_incremental_neardup_survives_audit_then_execute(spark):
     qll.release_shared_caches()
 
 
-def test_incr_index_ingest_appends_batch_as_next_snapshot(spark):
-    """The versioned-index merge contract: after
-    ``incr_index_ingest``, the committed band table is EXACTLY
-    v1 ∪ batch-bands (set equality both ways, not just counts), the
-    shingle store grows by the batch's docs, v1 stays readable for
-    time travel under keep_latest=2, and a keep_latest=1 ingest of a
-    second batch expires v1."""
+def test_incr_index_ingest_appends_only_batch_rows(spark):
+    """The O(batch) commit contract: after ``incr_index_ingest``, the
+    pinned band table is EXACTLY base ∪ batch-bands (set equality both
+    ways), the shingle store grows by the batch's docs — and, the
+    scale property the segmented protocol exists for, the NEW segments
+    hold ONLY the batch's rows (write cost per commit ≈ batch size,
+    never a copy of the accumulated index), across consecutive
+    ingests. Retention with grace 0 sweeps unpinned segments."""
     from pyspark.sql import functions as F
 
     from ed_housing_data_pipeline_spark.operators import similarity as sim
@@ -166,8 +167,12 @@ def test_incr_index_ingest_appends_batch_as_next_snapshot(spark):
     try:
         qll.ensure_incr_index_built(spark, sf)
         tmp = qll._INCR_INDEX[(sf, qll.SHINGLE_K, qll.N_HASHES)]
-        v1_bands = lake.read_snapshot(spark, f"{tmp.name}/bands")
-        v1_sh_n = lake.read_snapshot(spark, f"{tmp.name}/shingles").count()
+        pins1 = lake.segment_pins(spark, tmp.name)
+        base_bands = lake.read_segments(spark, f"{tmp.name}/bands", pins1["bands"])
+        base_bands_n = base_bands.count()
+        base_sh_n = lake.read_segments(
+            spark, f"{tmp.name}/shingles", pins1["shingles"]
+        ).count()
         batch = qll.shared_signatures(spark, sf).filter(
             F.col("source") == qll.INCR_BATCH_SOURCE
         )
@@ -175,35 +180,60 @@ def test_incr_index_ingest_appends_batch_as_next_snapshot(spark):
             batch, "doc_id", n_hashes=qll.N_HASHES, bands=qll.BANDS
         )
         batch_n = batch.count()
-        version = qll.incr_index_ingest(spark, sf)
-        assert version == 2
-        v2 = lake.read_snapshot(spark, f"{tmp.name}/bands")  # latest = v2
-        expected = lake.read_snapshot(
-            spark, f"{tmp.name}/bands", version=1
-        ).unionByName(batch_bands)
-        assert v2.exceptAll(expected).count() == 0
-        assert expected.exceptAll(v2).count() == 0
+        batch_bands_n = batch_bands.count()
+        pins2 = qll.incr_index_ingest(spark, sf)
+        # content: pinned = base ∪ batch exactly
+        now = lake.read_segments(spark, f"{tmp.name}/bands", pins2["bands"])
+        expected = base_bands.unionByName(batch_bands)
+        assert now.exceptAll(expected).count() == 0
+        assert expected.exceptAll(now).count() == 0
         assert (
-            lake.read_snapshot(spark, f"{tmp.name}/shingles").count()
-            == v1_sh_n + batch_n
+            lake.read_segments(spark, f"{tmp.name}/shingles", pins2["shingles"]).count()
+            == base_sh_n + batch_n
         )
-        # keep_latest=2 spared v1 (time travel works)
-        assert lake.snapshot_versions(spark, f"{tmp.name}/bands") == [1, 2]
-        assert lake.read_snapshot(spark, f"{tmp.name}/bands", version=1).count() == v1_bands.count()
-        # a further ingest with keep_latest=1 expires everything older
-        qll.incr_index_ingest(spark, sf, source="src1", keep_latest=1)
-        assert lake.snapshot_versions(spark, f"{tmp.name}/bands") == [3]
+        # O(batch) writes: the appended segments hold ONLY batch rows
+        new_band_segs = [s for s in pins2["bands"] if s not in pins1["bands"]]
+        assert (
+            lake.read_segments(spark, f"{tmp.name}/bands", new_band_segs).count()
+            == batch_bands_n
+        )
+        new_sh_segs = [s for s in pins2["shingles"] if s not in pins1["shingles"]]
+        assert (
+            lake.read_segments(spark, f"{tmp.name}/shingles", new_sh_segs).count()
+            == batch_n
+        )
+        # second consecutive ingest: base segments are REUSED, not
+        # rewritten — the pin list only grows. src1 docs are already
+        # in the corpus index, so the idempotence anti-join empties
+        # the batch and the appended segment holds ZERO rows (an
+        # already-ingested source re-ingests for free)
+        assert pins2["bands"][: len(pins1["bands"])] == pins1["bands"]
+        pins3 = qll.incr_index_ingest(spark, sf, source="src1")
+        seg3 = [s for s in pins3["bands"] if s not in pins2["bands"]]
+        assert lake.read_segments(spark, f"{tmp.name}/bands", seg3).count() == 0
+        assert (
+            lake.read_segments(spark, f"{tmp.name}/bands", pins3["bands"]).count()
+            == base_bands_n + batch_bands_n
+        )
+        # retention: grace 0 sweeps segments no retained manifest pins
+        lake.expire_segments(spark, tmp.name, keep_manifests=1, orphan_grace_sec=0)
+        kept = set(lake.segment_numbers(spark, f"{tmp.name}/stopbands"))
+        assert kept == set(pins3["stopbands"])  # old stop segments swept
+        # pinned data segments all survive
+        assert set(pins3["bands"]) <= set(
+            lake.segment_numbers(spark, f"{tmp.name}/bands")
+        )
     finally:
         qll.release_shared_caches()
 
 
 def test_incr_index_probe_survives_torn_ingest(spark):
-    """A crash between the index's component snapshot commits must not
-    poison probes: component snapshots written without a manifest
-    commit are invisible (probes read through the last committed
-    manifest — the atomic commit point), and the RETRIED ingest
-    re-derives the same content instead of doubling the batch; a
-    duplicate complete ingest is content-idempotent."""
+    """A crash between segment writes and the manifest commit must not
+    poison probes: segments written without a manifest commit are
+    invisible (probes read through the last committed manifest — the
+    atomic commit point), and the RETRIED ingest re-derives the same
+    content instead of doubling the batch; a duplicate complete ingest
+    is content-idempotent."""
     from pyspark.sql import functions as F
 
     from ed_housing_data_pipeline_spark.operators import similarity as sim
@@ -216,39 +246,33 @@ def test_incr_index_probe_survives_torn_ingest(spark):
         fn = query_map()["doc_incremental_neardup"]
         before = {tuple(r) for r in fn(spark, sf).collect()}
         tmp = qll._INCR_INDEX[(sf, qll.SHINGLE_K, qll.N_HASHES)]
-        v1_bands = lake.read_snapshot(spark, f"{tmp.name}/bands")
-        # torn ingest: bands advance to v2 WITH the batch folded in —
-        # probing against that band table would match batch docs to
-        # themselves, so any leak of the v2 bands shows in the result
+        pins1 = lake.segment_pins(spark, tmp.name)
+        base_bands = lake.read_segments(spark, f"{tmp.name}/bands", pins1["bands"])
+        # torn ingest: batch band segment lands UNPINNED — probing a
+        # band table that included it would match batch docs to
+        # themselves, so any leak of the orphan segment shows up
         batch = qll.shared_signatures(spark, sf).filter(
             F.col("source") == qll.INCR_BATCH_SOURCE
         )
         batch_bands = sim.band_keys(
             batch, "doc_id", n_hashes=qll.N_HASHES, bands=qll.BANDS
         )
-        lake.write_snapshot(
-            spark, v1_bands.unionByName(batch_bands), f"{tmp.name}/bands"
-        )
+        lake.write_segment(spark, batch_bands, f"{tmp.name}/bands")
         after = {tuple(r) for r in fn(spark, sf).collect()}
         assert after == before
-        # retried ingest: content = v1 ∪ batch exactly (no doubling,
-        # base taken from the manifest-pinned state, not the torn v2).
-        # keep_latest=4 so the lazily-read v1 frames above stay on disk
-        qll.incr_index_ingest(spark, sf, keep_latest=4)
-        merged = lake.read_snapshot(
-            spark, f"{tmp.name}/bands", version=qll._INCR_PIN[
-                (sf, qll.SHINGLE_K, qll.N_HASHES)
-            ][0]
-        )
-        expected = v1_bands.unionByName(batch_bands)
+        # retried ingest: pinned content = base ∪ batch exactly (no
+        # doubling — the orphan segment stays unpinned forever)
+        pins2 = qll.incr_index_ingest(spark, sf)
+        merged = lake.read_segments(spark, f"{tmp.name}/bands", pins2["bands"])
+        expected = base_bands.unionByName(batch_bands)
         assert merged.exceptAll(expected).count() == 0
         assert expected.exceptAll(merged).count() == 0
-        # duplicate COMPLETE ingest: content-idempotent
+        # duplicate COMPLETE ingest: content-idempotent (the replayed
+        # batch anti-joins empty; its empty segments add no rows)
         n_before = merged.count()
-        qll.incr_index_ingest(spark, sf, keep_latest=4)
-        pin = qll._INCR_PIN[(sf, qll.SHINGLE_K, qll.N_HASHES)]
+        pins3 = qll.incr_index_ingest(spark, sf)
         assert (
-            lake.read_snapshot(spark, f"{tmp.name}/bands", version=pin[0]).count()
+            lake.read_segments(spark, f"{tmp.name}/bands", pins3["bands"]).count()
             == n_before
         )
     finally:

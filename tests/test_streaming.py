@@ -398,6 +398,94 @@ def test_stream_incremental_dedup_bootstrap_from_corpus(spark, tmp_path):
     ) == [2, 100, 101]
 
 
+def test_stream_commits_write_batch_sized_segments(spark, tmp_path):
+    """The O(batch) streaming-commit contract through the REAL sink:
+    across 3 consecutive micro-batches of distinct docs, every data
+    segment the sink appends holds exactly ITS batch's rows — write
+    cost per commit tracks the batch, never the accumulated index
+    (the full-copy commit this protocol replaced did O(index) per
+    batch, O(n²) over a stream's lifetime)."""
+    from ed_housing_data_pipeline_spark.sources import lake
+    from ed_housing_data_pipeline_spark.streaming import documents as docstream
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "in"
+    src.mkdir()
+    docstream.init_doc_index(spark, root)
+    # 3 files of entirely-distinct vocabulary -> 3 micro-batches
+    # (maxFilesPerTrigger=1), nothing dedups away
+    sizes = [3, 2, 4]
+    nid = 0
+    for f_i, n in enumerate(sizes):
+        rows = []
+        for _ in range(n):
+            words = " ".join(f"w{nid}x{j}" for j in range(12))
+            rows.append(_doc(nid, words))
+            nid += 1
+        _write_jsonl(src / f"f{f_i}.json", rows)
+    docstream.run_stream_incremental_dedup(
+        docstream.read_documents_stream(spark, str(src)),
+        root,
+        checkpoint_dir=str(tmp_path / "cp"),
+        bands=4,
+    )
+    pins = lake.segment_pins(spark, root)
+    # init seg + one per micro-batch
+    assert len(pins["docs"]) == 1 + len(sizes)
+    per_seg = [
+        lake.read_segments(spark, f"{root}/docs", [s]).count()
+        for s in pins["docs"]
+    ]
+    assert per_seg[0] == 0 and sorted(per_seg[1:]) == sorted(sizes)
+    for s, n_docs in zip(pins["bands"][1:], per_seg[1:]):
+        assert lake.read_segments(spark, f"{root}/bands", [s]).count() == n_docs * 4
+    assert sorted(
+        r["doc_id"] for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == list(range(nid))
+
+
+def test_stream_auto_compaction_preserves_content(spark, tmp_path):
+    """compact_every=2: after the segment count reaches the cadence
+    the sink folds the index to single segments; accepted set and a
+    follow-up batch's dedup behavior are unchanged."""
+    from ed_housing_data_pipeline_spark.sources import lake
+    from ed_housing_data_pipeline_spark.streaming import documents as docstream
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "in"
+    src.mkdir()
+    docstream.init_doc_index(spark, root)
+    _write_jsonl(src / "f0.json", [_doc(0, _LONG)])
+    _write_jsonl(src / "f1.json", [_doc(1, "aa bb cc dd ee ff gg hh ii jj")])
+    docstream.run_stream_incremental_dedup(
+        docstream.read_documents_stream(spark, str(src)),
+        root,
+        checkpoint_dir=str(tmp_path / "cp"),
+        compact_every=2,
+    )
+    pins = lake.segment_pins(spark, root)
+    assert all(len(segs) == 1 for segs in pins.values()), pins
+    assert sorted(
+        r["doc_id"] for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == [0, 1]
+    # post-compaction the index still dedups: a near-dup of doc 0 drops
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    _write_jsonl(
+        src2 / "f2.json",
+        [_doc(2, _LONG), _doc(3, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10")],
+    )
+    docstream.run_stream_incremental_dedup(
+        docstream.read_documents_stream(spark, str(src2)),
+        root,
+        checkpoint_dir=str(tmp_path / "cp2"),
+        compact_every=2,
+    )
+    assert sorted(
+        r["doc_id"] for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == [0, 1, 3]
+
+
 def test_doc_index_refuses_reinit_over_committed_manifest(spark, tmp_path):
     from ed_housing_data_pipeline_spark.streaming import documents as docstream
 
