@@ -37,6 +37,7 @@ _MAGIC: list[tuple[int, str, str]] = [
     (1, "ffd8ff", "jpeg"),
     (1, "52494646", "riff"),  # wav/avi container
     (5, "66747970", "mp4"),  # ftyp box sits at byte offset 4
+    (1, "595556344d50454732", "y4m"),  # "YUV4MPEG2" uncompressed video
 ]
 
 
@@ -288,12 +289,88 @@ def _imageio_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, 
     return out
 
 
+def _y4m_frames(payload: bytes, n_frames: int) -> list[tuple[int, int, int, float]]:
+    """Real frame sampling for YUV4MPEG2 — a pure-Python demuxer, no
+    codec library needed (Y4M is uncompressed planar YCbCr behind a
+    one-line ASCII header, the interchange format ffmpeg/mjpegtools
+    emit). Parses the stream headers to index every FRAME, then
+    samples evenly spaced indices (same policy as :func:`_cv2_frames`)
+    and reads each sampled frame's Y plane for (width, height,
+    mean luma in [0, 1]) — chroma planes are skipped, the luma plane
+    IS the luminance. Supports C420*/C422/C444/Cmono subsampling."""
+    import numpy as np  # noqa: PLC0415
+
+    if n_frames <= 0:  # cardinality parity with the other decoder paths
+        return []
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    width = height = None
+    colorspace = "420"
+    for tok in payload[9:nl].decode("ascii", "replace").split():
+        if tok[:1] == "W":
+            width = int(tok[1:])
+        elif tok[:1] == "H":
+            height = int(tok[1:])
+        elif tok[:1] == "C":
+            colorspace = tok[1:]
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    luma_bytes = width * height
+    if colorspace.startswith("mono"):
+        chroma_bytes = 0
+    elif colorspace.startswith("420"):  # 420, 420jpeg, 420paldv, ...
+        chroma_bytes = 2 * (width // 2) * (height // 2)
+    elif colorspace.startswith("422"):
+        chroma_bytes = 2 * (width // 2) * height
+    elif colorspace.startswith("444"):
+        chroma_bytes = 2 * luma_bytes
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    frame_bytes = luma_bytes + chroma_bytes
+    offsets = []
+    pos = nl + 1
+    total = len(payload)
+    while pos < total:
+        end = payload.find(b"\n", pos)
+        if end < 0 or not payload[pos:end].startswith(b"FRAME"):
+            raise ValueError("corrupt Y4M frame header")
+        if end + 1 + frame_bytes > total:
+            raise ValueError("truncated Y4M frame")
+        offsets.append(end + 1)
+        pos = end + 1 + frame_bytes
+    if not offsets:
+        raise ValueError("no decodable frames")
+    out = []
+    for i in _even_frame_indices(len(offsets), n_frames):
+        y = np.frombuffer(payload, dtype=np.uint8, count=luma_bytes,
+                          offset=offsets[i])
+        out.append((int(i), int(width), int(height), float(y.mean() / 255.0)))
+    return out
+
+
+def _y4m_or_stub_frames(
+    payload: bytes, n_frames: int
+) -> list[tuple[int, int, int, float]]:
+    """The no-codec-library floor: REAL decode for Y4M payloads (the
+    pure-Python demuxer above — so one genuine video path executes
+    even in environments without cv2/imageio, like CI), deterministic
+    stub for everything else."""
+    if payload and payload.startswith(b"YUV4MPEG2"):
+        return _y4m_frames(payload, n_frames)
+    return _fake_frames(payload, n_frames)
+
+
 def default_frames_fn() -> tuple[FramesFn, bool]:
     """(frames_fn, is_real) — OpenCV when importable, else
-    imageio(-ffmpeg), else the deterministic stub. Same executor-side
+    imageio(-ffmpeg), else the Y4M-or-stub floor. Same executor-side
     optional-import gate as :func:`default_decode_fn` (images) and
-    :func:`default_audio_fn` (audio); video has no stdlib codec, so
-    the stub remains the floor when neither library ships."""
+    :func:`default_audio_fn` (audio). Video has no stdlib codec, but
+    the floor still decodes uncompressed Y4M for real (pure Python);
+    ``is_real=False`` there means "no general-purpose codec", not "no
+    real path"."""
     try:
         import cv2  # noqa: F401, PLC0415
 
@@ -305,7 +382,7 @@ def default_frames_fn() -> tuple[FramesFn, bool]:
 
         return _imageio_frames, True
     except ImportError:
-        return _fake_frames, False
+        return _y4m_or_stub_frames, False
 
 
 def sample_frames(

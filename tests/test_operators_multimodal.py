@@ -270,7 +270,9 @@ def test_default_frames_fn_gate():
     elif lib == "imageio":
         assert is_real and fn is mm._imageio_frames
     else:
-        assert not is_real and fn is mm._fake_frames
+        # the floor still REALLY decodes Y4M (pure-Python demuxer);
+        # is_real=False means "no general-purpose codec"
+        assert not is_real and fn is mm._y4m_or_stub_frames
 
 
 def test_sample_frames_real_decoder(spark):
@@ -338,6 +340,83 @@ def test_sample_frames_explicit_fn_and_quarantine(spark):
         mm.sample_frames(
             _media(spark), "data", "media_id", 2, frames_fn=reject
         ).collect()
+
+
+def _y4m(shades, width=6, height=4, colorspace="420", params=""):
+    """Synthesize a YUV4MPEG2 payload: one frame per shade, Y plane
+    filled with the shade, chroma planes neutral 128 — the video
+    analogue of the audio suite's WAV synthesis."""
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{colorspace}\n"
+    if colorspace.startswith("mono"):
+        chroma = 0
+    elif colorspace.startswith("420"):
+        chroma = 2 * (width // 2) * (height // 2)
+    elif colorspace.startswith("422"):
+        chroma = 2 * (width // 2) * height
+    else:
+        chroma = 2 * width * height
+    out = [header.encode("ascii")]
+    for shade in shades:
+        out.append(f"FRAME{params}\n".encode("ascii"))
+        out.append(bytes([shade]) * (width * height) + b"\x80" * chroma)
+    return b"".join(out)
+
+
+def test_y4m_frames_real_decode_runs_here(spark):
+    """A REAL video decode path that executes in THIS container (no
+    cv2/imageio needed): the pure-Python Y4M demuxer, driven through
+    sample_frames' DEFAULT executor-side gate end-to-end. Exact frame
+    indices (evenly spaced over the 5-frame stream), dimensions, and
+    per-frame mean luma are asserted — stub outputs could not match
+    these."""
+    payload = _y4m([0, 51, 102, 153, 255])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, data binary"
+    )
+    got = sorted(
+        mm.sample_frames(df, "data", "media_id", n_frames=3).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    if _video_lib() == "imageio":  # head-of-stream sampling instead
+        import pytest
+
+        pytest.skip("imageio gate active; Y4M floor not reachable")
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]
+    assert all((r["width"], r["height"]) == (6, 4) for r in got)
+    expect = [0.0, 102 / 255.0, 1.0]
+    for r, e in zip(got, expect):
+        assert abs(r["mean_luma"] - e) < 1e-9
+    # metadata detection agrees (native-expr magic table)
+    meta = mm.with_media_metadata(df, "data").first()
+    assert meta["media_format"] == "y4m"
+
+
+def test_y4m_parser_colorspaces_and_errors():
+    import pytest
+
+    # every subsampling reads the right plane geometry
+    for cs in ("420", "420jpeg", "422", "444", "mono"):
+        frames = mm._y4m_frames(_y4m([10, 200], colorspace=cs), 2)
+        assert [f[0] for f in frames] == [0, 1]
+        assert frames[0][3] < frames[1][3]
+    # frame-level parameters after FRAME are tolerated
+    assert len(mm._y4m_frames(_y4m([1, 2], params=" Xsc"), 2)) == 2
+    # n_frames larger than the stream: every frame, once
+    assert len(mm._y4m_frames(_y4m([1, 2]), 9)) == 2
+    assert mm._y4m_frames(_y4m([1, 2]), 0) == []
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        mm._y4m_frames(b"RIFFxxxx", 1)
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        mm._y4m_frames(_y4m([10, 20])[:-5], 1)
+    with pytest.raises(ValueError, match="corrupt Y4M frame header"):
+        mm._y4m_frames(_y4m([10]) + b"JUNK", 1)
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        mm._y4m_frames(_y4m([10], colorspace="411"), 1)
+    with pytest.raises(ValueError, match="no decodable frames"):
+        mm._y4m_frames(b"YUV4MPEG2 W4 H4 C420\n", 1)
+    # the floor routes non-Y4M payloads to the stub, Y4M to the parser
+    assert mm._y4m_or_stub_frames(_y4m([7]), 1)[0][1:3] == (6, 4)
+    assert mm._y4m_or_stub_frames(b"plain", 2) == mm._fake_frames(b"plain", 2)
 
 
 def test_even_frame_indices():
