@@ -1,0 +1,321 @@
+"""Corpus-curation queries: export, quality audits, mixture weights.
+
+The ship-a-training-corpus tail of the LLM-data surface — sharded
+JSONL export with an oracle-checked manifest, CCNet-style unigram-LM
+surprisal, cross-doc duplicated-span coverage, temperature-scaled
+source mixing weights. Split out of plans/queries_llm.py (which
+re-exports these names for back-compat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ed_housing_data_pipeline_spark.functions.text import token_count, tokens
+from ed_housing_data_pipeline_spark.operators import similarity as sim
+from ed_housing_data_pipeline_spark.plans._base import hash60_sql, t, tokens_sql
+from ed_housing_data_pipeline_spark.plans._caches import _audit
+from ed_housing_data_pipeline_spark.plans.registry import register
+
+
+# ------------------------------------------------ sharded JSONL export
+EXPORT_SHARDS = 8
+_EXPORT_DOC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+@register(
+    "doc_export_shards",
+    oracle=f"""
+    SELECT CAST({hash60_sql("CAST(doc_id AS VARCHAR)")} % {EXPORT_SHARDS} AS INT)
+               AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM({hash60_sql("COALESCE(text, '')")} % 1000003) AS BIGINT)
+               AS text_csum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded JSONL export, verified end-to-end: write
+    the corpus as ``{EXPORT_SHARDS}`` hash-keyed shard directories
+    (sources/export.py — the ship-a-training-corpus sink), read the
+    shards back, and return a per-shard manifest (doc count, char
+    total, source count, and a modular text checksum that pins the
+    text content THROUGH the JSON encode/decode roundtrip). The oracle
+    recomputes the manifest relationally from the parquet corpus with
+    the same portable hash, so shard membership, JSON fidelity, and
+    the absence of dropped/duplicated rows are all hash-checked.
+
+    Scale shape: shard assignment is row-local; the export's only
+    shuffle is repartition-by-shard so each shard directory is one
+    file. The manifest agg groups on {EXPORT_SHARDS} keys — map-side
+    partials collapse it to nothing. Under AUDIT_LAZY_PLANS the same
+    manifest plan is built over the shard-assigned corpus directly
+    (plan audits run no write jobs)."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.plans._base import hash60
+    from ed_housing_data_pipeline_spark.sources import export as export_ops
+
+    docs = sim.scale_out(t(spark, sf_dir, "documents"))
+
+    def manifest(frame: DataFrame) -> DataFrame:
+        return (
+            frame.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.countDistinct("source").cast("bigint").alias("n_sources"),
+                F.sum(
+                    F.pmod(
+                        hash60(F.coalesce(F.col("text"), F.lit(""))),
+                        F.lit(1000003),
+                    )
+                )
+                .cast("bigint")
+                .alias("text_csum"),
+            )
+        )
+
+    if _audit():
+        return manifest(
+            docs.withColumn(
+                "shard",
+                export_ops.shard_id(F.col("doc_id").cast("string"), EXPORT_SHARDS),
+            )
+        )
+    with tempfile.TemporaryDirectory(prefix="jsonl_export_") as root:
+        out = f"{root}/corpus"
+        export_ops.export_jsonl_shards(
+            docs,
+            out,
+            key=F.col("doc_id").cast("string"),
+            n_shards=EXPORT_SHARDS,
+            compression="gzip",
+        )
+        back = export_ops.read_jsonl_shards(spark, out, _EXPORT_DOC_SCHEMA)
+        return manifest(back).localCheckpoint(eager=True)
+
+
+# ------------------------------------- unigram LM surprisal (quality)
+@register(
+    "doc_unigram_surprisal",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, UNNEST({tokens_sql("text")}) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    vocab AS (SELECT word, SUM(tf) AS wc FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(wc) AS n_total FROM vocab),
+    per AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               ROUND(
+                   SUM(tf.tf * (-log2(CAST(vocab.wc AS DOUBLE)
+                                      / CAST(tot.n_total AS DOUBLE))))
+                   / SUM(tf.tf), 4) AS avg_surprisal
+        FROM tf JOIN vocab USING (word), tot
+        GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, per.n_tokens, per.avg_surprisal
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the
+    perplexity-proxy quality filter (CCNet-style: docs whose tokens
+    are improbable under the corpus's own unigram distribution score
+    high and get routed to the tail bucket). ``avg_surprisal`` is the
+    token-frequency-weighted mean of ``-log2 p(word)`` with ``p`` the
+    corpus maximum-likelihood unigram estimate; token-free docs carry
+    NULLs (no evidence, not "perfect score").
+
+    Scale shape: explode → (doc, word) counts shrink the join input
+    to one row per distinct pair; the vocab table is derived by one
+    further map-side-combined agg and joined back on ``word`` (hash
+    join — broadcast under small-SF stats, shuffle at vocab scale,
+    either is the right plan); the corpus token total rides a 1-row
+    broadcast cross join like the IDF/TF-IDF scalars."""
+    docs = sim.scale_out(t(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("word").agg(F.sum("tf").alias("wc"))
+    total = vocab.agg(F.sum("wc").alias("n_total"))
+    surprisal = -F.log2(
+        F.col("wc").cast("double") / F.col("n_total").cast("double")
+    )
+    per = (
+        tf.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * surprisal) / F.sum("tf"), 4
+            ).alias("avg_surprisal"),
+        )
+    )
+    return docs.select("doc_id", "source").join(per, "doc_id", "left")
+
+
+# --------------------------- cross-doc duplicated-span coverage audit
+SPAN_GRAM_N = 5
+
+
+@register(
+    "doc_dup_span_coverage",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS w FROM documents),
+    g AS (
+        SELECT doc_id, w,
+               UNNEST(CASE WHEN len(w) >= {SPAN_GRAM_N}
+                           THEN generate_series(1, len(w) - {SPAN_GRAM_N} + 1)
+                           ELSE []::BIGINT[] END) AS pos
+        FROM tk
+    ),
+    gg AS (
+        SELECT doc_id, pos,
+               array_to_string(w[pos:pos + {SPAN_GRAM_N} - 1], ' ') AS gram
+        FROM g
+    ),
+    dup AS (
+        SELECT gram FROM gg GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hit AS (SELECT gg.doc_id, gg.pos FROM gg JOIN dup USING (gram)),
+    cov AS (
+        SELECT doc_id, COUNT(DISTINCT tp) AS n_covered
+        FROM (
+            SELECT doc_id,
+                   UNNEST(generate_series(pos, pos + {SPAN_GRAM_N} - 1)) AS tp
+            FROM hit
+        )
+        GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+           ROUND(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE)
+                 / NULLIF(len(tk.w), 0), 4) AS dup_coverage
+    FROM tk LEFT JOIN cov USING (doc_id)
+    """,
+)
+def q_doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage — the exact-substring
+    dedup audit (Lee et al., "Deduplicating Training Data Makes LMs
+    Better"): for each doc, the fraction of its tokens covered by a
+    {SPAN_GRAM_N}-gram that also appears verbatim in ANOTHER doc. High
+    coverage = boilerplate/near-copy candidate even when MinHash
+    whole-doc similarity stays under threshold (partial overlap).
+
+    Scale shape: the gram table is a narrow transform (one row per
+    token position); repeated grams come from one map-side-combined
+    agg; the join back is a semi-join on the gram key, and coverage is
+    an explode-×{SPAN_GRAM_N} + distinct count. Two shuffles total,
+    no windows, no per-row Python — the suffix-array formulation's
+    O(corpus) answer for fixed span length."""
+    docs = sim.scale_out(t(spark, sf_dir, "documents"))
+    n = SPAN_GRAM_N
+    tk = docs.select("doc_id", tokens("text").alias("w"))
+    gram_arr = F.expr(
+        f"CASE WHEN size(w) >= {n} THEN transform("
+        f"sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+    gg = tk.select("doc_id", F.posexplode(gram_arr).alias("pos", "gram"))
+    dup = (
+        gg.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hit = gg.join(dup, "gram", "left_semi")
+    cov = (
+        hit.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    return (
+        tk.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint").alias(
+                "n_covered"
+            ),
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                4,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+# ------------------------------- source mixing weights (temperature)
+MIXTURE_ALPHA = 0.7
+
+
+@register(
+    "doc_source_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(n_tokens) AS all_tokens,
+               SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) AS z
+        FROM s
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           ROUND(CAST(s.n_tokens AS DOUBLE)
+                 / CAST(tot.all_tokens AS DOUBLE), 6) AS raw_share,
+           ROUND(POW(CAST(s.n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / tot.z, 6)
+               AS temp_share
+    FROM s, tot
+    """,
+)
+def q_doc_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixing weights: raw token share and the
+    temperature-flattened share ``t_s^α / Σ t^α`` (α={MIXTURE_ALPHA} —
+    the standard upsample-the-tail mixture used when assembling a
+    multi-source training corpus; α=1 recovers proportional, α=0
+    uniform). One groupBy over the corpus (token counting fused into
+    the scan), then a 2-scalar broadcast for the normalizers — output
+    is one row per source, trivially parallel at any scale."""
+    docs = sim.scale_out(t(spark, sf_dir, "documents"))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), MIXTURE_ALPHA)).alias("z"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("all_tokens").cast("double"),
+            6,
+        ).alias("raw_share"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), MIXTURE_ALPHA) / F.col("z"), 6
+        ).alias("temp_share"),
+    )
+
+

@@ -159,7 +159,9 @@ def _load_all() -> None:
         return
     from ed_housing_data_pipeline_spark.plans import (  # noqa: F401, PLC0415
         queries_core,
+        queries_curation,
         queries_events,
+        queries_incr,
         queries_llm,
         queries_streaming,
     )
