@@ -59,6 +59,19 @@ HEADLINE = [
     "doc_dup_span_coverage",    # gram table + repeated-gram semi-join
 ]
 
+# Cold-only rows (r6 VERDICT #5): these two run REAL side-effecting
+# loops — the full streaming ingest-with-dedup sink (index bootstrap +
+# foreachBatch commits in a fresh tempdir every call) and the sharded
+# JSONL export (write → readback → manifest) — so "min of 5 with warm
+# caches" is not a meaningful model for them; each run pays the whole
+# pipeline. They are timed ONCE per suite and reported in cold_queries
+# only (cold_total includes them; the amortized headline stays
+# apples-to-apples with prior rounds).
+COLD_ONLY = [
+    "doc_export_shards",            # sharded corpus export e2e
+    "doc_stream_incremental_dedup",  # streaming ingest + incremental dedup
+]
+
 
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """(amortized, cold) per-query seconds.
@@ -90,6 +103,13 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         amortized[name] = round(best, 3)
+    for name in COLD_ONLY:
+        if name not in qmap:
+            continue
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
     return amortized, cold
 
 

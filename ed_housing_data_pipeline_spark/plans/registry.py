@@ -55,43 +55,47 @@ _LOADED = False
 # The driver's differential-correctness harness checks the FIRST 50 registered
 # queries, so registration order is part of the contract. The window ROTATES
 # each round: slots whose query is unchanged, already driver-verified in a
-# prior round (CORRECTNESS r3/r4/r5, all green), and whose operator family
+# prior round (CORRECTNESS r3..r6, all green), and whose operator family
 # keeps another in-window representative are swapped for never-driver-verified
-# or this-round-rewired queries. Union of r3+r4+r5 driver rows: 78 distinct
-# queries; this round swaps in 15 of the 29 never-driver-verified queries plus
-# three newly registered ones — embedding_knn_ivf_fixed (oracle-checkable IVF
-# search) and the two new stateful-streaming queries
-# (events_stream_sessionize: session windows; events_stream_state_totals:
-# applyInPandasWithState) — pushing cumulative r3∪…∪r6 coverage to 96 of 115.
-# The r7 rotation tail (never driver-verified by the r3+ convention, 19):
-# count_star, customer_moving_avg, doc_fingerprint, events_daily_active_users,
-# events_hourly_by_type, events_json_by_type, limit_head,
-# lineitem_quantity_quantiles, orders_filtered_aggs, orders_hash_sample,
-# orders_priority_pivot, region_nation_list, supplier_balance_distribution,
-# doc_export_shards (r6-registered sharded-JSONL-export manifest),
-# doc_stream_incremental_dedup (r6-registered full streaming-ingest loop),
-# doc_unigram_surprisal (r6-registered CCNet-style LM quality proxy),
-# doc_dup_span_coverage (r6-registered exact-substring dedup audit),
-# doc_source_mixture_weights (r6-registered temperature mixing weights),
-# plus embedding_knn_ivf (rows-only by design).
-# Rewired-this-round queries
-# stay in-window: doc_incremental_neardup (snapshot-lake index),
-# doc_chargram_neardup (measured bucket guard), the global_rank family
-# (rank_asc_nulls_last, customer_balance_quartiles, rank_dense_global,
-# rank_desc_nulls_last — shared quantile cut-point cache).
-# Swapped out this round (all driver-green in r5, unchanged, family rep
-# stays): filter_project, doc_train_split, doc_pii_scrub, doc_pack_assignment,
-# doc_lang_confusion (lang_id stays), doc_chunk_text (chunk_plan stays),
-# doc_quality_weighted_sample (stratified stays), doc_word_idf (tfidf covers
-# IDF), doc_repetition_stats, embedding_random_projection (srp/neardup/
-# clusters stay), lineitem_numeric_profile (corr_stats covers numeric stats),
-# nation_top_customer_argmax (rank_sum_top1/topk stay),
-# orders_cube_status_priority, 5 of 6 events_stream_* (hourly stays as
-# the streaming rep), customer_order_gaps (lag/rolling window family keeps
-# customer_rolling_30d_spend + customer_balance_quartiles), and
-# events_sessionize_stats (batch event-time family keeps asof/funnel/
-# anomaly/props, and its exact streaming twin events_stream_sessionize
-# joins the window).
+# or this-round-rewired queries.
+#
+# r7 rotation — the tail-closing round. Cumulative r3∪…∪r6 hard driver rows:
+# 96 of 115 registered queries. This window swaps IN all 19 queries that have
+# never had a driver row (count_star, customer_moving_avg, doc_fingerprint,
+# events_daily_active_users, events_hourly_by_type, events_json_by_type,
+# limit_head, lineitem_quantity_quantiles, orders_filtered_aggs,
+# orders_hash_sample, orders_priority_pivot, region_nation_list,
+# supplier_balance_distribution, doc_export_shards,
+# doc_stream_incremental_dedup, doc_unigram_surprisal, doc_dup_span_coverage,
+# doc_source_mixture_weights, and the rows-only-by-design embedding_knn_ivf)
+# plus doc_fuzzy_pairs_levenshtein (rewired this round: the oracle text
+# normalization gained DuckDB's 'g' flag). A green r7 run closes the bar:
+# cumulative coverage 115/115 — every registered query driver-verified.
+#
+# Rewired-this-round queries stay in-window: doc_incremental_neardup and
+# doc_stream_incremental_dedup (append-only segmented index commits —
+# operators/incr_index), lake_snapshot_roundtrip (lake.py gained the segment
+# protocol), doc_exact_dedup / doc_fingerprint / doc_chargram_neardup (the
+# 'g'-flag oracle fix), and the shared-cache family heads
+# (doc_neardup_pairs, doc_minhash_signature, embedding_neardup_pairs,
+# embedding_dedup_clusters — cache machinery moved to plans/_caches.py).
+#
+# Swapped out this round (all r6-green, unchanged, family rep stays):
+# customers_without_orders_sql + priority_revenue_fact_join + inner_join_agg
+# → left_join/anti_join keep the join family; rank_desc_nulls_last →
+# rank_asc_nulls_last + rank_dense_global keep global_rank;
+# orders_key_skew_stats/orders_seasonality/lineitem_corr_stats → grouped_agg*
+# + the incoming orders_/lineitem_ tail keep aggs; setop_union_by_name →
+# setop_except_all; events_funnel_signup_purchase + events_anomaly_zscore →
+# events_asof_last_view + the incoming events_ tail; doc_minhash_estimate_vs_
+# exact → doc_minhash_signature; doc_simhash_neardup / doc_dedup_survivors /
+# doc_crosssource_contamination → doc_neardup_pairs + doc_dedup_clusters +
+# doc_chargram_neardup; doc_lang_id_heuristic / doc_rolling_hash /
+# doc_chunk_plan / doc_stratified_sample → doc_gopher_quality_flags +
+# doc_fingerprint + the curation tail (all four also run in the always-on
+# patho-smoke tier); embedding_knn_ivf_fixed → embedding_knn_srp +
+# embedding_knn_ivf; events_stream_sessionize / events_stream_state_totals →
+# events_stream_hourly + doc_stream_incremental_dedup keep streaming.
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -101,54 +105,54 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "anti_join",
     "inner_join_agg",
     "normalize_key_group",
-    "customers_without_orders_sql",
-    "priority_revenue_fact_join",
     "rank_asc_nulls_last",
-    "rank_desc_nulls_last",
     "rank_dense_global",
     "rank_sum_top1",
     "topk_per_group",
     "customer_balance_quartiles",
     "customer_rolling_30d_spend",
+    "customer_moving_avg",
     "orders_nearby_range_join",
-    "orders_key_skew_stats",
-    "orders_seasonality",
-    "lineitem_corr_stats",
     "setop_except_all",
-    "setop_union_by_name",
     "lake_snapshot_roundtrip",
+    "count_star",
+    "limit_head",
+    "region_nation_list",
+    "orders_filtered_aggs",
+    "orders_hash_sample",
+    "orders_priority_pivot",
+    "lineitem_quantity_quantiles",
+    "supplier_balance_distribution",
     # event-time analytics (batch)
     "events_asof_last_view",
-    "events_funnel_signup_purchase",
-    "events_anomaly_zscore",
+    "events_daily_active_users",
+    "events_hourly_by_type",
+    "events_json_by_type",
     "events_props_struct",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_exact_dedup",
+    "doc_fingerprint",
     "doc_minhash_signature",
-    "doc_minhash_estimate_vs_exact",
     "doc_neardup_pairs",
     "doc_incremental_neardup",
-    "doc_simhash_neardup",
     "doc_chargram_neardup",
     "doc_dedup_clusters",
-    "doc_dedup_survivors",
-    "doc_crosssource_contamination",
-    "doc_lang_id_heuristic",
+    "doc_fuzzy_pairs_levenshtein",
     "doc_gopher_quality_flags",
     "doc_tfidf_top_terms",
-    "doc_rolling_hash",
-    "doc_chunk_plan",
-    "doc_stratified_sample",
+    "doc_unigram_surprisal",
+    "doc_dup_span_coverage",
+    "doc_source_mixture_weights",
+    "doc_export_shards",
     # LLM-data-pipeline surface: embeddings / similarity search
     "embedding_knn_srp",
-    "embedding_knn_ivf_fixed",
+    "embedding_knn_ivf",
     "embedding_neardup_pairs",
     "embedding_dedup_clusters",
-    # structured-streaming twins (hourly = windowed-agg rep; sessionize =
-    # session windows; state_totals = applyInPandasWithState custom state)
+    # structured streaming (hourly = windowed-agg rep; the full
+    # streaming ingest-with-dedup loop is the heavy stateful rep)
     "events_stream_hourly",
-    "events_stream_sessionize",
-    "events_stream_state_totals",
+    "doc_stream_incremental_dedup",
 )
 
 
