@@ -140,7 +140,9 @@ def bootstrap_index(
             f"{root}/stopbands",
         )
     ]
-    lake.commit_segment_manifest(spark, root, pins)
+    # first commit pinned at version 1: bootstrapping over an already-
+    # committed index raises instead of silently replacing it
+    lake.commit_segment_manifest(spark, root, pins, expected_base=0)
     return pins
 
 
@@ -167,7 +169,7 @@ def append_batch(
             f"append_batch: need bands+shingles (docs optional), got "
             f"{sorted(frames)}"
         )
-    pins = lake.segment_pins(spark, root)
+    pins, base = lake.segment_pins_versioned(spark, root)
     new_pins = dict(pins)
     new_segs: dict[str, int] = {}
     for name, df in frames.items():
@@ -193,7 +195,11 @@ def append_batch(
             f"{root}/stopbands",
         )
     ]
-    lake.commit_segment_manifest(spark, root, new_pins)
+    # optimistic concurrency: pinned at base+1, so a concurrent
+    # committer cannot be silently dropped — the loser raises
+    # ConcurrentCommitError and retries from fresh pins (its written
+    # segments stay unpinned debris for the age-gated sweep)
+    lake.commit_segment_manifest(spark, root, new_pins, expected_base=base)
     lake.expire_segments(
         spark, root, keep_manifests=keep_manifests,
         orphan_grace_sec=orphan_grace_sec,

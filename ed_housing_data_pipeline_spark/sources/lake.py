@@ -360,29 +360,55 @@ def _committed_version(spark, dataset_root: str) -> int | None:
     return best
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A pinned-version commit lost the race: another writer committed
+    the version this commit was based on. Retry from fresh state (the
+    loser's data dir, if any landed, is unpinned debris for the orphan
+    sweep)."""
+
+
 def write_snapshot(
     spark,
     df: DataFrame,
     dataset_root: str,
     partition_by: list[str] | None = None,
+    version: int | None = None,
 ) -> int:
     """Write ``df`` as the next immutable snapshot of the dataset and
     commit it by creating the write-once pointer ``_LATEST.v<N>``.
     Returns the new version.
 
-    Commit protocol (single writer): data lands fully in ``v=N/``,
-    then the pointer file appears via a same-FS rename to a name that
-    never existed before — readers resolve max(_LATEST.v*) and so see
-    either the previous version or the new one, never a partial
-    directory and never a missing pointer (the delete-then-recreate
-    window a single mutable pointer file would have). A crash before
-    the rename leaves an orphaned v=N dir that no reader resolves;
-    the next write claims version N+1 and the orphan is swept by
-    :func:`expire_snapshots` once it is provably stale (see the
-    ``_INTENT.v<N>`` marker below)."""
-    data_versions = snapshot_versions(spark, dataset_root)
+    Commit protocol: data lands fully in ``v=N/``, then the pointer
+    file appears via a same-FS rename to a name that never existed
+    before — readers resolve max(_LATEST.v*) and so see either the
+    previous version or the new one, never a partial directory and
+    never a missing pointer (the delete-then-recreate window a single
+    mutable pointer file would have). A crash before the rename leaves
+    an orphaned v=N dir that no reader resolves; the next write claims
+    a later version and the orphan is swept by :func:`expire_snapshots`
+    once it is provably stale (see the ``_INTENT.v<N>`` marker below).
+
+    ``version=None`` (single-writer mode) allocates the next free
+    number. An explicit ``version`` is the OPTIMISTIC-CONCURRENCY
+    mode: the caller pins the exact version its state was derived
+    from + 1, and the commit succeeds only if nobody else took it —
+    enforced by the atomic put-if-absent primitives themselves (the
+    data-dir ``errorifexists`` write and the pointer rename, which
+    fails when the destination exists), not by a racy check. A lost
+    race raises :class:`ConcurrentCommitError`; retry from fresh
+    state. This is what makes the manifest protocols below safe for
+    concurrent committers: without the pin, a writer holding stale
+    pins would commit a manifest that silently DROPS a faster
+    writer's rows (classic lost update)."""
     committed = _committed_version(spark, dataset_root)
-    version = max(data_versions[-1] if data_versions else 0, committed or 0) + 1
+    if version is None:
+        data_versions = snapshot_versions(spark, dataset_root)
+        version = max(data_versions[-1] if data_versions else 0, committed or 0) + 1
+    elif committed is not None and committed >= version:
+        raise ConcurrentCommitError(
+            f"{dataset_root}: version {version} already committed "
+            f"(latest {committed}); state was derived from a stale snapshot"
+        )
     path = _snapshot_dir(dataset_root, version)
     root = dataset_root.rstrip("/")
     jvm, fs = _fs(spark, root)
@@ -396,14 +422,30 @@ def write_snapshot(
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    try:
+        writer.parquet(path)
+    except Exception as e:
+        # pinned mode: a concurrent winner's v=N dir makes the
+        # errorifexists write throw — surface it as the typed conflict
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+            raise ConcurrentCommitError(
+                f"{dataset_root}: lost the commit race for v={version} "
+                "(data dir already exists)"
+            ) from e
+        raise
     tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
     final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.v{version}")
     out = fs.create(tmp, True)
     out.write(str(version).encode("ascii"))
     out.close()
     if not fs.rename(tmp, final):
-        raise RuntimeError(f"could not commit pointer {root}/_LATEST.v{version}")
+        # rename-to-existing fails on Hadoop filesystems: the pointer
+        # is the put-if-absent commit, so a failed rename of a PINNED
+        # version means a concurrent writer won the race
+        raise ConcurrentCommitError(
+            f"could not commit pointer {root}/_LATEST.v{version}"
+            " (concurrent writer won)"
+        )
     # cleanup AFTER the new pointer is visible — readers take the max,
     # so stale pointers/markers are harmless if this dies mid-sweep
     fs.delete(intent, False)
@@ -689,24 +731,55 @@ def read_segments(spark, component_root: str, segments: Sequence[int]) -> DataFr
     return spark.read.parquet(*[_segment_dir(root, s) for s in segments])
 
 
-def commit_segment_manifest(spark, root: str, pins: dict[str, Sequence[int]]) -> int:
+def commit_segment_manifest(
+    spark,
+    root: str,
+    pins: dict[str, Sequence[int]],
+    expected_base: int | None = None,
+) -> int:
     """Atomically commit a full component→segment-list pin map as the
     next manifest snapshot (rows of (component, seg)). Returns the
-    manifest's own snapshot version."""
+    manifest's own snapshot version.
+
+    ``expected_base`` enables optimistic concurrency: pass the
+    manifest version the pins were DERIVED from (0 for the first
+    commit) and the commit claims exactly version base+1 — if another
+    writer committed meanwhile, :class:`ConcurrentCommitError` is
+    raised instead of silently dropping that writer's pinned segments
+    (the lost-update hazard any multi-writer append protocol has).
+    ``None`` keeps the single-writer next-free-number behavior."""
     if not pins or any(not segs for segs in pins.values()):
         raise ValueError(f"commit_segment_manifest: empty pin map/list in {pins!r}")
     rows = [(name, int(s)) for name, segs in pins.items() for s in segs]
     mdf = spark.createDataFrame(rows, "component string, seg bigint")
-    return write_snapshot(spark, mdf, f"{root.rstrip('/')}/manifest")
+    return write_snapshot(
+        spark,
+        mdf,
+        f"{root.rstrip('/')}/manifest",
+        version=None if expected_base is None else expected_base + 1,
+    )
 
 
 def segment_pins(spark, root: str) -> dict[str, list[int]]:
     """The last COMMITTED manifest's component→segment-list map.
     Raises FileNotFoundError when no manifest was ever committed."""
+    return segment_pins_versioned(spark, root)[0]
+
+
+def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]:
+    """(pins, manifest_version) — the version is the optimistic-
+    concurrency base to pass back into :func:`commit_segment_manifest`.
+    Version is resolved FIRST and the rows read from that pinned
+    snapshot, so the pair is consistent even if a concurrent commit
+    lands between the two reads."""
+    mroot = f"{root.rstrip('/')}/manifest"
+    version = _committed_version(spark, mroot)
+    if version is None:
+        raise FileNotFoundError(f"no committed snapshot under {mroot}")
     pins: dict[str, list[int]] = {}
-    for r in read_snapshot(spark, f"{root.rstrip('/')}/manifest").collect():
+    for r in read_snapshot(spark, mroot, version=version).collect():
         pins.setdefault(r["component"], []).append(int(r["seg"]))
-    return {name: sorted(segs) for name, segs in pins.items()}
+    return {name: sorted(segs) for name, segs in pins.items()}, version
 
 
 def read_segmented_components(
@@ -739,14 +812,20 @@ def append_segments(
     replaces = replaces or {}
     if set(appends) & set(replaces):
         raise ValueError("append_segments: a component cannot be in both maps")
-    pins = {} if init else segment_pins(spark, root)
+    if init:
+        pins, base = {}, 0
+    else:
+        pins, base = segment_pins_versioned(spark, root)
     new_pins = dict(pins)
     for name, df in appends.items():
         seg = write_segment(spark, df, f"{root}/{name}")
         new_pins[name] = [*pins.get(name, []), seg]
     for name, df in replaces.items():
         new_pins[name] = [write_segment(spark, df, f"{root}/{name}")]
-    commit_segment_manifest(spark, root, new_pins)
+    # pinned commit: concurrent committers cannot silently drop each
+    # other's segments — the loser gets ConcurrentCommitError and must
+    # retry from fresh pins (its written segments stay unpinned debris)
+    commit_segment_manifest(spark, root, new_pins, expected_base=base)
     return new_pins
 
 
@@ -769,7 +848,7 @@ def compact_segments(
     cron), amortizing the O(dataset) rewrite over the K O(batch)
     commits it covers."""
     reducers = reducers or {}
-    pins = segment_pins(spark, root)
+    pins, base = segment_pins_versioned(spark, root)
     names = list(components) if components is not None else list(pins)
     new_pins = dict(pins)
     changed = False
@@ -783,7 +862,9 @@ def compact_segments(
         new_pins[name] = [write_segment(spark, df, f"{root}/{name}")]
         changed = True
     if changed:
-        commit_segment_manifest(spark, root, new_pins)
+        # pinned: an ingest landing mid-compaction must not be dropped
+        # by the compacted manifest (and vice versa)
+        commit_segment_manifest(spark, root, new_pins, expected_base=base)
     return new_pins
 
 

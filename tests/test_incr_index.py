@@ -187,6 +187,67 @@ def test_compaction_is_content_neutral(spark, tmp_path):
     assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
 
 
+def test_concurrent_commit_loses_cleanly_not_lost_update(spark, tmp_path):
+    """Optimistic concurrency on the manifest: two writers derive pins
+    from the same committed base; the first commit wins, the second
+    MUST raise ConcurrentCommitError rather than commit a manifest
+    that silently drops the winner's segments (the lost-update hazard
+    any multi-writer append protocol has). A retry from fresh pins
+    then lands both batches."""
+    root = str(tmp_path / "idx")
+    _bootstrap(spark, root, [(1, 0, "k0")], [1])
+
+    # both "writers" snapshot the same pins/base
+    pins_a, base_a = lake.segment_pins_versioned(spark, root)
+    pins_b, base_b = lake.segment_pins_versioned(spark, root)
+    assert base_a == base_b
+
+    def staged_commit(pins, base, rows, ids):
+        seg_b = lake.write_segment(spark, _bands_frame(spark, rows), f"{root}/bands")
+        seg_s = lake.write_segment(spark, _shingles_frame(spark, ids), f"{root}/shingles")
+        new = dict(pins)
+        new["bands"] = [*pins["bands"], seg_b]
+        new["shingles"] = [*pins["shingles"], seg_s]
+        lake.commit_segment_manifest(spark, root, new, expected_base=base)
+        return new
+
+    # writer A wins
+    staged_commit(pins_a, base_a, [(10, 0, "kA")], [10])
+    # writer B, stale base: must fail loudly, not drop A's segment
+    with pytest.raises(lake.ConcurrentCommitError):
+        staged_commit(pins_b, base_b, [(20, 0, "kB")], [20])
+    got = {
+        r["doc_id"]
+        for r in lake.read_segmented_components(spark, root, ["bands"])[
+            "bands"
+        ].collect()
+    }
+    assert got == {1, 10}  # A's commit intact, B invisible
+    # B retries from fresh pins: both batches present, nothing lost
+    pins2, base2 = lake.segment_pins_versioned(spark, root)
+    staged_commit(pins2, base2, [(20, 0, "kB")], [20])
+    got = {
+        r["doc_id"]
+        for r in lake.read_segmented_components(spark, root, ["bands"])[
+            "bands"
+        ].collect()
+    }
+    assert got == {1, 10, 20}
+    # append_batch itself rides the same protocol end-to-end
+    incr_index.append_batch(
+        spark,
+        root,
+        {
+            "bands": _bands_frame(spark, [(30, 1, "k1")]),
+            "shingles": _shingles_frame(spark, [30]),
+        },
+        max_bucket_width=CAP,
+    )
+    # and a bootstrap over a committed index refuses (pinned at v1)
+    with pytest.raises(lake.ConcurrentCommitError):
+        _bootstrap(spark, root, [(99, 0, "x")], [99])
+
+
 class _Boom(RuntimeError):
     pass
 
