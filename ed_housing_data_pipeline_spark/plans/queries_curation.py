@@ -9,12 +9,28 @@ re-exports these names for back-compat).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ed_housing_data_pipeline_spark.functions.text import token_count, tokens
+from ed_housing_data_pipeline_spark.functions.text import (
+    EMAIL_RE,
+    PHONE_RE,
+    normalize_text,
+    token_count,
+    tokens,
+)
 from ed_housing_data_pipeline_spark.operators import similarity as sim
-from ed_housing_data_pipeline_spark.plans._base import hash60_sql, t, tokens_sql
-from ed_housing_data_pipeline_spark.plans._caches import _audit
+from ed_housing_data_pipeline_spark.plans._base import (
+    hash60_sql,
+    norm_text_sql,
+    t,
+    tokens_sql,
+)
+from ed_housing_data_pipeline_spark.plans._caches import (
+    SHINGLE_K,
+    _audit,
+    _own_caches,
+)
+from ed_housing_data_pipeline_spark.plans.queries_llm import _shingles_cte
 from ed_housing_data_pipeline_spark.plans.registry import register
 
 
@@ -316,6 +332,169 @@ def q_doc_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.pow(F.col("n_tokens").cast("double"), MIXTURE_ALPHA) / F.col("z"), 6
         ).alias("temp_share"),
+    )
+
+
+
+
+# --------------------------------------------------- PII scrub (text)
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(COALESCE(text, ''),
+                '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(COALESCE(text, ''),
+                '{PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(COALESCE(text, ''),
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing battery: per-doc email/phone match counts plus the
+    md5 of the redacted text (email-first replacement order). The
+    patterns are RE2-safe so the identical regexes run in both engines
+    — the md5 twin proves the *full redacted output* matches, not just
+    the counts. Row-local narrow expressions; no shuffle."""
+    from ed_housing_data_pipeline_spark.functions.text import pii_counts, redact_pii
+
+    docs = sim.scale_out(t(spark, sf_dir, "documents"))
+    n_em, n_ph = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+
+# ----------------------------------- cross-source contamination check
+# Stop-shingle cap: a shingle in more than this many docs carries no
+# overlap signal but fans the postings join out quadratically in its
+# doc-frequency — the registered query runs WITH the guard on (the cap
+# is deterministic, so the oracle mirrors it exactly).  4 is tuned to
+# the sf0.01 distribution (max df there is 7) so the differential check
+# exercises the filter; production tunes this to corpus size.
+CONTAMINATION_MAX_DF = 4
+
+CONTAMINATION_ORACLE = f"""
+WITH {_shingles_cte()},
+ex AS (
+    SELECT s.doc_id, d.source, UNNEST(s.sh) AS g
+    FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+),
+kept AS (
+    SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {CONTAMINATION_MAX_DF}
+),
+exk AS (SELECT e.doc_id, e.source, e.g FROM ex e JOIN kept k ON k.g = e.g),
+posts AS (SELECT DISTINCT g, source FROM exk),
+hits AS (
+    SELECT DISTINCT e.doc_id
+    FROM exk e JOIN posts p ON p.g = e.g AND p.source <> e.source
+)
+SELECT d.source, COUNT(*) AS n_docs, COUNT(h.doc_id) AS n_contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register("doc_crosssource_contamination", oracle=CONTAMINATION_ORACLE)
+def q_doc_crosssource_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination primitive: per source, how many docs share at
+    least one 3-word shingle with a doc from a DIFFERENT source — the
+    train/eval overlap check of LLM pipelines (here source buckets
+    stand in for corpus vs benchmark).
+
+    Scale shape: explode to a (shingle, source) postings table,
+    distinct it (bounded by vocabulary × sources, one shuffle), then a
+    LEFT SEMI join of exploded doc-shingles against other-source
+    postings — never doc×doc. The ``max_doc_freq`` stop-shingle cap
+    is ON (the 100 TB guard against pathological shingles like "for
+    more information see"); it is deterministic, so the oracle mirrors
+    it with the same doc-frequency HAVING pre-filter. The exploded
+    postings table is scope-cached across its ~4 consumers and
+    released after the checkpoint (``_own_caches``)."""
+    docs = t(spark, sf_dir, "documents")
+    return _own_caches(
+        lambda scope: sim.crosssource_contamination(
+            docs,
+            "text",
+            "doc_id",
+            "source",
+            shingle_k=SHINGLE_K,
+            max_doc_freq=CONTAMINATION_MAX_DF,
+            cache=scope,
+        )
+    )
+
+
+
+# ------------------------------------- fuzzy near-dup (edit distance)
+@register(
+    "doc_fuzzy_pairs_levenshtein",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               substr({norm_text_sql("text")},
+                      1, 120) AS norm
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist
+    FROM d a
+    JOIN d b
+      ON a.lang = b.lang
+     AND (a.n_chars // 32) = (b.n_chars // 32)
+     AND a.doc_id < b.doc_id
+    WHERE a.norm IS NOT NULL AND b.norm IS NOT NULL
+      AND levenshtein(a.norm, b.norm) <= 12
+    """,
+)
+def q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with blocking: candidate pairs come from
+    an equi-join on (lang, length-bucket) — never all-pairs — and the
+    O(len²) levenshtein runs on a 120-char normalized prefix only
+    inside blocks. At 100 TB the block keys shard the shuffle and the
+    quadratic work stays bounded per block; a MinHash prefilter
+    (doc_neardup_pairs) composes in front when blocks grow.
+
+    The distance is computed over the UTF-8 BYTE sequence (the prefix
+    re-encoded through ISO-8859-1 so each char is one byte): Spark's
+    levenshtein counts codepoints while DuckDB's counts bytes, and the
+    two disagree on any multibyte text — byte distance is the variant
+    both engines can compute identically, so it is the registered
+    semantic (found by the pathological-text differential sweep)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars DIV 32").alias("len_bucket"),
+        F.substring(normalize_text(F.col("text")), 1, 120).alias("norm"),
+    ).filter(F.col("norm").isNotNull())
+    a, b = d.alias("a"), d.alias("b")
+
+    def _bytes(c: Column) -> Column:
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    dist = F.levenshtein(_bytes(F.col("a.norm")), _bytes(F.col("b.norm")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.len_bucket") == F.col("b.len_bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .filter(dist <= 12)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
     )
 
 
