@@ -306,10 +306,42 @@ def test_core_family_oracles_pass_on_pathological_tables(spark, tmp_path):
 
     sf = tmp_path / "patho_core_sf"
     sf.mkdir()
-    for t in "region nation events documents embeddings".split():
+    for t in "events documents embeddings".split():
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet"))
     rng = random.Random(11)
     T = dt.datetime
+    # region/nation were the last never-patho'd tables: NULL names/keys,
+    # orphan nations (region key with no region row), duplicate names,
+    # unicode names, an empty-string name, and a region with no nations
+    _write_single_parquet(
+        spark,
+        spark.createDataFrame(
+            [
+                (0, "AMERICA", ),
+                (1, None, ),
+                (2, "EMPTY REGION", ),  # no nation references it
+                (3, "россия-regiön", ),
+            ],
+            "r_regionkey int, r_name string",
+        ),
+        sf / "region.parquet",
+    )
+    _write_single_parquet(
+        spark,
+        spark.createDataFrame(
+            [
+                (0, "BRAZIL", 0),
+                (1, None, 0),            # NULL name
+                (2, "BRAZIL", 1),        # duplicate name, other region
+                (3, "ORPHAN", 9),        # region 9 does not exist
+                (4, "nippon-日本", 3),    # unicode
+                (5, "", None),           # empty name, NULL region key
+            ]
+            + [(10 + i, f"n{i}", i % 4) for i in range(20)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+        sf / "nation.parquet",
+    )
     cust = [
         (1, "alice", 0, None, "BUILDING"),
         (2, None, 1, -999999.99, None),

@@ -444,6 +444,71 @@ def test_stream_commits_write_batch_sized_segments(spark, tmp_path):
     ) == list(range(nid))
 
 
+def test_stream_crash_then_same_checkpoint_restart_converges(spark, tmp_path):
+    """The untested half of the recovery story: a commit crash MID-
+    STREAM (not a fresh-checkpoint replay) — the streaming query
+    fails, the index holds the pre-crash manifest, and restarting from
+    the SAME checkpoint re-delivers the failed micro-batch
+    (foreachBatch is at-least-once on retry) and converges to exactly
+    the no-crash outcome. Injected at the manifest flip, the worst
+    point: every segment of the failed batch is already on disk as
+    unpinned debris when the retry runs."""
+    from ed_housing_data_pipeline_spark.sources import lake
+    from ed_housing_data_pipeline_spark.streaming import documents as docstream
+
+    root = str(tmp_path / "index")
+    src = tmp_path / "in"
+    src.mkdir()
+    docstream.init_doc_index(spark, root)
+    _write_jsonl(src / "f0.json", [_doc(0, _LONG)])
+    _write_jsonl(src / "f1.json", [_doc(1, "aa bb cc dd ee ff gg hh ii jj")])
+
+    real_commit = lake.commit_segment_manifest
+    state = {"commits": 0}
+
+    def failing_commit(*a, **kw):
+        state["commits"] += 1
+        if state["commits"] == 2:  # batch 2's manifest flip
+            raise RuntimeError("injected crash at manifest flip")
+        return real_commit(*a, **kw)
+
+    lake.commit_segment_manifest = failing_commit
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            docstream.run_stream_incremental_dedup(
+                docstream.read_documents_stream(spark, str(src)),
+                root,
+                checkpoint_dir=str(tmp_path / "cp"),
+            )
+    finally:
+        lake.commit_segment_manifest = real_commit
+    # crash left batch 1 committed, batch 2 invisible (torn = unpinned)
+    assert sorted(
+        r["doc_id"] for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == [0]
+    # SAME checkpoint restart: the failed batch re-delivers and commits
+    docstream.run_stream_incremental_dedup(
+        docstream.read_documents_stream(spark, str(src)),
+        root,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    assert sorted(
+        r["doc_id"] for r in docstream.read_accepted_docs(spark, root).collect()
+    ) == [0, 1]
+    # and the index is internally consistent: stop table == full recompute
+    from ed_housing_data_pipeline_spark.operators import similarity as sim
+
+    idx = docstream._pinned(spark, root)
+    got = {(r["band"], r["key"]) for r in idx["stopbands"].collect()}
+    full = {
+        (r["band"], r["key"])
+        for r in sim.oversized_bucket_stats(
+            idx["bands"], ["band", "key"], 4096
+        ).collect()
+    }
+    assert got == full
+
+
 def test_stream_auto_compaction_preserves_content(spark, tmp_path):
     """compact_every=2: after the segment count reaches the cadence
     the sink folds the index to single segments; accepted set and a
