@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
+import random
+import threading
 import time
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -703,22 +705,62 @@ def segment_numbers(spark, component_root: str) -> list[int]:
     return sorted(out)
 
 
+_SEG_ALLOC_LOCK = threading.Lock()
+_SEG_LAST = 0
+
+
+def _next_segment_id() -> int:
+    """Collision-proof segment id: nanosecond wall clock plus random
+    low jitter, kept strictly increasing within this process.
+
+    Uniqueness must NEVER come from listing the component dir and
+    taking max+1: under multi-writer concurrency both writers list the
+    same state, pick the same number, and BOTH parquet jobs "succeed"
+    into the same ``seg=N`` dir (part files don't collide — Spark
+    names them per-job), so the winner's committed manifest silently
+    pins the loser's rows too and the loser's retry then lands them a
+    second time — duplicate rows in the committed index (surfaced by
+    tests/test_incr_index.py::test_threaded_committers_race_lands_
+    every_batch). Time-based ids are unique across writers by
+    construction, and :func:`write_segment` additionally claims the id
+    with an exclusive-create intent marker as a backstop, so no two
+    writers can ever share a segment dir. Sequential appends by one
+    writer stay numerically ordered (the sorted pin list preserves
+    append order), which concurrent appenders never relied on."""
+    global _SEG_LAST
+    with _SEG_ALLOC_LOCK:
+        cand = time.time_ns() + random.getrandbits(10)
+        cand = max(cand, _SEG_LAST + 1)
+        _SEG_LAST = cand
+        return cand
+
+
 def write_segment(spark, df: DataFrame, component_root: str) -> int:
-    """Write ``df`` as the next immutable segment of a component —
+    """Write ``df`` as a fresh immutable segment of a component —
     data only, NO commit: a segment is invisible until a manifest pins
-    it (commit_segment_manifest). Returns the segment number. The
-    ``_INTENT.s<N>`` marker (written before any data) gives
+    it (commit_segment_manifest). Returns the segment id. The
+    ``_INTENT.s<N>`` marker (claimed exclusively, written before any
+    data) both reserves the id against a concurrent writer and gives
     expire_segments the same provably-stale test write_snapshot's
     orphan sweep uses."""
     root = component_root.rstrip("/")
-    seg = (segment_numbers(spark, root) or [0])[-1] + 1
     jvm, fs = _fs(spark, root)
-    intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.s{seg}")
-    out = fs.create(intent, True)
-    out.write(str(seg).encode("ascii"))
-    out.close()
-    df.write.mode("errorifexists").parquet(_segment_dir(root, seg))
-    return seg
+    for _ in range(8):
+        seg = _next_segment_id()
+        intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.s{seg}")
+        try:
+            # overwrite=False: atomic claim on HDFS/ABFS; on local FS
+            # the window is microseconds and the id is already unique
+            out = fs.create(intent, False)
+        except Exception:  # noqa: BLE001 - claimed by a racer: new id
+            continue
+        out.write(str(seg).encode("ascii"))
+        out.close()
+        df.write.mode("errorifexists").parquet(_segment_dir(root, seg))
+        return seg
+    raise RuntimeError(
+        f"write_segment: could not claim a segment id under {root}"
+    )
 
 
 def read_segments(spark, component_root: str, segments: Sequence[int]) -> DataFrame:
@@ -904,7 +946,23 @@ def expire_segments(
         if not st.isDirectory() or name == "manifest":
             continue
         comp_root = f"{root}/{name}"
-        for seg in segment_numbers(spark, comp_root):
+        present = set(segment_numbers(spark, comp_root))
+        # dangling intent markers (claimed id, crash before any data
+        # landed): no data dir will ever appear for that id — age-gate
+        # and drop the marker alone
+        for cst in fs.listStatus(jvm.org.apache.hadoop.fs.Path(comp_root)):
+            cname = cst.getPath().getName()
+            if not cname.startswith("_INTENT.s") or cst.isDirectory():
+                continue
+            try:
+                iseg = int(cname[len("_INTENT.s"):])
+            except ValueError:
+                continue
+            if iseg in present or iseg in keep.get(name, set()):
+                continue
+            if now_ms - float(cst.getModificationTime()) > orphan_grace_sec * 1000.0:
+                fs.delete(cst.getPath(), False)
+        for seg in present:
             if seg in keep.get(name, set()):
                 continue
             marks = []
