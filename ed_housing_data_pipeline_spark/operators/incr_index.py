@@ -153,6 +153,7 @@ def append_batch(
     max_bucket_width: int,
     keep_manifests: int = 2,
     orphan_grace_sec: float = 24 * 3600,
+    reader_grace_sec: float | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) index commit: append the batch's data-component
     rows as new segments, append its per-bucket counts, re-derive the
@@ -203,6 +204,7 @@ def append_batch(
     lake.expire_segments(
         spark, root, keep_manifests=keep_manifests,
         orphan_grace_sec=orphan_grace_sec,
+        reader_grace_sec=reader_grace_sec,
     )
     return new_pins
 

@@ -369,12 +369,75 @@ class ConcurrentCommitError(RuntimeError):
     sweep)."""
 
 
+_PIN_CLAIM_LOCK = threading.Lock()
+
+
+def _claim_pinned_version(
+    jvm, fs, root: str, version: int, stale_sec: float
+) -> object:
+    """Exclusively claim ``v=<version>`` for this writer by creating the
+    write-once ``_CLAIM.v<N>`` marker. Returns the marker Path (the
+    caller deletes it once the pointer is committed, or on failure).
+
+    This claim is what makes pinned-mode commits safe against the
+    check-then-write race in Spark's ``errorifexists``: that existence
+    check happens once at job START, so two writers pinned to the same
+    version would BOTH pass it and both land part files in the same
+    ``v=N`` dir (part names are per-job unique, so neither job fails) —
+    the committed dir then holds the union of two writers' rows and the
+    rename-loser's retry appends its rows a second time (caught by
+    tests/test_incr_index.py::test_threaded_committers_race_lands_every_
+    batch). With the claim, exactly one writer proceeds to the data
+    write; the loser gets ConcurrentCommitError before any data lands.
+
+    The exclusive create is atomic on HDFS/ABFS; on the local FS the
+    check-then-create window is microseconds and ``_PIN_CLAIM_LOCK``
+    closes it entirely for same-process writers (the only local-FS
+    multi-writer topology the tests exercise).
+
+    A claim whose writer crashed before committing would livelock every
+    later writer pinned to that version, so a claim older than
+    ``stale_sec`` with no committed pointer is broken: the taker deletes
+    it (and any data debris the crasher left) and claims fresh."""
+    claim = jvm.org.apache.hadoop.fs.Path(f"{root}/_CLAIM.v{version}")
+    with _PIN_CLAIM_LOCK:
+        for attempt in range(2):
+            try:
+                out = fs.create(claim, False)
+            except Exception:  # noqa: BLE001 - claim exists: racer or stale
+                if attempt == 0 and fs.exists(claim):
+                    age_ms = time.time() * 1000.0 - float(
+                        fs.getFileStatus(claim).getModificationTime()
+                    )
+                    if age_ms > stale_sec * 1000.0:
+                        # crashed claimer: break the claim and its debris
+                        fs.delete(claim, False)
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                _snapshot_dir(root, version)
+                            ),
+                            True,
+                        )
+                        continue
+                raise ConcurrentCommitError(
+                    f"{root}: version {version} is claimed by a concurrent "
+                    "writer; retry from fresh state"
+                ) from None
+            out.write(str(version).encode("ascii"))
+            out.close()
+            return claim
+    raise ConcurrentCommitError(
+        f"{root}: could not claim version {version}"
+    )
+
+
 def write_snapshot(
     spark,
     df: DataFrame,
     dataset_root: str,
     partition_by: list[str] | None = None,
     version: int | None = None,
+    claim_stale_sec: float = 3600.0,
 ) -> int:
     """Write ``df`` as the next immutable snapshot of the dataset and
     commit it by creating the write-once pointer ``_LATEST.v<N>``.
@@ -393,14 +456,17 @@ def write_snapshot(
     ``version=None`` (single-writer mode) allocates the next free
     number. An explicit ``version`` is the OPTIMISTIC-CONCURRENCY
     mode: the caller pins the exact version its state was derived
-    from + 1, and the commit succeeds only if nobody else took it —
-    enforced by the atomic put-if-absent primitives themselves (the
-    data-dir ``errorifexists`` write and the pointer rename, which
-    fails when the destination exists), not by a racy check. A lost
-    race raises :class:`ConcurrentCommitError`; retry from fresh
-    state. This is what makes the manifest protocols below safe for
-    concurrent committers: without the pin, a writer holding stale
-    pins would commit a manifest that silently DROPS a faster
+    from + 1, and the commit succeeds only if nobody else took it.
+    The gate is the exclusive ``_CLAIM.v<N>`` marker taken BEFORE any
+    data lands (see :func:`_claim_pinned_version` for why the
+    ``errorifexists`` data write alone cannot be the gate — its
+    existence check races over the whole job and two same-version
+    writers merge part files into one dir), with the data-dir check
+    and the pointer rename as backstops. A lost race raises
+    :class:`ConcurrentCommitError` at whichever gate trips; retry
+    from fresh state. This is what makes the manifest protocols below
+    safe for concurrent committers: without the pin, a writer holding
+    stale pins would commit a manifest that silently DROPS a faster
     writer's rows (classic lost update)."""
     committed = _committed_version(spark, dataset_root)
     if version is None:
@@ -414,47 +480,68 @@ def write_snapshot(
     path = _snapshot_dir(dataset_root, version)
     root = dataset_root.rstrip("/")
     jvm, fs = _fs(spark, root)
-    # declare intent BEFORE any data lands: a concurrent
-    # expire_snapshots sees the marker (or the young dir) and leaves
-    # the in-flight version alone until the grace period passes
-    intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.v{version}")
-    out = fs.create(intent, True)
-    out.write(str(version).encode("ascii"))
-    out.close()
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    claim = _claim_pinned_version(jvm, fs, root, version, claim_stale_sec)
     try:
-        writer.parquet(path)
-    except Exception as e:
-        # pinned mode: a concurrent winner's v=N dir makes the
-        # errorifexists write throw — surface it as the typed conflict
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
-            raise ConcurrentCommitError(
-                f"{dataset_root}: lost the commit race for v={version} "
-                "(data dir already exists)"
-            ) from e
-        raise
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.v{version}")
-    out = fs.create(tmp, True)
-    out.write(str(version).encode("ascii"))
-    out.close()
-    if not fs.rename(tmp, final):
-        # rename-to-existing fails on Hadoop filesystems: the pointer
-        # is the put-if-absent commit, so a failed rename of a PINNED
-        # version means a concurrent writer won the race
-        raise ConcurrentCommitError(
-            f"could not commit pointer {root}/_LATEST.v{version}"
-            " (concurrent writer won)"
+        # declare intent BEFORE any data lands: a concurrent
+        # expire_snapshots sees the marker (or the young dir) and leaves
+        # the in-flight version alone until the grace period passes
+        intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.v{version}")
+        out = fs.create(intent, True)
+        out.write(str(version).encode("ascii"))
+        out.close()
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        try:
+            writer.parquet(path)
+        except Exception as e:
+            # a v=N dir under OUR claim can only be crashed-claimer or
+            # single-writer-mode debris — still the typed conflict, so
+            # callers retry from fresh state uniformly
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+                raise ConcurrentCommitError(
+                    f"{dataset_root}: lost the commit race for v={version} "
+                    "(data dir already exists)"
+                ) from e
+            raise
+        # the tmp name is per-writer unique: a shared name lets writer A
+        # rename away a tmp B just wrote, failing B's commit spuriously
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{root}/_LATEST.tmp.{_next_segment_id()}"
         )
+        final = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.v{version}")
+        out = fs.create(tmp, True)
+        out.write(str(version).encode("ascii"))
+        out.close()
+        if not fs.rename(tmp, final):
+            # rename-to-existing fails on Hadoop filesystems: the pointer
+            # is the put-if-absent commit, so a failed rename of a PINNED
+            # version means a concurrent writer won the race
+            raise ConcurrentCommitError(
+                f"could not commit pointer {root}/_LATEST.v{version}"
+                " (concurrent writer won)"
+            )
+    except BaseException:
+        # un-burn the version: the claimer is alive and failing loudly,
+        # so release the claim rather than livelock later pinned writers
+        fs.delete(claim, False)
+        raise
     # cleanup AFTER the new pointer is visible — readers take the max,
     # so stale pointers/markers are harmless if this dies mid-sweep
+    fs.delete(claim, False)
     fs.delete(intent, False)
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(root)):
         name = st.getPath().getName()
         if name.startswith("_LATEST.v") and name != f"_LATEST.v{version}":
-            fs.delete(st.getPath(), False)
+            try:
+                v = int(name[len("_LATEST.v"):])
+            except ValueError:
+                continue
+            # only SUPERSEDED pointers: deleting by mere inequality could
+            # drop a NEWER pointer a faster concurrent writer just
+            # committed — an instant lost update
+            if v < version:
+                fs.delete(st.getPath(), False)
     return version
 
 
@@ -475,6 +562,7 @@ def expire_snapshots(
     keep_latest: int,
     orphan_grace_sec: float = 24 * 3600,
     keep_versions: Sequence[int] = (),
+    min_age_sec: float = 0.0,
 ) -> list[int]:
     """Drop old snapshot directories, keeping the newest
     ``keep_latest`` COMMITTED versions. The committed (pointed-to)
@@ -495,7 +583,17 @@ def expire_snapshots(
     takes the newest mtime anywhere under the version dir (files keep
     landing throughout a write, partitioned or not), so
     ``orphan_grace_sec`` only needs to exceed the longest PAUSE between
-    file materializations — not the total write duration."""
+    file materializations — not the total write duration.
+
+    ``min_age_sec`` is READER grace: a committed-but-superseded version
+    younger than it is retained even beyond ``keep_latest``. A live
+    reader resolves a version and then scans it lazily — a concurrent
+    committer's retention deleting that version mid-scan turns snapshot
+    isolation into FileNotFoundException (exactly what multi-writer
+    append protocols hit when commits outpace ``keep_latest``). The
+    default 0 keeps count-only semantics for single-writer datasets;
+    :func:`expire_segments` passes its grace period through, the
+    time-lagged retention every production table format uses."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
     pinned = set(keep_versions)
@@ -504,14 +602,24 @@ def expire_snapshots(
     committed_versions = [
         v for v in versions if committed is not None and v <= committed
     ]
-    drop = [
-        v
-        for v in committed_versions[:-keep_latest]
-        if v != committed and v not in pinned
-    ]
     jvm, fs = _fs(spark, dataset_root)
     root = dataset_root.rstrip("/")
     now_ms = time.time() * 1000.0
+
+    def _young(v: int) -> bool:
+        if min_age_sec <= 0:
+            return False
+        jp = jvm.org.apache.hadoop.fs.Path(_snapshot_dir(root, v))
+        if not fs.exists(jp):
+            return False
+        age_ms = now_ms - float(fs.getFileStatus(jp).getModificationTime())
+        return age_ms < min_age_sec * 1000.0
+
+    drop = [
+        v
+        for v in committed_versions[:-keep_latest]
+        if v != committed and v not in pinned and not _young(v)
+    ]
 
     def _mtime_ms(path: str) -> float | None:
         jp = jvm.org.apache.hadoop.fs.Path(path)
@@ -527,13 +635,16 @@ def expire_snapshots(
         period. Recursing over an uncommitted version dir is bounded —
         it holds at most one write's output."""
         jp = jvm.org.apache.hadoop.fs.Path(path)
-        if not fs.exists(jp):
+        try:
+            best = float(fs.getFileStatus(jp).getModificationTime())
+            it = fs.listFiles(jp, True)
+            while it.hasNext():
+                best = max(best, float(it.next().getModificationTime()))
+            return best
+        except Exception:  # noqa: BLE001 - a CONCURRENT sweeper deleted
+            # the path mid-iteration (retention may run from several
+            # committers at once); vanished ⇒ nothing left to probe
             return None
-        best = float(fs.getFileStatus(jp).getModificationTime())
-        it = fs.listFiles(jp, True)
-        while it.hasNext():
-            best = max(best, float(it.next().getModificationTime()))
-        return best
 
     stale_orphans = []
     for v in versions:
@@ -560,12 +671,26 @@ def expire_snapshots(
         jroot = jvm.org.apache.hadoop.fs.Path(root)
         for st in fs.listStatus(jroot):
             name = st.getPath().getName()
-            if name.startswith("_INTENT.v"):
+            marker = next(
+                (
+                    p
+                    for p in ("_INTENT.v", "_CLAIM.v")
+                    if name.startswith(p)
+                ),
+                None,
+            )
+            if marker is not None:
                 try:
-                    v = int(name[len("_INTENT.v"):])
+                    v = int(name[len(marker):])
                 except ValueError:
                     continue
                 if v <= committed:
+                    fs.delete(st.getPath(), False)
+            elif name.startswith("_LATEST.tmp."):
+                # unrenamed tmp pointer: debris from a crashed commit;
+                # age-gate it like any other possibly-in-flight marker
+                age_ms = now_ms - float(st.getModificationTime())
+                if age_ms > orphan_grace_sec * 1000.0:
                     fs.delete(st.getPath(), False)
     return sorted(drop)
 
@@ -818,9 +943,11 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     version = _committed_version(spark, mroot)
     if version is None:
         raise FileNotFoundError(f"no committed snapshot under {mroot}")
-    pins: dict[str, list[int]] = {}
+    pins: dict[str, set[int]] = {}
     for r in read_snapshot(spark, mroot, version=version).collect():
-        pins.setdefault(r["component"], []).append(int(r["seg"]))
+        pins.setdefault(r["component"], set()).add(int(r["seg"]))
+    # set-dedup is defense in depth: a duplicated (component, seg) row
+    # would make read_segments scan that segment twice — duplicate rows
     return {name: sorted(segs) for name, segs in pins.items()}, version
 
 
@@ -915,6 +1042,7 @@ def expire_segments(
     root: str,
     keep_manifests: int = 2,
     orphan_grace_sec: float = 24 * 3600,
+    reader_grace_sec: float | None = None,
 ) -> dict[str, list[int]]:
     """Retention for a segmented dataset: expire old manifest
     snapshots (normal snapshot retention), then sweep segment dirs no
@@ -923,19 +1051,37 @@ def expire_segments(
     the segment dir older than the grace period), so a live writer's
     just-written not-yet-committed segments always survive. Pins of
     every retained manifest version (not just the committed one) are
-    honored, so time travel across retained manifests stays readable."""
+    honored, so time travel across retained manifests stays readable.
+
+    ``reader_grace_sec`` (default: ``orphan_grace_sec``) additionally
+    retains committed-but-superseded manifests younger than it, so a
+    concurrent reader's lazily-scanned pins are never swept from under
+    it (see expire_snapshots' ``min_age_sec``). A frequent committer
+    (the streaming sink) passes a small grace matched to its batch
+    cadence to bound manifest accumulation."""
     root = root.rstrip("/")
     expire_snapshots(
         spark, f"{root}/manifest", keep_latest=keep_manifests,
         orphan_grace_sec=orphan_grace_sec,
+        min_age_sec=(
+            orphan_grace_sec if reader_grace_sec is None else reader_grace_sec
+        ),
     )
     keep: dict[str, set[int]] = {}
-    for v in snapshot_versions(spark, f"{root}/manifest"):
-        try:
-            rows = read_snapshot(spark, f"{root}/manifest", version=v).collect()
-        except Exception:  # noqa: BLE001 - partial/in-flight manifest dir
-            continue
-        for r in rows:
+    jvm0, fs0 = _fs(spark, root)
+    retained = [
+        d
+        for v in snapshot_versions(spark, f"{root}/manifest")
+        for d in [_snapshot_dir(f"{root}/manifest", v)]
+        # _SUCCESS gates out torn/in-flight dirs: every committed
+        # manifest has one (write_snapshot runs the full job), so this
+        # is exact, and it keeps the keep-set read to ONE multi-path
+        # job instead of a collect per retained version (which made
+        # every commit O(#retained manifests) driver round-trips)
+        if fs0.exists(jvm0.org.apache.hadoop.fs.Path(f"{d}/_SUCCESS"))
+    ]
+    if retained:
+        for r in spark.read.parquet(*retained).collect():
             keep.setdefault(r["component"], set()).add(int(r["seg"]))
     jvm, fs = _fs(spark, root)
     now_ms = time.time() * 1000.0
@@ -965,16 +1111,21 @@ def expire_segments(
         for seg in present:
             if seg in keep.get(name, set()):
                 continue
-            marks = []
             jint = jvm.org.apache.hadoop.fs.Path(f"{comp_root}/_INTENT.s{seg}")
-            if fs.exists(jint):
-                marks.append(float(fs.getFileStatus(jint).getModificationTime()))
             jseg = jvm.org.apache.hadoop.fs.Path(_segment_dir(comp_root, seg))
-            best = float(fs.getFileStatus(jseg).getModificationTime())
-            it = fs.listFiles(jseg, True)
-            while it.hasNext():
-                best = max(best, float(it.next().getModificationTime()))
-            marks.append(best)
+            try:
+                marks = []
+                if fs.exists(jint):
+                    marks.append(
+                        float(fs.getFileStatus(jint).getModificationTime())
+                    )
+                best = float(fs.getFileStatus(jseg).getModificationTime())
+                it = fs.listFiles(jseg, True)
+                while it.hasNext():
+                    best = max(best, float(it.next().getModificationTime()))
+                marks.append(best)
+            except Exception:  # noqa: BLE001 - a concurrent sweeper got
+                continue  # here first; the segment is already gone
             if now_ms - max(marks) > orphan_grace_sec * 1000.0:
                 fs.delete(jseg, True)
                 fs.delete(jint, False)

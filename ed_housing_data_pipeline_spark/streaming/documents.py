@@ -297,6 +297,10 @@ def run_stream_incremental_dedup(
                 _batch_frames(accepted, n_hashes, bands),
                 max_bucket_width=max_bucket_width,
                 keep_manifests=keep_latest,
+                # a high-frequency committer: bound superseded-manifest
+                # accumulation to minutes (readers here hold pins for
+                # one micro-batch), not the 24 h crash-debris grace
+                reader_grace_sec=600.0,
             )
             if compact_every and len(pins["bands"]) >= compact_every:
                 incr_index.compact_index(spark, index_root)
