@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
 import random
 import threading
@@ -468,6 +469,31 @@ def write_snapshot(
     safe for concurrent committers: without the pin, a writer holding
     stale pins would commit a manifest that silently DROPS a faster
     writer's rows (classic lost update)."""
+
+    def _payload(path: str) -> None:
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    return _commit_version(
+        spark, dataset_root, version, claim_stale_sec, _payload
+    )
+
+
+def _commit_version(
+    spark,
+    dataset_root: str,
+    version: int | None,
+    claim_stale_sec: float,
+    write_payload,
+) -> int:
+    """The snapshot commit machinery write_snapshot documents, with the
+    payload pluggable: allocate/validate the version, take the claim,
+    declare intent, run ``write_payload(v=N path)`` (must refuse an
+    existing path), flip the pointer, clean up. Shared by the
+    DataFrame payload (write_snapshot) and the metadata-plane blob
+    payload (write_snapshot_blob)."""
     committed = _committed_version(spark, dataset_root)
     if version is None:
         data_versions = snapshot_versions(spark, dataset_root)
@@ -489,11 +515,8 @@ def write_snapshot(
         out = fs.create(intent, True)
         out.write(str(version).encode("ascii"))
         out.close()
-        writer = df.write.mode("errorifexists")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
         try:
-            writer.parquet(path)
+            write_payload(path)
         except Exception as e:
             # a v=N dir under OUR claim can only be crashed-claimer or
             # single-writer-mode debris — still the typed conflict, so
@@ -543,6 +566,58 @@ def write_snapshot(
             if v < version:
                 fs.delete(st.getPath(), False)
     return version
+
+
+_BLOB_NAME = "manifest.json"
+
+
+def write_snapshot_blob(
+    spark,
+    text: str,
+    dataset_root: str,
+    version: int | None = None,
+    claim_stale_sec: float = 3600.0,
+) -> int:
+    """Commit a small TEXT payload as the next snapshot version —
+    write_snapshot's exact protocol (claim, intent, v=N payload,
+    pointer rename) but the payload is one ``v=N/manifest.json`` file
+    written through the filesystem API. Metadata commits (segment pin
+    maps) must not be Spark jobs: a manifest is a few hundred bytes,
+    and paying job scheduling + a parquet task per commit AND per read
+    puts the driver's job queue in the metadata hot path (production
+    table formats write manifests as plain JSON/Avro files for the
+    same reason). The payload write is an exclusive create, so it
+    refuses a pre-existing path exactly like the parquet
+    ``errorifexists`` payload."""
+
+    def _payload(path: str) -> None:
+        jvm, fs = _fs(spark, path)
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{_BLOB_NAME}"), False
+        )
+        out.write(text.encode("utf-8"))
+        out.close()
+
+    return _commit_version(
+        spark, dataset_root, version, claim_stale_sec, _payload
+    )
+
+
+def read_snapshot_blob(
+    spark, dataset_root: str, version: int | None = None
+) -> str:
+    """Read a blob snapshot's text payload (newest committed version by
+    default, or a pinned historical one) — a filesystem read, no job."""
+    if version is None:
+        version = _committed_version(spark, dataset_root)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {dataset_root}")
+    path = f"{_snapshot_dir(dataset_root, version)}/{_BLOB_NAME}"
+    jvm, fs = _fs(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    sink = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+    return bytes(sink.toByteArray()).decode("utf-8")
 
 
 def read_snapshot(spark, dataset_root: str, version: int | None = None) -> DataFrame:
@@ -700,8 +775,8 @@ def expire_snapshots(
 # bands + shingles + bucket stats) needs one atomic commit point:
 # component pointers alone can be torn by a crash between writes.
 # Protocol: write each component as its next snapshot version, then
-# commit a 1-row MANIFEST snapshot recording the version tuple — the
-# manifest's own pointer rename (write_snapshot) is the atomic commit;
+# commit a JSON MANIFEST blob recording the version map — the
+# manifest's own pointer rename (write_snapshot_blob) is the atomic commit;
 # readers resolve every component through the last committed manifest
 # and never see a partial multi-component write. Shared by the batch
 # incremental LSH index (plans/queries_llm) and the streaming dedup
@@ -710,19 +785,22 @@ def expire_snapshots(
 
 def write_manifest(spark, root: str, versions: dict[str, int]) -> int:
     """Commit a component-version manifest for ``root`` (see protocol
-    note above). Returns the manifest's own snapshot version."""
+    note above) as a JSON blob snapshot — a filesystem write, not a
+    Spark job (see write_snapshot_blob). Returns the manifest's own
+    snapshot version."""
     if not versions:
         raise ValueError("write_manifest: empty component map")
-    schema = ", ".join(f"{name} bigint" for name in versions)
-    mdf = spark.createDataFrame([tuple(versions.values())], schema)
-    return write_snapshot(spark, mdf, f"{root}/manifest")
+    payload = json.dumps(
+        {name: int(v) for name, v in versions.items()}, sort_keys=True
+    )
+    return write_snapshot_blob(spark, payload, f"{root}/manifest")
 
 
 def manifest_versions(spark, root: str) -> dict[str, int]:
     """The last COMMITTED manifest's component→version map.
     Raises FileNotFoundError when no manifest was ever committed."""
-    row = read_snapshot(spark, f"{root}/manifest").collect()[0]
-    return row.asDict()
+    parsed = json.loads(read_snapshot_blob(spark, f"{root}/manifest"))
+    return {name: int(v) for name, v in parsed.items()}
 
 
 def commit_components(
@@ -914,14 +992,21 @@ def commit_segment_manifest(
     writer committed meanwhile, :class:`ConcurrentCommitError` is
     raised instead of silently dropping that writer's pinned segments
     (the lost-update hazard any multi-writer append protocol has).
-    ``None`` keeps the single-writer next-free-number behavior."""
+    ``None`` keeps the single-writer next-free-number behavior.
+
+    The manifest is a JSON blob snapshot (write_snapshot_blob), not a
+    parquet dataset: commits and pin reads are filesystem operations,
+    never Spark jobs — the metadata plane must not queue behind the
+    data plane (a streaming sink commits every micro-batch)."""
     if not pins or any(not segs for segs in pins.values()):
         raise ValueError(f"commit_segment_manifest: empty pin map/list in {pins!r}")
-    rows = [(name, int(s)) for name, segs in pins.items() for s in segs]
-    mdf = spark.createDataFrame(rows, "component string, seg bigint")
-    return write_snapshot(
+    payload = json.dumps(
+        {name: sorted(int(s) for s in segs) for name, segs in pins.items()},
+        sort_keys=True,
+    )
+    return write_snapshot_blob(
         spark,
-        mdf,
+        payload,
         f"{root.rstrip('/')}/manifest",
         version=None if expected_base is None else expected_base + 1,
     )
@@ -943,12 +1028,12 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     version = _committed_version(spark, mroot)
     if version is None:
         raise FileNotFoundError(f"no committed snapshot under {mroot}")
-    pins: dict[str, set[int]] = {}
-    for r in read_snapshot(spark, mroot, version=version).collect():
-        pins.setdefault(r["component"], set()).add(int(r["seg"]))
-    # set-dedup is defense in depth: a duplicated (component, seg) row
-    # would make read_segments scan that segment twice — duplicate rows
-    return {name: sorted(segs) for name, segs in pins.items()}, version
+    parsed = json.loads(read_snapshot_blob(spark, mroot, version=version))
+    # set-dedup is defense in depth: a duplicated segment entry would
+    # make read_segments scan that segment twice — duplicate rows
+    return {
+        name: sorted({int(s) for s in segs}) for name, segs in parsed.items()
+    }, version
 
 
 def read_segmented_components(
@@ -1068,21 +1153,13 @@ def expire_segments(
         ),
     )
     keep: dict[str, set[int]] = {}
-    jvm0, fs0 = _fs(spark, root)
-    retained = [
-        d
-        for v in snapshot_versions(spark, f"{root}/manifest")
-        for d in [_snapshot_dir(f"{root}/manifest", v)]
-        # _SUCCESS gates out torn/in-flight dirs: every committed
-        # manifest has one (write_snapshot runs the full job), so this
-        # is exact, and it keeps the keep-set read to ONE multi-path
-        # job instead of a collect per retained version (which made
-        # every commit O(#retained manifests) driver round-trips)
-        if fs0.exists(jvm0.org.apache.hadoop.fs.Path(f"{d}/_SUCCESS"))
-    ]
-    if retained:
-        for r in spark.read.parquet(*retained).collect():
-            keep.setdefault(r["component"], set()).add(int(r["seg"]))
+    for v in snapshot_versions(spark, f"{root}/manifest"):
+        try:
+            parsed = json.loads(read_snapshot_blob(spark, f"{root}/manifest", v))
+        except Exception:  # noqa: BLE001 - torn/in-flight manifest dir
+            continue
+        for name, segs in parsed.items():
+            keep.setdefault(name, set()).update(int(s) for s in segs)
     jvm, fs = _fs(spark, root)
     now_ms = time.time() * 1000.0
     dropped: dict[str, list[int]] = {}

@@ -95,7 +95,7 @@ def _require_uninitialized(spark: SparkSession, root: str) -> None:
     accepted by streaming since — silently forgetting them, so future
     replays would re-accept their duplicates."""
     try:
-        lake.read_snapshot(spark, f"{root}/manifest")
+        lake.segment_pins(spark, root)
     except FileNotFoundError:
         return
     raise ValueError(

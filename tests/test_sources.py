@@ -680,3 +680,18 @@ def test_expire_snapshots_reader_grace(spark, tmp_path):
         spark, root, keep_latest=1, min_age_sec=3600
     ) == [1, 2]
     assert lake.snapshot_versions(spark, root) == [3]
+
+
+def test_snapshot_blob_roundtrip_and_time_travel(spark, tmp_path):
+    """Blob snapshots (the metadata plane: manifests as JSON files,
+    no Spark jobs) follow the exact snapshot protocol: versioning,
+    newest-committed reads, time travel, pinned-mode conflicts."""
+    root = str(tmp_path / "meta")
+    assert lake.write_snapshot_blob(spark, '{"a": 1}', root) == 1
+    assert lake.write_snapshot_blob(spark, '{"a": 2}', root) == 2
+    assert lake.read_snapshot_blob(spark, root) == '{"a": 2}'
+    assert lake.read_snapshot_blob(spark, root, version=1) == '{"a": 1}'
+    with pytest.raises(lake.ConcurrentCommitError):
+        lake.write_snapshot_blob(spark, '{"a": 9}', root, version=2)
+    with pytest.raises(FileNotFoundError):
+        lake.read_snapshot_blob(spark, str(tmp_path / "nothing"))
