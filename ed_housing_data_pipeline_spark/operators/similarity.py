@@ -1220,29 +1220,31 @@ def _kmeans_pp_seeds(
     return [[float(x) for x in c] for c in cents]
 
 
+def _cent_sort_sql(vec_col: str, cents: list[list[float]]) -> str:
+    """``array_sort`` over (squared-L2 distance, index) structs for a
+    centroid set, as ONE SQL string (the srp_bucket lesson: k·dim
+    literals through the Column API are thousands of py4j round-trips
+    and dominated k-means wall-clock — each Lloyd iteration rebuilds
+    the assignment expression). Struct ordering is field-by-field, so
+    ties resolve to the lower index deterministically."""
+    structs = ", ".join(
+        f"named_struct('d', {_sql_ssq(f'`{vec_col}`', c)}, 'i', {i})"
+        for i, c in enumerate(cents)
+    )
+    return f"array_sort(array({structs}))"
+
+
 def _assign_expr(vec_col: str, cents: list[list[float]]) -> Column:
-    """Argmin over squared L2 distances as native folds — ideal inside
-    codegen for small k·dim; the literal count grows as k·dim, so the
-    Arrow path takes over past ``_EXPR_ASSIGN_MAX_LITERALS``."""
-    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == len(cents[0]))
-    best_idx = F.lit(0)
-    best_dist = None
-    for i, c in enumerate(cents):
-        lit_vec = F.array(*[F.lit(x) for x in c])
-        dist = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_vec, lambda a, b: (a.cast("double") - b) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_dist is None:
-            best_dist = dist
-        else:
-            cond = dist < best_dist
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_dist = F.when(cond, dist).otherwise(best_dist)
-    return F.when(valid, best_idx).otherwise(F.lit(None).cast("int"))
+    """Argmin over squared L2 distances as one parsed native-fold
+    expression — ideal inside codegen for small k·dim; the literal
+    count grows as k·dim, so the Arrow path takes over past
+    ``_EXPR_ASSIGN_MAX_LITERALS``."""
+    valid = f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {len(cents[0])}"
+    return F.expr(
+        f"CASE WHEN {valid} THEN "
+        f"element_at({_cent_sort_sql(vec_col, cents)}, 1).i "
+        "ELSE CAST(NULL AS int) END"
+    )
 
 
 # Above this many centroid literals (k·dim) the when-chain argmin
@@ -1514,3 +1516,191 @@ def kmeans_blocks(
             for c in range(k)
         ]
     return assign(df, centroids), centroids
+
+
+# --------------------------------------- IVF-PQ (product quantization)
+# The storage-side ANN scale path: a corpus vector is kept as its
+# coarse cell id plus M small-int codes (one per vector subspace),
+# never the raw floats — 64 float32 dims become 4 codes (~16-64× less
+# I/O and memory at 100 TB), and search computes ASYMMETRIC distances
+# (raw query vs quantized corpus) from a per-query lookup table, so
+# the per-candidate cost is M array lookups instead of a dim-length
+# dot product (the FAISS IVFADC shape). All expressions are built as
+# single F.expr SQL strings — the srp_bucket lesson: hundreds of
+# literals through the Column API cost ~0.5s of py4j round-trips per
+# plan build, one parsed string costs one.
+
+
+def _sql_arr(vals: list[float]) -> str:
+    return "array(" + ",".join(_sql_double(v) for v in vals) + ")"
+
+
+def _sql_ssq(vec_expr: str, lit: list[float]) -> str:
+    """Squared-L2 distance between a vector SQL expression and a
+    literal, as a sequential fold — term order is pinned (index order,
+    0.0 seed) so the DuckDB oracle twin can reproduce the exact IEEE
+    summation."""
+    return (
+        f"aggregate(zip_with({vec_expr}, {_sql_arr(lit)}, "
+        "(x, y) -> (cast(x AS DOUBLE) - y) * (cast(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_shape(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
+    """(m, sub_dim, dim) of a codebook set; validates rectangularity."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if any(len(entry) != sub for cb in codebooks for entry in cb):
+        raise ValueError("pq codebooks must share one subvector width")
+    return m, sub, m * sub
+
+
+def pq_encode_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """PQ codes for a vector column: per subspace, the index of the
+    nearest (squared-L2) codebook entry — ties to the lower index via
+    struct-sort on (distance, index). NULL / wrong-dim vectors encode
+    to NULL. Returns ``array<int>`` of length m."""
+    m, sub, dim = _pq_shape(codebooks)
+    codes = []
+    for mi, cb in enumerate(codebooks):
+        sv = f"slice(`{vec_col}`, {mi * sub + 1}, {sub})"
+        structs = ", ".join(
+            f"named_struct('d', {_sql_ssq(sv, entry)}, 'i', {j})"
+            for j, entry in enumerate(cb)
+        )
+        codes.append(f"element_at(array_sort(array({structs})), 1).i")
+    valid = f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {dim}"
+    return F.expr(
+        f"CASE WHEN {valid} THEN array({', '.join(codes)}) "
+        "ELSE CAST(NULL AS array<int>) END"
+    )
+
+
+def pq_query_lut_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """The per-query ADC lookup table: ``lut[m][j]`` = squared-L2
+    distance from the query's m-th subvector to codebook entry j —
+    computed ONCE per query row (m·k folds), after which every
+    candidate costs m array lookups. Returns
+    ``array<array<double>>``."""
+    m, sub, dim = _pq_shape(codebooks)
+    rows = []
+    for mi, cb in enumerate(codebooks):
+        sv = f"slice(`{vec_col}`, {mi * sub + 1}, {sub})"
+        rows.append(
+            "array(" + ", ".join(_sql_ssq(sv, entry) for entry in cb) + ")"
+        )
+    valid = f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {dim}"
+    return F.expr(
+        f"CASE WHEN {valid} THEN array({', '.join(rows)}) "
+        "ELSE CAST(NULL AS array<array<double>>) END"
+    )
+
+
+def pq_adc_expr(lut_col: str, codes_col: str, m: int) -> Column:
+    """Asymmetric distance: sum over subspaces of the LUT entry the
+    candidate's code selects. Plain m-term addition in subspace order
+    (the oracle mirrors the order exactly)."""
+    terms = [
+        f"element_at(element_at(`{lut_col}`, {mi + 1}), "
+        f"element_at(`{codes_col}`, {mi + 1}) + 1)"
+        for mi in range(m)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def knn_ivf_pq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    nprobe: int = 1,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Multi-probe IVF-PQ (IVFADC) search: the corpus is inverted on
+    its nearest coarse cell and stored as PQ codes; each query probes
+    its ``nprobe`` nearest cells and ranks those inverted lists by
+    asymmetric distance from its LUT. Returns
+    (q_id, nn_id, adc, rn) — adc ASCENDING (it is a distance).
+
+    Scale shape: identical join graph to :func:`knn_ivf` (equi-join on
+    the cell id, broadcast when the query set is bounded, partitioned
+    top-k), but the corpus side carries ``(cell, m codes)`` instead of
+    raw vectors — the representation a 100 TB corpus would actually
+    persist — and the per-candidate math is m lookups, not a
+    dim-length dot product."""
+    m, _sub, _dim = _pq_shape(codebooks)
+    corpus = df.withColumn("_cell", _assign_expr(vec_col, cents)).withColumn(
+        "_codes", pq_encode_expr(vec_col, codebooks)
+    )
+    probed = df.withColumn(
+        "_probes", _probe_expr(vec_col, cents, nprobe)
+    ).withColumn("_lut", pq_query_lut_expr(vec_col, codebooks))
+    if query_filter is not None:
+        probed = probed.filter(query_filter)
+    q = probed.select(
+        F.col(id_col).alias("q_id"),
+        "_lut",
+        F.explode("_probes").alias("_cell"),
+    )
+    if query_filter is not None:
+        q = F.broadcast(q)
+    c = corpus.select(F.col(id_col).alias("nn_id"), "_codes", "_cell")
+    scored = (
+        c.join(q, on="_cell")
+        .filter(F.col("q_id") != F.col("nn_id"))
+        .withColumn("adc", pq_adc_expr("_lut", "_codes", m))
+        .select("q_id", "nn_id", "adc")
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["q_id"],
+        ordering=[F.col("adc").asc_nulls_last(), F.col("nn_id").asc()],
+        k=k,
+        rank_col="rn",
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: one independent k-means per vector subspace
+    (the classical PQ training decomposition — subspaces quantize
+    independently, so m small k-means replace one intractable
+    k^m-cell quantizer). Reuses :func:`kmeans_blocks` on the sliced
+    column; at 100 TB train on a sample and broadcast the m·k·sub_dim
+    floats exactly like the coarse centroids."""
+    if dim is None:
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("n"))
+            .limit(1)
+            .collect()
+        )
+        if not first:
+            raise ValueError("pq_train_codebooks: no non-null vectors")
+        dim = int(first[0]["n"])
+    if dim % m:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for mi in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), mi * sub + 1, sub).alias(vec_col),
+        )
+        _assigned, cents = kmeans_blocks(
+            sliced, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
+            seed=seed + mi,
+        )
+        books.append(cents)
+    return books
