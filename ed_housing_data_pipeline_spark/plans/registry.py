@@ -80,7 +80,7 @@ _LOADED = False
 # (doc_neardup_pairs, doc_minhash_signature, embedding_neardup_pairs,
 # embedding_dedup_clusters — cache machinery moved to plans/_caches.py).
 #
-# Swapped out this round (all r6-green, unchanged, family rep stays):
+# Swapped out in r7 (all r6-green, unchanged, family rep stays):
 # customers_without_orders_sql + priority_revenue_fact_join + inner_join_agg
 # → left_join/anti_join keep the join family; rank_desc_nulls_last →
 # rank_asc_nulls_last + rank_dense_global keep global_rank;
@@ -96,6 +96,15 @@ _LOADED = False
 # patho-smoke tier); embedding_knn_ivf_fixed → embedding_knn_srp +
 # embedding_knn_ivf; events_stream_sessionize / events_stream_state_totals →
 # events_stream_hourly + doc_stream_incremental_dedup keep streaming.
+#
+# r8 rotation: the ONLY two registered queries without a driver row are the
+# r7 buzzer additions embedding_knn_ivfpq_fixed (oracle twin) and
+# embedding_knn_ivfpq (rows-only trained path) — both swap IN. Swapped OUT:
+# count_star and limit_head (both r7-green, unchanged; the core-relational
+# family keeps 20+ in-window reps). Rewired-this-round queries stay
+# in-window: doc_incremental_neardup + doc_stream_incremental_dedup (commit
+# job-count reduction in operators/incr_index) and lake_snapshot_roundtrip
+# (atomic stale-claim break in sources/lake).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -115,8 +124,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_nearby_range_join",
     "setop_except_all",
     "lake_snapshot_roundtrip",
-    "count_star",
-    "limit_head",
     "region_nation_list",
     "orders_filtered_aggs",
     "orders_hash_sample",
@@ -147,6 +154,8 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     # LLM-data-pipeline surface: embeddings / similarity search
     "embedding_knn_srp",
     "embedding_knn_ivf",
+    "embedding_knn_ivfpq_fixed",
+    "embedding_knn_ivfpq",
     "embedding_neardup_pairs",
     "embedding_dedup_clusters",
     # structured streaming (hourly = windowed-agg rep; the full

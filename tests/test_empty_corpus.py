@@ -3,9 +3,10 @@ run to an empty result on a zero-row documents/embeddings table. A
 production pipeline hits empty partitions and empty ingest slices
 routinely — an AnalysisException there is an engine bug, not a data
 problem (this harness caught exactly one: read_jsonl_shards on an
-export that wrote no shard directories). The one documented
-exception: embedding_knn_ivf TRAINS a quantizer, and training on an
-empty corpus is a caller error that must raise clearly."""
+export that wrote no shard directories). The two documented
+exceptions: embedding_knn_ivf and embedding_knn_ivfpq TRAIN
+quantizers (coarse k-means; PQ codebooks), and training on an empty
+corpus is a caller error that must raise clearly."""
 
 from __future__ import annotations
 
@@ -44,7 +45,11 @@ def test_doc_and_embedding_queries_survive_empty_corpus(spark, empty_sf_dir):
         for name, fn in query_map().items():
             if not (name.startswith("doc_") or name.startswith("embedding_")):
                 continue
-            if name == "embedding_knn_ivf":
+            if name in ("embedding_knn_ivf", "embedding_knn_ivfpq"):
+                # documented raisers: both TRAIN a quantizer (k-means
+                # coarse cells; ivfpq additionally trains per-subspace
+                # PQ codebooks) and training on an empty corpus is a
+                # caller error that must fail loudly, not degrade
                 with pytest.raises(ValueError, match="no non-null vectors"):
                     fn(spark, empty_sf_dir).count()
                 continue

@@ -632,3 +632,177 @@ def test_neardup_clusters_string_ids_both_paths(spark):
             docs, pairs, "doc_id", max_local_edges=max_local
         )
         assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == expect
+
+
+# ---------------------------------------- IVF-PQ value-level pinning
+# The trained query (embedding_knn_ivfpq) is rows-only at the driver —
+# k-means + PQ-codebook training has no SQL twin — so this block is
+# its value-level verification, mirroring the IVF harnesses above:
+# the code-assignment invariant, an exactness pin of the whole ADC
+# search path with quantization noise removed, trained-path recall vs
+# brute force, and the probe-membership structural invariant.
+
+
+def test_pq_encode_code_assignment_invariant(spark):
+    """Every PQ code must be the argmin (squared-L2) entry of its
+    subspace codebook, ties to the LOWER index; NULL / wrong-dim
+    vectors encode to NULL. Recomputed independently in numpy."""
+    import numpy as np
+
+    # m=2 subspaces of 2 dims, k=3 entries; entries 1 and 2 of book 0
+    # are IDENTICAL -> any vector nearest them must pick index 1
+    books = [
+        [[0.0, 0.0], [5.0, 5.0], [5.0, 5.0]],
+        [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]],
+    ]
+    vecs = [
+        (1, [4.9, 5.1, 0.9, 0.1]),   # book0 tie between idx 1 and 2 -> 1
+        (2, [0.1, -0.2, -0.8, 0.0]),
+        (3, None),
+        (4, [1.0, 2.0, 3.0]),        # wrong dim -> NULL
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id", sim.pq_encode_expr("v", books).alias("codes")
+        ).collect()
+    }
+    assert got[3] is None and got[4] is None
+    for vid, vec in [(1, vecs[0][1]), (2, vecs[1][1])]:
+        v = np.asarray(vec)
+        for mi, cb in enumerate(books):
+            sub = v[mi * 2 : (mi + 1) * 2]
+            d = ((np.asarray(cb) - sub[None, :]) ** 2).sum(axis=1)
+            # ties to the lower index == numpy argmin's own tie rule
+            assert got[vid][mi] == int(d.argmin()), (vid, mi, d)
+
+
+def test_knn_ivfpq_exact_when_corpus_is_codebook_concat(spark):
+    """Quantization-noise-free pin of the ENTIRE IVFADC search path:
+    when every corpus vector is a concatenation of codebook entries,
+    PQ encoding is lossless, so (a) each returned `adc` must equal the
+    exact squared-L2 distance to that neighbor and (b) with every cell
+    probed the top-k must equal brute-force squared-L2 top-k with the
+    same (distance, id) tie order. A sign error, an off-by-one in the
+    LUT indexing, or a subspace-order bug all break this exactly."""
+    import itertools
+
+    import numpy as np
+
+    books = [
+        [[0.0, 0.0], [3.0, 0.0], [0.0, 3.0]],
+        [[1.0, 1.0], [-2.0, 0.5], [0.0, -1.0]],
+    ]
+    cents = [[0.0, 0.0, 0.0, 0.0], [2.0, 2.0, 0.0, 0.0]]
+    corpus = [
+        list(books[0][i]) + list(books[1][j])
+        for i, j in itertools.product(range(3), range(3))
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus)], "vec_id long, v array<double>"
+    )
+    out = sim.knn_ivf_pq(
+        df, vec_col="v", id_col="vec_id", cents=cents, codebooks=books,
+        k=3, nprobe=len(cents),  # probe ALL cells -> no IVF pruning
+    ).collect()
+    mat = np.asarray(corpus)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(range(len(corpus)))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        d = ((mat - mat[qid][None, :]) ** 2).sum(axis=1)
+        want = sorted(
+            ((float(d[i]), i) for i in range(len(corpus)) if i != qid)
+        )[:3]
+        got = [(round(r["adc"], 9), r["nn_id"]) for r in rs]
+        assert got == [(round(dv, 9), i) for dv, i in want], (qid, got, want)
+
+
+def test_knn_ivfpq_trained_recall_vs_bruteforce(spark):
+    """Trained-path recall: the registered rows-only query's @3
+    neighbors vs exact brute-force top-10 at sf0.01. Context for the
+    bound: the synthetic embeddings are uniform random unit vectors —
+    NO cluster structure — so m=4 codes over 64 dims retain little
+    (measured 0.18); chance is 10/499 ≈ 0.02, so ≥0.10 is ~5× above
+    chance and craters on any wrong-sign/off-by-one regression while
+    staying robust to k-means seed sensitivity. On real clustered
+    embeddings PQ recall is far higher; this pins plumbing, not PQ's
+    information-theoretic limit on noise."""
+    from ed_housing_data_pipeline_spark.plans.queries_llm import (
+        q_embedding_knn_ivfpq,
+    )
+
+    pq_pairs = {
+        (r["q_id"], r["nn_id"])
+        for r in q_embedding_knn_ivfpq(spark, SF001).collect()
+    }
+    assert len(pq_pairs) == 60  # 20 queries × 3
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    bf = sim.knn_bruteforce(
+        emb.filter(F.col("vec_id") < 20), emb, "embedding", "vec_id", k=10
+    )
+    bf_pairs = {(r["q_id"], r["nn_id"]) for r in bf.collect()}
+    recall = len(pq_pairs & bf_pairs) / len(pq_pairs)
+    assert recall >= 0.10, f"IVF-PQ @3-in-top-10 collapsed to {recall}"
+
+
+def test_knn_ivfpq_cell_membership_invariant(spark):
+    """Every neighbor the trained IVF-PQ query returns must live in
+    one of the query's nprobe probed cells (kmeans_blocks is
+    seed-deterministic, so recomputing the quantizer reproduces the
+    query's cells exactly) — same structural invariant as the IVF
+    twin, robust to float-ulp neighbor-set fragility."""
+    from ed_housing_data_pipeline_spark.plans.queries_llm import (
+        IVF_K,
+        IVF_NPROBE,
+        q_embedding_knn_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    _blocked, cents = sim.kmeans_blocks(
+        emb, vec_col="embedding", id_col="vec_id", k=IVF_K, iters=2
+    )
+    probed = emb.withColumn(
+        "_probes", sim._probe_expr("embedding", cents, IVF_NPROBE)
+    ).withColumn("_cell", sim._assign_expr("embedding", cents))
+    info = {
+        r["vec_id"]: (r["_probes"], r["_cell"])
+        for r in probed.select("vec_id", "_probes", "_cell").collect()
+    }
+    out = q_embedding_knn_ivfpq(spark, SF001).collect()
+    assert len(out) == 60
+    for r in out:
+        q_probes = info[r["q_id"]][0]
+        nn_cell = info[r["nn_id"]][1]
+        assert nn_cell in q_probes, (r["q_id"], r["nn_id"], q_probes, nn_cell)
+
+
+def test_pq_train_codebooks_contracts(spark):
+    """Training contracts: empty/all-NULL input raises (caller error,
+    the empty-corpus carve-out twin); dim not divisible by m raises;
+    a trained set has shape m × k × (dim/m) and encodes its own
+    training vectors to valid code ranges."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        sim.pq_train_codebooks(empty, vec_col="v", id_col="vec_id", m=2)
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, -1.0]) for i in range(12)],
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train_codebooks(df, vec_col="v", id_col="vec_id", m=3)
+    books = sim.pq_train_codebooks(
+        df, vec_col="v", id_col="vec_id", m=2, k=4, iters=1
+    )
+    assert len(books) == 2
+    assert all(len(cb) == 4 for cb in books)
+    assert all(len(e) == 2 for cb in books for e in cb)
+    codes = df.select(sim.pq_encode_expr("v", books).alias("c")).collect()
+    assert all(
+        r["c"] is not None and all(0 <= ci < 4 for ci in r["c"]) for r in codes
+    )

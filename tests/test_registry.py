@@ -9,10 +9,16 @@ def test_registry_complete_and_paired():
     q, o = query_map(), oracle_sql_map()
     assert len(q) >= 40
     assert set(o) <= set(q), "orphan oracles"
-    # iterative algorithms (k-means training) are the documented
-    # rows-only exception; everything else must carry a SQL twin
+    # iterative algorithms (k-means / PQ-codebook training) are the
+    # documented rows-only exceptions; everything else must carry a SQL
+    # twin. Each rows-only query is value-pinned instead by a FIXED
+    # oracle twin (embedding_knn_ivf_fixed / embedding_knn_ivfpq_fixed)
+    # plus recall + structural-invariant pytest harnesses
+    # (tests/test_operators_similarity.py).
     missing = set(q) - set(o)
-    assert missing <= {"embedding_knn_ivf"}, f"queries without oracle: {missing}"
+    assert missing <= {"embedding_knn_ivf", "embedding_knn_ivfpq"}, (
+        f"queries without oracle: {missing}"
+    )
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
@@ -24,12 +30,14 @@ def test_driver_window_covers_every_family():
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
     prior round's CORRECTNESS file. The anchors below are the
-    per-family representatives of the CURRENT (r7) window and may not
-    silently regress out. The r7 rotation is the tail-closer: all 19
-    never-driver-verified queries join the window (plus the rewired
-    doc_fuzzy_pairs_levenshtein), so a green r7 run gives every one of
-    the 115 registered queries a hard driver row (114 oracle-checked,
-    embedding_knn_ivf rows-only by documented design)."""
+    per-family representatives of the CURRENT (r8) window and may not
+    silently regress out. The r8 rotation closes the last gap: the two
+    r7 buzzer additions (embedding_knn_ivfpq_fixed, embedding_knn_ivfpq)
+    join the window, so a green r8 run gives every one of the 117
+    registered queries a hard driver row (115 oracle-checked,
+    embedding_knn_ivf + embedding_knn_ivfpq rows-only by documented
+    design). Swapped out: count_star, limit_head (r7-green,
+    unchanged, core family keeps 20+ reps)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -37,14 +45,15 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # the never-driver-verified tail — the r7 window's whole point
-        "count_star",
+        # the never-driver-verified tail — the r8 window's whole point
+        "embedding_knn_ivfpq_fixed",  # IVF-PQ oracle twin (r7 buzzer)
+        "embedding_knn_ivfpq",        # trained IVFADC, rows-only by design
+        # r7 tail-closers that stay hot
         "customer_moving_avg",
         "doc_fingerprint",
         "events_daily_active_users",
         "events_hourly_by_type",
         "events_json_by_type",
-        "limit_head",
         "lineitem_quantity_quantiles",
         "orders_filtered_aggs",
         "orders_hash_sample",
@@ -52,17 +61,18 @@ def test_driver_window_covers_every_family():
         "region_nation_list",
         "supplier_balance_distribution",
         "doc_export_shards",
-        "doc_stream_incremental_dedup",
         "doc_unigram_surprisal",
         "doc_dup_span_coverage",
         "doc_source_mixture_weights",
         "embedding_knn_ivf",        # rows-only by design
-        # rewired this round — must be re-verified by the driver
+        # rewired this round (r8) — must be re-verified by the driver
+        "doc_incremental_neardup",      # commit job-count reduction
+        "doc_stream_incremental_dedup", # same index machinery
+        "lake_snapshot_roundtrip",      # atomic stale-claim break
+        # r7 rewires that stay hot
         "doc_fuzzy_pairs_levenshtein",  # 'g'-flag oracle fix
         "doc_exact_dedup",          # 'g'-flag oracle fix
         "doc_chargram_neardup",     # 'g'-flag oracle fix
-        "doc_incremental_neardup",  # segmented-index commits (r7)
-        "lake_snapshot_roundtrip",  # lake.py gained the segment protocol
         # family representatives that keep every operator family hot
         "doc_minhash_signature",    # minhash sketch
         "doc_neardup_pairs",        # LSH banding + verify
