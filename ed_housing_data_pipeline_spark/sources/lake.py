@@ -398,9 +398,21 @@ def _claim_pinned_version(
 
     A claim whose writer crashed before committing would livelock every
     later writer pinned to that version, so a claim older than
-    ``stale_sec`` with no committed pointer is broken: the taker deletes
-    it (and any data debris the crasher left) and claims fresh."""
+    ``stale_sec`` with no committed pointer is broken — but the break
+    itself must be single-winner across PROCESSES (the in-process lock
+    cannot help there): a naive delete-then-create lets two breakers
+    that both observed the old claim's mtime interleave so that B's
+    delete removes A's just-created fresh claim and both proceed into
+    the same ``v=N`` dir — reinstating exactly the merged-part-files
+    race the claim exists to close. So :func:`_break_stale_claim`
+    renames the stale claim to a unique tombstone (rename of a missing
+    source fails on Hadoop filesystems, so exactly one breaker wins;
+    losers get ConcurrentCommitError), and the fresh claim's content is
+    a per-writer unique token that is read back before returning — a
+    racer that somehow overwrote our claim is detected before any data
+    lands."""
     claim = jvm.org.apache.hadoop.fs.Path(f"{root}/_CLAIM.v{version}")
+    token = f"{version}:{_next_segment_id()}"
     with _PIN_CLAIM_LOCK:
         for attempt in range(2):
             try:
@@ -411,25 +423,105 @@ def _claim_pinned_version(
                         fs.getFileStatus(claim).getModificationTime()
                     )
                     if age_ms > stale_sec * 1000.0:
-                        # crashed claimer: break the claim and its debris
-                        fs.delete(claim, False)
-                        fs.delete(
-                            jvm.org.apache.hadoop.fs.Path(
-                                _snapshot_dir(root, version)
-                            ),
-                            True,
+                        _break_stale_claim(
+                            jvm, fs, root, version, claim, stale_sec
                         )
                         continue
                 raise ConcurrentCommitError(
                     f"{root}: version {version} is claimed by a concurrent "
                     "writer; retry from fresh state"
                 ) from None
-            out.write(str(version).encode("ascii"))
+            out.write(token.encode("ascii"))
             out.close()
+            if _read_small_file(jvm, fs, claim) != token:
+                # somebody replaced our claim between create and now
+                # (possible only through a misbehaving break) — stand
+                # down before any data lands
+                raise ConcurrentCommitError(
+                    f"{root}: claim for version {version} was overwritten "
+                    "by a concurrent writer; retry from fresh state"
+                )
             return claim
     raise ConcurrentCommitError(
         f"{root}: could not claim version {version}"
     )
+
+
+def _read_small_file(jvm, fs, jpath) -> str:
+    stream = fs.open(jpath)
+    sink = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+    return bytes(sink.toByteArray()).decode("utf-8")
+
+
+def _break_stale_claim(
+    jvm, fs, root: str, version: int, claim, stale_sec: float
+) -> None:
+    """Single-winner break of a stale ``_CLAIM.v<N>``: atomic rename to
+    a unique tombstone decides the breaker (losers raise the typed
+    conflict and retry from fresh state), and the crasher's data debris
+    is MOVED ASIDE before deletion rather than deleted in place — a
+    merely-stalled holder that resumes keeps writing into the renamed
+    dir (or fails loudly on the vanished path), never into the dir the
+    break winner is about to populate, and ``_LATEST.v<N>`` can no
+    longer end up pointing at two writers' merged part files. The
+    committed pointer is re-checked before touching anything: if the
+    'stale' holder actually resumed and committed, breaking would
+    orphan live data, so the breaker stands down.
+
+    The rename alone cannot decide the race: a slow breaker whose
+    staleness verdict came from the OLD claim's mtime could rename away
+    the winner's freshly re-created claim and 'win' a second time. So
+    staleness is re-verified ON THE TOMBSTONE (rename preserves mtime):
+    a young tombstone means we just renamed away a rival's live claim —
+    put it back and stand down."""
+    pointer = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.v{version}")
+    if fs.exists(pointer):
+        raise ConcurrentCommitError(
+            f"{root}: version {version} was committed while its claim "
+            "looked stale; state was derived from a stale snapshot"
+        )
+    tomb = jvm.org.apache.hadoop.fs.Path(
+        f"{root}/_CLAIMTOMB.v{version}.{_next_segment_id()}"
+    )
+    if not fs.rename(claim, tomb):
+        # another breaker won the atomic rename — exactly one proceeds
+        raise ConcurrentCommitError(
+            f"{root}: lost the stale-claim break race for version "
+            f"{version}; retry from fresh state"
+        )
+    tomb_age_ms = time.time() * 1000.0 - float(
+        fs.getFileStatus(tomb).getModificationTime()
+    )
+    if tomb_age_ms <= stale_sec * 1000.0:
+        # we renamed away a LIVE claim (a rival breaker won and
+        # re-claimed between our staleness read and our rename):
+        # restore it and stand down
+        fs.rename(tomb, claim)
+        raise ConcurrentCommitError(
+            f"{root}: stale-claim break for version {version} raced a "
+            "live re-claim; retry from fresh state"
+        )
+    fs.delete(tomb, False)
+    vdir = jvm.org.apache.hadoop.fs.Path(_snapshot_dir(root, version))
+    if fs.exists(vdir):
+        # re-check after winning the break: the holder may have flipped
+        # the pointer between our first check and the rename
+        if fs.exists(pointer):
+            raise ConcurrentCommitError(
+                f"{root}: version {version} was committed mid-break"
+            )
+        debris = jvm.org.apache.hadoop.fs.Path(
+            f"{_snapshot_dir(root, version)}.debris.{_next_segment_id()}"
+        )
+        if not fs.rename(vdir, debris):
+            raise ConcurrentCommitError(
+                f"{root}: could not move aside debris of version {version}"
+            )
+        # the unique debris name is ours exclusively post-rename; a
+        # stalled holder's open handles now write into unlinked files,
+        # not into the v=N dir the fresh claimer will create
+        fs.delete(debris, True)
 
 
 def write_snapshot(
@@ -614,10 +706,7 @@ def read_snapshot_blob(
             raise FileNotFoundError(f"no committed snapshot under {dataset_root}")
     path = f"{_snapshot_dir(dataset_root, version)}/{_BLOB_NAME}"
     jvm, fs = _fs(spark, path)
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
-    sink = jvm.java.io.ByteArrayOutputStream()
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
-    return bytes(sink.toByteArray()).decode("utf-8")
+    return _read_small_file(jvm, fs, jvm.org.apache.hadoop.fs.Path(path))
 
 
 def read_snapshot(spark, dataset_root: str, version: int | None = None) -> DataFrame:

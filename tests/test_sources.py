@@ -656,6 +656,82 @@ def test_pinned_commit_claim_gate(spark, tmp_path):
     with pytest.raises(lake.ConcurrentCommitError):
         lake.write_snapshot(spark, d2, root, version=2)
     assert not os.path.exists(f"{root}/_CLAIM.v2")
+    # the break left no tombstone or debris-rename leftovers behind
+    assert not [
+        n for n in os.listdir(root)
+        if n.startswith("_CLAIMTOMB") or ".debris." in n
+    ]
+
+
+def test_stale_claim_break_loser_stands_down(spark, tmp_path, monkeypatch):
+    """The r7-ADVICE cross-process hazard: two writers that both
+    observed the same stale claim must not BOTH break it — the naive
+    delete-then-create break lets the slow breaker delete the fast
+    breaker's freshly re-created claim and both write into v=N. The
+    break is now an atomic rename to a unique tombstone with the
+    staleness verdict re-checked ON the tombstone (rename preserves
+    mtime). Simulated interleaving: a rival completes a full break and
+    re-claim in the window between our staleness read and our rename —
+    our writer must restore the rival's live claim untouched and raise
+    the typed conflict, landing no data."""
+    import os
+
+    root = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert lake.write_snapshot(spark, d1, root, version=1) == 1
+    claim_path = f"{root}/_CLAIM.v2"
+    with open(claim_path, "w") as f:
+        f.write("2:crashed-writer")
+    _backdate(claim_path, days=2)
+
+    real_break = lake._break_stale_claim
+
+    def rival_wins_first(jvm, fs, r, version, claim, stale_sec):
+        # the rival's full break + fresh re-claim, atomically "before"
+        # our rename: old claim renamed away, fresh claim created NOW
+        os.rename(claim_path, f"{root}/_CLAIMTOMB.v2.rival")
+        os.remove(f"{root}/_CLAIMTOMB.v2.rival")
+        with open(claim_path, "w") as f:
+            f.write("2:rival")
+        return real_break(jvm, fs, r, version, claim, stale_sec)
+
+    monkeypatch.setattr(lake, "_break_stale_claim", rival_wins_first)
+    d2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    with pytest.raises(lake.ConcurrentCommitError, match="re-claim"):
+        lake.write_snapshot(spark, d2, root, version=2)
+    # the rival's live claim was restored, not deleted or replaced
+    with open(claim_path) as f:
+        assert f.read() == "2:rival"
+    # and the losing breaker landed no data
+    assert lake.snapshot_versions(spark, root) == [1]
+
+
+def test_stale_claim_break_stands_down_if_version_committed(spark, tmp_path):
+    """A claim can look stale while its holder merely stalled; if the
+    holder resumed and COMMITTED the version, breaking the claim and
+    touching the data dir would orphan live committed data. The breaker
+    must re-check the pointer and stand down, leaving claim and data
+    untouched (the unfenced-lease hazard from the r7 ADVICE)."""
+    import os
+
+    root = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert lake.write_snapshot(spark, d1, root, version=1) == 1
+    d2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    assert lake.write_snapshot(spark, d2, root, version=2) == 2
+    # reconstruct the stalled-holder-resumed state: v2 committed but its
+    # stale claim still standing (holder died between flip and cleanup)
+    claim_path = f"{root}/_CLAIM.v2"
+    with open(claim_path, "w") as f:
+        f.write("2:stalled-holder")
+    _backdate(claim_path, days=2)
+    jvm, fs = lake._fs(spark, root)
+    claim = jvm.org.apache.hadoop.fs.Path(claim_path)
+    with pytest.raises(lake.ConcurrentCommitError, match="committed"):
+        lake._break_stale_claim(jvm, fs, root, 2, claim, 3600.0)
+    # nothing was touched: claim intact, committed data intact
+    assert os.path.exists(claim_path)
+    assert {r["v"] for r in lake.read_snapshot(spark, root).collect()} == {"b"}
 
 
 def test_expire_snapshots_reader_grace(spark, tmp_path):
