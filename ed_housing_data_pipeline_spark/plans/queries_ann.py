@@ -1,0 +1,396 @@
+"""ANN query family: IVF-Flat and IVF-PQ (IVFADC) over the embeddings
+table — moved out of plans/queries_llm.py (r7 VERDICT task #6: module
+split; registration names and window membership unchanged).
+
+Each trained query (k-means coarse quantizer, PQ codebook training) is
+non-SQL-expressible and carries a rows-only driver check; its FIXED
+twin replays the entire search half with seeded-literal constants on
+both engines so cell assignment, multi-probe expansion, code
+assignment, ADC summation, and top-k tie-breaks are all hash-checked
+against DuckDB. Value-level pinning of the trained paths lives in
+tests/test_operators_similarity.py (recall vs brute force, structural
+invariants, quantization-noise-free exactness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ed_housing_data_pipeline_spark.operators import similarity as sim
+from ed_housing_data_pipeline_spark.plans.queries_llm import EMB_DIM, emb_t
+from ed_housing_data_pipeline_spark.plans.registry import register
+
+KNN_ORACLE = """
+SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+       ROUND((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 0)), 4) AS sim,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY (list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 0)) DESC NULLS LAST,
+                    e.vec_id ASC) AS BIGINT) AS rn
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) q
+JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) e ON e.vec_id <> q.vec_id
+WHERE q.vec_id < 10
+QUALIFY rn <= 3
+"""
+
+
+@register("embedding_knn_bruteforce", oracle=KNN_ORACLE)
+def q_embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for 10 query vectors — broadcast queries, one
+    corpus pass, no corpus shuffle. The ANN correctness baseline."""
+    emb = emb_t(spark, sf_dir)
+    out = sim.knn_bruteforce(
+        queries=emb.filter(F.col("vec_id") < 10),
+        corpus=emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=3,
+    )
+    return out.select(
+        "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn"
+    )
+
+
+KNN_BLOCKED_ORACLE = """
+SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+       ROUND((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 0)), 4) AS sim,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY (list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 0)) DESC NULLS LAST,
+                    e.vec_id ASC) AS BIGINT) AS rn
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) q
+JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) e ON e.label = q.label AND e.vec_id <> q.vec_id
+WHERE q.vec_id < 20
+QUALIFY rn <= 1
+"""
+
+
+@register("embedding_knn_blocked", oracle=KNN_BLOCKED_ORACLE)
+def q_embedding_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked (IVF-style) nearest neighbor — equi-join on the
+    block id, exact cosine within block. The 100 TB scale path: never
+    a cartesian plan."""
+    emb = emb_t(spark, sf_dir)
+    out = sim.knn_within_block(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        block_col="label",
+        k=1,
+        query_filter=F.col("q_id") < 20,
+    )
+    return out.select(
+        "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn"
+    )
+
+
+
+
+# ------------------------------------------------- SRP-LSH bucketed ANN
+# embeddings.parquet schema contract: fixed-width 64-float vectors —
+# lets every cosine/dot unroll into codegen arithmetic (vectors.py)
+SRP_PLANES = sim.srp_params(n_planes=4, dim=EMB_DIM, seed=42)
+
+
+def _srp_bucket_sql() -> str:
+    terms = []
+    for i, plane in enumerate(SRP_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {2**i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+KNN_SRP_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST({_srp_bucket_sql()} AS BIGINT) AS bucket
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
+)
+SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+       ROUND((list_dot_product(q.v, e.v) / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)), 0)), 4) AS sim,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY (list_dot_product(q.v, e.v) / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)), 0)) DESC NULLS LAST, e.vec_id ASC)
+         AS BIGINT) AS rn
+FROM b q
+JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+WHERE q.vec_id < 20
+QUALIFY rn <= 1
+"""
+
+
+@register("embedding_knn_srp", oracle=KNN_SRP_ORACLE)
+def q_embedding_knn_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH ANN: bucket by the sign pattern of
+    4 seeded hyperplane projections, exact cosine within bucket — the
+    data-independent LSH counterpart of the label-blocked (IVF-style)
+    path. Equi-join on bucket id; never a cartesian plan."""
+    emb = emb_t(spark, sf_dir)
+    bucketed = emb.withColumn("srp", sim.srp_bucket("embedding", SRP_PLANES))
+    out = sim.knn_within_block(
+        bucketed,
+        vec_col="embedding",
+        id_col="vec_id",
+        block_col="srp",
+        k=1,
+        query_filter=F.col("q_id") < 20,
+    )
+    return out.select("q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn")
+
+
+# ------------------------------------------------- IVF-Flat ANN (e2e)
+IVF_K = 8
+IVF_NPROBE = 4
+
+
+@register("embedding_knn_ivf", oracle=None)  # iterative k-means: no SQL twin
+def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multi-probe IVF-Flat: train the coarse quantizer
+    (k-means++ init, 2 Lloyd iterations, k=8) on the embedding column,
+    invert the corpus on its nearest cell, then each query (vec_id <
+    20, bounded → broadcast) probes its 4 nearest cells and takes
+    exact cosine top-3 from those inverted lists. The iterative
+    training loop is genuinely non-SQL-expressible, so this query
+    carries no DuckDB twin and the driver records the weaker rows-only
+    check — value-level correctness is pinned instead by two pytest
+    harnesses (tests/test_operators_similarity.py):
+    ``test_knn_ivf_recall_vs_bruteforce`` (recall@3 ≥ 0.7 vs the exact
+    `embedding_knn_bruteforce` ground truth at sf0.01) and
+    ``test_knn_ivf_cell_membership_invariant`` (every returned
+    neighbor's cell is among the query's nprobe probed cells). Plan
+    shape: small-k native argmin/probe expressions (stay in codegen),
+    equi-join on the cell id, partitioned top-k window — never a
+    cartesian."""
+    emb = emb_t(spark, sf_dir)
+    _blocked, cents = sim.kmeans_blocks(
+        emb, vec_col="embedding", id_col="vec_id", k=IVF_K, iters=2
+    )
+    out = sim.knn_ivf(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=cents,
+        k=3,
+        nprobe=IVF_NPROBE,
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select(
+        "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+# Fixed coarse quantizer for the oracle-checkable IVF twin: seeded
+# gaussian centroids generated from the SAME constants on both sides
+# (Spark literals and DuckDB SQL), so cell assignment + multi-probe +
+# within-cell top-k are exactly replicable in ANSI SQL. 4×64 = 256
+# literals — comfortably inside the native-expression budget.
+IVF_FIXED_CENTS = sim.srp_params(n_planes=4, dim=64, seed=123)
+IVF_FIXED_NPROBE = 2
+
+
+def _ivf_fixed_oracle() -> str:
+    structs = []
+    for i, c in enumerate(IVF_FIXED_CENTS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        structs.append(f"struct_pack(d := list_distance(v, {lit}), i := {i})")
+    sd = "list_sort([" + ", ".join(structs) + "])"
+    return f"""
+WITH b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
+),
+a AS (
+    SELECT vec_id, v, {sd} AS sd FROM b
+),
+cells AS (
+    SELECT vec_id, v, sd[1].i AS cell,
+           list_transform(sd[1:{IVF_FIXED_NPROBE}], s -> s.i) AS probes
+    FROM a
+)
+SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+       ROUND((list_dot_product(q.v, e.v) / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)), 0)), 4) AS sim,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY (list_dot_product(q.v, e.v) / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)), 0)) DESC NULLS LAST, e.vec_id ASC)
+         AS BIGINT) AS rn
+FROM cells q
+JOIN cells e ON list_contains(q.probes, e.cell) AND e.vec_id <> q.vec_id
+WHERE q.vec_id < 20
+QUALIFY rn <= 3
+"""
+
+
+@register("embedding_knn_ivf_fixed", oracle=_ivf_fixed_oracle())
+def q_embedding_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF-Flat search with a FIXED (seeded-literal) coarse
+    quantizer — the oracle-checkable twin of ``embedding_knn_ivf``.
+    The trained path's k-means loop is non-SQL-expressible, so its
+    driver row is rows-only; this query pins the entire SEARCH half
+    (cell assignment argmin, nprobe nearest-cell expansion, inverted-
+    list equi-join, exact-cosine top-k with deterministic tie-breaks)
+    against a DuckDB twin built from the same centroid constants.
+    Ties in cell distance resolve to the lower cell index on both
+    sides (strict-less argmin chain in Spark, struct sort (d, i) in
+    DuckDB). Plan shape identical to the trained path: native fold
+    expressions in codegen, equi-join on the cell id, partitioned
+    top-k — never a cartesian."""
+    emb = emb_t(spark, sf_dir)
+    out = sim.knn_ivf(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=IVF_FIXED_CENTS,
+        k=3,
+        nprobe=IVF_FIXED_NPROBE,
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select(
+        "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+# ------------------------------------------------- IVF-PQ ANN (IVFADC)
+# Fixed PQ codebooks for the oracle-checkable twin: m=4 subspaces of 16
+# dims, k=8 entries each, seeded gaussians scaled to the embedding
+# column's magnitude (~N(0, 0.125²) — srp_params emits unit normals).
+# 4·8·16 = 512 literals per expression, inside the single-F.expr parse
+# budget; the SAME constants generate the DuckDB SQL.
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 8
+PQ_FIXED_CODEBOOKS = [
+    [[0.125 * x for x in row] for row in sim.srp_params(PQ_K, PQ_SUB, seed=500 + m)]
+    for m in range(PQ_M)
+]
+PQ_NPROBE = 2
+
+
+def _ivfpq_fixed_oracle() -> str:
+    def arr(vals: list[float]) -> str:
+        return "CAST([" + ", ".join(repr(x) for x in vals) + "] AS DOUBLE[])"
+
+    def ssq(vexpr: str, vals: list[float]) -> str:
+        # term order and the (a-b)*(a-b) form mirror similarity._sql_ssq
+        # exactly, so both engines run the same IEEE summation
+        return (
+            f"list_sum(list_transform(list_zip({vexpr}, {arr(vals)}), "
+            "t -> (t[1] - t[2]) * (t[1] - t[2])))"
+        )
+
+    coarse = ", ".join(
+        f"struct_pack(d := {ssq('v', c)}, i := {i})"
+        for i, c in enumerate(IVF_FIXED_CENTS)
+    )
+    code_cols = []
+    lut_rows = []
+    for mi, cb in enumerate(PQ_FIXED_CODEBOOKS):
+        sv = f"v[{mi * PQ_SUB + 1}:{(mi + 1) * PQ_SUB}]"
+        structs = ", ".join(
+            f"struct_pack(d := {ssq(sv, entry)}, i := {j})"
+            for j, entry in enumerate(cb)
+        )
+        code_cols.append(f"list_sort([{structs}])[1].i")
+        lut_rows.append("[" + ", ".join(ssq(sv, entry) for entry in cb) + "]")
+    adc = " + ".join(
+        f"q.lut[{mi + 1}][e.codes[{mi + 1}] + 1]" for mi in range(PQ_M)
+    )
+    return f"""
+WITH b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
+),
+a AS (
+    SELECT vec_id, v, list_sort([{coarse}]) AS sd FROM b
+),
+enc AS (
+    SELECT vec_id, sd[1].i AS cell,
+           list_transform(sd[1:{PQ_NPROBE}], s -> s.i) AS probes,
+           [{", ".join(code_cols)}] AS codes,
+           [{", ".join(lut_rows)}] AS lut
+    FROM a
+)
+SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
+       ROUND({adc}, 4) AS adc,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ({adc}) ASC NULLS LAST, e.vec_id ASC) AS BIGINT) AS rn
+FROM enc q
+JOIN enc e ON list_contains(q.probes, e.cell) AND e.vec_id <> q.vec_id
+WHERE q.vec_id < 20
+QUALIFY rn <= 3
+"""
+
+
+@register("embedding_knn_ivfpq_fixed", oracle=_ivfpq_fixed_oracle())
+def q_embedding_knn_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF-PQ (IVFADC) search with FIXED coarse centroids
+    and FIXED per-subspace codebooks — the oracle-checkable twin of
+    ``embedding_knn_ivfpq``, pinning the entire search half against a
+    DuckDB twin built from the same constants: coarse cell argmin,
+    nprobe expansion, per-subspace code assignment (ties to the lower
+    index on both engines), the per-query ADC lookup table, the m-term
+    asymmetric-distance sum in subspace order, and the ascending-ADC
+    top-k with deterministic tie-breaks. The corpus side of the join
+    carries only (cell, 4 codes) — the compressed representation that
+    makes PQ the 100 TB ANN path."""
+    emb = emb_t(spark, sf_dir)
+    out = sim.knn_ivf_pq(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=IVF_FIXED_CENTS,
+        codebooks=PQ_FIXED_CODEBOOKS,
+        k=3,
+        nprobe=PQ_NPROBE,
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select(
+        "q_id",
+        "nn_id",
+        F.round(F.col("adc"), 4).alias("adc"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+@register("embedding_knn_ivfpq", oracle=None)  # k-means training: no SQL twin
+def q_embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained IVF-PQ: k-means coarse quantizer (k=8, 2
+    Lloyd iterations) plus per-subspace PQ codebooks (m=4, k=8, one
+    independent k-means per 16-dim subspace — the classical PQ
+    training decomposition), then IVFADC search. The training loops
+    are non-SQL-expressible, so the driver records the weaker
+    rows-only check; value-level behavior is pinned by the fixed twin
+    above plus four pytest harnesses (tests/
+    test_operators_similarity.py "IVF-PQ value-level pinning" block):
+    the code-assignment invariant (argmin per subspace, ties to lower
+    index, vs numpy), an exactness pin of the full IVFADC path with
+    quantization noise removed (codebook-concat corpus → adc == exact
+    squared-L2 and full-probe top-k == brute force), trained-path
+    recall@3-in-top-10 vs brute force, and the cell-membership
+    invariant (every neighbor's cell is among the query's probed
+    cells); training contracts (empty-corpus raise, dim % m, shape)
+    in test_pq_train_codebooks_contracts."""
+    emb = emb_t(spark, sf_dir)
+    _blocked, cents = sim.kmeans_blocks(
+        emb, vec_col="embedding", id_col="vec_id", k=IVF_K, iters=2
+    )
+    books = sim.pq_train_codebooks(
+        emb, vec_col="embedding", id_col="vec_id", m=PQ_M, k=PQ_K, iters=2
+    )
+    out = sim.knn_ivf_pq(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=cents,
+        codebooks=books,
+        k=3,
+        nprobe=IVF_NPROBE,
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select(
+        "q_id",
+        "nn_id",
+        F.round(F.col("adc"), 4).alias("adc"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )

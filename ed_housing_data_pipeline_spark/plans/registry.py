@@ -171,6 +171,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from ed_housing_data_pipeline_spark.plans import (  # noqa: F401, PLC0415
+        queries_ann,
         queries_core,
         queries_curation,
         queries_events,
