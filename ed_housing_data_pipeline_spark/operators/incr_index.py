@@ -33,6 +33,7 @@ commit re-derives the same content from the last committed manifest.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -154,48 +155,102 @@ def append_batch(
     keep_manifests: int = 2,
     orphan_grace_sec: float = 24 * 3600,
     reader_grace_sec: float | None = None,
+    segment_partitions: int | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) index commit: append the batch's data-component
     rows as new segments, append its per-bucket counts, re-derive the
     (tiny) stop table incrementally, flip the manifest, run segment
     retention. Returns the committed pin map.
 
-    Everything the derived updates read comes from WRITTEN segments
-    (the batch's own just-written ones + the previously committed
-    pins), so the batch lineage executes exactly once and a crash at
-    any point leaves only unpinned debris."""
+    The batch's bucket counts derive from the PASSED ``bands`` frame,
+    not from a read-back of the just-written segment — one fewer
+    filesystem round-trip per commit, and with the caller holding the
+    batch persisted (both production callers do) the counts job scans
+    cache instead of parquet. The contract that makes this sound: the
+    frames must be deterministic-content under recompute (or persisted)
+    so the written segment and the derived counts cannot diverge; the
+    committed-side inputs still come only from manifest-pinned
+    segments, so a crash at any point leaves only unpinned debris.
+
+    ``segment_partitions`` caps each segment's file count (a plain
+    ``coalesce``). Micro-batch commits otherwise inherit the session's
+    shuffle parallelism and write 32+ tiny files per component — 5
+    components deep, that is the dominant fixed cost per commit (the
+    parquet committer's per-file temp-rename dance) and a small-file
+    flood for every later reader. ``None`` preserves the upstream
+    partitioning (bulk backfills).
+
+    The five segment writes run as CONCURRENT Spark jobs (data
+    components + the counts→stop chain are mutually independent given
+    a persisted batch), so per-commit wall latency is the slowest
+    chain, not the sum of five serial job round-trips. Nothing about
+    the crash model changes: the manifest flip still happens only
+    after every write returns, and a failure in any job leaves all
+    written segments as unpinned debris for the age-gated sweep."""
     unknown = set(frames) - set(DATA_COMPONENTS)
     if "bands" not in frames or "shingles" not in frames or unknown:
         raise ValueError(
             f"append_batch: need bands+shingles (docs optional), got "
             f"{sorted(frames)}"
         )
+
+    def _cap(df: DataFrame) -> DataFrame:
+        # derived tables sit just past a shuffle: coalesce folds the
+        # tiny agg output without adding one
+        return df.coalesce(segment_partitions) if segment_partitions else df
+
+    def _cap_wide(df: DataFrame) -> DataFrame:
+        # data components carry the batch's full lineage (shingle/
+        # minhash pass when the caller's cache is cold): repartition,
+        # not coalesce — coalesce would drag the UPSTREAM compute down
+        # to segment_partitions-way parallelism; the round-robin
+        # shuffle of a micro-batch is cheap
+        return df.repartition(segment_partitions) if segment_partitions else df
+
     pins, base = lake.segment_pins_versioned(spark, root)
     new_pins = dict(pins)
-    new_segs: dict[str, int] = {}
-    for name, df in frames.items():
-        seg = lake.write_segment(spark, df, f"{root}/{name}")
-        new_segs[name] = seg
-        new_pins[name] = [*pins[name], seg]
-    batch_bands = lake.read_segments(
-        spark, f"{root}/bands", [new_segs["bands"]]
-    )
-    cseg = lake.write_segment(
-        spark, bucket_counts(batch_bands), f"{root}/bucketcounts"
-    )
-    new_pins["bucketcounts"] = [*pins["bucketcounts"], cseg]
-    batch_counts = lake.read_segments(spark, f"{root}/bucketcounts", [cseg])
-    committed_counts = lake.read_segments(
-        spark, f"{root}/bucketcounts", pins["bucketcounts"]
-    )
-    old_stop = lake.read_segments(spark, f"{root}/stopbands", pins["stopbands"])
-    new_pins["stopbands"] = [
-        lake.write_segment(
+
+    def _write_data(name: str) -> tuple[str, int]:
+        return name, lake.write_segment(
+            spark, _cap_wide(frames[name]), f"{root}/{name}"
+        )
+
+    def _write_counts_then_stop() -> tuple[int, int]:
+        cseg = lake.write_segment(
+            spark, _cap(bucket_counts(frames["bands"])), f"{root}/bucketcounts"
+        )
+        # the stop merge references the batch counts twice (touched-
+        # width refresh + newly-crossed scan): read the just-written
+        # tiny segment back rather than recomputing the agg inline twice
+        batch_counts = lake.read_segments(
+            spark, f"{root}/bucketcounts", [cseg]
+        )
+        committed_counts = lake.read_segments(
+            spark, f"{root}/bucketcounts", pins["bucketcounts"]
+        )
+        old_stop = lake.read_segments(
+            spark, f"{root}/stopbands", pins["stopbands"]
+        )
+        sseg = lake.write_segment(
             spark,
-            merged_stop(old_stop, committed_counts, batch_counts, max_bucket_width),
+            _cap(
+                merged_stop(
+                    old_stop, committed_counts, batch_counts, max_bucket_width
+                )
+            ),
             f"{root}/stopbands",
         )
-    ]
+        return cseg, sseg
+
+    with ThreadPoolExecutor(max_workers=len(frames) + 1) as pool:
+        data_futs = [pool.submit(_write_data, name) for name in frames]
+        derived_fut = pool.submit(_write_counts_then_stop)
+        for fut in data_futs:
+            name, seg = fut.result()
+            new_pins[name] = [*pins[name], seg]
+        cseg, sseg = derived_fut.result()
+    new_pins["bucketcounts"] = [*pins["bucketcounts"], cseg]
+    new_pins["stopbands"] = [sseg]
     # optimistic concurrency: pinned at base+1, so a concurrent
     # committer cannot be silently dropped — the loser raises
     # ConcurrentCommitError and retries from fresh pins (its written

@@ -208,6 +208,9 @@ def incr_index_ingest(
         max_bucket_width=INCR_MAX_BUCKET,
         keep_manifests=keep_latest,
         orphan_grace_sec=orphan_grace_sec,
+        # ingest batches are small vs the session's parallelism: cap
+        # the per-commit file count (see append_batch's docstring)
+        segment_partitions=8,
     )
     _INCR_PIN[key] = pins
     return pins

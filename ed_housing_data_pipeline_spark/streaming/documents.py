@@ -263,6 +263,7 @@ def run_stream_incremental_dedup(
     max_bucket_width: int = 4096,
     keep_latest: int = 2,
     compact_every: int | None = 64,
+    segment_partitions: int | None = 8,
 ) -> None:
     """Drain the document stream (availableNow) through the
     foreachBatch incremental-dedup sink described in the module
@@ -270,7 +271,12 @@ def run_stream_incremental_dedup(
     have committed manifest v1 first. Every ``compact_every``-th
     commit additionally folds the accumulated segments to one
     (amortized O(index / compact_every) per batch; ``None`` leaves
-    compaction to an external maintenance cadence)."""
+    compaction to an external maintenance cadence).
+    ``segment_partitions`` caps each committed segment's file count —
+    micro-batches are small relative to the session's parallelism, and
+    5 components × 32 task files per commit is both the dominant
+    per-commit fixed cost and a small-file flood; ``None`` preserves
+    upstream partitioning for bulk backfill drains."""
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -289,7 +295,12 @@ def run_stream_incremental_dedup(
             max_bucket_width=max_bucket_width,
         ).persist()
         try:
-            if accepted.isEmpty():  # full replay / all dups: nothing to commit
+            # count(), not isEmpty(): isEmpty materializes only one
+            # partition, so the first (file-count-capped) segment write
+            # would re-run the whole dedup pipeline under its narrowed
+            # write parallelism; count() fills the cache at full width
+            # and every component write below is then a cache scan
+            if accepted.count() == 0:  # full replay / all dups
                 return
             pins = incr_index.append_batch(
                 spark,
@@ -301,6 +312,7 @@ def run_stream_incremental_dedup(
                 # accumulation to minutes (readers here hold pins for
                 # one micro-batch), not the 24 h crash-debris grace
                 reader_grace_sec=600.0,
+                segment_partitions=segment_partitions,
             )
             if compact_every and len(pins["bands"]) >= compact_every:
                 incr_index.compact_index(spark, index_root)
