@@ -484,3 +484,173 @@ def test_merged_stop_random_batches_equal_full_recompute(spark, tmp_path):
             assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
 
     check()
+
+
+def _append(spark, root, rows):
+    incr_index.append_batch(
+        spark,
+        root,
+        {
+            "bands": _bands_frame(spark, rows),
+            "shingles": _shingles_frame(spark, sorted({r[0] for r in rows})),
+        },
+        max_bucket_width=CAP,
+    )
+
+
+def test_compaction_loses_to_mid_flight_ingest_then_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Ordering 1 of the compact-vs-ingest race (r7 VERDICT #7),
+    staged deterministically: an ingest commits BETWEEN compaction's
+    pin snapshot and its manifest flip. The compacted manifest was
+    derived from pre-ingest pins, so committing it would silently drop
+    the ingested segments — the optimistic pin must make compaction
+    lose loudly instead, and a retry from fresh pins must fold
+    everything including the mid-flight batch, content-neutrally."""
+    root = str(tmp_path / "idx")
+    _bootstrap(spark, root, [(1, 0, "k0"), (2, 0, "k0")], [1, 2])
+    _append(spark, root, [(10, 0, "k0"), (11, 1, "k1")])
+
+    real_commit = lake.commit_segment_manifest
+    state = {"armed": True}
+
+    def ingest_lands_first(spark_, root_, pins_, expected_base):
+        if state["armed"]:
+            state["armed"] = False  # the nested append commits for real
+            _append(spark, root, [(20, 2, "k2"), (21, 0, "k0")])
+        return real_commit(spark_, root_, pins_, expected_base)
+
+    monkeypatch.setattr(lake, "commit_segment_manifest", ingest_lands_first)
+    with pytest.raises(lake.ConcurrentCommitError):
+        incr_index.compact_index(spark, root)
+    monkeypatch.setattr(lake, "commit_segment_manifest", real_commit)
+
+    # the mid-flight ingest survived, exactly once
+    want_bands = frozenset(
+        [(1, 0, "k0"), (2, 0, "k0"), (10, 0, "k0"), (11, 1, "k1"),
+         (20, 2, "k2"), (21, 0, "k0")]
+    )
+    before = _index_content(spark, root)
+    assert before[0] == want_bands
+    assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
+    # compaction retry from fresh pins: one segment per folded
+    # component, identical content
+    pins = incr_index.compact_index(spark, root)
+    assert len(pins["bands"]) == 1 and len(pins["shingles"]) == 1
+    assert _index_content(spark, root) == before
+    assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
+
+
+def test_ingest_loses_to_mid_flight_compaction_then_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Ordering 2, staged: a compaction commits BETWEEN the ingest's
+    pin snapshot and its manifest flip. The ingest's manifest extends
+    pre-compaction pin lists, so committing it would resurrect the
+    folded-away segments alongside the compacted one (double rows) —
+    the ingest must lose loudly, and its retry must land the batch
+    exactly once on top of the compacted index."""
+    root = str(tmp_path / "idx")
+    _bootstrap(spark, root, [(1, 0, "k0"), (2, 0, "k0")], [1, 2])
+    _append(spark, root, [(10, 0, "k0"), (11, 1, "k1")])
+
+    real_commit = lake.commit_segment_manifest
+    state = {"armed": True}
+
+    def compaction_lands_first(spark_, root_, pins_, expected_base):
+        if state["armed"]:
+            state["armed"] = False  # the nested compaction commits for real
+            incr_index.compact_index(spark, root)
+        return real_commit(spark_, root_, pins_, expected_base)
+
+    monkeypatch.setattr(lake, "commit_segment_manifest", compaction_lands_first)
+    with pytest.raises(lake.ConcurrentCommitError):
+        _append(spark, root, [(20, 2, "k2"), (21, 0, "k0")])
+    monkeypatch.setattr(lake, "commit_segment_manifest", real_commit)
+
+    # compaction's fold is committed; the failed ingest is invisible
+    assert _index_content(spark, root)[0] == frozenset(
+        [(1, 0, "k0"), (2, 0, "k0"), (10, 0, "k0"), (11, 1, "k1")]
+    )
+    # ingest retry from fresh pins: batch lands exactly once
+    _append(spark, root, [(20, 2, "k2"), (21, 0, "k0")])
+    assert _index_content(spark, root)[0] == frozenset(
+        [(1, 0, "k0"), (2, 0, "k0"), (10, 0, "k0"), (11, 1, "k1"),
+         (20, 2, "k2"), (21, 0, "k0")]
+    )
+    assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
+
+
+def test_threaded_compaction_races_ingest(spark, tmp_path):
+    """REAL concurrency: one thread drains 3 ingest batches while
+    another runs compactions, both retrying on the typed conflict (the
+    documented client protocol). Whatever interleaving the scheduler
+    picks, the end state must hold every batch exactly once with the
+    stop table matching a full recompute, and a final compaction must
+    be content-neutral."""
+    import threading
+
+    root = str(tmp_path / "idx")
+    _bootstrap(spark, root, [(1, 0, "k0"), (2, 0, "k0")], [1, 2])
+
+    batches = [
+        [(100 + i, i % 3, f"kt{i}") for i in range(3)],
+        [(200 + i, i % 3, f"kt{i}") for i in range(3)],
+        [(300 + i, i % 3, f"kt{i}") for i in range(3)],
+    ]
+    errors: list[BaseException] = []
+
+    def is_retryable(exc: BaseException) -> bool:
+        if isinstance(exc, lake.ConcurrentCommitError):
+            return True
+        msg = str(exc)
+        return "already exists" in msg or "ALREADY_EXISTS" in msg
+
+    def ingester() -> None:
+        for rows in batches:
+            for _ in range(30):
+                try:
+                    _append(spark, root, rows)
+                    break
+                except Exception as exc:  # noqa: BLE001 - whitelist above
+                    if not is_retryable(exc):
+                        errors.append(exc)
+                        return
+            else:
+                errors.append(RuntimeError("ingester: retries exhausted"))
+                return
+
+    def compactor() -> None:
+        for _ in range(3):
+            for _ in range(30):
+                try:
+                    incr_index.compact_index(spark, root)
+                    break
+                except Exception as exc:  # noqa: BLE001 - whitelist above
+                    if not is_retryable(exc):
+                        errors.append(exc)
+                        return
+            else:
+                errors.append(RuntimeError("compactor: retries exhausted"))
+                return
+
+    threads = [
+        threading.Thread(target=ingester),
+        threading.Thread(target=compactor),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    want_bands = frozenset(
+        [(1, 0, "k0"), (2, 0, "k0")]
+        + [r for rows in batches for r in rows]
+    )
+    assert _index_content(spark, root)[0] == want_bands
+    assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
+    before = _index_content(spark, root)
+    incr_index.compact_index(spark, root)
+    assert _index_content(spark, root) == before
