@@ -1597,6 +1597,103 @@ def pq_query_lut_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Colum
     )
 
 
+def _pq_encode_arrow(
+    df: DataFrame, vec_col: str, out_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """Arrow twin of :func:`pq_encode_expr`, taken past the literal
+    budget: per batch, one BLAS matmul per subspace (argmin of
+    ‖v−c‖² == argmin of c·c − 2v·c; np.argmin resolves ties to the
+    lower index, the same rule as the struct-sort expression). The
+    codebooks ride in the closure — O(1) plan size at PQ-real m·k·sub
+    (e.g. 16×256×48), where the expression form would put millions of
+    literals into one Catalyst tree."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    m, sub, dim = _pq_shape(codebooks)
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    norms = [(mat**2).sum(axis=1) for mat in mats]
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mask = vecs.map(
+                lambda v: v is not None and len(v) == dim  # noqa: B023
+            ).to_numpy(dtype=bool)
+            rows_out: list[list[int] | None] = [None] * len(pdf)
+            if mask.any():
+                vm = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+                cols = []
+                for mi in range(m):
+                    sv = vm[:, mi * sub : (mi + 1) * sub]
+                    scores = norms[mi][None, :] - 2.0 * (sv @ mats[mi].T)
+                    cols.append(scores.argmin(axis=1))
+                codes = np.stack(cols, axis=1)
+                it = iter(codes.tolist())
+                rows_out = [next(it) if mk else None for mk in mask]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(rows_out, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(encode, schema)
+
+
+def _pq_lut_arrow(
+    df: DataFrame, vec_col: str, out_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """Arrow twin of :func:`pq_query_lut_expr` (same literal-budget
+    escape as :func:`_pq_encode_arrow`): the full squared distances
+    ‖v‖² − 2v·Cᵀ + ‖c‖² per subspace, one BLAS matmul each."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    m, sub, dim = _pq_shape(codebooks)
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    norms = [(mat**2).sum(axis=1) for mat in mats]
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(ArrayType(DoubleType())))]
+    )
+
+    def lut(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mask = vecs.map(
+                lambda v: v is not None and len(v) == dim  # noqa: B023
+            ).to_numpy(dtype=bool)
+            rows_out: list[list[list[float]] | None] = [None] * len(pdf)
+            if mask.any():
+                vm = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+                per_sub = []
+                for mi in range(m):
+                    sv = vm[:, mi * sub : (mi + 1) * sub]
+                    d = (
+                        (sv**2).sum(axis=1)[:, None]
+                        - 2.0 * (sv @ mats[mi].T)
+                        + norms[mi][None, :]
+                    )
+                    per_sub.append(d)
+                luts = np.stack(per_sub, axis=1)  # n × m × k
+                it = iter(luts.tolist())
+                rows_out = [next(it) if mk else None for mk in mask]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(rows_out, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(lut, schema)
+
+
 def pq_adc_expr(lut_col: str, codes_col: str, m: int) -> Column:
     """Asymmetric distance: sum over subspaces of the LUT entry the
     candidate's code selects. Plain m-term addition in subspace order
@@ -1630,14 +1727,33 @@ def knn_ivf_pq(
     top-k), but the corpus side carries ``(cell, m codes)`` instead of
     raw vectors — the representation a 100 TB corpus would actually
     persist — and the per-candidate math is m lookups, not a
-    dim-length dot product."""
-    m, _sub, _dim = _pq_shape(codebooks)
-    corpus = df.withColumn("_cell", _assign_expr(vec_col, cents)).withColumn(
-        "_codes", pq_encode_expr(vec_col, codebooks)
-    )
-    probed = df.withColumn(
-        "_probes", _probe_expr(vec_col, cents, nprobe)
-    ).withColumn("_lut", pq_query_lut_expr(vec_col, codebooks))
+    dim-length dot product.
+
+    Physical form follows the same literal budget as :func:`knn_ivf`,
+    independently for the coarse quantizer (k·dim literals) and the PQ
+    codebooks (m·k·sub literals): native fold expressions inside
+    whole-stage codegen while small, Arrow ``mapInPandas`` BLAS passes
+    with the constants in the closure past the budget — at IVF-real
+    scale (4096×768 coarse cells, 16×256 codebooks) the expression
+    trees would hold millions of literals and choke Catalyst analysis
+    long before data size matters."""
+    m, sub, _dim = _pq_shape(codebooks)
+    n_coarse_lits = len(cents) * len(cents[0])
+    n_pq_lits = sum(len(cb) * sub for cb in codebooks)
+    if n_coarse_lits <= _EXPR_ASSIGN_MAX_LITERALS:
+        corpus = df.withColumn("_cell", _assign_expr(vec_col, cents))
+        probed = df.withColumn("_probes", _probe_expr(vec_col, cents, nprobe))
+    else:
+        corpus = _assign_arrow(df, vec_col, "_cell", cents)
+        probed = _probe_arrow(df, vec_col, "_probes", cents, nprobe)
+    if n_pq_lits <= _EXPR_ASSIGN_MAX_LITERALS:
+        corpus = corpus.withColumn("_codes", pq_encode_expr(vec_col, codebooks))
+        probed = probed.withColumn(
+            "_lut", pq_query_lut_expr(vec_col, codebooks)
+        )
+    else:
+        corpus = _pq_encode_arrow(corpus, vec_col, "_codes", codebooks)
+        probed = _pq_lut_arrow(probed, vec_col, "_lut", codebooks)
     if query_filter is not None:
         probed = probed.filter(query_filter)
     q = probed.select(

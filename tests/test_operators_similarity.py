@@ -806,3 +806,90 @@ def test_pq_train_codebooks_contracts(spark):
     assert all(
         r["c"] is not None and all(0 <= ci < 4 for ci in r["c"]) for r in codes
     )
+
+
+def test_pq_arrow_paths_match_expr(spark):
+    """The Arrow encode/LUT twins (taken past the literal budget) must
+    match the native-expression paths value-for-value, including NULL
+    and wrong-dim guards."""
+    books = [
+        [[0.0, 0.0], [5.0, 5.0], [1.0, -1.0]],
+        [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]],
+    ]
+    vecs = [
+        (1, [4.9, 5.1, 0.9, 0.1]),
+        (2, [0.1, -0.2, -0.8, 0.0]),
+        (3, None),
+        (4, [1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    exp_codes = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", sim.pq_encode_expr("v", books).alias("c")
+        ).collect()
+    }
+    arr_codes = {
+        r["vec_id"]: r["c"]
+        for r in sim._pq_encode_arrow(df, "v", "c", books)
+        .select("vec_id", "c")
+        .collect()
+    }
+    assert exp_codes == arr_codes
+    assert arr_codes[3] is None and arr_codes[4] is None
+    exp_lut = {
+        r["vec_id"]: r["l"]
+        for r in df.select(
+            "vec_id", sim.pq_query_lut_expr("v", books).alias("l")
+        ).collect()
+    }
+    arr_lut = {
+        r["vec_id"]: r["l"]
+        for r in sim._pq_lut_arrow(df, "v", "l", books)
+        .select("vec_id", "l")
+        .collect()
+    }
+    assert set(exp_lut) == set(arr_lut)
+    for vid, lut in exp_lut.items():
+        if lut is None:
+            assert arr_lut[vid] is None
+            continue
+        for row_e, row_a in zip(lut, arr_lut[vid]):
+            for de, da in zip(row_e, row_a):
+                assert abs(de - da) < 1e-9, (vid, de, da)
+
+
+def test_knn_ivfpq_arrow_fallback_matches_expr_path(spark, monkeypatch):
+    """Forcing the literal budget to 1 routes knn_ivf_pq through the
+    Arrow coarse-assign/probe AND Arrow encode/LUT paths; the search
+    result must be identical to the expression path (same neighbors,
+    same adc to 1e-9, same ranks)."""
+    import itertools
+
+    books = [
+        [[0.0, 0.0], [3.0, 0.0], [0.0, 3.0]],
+        [[1.0, 1.0], [-2.0, 0.5], [0.0, -1.0]],
+    ]
+    cents = [[0.0, 0.0, 0.0, 0.0], [2.0, 2.0, 0.0, 0.0]]
+    corpus = [
+        list(books[0][i]) + list(books[1][j])
+        for i, j in itertools.product(range(3), range(3))
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus)], "vec_id long, v array<double>"
+    )
+
+    def run():
+        return sorted(
+            (r["q_id"], r["nn_id"], round(r["adc"], 9), r["rn"])
+            for r in sim.knn_ivf_pq(
+                df, vec_col="v", id_col="vec_id", cents=cents,
+                codebooks=books, k=3, nprobe=2,
+            ).collect()
+        )
+
+    via_expr = run()
+    monkeypatch.setattr(sim, "_EXPR_ASSIGN_MAX_LITERALS", 1)
+    via_arrow = run()
+    assert via_expr == via_arrow
+    assert len(via_arrow) == 9 * 3
