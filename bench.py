@@ -48,6 +48,7 @@ HEADLINE = [
     "embedding_knn_blocked",    # label-blocked cosine top-k
     "embedding_knn_srp",    # SRP-LSH bucketed ANN
     "embedding_knn_ivfpq_fixed",  # IVF-PQ/ADC search, the 100 TB ANN path
+    "embedding_incremental_ann",  # probe of the persisted segmented ANN index
     "events_asof_last_view",    # as-of join (union + window)
     # heavy dedup/cluster family + sharded global rank (r5 VERDICT #3:
     # driver-track their perf, not just correctness)

@@ -1,0 +1,284 @@
+"""Incrementally-maintained IVF-PQ (IVFADC) ANN index over the
+segmented-commit protocol (sources/lake) — the vector sibling of the
+LSH dedup index (operators/incr_index).
+
+A 100 TB embedding corpus is not re-encoded per query wave: the coarse
+quantizer + PQ codebooks are trained ONCE (on a bootstrap sample) and
+pinned, the corpus is persisted as ``(id, cell, m codes)`` — the
+compressed representation IVFADC actually searches — and every later
+ingest batch is encoded with the pinned model and appended in O(batch).
+Probes never touch raw corpus vectors.
+
+Artifact layout under ``root``:
+
+- ``model/`` — a JSON blob snapshot (lake.write_snapshot_blob) holding
+  the coarse centroids and PQ codebooks. Written exactly once, at
+  version 1, by bootstrap: the model is IMMUTABLE for the index's
+  lifetime (appended segments are only comparable if encoded by the
+  same quantizers — re-training means building a new index root). The
+  exclusive version-1 claim makes a second bootstrap raise instead of
+  silently splitting the index across two models.
+- ``vectors/`` — append-only (id, cell, codes) segments: each ingest
+  commits ONLY its batch's rows. Reading is a manifest-pinned
+  multi-segment parquet scan.
+- ``cellcounts/`` — additive (cell, _n) count segments (the
+  bucketcounts pattern): per-cell inverted-list widths for imbalance
+  monitoring / probe planning, appended per batch in O(batch) and
+  re-aggregated only at compaction (sum is associative).
+- ``manifest/`` — JSON-blob snapshots pinning component→segment lists
+  (lake.commit_segment_manifest); the atomic commit point. A crash
+  anywhere before the flip leaves only unpinned debris for the
+  age-gated sweep; concurrent appenders serialize through optimistic
+  concurrency (ConcurrentCommitError → retry from fresh pins).
+
+Design references (public): FAISS's IVFADC layout (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011) for
+the search shape; log-structured table formats for the append-only
+segment + manifest commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ed_housing_data_pipeline_spark.operators import similarity as sim
+from ed_housing_data_pipeline_spark.sources import lake
+
+VECTORS = "vectors"
+CELLCOUNTS = "cellcounts"
+
+
+def write_ann_model(
+    spark: SparkSession,
+    root: str,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    """Pin the index's quantization model as the exclusive version-1
+    blob snapshot — a filesystem commit, never a Spark job. Raises
+    (via the snapshot claim protocol) if a model is already pinned."""
+    m, sub, dim = sim._pq_shape(codebooks)
+    if len(cents[0]) != dim:
+        raise ValueError(
+            f"ann model: coarse dim {len(cents[0])} != pq dim {m}x{sub}={dim}"
+        )
+    payload = json.dumps(
+        {"cents": cents, "codebooks": codebooks, "dim": dim, "m": m},
+        sort_keys=True,
+    )
+    lake.write_snapshot_blob(spark, payload, f"{root.rstrip('/')}/model", version=1)
+
+
+def read_ann_model(
+    spark: SparkSession, root: str
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The pinned (cents, codebooks) — a filesystem read, no job."""
+    d = json.loads(
+        lake.read_snapshot_blob(spark, f"{root.rstrip('/')}/model", version=1)
+    )
+    return d["cents"], d["codebooks"]
+
+
+def encoded_frame(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """A batch's index rows: (id, cell, codes). NULL / wrong-dim
+    vectors encode to NULL codes and are EXCLUDED — the index stores
+    only searchable rows (the quarantine split happens upstream, in
+    the callers' malformed-embedding handling)."""
+    enc = sim.ivfpq_encode(df, vec_col, cents, codebooks)
+    return enc.filter(
+        F.col("_cell").isNotNull() & F.col("_codes").isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col("_cell").alias("cell"),
+        F.col("_codes").alias("codes"),
+    )
+
+
+def cell_counts(enc: DataFrame) -> DataFrame:
+    """Per-cell inverted-list widths of an encoded frame — one
+    map-side-combined agg (O(batch) when fed a batch)."""
+    return enc.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+
+
+def _cap(df: DataFrame, segment_partitions: int | None) -> DataFrame:
+    # tiny post-shuffle derived tables: fold without adding a shuffle
+    return df.coalesce(segment_partitions) if segment_partitions else df
+
+
+def _cap_wide(df: DataFrame, segment_partitions: int | None) -> DataFrame:
+    # data rows carry the batch's encode lineage: repartition keeps the
+    # upstream encode at full parallelism (micro-batch shuffle is cheap)
+    return df.repartition(segment_partitions) if segment_partitions else df
+
+
+def bootstrap_ann_index(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    coarse_k: int = 8,
+    m: int = 4,
+    pq_k: int = 8,
+    iters: int = 2,
+    seed: int = 42,
+    segment_partitions: int | None = None,
+) -> dict[str, list[int]]:
+    """First commit: train the model on ``df`` (or accept fixed
+    ``cents``/``codebooks`` — the oracle-twin path), pin it as the
+    version-1 model blob, encode the bootstrap corpus, and commit the
+    first ``vectors`` + ``cellcounts`` segments under one manifest.
+    Returns the committed pin map.
+
+    At 100 TB the training input is a sample (k-means and per-subspace
+    PQ training converge on far less data than the corpus); the encode
+    pass is one narrow map over the bootstrap corpus either way."""
+    if (cents is None) != (codebooks is None):
+        raise ValueError(
+            "bootstrap_ann_index: pass both cents and codebooks or neither"
+        )
+    if cents is None:
+        _assigned, cents = sim.kmeans_blocks(
+            df, vec_col=vec_col, id_col=id_col, k=coarse_k, iters=iters,
+            seed=seed,
+        )
+        codebooks = sim.pq_train_codebooks(
+            df, vec_col=vec_col, id_col=id_col, m=m, k=pq_k, iters=iters,
+            seed=seed,
+        )
+    # model first: encode determinism of every later append depends on
+    # it, and the exclusive v1 claim is the double-bootstrap guard
+    write_ann_model(spark, root, cents, codebooks)
+    enc = encoded_frame(df, vec_col, id_col, cents, codebooks).persist()
+    try:
+        return lake.append_segments(
+            spark,
+            root,
+            appends={
+                VECTORS: _cap_wide(enc, segment_partitions),
+                CELLCOUNTS: _cap(cell_counts(enc), segment_partitions),
+            },
+            init=True,
+        )
+    finally:
+        enc.unpersist()
+
+
+def append_ann_batch(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    keep_manifests: int = 2,
+    orphan_grace_sec: float = 24 * 3600,
+    reader_grace_sec: float | None = None,
+    segment_partitions: int | None = None,
+) -> dict[str, list[int]]:
+    """One O(batch) index commit: encode the batch with the PINNED
+    model, append one ``vectors`` segment and one additive
+    ``cellcounts`` segment, flip the manifest, run segment retention.
+    Never touches committed segments — per-commit cost is O(batch)
+    regardless of index size. Returns the committed pin map."""
+    cents, codebooks = read_ann_model(spark, root)
+    enc = encoded_frame(df, vec_col, id_col, cents, codebooks).persist()
+    try:
+        pins = lake.append_segments(
+            spark,
+            root,
+            appends={
+                VECTORS: _cap_wide(enc, segment_partitions),
+                CELLCOUNTS: _cap(cell_counts(enc), segment_partitions),
+            },
+        )
+    finally:
+        enc.unpersist()
+    lake.expire_segments(
+        spark,
+        root,
+        keep_manifests=keep_manifests,
+        orphan_grace_sec=orphan_grace_sec,
+        reader_grace_sec=reader_grace_sec,
+    )
+    return pins
+
+
+def read_ann_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """The committed encoded corpus (id, cell, codes) — a
+    manifest-pinned multi-segment parquet scan, the only read path."""
+    return lake.read_segmented_components(spark, root, [VECTORS])[VECTORS]
+
+
+def ann_cell_stats(spark: SparkSession, root: str) -> DataFrame:
+    """Aggregated per-cell widths (cell, n_vectors) from the additive
+    count segments — the imbalance monitor (a skewed cell is a slow
+    probe; persistent skew is the re-train/split signal). O(cells)
+    after a sum over segment counts, never a scan of ``vectors``."""
+    counts = lake.read_segmented_components(spark, root, [CELLCOUNTS])[CELLCOUNTS]
+    return counts.groupBy("cell").agg(F.sum("_n").alias("n_vectors"))
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int = 1,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """IVFADC search against the committed index: queries get the
+    probe-list + ADC-LUT treatment under the pinned model, then
+    equi-join the manifest-pinned (cell, codes) scan on the cell id —
+    a bounded query set (``query_filter``) broadcasts, the corpus
+    never re-encodes, and per-candidate math is m lookups. Returns
+    (q_id, nn_id, adc, rn), adc ascending."""
+    cents, codebooks = read_ann_model(spark, root)
+    # the stored id column is always ``id``; align it with the query
+    # frame's id column so the output (q_id, nn_id) pair is uniform
+    corpus = read_ann_vectors(spark, root).select(
+        F.col("id").alias(id_col), "cell", "codes"
+    )
+    return sim.knn_ivf_pq_encoded(
+        corpus,
+        queries,
+        vec_col=vec_col,
+        id_col=id_col,
+        cents=cents,
+        codebooks=codebooks,
+        k=k,
+        nprobe=nprobe,
+        cell_col="cell",
+        codes_col="codes",
+        query_filter=query_filter,
+    )
+
+
+def compact_ann_index(
+    spark: SparkSession, root: str, min_segments: int = 2
+) -> dict[str, list[int]]:
+    """Fold multi-segment components back to one segment — plain union
+    rewrite for ``vectors``, sum re-aggregation for the additive
+    ``cellcounts``. One O(index) rewrite amortized over the K O(batch)
+    commits between compactions (bounds read fan-in / small files)."""
+    return lake.compact_segments(
+        spark,
+        root,
+        reducers={
+            CELLCOUNTS: lambda df: df.groupBy("cell").agg(
+                F.sum("_n").alias("_n")
+            )
+        },
+        min_segments=min_segments,
+    )

@@ -1706,6 +1706,123 @@ def pq_adc_expr(lut_col: str, codes_col: str, m: int) -> Column:
     return F.expr(" + ".join(terms))
 
 
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    cell_col: str = "_cell",
+    codes_col: str = "_codes",
+) -> DataFrame:
+    """Corpus-side IVF-PQ encoding: append the nearest coarse cell and
+    the per-subspace PQ codes to ``df``. This is the representation a
+    100 TB corpus persists — ``(cell, m codes)`` instead of raw
+    vectors — so it is also the append path of the incremental ANN
+    index (operators/ann_index).
+
+    The literal budget applies independently per constant set: native
+    fold expressions inside whole-stage codegen while the coarse
+    quantizer (k·dim literals) / codebooks (m·k·sub literals) are
+    small, Arrow ``mapInPandas`` BLAS passes with the constants in the
+    closure past the budget — at IVF-real scale (4096×768 cells,
+    16×256 codebooks) the expression trees would hold millions of
+    literals and choke Catalyst analysis long before data size
+    matters."""
+    n_coarse_lits = len(cents) * len(cents[0])
+    m, sub, _dim = _pq_shape(codebooks)
+    n_pq_lits = sum(len(cb) * sub for cb in codebooks)
+    if n_coarse_lits <= _EXPR_ASSIGN_MAX_LITERALS:
+        df = df.withColumn(cell_col, _assign_expr(vec_col, cents))
+    else:
+        df = _assign_arrow(df, vec_col, cell_col, cents)
+    if n_pq_lits <= _EXPR_ASSIGN_MAX_LITERALS:
+        df = df.withColumn(codes_col, pq_encode_expr(vec_col, codebooks))
+    else:
+        df = _pq_encode_arrow(df, vec_col, codes_col, codebooks)
+    return df
+
+
+def ivfpq_query_side(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    probes_col: str = "_probes",
+    lut_col: str = "_lut",
+) -> DataFrame:
+    """Query-side IVF-PQ preparation: append the ``nprobe``
+    nearest-cell probe list and the per-query ADC lookup table. Same
+    independent literal-budget switch as :func:`ivfpq_encode`."""
+    n_coarse_lits = len(cents) * len(cents[0])
+    _m, sub, _dim = _pq_shape(codebooks)
+    n_pq_lits = sum(len(cb) * sub for cb in codebooks)
+    if n_coarse_lits <= _EXPR_ASSIGN_MAX_LITERALS:
+        df = df.withColumn(probes_col, _probe_expr(vec_col, cents, nprobe))
+    else:
+        df = _probe_arrow(df, vec_col, probes_col, cents, nprobe)
+    if n_pq_lits <= _EXPR_ASSIGN_MAX_LITERALS:
+        df = df.withColumn(lut_col, pq_query_lut_expr(vec_col, codebooks))
+    else:
+        df = _pq_lut_arrow(df, vec_col, lut_col, codebooks)
+    return df
+
+
+def knn_ivf_pq_encoded(
+    corpus_enc: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    nprobe: int = 1,
+    cell_col: str = "_cell",
+    codes_col: str = "_codes",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """IVFADC search over an ALREADY-ENCODED corpus — ``corpus_enc``
+    carries (``id_col``, ``cell_col``, ``codes_col``) and never needs
+    the raw vectors. This is the probe path of the persisted
+    incremental ANN index (operators/ann_index.probe_ann_index), where
+    the encoded corpus is a manifest-pinned parquet scan; queries
+    arrive raw and get the probe-list + LUT treatment. Returns
+    (q_id, nn_id, adc, rn) — adc ASCENDING (it is a distance).
+
+    Scale shape: identical join graph to :func:`knn_ivf` — equi-join
+    on the cell id (broadcast when the query set is bounded via
+    ``query_filter``), partitioned top-k — but the corpus side carries
+    ``(cell, m codes)`` and the per-candidate math is m array lookups,
+    not a dim-length dot product."""
+    m, _sub, _dim = _pq_shape(codebooks)
+    probed = ivfpq_query_side(queries, vec_col, cents, codebooks, nprobe)
+    if query_filter is not None:
+        probed = probed.filter(query_filter)
+    q = probed.select(
+        F.col(id_col).alias("q_id"),
+        "_lut",
+        F.explode("_probes").alias(cell_col),
+    )
+    if query_filter is not None:
+        q = F.broadcast(q)
+    c = corpus_enc.select(
+        F.col(id_col).alias("nn_id"), F.col(codes_col).alias("_codes"), cell_col
+    )
+    scored = (
+        c.join(q, on=cell_col)
+        .filter(F.col("q_id") != F.col("nn_id"))
+        .withColumn("adc", pq_adc_expr("_lut", "_codes", m))
+        .select("q_id", "nn_id", "adc")
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["q_id"],
+        ordering=[F.col("adc").asc_nulls_last(), F.col("nn_id").asc()],
+        k=k,
+        rank_col="rn",
+    )
+
+
 def knn_ivf_pq(
     df: DataFrame,
     vec_col: str,
@@ -1722,60 +1839,22 @@ def knn_ivf_pq(
     asymmetric distance from its LUT. Returns
     (q_id, nn_id, adc, rn) — adc ASCENDING (it is a distance).
 
-    Scale shape: identical join graph to :func:`knn_ivf` (equi-join on
-    the cell id, broadcast when the query set is bounded, partitioned
-    top-k), but the corpus side carries ``(cell, m codes)`` instead of
-    raw vectors — the representation a 100 TB corpus would actually
-    persist — and the per-candidate math is m lookups, not a
-    dim-length dot product.
-
-    Physical form follows the same literal budget as :func:`knn_ivf`,
-    independently for the coarse quantizer (k·dim literals) and the PQ
-    codebooks (m·k·sub literals): native fold expressions inside
-    whole-stage codegen while small, Arrow ``mapInPandas`` BLAS passes
-    with the constants in the closure past the budget — at IVF-real
-    scale (4096×768 coarse cells, 16×256 codebooks) the expression
-    trees would hold millions of literals and choke Catalyst analysis
-    long before data size matters."""
-    m, sub, _dim = _pq_shape(codebooks)
-    n_coarse_lits = len(cents) * len(cents[0])
-    n_pq_lits = sum(len(cb) * sub for cb in codebooks)
-    if n_coarse_lits <= _EXPR_ASSIGN_MAX_LITERALS:
-        corpus = df.withColumn("_cell", _assign_expr(vec_col, cents))
-        probed = df.withColumn("_probes", _probe_expr(vec_col, cents, nprobe))
-    else:
-        corpus = _assign_arrow(df, vec_col, "_cell", cents)
-        probed = _probe_arrow(df, vec_col, "_probes", cents, nprobe)
-    if n_pq_lits <= _EXPR_ASSIGN_MAX_LITERALS:
-        corpus = corpus.withColumn("_codes", pq_encode_expr(vec_col, codebooks))
-        probed = probed.withColumn(
-            "_lut", pq_query_lut_expr(vec_col, codebooks)
-        )
-    else:
-        corpus = _pq_encode_arrow(corpus, vec_col, "_codes", codebooks)
-        probed = _pq_lut_arrow(probed, vec_col, "_lut", codebooks)
-    if query_filter is not None:
-        probed = probed.filter(query_filter)
-    q = probed.select(
-        F.col(id_col).alias("q_id"),
-        "_lut",
-        F.explode("_probes").alias("_cell"),
-    )
-    if query_filter is not None:
-        q = F.broadcast(q)
-    c = corpus.select(F.col(id_col).alias("nn_id"), "_codes", "_cell")
-    scored = (
-        c.join(q, on="_cell")
-        .filter(F.col("q_id") != F.col("nn_id"))
-        .withColumn("adc", pq_adc_expr("_lut", "_codes", m))
-        .select("q_id", "nn_id", "adc")
-    )
-    return top_k_per_group(
-        scored,
-        partition_by=["q_id"],
-        ordering=[F.col("adc").asc_nulls_last(), F.col("nn_id").asc()],
+    Composition of :func:`ivfpq_encode` (corpus side) and
+    :func:`knn_ivf_pq_encoded` (query prep + search) — the one-shot
+    twin of the persisted-index path, sharing every code path with it.
+    See those functions for the scale shape and the literal-budget
+    switch."""
+    corpus = ivfpq_encode(df, vec_col, cents, codebooks)
+    return knn_ivf_pq_encoded(
+        corpus,
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        cents=cents,
+        codebooks=codebooks,
         k=k,
-        rank_col="rn",
+        nprobe=nprobe,
+        query_filter=query_filter,
     )
 
 

@@ -45,6 +45,12 @@ _SHARED_SIG: dict[tuple[str, int, int], DataFrame] = {}
 _INCR_INDEX: dict[tuple[str, int, int], object] = {}
 _INCR_PIN: dict[tuple[str, int, int], dict[str, list[int]]] = {}
 _INCR_FRAMES: dict[tuple[str, int, int], tuple] = {}
+# incremental ANN (IVF-PQ) index artifact — same memoization contract
+# as the LSH index trio above (tempdir / committed pin map / analyzed
+# pinned relation), keyed by sf_dir
+_ANN_INDEX: dict[tuple[str], object] = {}
+_ANN_PIN: dict[tuple[str], dict[str, list[int]]] = {}
+_ANN_FRAMES: dict[tuple[str], tuple] = {}
 _SHARED_BANDW: dict[tuple[str, str, int, int], int] = {}
 # Session-shared verified near-dup PAIR tables (word-shingle / cosine
 # families). The pair set is each family's expensive artifact (band
@@ -142,6 +148,7 @@ def _evict_session_bound() -> None:
     for k in list(_SHARED_PAIRS):
         _safe_unpersist(_SHARED_PAIRS.pop(k))
     _INCR_FRAMES.clear()
+    _ANN_FRAMES.clear()
 
 
 def _evict_shared(except_sf: str | None = None) -> None:
@@ -164,6 +171,12 @@ def _evict_shared(except_sf: str | None = None) -> None:
             # segment map and serve memoized plans over deleted paths
             _INCR_PIN.pop(k, None)
             _INCR_FRAMES.pop(k, None)
+            tmp.cleanup()
+    for k in list(_ANN_INDEX):
+        if except_sf is None or k[0] != except_sf:
+            tmp = _ANN_INDEX.pop(k)
+            _ANN_PIN.pop(k, None)
+            _ANN_FRAMES.pop(k, None)
             tmp.cleanup()
 
 

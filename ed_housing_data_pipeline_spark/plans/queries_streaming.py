@@ -596,3 +596,89 @@ def q_doc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
             F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
         )
         return out.localCheckpoint(eager=True)
+
+
+# --------------------------- streaming ANN-index ingest
+def _stream_ann_oracle() -> str:
+    from ed_housing_data_pipeline_spark.plans.queries_ann import (  # noqa: PLC0415
+        ANN_CENTS,
+        _ivfpq_fixed_oracle,
+    )
+
+    return _ivfpq_fixed_oracle(ANN_CENTS)
+
+
+@register("embedding_stream_ann_ingest", oracle=_stream_ann_oracle())
+def q_embedding_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming ANN-index ingest loop as a registered,
+    oracle-checked query (streaming/vectors.py over
+    operators/ann_index): bootstrap commits the fixed model + the even
+    half of the corpus, the odd half arrives AS A STREAM through the
+    foreachBatch sink (pinned-model encode, O(batch) segment appends,
+    one manifest flip per micro-batch, replay-safe id anti-join), and
+    the final probe equi-joins the manifest-pinned compressed scan —
+    so model pinning, streaming commits, and the IVFADC search half
+    are all hash-checked against the same DuckDB twin as the batch
+    sibling ``embedding_incremental_ann`` (the drained index holds
+    exactly the valid corpus either way)."""
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        ann_index,
+    )
+    from ed_housing_data_pipeline_spark.plans.queries_ann import (  # noqa: PLC0415
+        ANN_CENTS,
+        PQ_FIXED_CODEBOOKS,
+        PQ_NPROBE,
+    )
+    from ed_housing_data_pipeline_spark.plans.queries_llm import (  # noqa: PLC0415
+        EMB_DIM,
+        emb_t,
+    )
+    from ed_housing_data_pipeline_spark.streaming import (  # noqa: PLC0415
+        vectors as sv,
+    )
+
+    emb = emb_t(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="stream_ann_") as tmp:
+        root = f"{tmp}/index"
+        ann_index.bootstrap_ann_index(
+            spark,
+            root,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            vec_col="embedding",
+            id_col="vec_id",
+            cents=ANN_CENTS,
+            codebooks=PQ_FIXED_CODEBOOKS,
+            segment_partitions=8,
+        )
+        schema = tables.load_table(spark, sf_dir, "embeddings").schema
+        # glob form: FileStreamSource needs a directory basePath (same
+        # trick as the events/documents stream sources above)
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/embeddings.parque[t]")
+            .filter(
+                F.col("embedding").isNotNull()
+                & (F.size("embedding") == EMB_DIM)
+                & (F.col("vec_id") % 2 == 1)
+            )
+        )
+        sv.run_stream_ann_ingest(
+            stream, root, f"{tmp}/ckpt", vec_col="embedding", id_col="vec_id"
+        )
+        out = ann_index.probe_ann_index(
+            spark,
+            root,
+            emb,
+            vec_col="embedding",
+            id_col="vec_id",
+            k=3,
+            nprobe=PQ_NPROBE,
+            query_filter=F.col("vec_id") < 20,
+        )
+        out = out.select(
+            "q_id",
+            "nn_id",
+            F.round(F.col("adc"), 4).alias("adc"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        return out.localCheckpoint(eager=True)

@@ -105,6 +105,17 @@ _LOADED = False
 # in-window: doc_incremental_neardup + doc_stream_incremental_dedup (commit
 # job-count reduction in operators/incr_index) and lake_snapshot_roundtrip
 # (atomic stale-claim break in sources/lake).
+#
+# r8 additions (this round's new surface, all oracle-checked): the
+# incremental ANN index family — embedding_incremental_ann (bootstrap →
+# O(batch) appends → manifest-pinned IVFADC probe), embedding_ann_cellcounts
+# (additive per-cell stats segments), embedding_stream_ann_ingest (the same
+# loop driven through a Structured Streaming foreachBatch sink) — swap IN.
+# Swapped OUT for them: customer_rolling_30d_spend, orders_hash_sample,
+# region_nation_list (all r7-green in CORRECTNESS_r07.json, unchanged;
+# window family reps remain: customer_balance_quartiles/customer_moving_avg
+# keep windows, orders_filtered_aggs/orders_priority_pivot keep the orders
+# battery, the core-relational family keeps 15+ reps).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -119,14 +130,11 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "rank_sum_top1",
     "topk_per_group",
     "customer_balance_quartiles",
-    "customer_rolling_30d_spend",
     "customer_moving_avg",
     "orders_nearby_range_join",
     "setop_except_all",
     "lake_snapshot_roundtrip",
-    "region_nation_list",
     "orders_filtered_aggs",
-    "orders_hash_sample",
     "orders_priority_pivot",
     "lineitem_quantity_quantiles",
     "supplier_balance_distribution",
@@ -156,12 +164,15 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "embedding_knn_ivf",
     "embedding_knn_ivfpq_fixed",
     "embedding_knn_ivfpq",
+    "embedding_incremental_ann",
+    "embedding_ann_cellcounts",
     "embedding_neardup_pairs",
     "embedding_dedup_clusters",
     # structured streaming (hourly = windowed-agg rep; the full
     # streaming ingest-with-dedup loop is the heavy stateful rep)
     "events_stream_hourly",
     "doc_stream_incremental_dedup",
+    "embedding_stream_ann_ingest",
 )
 
 

@@ -33,11 +33,15 @@ def test_driver_window_covers_every_family():
     per-family representatives of the CURRENT (r8) window and may not
     silently regress out. The r8 rotation closes the last gap: the two
     r7 buzzer additions (embedding_knn_ivfpq_fixed, embedding_knn_ivfpq)
-    join the window, so a green r8 run gives every one of the 117
-    registered queries a hard driver row (115 oracle-checked,
-    embedding_knn_ivf + embedding_knn_ivfpq rows-only by documented
-    design). Swapped out: count_star, limit_head (r7-green,
-    unchanged, core family keeps 20+ reps)."""
+    join the window, as do the three r8-new incremental-ANN-index
+    queries (embedding_incremental_ann, embedding_ann_cellcounts,
+    embedding_stream_ann_ingest — all oracle-checked), so a green r8
+    run gives every one of the 120 registered queries a driver row
+    except only the three swapped out this round (all r7-green:
+    count_star, limit_head, plus customer_rolling_30d_spend /
+    orders_hash_sample / region_nation_list which made room for the
+    ANN family; embedding_knn_ivf + embedding_knn_ivfpq stay rows-only
+    by documented design)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -48,6 +52,10 @@ def test_driver_window_covers_every_family():
         # the never-driver-verified tail — the r8 window's whole point
         "embedding_knn_ivfpq_fixed",  # IVF-PQ oracle twin (r7 buzzer)
         "embedding_knn_ivfpq",        # trained IVFADC, rows-only by design
+        # r8-new: the incremental ANN index family (all oracle-checked)
+        "embedding_incremental_ann",   # bootstrap→append→pinned IVFADC probe
+        "embedding_ann_cellcounts",    # additive per-cell stats segments
+        "embedding_stream_ann_ingest", # streaming foreachBatch ANN ingest
         # r7 tail-closers that stay hot
         "customer_moving_avg",
         "doc_fingerprint",
@@ -56,9 +64,7 @@ def test_driver_window_covers_every_family():
         "events_json_by_type",
         "lineitem_quantity_quantiles",
         "orders_filtered_aggs",
-        "orders_hash_sample",
         "orders_priority_pivot",
-        "region_nation_list",
         "supplier_balance_distribution",
         "doc_export_shards",
         "doc_unigram_surprisal",
