@@ -300,8 +300,18 @@ def run_stream_incremental_dedup(
             # would re-run the whole dedup pipeline under its narrowed
             # write parallelism; count() fills the cache at full width
             # and every component write below is then a cache scan
-            if accepted.count() == 0:  # full replay / all dups
+            n_accepted = accepted.count()
+            if n_accepted == 0:  # full replay / all dups
                 return
+            # the count is free here, so size the per-segment file cap
+            # to the MEASURED batch: a few-hundred-doc micro-batch has
+            # no business writing segment_partitions files per
+            # component (5 components deep, each file pays a task
+            # launch + the parquet committer's temp-rename) — scale
+            # the cap at ~512 rows/file up to the configured ceiling
+            sp = segment_partitions
+            if sp is not None:
+                sp = max(1, min(sp, -(-n_accepted // 512)))
             pins = incr_index.append_batch(
                 spark,
                 index_root,
@@ -312,7 +322,7 @@ def run_stream_incremental_dedup(
                 # accumulation to minutes (readers here hold pins for
                 # one micro-batch), not the 24 h crash-debris grace
                 reader_grace_sec=600.0,
-                segment_partitions=segment_partitions,
+                segment_partitions=sp,
             )
             if compact_every and len(pins["bands"]) >= compact_every:
                 incr_index.compact_index(spark, index_root)
