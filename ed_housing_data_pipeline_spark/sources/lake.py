@@ -1065,11 +1065,61 @@ def read_segments(spark, component_root: str, segments: Sequence[int]) -> DataFr
     return spark.read.parquet(*[_segment_dir(root, s) for s in segments])
 
 
+def _zone_value(v):
+    """Normalize a min/max bound to a JSON-storable value whose
+    ordering survives the round trip: numbers/strings/bools pass
+    through; datetimes become ``YYYY-MM-DD HH:MM:SS[.ffffff]`` and
+    dates ``YYYY-MM-DD`` (lexicographic order == chronological order
+    for these fixed forms, so pruning compares strings directly);
+    Decimals become floats. Callers pass predicate bounds through the
+    same normalization, so both sides of the compare agree."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    import decimal  # noqa: PLC0415
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def _segment_zone_stats(
+    spark, component_root: str, seg: int, cols: Sequence[str]
+) -> dict[str, list]:
+    """Per-column ``[min, max, n_nulls]`` of one just-written segment —
+    ONE small agg job over a column-pruned scan of the segment dir
+    (the moral equivalent of collecting parquet footer stats at commit
+    time; O(batch) like the write itself)."""
+    df = spark.read.parquet(_segment_dir(component_root, seg))
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).alias(f"__z{i}n"),
+            F.max(c).alias(f"__z{i}x"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__z{i}u"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: [
+            _zone_value(row[f"__z{i}n"]),
+            _zone_value(row[f"__z{i}x"]),
+            int(row[f"__z{i}u"] or 0),
+        ]
+        for i, c in enumerate(cols)
+    }
+
+
 def commit_segment_manifest(
     spark,
     root: str,
     pins: dict[str, Sequence[int]],
     expected_base: int | None = None,
+    zones: dict[str, dict[int, dict[str, list]]] | None = None,
 ) -> int:
     """Atomically commit a full component→segment-list pin map as the
     next manifest snapshot (rows of (component, seg)). Returns the
@@ -1086,13 +1136,31 @@ def commit_segment_manifest(
     The manifest is a JSON blob snapshot (write_snapshot_blob), not a
     parquet dataset: commits and pin reads are filesystem operations,
     never Spark jobs — the metadata plane must not queue behind the
-    data plane (a streaming sink commits every micro-batch)."""
+    data plane (a streaming sink commits every micro-batch).
+
+    ``zones`` (optional) rides in the same blob under the reserved
+    ``"_zones"`` key: ``component → segment → column → [min, max,
+    n_nulls]`` zonemap stats for segment-level data skipping
+    (:func:`zone_pruned_pins`). Underscore-prefixed top-level keys are
+    metadata, skipped by every pin parser, so manifests with and
+    without zones interoperate."""
     if not pins or any(not segs for segs in pins.values()):
         raise ValueError(f"commit_segment_manifest: empty pin map/list in {pins!r}")
-    payload = json.dumps(
-        {name: sorted(int(s) for s in segs) for name, segs in pins.items()},
-        sort_keys=True,
-    )
+    if any(name.startswith("_") for name in pins):
+        raise ValueError(
+            "commit_segment_manifest: component names must not start with '_' "
+            f"(reserved for manifest metadata): {sorted(pins)!r}"
+        )
+    doc: dict = {
+        name: sorted(int(s) for s in segs) for name, segs in pins.items()
+    }
+    if zones:
+        doc["_zones"] = {
+            comp: {str(int(s)): stats for s, stats in zm.items()}
+            for comp, zm in zones.items()
+            if zm
+        }
+    payload = json.dumps(doc, sort_keys=True)
     return write_snapshot_blob(
         spark,
         payload,
@@ -1113,6 +1181,16 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     Version is resolved FIRST and the rows read from that pinned
     snapshot, so the pair is consistent even if a concurrent commit
     lands between the two reads."""
+    pins, _zones, version = _manifest_state(spark, root)
+    return pins, version
+
+
+def _manifest_state(
+    spark, root: str
+) -> tuple[dict[str, list[int]], dict[str, dict[int, dict[str, list]]], int]:
+    """(pins, zones, manifest_version) from the last committed
+    manifest blob — one filesystem read, consistent across the triple
+    (version resolved first, blob read at that pinned version)."""
     mroot = f"{root.rstrip('/')}/manifest"
     version = _committed_version(spark, mroot)
     if version is None:
@@ -1120,9 +1198,81 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     parsed = json.loads(read_snapshot_blob(spark, mroot, version=version))
     # set-dedup is defense in depth: a duplicated segment entry would
     # make read_segments scan that segment twice — duplicate rows
-    return {
-        name: sorted({int(s) for s in segs}) for name, segs in parsed.items()
-    }, version
+    pins = {
+        name: sorted({int(s) for s in segs})
+        for name, segs in parsed.items()
+        if not name.startswith("_")
+    }
+    zones = {
+        comp: {int(s): stats for s, stats in zm.items()}
+        for comp, zm in parsed.get("_zones", {}).items()
+    }
+    return pins, zones, version
+
+
+def segment_zones(
+    spark, root: str
+) -> dict[str, dict[int, dict[str, list]]]:
+    """The committed manifest's zonemap stats (component → segment →
+    column → [min, max, n_nulls]); empty when commits never collected
+    them. A filesystem read, no Spark job."""
+    return _manifest_state(spark, root)[1]
+
+
+def zone_pruned_pins(
+    spark, root: str, component: str, col: str, lo=None, hi=None
+) -> tuple[list[int], list[int]]:
+    """Segment-level data skipping: ``(kept, pinned)`` segment lists of
+    a component for the range predicate ``lo <= col <= hi`` (either
+    bound may be None for a half-open range). Purely driver-side
+    manifest metadata — planning a pruned read schedules NO job, the
+    exact shape hypertable chunk exclusion / Iceberg min-max file
+    skipping take at 100 TB where opening every file to discover it is
+    irrelevant is the bottleneck.
+
+    Semantics are conservative: a segment with no recorded stats for
+    ``col`` is KEPT (unknown ≠ prunable — e.g. segments committed
+    before zonemaps were enabled), a segment whose ``col`` is entirely
+    NULL is dropped (a range predicate never matches NULL), and bounds
+    are normalized exactly like the stored stats (:func:`_zone_value`)
+    so timestamps compare chronologically. Row-level filtering still
+    belongs to the caller's predicate — zonemaps only bound WHICH
+    segments can contain matches."""
+    pins, zones, _version = _manifest_state(spark, root)
+    if component not in pins:
+        raise KeyError(f"zone_pruned_pins: no pinned component {component!r}")
+    zm = zones.get(component, {})
+    lo, hi = _zone_value(lo), _zone_value(hi)
+    kept = []
+    for seg in pins[component]:
+        stats = zm.get(seg, {}).get(col)
+        if stats is None:
+            kept.append(seg)
+            continue
+        mn, mx = stats[0], stats[1]
+        if mn is None:  # every value NULL: range predicate can't match
+            continue
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            continue
+        kept.append(seg)
+    return kept, pins[component]
+
+
+def read_segments_zone_pruned(
+    spark, root: str, component: str, col: str, lo=None, hi=None
+) -> DataFrame:
+    """A component's manifest-pinned scan restricted to segments whose
+    zonemap range intersects ``[lo, hi]``. The caller must still apply
+    the row-level predicate — this only shrinks the file set (and when
+    every segment prunes away, returns an empty frame with the
+    component's schema)."""
+    kept, pinned = zone_pruned_pins(spark, root, component, col, lo, hi)
+    comp_root = f"{root.rstrip('/')}/{component}"
+    if not kept:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        return read_segments(spark, comp_root, pinned[:1]).filter(F.lit(False))
+    return read_segments(spark, comp_root, kept)
 
 
 def read_segmented_components(
@@ -1144,6 +1294,7 @@ def append_segments(
     appends: dict[str, DataFrame],
     replaces: dict[str, DataFrame] | None = None,
     init: bool = False,
+    zone_cols: dict[str, Sequence[str]] | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) commit: write each ``appends`` frame as a NEW
     segment of its component (pinned in addition to the committed
@@ -1151,25 +1302,65 @@ def append_segments(
     fresh segment (the re-derived-tiny-table shape — old segments
     unpin and age out), then flip the manifest. ``init=True`` performs
     the first commit (no prior manifest required; every component's
-    list starts fresh). Returns the newly committed pin map."""
+    list starts fresh). Returns the newly committed pin map.
+
+    ``zone_cols`` (component → columns) turns on zonemap collection:
+    each fresh segment of a listed component gets per-column
+    [min, max, n_nulls] stats (one O(batch) agg over the just-written
+    files) committed INTO the manifest blob, enabling driver-side
+    segment skipping at read time (:func:`zone_pruned_pins`). Stats of
+    still-pinned prior segments carry forward untouched; unpinned
+    segments' stats drop with them."""
     replaces = replaces or {}
+    zone_cols = zone_cols or {}
     if set(appends) & set(replaces):
         raise ValueError("append_segments: a component cannot be in both maps")
     if init:
-        pins, base = {}, 0
+        pins, zones, base = {}, {}, 0
     else:
-        pins, base = segment_pins_versioned(spark, root)
+        pins, zones, base = _manifest_state(spark, root)
     new_pins = dict(pins)
+    new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
         seg = write_segment(spark, df, f"{root}/{name}")
         new_pins[name] = [*pins.get(name, []), seg]
+        new_segs.append((name, seg))
     for name, df in replaces.items():
-        new_pins[name] = [write_segment(spark, df, f"{root}/{name}")]
+        seg = write_segment(spark, df, f"{root}/{name}")
+        new_pins[name] = [seg]
+        new_segs.append((name, seg))
+    new_zones = _carry_zones(zones, new_pins)
+    for name, seg in new_segs:
+        cols = zone_cols.get(name)
+        if cols:
+            new_zones.setdefault(name, {})[seg] = _segment_zone_stats(
+                spark, f"{root}/{name}", seg, cols
+            )
     # pinned commit: concurrent committers cannot silently drop each
     # other's segments — the loser gets ConcurrentCommitError and must
-    # retry from fresh pins (its written segments stay unpinned debris)
-    commit_segment_manifest(spark, root, new_pins, expected_base=base)
+    # retry from fresh pins (its written segments stay unpinned debris).
+    # The zones kwarg is only passed when non-empty so zone-free
+    # callers hit the canonical 4-arg signature (test doubles and
+    # wrappers of commit_segment_manifest keep working unchanged).
+    kw = {"zones": new_zones} if new_zones else {}
+    commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
+
+
+def _carry_zones(
+    zones: dict[str, dict[int, dict[str, list]]],
+    new_pins: dict[str, list[int]],
+) -> dict[str, dict[int, dict[str, list]]]:
+    """Zonemap stats restricted to segments the next manifest still
+    pins — immutable segments keep their stats forever; replaced or
+    compacted-away segments drop theirs with the pin."""
+    out: dict[str, dict[int, dict[str, list]]] = {}
+    for comp, zm in zones.items():
+        pinned = set(new_pins.get(comp, []))
+        keep = {seg: stats for seg, stats in zm.items() if seg in pinned}
+        if keep:
+            out[comp] = keep
+    return out
 
 
 def compact_segments(
@@ -1189,12 +1380,19 @@ def compact_segments(
     This bounds read fan-in and small files under a long append-only
     ingest: run it on a cadence (every K commits / from a maintenance
     cron), amortizing the O(dataset) rewrite over the K O(batch)
-    commits it covers."""
+    commits it covers.
+
+    Zonemap coverage survives compaction WITHOUT the caller restating
+    the zoned columns: the compacted segment's stats are recomputed
+    for every column the folded-away segments carried stats for (the
+    column set is manifest metadata, so compaction is self-describing
+    the way the reducers are not)."""
     reducers = reducers or {}
-    pins, base = segment_pins_versioned(spark, root)
+    pins, zones, base = _manifest_state(spark, root)
     names = list(components) if components is not None else list(pins)
     new_pins = dict(pins)
     changed = False
+    rezone: list[tuple[str, int, list[str]]] = []
     for name in names:
         if len(pins[name]) < min_segments:
             continue
@@ -1202,12 +1400,25 @@ def compact_segments(
         reduce = reducers.get(name)
         if reduce is not None:
             df = reduce(df)
-        new_pins[name] = [write_segment(spark, df, f"{root}/{name}")]
+        seg = write_segment(spark, df, f"{root}/{name}")
+        new_pins[name] = [seg]
+        zone_columns = sorted(
+            {c for stats in zones.get(name, {}).values() for c in stats}
+        )
+        if zone_columns:
+            rezone.append((name, seg, zone_columns))
         changed = True
     if changed:
+        new_zones = _carry_zones(zones, new_pins)
+        for name, seg, cols in rezone:
+            new_zones.setdefault(name, {})[seg] = _segment_zone_stats(
+                spark, f"{root}/{name}", seg, cols
+            )
         # pinned: an ingest landing mid-compaction must not be dropped
-        # by the compacted manifest (and vice versa)
-        commit_segment_manifest(spark, root, new_pins, expected_base=base)
+        # by the compacted manifest (and vice versa); zones kwarg only
+        # when non-empty (see append_segments)
+        kw = {"zones": new_zones} if new_zones else {}
+        commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
 
 
@@ -1248,6 +1459,8 @@ def expire_segments(
         except Exception:  # noqa: BLE001 - torn/in-flight manifest dir
             continue
         for name, segs in parsed.items():
+            if name.startswith("_"):  # manifest metadata (e.g. _zones)
+                continue
             keep.setdefault(name, set()).update(int(s) for s in segs)
     jvm, fs = _fs(spark, root)
     now_ms = time.time() * 1000.0

@@ -1,0 +1,190 @@
+"""Continuous-rollup (incremental materialized aggregate) contracts.
+
+The load-bearing invariant: merge(partial segments of any batch
+partition of the facts) == direct aggregate of all facts — per key,
+for every kept statistic, including NULL-measure and empty-batch
+edges. Plus the protocol contracts the other segmented artifacts pin:
+spec immutability, crash-before-flip invisibility, compaction
+content-neutrality with zonemap coverage surviving, and chunk-excluded
+range reads matching the full view.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ed_housing_data_pipeline_spark.operators import rollup
+from ed_housing_data_pipeline_spark.sources import lake
+from tests.conftest import rows
+
+KEYS = ["grp", "bucket"]
+MEASURES = {"v": "val"}
+
+
+def _r6(ts):
+    """Rows with floats rounded to 6 dp: partial-sum association vs
+    direct-sum association differ in the last double bits (that's IEEE
+    754, not a correctness bug — the registered query rounds its
+    exported sums the same way)."""
+    return [
+        tuple(round(v, 6) if isinstance(v, float) else v for v in t) for t in ts
+    ]
+
+
+def _facts(n: int = 120, seed: int = 7):
+    rng = random.Random(seed)
+    return [
+        Row(
+            grp=rng.choice(["a", "b", "c"]),
+            bucket=rng.randint(1, 6),
+            val=None if rng.random() < 0.15 else round(rng.uniform(-50, 150), 3),
+        )
+        for _ in range(n)
+    ]
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "grp string, bucket int, val double")
+
+
+def _direct(spark, data):
+    """The non-incremental truth: one GROUP BY over all facts."""
+    return rows(
+        _df(spark, data)
+        .groupBy(*KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum("val").alias("v_sum"),
+            F.count("val").alias("v_cnt"),
+            F.min("val").alias("v_min"),
+            F.max("val").alias("v_max"),
+        )
+    )
+
+
+def _build(spark, root, data, cuts, zone_keys=("bucket",)):
+    """Bootstrap on data[:cuts[0]], append the remaining slices."""
+    parts = [data[: cuts[0]]] + [
+        data[a:b] for a, b in zip(cuts, [*cuts[1:], len(data)])
+    ]
+    rollup.bootstrap_rollup(
+        spark,
+        root,
+        _df(spark, parts[0]),
+        KEYS,
+        MEASURES,
+        zone_keys=list(zone_keys),
+        segment_partitions=1,
+    )
+    for p in parts[1:]:
+        rollup.append_rollup_batch(
+            spark, root, _df(spark, p), segment_partitions=1
+        )
+
+
+def test_incremental_equals_direct_over_random_splits(spark, tmp_path):
+    data = _facts()
+    for i, cuts in enumerate([[40, 80], [1, 2, 3], [119], [60]]):
+        root = str(tmp_path / f"r{i}")
+        _build(spark, root, data, cuts)
+        got = rollup.read_rollup(spark, root, derive_avg=False)
+        assert _r6(rows(got)) == _r6(_direct(spark, data))
+
+
+def test_avg_derivation_and_all_null_group(spark, tmp_path):
+    data = [
+        Row(grp="a", bucket=1, val=10.0),
+        Row(grp="a", bucket=1, val=20.0),
+        Row(grp="z", bucket=9, val=None),
+        Row(grp="z", bucket=9, val=None),
+    ]
+    root = str(tmp_path / "r")
+    _build(spark, root, data, cuts=[2])
+    got = rows(
+        rollup.read_rollup(spark, root).select(
+            "grp", "_rows", "v_sum", "v_cnt", "v_avg"
+        )
+    )
+    assert got == [("a", 2, 30.0, 2, 15.0), ("z", 2, None, 0, None)]
+
+
+def test_empty_batch_append_is_a_noop_on_content(spark, tmp_path):
+    data = _facts(40)
+    root = str(tmp_path / "r")
+    _build(spark, root, data, cuts=[40])  # second batch is empty
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, data)
+    )
+
+
+def test_compaction_is_content_neutral_and_keeps_zonemaps(spark, tmp_path):
+    data = _facts()
+    root = str(tmp_path / "r")
+    _build(spark, root, data, cuts=[40, 80])
+    before = rows(rollup.read_rollup(spark, root, derive_avg=False))
+    rollup.compact_rollup(spark, root)
+    pins = lake.segment_pins(spark, root)
+    assert len(pins[rollup.PARTIALS]) == 1
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(before)
+    zones = lake.segment_zones(spark, root)
+    (stats,) = zones[rollup.PARTIALS].values()
+    assert stats["bucket"][:2] == [1, 6]
+
+
+def test_range_read_prunes_segments_and_matches_full_view(spark, tmp_path):
+    """Time-disjoint ingest batches (the hypertable shape): a bucket
+    window must read fewer segments and equal the filtered view."""
+    data = sorted(_facts(), key=lambda r: r.bucket)
+    third = len(data) // 3
+    root = str(tmp_path / "r")
+    _build(spark, root, data, cuts=[third, 2 * third])
+    kept, pinned = lake.zone_pruned_pins(
+        spark, root, rollup.PARTIALS, "bucket", lo=1, hi=1
+    )
+    assert len(pinned) == 3 and len(kept) < 3
+    got = rollup.read_rollup_range(
+        spark, root, "bucket", lo=1, hi=1, derive_avg=False
+    )
+    want = rollup.read_rollup(spark, root, derive_avg=False).filter(
+        F.col("bucket") == 1
+    )
+    assert _r6(rows(got)) == _r6(rows(want))
+
+
+def test_range_read_requires_a_zone_key(spark, tmp_path):
+    root = str(tmp_path / "r")
+    _build(spark, root, _facts(30), cuts=[30], zone_keys=())
+    with pytest.raises(ValueError, match="not a zone key"):
+        rollup.read_rollup_range(spark, root, "bucket", lo=1, hi=2)
+
+
+def test_second_bootstrap_raises_spec_is_immutable(spark, tmp_path):
+    root = str(tmp_path / "r")
+    _build(spark, root, _facts(30), cuts=[30])
+    with pytest.raises(Exception, match="v=1|version 1|exists"):
+        rollup.bootstrap_rollup(
+            spark, root, _df(spark, _facts(5)), KEYS, MEASURES
+        )
+
+
+def test_unflipped_segment_stays_invisible(spark, tmp_path):
+    """A partial segment written WITHOUT a manifest flip (crash before
+    commit) must not leak into the served view."""
+    data = _facts(60)
+    root = str(tmp_path / "r")
+    _build(spark, root, data[:40], cuts=[40])
+    before = rows(rollup.read_rollup(spark, root, derive_avg=False))
+    lake.write_segment(  # data write only — no commit_segment_manifest
+        spark,
+        rollup.partial_rollup(_df(spark, data[40:]), KEYS, MEASURES).coalesce(1),
+        f"{root}/{rollup.PARTIALS}",
+    )
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(before)
+    # the retried append commits and the view converges to all facts
+    rollup.append_rollup_batch(spark, root, _df(spark, data[40:]))
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, data)
+    )
