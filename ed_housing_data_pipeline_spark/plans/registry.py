@@ -116,6 +116,13 @@ _LOADED = False
 # window family reps remain: customer_balance_quartiles/customer_moving_avg
 # keep windows, orders_filtered_aggs/orders_priority_pivot keep the orders
 # battery, the core-relational family keeps 15+ reps).
+#
+# r8 additions, second wave: the continuous-aggregate family —
+# orders_incremental_rollup (bootstrap → O(batch) partial-agg appends →
+# merge-on-read) and orders_rollup_month_range (zonemap chunk-excluded
+# window read of the same view) — swap IN. Swapped OUT for them:
+# setop_except_all and events_props_struct (both r7-green, unchanged;
+# setop_intersect/union and the events battery keep family reps).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -132,8 +139,9 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "customer_balance_quartiles",
     "customer_moving_avg",
     "orders_nearby_range_join",
-    "setop_except_all",
     "lake_snapshot_roundtrip",
+    "orders_incremental_rollup",
+    "orders_rollup_month_range",
     "orders_filtered_aggs",
     "orders_priority_pivot",
     "lineitem_quantity_quantiles",
@@ -143,7 +151,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "events_daily_active_users",
     "events_hourly_by_type",
     "events_json_by_type",
-    "events_props_struct",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_exact_dedup",
     "doc_fingerprint",
@@ -188,6 +195,7 @@ def _load_all() -> None:
         queries_events,
         queries_incr,
         queries_llm,
+        queries_rollup,
         queries_streaming,
     )
 

@@ -37,11 +37,13 @@ def test_driver_window_covers_every_family():
     queries (embedding_incremental_ann, embedding_ann_cellcounts,
     embedding_stream_ann_ingest — all oracle-checked), so a green r8
     run gives every one of the 120 registered queries a driver row
-    except only the three swapped out this round (all r7-green:
-    count_star, limit_head, plus customer_rolling_30d_spend /
-    orders_hash_sample / region_nation_list which made room for the
-    ANN family; embedding_knn_ivf + embedding_knn_ivfpq stay rows-only
-    by documented design)."""
+    except only the names swapped out this round (all r7-green:
+    count_star, limit_head, customer_rolling_30d_spend,
+    orders_hash_sample, region_nation_list for the ANN family, then
+    setop_except_all and events_props_struct for the r8 second-wave
+    continuous-aggregate family orders_incremental_rollup /
+    orders_rollup_month_range; embedding_knn_ivf + embedding_knn_ivfpq
+    stay rows-only by documented design)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -89,14 +91,15 @@ def test_driver_window_covers_every_family():
         "embedding_neardup_pairs",  # cosine near-dup
         "embedding_dedup_clusters", # semantic dedup
         "events_asof_last_view",    # as-of join
-        "events_props_struct",      # JSON→struct coercion
+        # r8-new, second wave: the continuous-aggregate family
+        "orders_incremental_rollup",   # partial-agg segments, merge-on-read
+        "orders_rollup_month_range",   # zonemap chunk-excluded window read
         "events_stream_hourly",     # streaming windowed-agg rep
         "rank_asc_nulls_last",      # global_rank
         "rank_dense_global",        # quantile-shard cache
         "customer_balance_quartiles",  # global_ntile
         "grouped_agg_salted",       # skew-salted agg
         "anti_join",                # set-negation join
-        "setop_except_all",         # set ops
         "orders_nearby_range_join",  # range join
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
