@@ -138,12 +138,15 @@ def append_rollup_batch(
     orphan_grace_sec: float = 24 * 3600,
     reader_grace_sec: float | None = None,
     segment_partitions: int | None = None,
+    meta: dict | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) view refresh: partial-aggregate the batch under
     the PINNED spec, append one segment, flip the manifest, age out
     unpinned segments. Committed segments are never rewritten —
     per-refresh cost is independent of how much history the view
-    holds. Returns the committed pin map."""
+    holds. ``meta`` replaces the manifest's application metadata
+    atomically with the commit (the streaming sink's exactly-once
+    batch-id hook). Returns the committed pin map."""
     keys, measures, zone_keys = read_rollup_spec(spark, root)
     part = partial_rollup(df, keys, measures)
     if segment_partitions:
@@ -153,6 +156,7 @@ def append_rollup_batch(
         root,
         appends={PARTIALS: part},
         zone_cols={PARTIALS: zone_keys} if zone_keys else None,
+        meta=meta,
     )
     lake.expire_segments(
         spark,

@@ -158,6 +158,66 @@ def q_orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_stream_rollup",
+    oracle=_ROLLUP_SELECT + "GROUP BY 1, 2",
+)
+def q_orders_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming continuous-aggregate loop as a registered,
+    oracle-checked query: bootstrap pins the spec + pre-1997 history,
+    the later facts arrive AS A STREAM through the transactional
+    foreachBatch sink (streaming/rollups.py — micro-batch id committed
+    in the same manifest flip as the batch's partial segment, so
+    replays are exactly-once without fact ids), and the served merge
+    must reproduce DuckDB's direct GROUP BY over the raw fact table.
+    Replay/restart contracts: tests/test_streaming_rollups.py."""
+    import tempfile  # noqa: PLC0415
+
+    from ed_housing_data_pipeline_spark.streaming import (  # noqa: PLC0415
+        rollups as sr,
+    )
+
+    facts = _orders_keyed(spark, sf_dir)
+    if _audit():  # job-free plan: the lazy merged-view expression
+        return _export(
+            rollup.merge_rollup(
+                rollup.partial_rollup(facts, ROLLUP_KEYS, ROLLUP_MEASURES),
+                ROLLUP_KEYS,
+                ROLLUP_MEASURES,
+            )
+        )
+    lo = ROLLUP_CUTS[0]
+    with tempfile.TemporaryDirectory(prefix="stream_rollup_") as tmp:
+        root = f"{tmp}/view"
+        rollup.bootstrap_rollup(
+            spark,
+            root,
+            facts.filter((F.col("_yr") <= lo) | F.col("_yr").isNull()),
+            ROLLUP_KEYS,
+            ROLLUP_MEASURES,
+            zone_keys=["month"],
+            segment_partitions=1,
+        )
+        schema = t(spark, sf_dir, "orders").schema
+        # glob form: FileStreamSource needs a directory basePath (the
+        # events/documents stream sources use the same trick)
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/orders.parque[t]")
+            .filter(F.year("o_orderdate") > lo)
+            .select(
+                F.col("o_orderpriority").alias("priority"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                "o_totalprice",
+            )
+        )
+        sr.run_stream_rollup(stream, root, f"{tmp}/ckpt")
+        out = _export(rollup.read_rollup(spark, root, derive_avg=False))
+        # the tempdir dies with the context manager: materialize the
+        # small aggregate before the backing files vanish
+        return out.localCheckpoint(eager=True)
+
+
+@register(
     "orders_rollup_month_range",
     oracle=_ROLLUP_SELECT
     + f"WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '{RANGE_LO}' AND '{RANGE_HI}'\n"

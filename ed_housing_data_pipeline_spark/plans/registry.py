@@ -119,10 +119,13 @@ _LOADED = False
 #
 # r8 additions, second wave: the continuous-aggregate family —
 # orders_incremental_rollup (bootstrap → O(batch) partial-agg appends →
-# merge-on-read) and orders_rollup_month_range (zonemap chunk-excluded
-# window read of the same view) — swap IN. Swapped OUT for them:
-# setop_except_all and events_props_struct (both r7-green, unchanged;
-# setop_intersect/union and the events battery keep family reps).
+# merge-on-read), orders_rollup_month_range (zonemap chunk-excluded
+# window read of the same view), and orders_stream_rollup (the same
+# view maintained by the transactional foreachBatch sink — batch id
+# committed atomically with the partial segment) — swap IN. Swapped
+# OUT for them: setop_except_all, events_props_struct, and
+# events_json_by_type (all r7-green, unchanged; setop_intersect/union
+# and the events battery keep family reps).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -142,6 +145,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "lake_snapshot_roundtrip",
     "orders_incremental_rollup",
     "orders_rollup_month_range",
+    "orders_stream_rollup",
     "orders_filtered_aggs",
     "orders_priority_pivot",
     "lineitem_quantity_quantiles",
@@ -150,7 +154,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "events_asof_last_view",
     "events_daily_active_users",
     "events_hourly_by_type",
-    "events_json_by_type",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_exact_dedup",
     "doc_fingerprint",

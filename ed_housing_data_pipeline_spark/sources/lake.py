@@ -1120,6 +1120,7 @@ def commit_segment_manifest(
     pins: dict[str, Sequence[int]],
     expected_base: int | None = None,
     zones: dict[str, dict[int, dict[str, list]]] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Atomically commit a full component→segment-list pin map as the
     next manifest snapshot (rows of (component, seg)). Returns the
@@ -1141,9 +1142,14 @@ def commit_segment_manifest(
     ``zones`` (optional) rides in the same blob under the reserved
     ``"_zones"`` key: ``component → segment → column → [min, max,
     n_nulls]`` zonemap stats for segment-level data skipping
-    (:func:`zone_pruned_pins`). Underscore-prefixed top-level keys are
+    (:func:`zone_pruned_pins`). ``meta`` (optional, JSON-serializable)
+    rides under ``"_meta"``: small application state whose update must
+    be ATOMIC with the pin flip — e.g. a streaming sink's last
+    committed micro-batch id, which is what makes replayed batches
+    exactly-once (the dedup decision and the data commit are one
+    filesystem rename). Underscore-prefixed top-level keys are
     metadata, skipped by every pin parser, so manifests with and
-    without zones interoperate."""
+    without them interoperate."""
     if not pins or any(not segs for segs in pins.values()):
         raise ValueError(f"commit_segment_manifest: empty pin map/list in {pins!r}")
     if any(name.startswith("_") for name in pins):
@@ -1160,6 +1166,8 @@ def commit_segment_manifest(
             for comp, zm in zones.items()
             if zm
         }
+    if meta:
+        doc["_meta"] = meta
     payload = json.dumps(doc, sort_keys=True)
     return write_snapshot_blob(
         spark,
@@ -1181,15 +1189,17 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     Version is resolved FIRST and the rows read from that pinned
     snapshot, so the pair is consistent even if a concurrent commit
     lands between the two reads."""
-    pins, _zones, version = _manifest_state(spark, root)
+    pins, _zones, _meta, version = _manifest_state(spark, root)
     return pins, version
 
 
 def _manifest_state(
     spark, root: str
-) -> tuple[dict[str, list[int]], dict[str, dict[int, dict[str, list]]], int]:
-    """(pins, zones, manifest_version) from the last committed
-    manifest blob — one filesystem read, consistent across the triple
+) -> tuple[
+    dict[str, list[int]], dict[str, dict[int, dict[str, list]]], dict, int
+]:
+    """(pins, zones, meta, manifest_version) from the last committed
+    manifest blob — one filesystem read, consistent across the tuple
     (version resolved first, blob read at that pinned version)."""
     mroot = f"{root.rstrip('/')}/manifest"
     version = _committed_version(spark, mroot)
@@ -1207,7 +1217,7 @@ def _manifest_state(
         comp: {int(s): stats for s, stats in zm.items()}
         for comp, zm in parsed.get("_zones", {}).items()
     }
-    return pins, zones, version
+    return pins, zones, parsed.get("_meta", {}), version
 
 
 def segment_zones(
@@ -1217,6 +1227,13 @@ def segment_zones(
     column → [min, max, n_nulls]); empty when commits never collected
     them. A filesystem read, no Spark job."""
     return _manifest_state(spark, root)[1]
+
+
+def segment_meta(spark, root: str) -> dict:
+    """The committed manifest's application metadata (``_meta`` blob
+    key) — e.g. a streaming sink's last committed batch id. Empty when
+    never set. A filesystem read, no Spark job."""
+    return _manifest_state(spark, root)[2]
 
 
 def zone_pruned_pins(
@@ -1238,7 +1255,7 @@ def zone_pruned_pins(
     so timestamps compare chronologically. Row-level filtering still
     belongs to the caller's predicate — zonemaps only bound WHICH
     segments can contain matches."""
-    pins, zones, _version = _manifest_state(spark, root)
+    pins, zones, _meta, _version = _manifest_state(spark, root)
     if component not in pins:
         raise KeyError(f"zone_pruned_pins: no pinned component {component!r}")
     zm = zones.get(component, {})
@@ -1295,6 +1312,7 @@ def append_segments(
     replaces: dict[str, DataFrame] | None = None,
     init: bool = False,
     zone_cols: dict[str, Sequence[str]] | None = None,
+    meta: dict | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) commit: write each ``appends`` frame as a NEW
     segment of its component (pinned in addition to the committed
@@ -1310,15 +1328,21 @@ def append_segments(
     files) committed INTO the manifest blob, enabling driver-side
     segment skipping at read time (:func:`zone_pruned_pins`). Stats of
     still-pinned prior segments carry forward untouched; unpinned
-    segments' stats drop with them."""
+    segments' stats drop with them.
+
+    ``meta`` (JSON dict) REPLACES the manifest's application metadata
+    atomically with this commit (None carries the prior value) — the
+    transactional-sink hook: a streaming committer stores its batch id
+    here so a replayed micro-batch is detected-and-skipped against the
+    same atomic state its data landed with."""
     replaces = replaces or {}
     zone_cols = zone_cols or {}
     if set(appends) & set(replaces):
         raise ValueError("append_segments: a component cannot be in both maps")
     if init:
-        pins, zones, base = {}, {}, 0
+        pins, zones, prior_meta, base = {}, {}, {}, 0
     else:
-        pins, zones, base = _manifest_state(spark, root)
+        pins, zones, prior_meta, base = _manifest_state(spark, root)
     new_pins = dict(pins)
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
@@ -1339,10 +1363,15 @@ def append_segments(
     # pinned commit: concurrent committers cannot silently drop each
     # other's segments — the loser gets ConcurrentCommitError and must
     # retry from fresh pins (its written segments stay unpinned debris).
-    # The zones kwarg is only passed when non-empty so zone-free
+    # The zones/meta kwargs are only passed when non-empty so plain
     # callers hit the canonical 4-arg signature (test doubles and
     # wrappers of commit_segment_manifest keep working unchanged).
-    kw = {"zones": new_zones} if new_zones else {}
+    kw = {}
+    if new_zones:
+        kw["zones"] = new_zones
+    new_meta = meta if meta is not None else prior_meta
+    if new_meta:
+        kw["meta"] = new_meta
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
 
@@ -1386,9 +1415,10 @@ def compact_segments(
     the zoned columns: the compacted segment's stats are recomputed
     for every column the folded-away segments carried stats for (the
     column set is manifest metadata, so compaction is self-describing
-    the way the reducers are not)."""
+    the way the reducers are not). Application metadata (``_meta``)
+    carries through unchanged."""
     reducers = reducers or {}
-    pins, zones, base = _manifest_state(spark, root)
+    pins, zones, prior_meta, base = _manifest_state(spark, root)
     names = list(components) if components is not None else list(pins)
     new_pins = dict(pins)
     changed = False
@@ -1415,9 +1445,13 @@ def compact_segments(
                 spark, f"{root}/{name}", seg, cols
             )
         # pinned: an ingest landing mid-compaction must not be dropped
-        # by the compacted manifest (and vice versa); zones kwarg only
-        # when non-empty (see append_segments)
-        kw = {"zones": new_zones} if new_zones else {}
+        # by the compacted manifest (and vice versa); zones/meta kwargs
+        # only when non-empty (see append_segments)
+        kw = {}
+        if new_zones:
+            kw["zones"] = new_zones
+        if prior_meta:
+            kw["meta"] = prior_meta
         commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
 

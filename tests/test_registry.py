@@ -40,9 +40,10 @@ def test_driver_window_covers_every_family():
     except only the names swapped out this round (all r7-green:
     count_star, limit_head, customer_rolling_30d_spend,
     orders_hash_sample, region_nation_list for the ANN family, then
-    setop_except_all and events_props_struct for the r8 second-wave
-    continuous-aggregate family orders_incremental_rollup /
-    orders_rollup_month_range; embedding_knn_ivf + embedding_knn_ivfpq
+    setop_except_all, events_props_struct and events_json_by_type for
+    the r8 second-wave continuous-aggregate family
+    orders_incremental_rollup / orders_rollup_month_range /
+    orders_stream_rollup; embedding_knn_ivf + embedding_knn_ivfpq
     stay rows-only by documented design)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
@@ -63,7 +64,6 @@ def test_driver_window_covers_every_family():
         "doc_fingerprint",
         "events_daily_active_users",
         "events_hourly_by_type",
-        "events_json_by_type",
         "lineitem_quantity_quantiles",
         "orders_filtered_aggs",
         "orders_priority_pivot",
@@ -94,6 +94,7 @@ def test_driver_window_covers_every_family():
         # r8-new, second wave: the continuous-aggregate family
         "orders_incremental_rollup",   # partial-agg segments, merge-on-read
         "orders_rollup_month_range",   # zonemap chunk-excluded window read
+        "orders_stream_rollup",        # transactional foreachBatch sink
         "events_stream_hourly",     # streaming windowed-agg rep
         "rank_asc_nulls_last",      # global_rank
         "rank_dense_global",        # quantile-shard cache
