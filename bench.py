@@ -59,6 +59,10 @@ HEADLINE = [
     # r6 token-explode battery (compute-heavy curation audits)
     "doc_unigram_surprisal",    # per-(doc,word) counts + vocab join
     "doc_dup_span_coverage",    # gram table + repeated-gram semi-join
+    # r8 continuous-aggregate family: serving cost of the persisted
+    # view (merge of partial segments; build memoized per session)
+    "orders_incremental_rollup",   # merge-on-read of the full view
+    "orders_rollup_month_range",   # zonemap chunk-excluded window read
 ]
 
 # Cold-only rows (r6 VERDICT #5): these two run REAL side-effecting
@@ -72,6 +76,7 @@ HEADLINE = [
 COLD_ONLY = [
     "doc_export_shards",            # sharded corpus export e2e
     "doc_stream_incremental_dedup",  # streaming ingest + incremental dedup
+    "orders_stream_rollup",         # streamed view maintenance e2e
 ]
 
 
