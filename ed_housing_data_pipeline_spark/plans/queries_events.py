@@ -480,3 +480,76 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type", "bucket_s", "n_events", F.round(z, 4).alias("z")
     )
+
+
+# --------------------------- cross-engine HLL cardinality sketch
+def _hll_daily_oracle() -> str:
+    from ed_housing_data_pipeline_spark.functions import sketches as sk
+    from ed_housing_data_pipeline_spark.plans._base import hash60_sql
+
+    chain = sk.hll_sql("bucket_s", "hv", "src")
+    return f"""
+WITH src AS (
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
+           user_id,
+           {hash60_sql("CAST(user_id AS VARCHAR)")} AS hv
+    FROM events WHERE user_id IS NOT NULL
+),{chain}
+SELECT h.grp AS bucket_s,
+       ROUND(h.hll_est, 4) AS hll_users,
+       x.exact_users
+FROM hll h
+JOIN (SELECT bucket_s, COUNT(DISTINCT user_id) AS exact_users
+      FROM src GROUP BY 1) x
+  ON h.grp = x.bucket_s
+"""
+
+
+@register("events_hll_daily_users", oracle=_hll_daily_oracle())
+def q_events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users twice over: a cross-engine-DETERMINISTIC
+    HyperLogLog estimate (functions/sketches.py — md5-prefix hash60
+    registers, exact integer indicator algebra, Flajolet alpha +
+    linear-counting correction) next to the exact distinct count. The
+    DuckDB twin recomputes the identical register algebra in SQL, so
+    the sketch itself is hash-checked, not just bounded; accuracy vs
+    exact is pinned separately (tests/test_sketches.py, <15% on every
+    bucket). At 100 TB the register table (group × 256 rows) is the
+    shuffle payload — the exact COUNT(DISTINCT) pays a full
+    (group, user) shuffle instead, which is exactly what the sketch
+    exists to avoid; both run here so the trade is visible."""
+    from ed_housing_data_pipeline_spark.functions import sketches as sk
+    from ed_housing_data_pipeline_spark.functions.text import hash60
+
+    base = (
+        events_ts(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.unix_seconds(F.date_trunc("day", F.col("ts"))).alias("bucket_s"),
+            "user_id",
+            hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+    regs = (
+        base.select(
+            "bucket_s",
+            sk.hll_register(F.col("h")).alias("reg"),
+            sk.hll_rho(F.col("h")).alias("rho"),
+        )
+        .groupBy("bucket_s", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    stats = regs.groupBy("bucket_s").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(sk.hll_indicator_term(F.col("mr"))).alias("sum_scaled"),
+    )
+    exact = base.groupBy("bucket_s").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return stats.join(exact, "bucket_s").select(
+        "bucket_s",
+        F.round(
+            sk.hll_estimate(F.col("n_present"), F.col("sum_scaled")), 4
+        ).alias("hll_users"),
+        "exact_users",
+    )

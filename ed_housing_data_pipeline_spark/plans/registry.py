@@ -126,6 +126,14 @@ _LOADED = False
 # OUT for them: setop_except_all, events_props_struct, and
 # events_json_by_type (all r7-green, unchanged; setop_intersect/union
 # and the events battery keep family reps).
+#
+# r8 additions, third wave: events_hll_daily_users — the cross-engine
+# deterministic HyperLogLog (functions/sketches.py), hash-checked
+# register algebra AND the exact count in one row — swaps IN for
+# events_daily_active_users (r7-green, unchanged; the HLL query itself
+# now carries the daily-distinct-users shape, and the events battery
+# keeps events_hourly_by_type / events_asof_last_view /
+# events_stream_hourly).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -152,7 +160,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "supplier_balance_distribution",
     # event-time analytics (batch)
     "events_asof_last_view",
-    "events_daily_active_users",
+    "events_hll_daily_users",
     "events_hourly_by_type",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_exact_dedup",

@@ -43,7 +43,9 @@ def test_driver_window_covers_every_family():
     setop_except_all, events_props_struct and events_json_by_type for
     the r8 second-wave continuous-aggregate family
     orders_incremental_rollup / orders_rollup_month_range /
-    orders_stream_rollup; embedding_knn_ivf + embedding_knn_ivfpq
+    orders_stream_rollup, events_daily_active_users for the HLL twin
+    events_hll_daily_users which carries the same daily-distinct
+    shape; embedding_knn_ivf + embedding_knn_ivfpq
     stay rows-only by documented design)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
@@ -62,7 +64,7 @@ def test_driver_window_covers_every_family():
         # r7 tail-closers that stay hot
         "customer_moving_avg",
         "doc_fingerprint",
-        "events_daily_active_users",
+        "events_hll_daily_users",   # cross-engine deterministic HLL
         "events_hourly_by_type",
         "lineitem_quantity_quantiles",
         "orders_filtered_aggs",
