@@ -1257,26 +1257,20 @@ _EXPR_ASSIGN_MAX_LITERALS = 2048
 
 def _probe_expr(vec_col: str, cents: list[list[float]], nprobe: int) -> Column:
     """The ``nprobe`` nearest cell ids as an ``array<int>`` — the
-    multi-probe twin of :func:`_assign_expr`. Native form: an array of
+    multi-probe twin of :func:`_assign_expr`. Built as ONE parsed SQL
+    string like the argmin (the srp_bucket lesson all over again: the
+    Column-API form of this expression was ~1500 py4j round-trips and
+    half the wall-clock of every IVF-PQ probe-plan BUILD): an array of
     (dist, idx) structs, ``array_sort`` (struct ordering is
     field-by-field, so distance then index — deterministic ties),
     slice, project the idx. Same k·dim literal budget as assignment."""
-    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == len(cents[0]))
-    pairs = []
-    for i, c in enumerate(cents):
-        lit_vec = F.array(*[F.lit(x) for x in c])
-        dist = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_vec, lambda a, b: (a.cast("double") - b) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        pairs.append(F.struct(dist.alias("d"), F.lit(i).alias("i")))
-    probes = F.transform(
-        F.slice(F.array_sort(F.array(*pairs)), 1, nprobe), lambda s: s["i"]
+    valid = f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {len(cents[0])}"
+    return F.expr(
+        f"CASE WHEN {valid} THEN "
+        f"transform(slice({_cent_sort_sql(vec_col, cents)}, 1, {int(nprobe)}), "
+        "s -> s.i) "
+        "ELSE CAST(NULL AS array<int>) END"
     )
-    return F.when(valid, probes).otherwise(F.lit(None).cast("array<int>"))
 
 
 def _probe_arrow(
