@@ -232,3 +232,136 @@ def q_orders_rollup_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_queries_rollup.py asserts the pruning actually dropped
     segments for this window; the oracle pins the values."""
     return _export(_rollup_frame(spark, sf_dir, lo=RANGE_LO, hi=RANGE_HI))
+
+
+# --------------------------- incremental HLL sketch maintenance
+# The sketch × rollup composition: an HLL register table IS rollup
+# state — (group, register) keyed, merged by MAX — so the continuous-
+# aggregate machinery maintains a distinct-count sketch incrementally
+# with zero new protocol surface. Each ingest batch appends its
+# O(batch) partial register maxima; serving folds registers and
+# derives the estimate; history is never re-hashed.
+HLL_ROLLUP_KEYS = ["bucket_s", "reg"]
+HLL_ROLLUP_MEASURES = {"rho": "rho"}
+
+_HLL_ROLLUP_DIR: dict[tuple[str], object] = {}
+
+
+def _events_hll_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ed_housing_data_pipeline_spark.functions import (  # noqa: PLC0415
+        sketches as sk,
+    )
+    from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+        hash60,
+    )
+    from ed_housing_data_pipeline_spark.plans._base import (  # noqa: PLC0415
+        events_ts,
+    )
+
+    ev = events_ts(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    h = hash60(F.col("user_id").cast("string"))
+    return ev.select(
+        F.unix_seconds(F.date_trunc("day", F.col("ts"))).alias("bucket_s"),
+        F.dayofmonth(F.col("ts")).alias("_dom"),
+        sk.hll_register(h).alias("reg"),
+        sk.hll_rho(h).alias("rho"),
+    )
+
+
+def _ensure_hll_rollup(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir,)
+    tmp = _HLL_ROLLUP_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="events_hll_rollup_")
+        facts = _events_hll_facts(spark, sf_dir)
+        rollup.bootstrap_rollup(
+            spark,
+            tmp.name,
+            facts.filter((F.col("_dom") <= 10) | F.col("_dom").isNull()),
+            HLL_ROLLUP_KEYS,
+            HLL_ROLLUP_MEASURES,
+            zone_keys=["bucket_s"],
+            segment_partitions=1,
+        )
+        for lo, hi in ((10, 20), (20, None)):
+            batch = facts.filter(F.col("_dom") > lo)
+            if hi is not None:
+                batch = batch.filter(F.col("_dom") <= hi)
+            rollup.append_rollup_batch(
+                spark, tmp.name, batch, segment_partitions=1
+            )
+        _HLL_ROLLUP_DIR[key] = tmp
+    return _HLL_ROLLUP_DIR[key].name
+
+
+def _hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    from ed_housing_data_pipeline_spark.functions import (  # noqa: PLC0415
+        sketches as sk,
+    )
+
+    stats = regs.groupBy("bucket_s").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(sk.hll_indicator_term(F.col("rho_max"))).alias("sum_scaled"),
+    )
+    return stats.select(
+        "bucket_s",
+        F.round(
+            sk.hll_estimate(F.col("n_present"), F.col("sum_scaled")), 4
+        ).alias("hll_users"),
+    )
+
+
+def _hll_rollup_oracle() -> str:
+    from ed_housing_data_pipeline_spark.functions import (  # noqa: PLC0415
+        sketches as sk,
+    )
+    from ed_housing_data_pipeline_spark.plans._base import (  # noqa: PLC0415
+        hash60_sql,
+    )
+
+    chain = sk.hll_sql("bucket_s", "hv", "src")
+    return f"""
+WITH src AS (
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
+           {hash60_sql("CAST(user_id AS VARCHAR)")} AS hv
+    FROM events WHERE user_id IS NOT NULL
+),{chain}
+SELECT grp AS bucket_s, ROUND(hll_est, 4) AS hll_users FROM hll
+"""
+
+
+@register("events_hll_rollup", oracle=_hll_rollup_oracle())
+def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED daily distinct-user sketch: the HLL
+    register table rides the continuous-rollup protocol as plain
+    (bucket, register)-keyed max-state — bootstrap on the first third
+    of the month, two O(batch) appends for the rest — and serving
+    merges register maxima across partial segments before deriving
+    the Flajolet estimate. Because the register algebra is the
+    cross-engine-deterministic construction (functions/sketches.py),
+    the DuckDB twin recomputes the identical estimate from the raw
+    events, pinning the whole incremental lifecycle: batch hashing,
+    partial max-state commits, merge-on-read fold, and the estimator.
+    The one-shot sibling events_hll_daily_users carries the exact
+    count alongside for the accuracy trade; this one is the
+    production shape — history is never re-hashed."""
+    root = _ensure_hll_rollup_or_lazy(spark, sf_dir)
+    if isinstance(root, DataFrame):  # audit mode: lazy expression
+        return _hll_estimate_from_registers(root)
+    view = rollup.read_rollup(spark, root, derive_avg=False)
+    return _hll_estimate_from_registers(view.select("bucket_s", "reg", "rho_max"))
+
+
+def _ensure_hll_rollup_or_lazy(spark: SparkSession, sf_dir: str):
+    """Audit mode with no built view: the lazy merged register table
+    (no filesystem, no job at plan-build). Otherwise the built view's
+    root path."""
+    if _audit() and _HLL_ROLLUP_DIR.get((sf_dir,)) is None:
+        facts = _events_hll_facts(spark, sf_dir)
+        parts = rollup.partial_rollup(facts, HLL_ROLLUP_KEYS, HLL_ROLLUP_MEASURES)
+        return rollup.merge_rollup(
+            parts, HLL_ROLLUP_KEYS, HLL_ROLLUP_MEASURES
+        ).select("bucket_s", "reg", "rho_max")
+    return _ensure_hll_rollup(spark, sf_dir)

@@ -133,7 +133,10 @@ _LOADED = False
 # events_daily_active_users (r7-green, unchanged; the HLL query itself
 # now carries the daily-distinct-users shape, and the events battery
 # keeps events_hourly_by_type / events_asof_last_view /
-# events_stream_hourly).
+# events_stream_hourly). events_hll_rollup — the sketch maintained
+# INCREMENTALLY as (bucket, register) max-state on the rollup
+# protocol — swaps IN for inner_join_agg (r7-green; the join family
+# keeps left_join / anti_join / orders_nearby_range_join in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -141,7 +144,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "grouped_agg_salted",
     "left_join",
     "anti_join",
-    "inner_join_agg",
     "normalize_key_group",
     "rank_asc_nulls_last",
     "rank_dense_global",
@@ -161,6 +163,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     # event-time analytics (batch)
     "events_asof_last_view",
     "events_hll_daily_users",
+    "events_hll_rollup",
     "events_hourly_by_type",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_exact_dedup",

@@ -65,6 +65,7 @@ def test_driver_window_covers_every_family():
         "customer_moving_avg",
         "doc_fingerprint",
         "events_hll_daily_users",   # cross-engine deterministic HLL
+        "events_hll_rollup",        # sketch as incremental rollup max-state
         "events_hourly_by_type",
         "lineitem_quantity_quantiles",
         "orders_filtered_aggs",

@@ -96,3 +96,23 @@ def test_register_tables_merge_by_elementwise_max(spark):
     whole = register_table(df)
     assert estimate(merged) == estimate(whole)
     assert abs(estimate(whole) - 300) / 300 < 0.15
+
+
+def test_incremental_hll_rollup_state_equals_direct(spark):
+    """The rollup-maintained register table (bootstrap + two appends,
+    merged on read) must equal the one-shot register table computed
+    from all facts — max-state associativity at the STATE level, one
+    step stronger than the estimate-level oracle check."""
+    from ed_housing_data_pipeline_spark.operators import rollup
+    from ed_housing_data_pipeline_spark.plans import queries_rollup as qr
+
+    root = qr._ensure_hll_rollup(spark, SF)
+    view = rollup.read_rollup(spark, root, derive_avg=False).select(
+        "bucket_s", "reg", "rho_max"
+    )
+    direct = (
+        qr._events_hll_facts(spark, SF)
+        .groupBy("bucket_s", "reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    assert rows(view) == rows(direct)
