@@ -1267,3 +1267,46 @@ def q_lake_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(f"latest snapshot lost rows: {latest_n}")
         pinned = lake.read_snapshot(spark, ds, version=1)
         return pinned.localCheckpoint(eager=True)
+
+
+# ------------------------------------------------- multi-dimensional agg
+@register(
+    "orders_status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS price_sum
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation: CUBE over (status, priority)
+    with GROUPING indicators disambiguating real NULL keys from
+    subtotal rows — the grouping-sets capability class the reference
+    lacks outright (SURVEY.md §2.4 "Not present"). Spark expands the
+    cube BEFORE the shuffle (one Expand node feeding one partial+final
+    agg — 4 grouping sets in one pass over the facts, not 4 scans),
+    which is the 100 TB shape: cost scales with |facts| × |sets| map-
+    side, never with re-reads."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "price_sum",
+        )
+    )

@@ -137,10 +137,13 @@ _LOADED = False
 # INCREMENTALLY as (bucket, register) max-state on the rollup
 # protocol — swaps IN for inner_join_agg (r7-green; the join family
 # keeps left_join / anti_join / orders_nearby_range_join in-window).
+# orders_status_priority_cube — CUBE + GROUPING indicators, the
+# grouping-sets capability class the reference lacks — swaps IN for
+# grouped_agg (r7-green; grouped_agg_salted and the cube keep the agg
+# family in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
-    "grouped_agg",
     "grouped_agg_salted",
     "left_join",
     "anti_join",
@@ -148,6 +151,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "rank_asc_nulls_last",
     "rank_dense_global",
     "rank_sum_top1",
+    "orders_status_priority_cube",
     "topk_per_group",
     "customer_balance_quartiles",
     "customer_moving_avg",

@@ -103,6 +103,7 @@ def test_driver_window_covers_every_family():
         "rank_dense_global",        # quantile-shard cache
         "customer_balance_quartiles",  # global_ntile
         "grouped_agg_salted",       # skew-salted agg
+        "orders_status_priority_cube",  # CUBE / grouping sets
         "anti_join",                # set-negation join
         "orders_nearby_range_join",  # range join
     }
