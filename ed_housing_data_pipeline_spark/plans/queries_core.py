@@ -1310,3 +1310,80 @@ def q_orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame
             "price_sum",
         )
     )
+
+
+# ------------------------------------------- bloom point-lookup on segments
+# A GDPR-delete / targeted-fetch shape: find a handful of doc ids in an
+# append-only segmented corpus WITHOUT scanning every segment. The
+# corpus is ingested in doc_id-ordered batches; each segment carries a
+# bloom sidecar on doc_id (lake.append_segments bloom_cols), and the
+# lookup plans its scan from sidecar probes alone — driver-side, no
+# job, never false-negative.
+LOOKUP_IDS = (1, 7, 123, 321)
+_DOC_SEG_DIR: dict[tuple[str], object] = {}
+
+
+def _ensure_doc_segments(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir,)
+    tmp = _DOC_SEG_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="doc_segments_")
+        docs = t(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.md5(F.coalesce("text", F.lit(""))).alias("text_md5")
+        )
+        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        quarter = max(1, (int(n) + 1) // 4)
+        for i in range(4):
+            part = docs.filter(
+                (F.col("doc_id") >= i * quarter)
+                & (F.col("doc_id") < ((i + 1) * quarter if i < 3 else int(n) + 1))
+            )
+            lake.append_segments(
+                spark,
+                tmp.name,
+                appends={"docs": part.coalesce(1)},
+                init=(i == 0),
+                bloom_cols={"docs": ["doc_id"]},
+            )
+        _DOC_SEG_DIR[key] = tmp
+    return _DOC_SEG_DIR[key].name
+
+
+@register(
+    "doc_point_lookup",
+    oracle=f"""
+    SELECT doc_id, source, md5(coalesce(text, '')) AS text_md5
+    FROM documents
+    WHERE doc_id IN ({", ".join(str(i) for i in LOOKUP_IDS)})
+    """,
+)
+def q_doc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through bloom-sidecar segment skipping: the
+    segmented corpus (four doc_id-ordered ingest commits, blooms on
+    doc_id) is probed driver-side from the sidecars the manifest
+    advertises — only segments whose bloom may hold one of the ids
+    reach the scan (tests/test_bloom.py pins the skipping contracts:
+    never false-negative, over-budget fallback, compaction re-bloom,
+    sidecar sweep). The oracle fetches the same ids from the raw
+    table, so the whole ingest→advertise→probe→scan lifecycle is
+    value-checked."""
+    from ed_housing_data_pipeline_spark.plans._caches import _audit  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+
+    ids = list(LOOKUP_IDS)
+    if _audit() and _DOC_SEG_DIR.get((sf_dir,)) is None:
+        docs = t(spark, sf_dir, "documents")
+        return docs.filter(F.col("doc_id").isin(ids)).select(
+            "doc_id",
+            "source",
+            F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        )
+    root = _ensure_doc_segments(spark, sf_dir)
+    hits = lake.read_segments_bloom_pruned(spark, root, "docs", "doc_id", ids)
+    return hits.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", "source", "text_md5"
+    )

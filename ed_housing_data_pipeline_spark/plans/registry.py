@@ -140,12 +140,14 @@ _LOADED = False
 # orders_status_priority_cube — CUBE + GROUPING indicators, the
 # grouping-sets capability class the reference lacks — swaps IN for
 # grouped_agg (r7-green; grouped_agg_salted and the cube keep the agg
-# family in-window).
+# family in-window). doc_point_lookup — bloom-sidecar segment
+# skipping on the lake (never-false-negative point lookups) — swaps
+# IN for left_join (r7-green; anti_join and the range join keep the
+# join family in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
     "grouped_agg_salted",
-    "left_join",
     "anti_join",
     "normalize_key_group",
     "rank_asc_nulls_last",
@@ -157,6 +159,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "customer_moving_avg",
     "orders_nearby_range_join",
     "lake_snapshot_roundtrip",
+    "doc_point_lookup",
     "orders_incremental_rollup",
     "orders_rollup_month_range",
     "orders_stream_rollup",

@@ -1114,6 +1114,142 @@ def _segment_zone_stats(
     }
 
 
+# Bloom sidecars: equality-predicate segment skipping where zonemap
+# min/max is useless (high-cardinality id columns). ~10 bits/value +
+# 7 probes ≈ 1% false-positive rate (never false-negative); values
+# hash through the portable md5-prefix construction on the STRING cast
+# of the column, and the k probe positions come from Kirsch-
+# Mitzenmacher double hashing of that one 60-bit value.
+_BLOOM_BITS_PER_ROW = 10
+_BLOOM_K = 7
+_BLOOM_MAX_ROWS = 200_000  # larger segments skip the filter (kept on read)
+
+
+def _bloom_path(component_root: str, seg: int, col: str) -> str:
+    return f"{component_root.rstrip('/')}/_BLOOM.s{seg}.{col}.json"
+
+
+def _bloom_h12(h: int) -> tuple[int, int]:
+    return h & ((1 << 30) - 1), (h >> 30) | 1
+
+
+def _bloom_hash(value: str) -> tuple[int, int]:
+    """The Python twin of functions.text.hash60 (md5-prefix 60-bit) —
+    sidecar probes run driver-side with no Spark job."""
+    import hashlib  # noqa: PLC0415
+
+    h = int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+    return _bloom_h12(h)
+
+
+def _write_segment_bloom(spark, component_root: str, seg: int, col: str) -> bool:
+    """Build and write one segment's bloom sidecar for ``col`` from
+    the just-written files: ONE small job collects the distinct
+    (h1, h2) hash pairs (bounded by _BLOOM_MAX_ROWS — larger segments
+    return False and stay conservatively unpruned), the bit array is
+    set driver-side and lands as a JSON sidecar BEFORE the manifest
+    flip, so a pinned segment always has its advertised sidecar."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    df = (
+        spark.read.parquet(_segment_dir(component_root, seg))
+        .select(F.col(col).cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        )
+    )
+    hashes = [r["h"] for r in df.limit(_BLOOM_MAX_ROWS + 1).collect()]
+    if len(hashes) > _BLOOM_MAX_ROWS:
+        return False
+    n = len(hashes)
+    m = max(64, n * _BLOOM_BITS_PER_ROW)
+    bits = bytearray((m + 7) // 8)
+    for h in hashes:
+        h1, h2 = _bloom_h12(int(h))
+        for i in range(_BLOOM_K):
+            p = (h1 + i * h2) % m
+            bits[p >> 3] |= 1 << (p & 7)
+    import base64  # noqa: PLC0415
+
+    payload = json.dumps(
+        {"m": m, "k": _BLOOM_K, "n": n, "b64": base64.b64encode(bytes(bits)).decode()}
+    )
+    jvm, fs = _fs(spark, component_root)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(_bloom_path(component_root, seg, col)), False
+    )
+    out.write(payload.encode("utf-8"))
+    out.close()
+    return True
+
+
+def _read_segment_bloom(spark, component_root: str, seg: int, col: str) -> dict:
+    jvm, fs = _fs(spark, component_root)
+    path = _bloom_path(component_root, seg, col)
+    return json.loads(
+        _read_small_file(jvm, fs, jvm.org.apache.hadoop.fs.Path(path))
+    )
+
+
+def _bloom_may_contain(bloom: dict, value: str) -> bool:
+    import base64  # noqa: PLC0415
+
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["b64"])
+    h1, h2 = _bloom_hash(value)
+    return all(
+        bits[((h1 + i * h2) % m) >> 3] & (1 << (((h1 + i * h2) % m) & 7))
+        for i in range(k)
+    )
+
+
+def bloom_pruned_pins(
+    spark, root: str, component: str, col: str, values: Sequence
+) -> tuple[list[int], list[int]]:
+    """Point-lookup segment skipping: ``(kept, pinned)`` for the
+    predicate ``col IN values`` — a segment is dropped only when its
+    bloom sidecar rejects EVERY probe value. Driver-side filesystem
+    reads only (the sidecars of pinned segments), no job; segments
+    without an advertised sidecar (pre-bloom commits, over-budget
+    segments) are kept. Never false-negative by bloom construction.
+    Values are probed through the same STRING cast the writer hashed
+    (intended for id-like string/integer columns)."""
+    pins, _zones, blooms, _meta, _version = _manifest_state(spark, root)
+    if component not in pins:
+        raise KeyError(f"bloom_pruned_pins: no pinned component {component!r}")
+    probe = [str(v) for v in values if v is not None]
+    covered = blooms.get(component, {})
+    kept = []
+    for seg in pins[component]:
+        if col not in covered.get(seg, []):
+            kept.append(seg)
+            continue
+        bloom = _read_segment_bloom(spark, f"{root}/{component}", seg, col)
+        if any(_bloom_may_contain(bloom, v) for v in probe):
+            kept.append(seg)
+    return kept, pins[component]
+
+
+def read_segments_bloom_pruned(
+    spark, root: str, component: str, col: str, values: Sequence
+) -> DataFrame:
+    """A component's manifest-pinned scan restricted to segments whose
+    bloom may hold one of ``values`` — the caller still applies the
+    row-level IN predicate (bloom skipping only shrinks the file
+    set)."""
+    kept, pinned = bloom_pruned_pins(spark, root, component, col, values)
+    comp_root = f"{root.rstrip('/')}/{component}"
+    if not kept:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        return read_segments(spark, comp_root, pinned[:1]).filter(F.lit(False))
+    return read_segments(spark, comp_root, kept)
+
+
 def commit_segment_manifest(
     spark,
     root: str,
@@ -1121,6 +1257,7 @@ def commit_segment_manifest(
     expected_base: int | None = None,
     zones: dict[str, dict[int, dict[str, list]]] | None = None,
     meta: dict | None = None,
+    blooms: dict[str, dict[int, list[str]]] | None = None,
 ) -> int:
     """Atomically commit a full component→segment-list pin map as the
     next manifest snapshot (rows of (component, seg)). Returns the
@@ -1168,6 +1305,12 @@ def commit_segment_manifest(
         }
     if meta:
         doc["_meta"] = meta
+    if blooms:
+        doc["_blooms"] = {
+            comp: {str(int(s)): sorted(cols) for s, cols in bm.items() if cols}
+            for comp, bm in blooms.items()
+            if bm
+        }
     payload = json.dumps(doc, sort_keys=True)
     return write_snapshot_blob(
         spark,
@@ -1189,18 +1332,22 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     Version is resolved FIRST and the rows read from that pinned
     snapshot, so the pair is consistent even if a concurrent commit
     lands between the two reads."""
-    pins, _zones, _meta, version = _manifest_state(spark, root)
+    pins, _zones, _blooms, _meta, version = _manifest_state(spark, root)
     return pins, version
 
 
 def _manifest_state(
     spark, root: str
 ) -> tuple[
-    dict[str, list[int]], dict[str, dict[int, dict[str, list]]], dict, int
+    dict[str, list[int]],
+    dict[str, dict[int, dict[str, list]]],
+    dict[str, dict[int, list[str]]],
+    dict,
+    int,
 ]:
-    """(pins, zones, meta, manifest_version) from the last committed
-    manifest blob — one filesystem read, consistent across the tuple
-    (version resolved first, blob read at that pinned version)."""
+    """(pins, zones, blooms, meta, manifest_version) from the last
+    committed manifest blob — one filesystem read, consistent across
+    the tuple (version resolved first, blob read at that version)."""
     mroot = f"{root.rstrip('/')}/manifest"
     version = _committed_version(spark, mroot)
     if version is None:
@@ -1217,7 +1364,11 @@ def _manifest_state(
         comp: {int(s): stats for s, stats in zm.items()}
         for comp, zm in parsed.get("_zones", {}).items()
     }
-    return pins, zones, parsed.get("_meta", {}), version
+    blooms = {
+        comp: {int(s): list(cols) for s, cols in bm.items()}
+        for comp, bm in parsed.get("_blooms", {}).items()
+    }
+    return pins, zones, blooms, parsed.get("_meta", {}), version
 
 
 def segment_zones(
@@ -1229,11 +1380,17 @@ def segment_zones(
     return _manifest_state(spark, root)[1]
 
 
+def segment_blooms(spark, root: str) -> dict[str, dict[int, list[str]]]:
+    """The committed manifest's bloom-sidecar coverage map (component
+    → segment → columns with a sidecar). A filesystem read, no job."""
+    return _manifest_state(spark, root)[2]
+
+
 def segment_meta(spark, root: str) -> dict:
     """The committed manifest's application metadata (``_meta`` blob
     key) — e.g. a streaming sink's last committed batch id. Empty when
     never set. A filesystem read, no Spark job."""
-    return _manifest_state(spark, root)[2]
+    return _manifest_state(spark, root)[3]
 
 
 def zone_pruned_pins(
@@ -1255,7 +1412,7 @@ def zone_pruned_pins(
     so timestamps compare chronologically. Row-level filtering still
     belongs to the caller's predicate — zonemaps only bound WHICH
     segments can contain matches."""
-    pins, zones, _meta, _version = _manifest_state(spark, root)
+    pins, zones, _blooms, _meta, _version = _manifest_state(spark, root)
     if component not in pins:
         raise KeyError(f"zone_pruned_pins: no pinned component {component!r}")
     zm = zones.get(component, {})
@@ -1313,6 +1470,7 @@ def append_segments(
     init: bool = False,
     zone_cols: dict[str, Sequence[str]] | None = None,
     meta: dict | None = None,
+    bloom_cols: dict[str, Sequence[str]] | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) commit: write each ``appends`` frame as a NEW
     segment of its component (pinned in addition to the committed
@@ -1334,15 +1492,23 @@ def append_segments(
     atomically with this commit (None carries the prior value) — the
     transactional-sink hook: a streaming committer stores its batch id
     here so a replayed micro-batch is detected-and-skipped against the
-    same atomic state its data landed with."""
+    same atomic state its data landed with.
+
+    ``bloom_cols`` (component → columns) turns on bloom sidecars for
+    fresh segments: equality-predicate skipping where min/max ranges
+    can't help (:func:`bloom_pruned_pins`). The sidecar file lands
+    before the manifest flip and its presence is advertised in the
+    blob, so readers never look for a sidecar that isn't there;
+    over-budget segments simply stay unadvertised (kept on read)."""
     replaces = replaces or {}
     zone_cols = zone_cols or {}
+    bloom_cols = bloom_cols or {}
     if set(appends) & set(replaces):
         raise ValueError("append_segments: a component cannot be in both maps")
     if init:
-        pins, zones, prior_meta, base = {}, {}, {}, 0
+        pins, zones, blooms, prior_meta, base = {}, {}, {}, {}, 0
     else:
-        pins, zones, prior_meta, base = _manifest_state(spark, root)
+        pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
     new_pins = dict(pins)
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
@@ -1354,12 +1520,20 @@ def append_segments(
         new_pins[name] = [seg]
         new_segs.append((name, seg))
     new_zones = _carry_zones(zones, new_pins)
+    new_blooms = _carry_blooms(blooms, new_pins)
     for name, seg in new_segs:
         cols = zone_cols.get(name)
         if cols:
             new_zones.setdefault(name, {})[seg] = _segment_zone_stats(
                 spark, f"{root}/{name}", seg, cols
             )
+        built = [
+            c
+            for c in bloom_cols.get(name, [])
+            if _write_segment_bloom(spark, f"{root}/{name}", seg, c)
+        ]
+        if built:
+            new_blooms.setdefault(name, {})[seg] = built
     # pinned commit: concurrent committers cannot silently drop each
     # other's segments — the loser gets ConcurrentCommitError and must
     # retry from fresh pins (its written segments stay unpinned debris).
@@ -1369,6 +1543,8 @@ def append_segments(
     kw = {}
     if new_zones:
         kw["zones"] = new_zones
+    if new_blooms:
+        kw["blooms"] = new_blooms
     new_meta = meta if meta is not None else prior_meta
     if new_meta:
         kw["meta"] = new_meta
@@ -1387,6 +1563,22 @@ def _carry_zones(
     for comp, zm in zones.items():
         pinned = set(new_pins.get(comp, []))
         keep = {seg: stats for seg, stats in zm.items() if seg in pinned}
+        if keep:
+            out[comp] = keep
+    return out
+
+
+def _carry_blooms(
+    blooms: dict[str, dict[int, list[str]]],
+    new_pins: dict[str, list[int]],
+) -> dict[str, dict[int, list[str]]]:
+    """Bloom coverage restricted to still-pinned segments — the bloom
+    twin of :func:`_carry_zones` (sidecar files of unpinned segments
+    die with them in expire_segments)."""
+    out: dict[str, dict[int, list[str]]] = {}
+    for comp, bm in blooms.items():
+        pinned = set(new_pins.get(comp, []))
+        keep = {seg: cols for seg, cols in bm.items() if seg in pinned}
         if keep:
             out[comp] = keep
     return out
@@ -1415,14 +1607,17 @@ def compact_segments(
     the zoned columns: the compacted segment's stats are recomputed
     for every column the folded-away segments carried stats for (the
     column set is manifest metadata, so compaction is self-describing
-    the way the reducers are not). Application metadata (``_meta``)
-    carries through unchanged."""
+    the way the reducers are not). Bloom coverage survives the same
+    way (the folded segments' column sets are re-bloomed against the
+    compacted output). Application metadata (``_meta``) carries
+    through unchanged."""
     reducers = reducers or {}
-    pins, zones, prior_meta, base = _manifest_state(spark, root)
+    pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
     names = list(components) if components is not None else list(pins)
     new_pins = dict(pins)
     changed = False
     rezone: list[tuple[str, int, list[str]]] = []
+    rebloom: list[tuple[str, int, list[str]]] = []
     for name in names:
         if len(pins[name]) < min_segments:
             continue
@@ -1437,19 +1632,35 @@ def compact_segments(
         )
         if zone_columns:
             rezone.append((name, seg, zone_columns))
+        bloom_columns = sorted(
+            {c for cols in blooms.get(name, {}).values() for c in cols}
+        )
+        if bloom_columns:
+            rebloom.append((name, seg, bloom_columns))
         changed = True
     if changed:
         new_zones = _carry_zones(zones, new_pins)
+        new_blooms = _carry_blooms(blooms, new_pins)
         for name, seg, cols in rezone:
             new_zones.setdefault(name, {})[seg] = _segment_zone_stats(
                 spark, f"{root}/{name}", seg, cols
             )
+        for name, seg, cols in rebloom:
+            built = [
+                c
+                for c in cols
+                if _write_segment_bloom(spark, f"{root}/{name}", seg, c)
+            ]
+            if built:
+                new_blooms.setdefault(name, {})[seg] = built
         # pinned: an ingest landing mid-compaction must not be dropped
-        # by the compacted manifest (and vice versa); zones/meta kwargs
-        # only when non-empty (see append_segments)
+        # by the compacted manifest (and vice versa); zones/blooms/meta
+        # kwargs only when non-empty (see append_segments)
         kw = {}
         if new_zones:
             kw["zones"] = new_zones
+        if new_blooms:
+            kw["blooms"] = new_blooms
         if prior_meta:
             kw["meta"] = prior_meta
         commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
@@ -1506,16 +1717,27 @@ def expire_segments(
             continue
         comp_root = f"{root}/{name}"
         present = set(segment_numbers(spark, comp_root))
-        # dangling intent markers (claimed id, crash before any data
-        # landed): no data dir will ever appear for that id — age-gate
-        # and drop the marker alone
+        # dangling intent markers / bloom sidecars (claimed id or
+        # sidecar written, crash before data or before the manifest
+        # flip): no pin will ever arrive for that id — age-gate and
+        # drop the file alone
+        bloom_files: dict[int, list] = {}
         for cst in fs.listStatus(jvm.org.apache.hadoop.fs.Path(comp_root)):
             cname = cst.getPath().getName()
-            if not cname.startswith("_INTENT.s") or cst.isDirectory():
+            if cst.isDirectory():
                 continue
-            try:
-                iseg = int(cname[len("_INTENT.s"):])
-            except ValueError:
+            if cname.startswith("_BLOOM.s"):
+                try:
+                    iseg = int(cname[len("_BLOOM.s"):].split(".", 1)[0])
+                except ValueError:
+                    continue
+                bloom_files.setdefault(iseg, []).append(cst.getPath())
+            elif cname.startswith("_INTENT.s"):
+                try:
+                    iseg = int(cname[len("_INTENT.s"):])
+                except ValueError:
+                    continue
+            else:
                 continue
             if iseg in present or iseg in keep.get(name, set()):
                 continue
@@ -1542,6 +1764,8 @@ def expire_segments(
             if now_ms - max(marks) > orphan_grace_sec * 1000.0:
                 fs.delete(jseg, True)
                 fs.delete(jint, False)
+                for jb in bloom_files.get(seg, []):  # sidecars die with it
+                    fs.delete(jb, False)
                 dropped.setdefault(name, []).append(seg)
     return {name: sorted(segs) for name, segs in dropped.items()}
 

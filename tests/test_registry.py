@@ -80,6 +80,7 @@ def test_driver_window_covers_every_family():
         "doc_incremental_neardup",      # commit job-count reduction
         "doc_stream_incremental_dedup", # same index machinery
         "lake_snapshot_roundtrip",      # atomic stale-claim break
+        "doc_point_lookup",             # bloom-sidecar segment skipping
         # r7 rewires that stay hot
         "doc_fuzzy_pairs_levenshtein",  # 'g'-flag oracle fix
         "doc_exact_dedup",          # 'g'-flag oracle fix
