@@ -1371,6 +1371,46 @@ def _manifest_state(
     return pins, zones, blooms, parsed.get("_meta", {}), version
 
 
+def segment_manifest_versions(spark, root: str) -> list[int]:
+    """Committed manifest versions still retained, ascending — the
+    time-travel axis of a segmented dataset (expire_segments honors
+    every retained manifest's pins, so each listed version is
+    readable)."""
+    mroot = f"{root.rstrip('/')}/manifest"
+    committed = _committed_version(spark, mroot)
+    if committed is None:
+        return []
+    return [v for v in snapshot_versions(spark, mroot) if v <= committed]
+
+
+def segment_pins_at(spark, root: str, version: int) -> dict[str, list[int]]:
+    """The pin map of a RETAINED historical manifest version — read a
+    segmented dataset as of any commit still inside the retention
+    window (the manifest blob is immutable; pinned segments are never
+    rewritten, so the historical read is byte-stable)."""
+    parsed = json.loads(
+        read_snapshot_blob(spark, f"{root.rstrip('/')}/manifest", version=version)
+    )
+    return {
+        name: sorted({int(s) for s in segs})
+        for name, segs in parsed.items()
+        if not name.startswith("_")
+    }
+
+
+def read_segmented_components_at(
+    spark, root: str, version: int, components: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Time travel: every component at the segment lists pinned by
+    manifest ``version`` (mirrors read_segmented_components for the
+    committed head)."""
+    pins = segment_pins_at(spark, root, version)
+    names = list(components) if components is not None else list(pins)
+    return {
+        name: read_segments(spark, f"{root}/{name}", pins[name]) for name in names
+    }
+
+
 def segment_zones(
     spark, root: str
 ) -> dict[str, dict[int, dict[str, list]]]:

@@ -194,3 +194,25 @@ def test_underscore_component_name_rejected(spark, tmp_path):
         lake.commit_segment_manifest(
             spark, str(tmp_path / "zl"), {"_zones": [1]}
         )
+
+
+def test_time_travel_reads_historical_manifest(spark, tmp_path):
+    """Each retained manifest version replays the dataset as of its
+    commit: version 1 sees only the bootstrap batch, version 3 all
+    three, and expiring down to one manifest shrinks the travel
+    axis (but never the committed head)."""
+    root = str(tmp_path / "zl")
+    _ingest_three(spark, root)
+    versions = lake.segment_manifest_versions(spark, root)
+    assert versions == [1, 2, 3]
+    v1 = lake.read_segmented_components_at(spark, root, 1)["data"]
+    assert rows(v1.select(F.min("k"), F.max("k"))) == [(0, 9)]
+    v3 = lake.read_segmented_components_at(spark, root, 3)["data"]
+    assert v3.count() == 30
+    lake.expire_segments(
+        spark, root, keep_manifests=1, orphan_grace_sec=0.0, reader_grace_sec=0.0
+    )
+    assert lake.segment_manifest_versions(spark, root) == [3]
+    assert (
+        lake.read_segmented_components(spark, root, ["data"])["data"].count() == 30
+    )
