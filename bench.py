@@ -63,6 +63,11 @@ HEADLINE = [
     # view (merge of partial segments; build memoized per session)
     "orders_incremental_rollup",   # merge-on-read of the full view
     "orders_rollup_month_range",   # zonemap chunk-excluded window read
+    # r8 sketch / multi-dim / point-lookup rows
+    "events_hll_daily_users",      # HLL registers + exact distinct side-by-side
+    "events_hll_rollup",           # sketch served from incremental max-state
+    "orders_status_priority_cube",  # Expand + single-pass grouping sets
+    "doc_point_lookup",            # bloom-sidecar pruned segment fetch
 ]
 
 # Cold-only rows (r6 VERDICT #5): these two run REAL side-effecting

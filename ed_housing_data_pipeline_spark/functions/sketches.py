@@ -114,3 +114,38 @@ hll AS (
                 ELSE {raw} END AS hll_est
     FROM hll_s
 )"""
+
+
+# ----------------------------- count-min sketch (frequency estimation)
+# The frequency sibling of the HLL cardinality sketch, same
+# determinism strategy: positions derive from the one portable 60-bit
+# hash via Kirsch-Mitzenmacher double hashing (h1 + row*h2 mod w), so
+# DuckDB rebuilds the identical d×w counter table in SQL. Counters are
+# exact integers — merge is element-wise SUM (additive state, rollup-
+# compatible) and the point estimate min_d(counter[d][pos_d(x)]) is
+# NEVER an underestimate (the one-sided CMS guarantee tests can pin).
+CMS_D = 4          # hash rows
+CMS_W = 512        # counters per row → eps ≈ e/512 of total mass
+
+
+def cms_h1(h: Column) -> Column:
+    return F.pmod(h, F.lit(1 << 30))
+
+
+def cms_h2(h: Column) -> Column:
+    # odd: h2 must be invertible-ish so rows decorrelate
+    return F.shiftrightunsigned(h, 30).bitwiseOR(F.lit(1))
+
+
+def cms_position(h1: Column, h2: Column, row: Column) -> Column:
+    """Counter index of a value in one hash row."""
+    return F.pmod(h1 + row * h2, F.lit(CMS_W))
+
+
+def cms_pos_sql(hash_expr: str, row_expr: str) -> str:
+    """DuckDB fragment: the counter index of a hashed value in one
+    hash row — the identical double-hash arithmetic."""
+    return (
+        f"((({hash_expr}) % {1 << 30}) + "
+        f"({row_expr}) * ((({hash_expr}) >> 30) | 1)) % {CMS_W}"
+    )

@@ -498,3 +498,118 @@ def q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ----------------------------- count-min sketch word frequencies
+def _cms_topk_oracle() -> str:
+    from ed_housing_data_pipeline_spark.functions import (  # noqa: PLC0415
+        sketches as sk,
+    )
+    from ed_housing_data_pipeline_spark.plans._base import (  # noqa: PLC0415
+        hash60_sql,
+        tokens_sql,
+    )
+
+    h = hash60_sql("word")
+    return f"""
+WITH w AS (
+    SELECT w AS word
+    FROM (SELECT unnest({tokens_sql("lower(text)")}) AS w FROM documents)
+    WHERE length(w) >= 3
+),
+rows_ AS (SELECT UNNEST(range({sk.CMS_D})) AS row),
+counters AS (
+    SELECT r.row,
+           CAST({sk.cms_pos_sql(h, "r.row")} AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM w CROSS JOIN rows_ r
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT word, COUNT(*) AS exact_n FROM w GROUP BY 1
+    ORDER BY exact_n DESC, word ASC LIMIT 20
+),
+probe AS (
+    SELECT e.word, e.exact_n, r.row,
+           CAST({sk.cms_pos_sql(h, "r.row")} AS BIGINT) AS pos
+    FROM exact e CROSS JOIN rows_ r
+)
+SELECT p.word,
+       CAST(MAX(p.exact_n) AS BIGINT) AS exact_n,
+       MIN(c.c) AS cms_n
+FROM probe p JOIN counters c ON c.row = p.row AND c.pos = p.pos
+GROUP BY p.word
+"""
+
+
+@register("doc_word_cms_topk", oracle=_cms_topk_oracle())
+def q_doc_word_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch word frequencies next to the exact counts for
+    the corpus's top-20 words: the d×w counter table builds in ONE
+    grouped agg over (row, position) — additive integer state, so
+    sketches of corpus shards merge by element-wise sum exactly like
+    the rollup's partials — and each probe word reads back min over
+    its d counters. The register arithmetic is the cross-engine
+    construction (functions/sketches.py), so DuckDB rebuilds the
+    identical counters and the whole sketch is hash-checked; the
+    one-sided CMS guarantee (estimate >= truth, always) is pinned in
+    tests/test_sketches.py. At 100 TB the counter table is d·w
+    integers regardless of corpus size — the heavy-hitter shape that
+    never shuffles per-word state."""
+    from ed_housing_data_pipeline_spark.functions import (  # noqa: PLC0415
+        sketches as sk,
+    )
+    from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+        hash60,
+        tokens,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    ).filter(F.length("word") >= 3)
+    h = hash60(F.col("word"))
+    occ = words.select(
+        sk.cms_h1(h).alias("h1"), sk.cms_h2(h).alias("h2")
+    ).select(
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(sk.CMS_D - 1))).alias("row"),
+    )
+    counters = (
+        occ.withColumn(
+            "pos", sk.cms_position(F.col("h1"), F.col("h2"), F.col("row"))
+        )
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+    ph = hash60(F.col("word"))
+    probe = exact.select(
+        "word",
+        "exact_n",
+        sk.cms_h1(ph).alias("h1"),
+        sk.cms_h2(ph).alias("h2"),
+    ).select(
+        "word",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(sk.CMS_D - 1))).alias("row"),
+        "h1",
+        "h2",
+    ).withColumn(
+        "pos", sk.cms_position(F.col("h1"), F.col("h2"), F.col("row"))
+    )
+    return (
+        F.broadcast(probe)
+        .join(counters, on=["row", "pos"])
+        .groupBy("word")
+        .agg(
+            F.max("exact_n").cast("bigint").alias("exact_n"),
+            F.min("c").cast("bigint").alias("cms_n"),
+        )
+    )

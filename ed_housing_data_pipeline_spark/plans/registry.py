@@ -180,7 +180,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "doc_incremental_neardup",
     "doc_chargram_neardup",
     "doc_dedup_clusters",
-    "doc_fuzzy_pairs_levenshtein",
+    "doc_word_cms_topk",
     "doc_gopher_quality_flags",
     "doc_tfidf_top_terms",
     "doc_unigram_surprisal",

@@ -82,7 +82,7 @@ def test_driver_window_covers_every_family():
         "lake_snapshot_roundtrip",      # atomic stale-claim break
         "doc_point_lookup",             # bloom-sidecar segment skipping
         # r7 rewires that stay hot
-        "doc_fuzzy_pairs_levenshtein",  # 'g'-flag oracle fix
+        "doc_word_cms_topk",        # count-min frequency sketch
         "doc_exact_dedup",          # 'g'-flag oracle fix
         "doc_chargram_neardup",     # 'g'-flag oracle fix
         # family representatives that keep every operator family hot

@@ -116,3 +116,58 @@ def test_incremental_hll_rollup_state_equals_direct(spark):
         .agg(F.max("rho").alias("rho_max"))
     )
     assert rows(view) == rows(direct)
+
+
+def test_cms_never_underestimates_and_is_tight_on_heavy_hitters(spark):
+    """The one-sided CMS guarantee (estimate >= truth, always) plus a
+    slack bound on the fixture corpus: overcount is at most the
+    eps·N collision mass for d=4, w=512."""
+    from ed_housing_data_pipeline_spark.plans.queries_curation import (
+        q_doc_word_cms_topk,
+    )
+
+    got = rows(q_doc_word_cms_topk(spark, SF))
+    assert len(got) == 20
+    total = sum(exact for _w, exact, _c in got)  # lower bound on N
+    for word, exact, cms in got:
+        assert cms >= exact, (word, exact, cms)
+        assert cms - exact < max(50, total), (word, exact, cms)
+
+
+def test_cms_counters_merge_by_elementwise_sum(spark):
+    """Additive state: counters built per corpus shard sum to the
+    whole-corpus counters — the property that lets CMS ride partial-
+    state protocols exactly like the rollup's sums."""
+    from ed_housing_data_pipeline_spark.functions import sketches as sk
+    from ed_housing_data_pipeline_spark.functions.text import hash60
+    from pyspark.sql import Row
+
+    data = [Row(k=i % 3, w=f"w{i % 17}") for i in range(200)]
+    df = spark.createDataFrame(data, "k int, w string")
+
+    def counters(frame):
+        h = hash60(F.col("w"))
+        return (
+            frame.select(sk.cms_h1(h).alias("h1"), sk.cms_h2(h).alias("h2"))
+            .select(
+                "h1",
+                "h2",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(sk.CMS_D - 1))
+                ).alias("row"),
+            )
+            .withColumn(
+                "pos", sk.cms_position(F.col("h1"), F.col("h2"), F.col("row"))
+            )
+            .groupBy("row", "pos")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    merged = (
+        counters(df.filter(F.col("k") == 0))
+        .unionByName(counters(df.filter(F.col("k") == 1)))
+        .unionByName(counters(df.filter(F.col("k") == 2)))
+        .groupBy("row", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert rows(merged) == rows(counters(df))
