@@ -68,6 +68,7 @@ HEADLINE = [
     "events_hll_rollup",           # sketch served from incremental max-state
     "orders_status_priority_cube",  # Expand + single-pass grouping sets
     "doc_point_lookup",            # bloom-sidecar pruned segment fetch
+    "doc_word_cms_topk",           # count-min counters + probe join
 ]
 
 # Cold-only rows (r6 VERDICT #5): these two run REAL side-effecting

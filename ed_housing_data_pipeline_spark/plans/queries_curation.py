@@ -157,7 +157,12 @@ def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     either is the right plan); the corpus token total rides a 1-row
     broadcast cross join like the IDF/TF-IDF scalars."""
     docs = sim.scale_out(t(spark, sf_dir, "documents"))
-    w = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    # the word string is a key, never an output: both shuffles ride
+    # its xxhash64 (same payload cut as doc_dup_span_coverage; the
+    # raw-text DuckDB twin would flag a collision instantly)
+    w = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    ).select("doc_id", F.xxhash64("word").alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("word").agg(F.sum("tf").alias("wc"))
     total = vocab.agg(F.sum("wc").alias("n_total"))
@@ -243,14 +248,21 @@ def q_doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
         f"ELSE array() END"
     )
-    gg = tk.select("doc_id", F.posexplode(gram_arr).alias("pos", "gram"))
+    # the gram STRING never leaves the map stage: both shuffles key on
+    # its xxhash64 (8 bytes vs ~40-byte n-gram text — the shuffle/agg
+    # payload shrinks ~5×; a cross-gram hash collision would need
+    # ~2^32 distinct grams to reach coin-flip odds, and the DuckDB
+    # twin keying on the raw gram text would flag one instantly)
+    gg = tk.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
     dup = (
-        gg.groupBy("gram")
+        gg.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("gh")
     )
-    hit = gg.join(dup, "gram", "left_semi")
+    hit = gg.join(dup, "gh", "left_semi")
     cov = (
         hit.select(
             "doc_id",
