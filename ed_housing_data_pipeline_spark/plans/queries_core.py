@@ -1387,3 +1387,86 @@ def q_doc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.filter(F.col("doc_id").isin(ids)).select(
         "doc_id", "source", "text_md5"
     )
+
+
+# -------------------------------------- tombstone delete + point lookup
+DELETED_IDS = (7, 321)  # subset of LOOKUP_IDS
+_DOC_DEL_DIR: dict[tuple[str], object] = {}
+
+
+def _ensure_deleted_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """The point-lookup corpus with DELETED_IDS tombstoned and then
+    PHYSICALLY applied (one atomic rewrite commit) — so the lookup
+    below exercises delete → apply → bloom-rebuild end-to-end."""
+    key = (sf_dir,)
+    tmp = _DOC_DEL_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="doc_segments_del_")
+        docs = t(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.md5(F.coalesce("text", F.lit(""))).alias("text_md5")
+        )
+        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        half = max(1, (int(n) + 1) // 2)
+        for i in range(2):
+            part = docs.filter(
+                (F.col("doc_id") >= i * half)
+                & (F.col("doc_id") < (half if i == 0 else int(n) + 1))
+            )
+            lake.append_segments(
+                spark,
+                tmp.name,
+                appends={"docs": part.coalesce(1)},
+                init=(i == 0),
+                bloom_cols={"docs": ["doc_id"]},
+            )
+        lake.delete_rows(spark, tmp.name, "docs", "doc_id", list(DELETED_IDS))
+        lake.apply_tombstones(spark, tmp.name, "docs", "doc_id")
+        _DOC_DEL_DIR[key] = tmp
+    return _DOC_DEL_DIR[key].name
+
+
+@register(
+    "doc_delete_point_lookup",
+    oracle=f"""
+    SELECT doc_id, source, md5(coalesce(text, '')) AS text_md5
+    FROM documents
+    WHERE doc_id IN ({", ".join(str(i) for i in LOOKUP_IDS)})
+      AND doc_id NOT IN ({", ".join(str(i) for i in DELETED_IDS)})
+    """,
+)
+def q_doc_delete_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDPR roundtrip: tombstone-delete two of the lookup ids
+    (O(delete-set) logical commit), apply the tombstones (one atomic
+    rewrite that also REBUILDS the bloom sidecars, so the deleted ids
+    stop hitting any segment), then point-look-up all four ids
+    through bloom skipping + the live read — only the two surviving
+    docs may return. The oracle states the same subtraction over the
+    raw table; protocol contracts (atomic apply, delete-vs-ingest
+    race, stats rebuild) in tests/test_tombstones.py."""
+    from ed_housing_data_pipeline_spark.plans._caches import _audit  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+
+    ids = list(LOOKUP_IDS)
+    live_ids = [i for i in ids if i not in DELETED_IDS]
+    if _audit() and _DOC_DEL_DIR.get((sf_dir,)) is None:
+        docs = t(spark, sf_dir, "documents")
+        return docs.filter(F.col("doc_id").isin(live_ids)).select(
+            "doc_id",
+            "source",
+            F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        )
+    root = _ensure_deleted_corpus(spark, sf_dir)
+    hits = lake.read_segments_bloom_pruned(spark, root, "docs", "doc_id", ids)
+    dead = lake._tombstone_component("docs")
+    pins = lake.segment_pins(spark, root)
+    out = hits.filter(F.col("doc_id").isin(ids))
+    if dead in pins:  # subtract any post-apply tombstones
+        tomb = lake.read_segments(spark, f"{root}/{dead}", pins[dead]).select(
+            "doc_id"
+        )
+        out = out.join(tomb, "doc_id", "left_anti")
+    return out.select("doc_id", "source", "text_md5")

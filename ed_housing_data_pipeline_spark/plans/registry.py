@@ -160,6 +160,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_nearby_range_join",
     "lake_snapshot_roundtrip",
     "doc_point_lookup",
+    "doc_delete_point_lookup",
     "orders_incremental_rollup",
     "orders_rollup_month_range",
     "orders_stream_rollup",
@@ -173,7 +174,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "events_hll_rollup",
     "events_hourly_by_type",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
-    "doc_exact_dedup",
     "doc_fingerprint",
     "doc_minhash_signature",
     "doc_neardup_pairs",

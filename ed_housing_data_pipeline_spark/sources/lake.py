@@ -1411,6 +1411,100 @@ def read_segmented_components_at(
     }
 
 
+def _tombstone_component(component: str) -> str:
+    return f"{component}__tombstones"
+
+
+def delete_rows(
+    spark, root: str, component: str, id_col: str, ids: Sequence
+) -> dict[str, list[int]]:
+    """LOGICAL delete on an append-only component: append one
+    O(delete-set) tombstone segment (rows of ``id_col``) to the
+    paired ``<component>__tombstones`` component and flip the
+    manifest — committed data segments are never touched, so a delete
+    costs the same as an ingest and is atomic/concurrent under the
+    same optimistic protocol (a racing ingest or delete conflicts
+    loudly and retries). Readers subtract tombstones via
+    :func:`read_segmented_live`; :func:`apply_tombstones` makes the
+    delete physical (the GDPR completion step)."""
+    if not ids:
+        return segment_pins(spark, root)
+    df = spark.createDataFrame([(v,) for v in ids], [id_col]).distinct()
+    return append_segments(
+        spark,
+        root,
+        appends={_tombstone_component(component): df.coalesce(1)},
+    )
+
+
+def read_segmented_live(
+    spark, root: str, component: str, id_col: str
+) -> DataFrame:
+    """The component minus its tombstoned ids: the manifest-pinned
+    scan anti-joined against the (tiny) tombstone component. With no
+    tombstone component pinned, this is exactly
+    read_segmented_components."""
+    pins = segment_pins(spark, root)
+    data = read_segments(spark, f"{root}/{component}", pins[component])
+    tomb = _tombstone_component(component)
+    if tomb not in pins:
+        return data
+    dead = read_segments(spark, f"{root}/{tomb}", pins[tomb]).select(id_col)
+    return data.join(dead, on=id_col, how="left_anti")
+
+
+def apply_tombstones(
+    spark, root: str, component: str, id_col: str
+) -> dict[str, list[int]]:
+    """PHYSICAL delete: rewrite the component as one live-rows-only
+    segment and reset its tombstone component to one empty segment,
+    both pinned by a single manifest commit (readers see pre- or
+    post-apply state, never half). The rewrite is the same O(dataset)
+    cost class as compaction — run on the same maintenance cadence;
+    the deleted bytes leave disk once the old segments age out of
+    retention (expire_segments)."""
+    pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
+    tomb = _tombstone_component(component)
+    if tomb not in pins:
+        return pins
+    live = read_segmented_live(spark, root, component, id_col)
+    new_pins = dict(pins)
+    seg = write_segment(spark, live, f"{root}/{component}")
+    new_pins[component] = [seg]
+    empty = read_segments(
+        spark, f"{root}/{tomb}", pins[tomb]
+    ).limit(0)
+    new_pins[tomb] = [write_segment(spark, empty.coalesce(1), f"{root}/{tomb}")]
+    new_zones = _carry_zones(zones, new_pins)
+    zone_columns = sorted(
+        {c for stats in zones.get(component, {}).values() for c in stats}
+    )
+    if zone_columns:
+        new_zones.setdefault(component, {})[seg] = _segment_zone_stats(
+            spark, f"{root}/{component}", seg, zone_columns
+        )
+    new_blooms = _carry_blooms(blooms, new_pins)
+    bloom_columns = sorted(
+        {c for cols in blooms.get(component, {}).values() for c in cols}
+    )
+    rebuilt = [
+        c
+        for c in bloom_columns
+        if _write_segment_bloom(spark, f"{root}/{component}", seg, c)
+    ]
+    if rebuilt:
+        new_blooms.setdefault(component, {})[seg] = rebuilt
+    kw = {}
+    if new_zones:
+        kw["zones"] = new_zones
+    if new_blooms:
+        kw["blooms"] = new_blooms
+    if prior_meta:
+        kw["meta"] = prior_meta
+    commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
+    return new_pins
+
+
 def segment_zones(
     spark, root: str
 ) -> dict[str, dict[int, dict[str, list]]]:

@@ -81,9 +81,9 @@ def test_driver_window_covers_every_family():
         "doc_stream_incremental_dedup", # same index machinery
         "lake_snapshot_roundtrip",      # atomic stale-claim break
         "doc_point_lookup",             # bloom-sidecar segment skipping
+        "doc_delete_point_lookup",      # tombstone-delete GDPR roundtrip
         # r7 rewires that stay hot
         "doc_word_cms_topk",        # count-min frequency sketch
-        "doc_exact_dedup",          # 'g'-flag oracle fix
         "doc_chargram_neardup",     # 'g'-flag oracle fix
         # family representatives that keep every operator family hot
         "doc_minhash_signature",    # minhash sketch
