@@ -144,6 +144,15 @@ _LOADED = False
 # skipping on the lake (never-false-negative point lookups) — swaps
 # IN for left_join (r7-green; anti_join and the range join keep the
 # join family in-window).
+#
+# r8 additions, fourth wave: the inverted-index search family
+# (plans/queries_search over operators/text_index) —
+# doc_inverted_search_and (conjunctive posting-list intersection
+# through the persisted segmented index) and doc_inverted_phrase
+# (positional two-word phrase via position-set intersection) — swap
+# IN for doc_gopher_quality_flags and doc_tfidf_top_terms (both
+# r7-green, unchanged; doc_unigram_surprisal / doc_dup_span_coverage /
+# doc_word_cms_topk keep the text battery in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -181,8 +190,8 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "doc_chargram_neardup",
     "doc_dedup_clusters",
     "doc_word_cms_topk",
-    "doc_gopher_quality_flags",
-    "doc_tfidf_top_terms",
+    "doc_inverted_search_and",
+    "doc_inverted_phrase",
     "doc_unigram_surprisal",
     "doc_dup_span_coverage",
     "doc_source_mixture_weights",
@@ -217,6 +226,7 @@ def _load_all() -> None:
         queries_incr,
         queries_llm,
         queries_rollup,
+        queries_search,
         queries_streaming,
     )
 

@@ -89,8 +89,6 @@ def test_driver_window_covers_every_family():
         "doc_minhash_signature",    # minhash sketch
         "doc_neardup_pairs",        # LSH banding + verify
         "doc_dedup_clusters",       # connected-components dedup
-        "doc_gopher_quality_flags", # quality family
-        "doc_tfidf_top_terms",      # tf-idf
         "embedding_knn_srp",        # LSH-bucketed ANN
         "embedding_neardup_pairs",  # cosine near-dup
         "embedding_dedup_clusters", # semantic dedup
@@ -107,6 +105,11 @@ def test_driver_window_covers_every_family():
         "orders_status_priority_cube",  # CUBE / grouping sets
         "anti_join",                # set-negation join
         "orders_nearby_range_join",  # range join
+        # r8-new, fourth wave: inverted-index search (swapped in for
+        # doc_gopher_quality_flags / doc_tfidf_top_terms, both r7-green
+        # and unchanged; surprisal/dup-span/cms keep the text battery)
+        "doc_inverted_search_and",  # conjunctive posting intersection
+        "doc_inverted_phrase",      # positional phrase search
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 

@@ -1,0 +1,159 @@
+"""Inverted text index (operators/text_index): posting construction,
+conjunctive and positional-phrase search, incremental appends, and
+bloom-sidecar segment skipping on the term column."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from ed_housing_data_pipeline_spark.operators import text_index
+from ed_housing_data_pipeline_spark.sources import lake
+
+DOCS_A = [
+    Row(doc_id=0, text="alpha beta gamma alpha"),
+    Row(doc_id=1, text="beta beta beta"),
+    Row(doc_id=2, text="Alpha  GAMMA\tbeta"),  # mixed case, runs of ws
+]
+DOCS_B = [
+    Row(doc_id=10, text="delta epsilon delta delta"),
+    Row(doc_id=11, text=None),  # NULL text → no postings
+    Row(doc_id=12, text="   "),  # whitespace-only → no postings
+]
+DOCS_C = [
+    Row(doc_id=20, text="alpha delta"),
+    Row(doc_id=21, text="gamma gamma gamma gamma"),
+]
+
+SCHEMA = "doc_id bigint, text string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _build(spark, root):
+    text_index.bootstrap_text_index(spark, root, _df(spark, DOCS_A))
+    text_index.append_text_batch(spark, root, _df(spark, DOCS_B))
+    text_index.append_text_batch(spark, root, _df(spark, DOCS_C))
+
+
+def test_posting_table_rows(spark):
+    rows = {
+        (r.term, r.doc_id): (r.tf, r.positions)
+        for r in text_index.posting_table(_df(spark, DOCS_A)).collect()
+    }
+    assert rows[("alpha", 0)] == (2, [0, 3])
+    assert rows[("beta", 1)] == (3, [0, 1, 2])
+    # lowercased tokens; runs of whitespace produce no empty terms
+    assert rows[("alpha", 2)] == (1, [0])
+    assert rows[("gamma", 2)] == (1, [1])
+    assert ("", 2) not in rows
+
+
+def test_null_and_blank_docs_produce_no_postings(spark):
+    got = text_index.posting_table(_df(spark, DOCS_B)).collect()
+    assert {r.doc_id for r in got} == {10}
+
+
+def test_search_all_terms_conjunction(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    got = {
+        r.doc_id: r.total_tf
+        for r in text_index.search_all_terms(spark, root, ["alpha", "gamma"]).collect()
+    }
+    # docs 0 and 2 hold both terms; 20 holds alpha only, 21 gamma only
+    assert got == {0: 2 + 1, 2: 1 + 1}
+    # duplicate probe terms must not weaken the conjunction
+    dup = {
+        r.doc_id
+        for r in text_index.search_all_terms(
+            spark, root, ["alpha", "alpha", "gamma"]
+        ).collect()
+    }
+    assert dup == {0, 2}
+
+
+def test_search_absent_term_is_empty(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    assert text_index.search_all_terms(spark, root, ["alpha", "zzz"]).count() == 0
+
+
+def test_search_sees_appended_batches(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    text_index.bootstrap_text_index(spark, root, _df(spark, DOCS_A))
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["alpha"]).collect()
+    } == {0, 2}
+    text_index.append_text_batch(spark, root, _df(spark, DOCS_C))
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["alpha"]).collect()
+    } == {0, 2, 20}
+    # each ingest added exactly one postings segment
+    assert len(lake.segment_pins(spark, root)["postings"]) == 2
+
+
+def test_phrase_adjacency_and_counts(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    got = {
+        r.doc_id: r.n_occ
+        for r in text_index.search_phrase(spark, root, "alpha", "beta").collect()
+    }
+    # doc 0: "alpha beta ..." once (the second alpha is followed by EOS)
+    assert got == {0: 1}
+    # reversed order is a different phrase
+    rev = {
+        r.doc_id: r.n_occ
+        for r in text_index.search_phrase(spark, root, "beta", "alpha").collect()
+    }
+    # doc 0: "... beta gamma alpha" → no; doc 2 "alpha gamma beta" → no
+    assert rev == {}
+    # phrase never matches across documents (20 ends alpha, 21 starts gamma)
+    assert (
+        text_index.search_phrase(spark, root, "alpha", "epsilon").count() == 0
+    )
+
+
+def test_phrase_repeated_word(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    got = {
+        r.doc_id: r.n_occ
+        for r in text_index.search_phrase(spark, root, "beta", "beta").collect()
+    }
+    # doc 1 "beta beta beta" → positions {0,1,2}: adjacencies (0,1),(1,2)
+    assert got == {1: 2}
+    gg = {
+        r.doc_id: r.n_occ
+        for r in text_index.search_phrase(spark, root, "gamma", "gamma").collect()
+    }
+    assert gg == {21: 3}
+    dd = {
+        r.doc_id: r.n_occ
+        for r in text_index.search_phrase(spark, root, "delta", "delta").collect()
+    }
+    # doc 10 "delta epsilon delta delta" → only (2,3)
+    assert dd == {10: 1}
+
+
+def test_bloom_prunes_segments_by_term(spark, tmp_path):
+    """Each batch has a private vocabulary word; a probe for it must
+    drop the other two segments driver-side (and never the holder)."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    pins = lake.segment_pins(spark, root)["postings"]
+    assert len(pins) == 3
+    kept, pinned = lake.bloom_pruned_pins(
+        spark, root, "postings", "term", ["epsilon"]
+    )
+    assert pinned == pins
+    assert len(kept) == 1  # only the DOCS_B segment may hold it
+    got = {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["epsilon"]).collect()
+    }
+    assert got == {10}
