@@ -149,3 +149,30 @@ def cms_pos_sql(hash_expr: str, row_expr: str) -> str:
         f"((({hash_expr}) % {1 << 30}) + "
         f"({row_expr}) * ((({hash_expr}) >> 30) | 1)) % {CMS_W}"
     )
+
+
+# ---------------------------------------------------------------------
+# Equi-width histogram quantile sketch.
+#
+# The third mergeable sketch family (cardinality → HLL, frequency →
+# count-min, rank/quantile → this): per-partition bin counts are exact
+# bigints, merging is plain addition (the same algebra the rollup
+# protocol stores as partial-agg segments), and a quantile is served
+# from the cumulative distribution of the ≤O(range/width) bin table —
+# never from the fact rows. Error is bounded by construction:
+# |served - exact| ≤ bin width, deterministically on both engines
+# (floor of an IEEE-double division agrees bit-for-bit in Spark and
+# DuckDB on identical parquet doubles). Spark's own approx_percentile
+# (Greenwald-Khanna) is the adaptive alternative, but like HLL++ its
+# sketch state is engine-private — this layout is oracle-checkable and
+# cross-engine mergeable.
+
+def hist_bin(col: Column, width: float) -> Column:
+    """Equi-width bin id of a numeric column: floor(x / width), NULL
+    for NULL inputs (NULLs are not observations)."""
+    return F.floor(col / F.lit(float(width))).cast("bigint")
+
+
+def hist_bin_sql(expr: str, width: float) -> str:
+    """DuckDB fragment computing the identical bin id."""
+    return f"CAST(floor(({expr}) / {float(width)!r}) AS BIGINT)"

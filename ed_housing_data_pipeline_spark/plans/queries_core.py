@@ -11,8 +11,9 @@ DuckDB pipeline at /root/reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ed_housing_data_pipeline_spark.functions import sketches
 from ed_housing_data_pipeline_spark.functions.numeric import horizontal_sum, safe_div
 from ed_housing_data_pipeline_spark.functions.text import normalize_join_key
 from ed_housing_data_pipeline_spark.operators import aggs, joins, setops, topk, windows
@@ -601,6 +602,70 @@ def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("price_p99"),
+    )
+
+
+# ---------------------------------------- histogram quantile sketch
+HIST_WIDTH = 25000.0
+HIST_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@register(
+    "orders_histogram_quantiles",
+    oracle=f"""
+    WITH bins AS (
+      SELECT {sketches.hist_bin_sql("o_totalprice", HIST_WIDTH)} AS bin,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ), cdf AS (
+      SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum_n,
+             SUM(n) OVER () AS total_n
+      FROM bins
+    )
+    SELECT q, MIN(bin) AS bin,
+           ROUND((MIN(bin) + 1) * {HIST_WIDTH!r}, 4) AS approx_hi,
+           CAST(MIN(cum_n) AS BIGINT) AS cum_n,
+           CAST(MIN(total_n) AS BIGINT) AS total_n
+    FROM cdf CROSS JOIN (VALUES {", ".join(f"({q!r})" for q in HIST_QS)}) AS qs(q)
+    WHERE cum_n >= q * total_n
+    GROUP BY q
+    """,
+)
+def q_orders_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served from the equi-width histogram sketch
+    (functions.sketches.hist_bin) — the mergeable-rank-sketch path for
+    100 TB: per-partition bin counts partial-aggregate to a ≤O(range/
+    width) bin table (exact bigints, merge = addition, the same
+    algebra the rollup protocol persists), the CDF and the quantile
+    pick run on that sketch, never on fact rows. Served value is the
+    containing bin's upper edge, so |served - exact| ≤ width by
+    construction (pinned in tests/test_sketches.py against the exact
+    order statistic). Deterministic cross-engine: floor(x/width) on
+    identical parquet doubles and an integer CDF. Exact interpolated
+    percentiles stay available as lineitem_quantity_quantiles; Spark's
+    approx_percentile (Greenwald-Khanna) is the engine-private
+    alternative this sketch makes oracle-checkable."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    bins = o.groupBy(
+        sketches.hist_bin(F.col("o_totalprice"), HIST_WIDTH).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cdf = bins.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    return (
+        cdf.join(F.broadcast(qs), F.col("cum_n") >= F.col("q") * F.col("total_n"))
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.round((F.min("bin") + 1) * F.lit(HIST_WIDTH), 4).alias("approx_hi"),
+            F.min("cum_n").cast("bigint").alias("cum_n"),
+            F.min("total_n").cast("bigint").alias("total_n"),
+        )
     )
 
 

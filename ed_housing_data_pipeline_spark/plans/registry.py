@@ -153,6 +153,12 @@ _LOADED = False
 # IN for doc_gopher_quality_flags and doc_tfidf_top_terms (both
 # r7-green, unchanged; doc_unigram_surprisal / doc_dup_span_coverage /
 # doc_word_cms_topk keep the text battery in-window).
+# orders_histogram_quantiles — the mergeable equi-width histogram
+# rank sketch (quantiles served from the CDF of the bin table, error
+# ≤ width by construction) — swaps IN for supplier_balance_distribution
+# (r7-green, unchanged; lineitem_quantity_quantiles keeps the exact
+# quantile family in-window and the histogram IS the distribution
+# family's sketch-path rep).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -176,7 +182,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_filtered_aggs",
     "orders_priority_pivot",
     "lineitem_quantity_quantiles",
-    "supplier_balance_distribution",
+    "orders_histogram_quantiles",
     # event-time analytics (batch)
     "events_asof_last_view",
     "events_hll_daily_users",

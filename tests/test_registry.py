@@ -70,7 +70,7 @@ def test_driver_window_covers_every_family():
         "lineitem_quantity_quantiles",
         "orders_filtered_aggs",
         "orders_priority_pivot",
-        "supplier_balance_distribution",
+        "orders_histogram_quantiles",  # mergeable rank sketch (r8 4th wave)
         "doc_export_shards",
         "doc_unigram_surprisal",
         "doc_dup_span_coverage",

@@ -171,3 +171,66 @@ def test_cms_counters_merge_by_elementwise_sum(spark):
         .agg(F.sum("c").alias("c"))
     )
     assert rows(merged) == rows(counters(df))
+
+
+# ------------------------------------------------ histogram rank sketch
+def _hist(spark, df, width):
+    return {
+        r.bin: r.n
+        for r in df.groupBy(sk.hist_bin(F.col("v"), width).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_hist_quantile_error_bounded_by_width(spark):
+    """The served quantile (containing bin's upper edge) is within one
+    bin width ABOVE the exact order statistic, for every q and a width
+    that doesn't divide the data range evenly."""
+    import math
+
+    vals = sorted((i * 37) % 1000 + 0.5 for i in range(500))
+    df = spark.createDataFrame([Row(v=float(v)) for v in vals], "v double")
+    width = 130.0
+    hist = _hist(spark, df, width)
+    total = sum(hist.values())
+    assert total == len(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        exact = vals[math.ceil(q * total) - 1]
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= q * total:
+                served = (b + 1) * width
+                break
+        assert 0.0 < served - exact <= width, (q, served, exact)
+
+
+def test_hist_bins_merge_by_addition(spark):
+    """Sketch algebra: the histogram of a union is the element-wise sum
+    of the parts' histograms — over an adversarial 3-way split (by
+    residue, so parts have disjoint AND overlapping bins)."""
+    df = spark.createDataFrame(
+        [Row(v=float((i * 7919) % 5000)) for i in range(400)], "v double"
+    )
+    width = 333.0
+    whole = _hist(spark, df, width)
+    merged: dict[int, int] = {}
+    for r in range(3):
+        part = _hist(spark, df.filter(F.pmod(F.col("v").cast("bigint"), F.lit(3)) == r), width)
+        for b, n in part.items():
+            merged[b] = merged.get(b, 0) + n
+    assert merged == whole
+
+
+def test_hist_bin_nulls_and_negatives(spark):
+    """NULLs are not observations (NULL bin); negative values floor
+    toward -inf so bin edges stay half-open everywhere."""
+    df = spark.createDataFrame(
+        [Row(v=None), Row(v=-0.5), Row(v=-10.0), Row(v=0.0), Row(v=9.99), Row(v=10.0)],
+        "v double",
+    )
+    got = {r.v: r.bin for r in df.select("v", sk.hist_bin(F.col("v"), 10.0).alias("bin")).collect()}
+    assert got[None] is None
+    assert got[-0.5] == -1 and got[-10.0] == -1
+    assert got[0.0] == 0 and got[9.99] == 0 and got[10.0] == 1
