@@ -1,0 +1,106 @@
+"""Z-order-clustered segment layout: multi-column data skipping.
+
+Writes a fact frame as segmented-lake segments RANGE-SLICED on the
+Morton interleave of two columns (functions/zorder), with zonemaps on
+the RAW columns — so a 2-D box predicate prunes segments on both
+dimensions driver-side (:func:`box_pruned_pins` intersects the
+per-column zonemap keeps). With one-column sorting the second
+predicate keeps every segment; with z-clustering both predicates cut,
+which is the whole point of space-filling-curve layouts at 100 TB.
+
+Scale note on the writer: each z-slice becomes one ``append_segments``
+commit, so the demo writer below makes ``n_segments`` passes over the
+(persisted) input. At real scale you'd stage the z-keyed frame once
+with ``repartitionByRange(n, z)`` and commit the already-materialized
+slices — the read path and manifest layout are identical; only the
+write amplification differs, and the input is persisted here so the
+passes are memory-local at test scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, functions as F
+
+from ed_housing_data_pipeline_spark.functions.zorder import zorder2
+from ed_housing_data_pipeline_spark.sources import lake
+
+
+def write_zorder_clustered(
+    spark,
+    root: str,
+    df: DataFrame,
+    component: str,
+    x_expr: str,
+    y_expr: str,
+    zone_cols: Sequence[str],
+    n_segments: int = 8,
+    bits: int = 10,
+) -> dict[str, list[int]]:
+    """Cluster ``df`` into ``n_segments`` z-contiguous segments.
+
+    Slice boundaries come from approximate z-quantiles (one pass);
+    duplicate cut points (skewed z) collapse, so fewer, fuller
+    segments — never empty ones. Rows whose z is NULL (out-of-range
+    inputs, see functions/zorder) land in the LAST slice so no row is
+    lost; their segment keeps zone stats, it's just less tight."""
+    zed = df.withColumn("_z", zorder2(x_expr, y_expr, bits))
+    zed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        probs = [i / n_segments for i in range(1, n_segments)]
+        cuts = zed.stat.approxQuantile("_z", probs, 0.0)
+        # drop duplicate cuts (skewed z) and any cut at the max (its
+        # upper slice would be empty); all-NULL z → no cuts, one slice
+        zmax = zed.agg(F.max("_z")).collect()[0][0]
+        cuts = sorted({c for c in cuts if zmax is not None and c < zmax})
+        # slice id = number of cuts strictly below z; NULL z → last slice
+        slice_sql = " + ".join(
+            f"CAST(_z > {float(c)!r} AS INT)" for c in cuts
+        ) or "0"
+        zed_s = zed.withColumn(
+            "_slice",
+            F.coalesce(F.expr(slice_sql), F.lit(len(cuts))).cast("int"),
+        )
+        pins: dict[str, list[int]] = {}
+        for i in range(len(cuts) + 1):
+            part = zed_s.filter(F.col("_slice") == i).drop("_z", "_slice")
+            pins = lake.append_segments(
+                spark,
+                root,
+                appends={component: part},
+                init=(i == 0),
+                zone_cols={component: list(zone_cols)},
+            )
+        return pins
+    finally:
+        zed.unpersist()
+
+
+def box_pruned_pins(
+    spark, root: str, component: str, box: Mapping[str, tuple]
+) -> tuple[list[int], list[int]]:
+    """(kept, pinned) for a conjunctive multi-column range predicate
+    ``{col: (lo, hi), ...}``: the intersection of each column's
+    zonemap keeps, order-preserving. Driver-side metadata only."""
+    kept_sets = []
+    pinned: list[int] = []
+    for col, (lo, hi) in box.items():
+        kept, pinned = lake.zone_pruned_pins(spark, root, component, col, lo, hi)
+        kept_sets.append(set(kept))
+    kept_all = set.intersection(*kept_sets) if kept_sets else set(pinned)
+    return [s for s in pinned if s in kept_all], pinned
+
+
+def read_box(
+    spark, root: str, component: str, box: Mapping[str, tuple]
+) -> DataFrame:
+    """The component's manifest-pinned scan restricted to segments
+    whose zonemaps may intersect the box — the caller still applies
+    the row-level predicates (skipping only shrinks the file set)."""
+    kept, pinned = box_pruned_pins(spark, root, component, box)
+    comp_root = f"{root.rstrip('/')}/{component}"
+    if not kept:
+        return lake.read_segments(spark, comp_root, pinned[:1]).filter(F.lit(False))
+    return lake.read_segments(spark, comp_root, kept)

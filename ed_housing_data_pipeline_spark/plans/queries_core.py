@@ -669,6 +669,99 @@ def q_orders_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- z-order clustered layout
+ZBOX_CUST = (100, 600)
+ZBOX_MONTH = (3, 5)
+_ZORDER_DIR: dict[tuple[str], object] = {}
+
+
+def _ensure_zorder_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Orders written as z-order-clustered segments on (custkey/16,
+    order month) with zonemaps on the raw columns — built once per
+    (sf_dir) session. At sf0.01 the 2-D box below keeps ~2 of 8
+    segments; either single-column sort would keep nearly all of them
+    for the off-sort predicate (tests/test_zcluster.py pins that gap)."""
+    key = (sf_dir,)
+    tmp = _ZORDER_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        from ed_housing_data_pipeline_spark.operators import zcluster  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="zorder_orders_")
+        o = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            "o_totalprice",
+        )
+        zcluster.write_zorder_clustered(
+            spark,
+            tmp.name,
+            o,
+            component="orders",
+            x_expr="CAST(floor(o_custkey / 16) AS INT)",
+            y_expr="o_month",
+            zone_cols=("o_custkey", "o_month"),
+            n_segments=8,
+        )
+        _ZORDER_DIR[key] = tmp
+    return _ZORDER_DIR[key].name
+
+
+@register(
+    "orders_zorder_box",
+    oracle=f"""
+    SELECT month(o_orderdate) AS o_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN {ZBOX_CUST[0]} AND {ZBOX_CUST[1]}
+      AND month(o_orderdate) BETWEEN {ZBOX_MONTH[0]} AND {ZBOX_MONTH[1]}
+    GROUP BY 1
+    """,
+)
+def q_orders_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box aggregation through the z-order-clustered layout
+    (operators/zcluster over functions/zorder): segments are sliced on
+    the Morton interleave of (custkey bucket, order month), so BOTH
+    range predicates prune segments driver-side from zonemaps before
+    Spark plans anything — the Delta Z-ORDER / Iceberg SFC-clustering
+    capability. The oracle aggregates the same box on the raw table,
+    value-checking the whole cluster → zone-advertise → intersect →
+    scan lifecycle. At 100 TB this is the difference between reading
+    one month × one customer range and reading every segment a
+    single-column sort can't exclude."""
+    from ed_housing_data_pipeline_spark.operators import zcluster  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.plans._caches import _audit  # noqa: PLC0415
+
+    if _audit() and _ZORDER_DIR.get((sf_dir,)) is None:
+        base = t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            "o_totalprice",
+        )
+    else:
+        root = _ensure_zorder_segments(spark, sf_dir)
+        base = zcluster.read_box(
+            spark,
+            root,
+            "orders",
+            {"o_custkey": ZBOX_CUST, "o_month": ZBOX_MONTH},
+        )
+    return (
+        base.filter(
+            F.col("o_custkey").between(*ZBOX_CUST)
+            & F.col("o_month").between(*ZBOX_MONTH)
+        )
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ----------------------------------------------------- string agg (A1+)
 @register(
     "region_nation_list",

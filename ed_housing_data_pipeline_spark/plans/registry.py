@@ -158,7 +158,11 @@ _LOADED = False
 # ≤ width by construction) — swaps IN for supplier_balance_distribution
 # (r7-green, unchanged; lineitem_quantity_quantiles keeps the exact
 # quantile family in-window and the histogram IS the distribution
-# family's sketch-path rep).
+# family's sketch-path rep). orders_zorder_box — z-order (Morton)
+# segment clustering with 2-D zonemap box pruning (operators/zcluster)
+# — swaps IN for orders_filtered_aggs (r7-green, unchanged;
+# orders_priority_pivot + the cube + the rollup family keep the orders
+# battery in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -179,7 +183,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_incremental_rollup",
     "orders_rollup_month_range",
     "orders_stream_rollup",
-    "orders_filtered_aggs",
+    "orders_zorder_box",
     "orders_priority_pivot",
     "lineitem_quantity_quantiles",
     "orders_histogram_quantiles",

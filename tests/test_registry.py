@@ -68,7 +68,7 @@ def test_driver_window_covers_every_family():
         "events_hll_rollup",        # sketch as incremental rollup max-state
         "events_hourly_by_type",
         "lineitem_quantity_quantiles",
-        "orders_filtered_aggs",
+        "orders_zorder_box",  # z-order 2-D pruning (r8 4th wave)
         "orders_priority_pivot",
         "orders_histogram_quantiles",  # mergeable rank sketch (r8 4th wave)
         "doc_export_shards",

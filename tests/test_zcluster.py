@@ -1,0 +1,151 @@
+"""Z-order clustering (functions/zorder + operators/zcluster):
+interleave correctness, multi-column zonemap pruning, and the
+it-actually-beats-single-column-sort property the layout exists for."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row, functions as F
+
+from ed_housing_data_pipeline_spark.functions import zorder as zo
+from ed_housing_data_pipeline_spark.operators import zcluster
+from ed_housing_data_pipeline_spark.sources import lake
+
+
+def test_interleave_bijection_py():
+    rng = random.Random(8)
+    for _ in range(200):
+        x, y = rng.randrange(1 << 10), rng.randrange(1 << 10)
+        z = zo.zorder2_py(x, y)
+        assert zo.deinterleave2_py(z) == (x, y)
+    assert zo.zorder2_py(0, 0) == 0
+    assert zo.zorder2_py((1 << 10) - 1, (1 << 10) - 1) == (1 << 20) - 1
+
+
+def test_spark_expr_matches_python(spark):
+    rng = random.Random(9)
+    rows = [Row(x=rng.randrange(1 << 10), y=rng.randrange(1 << 10)) for _ in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = df.select("x", "y", zo.zorder2("x", "y").alias("z")).collect()
+    for r in got:
+        assert r.z == zo.zorder2_py(r.x, r.y), (r.x, r.y)
+
+
+def test_out_of_range_and_null_inputs_are_null(spark):
+    df = spark.createDataFrame(
+        [Row(x=None, y=1), Row(x=1, y=None), Row(x=-1, y=1), Row(x=1 << 10, y=1), Row(x=3, y=5)],
+        "x int, y int",
+    )
+    got = [r.z for r in df.select(zo.zorder2("x", "y").alias("z")).collect()]
+    assert got[:4] == [None, None, None, None]
+    assert got[4] == zo.zorder2_py(3, 5)
+
+
+GRID = 64  # the exact 64×64 grid: every (x, y) cell exactly once
+
+
+def _grid_df(spark):
+    rows = [
+        Row(k=y * GRID + x, x=x, y=y, v=float(x + y))
+        for y in range(GRID)
+        for x in range(GRID)
+    ]
+    return spark.createDataFrame(rows, "k bigint, x int, y int, v double")
+
+
+# An 8×8 box aligned inside one 16×16 Morton tile: with 16 exact
+# z-slices each slice IS one tile, so z-clustering keeps exactly 1
+# segment while either single-column sort keeps its 2 matching slices.
+BOX = {"x": (8, 15), "y": (40, 47)}
+
+
+def _row_filter(df):
+    return df.filter(F.col("x").between(*BOX["x"]) & F.col("y").between(*BOX["y"]))
+
+
+def test_box_read_matches_full_scan(spark, tmp_path):
+    df = _grid_df(spark)
+    root = str(tmp_path / "z")
+    zcluster.write_zorder_clustered(
+        spark, root, df, "t", "x", "y", zone_cols=("x", "y"), n_segments=8, bits=6
+    )
+    got = sorted(r.k for r in _row_filter(zcluster.read_box(spark, root, "t", BOX)).collect())
+    want = sorted(r.k for r in _row_filter(df).collect())
+    assert got == want and len(want) > 0
+
+
+def test_zorder_prunes_both_dimensions_beats_single_sort(spark, tmp_path):
+    """The reason the layout exists: for a 2-D box, z-clustering must
+    prune strictly more segments than sorting on either single column
+    (whose zonemaps are tight on one dim and span the other)."""
+    df = _grid_df(spark)
+    zroot = str(tmp_path / "z")
+    zcluster.write_zorder_clustered(
+        spark, zroot, df, "t", "x", "y", zone_cols=("x", "y"), n_segments=16, bits=6
+    )
+    kept_z, pinned_z = zcluster.box_pruned_pins(spark, zroot, "t", BOX)
+    assert len(pinned_z) == 16
+
+    def _sorted_layout(col):
+        root = str(tmp_path / f"s_{col}")
+        cuts = df.stat.approxQuantile(col, [i / 16 for i in range(1, 16)], 0.0)
+        cuts = sorted(set(cuts))
+        sliced = df.withColumn(
+            "_slice",
+            sum(
+                (F.col(col) > F.lit(c)).cast("int") for c in cuts
+            ),
+        )
+        for i in range(len(cuts) + 1):
+            lake.append_segments(
+                spark,
+                root,
+                appends={"t": sliced.filter(F.col("_slice") == i).drop("_slice")},
+                init=(i == 0),
+                zone_cols={"t": ["x", "y"]},
+            )
+        kept, pinned = zcluster.box_pruned_pins(spark, root, "t", BOX)
+        return len(kept), len(pinned)
+
+    kept_x, pinned_x = _sorted_layout("x")
+    kept_y, pinned_y = _sorted_layout("y")
+    # single-column sort: zonemaps tight on the sort column (the box
+    # keeps its ~2 matching slices), useless on the other column
+    assert len(kept_z) < kept_x
+    assert len(kept_z) < kept_y
+    assert 0 < len(kept_z) < len(pinned_z)
+
+
+def test_degenerate_constant_z_still_correct(spark, tmp_path):
+    """All rows share one z value → quantile cuts collapse → a single
+    segment; reads stay correct (pruning is conservative)."""
+    df = spark.createDataFrame(
+        [Row(k=i, x=5, y=9, v=1.0) for i in range(32)],
+        "k bigint, x int, y int, v double",
+    )
+    root = str(tmp_path / "zc")
+    zcluster.write_zorder_clustered(
+        spark, root, df, "t", "x", "y", zone_cols=("x", "y"), n_segments=4, bits=6
+    )
+    pins = lake.segment_pins(spark, root)["t"]
+    assert len(pins) == 1
+    assert zcluster.read_box(spark, root, "t", {"x": (0, 63), "y": (0, 63)}).count() == 32
+    kept, _ = zcluster.box_pruned_pins(spark, root, "t", {"x": (6, 7), "y": (9, 9)})
+    assert kept == []  # zonemap excludes the whole (only) segment
+
+
+def test_null_z_rows_survive_in_last_slice(spark, tmp_path):
+    """Out-of-range inputs (NULL z) must not be dropped by the writer."""
+    rows = [Row(k=i, x=i % 16, y=i % 16, v=1.0) for i in range(64)]
+    rows.append(Row(k=999, x=-3, y=2, v=1.0))  # negative → NULL z
+    df = spark.createDataFrame(rows, "k bigint, x int, y int, v double")
+    root = str(tmp_path / "zn")
+    zcluster.write_zorder_clustered(
+        spark, root, df, "t", "x", "y", zone_cols=("x", "y"), n_segments=4, bits=4
+    )
+    comp = f"{root}/t"
+    pins = lake.segment_pins(spark, root)["t"]
+    all_rows = lake.read_segments(spark, comp, pins)
+    assert all_rows.count() == 65
+    assert all_rows.filter(F.col("k") == 999).count() == 1
