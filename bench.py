@@ -69,6 +69,11 @@ HEADLINE = [
     "orders_status_priority_cube",  # Expand + single-pass grouping sets
     "doc_point_lookup",            # bloom-sidecar pruned segment fetch
     "doc_word_cms_topk",           # count-min counters + probe join
+    # r8 fourth wave: search / rank sketch / SFC layout
+    "doc_inverted_search_and",     # posting-list AND through the index
+    "doc_inverted_phrase",         # positional phrase search
+    "orders_histogram_quantiles",  # quantiles off the bin-table CDF
+    "orders_zorder_box",           # 2-D zonemap box pruning
 ]
 
 # Cold-only rows (r6 VERDICT #5): these two run REAL side-effecting

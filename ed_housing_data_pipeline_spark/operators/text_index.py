@@ -121,10 +121,14 @@ def search_all_terms(spark, root: str, terms: Sequence[str]) -> DataFrame:
     repeats in ``terms``."""
     probe = sorted(set(terms))
     p = pinned_postings(spark, root, probe)
+    # (term, doc_id) rows are UNIQUE index-wide (each doc's postings
+    # live in exactly one ingest segment — the module contract), so a
+    # plain count equals the distinct-term count without the second
+    # shuffle a countDistinct expansion would pay.
     return (
         p.groupBy("doc_id")
         .agg(
-            F.countDistinct("term").alias("_k"),
+            F.count(F.lit(1)).alias("_k"),
             F.sum("tf").cast("bigint").alias("total_tf"),
         )
         .filter(F.col("_k") == len(probe))

@@ -762,6 +762,82 @@ def q_orders_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ constraint audit
+@register(
+    "orders_constraint_audit",
+    oracle="""
+    WITH n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+    SELECT 'totalprice_not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+             AS n_violations,
+           (SELECT n FROM n_all) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+           (SELECT n FROM n_all)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(COUNT(*) FILTER (
+             WHERE o_orderdate IS NOT NULL AND
+                   o_orderdate NOT BETWEEN TIMESTAMP '1990-01-01'
+                                       AND TIMESTAMP '2099-12-31'
+           ) AS BIGINT),
+           (SELECT n FROM n_all)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT),
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'custkey_in_customer',
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           (SELECT n FROM n_all)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/expectations —
+    the Delta-Live-Tables / deequ capability class): null, range,
+    uniqueness, and referential-integrity rules over the orders fact,
+    each computed as an aggregate (row rules share ONE scan+agg pass;
+    uniqueness is one keyed agg; the FK rule is one broadcast
+    anti-join against customer). The result is 5 rows regardless of
+    fact size, so it can gate a pipeline run. The oracle recomputes
+    every rule relationally."""
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        expectations as ex,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    lo = F.to_timestamp(F.lit("1990-01-01"))
+    hi = F.to_timestamp(F.lit("2099-12-31"))
+    return ex.constraint_audit(
+        o,
+        [
+            ex.RowCheck("totalprice_not_null", F.col("o_totalprice").isNull()),
+            ex.RowCheck("totalprice_positive", F.col("o_totalprice") <= 0),
+            ex.RowCheck(
+                "orderdate_in_range",
+                F.col("o_orderdate").isNotNull()
+                & ~F.col("o_orderdate").between(lo, hi),
+            ),
+            ex.UniqueCheck("orderkey_unique", ["o_orderkey"]),
+            ex.ForeignKeyCheck(
+                "custkey_in_customer",
+                ["o_custkey"],
+                dim=cust,
+                dim_cols=["c_custkey"],
+            ),
+        ],
+    )
+
+
 # ----------------------------------------------------- string agg (A1+)
 @register(
     "region_nation_list",

@@ -98,7 +98,7 @@ def q_doc_inverted_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             p.groupBy("doc_id")
             .agg(
-                F.countDistinct("term").alias("_k"),
+                F.count(F.lit(1)).alias("_k"),  # (term, doc) rows unique
                 F.sum("tf").cast("bigint").alias("total_tf"),
             )
             .filter(F.col("_k") == len(set(SEARCH_TERMS)))

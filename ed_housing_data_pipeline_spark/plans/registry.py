@@ -162,7 +162,11 @@ _LOADED = False
 # segment clustering with 2-D zonemap box pruning (operators/zcluster)
 # — swaps IN for orders_filtered_aggs (r7-green, unchanged;
 # orders_priority_pivot + the cube + the rollup family keep the orders
-# battery in-window).
+# battery in-window). orders_constraint_audit — declarative
+# data-quality expectations (operators/expectations: null/range/
+# uniqueness/FK rules as shared-scan aggregates, the deequ/DLT class)
+# — swaps IN for orders_priority_pivot (r7-green, unchanged; the cube
+# + rollups + zorder box keep the orders battery in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -184,7 +188,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_rollup_month_range",
     "orders_stream_rollup",
     "orders_zorder_box",
-    "orders_priority_pivot",
+    "orders_constraint_audit",
     "lineitem_quantity_quantiles",
     "orders_histogram_quantiles",
     # event-time analytics (batch)

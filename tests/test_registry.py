@@ -69,7 +69,7 @@ def test_driver_window_covers_every_family():
         "events_hourly_by_type",
         "lineitem_quantity_quantiles",
         "orders_zorder_box",  # z-order 2-D pruning (r8 4th wave)
-        "orders_priority_pivot",
+        "orders_constraint_audit",  # deequ-style expectations (r8 4th wave)
         "orders_histogram_quantiles",  # mergeable rank sketch (r8 4th wave)
         "doc_export_shards",
         "doc_unigram_surprisal",
