@@ -72,6 +72,7 @@ HEADLINE = [
     # r8 fourth wave: search / rank sketch / SFC layout
     "doc_inverted_search_and",     # posting-list AND through the index
     "doc_inverted_phrase",         # positional phrase search
+    "doc_inverted_tfidf_topk",     # ranked retrieval off additive stats
     "orders_histogram_quantiles",  # quantiles off the bin-table CDF
     "orders_zorder_box",           # 2-D zonemap box pruning
 ]

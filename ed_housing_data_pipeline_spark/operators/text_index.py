@@ -42,6 +42,7 @@ from ed_housing_data_pipeline_spark.functions.text import tokens
 from ed_housing_data_pipeline_spark.sources import lake
 
 COMPONENT = "postings"
+TERMSTATS = "termstats"
 TERM_SEED = 42
 
 
@@ -72,33 +73,56 @@ def posting_table(
     )
 
 
+def _commit_batch(
+    spark, root: str, batch: DataFrame, id_col: str, text_col: str, init: bool
+) -> dict[str, list[int]]:
+    """One O(batch) index commit: a postings segment (+ term bloom), a
+    termstats segment — the batch's per-term document frequency, which
+    is ADDITIVE across segments because each doc lives in exactly one
+    batch — and the cumulative corpus doc count folded into the
+    manifest meta atomically with the data (the ranked-retrieval idf
+    numerator, read back driver-side with no job)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    n_prior = 0 if init else int(lake.segment_meta(spark, root).get("n_docs", 0))
+    n_batch = batch.count()
+    p = posting_table(batch, id_col, text_col)
+    p.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = p.groupBy("term_h").agg(
+            F.first("term").alias("term"),
+            # postings are unique per (term, doc) within the batch, so
+            # a plain count IS the batch document frequency
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+        return lake.append_segments(
+            spark,
+            root,
+            appends={COMPONENT: p, TERMSTATS: stats},
+            init=init,
+            bloom_cols={COMPONENT: ["term"]},
+            meta={"n_docs": n_prior + n_batch},
+        )
+    finally:
+        p.unpersist()
+
+
 def bootstrap_text_index(
     spark, root: str, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict[str, list[int]]:
-    """First commit of the index: one postings segment for the
-    bootstrap corpus, bloom sidecar on ``term``, manifest v1."""
-    return lake.append_segments(
-        spark,
-        root,
-        appends={COMPONENT: posting_table(docs, id_col, text_col)},
-        init=True,
-        bloom_cols={COMPONENT: ["term"]},
-    )
+    """First commit of the index: postings + termstats segments for
+    the bootstrap corpus, bloom sidecar on ``term``, manifest v1."""
+    return _commit_batch(spark, root, docs, id_col, text_col, init=True)
 
 
 def append_text_batch(
     spark, root: str, batch: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict[str, list[int]]:
-    """Fold an ingest batch into the index: O(batch) — one new
-    postings segment + its bloom sidecar, one manifest flip. The
-    accumulated index is never rewritten; readers see the old pin or
-    the new one, never a partial write."""
-    return lake.append_segments(
-        spark,
-        root,
-        appends={COMPONENT: posting_table(batch, id_col, text_col)},
-        bloom_cols={COMPONENT: ["term"]},
-    )
+    """Fold an ingest batch into the index: O(batch) — new postings +
+    termstats segments, one manifest flip. The accumulated index is
+    never rewritten; readers see the old pin or the new one, never a
+    partial write."""
+    return _commit_batch(spark, root, batch, id_col, text_col, init=False)
 
 
 def pinned_postings(spark, root: str, terms: Sequence[str]) -> DataFrame:
@@ -133,6 +157,48 @@ def search_all_terms(spark, root: str, terms: Sequence[str]) -> DataFrame:
         )
         .filter(F.col("_k") == len(probe))
         .drop("_k")
+    )
+
+
+def term_stats(spark, root: str, terms: Sequence[str]) -> DataFrame:
+    """(term, df) corpus document frequency of the probe terms: the
+    SUM of the per-segment additive stats — O(probe terms × segments)
+    rows ever touched, never a postings pass."""
+    probe = sorted(set(terms))
+    pins = lake.segment_pins(spark, root)[TERMSTATS]
+    seg = lake.read_segments(spark, f"{root}/{TERMSTATS}", pins)
+    return (
+        seg.filter(F.col("term").isin(probe))
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+
+
+def corpus_size(spark, root: str) -> int:
+    """Documents ingested so far — a manifest-meta read, no job."""
+    return int(lake.segment_meta(spark, root).get("n_docs", 0))
+
+
+def search_ranked(spark, root: str, terms: Sequence[str], k: int = 15) -> DataFrame:
+    """TF-IDF-ranked (disjunctive) retrieval: documents containing ANY
+    probe term, scored sum(tf × ln(N/df)) over their matched terms and
+    cut to the top k by (score DESC, doc_id ASC) — the deterministic
+    total order TakeOrderedAndProject needs. idf follows the engine's
+    doc_word_idf convention (ln(N/df), df ≥ 1 for matched terms); N is
+    the manifest-meta corpus count (no job) and df comes from the
+    additive termstats segments, so scoring never aggregates the
+    postings beyond the probe terms."""
+    n_docs = corpus_size(spark, root)
+    stats = term_stats(spark, root, terms).withColumn(
+        "_idf", F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    )
+    p = pinned_postings(spark, root, terms)
+    return (
+        p.join(F.broadcast(stats.select("term", "_idf")), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("_idf")), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
 
 

@@ -25,6 +25,8 @@ from ed_housing_data_pipeline_spark.plans.registry import register
 # conjunction) and a ~dozen docs for the phrase (adjacency is rare).
 SEARCH_TERMS = ("vector", "stream")
 PHRASE = ("table", "window")
+RANK_TERMS = ("vector", "window", "spark")
+RANK_K = 15
 
 _TEXT_IDX_DIR: dict[tuple[str], object] = {}
 
@@ -153,3 +155,66 @@ def q_doc_inverted_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     root = _ensure_text_index(spark, sf_dir)
     return text_index.search_phrase(spark, root, *PHRASE)
+
+
+@register(
+    "doc_inverted_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), tf AS (
+      SELECT doc_id, term, len(list_filter(ts, x -> x = term)) AS tf
+      FROM tok CROSS JOIN
+        (VALUES {", ".join(f"('{w}')" for w in RANK_TERMS)}) AS q(term)
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+      FROM tf WHERE tf > 0 GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(tf.tf * ln((SELECT n_docs FROM n) / df.df)), 4) AS score
+    FROM tf JOIN df USING (term)
+    WHERE tf.tf > 0
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {RANK_K}
+    """,
+)
+def q_doc_inverted_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-ranked retrieval through the persisted index
+    (operators/text_index.search_ranked): disjunctive match, score =
+    sum(tf × ln(N/df)). The inputs the ranker needs beyond postings
+    are maintained INCREMENTALLY by the index commits — per-term df as
+    additive termstats segments (sum over segments = corpus df because
+    each doc lives in one batch), corpus size N in the manifest meta
+    (flipped atomically with the data, read back with no job) — so
+    serving cost is O(matched postings + probe-term stats), never a
+    corpus or index pass. The oracle recomputes tf/df/N relationally
+    on the raw table; top-k is cut on the deterministic (score DESC,
+    doc_id ASC) total order on both engines."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_DIR.get((sf_dir,)) is None:
+        docs = t(spark, sf_dir, "documents")
+        p = _audit_postings(spark, sf_dir).filter(
+            F.col("term").isin(list(RANK_TERMS))
+        )
+        n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        stats = (
+            p.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+            .crossJoin(F.broadcast(n))
+            .withColumn("_idf", F.log(F.col("_n") / F.col("_df")))
+        )
+        return (
+            p.join(F.broadcast(stats.select("term", "_idf")), "term")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("tf") * F.col("_idf")), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(RANK_K)
+        )
+    root = _ensure_text_index(spark, sf_dir)
+    return text_index.search_ranked(spark, root, RANK_TERMS, k=RANK_K)

@@ -167,6 +167,11 @@ _LOADED = False
 # uniqueness/FK rules as shared-scan aggregates, the deequ/DLT class)
 # — swaps IN for orders_priority_pivot (r7-green, unchanged; the cube
 # + rollups + zorder box keep the orders battery in-window).
+# doc_inverted_tfidf_topk — tf-idf-ranked retrieval whose df/N inputs
+# are maintained incrementally by the index commits (additive termstats
+# segments + manifest-meta corpus count) — swaps IN for
+# events_hourly_by_type (r7-green, unchanged; events_asof_last_view,
+# the HLL twins and events_stream_hourly keep the events battery).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -195,7 +200,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "events_asof_last_view",
     "events_hll_daily_users",
     "events_hll_rollup",
-    "events_hourly_by_type",
+    "doc_inverted_tfidf_topk",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_fingerprint",
     "doc_minhash_signature",

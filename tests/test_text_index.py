@@ -157,3 +157,49 @@ def test_bloom_prunes_segments_by_term(spark, tmp_path):
         for r in text_index.search_all_terms(spark, root, ["epsilon"]).collect()
     }
     assert got == {10}
+
+
+def test_termstats_additive_and_corpus_meta(spark, tmp_path):
+    """df sums across segments equal the corpus document frequencies;
+    the manifest-meta doc count accumulates per commit (incl. docs
+    with no postings — NULL/blank text are still corpus members)."""
+    root = str(tmp_path / "idx")
+    text_index.bootstrap_text_index(spark, root, _df(spark, DOCS_A))
+    assert text_index.corpus_size(spark, root) == 3
+    text_index.append_text_batch(spark, root, _df(spark, DOCS_B))
+    text_index.append_text_batch(spark, root, _df(spark, DOCS_C))
+    assert text_index.corpus_size(spark, root) == 8
+    assert len(lake.segment_pins(spark, root)["termstats"]) == 3
+    got = {
+        r.term: r.df
+        for r in text_index.term_stats(
+            spark, root, ["alpha", "beta", "gamma", "delta", "zzz"]
+        ).collect()
+    }
+    # alpha: docs 0, 2, 20; beta: 0, 1, 2; gamma: 0, 2, 21; delta: 10, 20
+    assert got == {"alpha": 3, "beta": 3, "gamma": 3, "delta": 2}
+
+
+def test_search_ranked_scores_and_order(spark, tmp_path):
+    """Hand-computed tf-idf on the tiny corpus: score, rounding, and
+    the (score DESC, doc_id ASC) cut."""
+    import math
+
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    n = 8.0
+    idf_a, idf_d = math.log(n / 3), math.log(n / 2)  # alpha df=3, delta df=2
+    got = [
+        (r.doc_id, r.score)
+        for r in text_index.search_ranked(
+            spark, root, ["alpha", "delta"], k=3
+        ).collect()
+    ]
+    want = {
+        0: round(2 * idf_a, 4),          # alpha ×2
+        2: round(1 * idf_a, 4),
+        10: round(3 * idf_d, 4),         # delta ×3
+        20: round(1 * idf_a + 1 * idf_d, 4),
+    }
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == expect
