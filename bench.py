@@ -89,6 +89,7 @@ COLD_ONLY = [
     "doc_export_shards",            # sharded corpus export e2e
     "doc_stream_incremental_dedup",  # streaming ingest + incremental dedup
     "orders_stream_rollup",         # streamed view maintenance e2e
+    "doc_stream_search_ingest",     # streamed text-index maintenance e2e
 ]
 
 

@@ -74,17 +74,26 @@ def posting_table(
 
 
 def _commit_batch(
-    spark, root: str, batch: DataFrame, id_col: str, text_col: str, init: bool
+    spark,
+    root: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    init: bool,
+    extra_meta: dict | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) index commit: a postings segment (+ term bloom), a
     termstats segment — the batch's per-term document frequency, which
     is ADDITIVE across segments because each doc lives in exactly one
     batch — and the cumulative corpus doc count folded into the
     manifest meta atomically with the data (the ranked-retrieval idf
-    numerator, read back driver-side with no job)."""
+    numerator, read back driver-side with no job). Prior meta keys
+    carry forward; ``extra_meta`` lets a transactional committer (the
+    streaming sink's batch id) ride the same atomic flip."""
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    n_prior = 0 if init else int(lake.segment_meta(spark, root).get("n_docs", 0))
+    prior = {} if init else dict(lake.segment_meta(spark, root))
+    n_prior = int(prior.get("n_docs", 0))
     n_batch = batch.count()
     p = posting_table(batch, id_col, text_col)
     p.persist(StorageLevel.MEMORY_AND_DISK)
@@ -101,7 +110,7 @@ def _commit_batch(
             appends={COMPONENT: p, TERMSTATS: stats},
             init=init,
             bloom_cols={COMPONENT: ["term"]},
-            meta={"n_docs": n_prior + n_batch},
+            meta={**prior, "n_docs": n_prior + n_batch, **(extra_meta or {})},
         )
     finally:
         p.unpersist()
@@ -116,13 +125,20 @@ def bootstrap_text_index(
 
 
 def append_text_batch(
-    spark, root: str, batch: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    spark,
+    root: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_meta: dict | None = None,
 ) -> dict[str, list[int]]:
     """Fold an ingest batch into the index: O(batch) — new postings +
     termstats segments, one manifest flip. The accumulated index is
     never rewritten; readers see the old pin or the new one, never a
     partial write."""
-    return _commit_batch(spark, root, batch, id_col, text_col, init=False)
+    return _commit_batch(
+        spark, root, batch, id_col, text_col, init=False, extra_meta=extra_meta
+    )
 
 
 def pinned_postings(spark, root: str, terms: Sequence[str]) -> DataFrame:

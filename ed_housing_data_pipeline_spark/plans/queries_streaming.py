@@ -682,3 +682,49 @@ def q_embedding_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("rn").cast("bigint").alias("rn"),
         )
         return out.localCheckpoint(eager=True)
+
+
+# --------------------------- streaming inverted-index maintenance
+def _stream_search_oracle() -> str:
+    from ed_housing_data_pipeline_spark.plans.registry import QUERIES  # noqa: PLC0415
+
+    # identical final state: bootstrap(half) + streamed(other half)
+    # must serve exactly what the batch-built index serves
+    return QUERIES["doc_inverted_search_and"].oracle
+
+
+@register("doc_stream_search_ingest", oracle=_stream_search_oracle())
+def q_doc_stream_search_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming text-index maintenance loop as a registered,
+    oracle-checked query (streaming/search.py over
+    operators/text_index): bootstrap commits the even-doc_id half of
+    the corpus, the odd half arrives AS A STREAM through the
+    transactional foreachBatch sink (postings + additive termstats +
+    corpus count + micro-batch id in ONE manifest flip per batch —
+    replay-safe without per-row ids, which NULL-text docs don't
+    produce), and the final conjunctive search is hash-checked against
+    the same DuckDB twin as the batch sibling doc_inverted_search_and:
+    the drained index must serve exactly what a batch build serves."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.plans.queries_search import (  # noqa: PLC0415
+        SEARCH_TERMS,
+    )
+    from ed_housing_data_pipeline_spark.streaming import search as ss  # noqa: PLC0415
+
+    ensure_runtime_confs(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="stream_search_") as tmp:
+        root = f"{tmp}/index"
+        text_index.bootstrap_text_index(
+            spark, root, docs.filter(F.col("doc_id") % 2 == 0)
+        )
+        schema = tables.load_table(spark, sf_dir, "documents").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/documents.parque[t]")
+            .filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text")
+        )
+        ss.run_stream_search_ingest(stream, root, f"{tmp}/ckpt")
+        out = text_index.search_all_terms(spark, root, SEARCH_TERMS)
+        return out.localCheckpoint(eager=True)

@@ -172,6 +172,11 @@ _LOADED = False
 # segments + manifest-meta corpus count) — swaps IN for
 # events_hourly_by_type (r7-green, unchanged; events_asof_last_view,
 # the HLL twins and events_stream_hourly keep the events battery).
+# doc_stream_search_ingest — the text index maintained through the
+# transactional foreachBatch sink (batch id + additive stats in one
+# manifest flip; replay-safe without per-row ids) — swaps IN for
+# customer_moving_avg (r7-green, unchanged; quartiles + the rank
+# family keep windows in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -184,7 +189,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_status_priority_cube",
     "topk_per_group",
     "customer_balance_quartiles",
-    "customer_moving_avg",
+    "doc_stream_search_ingest",
     "orders_nearby_range_join",
     "lake_snapshot_roundtrip",
     "doc_point_lookup",

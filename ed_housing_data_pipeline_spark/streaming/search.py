@@ -1,0 +1,92 @@
+"""Structured-Streaming maintenance of the inverted text index
+(operators/text_index) — the search sibling of the streaming rollup
+(streaming/rollups.py), document-dedup (streaming/documents.py) and
+ANN-ingest (streaming/vectors.py) sinks.
+
+Exactly-once follows the rollup sink's TRANSACTIONAL pattern, not the
+anti-join pattern: the index's termstats and corpus-count meta are
+ADDITIVE state with no per-row id to dedup on (a doc with NULL text
+contributes to N but writes no posting rows), so a replayed
+micro-batch would double df/N even if the postings were deduped.
+Instead the micro-batch id lands in the manifest ``_meta`` in the SAME
+atomic pointer flip that pins the batch's postings + termstats
+segments — "has this batch committed?" and the data commit are one
+filesystem rename. A replay (same checkpoint → Spark re-delivers the
+same batch id) reads the committed id and skips; a crash BEFORE the
+flip left nothing visible, so its replay commits normally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ed_housing_data_pipeline_spark.operators import text_index
+from ed_housing_data_pipeline_spark.sources import lake
+
+LAST_BATCH_KEY = "text_index_last_stream_batch"
+
+
+def sink_text_batch(
+    spark,
+    root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Commit ONE micro-batch into the index, exactly once: skip when
+    the committed manifest already records ``batch_id`` (replay after
+    a crash-after-commit), else append postings + termstats with the
+    id riding the same manifest flip. Returns True when committed,
+    False when recognized as a replay.
+
+    Factored out of the foreachBatch closure so the replay contract is
+    directly testable without driving a stream (the rollup sink's
+    pattern)."""
+    last = int(lake.segment_meta(spark, root).get(LAST_BATCH_KEY, -1))
+    if batch_id <= last:
+        return False
+    text_index.append_text_batch(
+        spark,
+        root,
+        batch_df,
+        id_col=id_col,
+        text_col=text_col,
+        extra_meta={LAST_BATCH_KEY: int(batch_id)},
+    )
+    return True
+
+
+def run_stream_search_ingest(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Drain the document stream (availableNow) through the
+    transactional text-index sink. ``bootstrap_text_index`` must have
+    committed manifest v1 first; every micro-batch then costs
+    O(batch) — one tokenize/agg pass, two segment writes, one manifest
+    flip — regardless of accumulated index size, and searches between
+    batches always see a consistent committed index."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink_text_batch(
+            batch_df.sparkSession,
+            root,
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

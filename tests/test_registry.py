@@ -62,7 +62,7 @@ def test_driver_window_covers_every_family():
         "embedding_ann_cellcounts",    # additive per-cell stats segments
         "embedding_stream_ann_ingest", # streaming foreachBatch ANN ingest
         # r7 tail-closers that stay hot
-        "customer_moving_avg",
+        "doc_stream_search_ingest",  # transactional index sink (r8 4th wave)
         "doc_fingerprint",
         "events_hll_daily_users",   # cross-engine deterministic HLL
         "events_hll_rollup",        # sketch as incremental rollup max-state

@@ -203,3 +203,31 @@ def test_search_ranked_scores_and_order(spark, tmp_path):
     }
     expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == expect
+
+
+def test_stream_sink_replay_and_out_of_order(spark, tmp_path):
+    """Transactional replay contract: a re-delivered or stale batch id
+    is skipped whole, so additive df / corpus-count state is never
+    doubled (the reason this sink is batch-id transactional, not
+    anti-join deduped: NULL-text docs produce no posting rows to dedup
+    on, yet still count toward N)."""
+    from ed_housing_data_pipeline_spark.streaming import search as ss
+
+    root = str(tmp_path / "idx")
+    text_index.bootstrap_text_index(spark, root, _df(spark, DOCS_A))
+    assert ss.sink_text_batch(spark, root, _df(spark, DOCS_B), 0) is True
+    pins1 = lake.segment_pins(spark, root)
+    assert text_index.corpus_size(spark, root) == 6
+    # crash-after-commit replay: same id → skipped, nothing moves
+    assert ss.sink_text_batch(spark, root, _df(spark, DOCS_B), 0) is False
+    assert text_index.corpus_size(spark, root) == 6
+    assert lake.segment_pins(spark, root) == pins1
+    # later batch commits; a stale lower id after it is also skipped
+    assert ss.sink_text_batch(spark, root, _df(spark, DOCS_C), 1) is True
+    assert ss.sink_text_batch(spark, root, _df(spark, DOCS_B), 0) is False
+    assert text_index.corpus_size(spark, root) == 8
+    got = {
+        r.term: r.df
+        for r in text_index.term_stats(spark, root, ["delta", "alpha"]).collect()
+    }
+    assert got == {"delta": 2, "alpha": 3}  # would be 4/4 if replayed
