@@ -240,3 +240,26 @@ def search_phrase(spark, root: str, first: str, second: str) -> DataFrame:
         joined.select("doc_id", n_occ.alias("n_occ"))
         .filter(F.col("n_occ") > 0)
     )
+
+
+def compact_text_index(spark, root: str, min_segments: int = 2) -> dict[str, list[int]]:
+    """Fold a long-ingest index back to one segment per component:
+    postings compact by plain union (rows are unique per (term, doc)
+    across batches), termstats re-aggregate through a sum reducer —
+    valid precisely because the stats are additive. Bloom/zonemap
+    coverage and the manifest meta (n_docs, stream batch id) carry
+    through compact_segments unchanged; searches before and after must
+    serve identical results (pinned in tests/test_text_index.py)."""
+
+    def _stats_reduce(df: DataFrame) -> DataFrame:
+        return df.groupBy("term_h").agg(
+            F.first("term").alias("term"),
+            F.sum("df").cast("bigint").alias("df"),
+        )
+
+    return lake.compact_segments(
+        spark,
+        root,
+        reducers={TERMSTATS: _stats_reduce},
+        min_segments=min_segments,
+    )

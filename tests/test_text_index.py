@@ -231,3 +231,46 @@ def test_stream_sink_replay_and_out_of_order(spark, tmp_path):
         for r in text_index.term_stats(spark, root, ["delta", "alpha"]).collect()
     }
     assert got == {"delta": 2, "alpha": 3}  # would be 4/4 if replayed
+
+
+def test_compaction_preserves_search_and_stats(spark, tmp_path):
+    """Compaction folds 3 postings + 3 termstats segments to 1 each
+    (stats through the sum reducer); conjunctive, phrase, and ranked
+    search results, corpus meta, and bloom-backed term pruning are all
+    identical before and after."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+
+    def _snapshot():
+        return (
+            sorted(
+                (r.doc_id, r.total_tf)
+                for r in text_index.search_all_terms(
+                    spark, root, ["alpha", "gamma"]
+                ).collect()
+            ),
+            sorted(
+                (r.doc_id, r.n_occ)
+                for r in text_index.search_phrase(spark, root, "beta", "beta").collect()
+            ),
+            [
+                (r.doc_id, r.score)
+                for r in text_index.search_ranked(
+                    spark, root, ["alpha", "delta"], k=4
+                ).collect()
+            ],
+            text_index.corpus_size(spark, root),
+        )
+
+    before = _snapshot()
+    pins = text_index.compact_text_index(spark, root)
+    assert len(pins["postings"]) == 1
+    assert len(pins["termstats"]) == 1
+    # termstats re-aggregated: still one row per term
+    stats = lake.read_segments(spark, f"{root}/termstats", pins["termstats"])
+    assert stats.groupBy("term_h").count().filter("count > 1").count() == 0
+    assert _snapshot() == before
+    # bloom sidecar recomputed for the compacted postings segment:
+    # a never-ingested term still prunes everything
+    kept, _ = lake.bloom_pruned_pins(spark, root, "postings", "term", ["zzz"])
+    assert kept == []
