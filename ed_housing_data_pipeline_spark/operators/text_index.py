@@ -43,6 +43,7 @@ from ed_housing_data_pipeline_spark.sources import lake
 
 COMPONENT = "postings"
 TERMSTATS = "termstats"
+DOCLENS = "doclens"
 TERM_SEED = 42
 
 
@@ -104,13 +105,23 @@ def _commit_batch(
             # a plain count IS the batch document frequency
             F.count(F.lit(1)).cast("bigint").alias("df"),
         )
+        # per-doc token length (BM25's dl) — sum of tf over the doc's
+        # postings; zero-token docs have no row, and never need one
+        # (they can't match a term), but they DO count toward n_docs
+        lens = p.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+        tot_batch = lens.agg(F.sum("dl")).collect()[0][0] or 0
         return lake.append_segments(
             spark,
             root,
-            appends={COMPONENT: p, TERMSTATS: stats},
+            appends={COMPONENT: p, TERMSTATS: stats, DOCLENS: lens},
             init=init,
             bloom_cols={COMPONENT: ["term"]},
-            meta={**prior, "n_docs": n_prior + n_batch, **(extra_meta or {})},
+            meta={
+                **prior,
+                "n_docs": n_prior + n_batch,
+                "total_tokens": int(prior.get("total_tokens", 0)) + int(tot_batch),
+                **(extra_meta or {}),
+            },
         )
     finally:
         p.unpersist()
@@ -262,4 +273,58 @@ def compact_text_index(spark, root: str, min_segments: int = 2) -> dict[str, lis
         root,
         reducers={TERMSTATS: _stats_reduce},
         min_segments=min_segments,
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def search_bm25(
+    spark,
+    root: str,
+    terms: Sequence[str],
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25-ranked (disjunctive) retrieval — the production ranking
+    function tf-idf approximates: per matched term,
+    ``idf × tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with the
+    Robertson-Sparck-Jones smoothed idf ``ln(1 + (N − df + ½)/(df + ½))``.
+    Every corpus-level input is incrementally maintained index state:
+    df from the additive termstats segments, dl from the per-batch
+    doclens segments (a keyed join the filtered postings broadcast
+    into at small stats), N and total-token count (→ avgdl) from the
+    manifest meta — serving never aggregates the corpus. Top-k is cut
+    on the deterministic (score DESC, doc_id ASC) order. All arithmetic
+    except ln is exactly-rounded IEEE, same determinism class as the
+    tf-idf ranker (both engines round to 4 decimals)."""
+    meta = lake.segment_meta(spark, root)
+    n_docs = float(int(meta.get("n_docs", 0)))
+    avgdl = float(int(meta.get("total_tokens", 0))) / n_docs
+    stats = term_stats(spark, root, terms).withColumn(
+        "_idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    pins = lake.segment_pins(spark, root)[DOCLENS]
+    lens = lake.read_segments(spark, f"{root}/{DOCLENS}", pins)
+    p = pinned_postings(spark, root, terms)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = F.col("_idf") * (
+        F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    )
+    return (
+        p.join(F.broadcast(stats.select("term", "_idf")), "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )

@@ -218,3 +218,111 @@ def q_doc_inverted_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     root = _ensure_text_index(spark, sf_dir)
     return text_index.search_ranked(spark, root, RANK_TERMS, k=RANK_K)
+
+
+def _bm25_oracle() -> str:
+    from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
+        BM25_B,
+        BM25_K1,
+    )
+
+    k1, b = BM25_K1, BM25_B
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len(ts)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM tok
+    ), tf AS (
+      SELECT doc_id, term,
+             len(list_filter(ts, x -> x = term)) AS tf,
+             CAST(len(ts) AS DOUBLE) AS dl
+      FROM tok CROSS JOIN
+        (VALUES {", ".join(f"('{w}')" for w in RANK_TERMS)}) AS q(term)
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+      FROM tf WHERE tf > 0 GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+             ln(1.0 + ((SELECT n_docs FROM n) - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {k1 + 1.0!r}
+             / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl
+                                  / (SELECT avgdl FROM n)))
+           ), 4) AS score
+    FROM tf JOIN df USING (term)
+    WHERE tf.tf > 0
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {RANK_K}
+    """
+
+
+@register("doc_inverted_bm25_topk", oracle=_bm25_oracle())
+def q_doc_inverted_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval through the persisted index
+    (operators/text_index.search_bm25) — the production ranking
+    function, with EVERY corpus-level input served from incrementally
+    maintained index state: df from additive termstats segments, dl
+    from the per-batch doclens segments, N and avgdl from the manifest
+    meta (total token count accumulates per commit). The oracle
+    recomputes the Robertson-Sparck-Jones idf and the length
+    normalization relationally; constants are repr-formatted into both
+    engines so the doubles are bit-identical. Same deterministic
+    (score DESC, doc_id ASC) top-k cut as the tf-idf twin."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
+        BM25_B,
+        BM25_K1,
+    )
+
+    if _audit() and _TEXT_IDX_DIR.get((sf_dir,)) is None:
+        from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+            token_count,
+        )
+
+        docs = t(spark, sf_dir, "documents")
+        p = _audit_postings(spark, sf_dir).filter(
+            F.col("term").isin(list(RANK_TERMS))
+        )
+        n = docs.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.coalesce(F.sum(token_count(F.col("text"))), F.lit(0))
+            .cast("double")
+            .alias("_tot"),
+        )
+        stats = (
+            p.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+            .crossJoin(F.broadcast(n))
+            .withColumn(
+                "_idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                ),
+            )
+            .withColumn("_avgdl", F.col("_tot") / F.col("_n"))
+        )
+        lens = _audit_postings(spark, sf_dir).groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("dl")
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("_avgdl")
+        )
+        contrib = F.col("_idf") * (
+            F.col("tf") * F.lit(BM25_K1 + 1.0) / (F.col("tf") + norm)
+        )
+        return (
+            p.join(F.broadcast(stats.select("term", "_idf", "_avgdl")), "term")
+            .join(lens, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(contrib), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(RANK_K)
+        )
+    root = _ensure_text_index(spark, sf_dir)
+    return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)

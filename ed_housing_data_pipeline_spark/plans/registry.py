@@ -176,7 +176,11 @@ _LOADED = False
 # transactional foreachBatch sink (batch id + additive stats in one
 # manifest flip; replay-safe without per-row ids) — swaps IN for
 # customer_moving_avg (r7-green, unchanged; quartiles + the rank
-# family keep windows in-window).
+# family keep windows in-window). doc_inverted_bm25_topk — BM25
+# ranking with dl/avgdl/df/N all served from incrementally maintained
+# index state (doclens segments + manifest-meta token count) — swaps
+# IN for doc_fingerprint (r7-green, unchanged; minhash/neardup/
+# chargram/clusters keep the doc-sketch family in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -207,7 +211,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "events_hll_rollup",
     "doc_inverted_tfidf_topk",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
-    "doc_fingerprint",
+    "doc_inverted_bm25_topk",
     "doc_minhash_signature",
     "doc_neardup_pairs",
     "doc_incremental_neardup",

@@ -63,7 +63,7 @@ def test_driver_window_covers_every_family():
         "embedding_stream_ann_ingest", # streaming foreachBatch ANN ingest
         # r7 tail-closers that stay hot
         "doc_stream_search_ingest",  # transactional index sink (r8 4th wave)
-        "doc_fingerprint",
+        "doc_inverted_bm25_topk",    # BM25 off incremental state (r8 4th wave)
         "events_hll_daily_users",   # cross-engine deterministic HLL
         "events_hll_rollup",        # sketch as incremental rollup max-state
         "doc_inverted_tfidf_topk",  # ranked retrieval (r8 4th wave)

@@ -274,3 +274,42 @@ def test_compaction_preserves_search_and_stats(spark, tmp_path):
     # a never-ingested term still prunes everything
     kept, _ = lake.bloom_pruned_pins(spark, root, "postings", "term", ["zzz"])
     assert kept == []
+
+
+def test_search_bm25_scores_and_order(spark, tmp_path):
+    """Hand-computed BM25 on the tiny corpus: RSJ idf, length
+    normalization from doclens + meta avgdl, rounding, and the cut."""
+    import math
+
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    k1, b = text_index.BM25_K1, text_index.BM25_B
+    n = 8.0
+    # corpus token counts: doc0=4, doc1=3, doc2=3, doc10=4, doc20=2,
+    # doc21=4 → total 20; NULL/blank docs are 0-length corpus members
+    avgdl = 20.0 / n
+    dls = {0: 4, 1: 3, 2: 3, 10: 4, 20: 2, 21: 4}
+    tfs = {  # alpha (df=3), delta (df=2)
+        0: {"alpha": 2},
+        2: {"alpha": 1},
+        10: {"delta": 3},
+        20: {"alpha": 1, "delta": 1},
+    }
+    idf = {"alpha": math.log(1 + (n - 3 + 0.5) / (3 + 0.5)),
+           "delta": math.log(1 + (n - 2 + 0.5) / (2 + 0.5))}
+
+    def _score(doc):
+        s = 0.0
+        for term, tf in tfs[doc].items():
+            norm = k1 * (1 - b + b * dls[doc] / avgdl)
+            s += idf[term] * tf * (k1 + 1) / (tf + norm)
+        return round(s, 4)
+
+    want = sorted(
+        ((d, _score(d)) for d in tfs), key=lambda kv: (-kv[1], kv[0])
+    )[:3]
+    got = [
+        (r.doc_id, r.score)
+        for r in text_index.search_bm25(spark, root, ["alpha", "delta"], k=3).collect()
+    ]
+    assert got == want
