@@ -152,26 +152,38 @@ def append_text_batch(
     )
 
 
-def pinned_postings(spark, root: str, terms: Sequence[str]) -> DataFrame:
+def pinned_postings(
+    spark, root: str, terms: Sequence[str], at_version: int | None = None
+) -> DataFrame:
     """The manifest-pinned postings scan restricted (a) driver-side to
     segments whose term bloom may hold one of ``terms`` and (b)
     row-level to ``term IN terms`` — the IN predicate reaches the
     parquet scan (PushedFilters) so row groups without the probe terms
-    never decode."""
+    never decode. ``at_version`` time-travels to a retained historical
+    manifest (pinned segments are immutable, so the read is
+    byte-stable); historical reads skip bloom pruning — correctness
+    over driver-side skipping for audit-style queries."""
     probe = sorted(set(terms))
-    hits = lake.read_segments_bloom_pruned(spark, root, COMPONENT, "term", probe)
+    if at_version is None:
+        hits = lake.read_segments_bloom_pruned(spark, root, COMPONENT, "term", probe)
+    else:
+        pins = lake.segment_pins_at(spark, root, at_version)[COMPONENT]
+        hits = lake.read_segments(spark, f"{root}/{COMPONENT}", pins)
     return hits.filter(F.col("term").isin(probe))
 
 
-def search_all_terms(spark, root: str, terms: Sequence[str]) -> DataFrame:
+def search_all_terms(
+    spark, root: str, terms: Sequence[str], at_version: int | None = None
+) -> DataFrame:
     """Documents containing EVERY term in ``terms`` (conjunctive /
     AND-of-terms search) as (doc_id, total_tf) where total_tf sums the
     matched terms' frequencies — the usual retrieval pre-rank score.
     One groupBy(doc_id) over the term-filtered posting union; HAVING
     count(distinct term) = k keeps conjunction exact even when a term
-    repeats in ``terms``."""
+    repeats in ``terms``. ``at_version`` searches the corpus AS OF a
+    retained index commit — the what-did-we-serve-then audit query."""
     probe = sorted(set(terms))
-    p = pinned_postings(spark, root, probe)
+    p = pinned_postings(spark, root, probe, at_version=at_version)
     # (term, doc_id) rows are UNIQUE index-wide (each doc's postings
     # live in exactly one ingest segment — the module contract), so a
     # plain count equals the distinct-term count without the second
@@ -229,28 +241,44 @@ def search_ranked(spark, root: str, terms: Sequence[str], k: int = 15) -> DataFr
     )
 
 
+def search_phrase_n(spark, root: str, words: Sequence[str]) -> DataFrame:
+    """Documents containing the exact n-word phrase (adjacent tokens)
+    as (doc_id, n_occ). Classic positional-index phrase query,
+    generalized: fold left over the words, carrying the set of END
+    positions of the matched prefix — step i joins word i's posting
+    list on doc_id and intersects ``prefix_ends + 1`` with its
+    positions (``array_intersect`` of the shifted set; no explode, no
+    re-scan of text). n−1 keyed joins of term-filtered (tiny) posting
+    lists; repeated words self-join the same list correctly because
+    position sets, not rows, carry the state."""
+    words = list(words)
+    if len(words) < 2:
+        raise ValueError(f"search_phrase_n: need >= 2 words, got {words!r}")
+    p = pinned_postings(spark, root, words)
+    cur = p.filter(F.col("term") == words[0]).select(
+        "doc_id", F.col("positions").alias("_m")
+    )
+    for w in words[1:]:
+        nxt = p.filter(F.col("term") == w).select(
+            "doc_id", F.col("positions").alias("_p")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("_m", lambda x: x + F.lit(1)), "_p"
+                ).alias("_m"),
+            )
+            .filter(F.size("_m") > 0)
+        )
+    return cur.select("doc_id", F.size("_m").cast("bigint").alias("n_occ"))
+
+
 def search_phrase(spark, root: str, first: str, second: str) -> DataFrame:
-    """Documents containing the exact two-word phrase ``first second``
-    (adjacent tokens) as (doc_id, n_occ). Classic positional-index
-    phrase query: join the two posting lists on doc_id, count
-    positions p of ``first`` with p+1 in ``second``'s position set —
-    ``array_intersect`` of the shifted set, no explode, no re-scan of
-    text. Works when first == second (self-join of the same list)."""
-    p = pinned_postings(spark, root, [first, second])
-    p1 = p.filter(F.col("term") == first).select(
-        "doc_id", F.col("positions").alias("_p1")
-    )
-    p2 = p.filter(F.col("term") == second).select(
-        "doc_id", F.col("positions").alias("_p2")
-    )
-    joined = p1.join(p2, "doc_id")
-    n_occ = F.size(
-        F.array_intersect(F.transform("_p1", lambda x: x + F.lit(1)), "_p2")
-    ).cast("bigint")
-    return (
-        joined.select("doc_id", n_occ.alias("n_occ"))
-        .filter(F.col("n_occ") > 0)
-    )
+    """Two-word phrase search — the n = 2 case of
+    :func:`search_phrase_n` (kept as the named binary API)."""
+    return search_phrase_n(spark, root, [first, second])
 
 
 def compact_text_index(spark, root: str, min_segments: int = 2) -> dict[str, list[int]]:

@@ -326,3 +326,122 @@ def q_doc_inverted_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     root = _ensure_text_index(spark, sf_dir)
     return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
+
+
+PHRASE3 = ("the", "table", "window")
+
+
+@register(
+    "doc_inverted_phrase3",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(ts) >= 3 THEN
+               len(list_filter(generate_series(1, len(ts) - 2),
+                               i -> ts[i] = '{PHRASE3[0]}'
+                                AND ts[i+1] = '{PHRASE3[1]}'
+                                AND ts[i+2] = '{PHRASE3[2]}'))
+             ELSE 0 END AS BIGINT) AS n_occ
+      FROM tok
+    )
+    SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+    """,
+)
+def q_doc_inverted_phrase3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-word exact phrase through the positional index
+    (operators/text_index.search_phrase_n): a left fold over the
+    words carrying the matched prefix's END-position set — two keyed
+    joins of term-filtered posting lists, each step an
+    array_intersect of the shifted set. The oracle counts the same
+    3-token adjacencies positionally. The n-ary generalization is the
+    real retrieval surface (quoted multi-word queries); n − 1 tiny
+    joins, never a text re-scan."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_DIR.get((sf_dir,)) is None:
+        p = _audit_postings(spark, sf_dir).filter(
+            F.col("term").isin(list(PHRASE3))
+        )
+        cur = p.filter(F.col("term") == PHRASE3[0]).select(
+            "doc_id", F.col("positions").alias("_m")
+        )
+        for w in PHRASE3[1:]:
+            nxt = p.filter(F.col("term") == w).select(
+                "doc_id", F.col("positions").alias("_p")
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    F.array_intersect(
+                        F.transform("_m", lambda x: x + F.lit(1)), "_p"
+                    ).alias("_m"),
+                )
+                .filter(F.size("_m") > 0)
+            )
+        return cur.select(
+            "doc_id", F.size("_m").cast("bigint").alias("n_occ")
+        )
+    root = _ensure_text_index(spark, sf_dir)
+    return text_index.search_phrase_n(spark, root, PHRASE3)
+
+
+@register(
+    "doc_search_time_travel",
+    oracle=f"""
+    WITH third AS (
+      SELECT CAST(floor((MAX(doc_id) + 1) / 3) AS BIGINT) AS hi
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents
+      WHERE doc_id < GREATEST(1, (SELECT hi FROM third))
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ts, x -> x = '{SEARCH_TERMS[0]}'))
+              + len(list_filter(ts, x -> x = '{SEARCH_TERMS[1]}')) AS BIGINT)
+             AS total_tf
+    FROM tok
+    WHERE list_contains(ts, '{SEARCH_TERMS[0]}')
+      AND list_contains(ts, '{SEARCH_TERMS[1]}')
+    """,
+)
+def q_doc_search_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conjunctive search AS OF the index's FIRST commit
+    (manifest v1 = the bootstrap third of the corpus) — segmented-lake
+    time travel exposed as a query: retained manifest blobs are
+    immutable and pinned segments are never rewritten, so the
+    historical read is byte-stable no matter how many ingests (or the
+    streaming sink) have committed since. The oracle reproduces v1's
+    corpus slice arithmetically (doc_id < max(1, (max+1) div 3), the
+    bootstrap split _ensure_text_index makes). The audit-of-what-we-
+    served-then query every governed 100 TB store needs."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_DIR.get((sf_dir,)) is None:
+        docs = t(spark, sf_dir, "documents")
+        hi = docs.agg(
+            F.greatest(
+                F.lit(1), F.floor((F.max("doc_id") + 1) / 3).cast("bigint")
+            ).alias("_hi")
+        )
+        p = (
+            text_index.posting_table(docs)
+            .join(F.broadcast(hi), F.col("doc_id") < F.col("_hi"))
+            .filter(F.col("term").isin(list(SEARCH_TERMS)))
+        )
+        return (
+            p.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("_k"),
+                F.sum("tf").cast("bigint").alias("total_tf"),
+            )
+            .filter(F.col("_k") == len(set(SEARCH_TERMS)))
+            .drop("_k")
+        )
+    root = _ensure_text_index(spark, sf_dir)
+    from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+
+    v1 = lake.segment_manifest_versions(spark, root)[0]
+    return text_index.search_all_terms(spark, root, SEARCH_TERMS, at_version=v1)

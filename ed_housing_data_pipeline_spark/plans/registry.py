@@ -181,6 +181,13 @@ _LOADED = False
 # index state (doclens segments + manifest-meta token count) — swaps
 # IN for doc_fingerprint (r7-green, unchanged; minhash/neardup/
 # chargram/clusters keep the doc-sketch family in-window).
+# doc_inverted_phrase3 — the n-ary positional phrase fold — swaps IN
+# for doc_minhash_signature (r7-green, unchanged; doc_neardup_pairs +
+# doc_incremental_neardup keep the minhash machinery in-window).
+# doc_search_time_travel — a search pinned to manifest v1, the
+# segmented lake's time-travel axis exposed as a query — swaps IN for
+# topk_per_group (r7-green, unchanged; rank_sum_top1's TakeOrdered +
+# the rank family keep top-k in-window).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -191,7 +198,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "rank_dense_global",
     "rank_sum_top1",
     "orders_status_priority_cube",
-    "topk_per_group",
+    "doc_search_time_travel",
     "customer_balance_quartiles",
     "doc_stream_search_ingest",
     "orders_nearby_range_join",
@@ -212,7 +219,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "doc_inverted_tfidf_topk",
     # LLM-data-pipeline surface: dedup / sketches / text analysis
     "doc_inverted_bm25_topk",
-    "doc_minhash_signature",
+    "doc_inverted_phrase3",
     "doc_neardup_pairs",
     "doc_incremental_neardup",
     "doc_chargram_neardup",

@@ -86,7 +86,7 @@ def test_driver_window_covers_every_family():
         "doc_word_cms_topk",        # count-min frequency sketch
         "doc_chargram_neardup",     # 'g'-flag oracle fix
         # family representatives that keep every operator family hot
-        "doc_minhash_signature",    # minhash sketch
+        "doc_inverted_phrase3",     # n-ary positional phrase (r8 4th wave)
         "doc_neardup_pairs",        # LSH banding + verify
         "doc_dedup_clusters",       # connected-components dedup
         "embedding_knn_srp",        # LSH-bucketed ANN
@@ -110,6 +110,7 @@ def test_driver_window_covers_every_family():
         # and unchanged; surprisal/dup-span/cms keep the text battery)
         "doc_inverted_search_and",  # conjunctive posting intersection
         "doc_inverted_phrase",      # positional phrase search
+        "doc_search_time_travel",   # manifest-v1 pinned search
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 

@@ -313,3 +313,50 @@ def test_search_bm25_scores_and_order(spark, tmp_path):
         for r in text_index.search_bm25(spark, root, ["alpha", "delta"], k=3).collect()
     ]
     assert got == want
+
+
+def test_phrase_n_three_words_and_overlap(spark, tmp_path):
+    """n-ary phrase fold: 3-word match, overlapping repeats, and the
+    n>=2 guard."""
+    import pytest
+
+    rows = [
+        Row(doc_id=0, text="a b c a b c"),
+        Row(doc_id=1, text="a b x c"),
+        Row(doc_id=2, text="c c c c"),
+    ]
+    root = str(tmp_path / "idx")
+    text_index.bootstrap_text_index(spark, root, _df(spark, rows))
+    got = {
+        r.doc_id: r.n_occ
+        for r in text_index.search_phrase_n(spark, root, ["a", "b", "c"]).collect()
+    }
+    assert got == {0: 2}
+    rep = {
+        r.doc_id: r.n_occ
+        for r in text_index.search_phrase_n(spark, root, ["c", "c", "c"]).collect()
+    }
+    assert rep == {2: 2}  # positions {0,1,2,3}: matches end at 2 and 3
+    with pytest.raises(ValueError, match="need >= 2"):
+        text_index.search_phrase_n(spark, root, ["a"])
+
+
+def test_search_at_version_time_travel(spark, tmp_path):
+    """Searching at_version=v1 sees exactly the bootstrap corpus, and
+    keeps seeing it after more ingests AND compaction-free appends."""
+    root = str(tmp_path / "idx")
+    text_index.bootstrap_text_index(spark, root, _df(spark, DOCS_A))
+    v1 = lake.segment_manifest_versions(spark, root)[0]
+    text_index.append_text_batch(spark, root, _df(spark, DOCS_C))
+    latest = {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["alpha"]).collect()
+    }
+    assert latest == {0, 2, 20}
+    asof = {
+        r.doc_id
+        for r in text_index.search_all_terms(
+            spark, root, ["alpha"], at_version=v1
+        ).collect()
+    }
+    assert asof == {0, 2}
