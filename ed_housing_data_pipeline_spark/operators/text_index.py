@@ -330,7 +330,9 @@ def search_bm25(
     tf-idf ranker (both engines round to 4 decimals)."""
     meta = lake.segment_meta(spark, root)
     n_docs = float(int(meta.get("n_docs", 0)))
-    avgdl = float(int(meta.get("total_tokens", 0))) / n_docs
+    # empty corpus: no postings → empty result whatever avgdl is; any
+    # finite placeholder degrades gracefully instead of dividing by 0
+    avgdl = float(int(meta.get("total_tokens", 0))) / n_docs if n_docs else 1.0
     stats = term_stats(spark, root, terms).withColumn(
         "_idf",
         F.log(

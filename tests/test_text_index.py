@@ -360,3 +360,15 @@ def test_search_at_version_time_travel(spark, tmp_path):
         ).collect()
     }
     assert asof == {0, 2}
+
+
+def test_bm25_empty_corpus_degrades(spark, tmp_path):
+    """An index bootstrapped on an empty corpus serves empty ranked
+    results (no division by zero on avgdl) — the empty-corpus
+    degradation contract every doc_* query carries."""
+    root = str(tmp_path / "idx")
+    text_index.bootstrap_text_index(spark, root, _df(spark, []))
+    assert text_index.corpus_size(spark, root) == 0
+    assert text_index.search_bm25(spark, root, ["alpha"]).count() == 0
+    assert text_index.search_ranked(spark, root, ["alpha"]).count() == 0
+    assert text_index.search_all_terms(spark, root, ["alpha"]).count() == 0
