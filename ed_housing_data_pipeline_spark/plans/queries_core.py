@@ -669,6 +669,74 @@ def q_orders_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GHIST_WIDTH = 5.0
+GHIST_QS = (0.5, 0.9)
+
+
+@register(
+    "lineitem_group_histogram_quantiles",
+    oracle=f"""
+    WITH bins AS (
+      SELECT l_returnflag,
+             {sketches.hist_bin_sql("l_quantity", GHIST_WIDTH)} AS bin,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+    ), cdf AS (
+      SELECT l_returnflag, bin,
+             SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum_n,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS total_n
+      FROM bins
+    )
+    SELECT l_returnflag, q, MIN(bin) AS bin,
+           ROUND((MIN(bin) + 1) * {GHIST_WIDTH!r}, 4) AS approx_hi,
+           CAST(MIN(cum_n) AS BIGINT) AS cum_n,
+           CAST(MIN(total_n) AS BIGINT) AS total_n
+    FROM cdf CROSS JOIN (VALUES {", ".join(f"({q!r})" for q in GHIST_QS)}) AS qs(q)
+    WHERE cum_n >= q * total_n
+    GROUP BY l_returnflag, q
+    """,
+)
+def q_lineitem_group_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group quantiles off the histogram rank sketch — the grouped
+    variant of orders_histogram_quantiles: ONE (group, bin) partial+
+    final agg is the only fact pass; the CDF window is PARTITIONED by
+    group over the sketch-sized bin table (never a global sort), and
+    the quantile probe join runs per group. At 100 TB this replaces a
+    per-group exact percentile (full sort per group) with an additive
+    sketch merge — the same trade approx_percentile makes, but
+    oracle-checkable cross-engine."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
+    bins = li.groupBy(
+        "l_returnflag",
+        sketches.hist_bin(F.col("l_quantity"), GHIST_WIDTH).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = W.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("l_returnflag").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cdf = bins.select(
+        "l_returnflag",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in GHIST_QS], "q double")
+    return (
+        cdf.join(F.broadcast(qs), F.col("cum_n") >= F.col("q") * F.col("total_n"))
+        .groupBy("l_returnflag", "q")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.round((F.min("bin") + 1) * F.lit(GHIST_WIDTH), 4).alias("approx_hi"),
+            F.min("cum_n").cast("bigint").alias("cum_n"),
+            F.min("total_n").cast("bigint").alias("total_n"),
+        )
+    )
+
+
 # ------------------------------------------- z-order clustered layout
 ZBOX_CUST = (100, 600)
 ZBOX_MONTH = (3, 5)

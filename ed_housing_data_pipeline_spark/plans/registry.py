@@ -188,6 +188,11 @@ _LOADED = False
 # segmented lake's time-travel axis exposed as a query — swaps IN for
 # topk_per_group (r7-green, unchanged; rank_sum_top1's TakeOrdered +
 # the rank family keep top-k in-window).
+# lineitem_group_histogram_quantiles — the PER-GROUP variant of the
+# histogram rank sketch (partitioned CDF over the bin table) — swaps
+# IN for lineitem_quantity_quantiles (r7-green, unchanged; exact
+# interpolated percentiles stay registered out-of-window and the
+# sketch twins carry the quantile family).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -210,7 +215,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_stream_rollup",
     "orders_zorder_box",
     "orders_constraint_audit",
-    "lineitem_quantity_quantiles",
+    "lineitem_group_histogram_quantiles",
     "orders_histogram_quantiles",
     # event-time analytics (batch)
     "events_asof_last_view",

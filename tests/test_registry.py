@@ -67,7 +67,7 @@ def test_driver_window_covers_every_family():
         "events_hll_daily_users",   # cross-engine deterministic HLL
         "events_hll_rollup",        # sketch as incremental rollup max-state
         "doc_inverted_tfidf_topk",  # ranked retrieval (r8 4th wave)
-        "lineitem_quantity_quantiles",
+        "lineitem_group_histogram_quantiles",  # grouped rank sketch (r8)
         "orders_zorder_box",  # z-order 2-D pruning (r8 4th wave)
         "orders_constraint_audit",  # deequ-style expectations (r8 4th wave)
         "orders_histogram_quantiles",  # mergeable rank sketch (r8 4th wave)
