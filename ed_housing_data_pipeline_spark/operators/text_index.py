@@ -90,11 +90,18 @@ def _commit_batch(
     manifest meta atomically with the data (the ranked-retrieval idf
     numerator, read back driver-side with no job). Prior meta keys
     carry forward; ``extra_meta`` lets a transactional committer (the
-    streaming sink's batch id) ride the same atomic flip."""
+    streaming sink's batch id) ride the same atomic flip.
+
+    The meta counters are read-modify-write state, so the commit is
+    pinned to the manifest version the counters were read from
+    (``expected_base``): a rival committer landing between the read
+    and the flip raises ConcurrentCommitError instead of silently
+    rebasing n_docs/total_tokens onto a stale value, and the commit is
+    retried from a fresh read (batch-derived frames are unchanged; the
+    failed attempt's segment files stay unpinned debris for the
+    age-gated sweep, the protocol's normal loser path)."""
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    prior = {} if init else dict(lake.segment_meta(spark, root))
-    n_prior = int(prior.get("n_docs", 0))
     n_batch = batch.count()
     p = posting_table(batch, id_col, text_col)
     p.persist(StorageLevel.MEMORY_AND_DISK)
@@ -110,19 +117,31 @@ def _commit_batch(
         # (they can't match a term), but they DO count toward n_docs
         lens = p.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
         tot_batch = lens.agg(F.sum("dl")).collect()[0][0] or 0
-        return lake.append_segments(
-            spark,
-            root,
-            appends={COMPONENT: p, TERMSTATS: stats, DOCLENS: lens},
-            init=init,
-            bloom_cols={COMPONENT: ["term"]},
-            meta={
-                **prior,
-                "n_docs": n_prior + n_batch,
-                "total_tokens": int(prior.get("total_tokens", 0)) + int(tot_batch),
-                **(extra_meta or {}),
-            },
-        )
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            if init:
+                prior, base = {}, None
+            else:
+                prior, base = lake.segment_meta_versioned(spark, root)
+            try:
+                return lake.append_segments(
+                    spark,
+                    root,
+                    appends={COMPONENT: p, TERMSTATS: stats, DOCLENS: lens},
+                    init=init,
+                    bloom_cols={COMPONENT: ["term"]},
+                    meta={
+                        **prior,
+                        "n_docs": int(prior.get("n_docs", 0)) + n_batch,
+                        "total_tokens": int(prior.get("total_tokens", 0))
+                        + int(tot_batch),
+                        **(extra_meta or {}),
+                    },
+                    expected_base=base,
+                )
+            except lake.ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
     finally:
         p.unpersist()
 

@@ -1527,6 +1527,17 @@ def segment_meta(spark, root: str) -> dict:
     return _manifest_state(spark, root)[3]
 
 
+def segment_meta_versioned(spark, root: str) -> tuple[dict, int]:
+    """(meta, manifest version) from ONE atomic manifest read — what a
+    read-modify-write committer of additive meta state needs: derive
+    the new value from ``meta``, commit with
+    ``append_segments(..., expected_base=version)``, and a rival
+    commit in between raises instead of silently absorbing a lost
+    update."""
+    state = _manifest_state(spark, root)
+    return state[3], state[4]
+
+
 def zone_pruned_pins(
     spark, root: str, component: str, col: str, lo=None, hi=None
 ) -> tuple[list[int], list[int]]:
@@ -1605,6 +1616,7 @@ def append_segments(
     zone_cols: dict[str, Sequence[str]] | None = None,
     meta: dict | None = None,
     bloom_cols: dict[str, Sequence[str]] | None = None,
+    expected_base: int | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) commit: write each ``appends`` frame as a NEW
     segment of its component (pinned in addition to the committed
@@ -1643,6 +1655,13 @@ def append_segments(
         pins, zones, blooms, prior_meta, base = {}, {}, {}, {}, 0
     else:
         pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
+    if expected_base is not None and expected_base != base:
+        # fail BEFORE writing any segment file: the caller's payload
+        # was derived from a manifest another writer has since replaced
+        raise ConcurrentCommitError(
+            f"append_segments: payload derived from manifest v{expected_base} "
+            f"but v{base} is now committed — re-read and retry"
+        )
     new_pins = dict(pins)
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
@@ -1682,7 +1701,15 @@ def append_segments(
     new_meta = meta if meta is not None else prior_meta
     if new_meta:
         kw["meta"] = new_meta
-    commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
+    # ``expected_base`` (checked against the fresh read above, and
+    # enforced again by the version claim here) lets a caller that
+    # DERIVED its payload — e.g. an additive meta counter — from an
+    # earlier manifest read pin the commit to that version: if anyone
+    # committed since, the commit raises instead of silently rebasing
+    # derived state onto a value it wasn't computed from
+    # (read-modify-write lost update).
+    commit_base = base if expected_base is None else expected_base
+    commit_segment_manifest(spark, root, new_pins, expected_base=commit_base, **kw)
     return new_pins
 
 

@@ -372,3 +372,40 @@ def test_bm25_empty_corpus_degrades(spark, tmp_path):
     assert text_index.search_bm25(spark, root, ["alpha"]).count() == 0
     assert text_index.search_ranked(spark, root, ["alpha"]).count() == 0
     assert text_index.search_all_terms(spark, root, ["alpha"]).count() == 0
+
+
+def test_concurrent_appenders_never_lose_meta_counts(spark, tmp_path):
+    """Two threads append disjoint batches concurrently. The additive
+    meta counters (n_docs, total_tokens) are read-modify-write state:
+    the commit is pinned to the manifest version the counters were
+    read from, so the interleaving loser retries from a fresh read
+    instead of silently rebasing — final counts and df must be exact,
+    both orderings, every run."""
+    import threading
+
+    root = str(tmp_path / "idx")
+    text_index.bootstrap_text_index(spark, root, _df(spark, DOCS_A))
+    errs = []
+
+    def _append(rows):
+        try:
+            text_index.append_text_batch(spark, root, _df(spark, rows))
+        except Exception as e:  # noqa: BLE001 - surface into the assert
+            errs.append(e)
+
+    t1 = threading.Thread(target=_append, args=(DOCS_B,))
+    t2 = threading.Thread(target=_append, args=(DOCS_C,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert text_index.corpus_size(spark, root) == 8
+    meta = lake.segment_meta(spark, root)
+    # token totals: A=4+3+3, B=4, C=2+4 → 20
+    assert int(meta["total_tokens"]) == 20
+    got = {
+        r.term: r.df
+        for r in text_index.term_stats(
+            spark, root, ["alpha", "delta", "gamma"]
+        ).collect()
+    }
+    assert got == {"alpha": 3, "delta": 2, "gamma": 3}
+    assert len(lake.segment_pins(spark, root)["postings"]) == 3
