@@ -377,3 +377,27 @@ def search_bm25(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def search_prefix(spark, root: str, prefix: str) -> DataFrame:
+    """Prefix (wildcard ``prefix*``) search: documents containing ANY
+    term starting with ``prefix``, as (doc_id, n_terms, total_tf) —
+    the autocomplete / stemming-lite surface. Bloom sidecars are
+    equality-only so every pinned segment is scanned, but the
+    StartsWith predicate reaches the parquet reader (string min/max
+    row-group stats prune on prefixes) and only matching posting rows
+    leave the scan. n_terms counts distinct matched terms via a plain
+    count — (term, doc) rows are unique index-wide."""
+    if not prefix:
+        raise ValueError("search_prefix: empty prefix")
+    pins = lake.segment_pins(spark, root)[COMPONENT]
+    p = lake.read_segments(spark, f"{root}/{COMPONENT}", pins).filter(
+        F.col("term").startswith(prefix)
+    )
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+    )

@@ -445,3 +445,45 @@ def q_doc_search_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v1 = lake.segment_manifest_versions(spark, root)[0]
     return text_index.search_all_terms(spark, root, SEARCH_TERMS, at_version=v1)
+
+
+PREFIX = "s"  # scan/slow/sort/spark/stream/small/... — a fat prefix class
+
+
+@register(
+    "doc_inverted_prefix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents
+    ), m AS (
+      SELECT doc_id,
+             list_filter(ts, x -> x LIKE '{PREFIX}%') AS hits
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+           CAST(len(hits) AS BIGINT) AS total_tf
+    FROM m WHERE len(hits) > 0
+    """,
+)
+def q_doc_inverted_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search through the persisted index
+    (operators/text_index.search_prefix): the StartsWith predicate
+    reaches the parquet scan (string min/max row-group pruning — the
+    reason production term dictionaries are stored sorted), one
+    groupBy(doc_id) folds matched posting rows into (distinct-term
+    count, summed tf). The oracle filters the raw token lists with the
+    same prefix. Blooms are equality-only by design; prefix classes
+    are the zonemap-shaped complement."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_DIR.get((sf_dir,)) is None:
+        p = _audit_postings(spark, sf_dir).filter(
+            F.col("term").startswith(PREFIX)
+        )
+        return p.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+    root = _ensure_text_index(spark, sf_dir)
+    return text_index.search_prefix(spark, root, PREFIX)

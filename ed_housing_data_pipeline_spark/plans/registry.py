@@ -192,7 +192,11 @@ _LOADED = False
 # histogram rank sketch (partitioned CDF over the bin table) — swaps
 # IN for lineitem_quantity_quantiles (r7-green, unchanged; exact
 # interpolated percentiles stay registered out-of-window and the
-# sketch twins carry the quantile family).
+# sketch twins carry the quantile family). doc_inverted_prefix —
+# wildcard prefix search (StartsWith pushed to the parquet scan's
+# string row-group stats; blooms are equality-only, so this is the
+# complementary skipping class) — swaps IN for doc_export_shards
+# (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
     # core relational / cleaning / error-handling
     "safe_division",
@@ -235,7 +239,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "doc_unigram_surprisal",
     "doc_dup_span_coverage",
     "doc_source_mixture_weights",
-    "doc_export_shards",
+    "doc_inverted_prefix",
     # LLM-data-pipeline surface: embeddings / similarity search
     "embedding_knn_srp",
     "embedding_knn_ivf",

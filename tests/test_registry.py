@@ -71,7 +71,7 @@ def test_driver_window_covers_every_family():
         "orders_zorder_box",  # z-order 2-D pruning (r8 4th wave)
         "orders_constraint_audit",  # deequ-style expectations (r8 4th wave)
         "orders_histogram_quantiles",  # mergeable rank sketch (r8 4th wave)
-        "doc_export_shards",
+        "doc_inverted_prefix",      # wildcard prefix search (r8 4th wave)
         "doc_unigram_surprisal",
         "doc_dup_span_coverage",
         "doc_source_mixture_weights",

@@ -409,3 +409,26 @@ def test_concurrent_appenders_never_lose_meta_counts(spark, tmp_path):
     }
     assert got == {"alpha": 3, "delta": 2, "gamma": 3}
     assert len(lake.segment_pins(spark, root)["postings"]) == 3
+
+
+def test_search_prefix(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    got = {
+        r.doc_id: (r.n_terms, r.total_tf)
+        for r in text_index.search_prefix(spark, root, "de").collect()
+    }
+    assert got == {10: (1, 3), 20: (1, 1)}  # delta only
+    # "b" matches beta only; "g" matches gamma only
+    b = {r.doc_id: r.total_tf for r in text_index.search_prefix(spark, root, "b").collect()}
+    assert b == {0: 1, 1: 3, 2: 1}
+    multi = {
+        r.doc_id: r.n_terms
+        for r in text_index.search_prefix(spark, root, "a").collect()
+    }
+    assert multi == {0: 1, 2: 1, 20: 1}
+    assert text_index.search_prefix(spark, root, "zz").count() == 0
+    with pytest.raises(ValueError, match="empty prefix"):
+        text_index.search_prefix(spark, root, "")
