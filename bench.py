@@ -73,7 +73,10 @@ HEADLINE = [
     "doc_inverted_search_and",     # posting-list AND through the index
     "doc_inverted_phrase",         # positional phrase search
     "doc_inverted_tfidf_topk",     # ranked retrieval off additive stats
+    "doc_inverted_bm25_topk",      # BM25 with dl/avgdl index state
+    "doc_inverted_prefix",         # StartsWith-pushed wildcard search
     "orders_histogram_quantiles",  # quantiles off the bin-table CDF
+    "lineitem_group_histogram_quantiles",  # grouped rank sketch
     "orders_zorder_box",           # 2-D zonemap box pruning
 ]
 
