@@ -48,6 +48,10 @@ from ed_housing_data_pipeline_spark.sources import lake
 
 VECTORS = "vectors"
 CELLCOUNTS = "cellcounts"
+TOMBSTONES = "deleted_ids"
+# below this many ids, delete pushes `id IN (...)` into the parquet
+# scan instead of a broadcast semi-join (same budget as text_index)
+_DELETE_LITERAL_BUDGET = 256
 
 
 def write_ann_model(
@@ -213,19 +217,117 @@ def append_ann_batch(
     return pins
 
 
+def _tombstoned_ids(spark, root: str, pins: dict) -> DataFrame | None:
+    if TOMBSTONES not in pins:
+        return None
+    return (
+        lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
+        .select("id")
+        .distinct()
+    )
+
+
 def read_ann_vectors(spark: SparkSession, root: str) -> DataFrame:
-    """The committed encoded corpus (id, cell, codes) — a
-    manifest-pinned multi-segment parquet scan, the only read path."""
-    return lake.read_segmented_components(spark, root, [VECTORS])[VECTORS]
+    """The committed LIVE encoded corpus (id, cell, codes) — a
+    manifest-pinned multi-segment parquet scan, anti-joined against
+    the (tiny, broadcast) tombstone set once a delete has committed.
+    The only read path, so a deleted vector stops being probe-able the
+    instant its delete's manifest flip lands."""
+    pins = lake.segment_pins(spark, root)
+    vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
+    dead = _tombstoned_ids(spark, root, pins)
+    if dead is None:
+        return vecs
+    return vecs.join(F.broadcast(dead), on="id", how="left_anti")
+
+
+def delete_ann_vectors(
+    spark: SparkSession, root: str, ids
+) -> dict[str, list[int]]:
+    """LOGICAL delete (the GDPR take-down for embeddings): one
+    O(delete-set) commit after which the vectors are un-probe-able —
+    a tombstone segment (probes anti-join it) plus a NEGATIVE
+    cellcounts segment (per dead vector's cell, ``_n = -count``; valid
+    because cellcounts are additive, so :func:`ann_cell_stats` stays
+    exact without rewriting any count segment), both under ONE
+    expected_base manifest flip. Ids absent from the corpus tombstone
+    harmlessly; replayed deletes are idempotent (already-tombstoned
+    ids drop out). Physical removal rides the next
+    :func:`compact_ann_index` rewrite."""
+    ids = sorted(set(ids))
+    if not ids:
+        return lake.segment_pins(spark, root)
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        pins, _meta, base = lake.segment_state(spark, root)
+        ids_df = spark.createDataFrame([(i,) for i in ids], ["id"])
+        dead = _tombstoned_ids(spark, root, pins)
+        newly = (
+            ids_df
+            if dead is None
+            else ids_df.join(dead, on="id", how="left_anti")
+        )
+        vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
+        if len(ids) <= _DELETE_LITERAL_BUDGET and dead is None:
+            dead_vecs = vecs.filter(F.col("id").isin(ids))
+        else:
+            dead_vecs = vecs.join(F.broadcast(newly), on="id", how="left_semi")
+        neg = dead_vecs.groupBy("cell").agg(
+            (-F.count(F.lit(1))).cast("bigint").alias("_n")
+        )
+        try:
+            return lake.append_segments(
+                spark,
+                root,
+                appends={
+                    TOMBSTONES: newly.coalesce(1),
+                    CELLCOUNTS: neg.coalesce(1),
+                },
+                expected_base=base,
+            )
+        except lake.ConcurrentCommitError as e:
+            last_err = e
+    raise last_err
+
+
+def _counts_sum_reduce(df: DataFrame) -> DataFrame:
+    """Additive cellcounts fold: negative delete rows cancel; cells
+    with no live vectors left keep no row."""
+    return (
+        df.groupBy("cell")
+        .agg(F.sum("_n").cast("bigint").alias("_n"))
+        .filter(F.col("_n") > 0)
+    )
+
+
+def apply_ann_deletes(spark: SparkSession, root: str) -> dict[str, list[int]]:
+    """PHYSICAL delete completion: rewrite ``vectors`` live-rows-only,
+    fold the negative counts, reset the tombstone component — one
+    atomic manifest flip (lake.apply_segment_tombstones). Probe
+    results before and after are identical."""
+    return lake.apply_segment_tombstones(
+        spark,
+        root,
+        tombstones=TOMBSTONES,
+        id_col="id",
+        victims=[VECTORS],
+        reducers={CELLCOUNTS: _counts_sum_reduce},
+    )
 
 
 def ann_cell_stats(spark: SparkSession, root: str) -> DataFrame:
     """Aggregated per-cell widths (cell, n_vectors) from the additive
     count segments — the imbalance monitor (a skewed cell is a slow
     probe; persistent skew is the re-train/split signal). O(cells)
-    after a sum over segment counts, never a scan of ``vectors``."""
+    after a sum over segment counts, never a scan of ``vectors``.
+    Delete-time negative rows fold in; cells with no live vectors
+    keep no row."""
     counts = lake.read_segmented_components(spark, root, [CELLCOUNTS])[CELLCOUNTS]
-    return counts.groupBy("cell").agg(F.sum("_n").alias("n_vectors"))
+    return (
+        counts.groupBy("cell")
+        .agg(F.sum("_n").alias("n_vectors"))
+        .filter(F.col("n_vectors") > 0)
+    )
 
 
 def probe_ann_index(
@@ -271,7 +373,17 @@ def compact_ann_index(
     """Fold multi-segment components back to one segment — plain union
     rewrite for ``vectors``, sum re-aggregation for the additive
     ``cellcounts``. One O(index) rewrite amortized over the K O(batch)
-    commits between compactions (bounds read fan-in / small files)."""
+    commits between compactions (bounds read fan-in / small files).
+    With tombstones pinned, compaction IS the physical delete apply
+    (:func:`apply_ann_deletes`) — the rewrite drops dead rows and
+    resets the tombstone component in the same flip."""
+    pins = lake.segment_pins(spark, root)
+    if TOMBSTONES in pins and (
+        lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
+        .limit(1)
+        .count()
+    ):
+        return apply_ann_deletes(spark, root)
     return lake.compact_segments(
         spark,
         root,

@@ -22,6 +22,7 @@ artifact.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -66,6 +67,18 @@ def constraint_audit(
     docstring for the per-rule plan shapes."""
     if not checks:
         raise ValueError("constraint_audit: no checks given")
+    # check names become agg aliases and are interpolated into the
+    # stack() SQL below — an unvalidated name with a quote/space would
+    # break parsing, and '_n' would shadow the shared row counter
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    for c in checks:
+        if not ident.match(c.name) or c.name == "_n":
+            raise ValueError(
+                "constraint_audit: check names must be identifiers "
+                f"([A-Za-z_][A-Za-z0-9_]*, not '_n'); got {c.name!r}"
+            )
+    if len({c.name for c in checks}) != len(checks):
+        raise ValueError("constraint_audit: duplicate check names")
     pieces: list[DataFrame] = []
 
     row_checks = [c for c in checks if isinstance(c, RowCheck)]

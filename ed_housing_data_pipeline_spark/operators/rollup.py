@@ -139,6 +139,7 @@ def append_rollup_batch(
     reader_grace_sec: float | None = None,
     segment_partitions: int | None = None,
     meta: dict | None = None,
+    expected_base: int | None = None,
 ) -> dict[str, list[int]]:
     """One O(batch) view refresh: partial-aggregate the batch under
     the PINNED spec, append one segment, flip the manifest, age out
@@ -146,7 +147,10 @@ def append_rollup_batch(
     per-refresh cost is independent of how much history the view
     holds. ``meta`` replaces the manifest's application metadata
     atomically with the commit (the streaming sink's exactly-once
-    batch-id hook). Returns the committed pin map."""
+    batch-id hook); callers whose ``meta`` was DERIVED from committed
+    state must pass the manifest version it was read from as
+    ``expected_base`` so a rival committer conflicts loudly instead of
+    being clobbered (mirrors text_index._commit_batch)."""
     keys, measures, zone_keys = read_rollup_spec(spark, root)
     part = partial_rollup(df, keys, measures)
     if segment_partitions:
@@ -157,6 +161,7 @@ def append_rollup_batch(
         appends={PARTIALS: part},
         zone_cols={PARTIALS: zone_keys} if zone_keys else None,
         meta=meta,
+        expected_base=expected_base,
     )
     lake.expire_segments(
         spark,

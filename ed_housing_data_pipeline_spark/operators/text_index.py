@@ -44,7 +44,12 @@ from ed_housing_data_pipeline_spark.sources import lake
 COMPONENT = "postings"
 TERMSTATS = "termstats"
 DOCLENS = "doclens"
+TOMBSTONES = "deleted_docs"
 TERM_SEED = 42
+# below this many ids the delete scan uses an IN literal (pushed to
+# the parquet reader for row-group skipping); above it, a broadcast
+# semi-join (same plan class the bounded-query ANN probe uses)
+_DELETE_LITERAL_BUDGET = 256
 
 
 def posting_table(
@@ -171,6 +176,145 @@ def append_text_batch(
     )
 
 
+def _tombstoned_ids(spark, root: str, pins: dict) -> DataFrame | None:
+    """The pinned tombstone set as a 1-column (doc_id) frame, or None
+    when no delete ever committed — readers anti-join it (tiny:
+    broadcast) so a deleted document is unsearchable the instant its
+    delete's manifest flip lands, segments untouched."""
+    if TOMBSTONES not in pins:
+        return None
+    return (
+        lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _live(spark, root: str, postings: DataFrame, pins: dict) -> DataFrame:
+    dead = _tombstoned_ids(spark, root, pins)
+    if dead is None:
+        return postings
+    return postings.join(F.broadcast(dead), on="doc_id", how="left_anti")
+
+
+def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
+    """LOGICAL delete (the GDPR take-down): one O(delete-set) commit
+    after which the documents are unsearchable through every query
+    path — conjunctive, phrase, prefix, tf-idf, BM25 — while committed
+    segments stay untouched. Three artifacts land under ONE
+    expected_base manifest flip, so rival ingests conflict loudly and
+    readers see pre- or post-delete state, never half:
+
+    - a ``deleted_docs`` tombstone segment (readers anti-join it);
+    - a NEGATIVE termstats segment — per term of the deleted docs,
+      ``df = -count`` — valid precisely because termstats are additive
+      (term_stats sums across segments, so corpus df is exact without
+      rewriting any stats segment);
+    - adjusted ``n_docs`` / ``total_tokens`` meta counters (BM25's N
+      and avgdl), derived from the deleted docs' doclens rows.
+
+    Finding the deleted docs' terms needs one pass over the pinned
+    postings (an inverted index maps term→doc, not doc→term); small
+    delete sets push ``doc_id IN (...)`` into the parquet scan for
+    row-group skipping. Batch take-downs amortize this exactly like
+    compaction. Ids absent from the corpus are tombstoned harmlessly
+    and adjust no counter; already-deleted ids are dropped (so a
+    replayed delete is idempotent). Physical removal happens at
+    :func:`compact_text_index` / :func:`apply_text_deletes`.
+
+    Zero-token documents (no postings, no doclens row) count toward
+    n_docs at ingest but cannot be recognized at delete time — their
+    tombstone lands (correct: they match no search anyway) but n_docs
+    keeps counting them; an idf bias of at most the corpus's
+    zero-token-doc count, zero on any corpus without empty texts."""
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return lake.segment_pins(spark, root)
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        pins, meta, base = lake.segment_state(spark, root)
+        ids_df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        dead = _tombstoned_ids(spark, root, pins)
+        newly = (
+            ids_df
+            if dead is None
+            else ids_df.join(dead, on="doc_id", how="left_anti")
+        )
+        posts = lake.read_segments(spark, f"{root}/{COMPONENT}", pins[COMPONENT])
+        lens = lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS])
+        if len(ids) <= _DELETE_LITERAL_BUDGET and dead is None:
+            dead_posts = posts.filter(F.col("doc_id").isin(ids))
+            dead_lens = lens.filter(F.col("doc_id").isin(ids))
+        else:
+            dead_posts = posts.join(
+                F.broadcast(newly), on="doc_id", how="left_semi"
+            )
+            dead_lens = lens.join(
+                F.broadcast(newly), on="doc_id", how="left_semi"
+            )
+        neg_stats = dead_posts.groupBy("term_h").agg(
+            F.first("term").alias("term"),
+            (-F.count(F.lit(1))).cast("bigint").alias("df"),
+        )
+        row = dead_lens.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
+        ).collect()[0]
+        n_dead, tok_dead = int(row["_n"]), int(row["_tot"])
+        try:
+            return lake.append_segments(
+                spark,
+                root,
+                appends={
+                    TOMBSTONES: newly.coalesce(1),
+                    TERMSTATS: neg_stats.coalesce(1),
+                },
+                meta={
+                    **meta,
+                    "n_docs": int(meta.get("n_docs", 0)) - n_dead,
+                    "total_tokens": int(meta.get("total_tokens", 0))
+                    - tok_dead,
+                },
+                expected_base=base,
+            )
+        except lake.ConcurrentCommitError as e:
+            last_err = e
+    raise last_err
+
+
+def apply_text_deletes(spark, root: str) -> dict[str, list[int]]:
+    """PHYSICAL delete completion: rewrite postings and doclens as
+    live-rows-only single segments, fold the negative stats into one
+    re-summed termstats segment (dropping fully-deleted terms), and
+    reset the tombstone component — one atomic manifest flip
+    (lake.apply_segment_tombstones), after which the deleted bytes
+    leave disk as old segments age out of retention. Search results
+    before and after are identical (pinned in tests/test_text_index).
+    Meta counters were already adjusted at delete time and carry
+    through unchanged."""
+    return lake.apply_segment_tombstones(
+        spark,
+        root,
+        tombstones=TOMBSTONES,
+        id_col="doc_id",
+        victims=[COMPONENT, DOCLENS],
+        reducers={TERMSTATS: _stats_sum_reduce},
+    )
+
+
+def _stats_sum_reduce(df: DataFrame) -> DataFrame:
+    """Additive termstats fold: sum df per term (negative delete rows
+    cancel), dropping terms with no live documents left."""
+    return (
+        df.groupBy("term_h")
+        .agg(
+            F.first("term").alias("term"),
+            F.sum("df").cast("bigint").alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+
+
 def pinned_postings(
     spark, root: str, terms: Sequence[str], at_version: int | None = None
 ) -> DataFrame:
@@ -184,11 +328,16 @@ def pinned_postings(
     over driver-side skipping for audit-style queries."""
     probe = sorted(set(terms))
     if at_version is None:
+        pins = lake.segment_pins(spark, root)
         hits = lake.read_segments_bloom_pruned(spark, root, COMPONENT, "term", probe)
     else:
-        pins = lake.segment_pins_at(spark, root, at_version)[COMPONENT]
-        hits = lake.read_segments(spark, f"{root}/{COMPONENT}", pins)
-    return hits.filter(F.col("term").isin(probe))
+        pins = lake.segment_pins_at(spark, root, at_version)
+        hits = lake.read_segments(spark, f"{root}/{COMPONENT}", pins[COMPONENT])
+    # tombstone subtraction AS OF the read's manifest: current searches
+    # exclude deleted docs; a time-travel read sees exactly the
+    # tombstone state of that commit (a pre-delete version still serves
+    # the doc — that is what the audit query asks)
+    return _live(spark, root, hits.filter(F.col("term").isin(probe)), pins)
 
 
 def search_all_terms(
@@ -229,6 +378,9 @@ def term_stats(spark, root: str, terms: Sequence[str]) -> DataFrame:
         seg.filter(F.col("term").isin(probe))
         .groupBy("term")
         .agg(F.sum("df").cast("bigint").alias("df"))
+        # delete_docs appends NEGATIVE df rows; a term whose documents
+        # were all deleted sums to 0 — no live docs, no stats row
+        .filter(F.col("df") > 0)
     )
 
 
@@ -306,8 +458,23 @@ def compact_text_index(spark, root: str, min_segments: int = 2) -> dict[str, lis
     across batches), termstats re-aggregate through a sum reducer —
     valid precisely because the stats are additive. Bloom/zonemap
     coverage and the manifest meta (n_docs, stream batch id) carry
-    through compact_segments unchanged; searches before and after must
-    serve identical results (pinned in tests/test_text_index.py)."""
+    through unchanged; searches before and after must serve identical
+    results (pinned in tests/test_text_index.py).
+
+    When a delete has tombstones pinned, compaction IS the physical
+    apply (:func:`apply_text_deletes`): the rewrite it pays anyway
+    drops the dead rows, folds the negative stats, and resets the
+    tombstone component — the Iceberg/Delta "rewrite applies deletes"
+    maintenance shape."""
+    pins = lake.segment_pins(spark, root)
+    if TOMBSTONES in pins and (
+        lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
+        .limit(1)
+        .count()
+    ):
+        return apply_text_deletes(spark, root)
+    # no (live) tombstones: plain fold — an already-applied empty
+    # tombstone component folds by union like any other
 
     def _stats_reduce(df: DataFrame) -> DataFrame:
         return df.groupBy("term_h").agg(
@@ -390,9 +557,14 @@ def search_prefix(spark, root: str, prefix: str) -> DataFrame:
     count — (term, doc) rows are unique index-wide."""
     if not prefix:
         raise ValueError("search_prefix: empty prefix")
-    pins = lake.segment_pins(spark, root)[COMPONENT]
-    p = lake.read_segments(spark, f"{root}/{COMPONENT}", pins).filter(
-        F.col("term").startswith(prefix)
+    pins = lake.segment_pins(spark, root)
+    p = _live(
+        spark,
+        root,
+        lake.read_segments(spark, f"{root}/{COMPONENT}", pins[COMPONENT]).filter(
+            F.col("term").startswith(prefix)
+        ),
+        pins,
     )
     return (
         p.groupBy("doc_id")

@@ -84,6 +84,14 @@ def box_pruned_pins(
     """(kept, pinned) for a conjunctive multi-column range predicate
     ``{col: (lo, hi), ...}``: the intersection of each column's
     zonemap keeps, order-preserving. Driver-side metadata only."""
+    if not box:
+        # an empty box is almost certainly a caller bug (it would mean
+        # "no predicate" — use the plain pinned read for that), and
+        # silently returning ([], []) made read_box fail opaquely
+        raise ValueError(
+            "box_pruned_pins: empty box; use read_segmented_components "
+            "for an unpredicated scan"
+        )
     kept_sets = []
     pinned: list[int] = []
     for col, (lo, hi) in box.items():

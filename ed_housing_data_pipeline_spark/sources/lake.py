@@ -324,7 +324,7 @@ def snapshot_versions(spark, dataset_root: str) -> list[int]:
     if not fs.exists(jroot):
         return []
     out = []
-    for st in fs.listStatus(jroot):
+    for st in _list_status(jvm, fs, jroot):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("v="):
             try:
@@ -352,7 +352,7 @@ def _committed_version(spark, dataset_root: str) -> int | None:
     if not fs.exists(jroot):
         return None
     best = None
-    for st in fs.listStatus(jroot):
+    for st in _list_status(jvm, fs, jroot):
         name = st.getPath().getName()
         if name.startswith("_LATEST.v"):
             try:
@@ -368,6 +368,51 @@ class ConcurrentCommitError(RuntimeError):
     the version this commit was based on. Retry from fresh state (the
     loser's data dir, if any landed, is unpinned debris for the orphan
     sweep)."""
+
+
+def _is_vanished_fs_error(exc: BaseException) -> bool:
+    """True when a Hadoop filesystem call failed because its target
+    path stopped existing mid-call — the signature of a CONCURRENT
+    writer's rename/delete, not of a broken disk. Matched on the Java
+    exception text because py4j surfaces everything as one opaque
+    ``Py4JJavaError``; the three forms cover FileNotFoundException,
+    RawLocalFileSystem's stat message, and the POSIX message local
+    streams raise."""
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "does not exist" in s
+        or "No such file or directory" in s
+    )
+
+
+def _list_status(jvm, fs, jroot) -> list:
+    """``fs.listStatus`` that survives concurrent renames/deletes.
+
+    Hadoop's local filesystem lists a directory in two steps —
+    enumerate names, then stat each — so a child a rival commits away
+    mid-listing (a ``_LATEST.tmp.*`` pointer being renamed into place,
+    a released ``_CLAIM.v*`` being deleted) makes the whole call throw
+    a raw FileNotFoundException. Every multi-writer protocol path must
+    list through this retry wrapper: the vanished child is by
+    definition not needed (it was transient marker state), and an
+    immediate re-list converges because renames/deletes complete in
+    microseconds. Persistent failure after the bounded retries means
+    real contention churn — surfaced as the typed
+    :class:`ConcurrentCommitError` the commit protocol documents, so
+    retry loops treat it like any other lost race."""
+    last: BaseException | None = None
+    for _ in range(8):
+        try:
+            return list(fs.listStatus(jroot))
+        except Exception as e:  # noqa: BLE001 - classify, then retry/raise
+            if not _is_vanished_fs_error(e):
+                raise
+            last = e
+            time.sleep(0.01)
+    raise ConcurrentCommitError(
+        f"{jroot}: directory listing kept racing concurrent commits"
+    ) from last
 
 
 _PIN_CLAIM_LOCK = threading.Lock()
@@ -414,26 +459,57 @@ def _claim_pinned_version(
     claim = jvm.org.apache.hadoop.fs.Path(f"{root}/_CLAIM.v{version}")
     token = f"{version}:{_next_segment_id()}"
     with _PIN_CLAIM_LOCK:
-        for attempt in range(2):
+        for attempt in range(3):
             try:
                 out = fs.create(claim, False)
             except Exception:  # noqa: BLE001 - claim exists: racer or stale
-                if attempt == 0 and fs.exists(claim):
-                    age_ms = time.time() * 1000.0 - float(
-                        fs.getFileStatus(claim).getModificationTime()
-                    )
-                    if age_ms > stale_sec * 1000.0:
-                        _break_stale_claim(
-                            jvm, fs, root, version, claim, stale_sec
-                        )
+                # The staleness probe itself races the holder's
+                # release: the winner commits, then deletes its claim
+                # OUTSIDE our lock, so the claim that just failed our
+                # create can vanish before exists()/getFileStatus()
+                # — a raw FileNotFoundException here crashed clients
+                # following the documented retry protocol (r8
+                # VERDICT #1). A vanished claim means the slot is free
+                # again: retry the create instead of leaking the raw
+                # error (bounded by the attempt loop; a still-held
+                # claim keeps raising the typed conflict).
+                stale = False
+                try:
+                    if not fs.exists(claim):
                         continue
+                    if attempt == 0:
+                        age_ms = time.time() * 1000.0 - float(
+                            fs.getFileStatus(claim).getModificationTime()
+                        )
+                        stale = age_ms > stale_sec * 1000.0
+                except Exception as probe_err:  # noqa: BLE001
+                    if _is_vanished_fs_error(probe_err):
+                        continue  # claim released mid-probe: retry create
+                    raise
+                if stale:
+                    _break_stale_claim(
+                        jvm, fs, root, version, claim, stale_sec
+                    )
+                    continue
                 raise ConcurrentCommitError(
                     f"{root}: version {version} is claimed by a concurrent "
                     "writer; retry from fresh state"
                 ) from None
-            out.write(token.encode("ascii"))
-            out.close()
-            if _read_small_file(jvm, fs, claim) != token:
+            try:
+                out.write(token.encode("ascii"))
+                out.close()
+                readback = _read_small_file(jvm, fs, claim)
+            except Exception as e:  # noqa: BLE001 - classify, then raise
+                if _is_vanished_fs_error(e):
+                    # a misbehaving breaker renamed our claim away
+                    # between create and verification — same stand-down
+                    # as the content-mismatch branch, typed
+                    raise ConcurrentCommitError(
+                        f"{root}: claim for version {version} vanished "
+                        "before verification; retry from fresh state"
+                    ) from e
+                raise
+            if readback != token:
                 # somebody replaced our claim between create and now
                 # (possible only through a misbehaving break) — stand
                 # down before any data lands
@@ -604,9 +680,31 @@ def _commit_version(
         # expire_snapshots sees the marker (or the young dir) and leaves
         # the in-flight version alone until the grace period passes
         intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.v{version}")
-        out = fs.create(intent, True)
-        out.write(str(version).encode("ascii"))
-        out.close()
+        try:
+            out = fs.create(intent, True)
+            out.write(str(version).encode("ascii"))
+            out.close()
+        except Exception as e:  # noqa: BLE001 - classify, then raise
+            # ABA interference: this writer can hold the claim for a
+            # version whose PREVIOUS winner is still mid-cleanup (the
+            # winner deletes its claim before its intent marker, so a
+            # loser pinned to the same version re-claims in that
+            # window). The winner's delete of _INTENT.v<N> then races
+            # this create — on the local checksum FS the captured
+            # failure mode is the winner removing the fresh ``.crc``
+            # between create and chmod ("No such file or directory"
+            # from RawLocalFileSystem.setPermission). Logically this
+            # writer already lost: surface the typed conflict, not a
+            # raw Py4JJavaError (r8 VERDICT #1).
+            if _is_vanished_fs_error(e) or (
+                (_c := _committed_version(spark, dataset_root)) is not None
+                and _c >= version
+            ):
+                raise ConcurrentCommitError(
+                    f"{dataset_root}: lost the commit race for v={version} "
+                    "(intent marker raced a finishing winner)"
+                ) from e
+            raise
         try:
             write_payload(path)
         except Exception as e:
@@ -642,10 +740,15 @@ def _commit_version(
         fs.delete(claim, False)
         raise
     # cleanup AFTER the new pointer is visible — readers take the max,
-    # so stale pointers/markers are harmless if this dies mid-sweep
-    fs.delete(claim, False)
+    # so stale pointers/markers are harmless if this dies mid-sweep.
+    # Intent BEFORE claim: deleting the claim first re-opens the
+    # version to a loser pinned at it (ABA re-claim), whose fresh
+    # _INTENT.v<N> this sweep would then delete out from under it —
+    # the chmod-on-.crc race the r8 suite flaked on. With the claim
+    # still held nobody can be writing these markers concurrently.
     fs.delete(intent, False)
-    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(root)):
+    fs.delete(claim, False)
+    for st in _list_status(jvm, fs, jvm.org.apache.hadoop.fs.Path(root)):
         name = st.getPath().getName()
         if name.startswith("_LATEST.v") and name != f"_LATEST.v{version}":
             try:
@@ -699,14 +802,39 @@ def read_snapshot_blob(
     spark, dataset_root: str, version: int | None = None
 ) -> str:
     """Read a blob snapshot's text payload (newest committed version by
-    default, or a pinned historical one) — a filesystem read, no job."""
-    if version is None:
-        version = _committed_version(spark, dataset_root)
-        if version is None:
+    default, or a pinned historical one) — a filesystem read, no job.
+
+    The resolve-then-open pair races retention: a rival committer's
+    ``expire_snapshots`` can drop the version this reader just
+    resolved before the open lands (frequent committers run retention
+    with a short reader grace). A vanished COMMITTED blob is therefore
+    re-resolved and retried — convergent, because each retry reads a
+    strictly newer pointer — and surfaces as the typed
+    :class:`ConcurrentCommitError` only if the churn outruns every
+    retry. A PINNED historical version that is gone is not a race but
+    an expired snapshot: typed ``FileNotFoundError``."""
+    pinned = version is not None
+    jvm, fs = _fs(spark, dataset_root)
+    last: BaseException | None = None
+    for _ in range(5):
+        v = version if pinned else _committed_version(spark, dataset_root)
+        if v is None:
             raise FileNotFoundError(f"no committed snapshot under {dataset_root}")
-    path = f"{_snapshot_dir(dataset_root, version)}/{_BLOB_NAME}"
-    jvm, fs = _fs(spark, path)
-    return _read_small_file(jvm, fs, jvm.org.apache.hadoop.fs.Path(path))
+        path = f"{_snapshot_dir(dataset_root, v)}/{_BLOB_NAME}"
+        try:
+            return _read_small_file(jvm, fs, jvm.org.apache.hadoop.fs.Path(path))
+        except Exception as e:  # noqa: BLE001 - classify, then retry/raise
+            if not _is_vanished_fs_error(e):
+                raise
+            if pinned:
+                raise FileNotFoundError(
+                    f"{path}: snapshot blob expired or never committed"
+                ) from e
+            last = e
+            time.sleep(0.01)
+    raise ConcurrentCommitError(
+        f"{dataset_root}: committed blob reads kept racing retention"
+    ) from last
 
 
 def read_snapshot(spark, dataset_root: str, version: int | None = None) -> DataFrame:
@@ -833,7 +961,7 @@ def expire_snapshots(
     # safe to sweep unconditionally (the commit has already happened)
     if committed is not None:
         jroot = jvm.org.apache.hadoop.fs.Path(root)
-        for st in fs.listStatus(jroot):
+        for st in _list_status(jvm, fs, jroot):
             name = st.getPath().getName()
             marker = next(
                 (
@@ -987,7 +1115,7 @@ def segment_numbers(spark, component_root: str) -> list[int]:
     if not fs.exists(jroot):
         return []
     out = []
-    for st in fs.listStatus(jroot):
+    for st in _list_status(jvm, fs, jroot):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("seg="):
             try:
@@ -1076,6 +1204,12 @@ def _zone_value(v):
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, _dt.datetime):
+        # timezone-aware values would format with a +HH:MM suffix,
+        # breaking the lexicographic==chronological invariant across
+        # mixed offsets — normalize to UTC and strip the tzinfo so
+        # every stored bound lives on one fixed-form axis
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -1347,12 +1481,27 @@ def _manifest_state(
 ]:
     """(pins, zones, blooms, meta, manifest_version) from the last
     committed manifest blob — one filesystem read, consistent across
-    the tuple (version resolved first, blob read at that version)."""
+    the tuple (version resolved first, blob read at that version).
+    The resolve-then-read pair can race a rival committer's retention
+    (see read_snapshot_blob): a vanished committed blob is re-resolved
+    — each retry sees a strictly newer pointer, so the loop converges
+    or surfaces the typed conflict."""
     mroot = f"{root.rstrip('/')}/manifest"
-    version = _committed_version(spark, mroot)
-    if version is None:
-        raise FileNotFoundError(f"no committed snapshot under {mroot}")
-    parsed = json.loads(read_snapshot_blob(spark, mroot, version=version))
+    last: BaseException | None = None
+    for _ in range(5):
+        version = _committed_version(spark, mroot)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {mroot}")
+        try:
+            parsed = json.loads(read_snapshot_blob(spark, mroot, version=version))
+            break
+        except FileNotFoundError as e:
+            last = e
+            time.sleep(0.01)
+    else:
+        raise ConcurrentCommitError(
+            f"{mroot}: committed manifest reads kept racing retention"
+        ) from last
     # set-dedup is defense in depth: a duplicated segment entry would
     # make read_segments scan that segment twice — duplicate rows
     pins = {
@@ -1505,6 +1654,94 @@ def apply_tombstones(
     return new_pins
 
 
+def apply_segment_tombstones(
+    spark,
+    root: str,
+    tombstones: str,
+    id_col: str,
+    victims: Sequence[str],
+    reducers: dict | None = None,
+    meta_fn=None,
+) -> dict[str, list[int]]:
+    """PHYSICAL apply of a shared tombstone component across a
+    multi-component index (the GDPR completion step the per-component
+    :func:`apply_tombstones` can't express): rewrite every ``victims``
+    component as one live-rows-only segment (anti-join on ``id_col``
+    against the tombstone set), rewrite each ``reducers`` component
+    through its reducer (e.g. an additive-stats sum that folds the
+    delete-time negative rows in), and reset the tombstone component
+    to one empty segment — ALL pinned by a single expected_base
+    manifest commit, so readers see pre- or post-apply state, never
+    half, and a racing ingest conflicts loudly instead of being
+    dropped. Zonemap/bloom coverage is recomputed for every rewritten
+    segment from the manifest's own column advertisements; manifest
+    meta carries through unchanged unless ``meta_fn(meta) -> dict``
+    rewrites it. No-op (current pins returned) when the tombstone
+    component was never pinned. O(index) rewrite — same maintenance
+    cost class as compaction, amortized the same way."""
+    reducers = reducers or {}
+    pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
+    if tombstones not in pins:
+        return pins
+    dead = (
+        read_segments(spark, f"{root}/{tombstones}", pins[tombstones])
+        .select(id_col)
+        .distinct()
+    )
+    new_pins = dict(pins)
+    rewritten: list[tuple[str, int]] = []
+    for name in victims:
+        live = read_segments(spark, f"{root}/{name}", pins[name]).join(
+            dead, on=id_col, how="left_anti"
+        )
+        seg = write_segment(spark, live, f"{root}/{name}")
+        new_pins[name] = [seg]
+        rewritten.append((name, seg))
+    for name, reduce in reducers.items():
+        df = reduce(read_segments(spark, f"{root}/{name}", pins[name]))
+        seg = write_segment(spark, df, f"{root}/{name}")
+        new_pins[name] = [seg]
+        rewritten.append((name, seg))
+    empty = (
+        read_segments(spark, f"{root}/{tombstones}", pins[tombstones])
+        .limit(0)
+        .coalesce(1)
+    )
+    new_pins[tombstones] = [write_segment(spark, empty, f"{root}/{tombstones}")]
+    new_zones = _carry_zones(zones, new_pins)
+    new_blooms = _carry_blooms(blooms, new_pins)
+    for name, seg in rewritten:
+        zone_columns = sorted(
+            {c for stats in zones.get(name, {}).values() for c in stats}
+        )
+        if zone_columns:
+            new_zones.setdefault(name, {})[seg] = _segment_zone_stats(
+                spark, f"{root}/{name}", seg, zone_columns
+            )
+        bloom_columns = sorted(
+            {c for cols in blooms.get(name, {}).values() for c in cols}
+        )
+        built = [
+            c
+            for c in bloom_columns
+            if _write_segment_bloom(spark, f"{root}/{name}", seg, c)
+        ]
+        if built:
+            new_blooms.setdefault(name, {})[seg] = built
+    kw: dict = {}
+    if new_zones:
+        kw["zones"] = new_zones
+    if new_blooms:
+        kw["blooms"] = new_blooms
+    meta = dict(prior_meta)
+    if meta_fn is not None:
+        meta = meta_fn(meta)
+    if meta:
+        kw["meta"] = meta
+    commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
+    return new_pins
+
+
 def segment_zones(
     spark, root: str
 ) -> dict[str, dict[int, dict[str, list]]]:
@@ -1538,6 +1775,15 @@ def segment_meta_versioned(spark, root: str) -> tuple[dict, int]:
     return state[3], state[4]
 
 
+def segment_state(spark, root: str) -> tuple[dict[str, list[int]], dict, int]:
+    """(pins, meta, manifest version) from ONE atomic manifest read —
+    for committers whose payload derives from BOTH the pin map and the
+    meta counters (e.g. an index delete that must see the same
+    tombstone state its counter adjustments were computed from)."""
+    state = _manifest_state(spark, root)
+    return state[0], state[3], state[4]
+
+
 def zone_pruned_pins(
     spark, root: str, component: str, col: str, lo=None, hi=None
 ) -> tuple[list[int], list[int]]:
@@ -1569,9 +1815,14 @@ def zone_pruned_pins(
             kept.append(seg)
             continue
         mn, mx = stats[0], stats[1]
-        if mn is None:  # every value NULL: range predicate can't match
-            continue
-        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+        # the all-NULL drop applies only under an ACTUAL predicate: a
+        # boundless call (lo=hi=None) selects everything, including
+        # segments whose zoned column happens to be entirely NULL
+        if mn is None and (lo is not None or hi is not None):
+            continue  # every value NULL: range predicate can't match
+        if mn is not None and (
+            (lo is not None and mx < lo) or (hi is not None and mn > hi)
+        ):
             continue
         kept.append(seg)
     return kept, pins[component]
@@ -1872,7 +2123,7 @@ def expire_segments(
     now_ms = time.time() * 1000.0
     dropped: dict[str, list[int]] = {}
     jroot = jvm.org.apache.hadoop.fs.Path(root)
-    for st in fs.listStatus(jroot):
+    for st in _list_status(jvm, fs, jroot):
         name = st.getPath().getName()
         if not st.isDirectory() or name == "manifest":
             continue
@@ -1883,7 +2134,7 @@ def expire_segments(
         # flip): no pin will ever arrive for that id — age-gate and
         # drop the file alone
         bloom_files: dict[int, list] = {}
-        for cst in fs.listStatus(jvm.org.apache.hadoop.fs.Path(comp_root)):
+        for cst in _list_status(jvm, fs, jvm.org.apache.hadoop.fs.Path(comp_root)):
             cname = cst.getPath().getName()
             if cst.isDirectory():
                 continue

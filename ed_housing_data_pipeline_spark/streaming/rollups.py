@@ -42,25 +42,41 @@ def sink_rollup_batch(
     with the id in the same manifest flip. Returns True when the
     batch was committed, False when recognized as a replay.
 
+    The replay check and the commit are pinned to ONE manifest
+    version (``expected_base``): a rival committer on the same root
+    landing between the meta read and the flip raises
+    :class:`lake.ConcurrentCommitError` instead of double-committing
+    the batch id or clobbering the rival's meta — the commit retries
+    from a fresh read, re-evaluating the replay check each time
+    (mirrors text_index._commit_batch).
+
     Factored out of the foreachBatch closure so the replay contract
     is directly testable without driving a stream."""
-    last = lake.segment_meta(spark, root).get(LAST_BATCH_KEY, -1)
-    if batch_id <= last:
-        return False
-    pins = rollup.append_rollup_batch(
-        spark,
-        root,
-        batch_df,
-        keep_manifests=keep_latest,
-        # high-frequency committer: readers hold pins for one
-        # micro-batch, so superseded manifests age out in minutes
-        reader_grace_sec=600.0,
-        segment_partitions=segment_partitions,
-        meta={LAST_BATCH_KEY: int(batch_id)},
-    )
-    if compact_every and len(pins[rollup.PARTIALS]) >= compact_every:
-        rollup.compact_rollup(spark, root)
-    return True
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        meta, base = lake.segment_meta_versioned(spark, root)
+        if batch_id <= meta.get(LAST_BATCH_KEY, -1):
+            return False
+        try:
+            pins = rollup.append_rollup_batch(
+                spark,
+                root,
+                batch_df,
+                keep_manifests=keep_latest,
+                # high-frequency committer: readers hold pins for one
+                # micro-batch, so superseded manifests age out in minutes
+                reader_grace_sec=600.0,
+                segment_partitions=segment_partitions,
+                meta={**meta, LAST_BATCH_KEY: int(batch_id)},
+                expected_base=base,
+            )
+        except lake.ConcurrentCommitError as e:
+            last_err = e
+            continue
+        if compact_every and len(pins[rollup.PARTIALS]) >= compact_every:
+            rollup.compact_rollup(spark, root)
+        return True
+    raise last_err
 
 
 def run_stream_rollup(
