@@ -220,7 +220,7 @@ def q_doc_inverted_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_index.search_ranked(spark, root, RANK_TERMS, k=RANK_K)
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(where: str = "") -> str:
     from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
         BM25_B,
         BM25_K1,
@@ -229,7 +229,7 @@ def _bm25_oracle() -> str:
     k1, b = BM25_K1, BM25_B
     return f"""
     WITH tok AS (
-      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents {where}
     ), n AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
              CAST(SUM(len(ts)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
@@ -325,6 +325,120 @@ def q_doc_inverted_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(RANK_K)
         )
     root = _ensure_text_index(spark, sf_dir)
+    return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
+
+
+DELETE_MOD = 97  # docs with doc_id % 97 == 0 are GDPR-deleted (~1%)
+
+_TEXT_IDX_DEL_DIR: dict[tuple[str], object] = {}
+
+
+def _ensure_deleted_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """A second session index exercising the take-down lifecycle: the
+    same 3-batch incremental build, then ONE delete_docs commit
+    tombstoning every doc_id ≡ 0 (mod DELETE_MOD) — tombstone segment,
+    negative termstats, adjusted n_docs/avgdl meta, one manifest flip.
+    Kept separate from _ensure_text_index so the no-delete queries'
+    results stay byte-stable."""
+    key = (sf_dir,)
+    tmp = _TEXT_IDX_DEL_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="text_index_del_")
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        third = max(1, (int(n) + 1) // 3)
+        for i in range(3):
+            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
+            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            if i == 0:
+                text_index.bootstrap_text_index(spark, tmp.name, part)
+            else:
+                text_index.append_text_batch(spark, tmp.name, part)
+        dead = [
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % DELETE_MOD == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        text_index.delete_docs(spark, tmp.name, dead)
+        _TEXT_IDX_DEL_DIR[key] = tmp
+    return _TEXT_IDX_DEL_DIR[key].name
+
+
+@register(
+    "doc_search_after_delete",
+    oracle=_bm25_oracle(where=f"WHERE doc_id % {DELETE_MOD} <> 0"),
+)
+def q_doc_search_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval AFTER a GDPR take-down (text_index.delete_docs):
+    ~1% of the corpus (doc_id ≡ 0 mod 97) is logically deleted in one
+    O(delete-set) commit — a tombstone segment the postings scan
+    anti-joins (broadcast), NEGATIVE additive termstats rows (corpus
+    df stays exact without rewriting stats segments), and adjusted
+    N/avgdl meta counters. The oracle recomputes BM25 over the corpus
+    minus the deleted ids, so a stale df, an unadjusted N, or a
+    tombstone miss on any of the k posting lists all hash-mismatch.
+    Physical removal rides the next compaction (pinned invariant in
+    tests/test_text_index.py); at 100 TB the take-down itself stays
+    O(delete-set + one pruned postings pass), never a corpus rebuild."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_DEL_DIR.get((sf_dir,)) is None:
+        from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
+            BM25_B,
+            BM25_K1,
+        )
+        from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+            token_count,
+        )
+
+        docs = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % DELETE_MOD != 0
+        )
+        p = text_index.posting_table(docs).filter(
+            F.col("term").isin(list(RANK_TERMS))
+        )
+        n = docs.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.coalesce(F.sum(token_count(F.col("text"))), F.lit(0))
+            .cast("double")
+            .alias("_tot"),
+        )
+        stats = (
+            p.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+            .crossJoin(F.broadcast(n))
+            .withColumn(
+                "_idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                ),
+            )
+            .withColumn("_avgdl", F.col("_tot") / F.col("_n"))
+        )
+        lens = text_index.posting_table(docs).groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("dl")
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("_avgdl")
+        )
+        contrib = F.col("_idf") * (
+            F.col("tf") * F.lit(BM25_K1 + 1.0) / (F.col("tf") + norm)
+        )
+        return (
+            p.join(F.broadcast(stats.select("term", "_idf", "_avgdl")), "term")
+            .join(lens, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(contrib), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(RANK_K)
+        )
+    root = _ensure_deleted_text_index(spark, sf_dir)
     return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
 
 

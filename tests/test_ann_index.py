@@ -247,3 +247,91 @@ def test_trained_bootstrap_recall_vs_bruteforce(spark, tmp_path):
     # nprobe=3 of 3 cells probes everything: ADC error is the only
     # approximation left, and top-1-in-exact-top-3 should mostly hold
     assert hits >= 7
+
+
+def test_delete_vectors_excludes_from_probe_and_counts(spark, tmp_path):
+    """A logical delete makes vectors un-probe-able in one commit:
+    probe results equal the one-shot search over the live corpus,
+    cellcounts fold the negative rows to exact live widths, replays
+    and unknown ids are no-ops."""
+    root = str(tmp_path / "ann")
+    boot, b1 = list(range(0, 8)), list(range(8, 13))
+    _build(spark, root, boot, [b1])
+    dead = [2, 9, 11]
+    ann_index.delete_ann_vectors(spark, root, dead)
+    live = [i for i in boot + b1 if i not in dead]
+
+    got = _probe_rows(spark, root, live)
+    want = sim.knn_ivf_pq(
+        _vecs(spark, live), "embedding", "vec_id",
+        cents=CENTS, codebooks=CODEBOOKS, k=3, nprobe=2,
+        query_filter=F.col("vec_id") < 6,
+    )
+    assert got == sorted(map(tuple, want.collect()))
+    # a deleted id can still be a QUERY (queries are caller-side);
+    # it just can never come back as a neighbor
+    full = _probe_rows(spark, root, boot + b1)
+    assert all(nn not in dead for (_q, nn, _adc, _rn) in full)
+    assert any(q == 2 for (q, _nn, _adc, _rn) in full)
+
+    # live widths equal a direct count over the live encoded corpus
+    stats = {
+        r.cell: r.n_vectors
+        for r in ann_index.ann_cell_stats(spark, root).collect()
+    }
+    direct = {
+        r.cell: r.n
+        for r in ann_index.read_ann_vectors(spark, root)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stats == direct
+    assert sum(stats.values()) == len(live)
+
+    # replay + unknown id: nothing changes
+    ann_index.delete_ann_vectors(spark, root, [2, 999])
+    stats2 = {
+        r.cell: r.n_vectors
+        for r in ann_index.ann_cell_stats(spark, root).collect()
+    }
+    assert stats2 == stats
+
+
+def test_compaction_applies_ann_deletes_physically(spark, tmp_path):
+    """With tombstones pinned, compact_ann_index rewrites the encoded
+    corpus live-rows-only, folds the negative counts, resets the
+    tombstones — probe results and cell stats identical before and
+    after, and a later tombstone-free compaction takes the plain
+    fold path."""
+    root = str(tmp_path / "ann")
+    boot, b1 = list(range(0, 8)), list(range(8, 13))
+    _build(spark, root, boot, [b1])
+    ann_index.delete_ann_vectors(spark, root, [2, 9])
+
+    before = _probe_rows(spark, root, boot + b1)
+    stats_before = sorted(
+        map(tuple, ann_index.ann_cell_stats(spark, root).collect())
+    )
+    pins = ann_index.compact_ann_index(spark, root)
+    assert _probe_rows(spark, root, boot + b1) == before
+    assert sorted(
+        map(tuple, ann_index.ann_cell_stats(spark, root).collect())
+    ) == stats_before
+    vecs = lake.read_segments(spark, f"{root}/vectors", pins["vectors"])
+    assert vecs.filter(vecs.id.isin([2, 9])).count() == 0
+    tomb = lake.read_segments(
+        spark, f"{root}/deleted_ids", pins["deleted_ids"]
+    )
+    assert tomb.count() == 0
+    counts = lake.read_segments(
+        spark, f"{root}/cellcounts", pins["cellcounts"]
+    )
+    assert counts.filter("_n <= 0").count() == 0
+    # tombstone-free follow-up compaction folds by plain union
+    ann_index.append_ann_batch(
+        spark, root, _vecs(spark, [30, 31]), "embedding", "vec_id",
+        segment_partitions=2,
+    )
+    pins2 = ann_index.compact_ann_index(spark, root)
+    assert len(pins2["vectors"]) == 1

@@ -432,3 +432,148 @@ def test_search_prefix(spark, tmp_path):
     assert text_index.search_prefix(spark, root, "zz").count() == 0
     with pytest.raises(ValueError, match="empty prefix"):
         text_index.search_prefix(spark, root, "")
+
+
+def test_delete_docs_excludes_everywhere_and_adjusts_stats(spark, tmp_path):
+    """A logical delete makes the docs unsearchable through every
+    query path in one commit, and keeps every corpus-level statistic
+    exact: df (via negative termstats rows), N and total tokens (meta
+    counters). Replays and unknown ids are no-ops."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    assert text_index.corpus_size(spark, root) == 8
+
+    text_index.delete_docs(spark, root, [0, 21])
+
+    got = {
+        r.doc_id: r.total_tf
+        for r in text_index.search_all_terms(spark, root, ["alpha", "gamma"]).collect()
+    }
+    assert got == {2: 2}  # doc 0 deleted; 20/21 never held both terms
+    assert {
+        r.doc_id for r in text_index.search_prefix(spark, root, "g").collect()
+    } == {2}
+    ranked = {
+        r.doc_id
+        for r in text_index.search_ranked(spark, root, ["alpha", "gamma"], k=10).collect()
+    }
+    assert 0 not in ranked and 21 not in ranked
+    bm = {
+        r.doc_id
+        for r in text_index.search_bm25(spark, root, ["alpha", "gamma"], k=10).collect()
+    }
+    assert 0 not in bm and 21 not in bm
+
+    # df drops by exactly the deleted docs' term presence
+    stats = {
+        r.term: r.df
+        for r in text_index.term_stats(
+            spark, root, ["alpha", "beta", "gamma", "delta", "epsilon"]
+        ).collect()
+    }
+    assert stats == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 2, "epsilon": 1}
+    # meta counters: 8 docs - 2; 20 tokens - (4 + 4)
+    assert text_index.corpus_size(spark, root) == 6
+    assert int(lake.segment_meta(spark, root)["total_tokens"]) == 12
+
+    # replayed delete and never-ingested id: counters unchanged
+    text_index.delete_docs(spark, root, [0])
+    text_index.delete_docs(spark, root, [999])
+    assert text_index.corpus_size(spark, root) == 6
+    assert int(lake.segment_meta(spark, root)["total_tokens"]) == 12
+
+
+def test_delete_all_docs_of_a_term_removes_its_stats_row(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    # epsilon appears only in doc 10
+    text_index.delete_docs(spark, root, [10])
+    assert text_index.term_stats(spark, root, ["epsilon"]).count() == 0
+    assert text_index.search_all_terms(spark, root, ["epsilon"]).count() == 0
+
+
+def test_delete_then_time_travel_still_serves_old_version(spark, tmp_path):
+    """Tombstones are manifest state: a pre-delete manifest version
+    still serves the deleted doc (the what-did-we-serve-then audit),
+    the committed head does not."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    pre = lake.segment_manifest_versions(spark, root)[-1]
+    text_index.delete_docs(spark, root, [0])
+    head = {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["alpha"]).collect()
+    }
+    assert head == {2, 20}
+    asof = {
+        r.doc_id
+        for r in text_index.search_all_terms(
+            spark, root, ["alpha"], at_version=pre
+        ).collect()
+    }
+    assert asof == {0, 2, 20}
+
+
+def test_compaction_applies_deletes_physically(spark, tmp_path):
+    """With tombstones pinned, compaction IS the physical apply: dead
+    rows leave the postings/doclens segments, negative stats fold
+    away, the tombstone component resets — and every search result is
+    identical before and after (then again after a second, tombstone-
+    free compaction)."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    text_index.delete_docs(spark, root, [0, 21])
+
+    def _snapshot():
+        return (
+            sorted(
+                (r.doc_id, r.total_tf)
+                for r in text_index.search_all_terms(
+                    spark, root, ["alpha", "gamma"]
+                ).collect()
+            ),
+            [
+                (r.doc_id, r.score)
+                for r in text_index.search_bm25(
+                    spark, root, ["alpha", "delta"], k=6
+                ).collect()
+            ],
+            sorted(
+                (r.doc_id, r.n_terms, r.total_tf)
+                for r in text_index.search_prefix(spark, root, "d").collect()
+            ),
+            sorted(
+                (r.term, r.df)
+                for r in text_index.term_stats(
+                    spark, root, ["alpha", "beta", "gamma", "delta", "epsilon"]
+                ).collect()
+            ),
+            text_index.corpus_size(spark, root),
+        )
+
+    before = _snapshot()
+    pins = text_index.compact_text_index(spark, root)
+    assert _snapshot() == before
+    # physically gone: the rewritten postings hold no deleted doc rows
+    posts = lake.read_segments(spark, f"{root}/postings", pins["postings"])
+    assert posts.filter(posts.doc_id.isin([0, 21])).count() == 0
+    lens = lake.read_segments(spark, f"{root}/doclens", pins["doclens"])
+    assert lens.filter(lens.doc_id.isin([0, 21])).count() == 0
+    # tombstones reset; stats strictly positive, one row per term
+    tomb = lake.read_segments(
+        spark, f"{root}/deleted_docs", pins["deleted_docs"]
+    )
+    assert tomb.count() == 0
+    stats = lake.read_segments(spark, f"{root}/termstats", pins["termstats"])
+    assert stats.filter("df <= 0").count() == 0
+    assert stats.groupBy("term_h").count().filter("count > 1").count() == 0
+    # a later, tombstone-free compaction takes the plain fold path
+    from pyspark.sql import Row as _Row
+
+    text_index.append_text_batch(
+        spark, root, _df(spark, [_Row(doc_id=30, text="zeta zeta")])
+    )
+    pins2 = text_index.compact_text_index(spark, root)
+    assert len(pins2["postings"]) == 1
+    assert text_index.corpus_size(spark, root) == 7
+    assert _snapshot()[0] == before[0]  # new doc holds neither probe term
