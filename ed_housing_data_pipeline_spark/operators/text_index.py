@@ -50,6 +50,10 @@ TERM_SEED = 42
 # the parquet reader for row-group skipping); above it, a broadcast
 # semi-join (same plan class the bounded-query ANN probe uses)
 _DELETE_LITERAL_BUDGET = 256
+# rarest-first conjunction broadcasts the rarest term's doc set only
+# while it stays executor-memory friendly (8 B/doc → ~8 MB at the cap);
+# wider rare lists fall back to the plain one-shuffle plan
+_RAREST_BROADCAST_MAX_DF = 1_000_000
 
 
 def posting_table(
@@ -349,9 +353,31 @@ def search_all_terms(
     One groupBy(doc_id) over the term-filtered posting union; HAVING
     count(distinct term) = k keeps conjunction exact even when a term
     repeats in ``terms``. ``at_version`` searches the corpus AS OF a
-    retained index commit — the what-did-we-serve-then audit query."""
+    retained index commit — the what-did-we-serve-then audit query.
+
+    RAREST-FIRST pruning (the classic term-ordering plan): the
+    per-term corpus df is already incremental index state
+    (termstats — k tiny rows, one driver read), so the conjunction
+    broadcasts the RAREST term's doc set and semi-joins it into the
+    other posting lists map-side BEFORE the groupBy — the shuffle
+    carries at most k × df(rarest) rows instead of the union of all
+    k lists, which on skewed vocabularies ("the" AND "zyzzyva") is
+    the difference between a broadcast-trim and a corpus-sized
+    shuffle. A probe term with no live df short-circuits the whole
+    conjunction to empty. Falls back to the plain one-shuffle plan
+    when the rarest list is too wide to broadcast or for historical
+    reads (termstats time-travel isn't worth the audit path's
+    complexity)."""
     probe = sorted(set(terms))
     p = pinned_postings(spark, root, probe, at_version=at_version)
+    if at_version is None and len(probe) > 1:
+        dfs = {r.term: r.df for r in term_stats(spark, root, probe).collect()}
+        rarest = min(probe, key=lambda w: dfs.get(w, 0))
+        if dfs.get(rarest, 0) <= _RAREST_BROADCAST_MAX_DF:
+            rare_docs = (
+                p.filter(F.col("term") == rarest).select("doc_id")
+            )
+            p = p.join(F.broadcast(rare_docs), on="doc_id", how="left_semi")
     # (term, doc_id) rows are UNIQUE index-wide (each doc's postings
     # live in exactly one ingest segment — the module contract), so a
     # plain count equals the distinct-term count without the second

@@ -33,6 +33,7 @@ def sink_text_batch(
     batch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 64,
 ) -> bool:
     """Commit ONE micro-batch into the index, exactly once: skip when
     the committed manifest already records ``batch_id`` (replay after
@@ -40,13 +41,22 @@ def sink_text_batch(
     id riding the same manifest flip. Returns True when committed,
     False when recognized as a replay.
 
+    ``compact_every`` is the threshold compaction policy every
+    long-lived sink needs (a year-long ingest otherwise accumulates a
+    segment per batch and read fan-in grows without bound): once the
+    postings component holds that many pinned segments, the commit
+    path folds the index back to one segment per component —
+    content-neutral, snapshot-isolated, amortized
+    O(index / compact_every) per batch. ``None`` leaves compaction to
+    an external maintenance cadence.
+
     Factored out of the foreachBatch closure so the replay contract is
     directly testable without driving a stream (the rollup sink's
     pattern)."""
     last = int(lake.segment_meta(spark, root).get(LAST_BATCH_KEY, -1))
     if batch_id <= last:
         return False
-    text_index.append_text_batch(
+    pins = text_index.append_text_batch(
         spark,
         root,
         batch_df,
@@ -54,6 +64,8 @@ def sink_text_batch(
         text_col=text_col,
         extra_meta={LAST_BATCH_KEY: int(batch_id)},
     )
+    if compact_every and len(pins[text_index.COMPONENT]) >= compact_every:
+        text_index.compact_text_index(spark, root)
     return True
 
 
@@ -63,6 +75,7 @@ def run_stream_search_ingest(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 64,
 ) -> None:
     """Drain the document stream (availableNow) through the
     transactional text-index sink. ``bootstrap_text_index`` must have
@@ -81,6 +94,7 @@ def run_stream_search_ingest(
             batch_id,
             id_col=id_col,
             text_col=text_col,
+            compact_every=compact_every,
         )
 
     q = (

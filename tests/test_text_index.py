@@ -577,3 +577,66 @@ def test_compaction_applies_deletes_physically(spark, tmp_path):
     assert len(pins2["postings"]) == 1
     assert text_index.corpus_size(spark, root) == 7
     assert _snapshot()[0] == before[0]  # new doc holds neither probe term
+
+
+def test_stream_sink_threshold_compaction_bounds_segments(spark, tmp_path):
+    """A long-lived ingest (22 micro-batches through the streaming
+    sink's commit path) with compact_every=4 ends with a BOUNDED
+    segment count — the threshold policy folds the index whenever the
+    postings component reaches the cadence — and every search result
+    and statistic is identical to an uncompacted twin of the same
+    ingest."""
+    from pyspark.sql import Row as _Row
+
+    from ed_housing_data_pipeline_spark.streaming import search as ss
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def _batch(i):
+        rows = [
+            _Row(
+                doc_id=100 * i + j,
+                text=" ".join(
+                    words[(i + j + k) % len(words)] for k in range(3)
+                ),
+            )
+            for j in range(2)
+        ]
+        return _df(spark, rows)
+
+    compacted = str(tmp_path / "c")
+    plain = str(tmp_path / "p")
+    text_index.bootstrap_text_index(spark, compacted, _batch(0))
+    text_index.bootstrap_text_index(spark, plain, _batch(0))
+    for i in range(1, 22):
+        assert ss.sink_text_batch(
+            spark, compacted, _batch(i), i, compact_every=4
+        )
+        assert ss.sink_text_batch(spark, plain, _batch(i), i, compact_every=None)
+
+    pins_c = lake.segment_pins(spark, compacted)
+    pins_p = lake.segment_pins(spark, plain)
+    assert len(pins_p["postings"]) == 22  # unbounded growth without policy
+    assert len(pins_c["postings"]) < 4 + 1  # folded at every threshold hit
+
+    def _state(root):
+        return (
+            sorted(
+                (r.doc_id, r.total_tf)
+                for r in text_index.search_all_terms(
+                    spark, root, ["alpha", "beta"]
+                ).collect()
+            ),
+            sorted(
+                (r.term, r.df)
+                for r in text_index.term_stats(spark, root, words).collect()
+            ),
+            [
+                (r.doc_id, r.score)
+                for r in text_index.search_bm25(spark, root, words[:3], k=9).collect()
+            ],
+            text_index.corpus_size(spark, root),
+            int(lake.segment_meta(spark, root)["total_tokens"]),
+        )
+
+    assert _state(compacted) == _state(plain)
