@@ -100,6 +100,7 @@ COLD_ONLY = [
     "doc_stream_incremental_dedup",  # streaming ingest + incremental dedup
     "orders_stream_rollup",         # streamed view maintenance e2e
     "doc_stream_search_ingest",     # streamed text-index maintenance e2e
+    "doc_search_after_delete",      # GDPR take-down + BM25 over remaining
 ]
 
 

@@ -70,7 +70,12 @@ def merge_rollup(
 ) -> DataFrame:
     """Fold partial states: sums and counts add, min/max fold — the
     associativity that makes ``merge(partials) == partial(union)``
-    exactly (F.sum/min/max skip NULLs on both levels)."""
+    exactly (F.sum/min/max skip NULLs on both levels). Groups whose
+    merged ``_rows`` reaches 0 — every fact retracted
+    (:func:`retract_rollup_batch`) — drop out, exactly as a GROUP BY
+    over the corrected facts would produce no row for them (the
+    filter is a no-op on retraction-free views: every batch partial
+    carries ``_rows >= 1``)."""
     aggs = [F.sum("_rows").alias("_rows")]
     for name in measures:
         aggs += [
@@ -79,7 +84,7 @@ def merge_rollup(
             F.min(f"{name}_min").alias(f"{name}_min"),
             F.max(f"{name}_max").alias(f"{name}_max"),
         ]
-    return partials.groupBy(*keys).agg(*aggs)
+    return partials.groupBy(*keys).agg(*aggs).filter(F.col("_rows") > 0)
 
 
 def _spec_root(root: str) -> str:
@@ -162,6 +167,77 @@ def append_rollup_batch(
         zone_cols={PARTIALS: zone_keys} if zone_keys else None,
         meta=meta,
         expected_base=expected_base,
+    )
+    lake.expire_segments(
+        spark,
+        root,
+        keep_manifests=keep_manifests,
+        orphan_grace_sec=orphan_grace_sec,
+        reader_grace_sec=reader_grace_sec,
+    )
+    return pins
+
+
+def retract_rollup_batch(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    keep_manifests: int = 2,
+    orphan_grace_sec: float = 24 * 3600,
+    reader_grace_sec: float | None = None,
+    segment_partitions: int | None = None,
+) -> dict[str, list[int]]:
+    """Remove FACTS from the served view in O(retraction batch) — the
+    correction/backfill path every continuous aggregate needs (a
+    mis-ingested file, a GDPR order touching fact rows): append one
+    NEGATED partial segment (``_rows``, sums, and counts negative) and
+    flip the manifest; the merge's additive fold then cancels the
+    retracted contribution exactly, and fully-retracted groups drop
+    out of the served view (merge_rollup's ``_rows > 0``). Committed
+    segments are never rewritten, so a correction costs the same as an
+    ingest.
+
+    ``df`` must be (a subset of) facts that were actually ingested —
+    the protocol is additive algebra, not reconciliation; retracting a
+    never-ingested fact leaves the view inconsistent the same way
+    double-ingesting one does.
+
+    EXACTNESS CONTRACT: ``_rows``, ``{m}_sum``, ``{m}_cnt`` (and the
+    derived avg) are exact after retraction. ``{m}_min`` / ``{m}_max``
+    are NOT invertible from partial state — the negated segment
+    carries NULL min/max (the merge skips NULLs), so after a
+    retraction they are conservative BOUNDS: still valid envelopes of
+    the live values unless the retracted fact WAS the extreme, in
+    which case they over-cover until the view is rebuilt
+    (bootstrap_rollup on corrected facts). This is the standard
+    deletable-aggregate limitation; readers needing exact extremes
+    after corrections should not select them."""
+    keys, measures, zone_keys = read_rollup_spec(spark, root)
+    part = partial_rollup(df, keys, measures)
+    neg_cols = [F.col(k) for k in keys] + [(-F.col("_rows")).alias("_rows")]
+    for name in measures:
+        neg_cols += [
+            (-F.col(f"{name}_sum")).alias(f"{name}_sum"),
+            (-F.col(f"{name}_cnt")).alias(f"{name}_cnt"),
+            F.lit(None).cast("double").alias(f"{name}_min"),
+            F.lit(None).cast("double").alias(f"{name}_max"),
+        ]
+    neg = part.select(*neg_cols)
+    # align the NULL min/max to the partial schema's exact types so
+    # multi-segment parquet scans see one schema
+    neg = neg.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in part.schema.fields
+        ]
+    )
+    if segment_partitions:
+        neg = neg.coalesce(segment_partitions)
+    pins = lake.append_segments(
+        spark,
+        root,
+        appends={PARTIALS: neg},
+        zone_cols={PARTIALS: zone_keys} if zone_keys else None,
     )
     lake.expire_segments(
         spark,

@@ -234,6 +234,127 @@ def q_orders_rollup_month_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _export(_rollup_frame(spark, sf_dir, lo=RANGE_LO, hi=RANGE_HI))
 
 
+RETRACT_MOD = 53  # facts with o_orderkey % 53 == 0 get retracted (~2%)
+
+_ROLLUP_RETRACT_DIR: dict[tuple[str], object] = {}
+
+
+def _ensure_retracted_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """A second session view exercising the correction path: the same
+    bootstrap + two appends, then ONE retract_rollup_batch commit
+    negating every fact with o_orderkey ≡ 0 (mod RETRACT_MOD). Kept
+    separate from _ensure_rollup so the no-retraction queries stay
+    byte-stable."""
+    key = (sf_dir,)
+    tmp = _ROLLUP_RETRACT_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="orders_rollup_retract_")
+        facts = t(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+            F.year("o_orderdate").alias("_yr"),
+            "o_orderkey",
+        )
+        lo = ROLLUP_CUTS[0]
+        rollup.bootstrap_rollup(
+            spark,
+            tmp.name,
+            facts.filter((F.col("_yr") <= lo) | F.col("_yr").isNull()).drop(
+                "o_orderkey"
+            ),
+            ROLLUP_KEYS,
+            ROLLUP_MEASURES,
+            zone_keys=["month"],
+            segment_partitions=1,
+        )
+        for a, b in zip(ROLLUP_CUTS, [*ROLLUP_CUTS[1:], None]):
+            batch = facts.filter(F.col("_yr") > a)
+            if b is not None:
+                batch = batch.filter(F.col("_yr") <= b)
+            rollup.append_rollup_batch(
+                spark, tmp.name, batch.drop("o_orderkey"), segment_partitions=1
+            )
+        rollup.retract_rollup_batch(
+            spark,
+            tmp.name,
+            facts.filter(F.col("o_orderkey") % RETRACT_MOD == 0).drop(
+                "o_orderkey"
+            ),
+            segment_partitions=1,
+        )
+        _ROLLUP_RETRACT_DIR[key] = tmp
+    return _ROLLUP_RETRACT_DIR[key].name
+
+
+@register(
+    "orders_rollup_after_retraction",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS price_sum,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS price_cnt,
+       CAST(ROUND(ROUND(ROUND(SUM(o_totalprice), 2) * 100)
+                  / COUNT(o_totalprice)) AS BIGINT) AS price_avg_cents
+FROM orders
+WHERE o_orderkey % 53 <> 0
+GROUP BY 1, 2
+""",
+)
+def q_orders_rollup_after_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The served view after a fact CORRECTION (rollup.
+    retract_rollup_batch): ~2% of ingested facts are retracted by one
+    O(retraction) commit appending a NEGATED partial segment — the
+    merge's additive fold cancels their contribution exactly and
+    fully-retracted groups drop out, with committed segments never
+    rewritten. The oracle aggregates the raw facts minus the retracted
+    keys directly, value-checking counts, sums, and the derived avg
+    (min/max are intentionally NOT emitted: they are conservative
+    bounds after a retraction — the documented deletable-aggregate
+    limitation). The backfill/mis-ingest repair path a year-deep
+    100 TB continuous aggregate cannot afford to rebuild for."""
+    key = (sf_dir,)
+    if _audit() and _ROLLUP_RETRACT_DIR.get(key) is None:
+        facts = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % RETRACT_MOD != 0
+        ).select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+        view = rollup.merge_rollup(
+            rollup.partial_rollup(facts, ROLLUP_KEYS, ROLLUP_MEASURES),
+            ROLLUP_KEYS,
+            ROLLUP_MEASURES,
+        )
+    else:
+        root = _ensure_retracted_rollup(spark, sf_dir)
+        view = rollup.read_rollup(spark, root, derive_avg=False)
+    # avg emits in integer CENTS derived from the rounded sum: the raw
+    # double sums differ at ~1e-9 between merge-minus-retraction and
+    # the oracle's direct aggregation, and a 2-decimal round of the
+    # quotient can flip at an exact half-cent boundary where the two
+    # engines' scaling algorithms diverge by 1 ulp. The rounded sum is
+    # bit-identical across engines (checked by price_sum), cents are
+    # then exact integers, and the only remaining half-case (quotient
+    # exactly k.5) is exactly representable — both engines round it
+    # away from zero.
+    cents = F.round(F.round("price_sum", 2) * 100)
+    return view.select(
+        "priority",
+        "month",
+        F.col("_rows").alias("n_orders"),
+        F.round("price_sum", 2).alias("price_sum"),
+        F.col("price_cnt").cast("bigint").alias("price_cnt"),
+        F.round(cents / F.col("price_cnt"))
+        .cast("bigint")
+        .alias("price_avg_cents"),
+    )
+
+
 # --------------------------- incremental HLL sketch maintenance
 # The sketch × rollup composition: an HLL register table IS rollup
 # state — (group, register) keyed, merged by MAX — so the continuous-

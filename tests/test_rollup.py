@@ -188,3 +188,109 @@ def test_unflipped_segment_stays_invisible(spark, tmp_path):
     assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
         _direct(spark, data)
     )
+
+
+def _sum_cnt(frame_rows):
+    """(key..., _rows, v_sum(6dp), v_cnt) projection — the statistics
+    the retraction contract promises EXACT (min/max are bounds)."""
+    out = []
+    for r in frame_rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        out.append(
+            (
+                d["grp"],
+                d["bucket"],
+                d["_rows"],
+                round(d["v_sum"], 6) if d["v_sum"] is not None else None,
+                d["v_cnt"],
+            )
+        )
+    return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+def test_retraction_equals_direct_over_remaining_facts(spark, tmp_path):
+    """retract_rollup_batch cancels the retracted facts' contribution
+    exactly for _rows/sum/cnt (the contract), and a fully-retracted
+    group drops out of the served view like a GROUP BY over corrected
+    facts would drop it."""
+    data = _facts()
+    retract = [r for i, r in enumerate(data) if i % 9 == 0]
+    remaining = [r for i, r in enumerate(data) if i % 9 != 0]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [40, 80])
+    rollup.retract_rollup_batch(
+        spark, root, _df(spark, retract), segment_partitions=1
+    )
+    got = rollup.read_rollup(spark, root, derive_avg=False)
+    assert _sum_cnt(got.collect()) == _sum_cnt(
+        _df(spark, remaining)
+        .groupBy(*KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum("val").alias("v_sum"),
+            F.count("val").alias("v_cnt"),
+        )
+        .collect()
+    )
+
+
+def test_retraction_drops_fully_retracted_group(spark, tmp_path):
+    data = [
+        Row(grp="only", bucket=1, val=10.0),
+        Row(grp="only", bucket=1, val=20.0),
+        Row(grp="keep", bucket=2, val=5.0),
+    ]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [2])
+    rollup.retract_rollup_batch(
+        spark, root, _df(spark, data[:2]), segment_partitions=1
+    )
+    got = rows(rollup.read_rollup(spark, root, derive_avg=False))
+    assert [(r[0], r[1], r[2]) for r in got] == [("keep", 2, 1)]
+
+
+def test_retraction_minmax_are_conservative_bounds(spark, tmp_path):
+    """After retracting the extreme fact, min/max still COVER the live
+    values (they may over-cover — the documented deletable-aggregate
+    limitation) while sum/cnt are exact."""
+    data = [
+        Row(grp="g", bucket=1, val=1.0),
+        Row(grp="g", bucket=1, val=100.0),  # the max; gets retracted
+        Row(grp="g", bucket=1, val=7.0),
+    ]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [2])
+    rollup.retract_rollup_batch(
+        spark, root, _df(spark, [data[1]]), segment_partitions=1
+    )
+    r = rollup.read_rollup(spark, root, derive_avg=False).collect()[0]
+    assert r["_rows"] == 2 and r["v_cnt"] == 2
+    assert round(r["v_sum"], 6) == 8.0
+    assert r["v_min"] <= 1.0 and r["v_max"] >= 7.0  # valid envelopes
+
+
+def test_retraction_survives_compaction(spark, tmp_path):
+    """Compacting a view with negative partials is content-neutral:
+    the merge reducer folds the negatives in, fully-retracted groups
+    leave the physical segment, and the served sums/counts are
+    unchanged."""
+    data = _facts(60)
+    retract = data[10:25]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [30])
+    rollup.retract_rollup_batch(
+        spark, root, _df(spark, retract), segment_partitions=1
+    )
+    before = _sum_cnt(
+        rollup.read_rollup(spark, root, derive_avg=False).collect()
+    )
+    pins = rollup.compact_rollup(spark, root)
+    assert len(pins[rollup.PARTIALS]) == 1
+    assert (
+        _sum_cnt(rollup.read_rollup(spark, root, derive_avg=False).collect())
+        == before
+    )
+    seg = lake.read_segments(
+        spark, f"{root}/{rollup.PARTIALS}", pins[rollup.PARTIALS]
+    )
+    assert seg.filter("_rows <= 0").count() == 0
