@@ -303,7 +303,19 @@ PQ_FIXED_CODEBOOKS = [
 PQ_NPROBE = 2
 
 
-def _ivfpq_fixed_oracle(cents: list[list[float]] = IVF_FIXED_CENTS) -> str:
+def _ivfpq_fixed_oracle(
+    cents: list[list[float]] = IVF_FIXED_CENTS,
+    corpus_exclude_mod: int | None = None,
+) -> str:
+    # corpus_exclude_mod drops vec_id ≡ 0 (mod m) from the CORPUS side
+    # of the self-join only — deleted vectors can still be queries
+    # (queries are caller-side), they just never come back as
+    # neighbors (the ANN delete contract)
+    corpus_cond = (
+        f"AND e.vec_id % {corpus_exclude_mod} <> 0"
+        if corpus_exclude_mod
+        else ""
+    )
     def arr(vals: list[float]) -> str:
         return "CAST([" + ", ".join(repr(x) for x in vals) + "] AS DOUBLE[])"
 
@@ -355,6 +367,7 @@ SELECT q.vec_id AS q_id, e.vec_id AS nn_id,
            ORDER BY ({adc}) ASC NULLS LAST, e.vec_id ASC) AS BIGINT) AS rn
 FROM enc q
 JOIN enc e ON list_contains(q.probes, e.cell) AND e.vec_id <> q.vec_id
+           {corpus_cond}
 WHERE q.vec_id < 20
 QUALIFY rn <= 3
 """
@@ -527,6 +540,112 @@ def q_embedding_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     not rows-only. Commit protocol + crash/race contracts are pinned
     by tests/test_ann_index.py."""
     corpus = _ensure_ann_index(spark, sf_dir)
+    out = sim.knn_ivf_pq_encoded(
+        corpus,
+        emb_t(spark, sf_dir),
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=ANN_CENTS,
+        codebooks=PQ_FIXED_CODEBOOKS,
+        k=3,
+        nprobe=PQ_NPROBE,
+        cell_col="cell",
+        codes_col="codes",
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select(
+        "q_id",
+        "nn_id",
+        F.round(F.col("adc"), 4).alias("adc"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+ANN_DELETE_MOD = 41  # vec_id % 41 == 0 gets GDPR-deleted (~2.4%)
+
+_ANN_DEL_INDEX: dict[tuple[str], object] = {}
+
+
+def _ensure_deleted_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A second session index exercising the vector take-down: the
+    same bootstrap + two appends, then ONE delete_ann_vectors commit
+    tombstoning vec_id ≡ 0 (mod ANN_DELETE_MOD). Returns the LIVE
+    corpus frame (read_ann_vectors anti-joins the tombstones). Audit
+    mode serves the lazy encode expression over the live subset."""
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        ann_index,
+    )
+
+    key = (sf_dir,)
+    tmp = _ANN_DEL_INDEX.get(key)
+    if tmp is None:
+        if _audit():
+            return ann_index.encoded_frame(
+                emb_t(spark, sf_dir).filter(
+                    F.col("vec_id") % ANN_DELETE_MOD != 0
+                ),
+                "embedding",
+                "vec_id",
+                ANN_CENTS,
+                PQ_FIXED_CODEBOOKS,
+            ).withColumnRenamed("id", "vec_id")
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_del_")
+        emb = emb_t(spark, sf_dir)
+        ann_index.bootstrap_ann_index(
+            spark,
+            tmp.name,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            vec_col="embedding",
+            id_col="vec_id",
+            cents=ANN_CENTS,
+            codebooks=PQ_FIXED_CODEBOOKS,
+            segment_partitions=8,
+        )
+        for r in ANN_BATCH_MODULI:
+            ann_index.append_ann_batch(
+                spark,
+                tmp.name,
+                emb.filter(F.col("vec_id") % 4 == r),
+                vec_col="embedding",
+                id_col="vec_id",
+                segment_partitions=8,
+            )
+        dead = [
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") % ANN_DELETE_MOD == 0)
+            .select("vec_id")
+            .collect()
+        ]
+        ann_index.delete_ann_vectors(spark, tmp.name, dead)
+        _ANN_DEL_INDEX[key] = tmp
+    tmp = _ANN_DEL_INDEX[key]
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        ann_index,
+    )
+
+    return ann_index.read_ann_vectors(spark, tmp.name).select(
+        F.col("id").alias("vec_id"), "cell", "codes"
+    )
+
+
+@register(
+    "embedding_ann_after_delete",
+    oracle=_ivfpq_fixed_oracle(ANN_CENTS, corpus_exclude_mod=ANN_DELETE_MOD),
+)
+def q_embedding_ann_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search AFTER a vector take-down (ann_index.
+    delete_ann_vectors): ~2.4% of the corpus is logically deleted in
+    one O(delete-set) commit — a tombstone segment the pinned scan
+    anti-joins (broadcast) plus NEGATIVE additive cellcounts — and the
+    probe must return exactly the DuckDB twin's search over the
+    remaining corpus (deleted ids may still be QUERIES; they can never
+    come back as neighbors). Physical removal rides the next
+    compaction (pinned in tests/test_ann_index.py). The right-to-be-
+    forgotten completion for a 100 TB embedding store, at ingest cost
+    instead of an index rebuild."""
+    corpus = _ensure_deleted_ann_index(spark, sf_dir)
     out = sim.knn_ivf_pq_encoded(
         corpus,
         emb_t(spark, sf_dir),

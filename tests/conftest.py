@@ -16,7 +16,11 @@ from pyspark.sql import SparkSession
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        SparkSession.builder.master("local[4]")
+        # local[8]: the suite's wall clock is dominated by a handful of
+        # sf0.01-sized loops whose stages parallelize; 8 threads on the
+        # 32-CPU CI host cuts them without changing any test's
+        # partition-count assumptions (shuffle.partitions stays 4)
+        SparkSession.builder.master("local[8]")
         .appName("engine-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")

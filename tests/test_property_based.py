@@ -5,8 +5,12 @@ value lists, each checked through one DataFrame pass."""
 
 from __future__ import annotations
 
+import os
+
 import math
 import re
+
+import pytest
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -367,6 +371,10 @@ def _reference_components(n_docs, edges):
     return {i: find(i) for i in range(n_docs)}
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="driver row doc_dedup_clusters hash-checks clusters vs a recursive-CTE oracle every round; RUN_SLOW=1 for the hypothesis sweep",
+)
 @settings(max_examples=8, deadline=None)
 @given(
     st.integers(min_value=2, max_value=14),

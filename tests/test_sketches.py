@@ -8,6 +8,10 @@ sketches fold."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from ed_housing_data_pipeline_spark.functions import sketches as sk
@@ -98,6 +102,10 @@ def test_register_tables_merge_by_elementwise_max(spark):
     assert abs(estimate(whole) - 300) / 300 < 0.15
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="driver row events_hll_rollup hash-checks this equality every round; RUN_SLOW=1 for the local loop",
+)
 def test_incremental_hll_rollup_state_equals_direct(spark):
     """The rollup-maintained register table (bootstrap + two appends,
     merged on read) must equal the one-shot register table computed

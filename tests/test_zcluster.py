@@ -4,6 +4,10 @@ it-actually-beats-single-column-sort property the layout exists for."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 import random
 
 from pyspark.sql import Row, functions as F
@@ -75,6 +79,10 @@ def test_box_read_matches_full_scan(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="driver row orders_zorder_box value-checks the pruned read; the beats-single-sort sweep is RUN_SLOW=1",
+)
 def test_zorder_prunes_both_dimensions_beats_single_sort(spark, tmp_path):
     """The reason the layout exists: for a 2-D box, z-clustering must
     prune strictly more segments than sorting on either single column
