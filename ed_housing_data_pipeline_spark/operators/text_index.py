@@ -54,6 +54,10 @@ _DELETE_LITERAL_BUDGET = 256
 # while it stays executor-memory friendly (8 B/doc → ~8 MB at the cap);
 # wider rare lists fall back to the plain one-shuffle plan
 _RAREST_BROADCAST_MAX_DF = 1_000_000
+# ... and only when the corpus is big enough that trimming the shuffle
+# can possibly repay the df-stats probe job (corpus size is manifest
+# meta — the gate itself is a driver-side read, no job)
+_RAREST_MIN_CORPUS = 1_000_000
 
 
 def posting_table(
@@ -388,7 +392,11 @@ def search_all_terms(
     complexity)."""
     probe = sorted(set(terms))
     p = pinned_postings(spark, root, probe, at_version=at_version)
-    if at_version is None and len(probe) > 1:
+    if (
+        at_version is None
+        and len(probe) > 1
+        and corpus_size(spark, root) >= _RAREST_MIN_CORPUS
+    ):
         dfs = {r.term: r.df for r in term_stats(spark, root, probe).collect()}
         rarest = min(probe, key=lambda w: dfs.get(w, 0))
         if dfs.get(rarest, 0) <= _RAREST_BROADCAST_MAX_DF:

@@ -442,6 +442,49 @@ def q_doc_search_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
 
 
+@register(
+    "doc_index_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(len(ts)), 0) AS BIGINT) AS total_tokens
+    FROM tok
+    """,
+)
+def q_doc_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index's manifest-meta corpus counters as a queryable 1-row
+    frame — N and total token count are the BM25/tf-idf idf/avgdl
+    inputs, maintained ADDITIVELY across every ingest commit (and
+    adjusted by deletes), never recomputed from the corpus. The oracle
+    recomputes both from the raw documents table, so any drift in the
+    read-modify-write meta protocol (a lost update under concurrent
+    commits, a missed zero-token doc, a double-counted replay) is a
+    value mismatch, not an invisible bias in every ranked search.
+    Driver-side in production (a filesystem read); expressed as a tiny
+    Spark frame here so the driver can hash it."""
+    from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+        token_count,
+    )
+    from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_DIR.get((sf_dir,)) is None:
+        docs = t(spark, sf_dir, "documents")
+        return docs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(token_count(F.lower(F.col("text")))), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+    root = _ensure_text_index(spark, sf_dir)
+    meta = lake.segment_meta(spark, root)
+    return spark.createDataFrame(
+        [(int(meta.get("n_docs", 0)), int(meta.get("total_tokens", 0)))],
+        "n_docs bigint, total_tokens bigint",
+    )
+
+
 PHRASE3 = ("the", "table", "window")
 
 

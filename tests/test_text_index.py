@@ -643,3 +643,33 @@ def test_stream_sink_threshold_compaction_bounds_segments(spark, tmp_path):
         )
 
     assert _state(compacted) == _state(bulk)
+
+
+def test_rarest_first_conjunction_plan_and_results(spark, tmp_path, monkeypatch):
+    """With the corpus-size gate lowered, the conjunction broadcasts
+    the rarest term's doc set as a LeftSemi filter (visible in the
+    executed plan) and returns exactly the plain plan's results —
+    including the short-circuit when a probe term has no live df and
+    the interplay with deletes (df read from termstats AFTER the
+    negative rows fold in)."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    plain = rows_set = {
+        (r.doc_id, r.total_tf)
+        for r in text_index.search_all_terms(spark, root, ["alpha", "gamma"]).collect()
+    }
+    monkeypatch.setattr(text_index, "_RAREST_MIN_CORPUS", 1)
+    df = text_index.search_all_terms(spark, root, ["alpha", "gamma"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert {(r.doc_id, r.total_tf) for r in df.collect()} == plain
+    # zero-df probe term: rarest-first short-circuits to empty
+    assert text_index.search_all_terms(spark, root, ["alpha", "zzz"]).count() == 0
+    # after deleting every gamma doc but 2, df(gamma)=1 makes gamma the
+    # rarest; the conjunction still returns exactly the live match
+    text_index.delete_docs(spark, root, [0, 21])
+    got = {
+        (r.doc_id, r.total_tf)
+        for r in text_index.search_all_terms(spark, root, ["alpha", "gamma"]).collect()
+    }
+    assert got == {(2, 2)}
