@@ -101,6 +101,7 @@ COLD_ONLY = [
     "orders_stream_rollup",         # streamed view maintenance e2e
     "doc_stream_search_ingest",     # streamed text-index maintenance e2e
     "doc_search_after_delete",      # GDPR take-down + BM25 over remaining
+    "doc_search_after_update",      # revision upsert + BM25 over revised
 ]
 
 

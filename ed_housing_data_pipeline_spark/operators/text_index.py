@@ -151,14 +151,26 @@ def _commit_batch(
         last_err: Exception | None = None
         for _attempt in range(3):
             if init:
-                prior, base = {}, None
+                prior, base = {}, 0
             else:
                 prior, base = lake.segment_meta_versioned(spark, root)
+            # rows carry the manifest sequence that commits them: the
+            # liveness axis deletes/upserts tombstone against (a row is
+            # live iff useq >= its doc's highest dead_below watermark)
+            seq = base + 1
             try:
                 return lake.append_segments(
                     spark,
                     root,
-                    appends={COMPONENT: p, TERMSTATS: stats, DOCLENS: lens},
+                    appends={
+                        COMPONENT: p.withColumn(
+                            "useq", F.lit(seq).cast("bigint")
+                        ),
+                        TERMSTATS: stats,
+                        DOCLENS: lens.withColumn(
+                            "useq", F.lit(seq).cast("bigint")
+                        ),
+                    },
                     init=init,
                     bloom_cols={COMPONENT: ["term"]},
                     meta={
@@ -202,25 +214,39 @@ def append_text_batch(
     )
 
 
-def _tombstoned_ids(spark, root: str, pins: dict) -> DataFrame | None:
-    """The pinned tombstone set as a 1-column (doc_id) frame, or None
-    when no delete ever committed — readers anti-join it (tiny:
-    broadcast) so a deleted document is unsearchable the instant its
-    delete's manifest flip lands, segments untouched."""
+def _tombstone_watermarks(spark, root: str, pins: dict) -> DataFrame | None:
+    """The pinned tombstone state folded to one watermark per doc —
+    ``(doc_id, _dead)`` where ``_dead`` is the highest ``dead_below``
+    committed for the doc — or None when no delete/upsert ever
+    committed. A row of a versioned component is LIVE iff its ``useq``
+    (the manifest sequence that committed it) is ≥ the watermark:
+    deletes and upserts both tombstone at their own commit sequence,
+    so "kill everything older than me" composes under MAX — a delete
+    kills all prior revisions, an upsert kills them while its own
+    rows (stamped with the same sequence) survive, and a later upsert
+    RESURRECTS a deleted id because its sequence outranks the
+    delete's."""
     if TOMBSTONES not in pins:
         return None
     return (
         lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
-        .select("doc_id")
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.max("dead_below").alias("_dead"))
     )
 
 
-def _live(spark, root: str, postings: DataFrame, pins: dict) -> DataFrame:
-    dead = _tombstoned_ids(spark, root, pins)
-    if dead is None:
-        return postings
-    return postings.join(F.broadcast(dead), on="doc_id", how="left_anti")
+def _live(spark, root: str, df: DataFrame, pins: dict) -> DataFrame:
+    """Versioned-row liveness filter: broadcast-join the per-doc
+    watermark and keep rows committed at-or-after it. No tombstones →
+    the frame passes through untouched (and need not carry useq)."""
+    marks = _tombstone_watermarks(spark, root, pins)
+    if marks is None:
+        return df
+    return (
+        df.join(F.broadcast(marks), on="doc_id", how="left")
+        .filter(F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead")))
+        .drop("_dead")
+    )
 
 
 def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
@@ -259,25 +285,25 @@ def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, meta, base = lake.segment_state(spark, root)
-        ids_df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
-        dead = _tombstoned_ids(spark, root, pins)
-        newly = (
-            ids_df
-            if dead is None
-            else ids_df.join(dead, on="doc_id", how="left_anti")
-        )
+        seq = base + 1
         posts = lake.read_segments(spark, f"{root}/{COMPONENT}", pins[COMPONENT])
         lens = lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS])
-        if len(ids) <= _DELETE_LITERAL_BUDGET and dead is None:
-            dead_posts = posts.filter(F.col("doc_id").isin(ids))
-            dead_lens = lens.filter(F.col("doc_id").isin(ids))
+        if len(ids) <= _DELETE_LITERAL_BUDGET:
+            hit_posts = posts.filter(F.col("doc_id").isin(ids))
+            hit_lens = lens.filter(F.col("doc_id").isin(ids))
         else:
-            dead_posts = posts.join(
-                F.broadcast(newly), on="doc_id", how="left_semi"
+            ids_df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+            hit_posts = posts.join(
+                F.broadcast(ids_df), on="doc_id", how="left_semi"
             )
-            dead_lens = lens.join(
-                F.broadcast(newly), on="doc_id", how="left_semi"
+            hit_lens = lens.join(
+                F.broadcast(ids_df), on="doc_id", how="left_semi"
             )
+        # only rows still LIVE contribute negative stats — re-deleting
+        # a dead doc (or deleting a superseded revision) is a no-op on
+        # every counter, which is what makes replayed deletes idempotent
+        dead_posts = _live(spark, root, hit_posts, pins)
+        dead_lens = _live(spark, root, hit_lens, pins)
         neg_stats = dead_posts.groupBy("term_h").agg(
             F.first("term").alias("term"),
             (-F.count(F.lit(1))).cast("bigint").alias("df"),
@@ -287,12 +313,15 @@ def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
             F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
         ).collect()[0]
         n_dead, tok_dead = int(row["_n"]), int(row["_tot"])
+        tomb = spark.createDataFrame(
+            [(i, seq) for i in ids], ["doc_id", "dead_below"]
+        )
         try:
             return lake.append_segments(
                 spark,
                 root,
                 appends={
-                    TOMBSTONES: newly.coalesce(1),
+                    TOMBSTONES: tomb.coalesce(1),
                     TERMSTATS: neg_stats.coalesce(1),
                 },
                 meta={
@@ -308,22 +337,158 @@ def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
     raise last_err
 
 
+def upsert_text_batch(
+    spark,
+    root: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, list[int]]:
+    """Document REVISION in one atomic commit (the re-crawl / content-
+    correction path): every batch doc's prior revision dies and its
+    new content becomes searchable under the SAME manifest flip —
+    readers see the old revision or the new one, never both, never
+    neither. O(batch + the revised docs' old postings), committed
+    segments untouched.
+
+    Mechanics on the liveness axis (see :func:`_tombstone_watermarks`):
+    the commit lands at sequence ``seq = base + 1`` and writes, in one
+    ``expected_base``-pinned flip —
+
+    - new postings + doclens rows stamped ``useq = seq``;
+    - a tombstone ``(doc_id, dead_below=seq)`` per batch id: prior
+      revisions (useq < seq) die, the new rows (useq = seq) live, and
+      an id deleted earlier is RESURRECTED (this commit's sequence
+      outranks the delete's watermark);
+    - one termstats segment carrying the batch's positive df rows AND
+      the old live revisions' negative rows, so corpus df is exact for
+      both the vanished and the arriving terms;
+    - n_docs grows only by the genuinely NEW ids (batch size minus
+      live prior revisions); total_tokens moves by new minus old.
+
+    Ids never seen before upsert like a plain ingest (their tombstone
+    kills nothing). The per-doc contract ("postings in exactly one
+    segment") holds for LIVE rows — exactly what merging relies on."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+        token_count,
+    )
+
+    p = posting_table(batch, id_col, text_col)
+    p.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        new_stats = p.groupBy("term_h").agg(
+            F.first("term").alias("term"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+        all_lens = batch.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(F.col(text_col)).alias("dl"),
+        )
+        row = all_lens.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
+        ).collect()[0]
+        n_batch, tot_new = int(row["_n"]), int(row["_tot"])
+        lens = all_lens.filter(F.col("dl") > 0)
+        ids_df = batch.select(F.col(id_col).alias("doc_id")).distinct()
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            pins, meta, base = lake.segment_state(spark, root)
+            seq = base + 1
+            old_posts = _live(
+                spark,
+                root,
+                lake.read_segments(
+                    spark, f"{root}/{COMPONENT}", pins[COMPONENT]
+                ).join(F.broadcast(ids_df), on="doc_id", how="left_semi"),
+                pins,
+            )
+            old_lens = _live(
+                spark,
+                root,
+                lake.read_segments(
+                    spark, f"{root}/{DOCLENS}", pins[DOCLENS]
+                ).join(F.broadcast(ids_df), on="doc_id", how="left_semi"),
+                pins,
+            )
+            neg_stats = old_posts.groupBy("term_h").agg(
+                F.first("term").alias("term"),
+                (-F.count(F.lit(1))).cast("bigint").alias("df"),
+            )
+            orow = old_lens.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
+            ).collect()[0]
+            n_old, tot_old = int(orow["_n"]), int(orow["_tot"])
+            tomb = ids_df.select(
+                "doc_id", F.lit(seq).cast("bigint").alias("dead_below")
+            )
+            try:
+                return lake.append_segments(
+                    spark,
+                    root,
+                    appends={
+                        COMPONENT: p.withColumn(
+                            "useq", F.lit(seq).cast("bigint")
+                        ),
+                        TERMSTATS: new_stats.unionByName(neg_stats),
+                        DOCLENS: lens.withColumn(
+                            "useq", F.lit(seq).cast("bigint")
+                        ),
+                        TOMBSTONES: tomb.coalesce(1),
+                    },
+                    bloom_cols={COMPONENT: ["term"]},
+                    meta={
+                        **meta,
+                        "n_docs": int(meta.get("n_docs", 0))
+                        + n_batch
+                        - n_old,
+                        "total_tokens": int(meta.get("total_tokens", 0))
+                        + tot_new
+                        - tot_old,
+                    },
+                    expected_base=base,
+                )
+            except lake.ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
+    finally:
+        p.unpersist()
+
+
 def apply_text_deletes(spark, root: str) -> dict[str, list[int]]:
-    """PHYSICAL delete completion: rewrite postings and doclens as
-    live-rows-only single segments, fold the negative stats into one
+    """PHYSICAL delete/revision completion: rewrite postings and
+    doclens as live-rows-only single segments (liveness = the
+    sequence-watermark rule, so superseded upsert revisions leave disk
+    together with deleted docs), fold the negative stats into one
     re-summed termstats segment (dropping fully-deleted terms), and
     reset the tombstone component — one atomic manifest flip
-    (lake.apply_segment_tombstones), after which the deleted bytes
-    leave disk as old segments age out of retention. Search results
-    before and after are identical (pinned in tests/test_text_index).
-    Meta counters were already adjusted at delete time and carry
+    (lake.apply_segment_tombstones), after which the dead bytes leave
+    disk as old segments age out of retention. Search results before
+    and after are identical (pinned in tests/test_text_index). Meta
+    counters were already adjusted at delete/upsert time and carry
     through unchanged."""
+
+    def _live_rows(df: DataFrame, tomb: DataFrame) -> DataFrame:
+        marks = tomb.groupBy("doc_id").agg(
+            F.max("dead_below").alias("_dead")
+        )
+        return (
+            df.join(F.broadcast(marks), on="doc_id", how="left")
+            .filter(
+                F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead"))
+            )
+            .drop("_dead")
+        )
+
     return lake.apply_segment_tombstones(
         spark,
         root,
         tombstones=TOMBSTONES,
         id_col="doc_id",
-        victims=[COMPONENT, DOCLENS],
+        transforms={COMPONENT: _live_rows, DOCLENS: _live_rows},
         reducers={TERMSTATS: _stats_sum_reduce},
     )
 
@@ -579,8 +744,15 @@ def search_bm25(
             / (F.col("df") + F.lit(0.5))
         ),
     )
-    pins = lake.segment_pins(spark, root)[DOCLENS]
-    lens = lake.read_segments(spark, f"{root}/{DOCLENS}", pins)
+    pins = lake.segment_pins(spark, root)
+    # liveness-filtered: after an upsert a doc has one dl row per
+    # revision — only the live one may normalize its BM25 scores
+    lens = _live(
+        spark,
+        root,
+        lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS]),
+        pins,
+    ).drop("useq")
     p = pinned_postings(spark, root, terms)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)

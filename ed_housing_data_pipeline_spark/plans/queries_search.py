@@ -220,7 +220,7 @@ def q_doc_inverted_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_index.search_ranked(spark, root, RANK_TERMS, k=RANK_K)
 
 
-def _bm25_oracle(where: str = "") -> str:
+def _bm25_oracle(where: str = "", docs_sql: str = "documents") -> str:
     from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
         BM25_B,
         BM25_K1,
@@ -229,7 +229,7 @@ def _bm25_oracle(where: str = "") -> str:
     k1, b = BM25_K1, BM25_B
     return f"""
     WITH tok AS (
-      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM documents {where}
+      SELECT doc_id, {tokens_sql("lower(text)")} AS ts FROM {docs_sql} {where}
     ), n AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
              CAST(SUM(len(ts)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
@@ -483,6 +483,136 @@ def q_doc_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(meta.get("n_docs", 0)), int(meta.get("total_tokens", 0)))],
         "n_docs bigint, total_tokens bigint",
     )
+
+
+UPDATE_MOD = 89  # docs with doc_id % 89 == 0 get a content revision
+UPDATE_SUFFIX = " zzupdated zzupdated"
+
+_TEXT_IDX_UPD_DIR: dict[tuple[str], object] = {}
+
+
+def _updated_docs_sql() -> str:
+    return (
+        "(SELECT doc_id, CASE WHEN doc_id % "
+        f"{UPDATE_MOD} = 0 THEN text || '{UPDATE_SUFFIX}' ELSE text END "
+        "AS text FROM documents) d"
+    )
+
+
+def _updated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % UPDATE_MOD == 0,
+            F.concat(F.col("text"), F.lit(UPDATE_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _ensure_updated_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """A third session index exercising the REVISION lifecycle: the
+    3-batch incremental build, then ONE upsert_text_batch commit
+    replacing every doc_id ≡ 0 (mod UPDATE_MOD) with revised content
+    (original text + a marker suffix) — tombstone watermarks, negative
+    stats for the old revisions, positive stats and fresh postings for
+    the new, adjusted avgdl, all in one manifest flip."""
+    key = (sf_dir,)
+    tmp = _TEXT_IDX_UPD_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="text_index_upd_")
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        third = max(1, (int(n) + 1) // 3)
+        for i in range(3):
+            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
+            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            if i == 0:
+                text_index.bootstrap_text_index(spark, tmp.name, part)
+            else:
+                text_index.append_text_batch(spark, tmp.name, part)
+        revised = _updated_docs(spark, sf_dir).filter(
+            F.col("doc_id") % UPDATE_MOD == 0
+        )
+        text_index.upsert_text_batch(spark, tmp.name, revised)
+        _TEXT_IDX_UPD_DIR[key] = tmp
+    return _TEXT_IDX_UPD_DIR[key].name
+
+
+@register(
+    "doc_search_after_update",
+    oracle=_bm25_oracle(docs_sql=_updated_docs_sql()),
+)
+def q_doc_search_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval AFTER a document REVISION wave (text_index.
+    upsert_text_batch): ~1% of the corpus gets re-crawled content in
+    ONE atomic commit — per revised doc, a sequence watermark kills
+    the prior rows while the fresh postings/doclens (stamped with the
+    same sequence) serve, negative+positive termstats keep corpus df
+    exact for both the vanished and the arriving terms, and N/avgdl
+    meta moves by the token delta. The oracle recomputes BM25 over
+    the REVISED corpus, so a stale dl row (two revisions normalizing
+    one doc), an unadjusted avgdl, or a resurrected old posting all
+    hash-mismatch. At 100 TB a re-crawl wave costs O(batch + old
+    postings of the batch), never an index rebuild."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_UPD_DIR.get((sf_dir,)) is None:
+        from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
+            BM25_B,
+            BM25_K1,
+        )
+        from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+            token_count,
+        )
+
+        docs = _updated_docs(spark, sf_dir)
+        p = text_index.posting_table(docs).filter(
+            F.col("term").isin(list(RANK_TERMS))
+        )
+        n = docs.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.coalesce(F.sum(token_count(F.col("text"))), F.lit(0))
+            .cast("double")
+            .alias("_tot"),
+        )
+        stats = (
+            p.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+            .crossJoin(F.broadcast(n))
+            .withColumn(
+                "_idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                ),
+            )
+            .withColumn("_avgdl", F.col("_tot") / F.col("_n"))
+        )
+        lens = text_index.posting_table(docs).groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("dl")
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("_avgdl")
+        )
+        contrib = F.col("_idf") * (
+            F.col("tf") * F.lit(BM25_K1 + 1.0) / (F.col("tf") + norm)
+        )
+        return (
+            p.join(F.broadcast(stats.select("term", "_idf", "_avgdl")), "term")
+            .join(lens, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(contrib), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(RANK_K)
+        )
+    root = _ensure_updated_text_index(spark, sf_dir)
+    return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
 
 
 PHRASE3 = ("the", "table", "window")

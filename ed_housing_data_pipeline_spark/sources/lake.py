@@ -1659,9 +1659,10 @@ def apply_segment_tombstones(
     root: str,
     tombstones: str,
     id_col: str,
-    victims: Sequence[str],
+    victims: Sequence[str] = (),
     reducers: dict | None = None,
     meta_fn=None,
+    transforms: dict | None = None,
 ) -> dict[str, list[int]]:
     """PHYSICAL apply of a shared tombstone component across a
     multi-component index (the GDPR completion step the per-component
@@ -1676,23 +1677,32 @@ def apply_segment_tombstones(
     dropped. Zonemap/bloom coverage is recomputed for every rewritten
     segment from the manifest's own column advertisements; manifest
     meta carries through unchanged unless ``meta_fn(meta) -> dict``
-    rewrites it. No-op (current pins returned) when the tombstone
-    component was never pinned. O(index) rewrite — same maintenance
-    cost class as compaction, amortized the same way."""
+    rewrites it. ``transforms`` generalizes the anti-join for indexes
+    whose deadness rule is richer than id membership (e.g. sequence-
+    watermarked revisions): ``transforms[name](component_df,
+    tombstones_df) -> live_df`` rewrites that component instead of the
+    victims anti-join. No-op (current pins returned) when the
+    tombstone component was never pinned. O(index) rewrite — same
+    maintenance cost class as compaction, amortized the same way."""
     reducers = reducers or {}
+    transforms = transforms or {}
     pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
     if tombstones not in pins:
         return pins
-    dead = (
-        read_segments(spark, f"{root}/{tombstones}", pins[tombstones])
-        .select(id_col)
-        .distinct()
-    )
+    tomb_df = read_segments(spark, f"{root}/{tombstones}", pins[tombstones])
+    dead = tomb_df.select(id_col).distinct()
     new_pins = dict(pins)
     rewritten: list[tuple[str, int]] = []
     for name in victims:
         live = read_segments(spark, f"{root}/{name}", pins[name]).join(
             dead, on=id_col, how="left_anti"
+        )
+        seg = write_segment(spark, live, f"{root}/{name}")
+        new_pins[name] = [seg]
+        rewritten.append((name, seg))
+    for name, fn in transforms.items():
+        live = fn(
+            read_segments(spark, f"{root}/{name}", pins[name]), tomb_df
         )
         seg = write_segment(spark, live, f"{root}/{name}")
         new_pins[name] = [seg]

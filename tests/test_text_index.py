@@ -673,3 +673,144 @@ def test_rarest_first_conjunction_plan_and_results(spark, tmp_path, monkeypatch)
         for r in text_index.search_all_terms(spark, root, ["alpha", "gamma"]).collect()
     }
     assert got == {(2, 2)}
+
+
+def test_upsert_replaces_content_atomically(spark, tmp_path):
+    """A revision upsert makes the new content searchable and the old
+    unsearchable in ONE commit, with exact df / N / token counters:
+    doc 0 ("alpha beta gamma alpha", 4 tokens) becomes "omega beta"
+    (2 tokens) — alpha's df drops, omega's appears, beta's is
+    unchanged, total_tokens moves by -2, n_docs not at all."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    text_index.upsert_text_batch(
+        spark, root, _df(spark, [Row(doc_id=0, text="omega beta")])
+    )
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["alpha"]).collect()
+    } == {2, 20}
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["omega"]).collect()
+    } == {0}
+    got = {
+        r.term: r.df
+        for r in text_index.term_stats(
+            spark, root, ["alpha", "beta", "omega", "gamma"]
+        ).collect()
+    }
+    # gamma also drops: doc 0's OLD content held it ("…gamma…")
+    assert got == {"alpha": 2, "beta": 3, "omega": 1, "gamma": 2}
+    assert text_index.corpus_size(spark, root) == 8
+    assert int(lake.segment_meta(spark, root)["total_tokens"]) == 18
+    # the revised doc has exactly ONE live dl row (BM25's normalizer)
+    bm = {
+        r.doc_id
+        for r in text_index.search_bm25(spark, root, ["omega"], k=5).collect()
+    }
+    assert bm == {0}
+
+
+def test_upsert_of_new_id_is_an_ingest(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    text_index.upsert_text_batch(
+        spark, root, _df(spark, [Row(doc_id=30, text="omega omega")])
+    )
+    assert text_index.corpus_size(spark, root) == 9
+    assert int(lake.segment_meta(spark, root)["total_tokens"]) == 22
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["omega"]).collect()
+    } == {30}
+
+
+def test_upsert_resurrects_a_deleted_id(spark, tmp_path):
+    """delete then upsert: the upsert's sequence outranks the delete's
+    watermark, so the NEW revision serves while the pre-delete rows
+    stay dead (no resurrection of old content)."""
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    text_index.delete_docs(spark, root, [0])
+    assert text_index.corpus_size(spark, root) == 7
+    text_index.upsert_text_batch(
+        spark, root, _df(spark, [Row(doc_id=0, text="omega")])
+    )
+    assert text_index.corpus_size(spark, root) == 8
+    assert text_index.search_all_terms(spark, root, ["alpha"]).filter(
+        "doc_id = 0"
+    ).count() == 0  # the OLD content stays dead
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["omega"]).collect()
+    } == {0}
+    got = {
+        r.term: r.df
+        for r in text_index.term_stats(spark, root, ["alpha", "omega"]).collect()
+    }
+    assert got == {"alpha": 2, "omega": 1}
+
+
+def test_repeated_upserts_last_revision_wins(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    for txt in ("omega one", "omega two", "omega three four"):
+        text_index.upsert_text_batch(
+            spark, root, _df(spark, [Row(doc_id=1, text=txt)])
+        )
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["three", "four"]).collect()
+    } == {1}
+    assert text_index.search_all_terms(spark, root, ["one"]).count() == 0
+    assert text_index.search_all_terms(spark, root, ["beta"]).filter(
+        "doc_id = 1"
+    ).count() == 0
+    # tokens: base 20 - 3 (old doc1) + 3 (final "omega three four") = 20
+    assert int(lake.segment_meta(spark, root)["total_tokens"]) == 20
+    assert text_index.corpus_size(spark, root) == 8
+
+
+def test_apply_drops_superseded_revisions_physically(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    text_index.upsert_text_batch(
+        spark, root, _df(spark, [Row(doc_id=0, text="omega beta")])
+    )
+    text_index.delete_docs(spark, root, [21])
+
+    def _snap():
+        return (
+            sorted(
+                (r.doc_id, r.total_tf)
+                for r in text_index.search_all_terms(
+                    spark, root, ["beta"]
+                ).collect()
+            ),
+            sorted(
+                (r.term, r.df)
+                for r in text_index.term_stats(
+                    spark, root, ["alpha", "beta", "gamma", "omega"]
+                ).collect()
+            ),
+            [
+                (r.doc_id, r.score)
+                for r in text_index.search_bm25(
+                    spark, root, ["omega", "gamma"], k=6
+                ).collect()
+            ],
+            text_index.corpus_size(spark, root),
+        )
+
+    before = _snap()
+    pins = text_index.compact_text_index(spark, root)
+    assert _snap() == before
+    posts = lake.read_segments(spark, f"{root}/postings", pins["postings"])
+    # doc 0's only physical rows are the revision's (omega, beta)
+    assert sorted(
+        r.term for r in posts.filter("doc_id = 0").collect()
+    ) == ["beta", "omega"]
+    assert posts.filter("doc_id = 21").count() == 0
+    lens = lake.read_segments(spark, f"{root}/doclens", pins["doclens"])
+    assert lens.filter("doc_id = 0").count() == 1
