@@ -169,7 +169,10 @@ def bootstrap_ann_index(
             spark,
             root,
             appends={
-                VECTORS: _cap_wide(enc, segment_partitions),
+                VECTORS: _cap_wide(
+                    enc.withColumn("useq", F.lit(1).cast("bigint")),
+                    segment_partitions,
+                ),
                 CELLCOUNTS: _cap(cell_counts(enc), segment_partitions),
             },
             init=True,
@@ -197,14 +200,34 @@ def append_ann_batch(
     cents, codebooks = read_ann_model(spark, root)
     enc = encoded_frame(df, vec_col, id_col, cents, codebooks).persist()
     try:
-        pins = lake.append_segments(
-            spark,
-            root,
-            appends={
-                VECTORS: _cap_wide(enc, segment_partitions),
-                CELLCOUNTS: _cap(cell_counts(enc), segment_partitions),
-            },
-        )
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            _pins, base = lake.segment_pins_versioned(spark, root)
+            # rows carry the manifest sequence that commits them — the
+            # liveness axis deletes/upserts tombstone against (see
+            # read_ann_vectors); pinning to base keeps the stamp honest
+            try:
+                pins = lake.append_segments(
+                    spark,
+                    root,
+                    appends={
+                        VECTORS: _cap_wide(
+                            enc.withColumn(
+                                "useq", F.lit(base + 1).cast("bigint")
+                            ),
+                            segment_partitions,
+                        ),
+                        CELLCOUNTS: _cap(
+                            cell_counts(enc), segment_partitions
+                        ),
+                    },
+                    expected_base=base,
+                )
+                break
+            except lake.ConcurrentCommitError as e:
+                last_err = e
+        else:
+            raise last_err
     finally:
         enc.unpersist()
     lake.expire_segments(
@@ -217,28 +240,43 @@ def append_ann_batch(
     return pins
 
 
-def _tombstoned_ids(spark, root: str, pins: dict) -> DataFrame | None:
+def _tombstone_watermarks(spark, root: str, pins: dict) -> DataFrame | None:
+    """Pinned tombstone state folded to one watermark per id —
+    ``(id, _dead)``, the highest ``dead_below`` committed. A vectors
+    row is LIVE iff its ``useq`` ≥ the watermark: deletes and
+    re-embedding upserts both tombstone at their own commit sequence,
+    so "kill everything older than me" composes under MAX (same
+    liveness axis as the text index's revisions)."""
     if TOMBSTONES not in pins:
         return None
     return (
         lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
-        .select("id")
-        .distinct()
+        .groupBy("id")
+        .agg(F.max("dead_below").alias("_dead"))
+    )
+
+
+def _live(spark, root: str, df: DataFrame, pins: dict) -> DataFrame:
+    marks = _tombstone_watermarks(spark, root, pins)
+    if marks is None:
+        return df
+    return (
+        df.join(F.broadcast(marks), on="id", how="left")
+        .filter(F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead")))
+        .drop("_dead")
     )
 
 
 def read_ann_vectors(spark: SparkSession, root: str) -> DataFrame:
     """The committed LIVE encoded corpus (id, cell, codes) — a
-    manifest-pinned multi-segment parquet scan, anti-joined against
-    the (tiny, broadcast) tombstone set once a delete has committed.
-    The only read path, so a deleted vector stops being probe-able the
-    instant its delete's manifest flip lands."""
+    manifest-pinned multi-segment parquet scan, liveness-filtered
+    against the (tiny, broadcast) watermark set once a delete or
+    re-embedding upsert has committed. The only read path, so a dead
+    vector stops being probe-able the instant the flip lands."""
     pins = lake.segment_pins(spark, root)
     vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
-    dead = _tombstoned_ids(spark, root, pins)
-    if dead is None:
-        return vecs
-    return vecs.join(F.broadcast(dead), on="id", how="left_anti")
+    out = _live(spark, root, vecs, pins)
+    return out.drop("useq") if "useq" in out.columns else out
 
 
 def delete_ann_vectors(
@@ -246,41 +284,40 @@ def delete_ann_vectors(
 ) -> dict[str, list[int]]:
     """LOGICAL delete (the GDPR take-down for embeddings): one
     O(delete-set) commit after which the vectors are un-probe-able —
-    a tombstone segment (probes anti-join it) plus a NEGATIVE
-    cellcounts segment (per dead vector's cell, ``_n = -count``; valid
-    because cellcounts are additive, so :func:`ann_cell_stats` stays
-    exact without rewriting any count segment), both under ONE
-    expected_base manifest flip. Ids absent from the corpus tombstone
-    harmlessly; replayed deletes are idempotent (already-tombstoned
-    ids drop out). Physical removal rides the next
-    :func:`compact_ann_index` rewrite."""
+    a ``(id, dead_below)`` tombstone segment (probes liveness-filter
+    against it) plus a NEGATIVE cellcounts segment (per dead vector's
+    cell, ``_n = -count``; valid because cellcounts are additive, so
+    :func:`ann_cell_stats` stays exact without rewriting any count
+    segment), both under ONE expected_base manifest flip. Ids absent
+    from the corpus tombstone harmlessly; replayed deletes are
+    idempotent (only LIVE rows contribute negative counts). Physical
+    removal rides the next :func:`compact_ann_index` rewrite."""
     ids = sorted(set(ids))
     if not ids:
         return lake.segment_pins(spark, root)
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, _meta, base = lake.segment_state(spark, root)
-        ids_df = spark.createDataFrame([(i,) for i in ids], ["id"])
-        dead = _tombstoned_ids(spark, root, pins)
-        newly = (
-            ids_df
-            if dead is None
-            else ids_df.join(dead, on="id", how="left_anti")
-        )
+        seq = base + 1
         vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
-        if len(ids) <= _DELETE_LITERAL_BUDGET and dead is None:
-            dead_vecs = vecs.filter(F.col("id").isin(ids))
+        if len(ids) <= _DELETE_LITERAL_BUDGET:
+            hit = vecs.filter(F.col("id").isin(ids))
         else:
-            dead_vecs = vecs.join(F.broadcast(newly), on="id", how="left_semi")
+            ids_df = spark.createDataFrame([(i,) for i in ids], ["id"])
+            hit = vecs.join(F.broadcast(ids_df), on="id", how="left_semi")
+        dead_vecs = _live(spark, root, hit, pins)
         neg = dead_vecs.groupBy("cell").agg(
             (-F.count(F.lit(1))).cast("bigint").alias("_n")
+        )
+        tomb = spark.createDataFrame(
+            [(i, seq) for i in ids], ["id", "dead_below"]
         )
         try:
             return lake.append_segments(
                 spark,
                 root,
                 appends={
-                    TOMBSTONES: newly.coalesce(1),
+                    TOMBSTONES: tomb.coalesce(1),
                     CELLCOUNTS: neg.coalesce(1),
                 },
                 expected_base=base,
@@ -288,6 +325,71 @@ def delete_ann_vectors(
         except lake.ConcurrentCommitError as e:
             last_err = e
     raise last_err
+
+
+def upsert_ann_vectors(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    segment_partitions: int | None = None,
+) -> dict[str, list[int]]:
+    """Vector REVISION in one atomic commit — the re-embedding wave
+    when a document's content changes: each batch id's prior vector
+    dies and the freshly encoded one becomes probe-able under the SAME
+    manifest flip. Mechanics mirror text_index.upsert_text_batch on
+    the liveness axis: new (id, cell, codes) rows stamped with the
+    committing sequence, a ``(id, dead_below=seq)`` tombstone per
+    batch id (prior rows die, same-sequence rows live, deleted ids
+    resurrect), and ONE cellcounts segment carrying the new cells'
+    positive counts and the old live cells' negatives — so
+    :func:`ann_cell_stats` stays exact as vectors migrate between
+    cells. The model is pinned; only the batch re-encodes."""
+    cents, codebooks = read_ann_model(spark, root)
+    enc = encoded_frame(df, vec_col, id_col, cents, codebooks).persist()
+    try:
+        ids_df = enc.select("id").distinct()
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            pins, _meta, base = lake.segment_state(spark, root)
+            seq = base + 1
+            old_live = _live(
+                spark,
+                root,
+                lake.read_segments(
+                    spark, f"{root}/{VECTORS}", pins[VECTORS]
+                ).join(F.broadcast(ids_df), on="id", how="left_semi"),
+                pins,
+            )
+            neg = old_live.groupBy("cell").agg(
+                (-F.count(F.lit(1))).cast("bigint").alias("_n")
+            )
+            counts = cell_counts(enc).unionByName(neg)
+            tomb = ids_df.select(
+                "id", F.lit(seq).cast("bigint").alias("dead_below")
+            )
+            try:
+                return lake.append_segments(
+                    spark,
+                    root,
+                    appends={
+                        VECTORS: _cap_wide(
+                            enc.withColumn(
+                                "useq", F.lit(seq).cast("bigint")
+                            ),
+                            segment_partitions,
+                        ),
+                        CELLCOUNTS: _cap(counts, segment_partitions),
+                        TOMBSTONES: tomb.coalesce(1),
+                    },
+                    expected_base=base,
+                )
+            except lake.ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
+    finally:
+        enc.unpersist()
 
 
 def _counts_sum_reduce(df: DataFrame) -> DataFrame:
@@ -301,16 +403,29 @@ def _counts_sum_reduce(df: DataFrame) -> DataFrame:
 
 
 def apply_ann_deletes(spark: SparkSession, root: str) -> dict[str, list[int]]:
-    """PHYSICAL delete completion: rewrite ``vectors`` live-rows-only,
-    fold the negative counts, reset the tombstone component — one
-    atomic manifest flip (lake.apply_segment_tombstones). Probe
-    results before and after are identical."""
+    """PHYSICAL delete/revision completion: rewrite ``vectors``
+    live-rows-only (watermark rule, so superseded re-embeddings leave
+    disk with deleted ids), fold the negative counts, reset the
+    tombstone component — one atomic manifest flip
+    (lake.apply_segment_tombstones). Probe results before and after
+    are identical."""
+
+    def _live_rows(vecs: DataFrame, tomb: DataFrame) -> DataFrame:
+        marks = tomb.groupBy("id").agg(F.max("dead_below").alias("_dead"))
+        return (
+            vecs.join(F.broadcast(marks), on="id", how="left")
+            .filter(
+                F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead"))
+            )
+            .drop("_dead")
+        )
+
     return lake.apply_segment_tombstones(
         spark,
         root,
         tombstones=TOMBSTONES,
         id_col="id",
-        victims=[VECTORS],
+        transforms={VECTORS: _live_rows},
         reducers={CELLCOUNTS: _counts_sum_reduce},
     )
 

@@ -306,6 +306,7 @@ PQ_NPROBE = 2
 def _ivfpq_fixed_oracle(
     cents: list[list[float]] = IVF_FIXED_CENTS,
     corpus_exclude_mod: int | None = None,
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
 ) -> str:
     # corpus_exclude_mod drops vec_id ≡ 0 (mod m) from the CORPUS side
     # of the self-join only — deleted vectors can still be queries
@@ -346,7 +347,7 @@ def _ivfpq_fixed_oracle(
     )
     return f"""
 WITH b AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    SELECT vec_id, {vec_sql} AS v
     FROM (SELECT * FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ),
@@ -649,6 +650,133 @@ def q_embedding_ann_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.knn_ivf_pq_encoded(
         corpus,
         emb_t(spark, sf_dir),
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=ANN_CENTS,
+        codebooks=PQ_FIXED_CODEBOOKS,
+        k=3,
+        nprobe=PQ_NPROBE,
+        cell_col="cell",
+        codes_col="codes",
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select(
+        "q_id",
+        "nn_id",
+        F.round(F.col("adc"), 4).alias("adc"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+ANN_UPDATE_MOD = 37  # vec_id % 37 == 0 gets re-embedded (~2.7%)
+_ANN_UPDATE_VEC_SQL = (
+    f"CASE WHEN vec_id % {ANN_UPDATE_MOD} = 0 "
+    "THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0.5 - x) "
+    "ELSE CAST(embedding AS DOUBLE[]) END"
+)
+
+_ANN_UPD_INDEX: dict[tuple[str], object] = {}
+
+
+def _updated_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus with the revision wave applied: revised ids carry
+    the deterministically transformed embedding (0.5 − x per element —
+    exact IEEE on both engines since float→double widening is exact)."""
+    return emb_t(spark, sf_dir).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % ANN_UPDATE_MOD == 0,
+            F.transform("embedding", lambda x: F.lit(0.5) - x),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+
+
+def _ensure_updated_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same build as _ensure_ann_index, then ONE upsert_ann_vectors
+    commit re-embedding vec_id ≡ 0 (mod ANN_UPDATE_MOD) — watermark
+    tombstones kill the prior vectors while the same-sequence fresh
+    encodings serve, and cellcounts migrate by negative+positive rows.
+    Returns the LIVE corpus frame."""
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        ann_index,
+    )
+
+    key = (sf_dir,)
+    tmp = _ANN_UPD_INDEX.get(key)
+    if tmp is None:
+        if _audit():
+            return ann_index.encoded_frame(
+                _updated_vectors(spark, sf_dir),
+                "embedding",
+                "vec_id",
+                ANN_CENTS,
+                PQ_FIXED_CODEBOOKS,
+            ).withColumnRenamed("id", "vec_id")
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_upd_")
+        emb = emb_t(spark, sf_dir)
+        ann_index.bootstrap_ann_index(
+            spark,
+            tmp.name,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            vec_col="embedding",
+            id_col="vec_id",
+            cents=ANN_CENTS,
+            codebooks=PQ_FIXED_CODEBOOKS,
+            segment_partitions=8,
+        )
+        for r in ANN_BATCH_MODULI:
+            ann_index.append_ann_batch(
+                spark,
+                tmp.name,
+                emb.filter(F.col("vec_id") % 4 == r),
+                vec_col="embedding",
+                id_col="vec_id",
+                segment_partitions=8,
+            )
+        ann_index.upsert_ann_vectors(
+            spark,
+            tmp.name,
+            _updated_vectors(spark, sf_dir).filter(
+                F.col("vec_id") % ANN_UPDATE_MOD == 0
+            ),
+            vec_col="embedding",
+            id_col="vec_id",
+            segment_partitions=8,
+        )
+        _ANN_UPD_INDEX[key] = tmp
+    tmp = _ANN_UPD_INDEX[key]
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        ann_index,
+    )
+
+    return ann_index.read_ann_vectors(spark, tmp.name).select(
+        F.col("id").alias("vec_id"), "cell", "codes"
+    )
+
+
+@register(
+    "embedding_ann_after_update",
+    oracle=_ivfpq_fixed_oracle(ANN_CENTS, vec_sql=_ANN_UPDATE_VEC_SQL),
+)
+def q_embedding_ann_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search AFTER a re-embedding wave (ann_index.
+    upsert_ann_vectors — content changed, so ~2.7% of vectors get
+    revised embeddings): one atomic commit writes the fresh
+    (cell, codes) rows, a sequence watermark killing each id's prior
+    vector, and migrated cellcounts; the probe must return exactly the
+    DuckDB twin's IVFADC replay over the REVISED corpus — a stale
+    vector still probe-able, a double-served id, or a count that
+    failed to migrate between cells all hash-mismatch. Queries run
+    from the revised vectors too (the re-crawled content is what gets
+    searched). The model stays pinned; only the batch re-encoded."""
+    corpus = _ensure_updated_ann_index(spark, sf_dir)
+    out = sim.knn_ivf_pq_encoded(
+        corpus,
+        _updated_vectors(spark, sf_dir),
         vec_col="embedding",
         id_col="vec_id",
         cents=ANN_CENTS,

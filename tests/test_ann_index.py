@@ -335,3 +335,74 @@ def test_compaction_applies_ann_deletes_physically(spark, tmp_path):
     )
     pins2 = ann_index.compact_ann_index(spark, root)
     assert len(pins2["vectors"]) == 1
+
+
+def test_upsert_reembeds_and_keeps_counts_exact(spark, tmp_path):
+    """A re-embedding upsert replaces the probed vector atomically:
+    probe results equal the one-shot search over (untouched + revised)
+    vectors, cell stats track the migration between cells exactly, and
+    a deleted id resurrects with only its new vector."""
+    root = str(tmp_path / "ann")
+    boot, b1 = list(range(0, 8)), list(range(8, 13))
+    _build(spark, root, boot, [b1])
+    # revised vectors: a deterministic different embedding per id
+    revised_ids = [1, 4, 9]
+
+    def _revised(ids):
+        return _vecs(spark, [i + 100 for i in ids]).select(
+            (F.col("vec_id") - 100).alias("vec_id"), "embedding"
+        )
+
+    ann_index.upsert_ann_vectors(
+        spark, root, _revised(revised_ids), "embedding", "vec_id",
+        segment_partitions=2,
+    )
+    # the one-shot truth over the corpus with revisions applied
+    plain = [i for i in boot + b1 if i not in revised_ids]
+    truth = _vecs(spark, plain).unionByName(_revised(revised_ids))
+    got = sorted(map(tuple, ann_index.probe_ann_index(
+        spark, root, truth, "embedding", "vec_id",
+        k=3, nprobe=2, query_filter=F.col("vec_id") < 6,
+    ).collect()))
+    want = sim.knn_ivf_pq(
+        truth, "embedding", "vec_id",
+        cents=CENTS, codebooks=CODEBOOKS, k=3, nprobe=2,
+        query_filter=F.col("vec_id") < 6,
+    )
+    assert got == sorted(map(tuple, want.collect()))
+    stats = {
+        r.cell: r.n_vectors
+        for r in ann_index.ann_cell_stats(spark, root).collect()
+    }
+    direct = {
+        r.cell: r.n
+        for r in ann_index.read_ann_vectors(spark, root)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stats == direct and sum(stats.values()) == len(boot + b1)
+
+    # delete then re-embed: resurrection serves ONLY the new vector
+    ann_index.delete_ann_vectors(spark, root, [2])
+    ann_index.upsert_ann_vectors(
+        spark, root, _revised([2]), "embedding", "vec_id",
+        segment_partitions=2,
+    )
+    live = ann_index.read_ann_vectors(spark, root)
+    assert live.filter("id = 2").count() == 1
+    assert sum(
+        r.n_vectors
+        for r in ann_index.ann_cell_stats(spark, root).collect()
+    ) == len(boot + b1)
+    # physical apply keeps everything identical and drops dead rows
+    before = sorted(map(tuple, ann_index.probe_ann_index(
+        spark, root, truth, "embedding", "vec_id",
+        k=3, nprobe=2, query_filter=F.col("vec_id") < 6,
+    ).collect()))
+    pins = ann_index.compact_ann_index(spark, root)
+    after = sorted(map(tuple, ann_index.probe_ann_index(
+        spark, root, truth, "embedding", "vec_id",
+        k=3, nprobe=2, query_filter=F.col("vec_id") < 6,
+    ).collect()))
+    assert after == before
+    vecs = lake.read_segments(spark, f"{root}/vectors", pins["vectors"])
+    assert vecs.count() == len(boot + b1)  # one live row per id
