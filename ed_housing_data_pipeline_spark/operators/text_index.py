@@ -343,6 +343,7 @@ def upsert_text_batch(
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_meta: dict | None = None,
 ) -> dict[str, list[int]]:
     """Document REVISION in one atomic commit (the re-crawl / content-
     correction path): every batch doc's prior revision dies and its
@@ -448,6 +449,7 @@ def upsert_text_batch(
                         "total_tokens": int(meta.get("total_tokens", 0))
                         + tot_new
                         - tot_old,
+                        **(extra_meta or {}),
                     },
                     expected_base=base,
                 )

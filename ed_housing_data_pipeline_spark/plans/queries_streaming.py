@@ -693,6 +693,59 @@ def _stream_search_oracle() -> str:
     return QUERIES["doc_inverted_search_and"].oracle
 
 
+def _stream_upsert_oracle() -> str:
+    from ed_housing_data_pipeline_spark.plans.queries_search import (  # noqa: PLC0415
+        _bm25_oracle,
+        _updated_docs_sql,
+    )
+
+    # identical final state: full batch build + STREAMED revision wave
+    # must serve exactly what a build over the revised corpus serves
+    return _bm25_oracle(docs_sql=_updated_docs_sql())
+
+
+@register("doc_stream_search_upsert", oracle=_stream_upsert_oracle())
+def q_doc_stream_search_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop for a mutating corpus: the index is batch-built
+    over the ORIGINAL documents, then the revision wave (doc_id ≡ 0
+    mod UPDATE_MOD, content re-crawled with a marker suffix) arrives
+    AS A STREAM through the transactional UPSERT sink
+    (streaming/search.run_stream_search_upserts) — each micro-batch
+    lands fresh postings/doclens, the watermark tombstoning the prior
+    revision, negative+positive termstats, the avgdl delta, and the
+    batch id in ONE manifest flip. The final BM25 is hash-checked
+    against DuckDB over the revised corpus — the same oracle as the
+    batch upsert twin doc_search_after_update, so batch and streamed
+    revision paths are pinned to identical serving state."""
+    from ed_housing_data_pipeline_spark.operators import text_index  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.plans.queries_search import (  # noqa: PLC0415
+        RANK_K,
+        RANK_TERMS,
+        UPDATE_MOD,
+        UPDATE_SUFFIX,
+    )
+    from ed_housing_data_pipeline_spark.streaming import search as ss  # noqa: PLC0415
+
+    ensure_runtime_confs(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="stream_upsert_") as tmp:
+        root = f"{tmp}/index"
+        text_index.bootstrap_text_index(spark, root, docs)
+        schema = tables.load_table(spark, sf_dir, "documents").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/documents.parque[t]")
+            .filter(F.col("doc_id") % UPDATE_MOD == 0)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(UPDATE_SUFFIX)).alias("text"),
+            )
+        )
+        ss.run_stream_search_upserts(stream, root, f"{tmp}/ckpt")
+        out = text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
+        return out.localCheckpoint(eager=True)
+
+
 @register("doc_stream_search_ingest", oracle=_stream_search_oracle())
 def q_doc_stream_search_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL streaming text-index maintenance loop as a registered,

@@ -69,6 +69,75 @@ def sink_text_batch(
     return True
 
 
+def sink_text_upsert_batch(
+    spark,
+    root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = 64,
+) -> bool:
+    """The CDC sibling of :func:`sink_text_batch`: each micro-batch is
+    a wave of document REVISIONS (re-crawls, content corrections), not
+    appends — committed through text_index.upsert_text_batch so every
+    revised doc's prior rows die under the same manifest flip that
+    serves the new ones. Exactly-once is the same transactional
+    batch-id-in-meta contract (an upsert replayed after a
+    crash-after-commit would otherwise tombstone its OWN rows' twin
+    and re-count df deltas); the threshold compaction policy applies
+    unchanged."""
+    last = int(lake.segment_meta(spark, root).get(LAST_BATCH_KEY, -1))
+    if batch_id <= last:
+        return False
+    pins = text_index.upsert_text_batch(
+        spark,
+        root,
+        batch_df,
+        id_col=id_col,
+        text_col=text_col,
+        extra_meta={LAST_BATCH_KEY: int(batch_id)},
+    )
+    if compact_every and len(pins[text_index.COMPONENT]) >= compact_every:
+        text_index.compact_text_index(spark, root)
+    return True
+
+
+def run_stream_search_upserts(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = 64,
+) -> None:
+    """Drain a CDC stream of document revisions (availableNow) through
+    the transactional upsert sink — the search index stays in lockstep
+    with a mutating corpus at O(batch + revised docs' old postings)
+    per micro-batch."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink_text_upsert_batch(
+            batch_df.sparkSession,
+            root,
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            compact_every=compact_every,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_search_ingest(
     stream_df: DataFrame,
     root: str,

@@ -814,3 +814,38 @@ def test_apply_drops_superseded_revisions_physically(spark, tmp_path):
     assert posts.filter("doc_id = 21").count() == 0
     lens = lake.read_segments(spark, f"{root}/doclens", pins["doclens"])
     assert lens.filter("doc_id = 0").count() == 1
+
+
+def test_stream_upsert_sink_replay_is_exactly_once(spark, tmp_path):
+    """A replayed revision micro-batch is skipped WHOLE: an upsert
+    re-run would tombstone its own prior commit's rows and re-apply
+    the df/token deltas — the batch-id-in-meta transaction makes the
+    decision and the data commit one rename, so counters and search
+    results are byte-stable across re-delivery."""
+    from ed_housing_data_pipeline_spark.streaming import search as ss
+
+    root = str(tmp_path / "idx")
+    _build(spark, root)
+    rev = _df(spark, [Row(doc_id=0, text="omega beta")])
+    assert ss.sink_text_upsert_batch(spark, root, rev, 0) is True
+    pins1 = lake.segment_pins(spark, root)
+    meta1 = lake.segment_meta(spark, root)
+    # crash-after-commit replay: same id -> skipped, nothing moves
+    assert ss.sink_text_upsert_batch(spark, root, rev, 0) is False
+    assert lake.segment_pins(spark, root) == pins1
+    assert lake.segment_meta(spark, root) == meta1
+    got = {
+        r.term: r.df
+        for r in text_index.term_stats(spark, root, ["alpha", "omega"]).collect()
+    }
+    assert got == {"alpha": 2, "omega": 1}  # not double-applied
+    # a later revision commits; a stale lower id after it is skipped
+    assert ss.sink_text_upsert_batch(
+        spark, root, _df(spark, [Row(doc_id=0, text="zeta")]), 1
+    ) is True
+    assert ss.sink_text_upsert_batch(spark, root, rev, 0) is False
+    assert {
+        r.doc_id
+        for r in text_index.search_all_terms(spark, root, ["zeta"]).collect()
+    } == {0}
+    assert text_index.search_all_terms(spark, root, ["omega"]).count() == 0
