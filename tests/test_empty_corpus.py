@@ -54,9 +54,20 @@ def test_doc_and_embedding_queries_survive_empty_corpus(spark, empty_sf_dir):
                     fn(spark, empty_sf_dir).count()
                 continue
             try:
-                n = fn(spark, empty_sf_dir).count()
+                df = fn(spark, empty_sf_dir)
+                n = df.count()
             except Exception as e:  # noqa: BLE001 - collecting all failures
                 failures.append(f"{name}: {type(e).__name__}: {e}")
+                continue
+            if name == "doc_index_stats":
+                # a GLOBAL aggregate (like its oracle): one row of
+                # zero counters IS the empty-corpus answer
+                row = df.collect()[0]
+                if n != 1 or (row["n_docs"], row["total_tokens"]) != (0, 0):
+                    failures.append(
+                        f"{name}: expected one (0, 0) counters row, got "
+                        f"{df.collect()}"
+                    )
                 continue
             if n != 0:
                 failures.append(f"{name}: expected 0 rows on empty corpus, got {n}")
