@@ -521,8 +521,20 @@ def pinned_postings(
     over driver-side skipping for audit-style queries."""
     probe = sorted(set(terms))
     if at_version is None:
-        pins = lake.segment_pins(spark, root)
-        hits = lake.read_segments_bloom_pruned(spark, root, COMPONENT, "term", probe)
+        # ONE manifest read serves pins + bloom coverage + tombstone
+        # state — a consistent snapshot, and no repeat FS round-trips
+        # on the per-search hot path
+        pins, _zones, blooms, _meta, _v = lake._manifest_state(spark, root)
+        kept, pinned = lake.bloom_pruned_pins_from_state(
+            spark, root, COMPONENT, "term", probe, pins, blooms
+        )
+        comp_root = f"{root}/{COMPONENT}"
+        if kept:
+            hits = lake.read_segments(spark, comp_root, kept)
+        else:
+            hits = lake.read_segments(spark, comp_root, pinned[:1]).filter(
+                F.lit(False)
+            )
     else:
         pins = lake.segment_pins_at(spark, root, at_version)
         hits = lake.read_segments(spark, f"{root}/{COMPONENT}", pins[COMPONENT])

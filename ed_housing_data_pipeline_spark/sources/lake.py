@@ -1353,6 +1353,24 @@ def bloom_pruned_pins(
     Values are probed through the same STRING cast the writer hashed
     (intended for id-like string/integer columns)."""
     pins, _zones, blooms, _meta, _version = _manifest_state(spark, root)
+    return bloom_pruned_pins_from_state(
+        spark, root, component, col, values, pins, blooms
+    )
+
+
+def bloom_pruned_pins_from_state(
+    spark,
+    root: str,
+    component: str,
+    col: str,
+    values: Sequence,
+    pins: dict,
+    blooms: dict,
+) -> tuple[list[int], list[int]]:
+    """:func:`bloom_pruned_pins` over an ALREADY-READ manifest state —
+    for callers that consult several pieces of one manifest (pins +
+    blooms + tombstones) and must both save the repeat filesystem
+    reads and see ONE consistent snapshot across them."""
     if component not in pins:
         raise KeyError(f"bloom_pruned_pins: no pinned component {component!r}")
     probe = [str(v) for v in values if v is not None]
