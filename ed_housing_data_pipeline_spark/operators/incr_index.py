@@ -42,6 +42,11 @@ from ed_housing_data_pipeline_spark.sources import lake
 
 DATA_COMPONENTS = ("docs", "bands", "shingles")
 DERIVED_COMPONENTS = ("bucketcounts", "stopbands")
+TOMBSTONES = "deleted_docs"
+META_CAP_KEY = "max_bucket_width"
+# below this many ids the delete scan pushes `doc_id IN (...)` into
+# the parquet reader (same budget as the text/ANN indexes)
+_DELETE_LITERAL_BUDGET = 256
 
 
 def bucket_counts(bands_df: DataFrame) -> DataFrame:
@@ -70,14 +75,16 @@ def merged_stop(
 ) -> DataFrame:
     """The exact next stop-band table without an O(index) pass.
 
-    Sound because the index is append-only: widths only grow, so every
-    old stop row stays a stop row (its width refreshed by the batch's
-    delta, O(stop)+O(batch)), and a NEW stop row can only be a bucket
-    the batch touched — whose prior width is read from the committed
-    count segments via a broadcast semi-join on the touched key set
-    (bounded by batch size × bands), never a full re-aggregation.
-    Differentially pinned against the full recompute in
-    tests/test_streaming.py."""
+    Sound in BOTH width directions: a NEW stop row can only be a
+    bucket the batch touched — whose prior width is read from the
+    committed count segments via a broadcast semi-join on the touched
+    key set (bounded by batch size × bands), never a full
+    re-aggregation — and a refreshed old stop row is re-checked
+    against the cap, so a NEGATIVE delta (a delete's retracted bucket
+    counts) un-stops a bucket whose width fell back under the cap.
+    For append-only deltas the re-check is a no-op (widths only
+    grow). Differentially pinned against the full recompute in
+    tests/test_streaming.py and the delete tests."""
     cap = max_bucket_width
     touched = batch_counts.select("band", "key", F.col("_n").alias("_add"))
     prior = (
@@ -98,6 +105,7 @@ def merged_stop(
         old_stop.select("band", "key", "_bw")
         .join(touched, ["band", "key"], "left")
         .withColumn("_bw", F.col("_bw") + F.coalesce("_add", F.lit(0)))
+        .filter(F.col("_bw") > cap)  # negative deltas can un-stop
         .select("band", "key", "_bw")
     )
     return refreshed.unionByName(crossed).withColumn(
@@ -123,7 +131,15 @@ def bootstrap_index(
             f"{sorted(frames)}"
         )
     pins = {
-        name: [lake.write_segment(spark, df, f"{root}/{name}")]
+        # rows carry the manifest sequence that commits them (the
+        # delete/re-ingest liveness axis — see _tombstone_watermarks)
+        name: [
+            lake.write_segment(
+                spark,
+                df.withColumn("useq", F.lit(1).cast("bigint")),
+                f"{root}/{name}",
+            )
+        ]
         for name, df in frames.items()
     }
     bands_read = lake.read_segments(spark, f"{root}/bands", pins["bands"])
@@ -142,8 +158,13 @@ def bootstrap_index(
         )
     ]
     # first commit pinned at version 1: bootstrapping over an already-
-    # committed index raises instead of silently replacing it
-    lake.commit_segment_manifest(spark, root, pins, expected_base=0)
+    # committed index raises instead of silently replacing it. The
+    # bucket cap rides the manifest meta so maintenance (delete's stop
+    # refresh, compaction's physical apply) never needs it re-supplied
+    lake.commit_segment_manifest(
+        spark, root, pins, expected_base=0,
+        meta={META_CAP_KEY: int(max_bucket_width)},
+    )
     return pins
 
 
@@ -207,12 +228,17 @@ def append_batch(
         # shuffle of a micro-batch is cheap
         return df.repartition(segment_partitions) if segment_partitions else df
 
-    pins, base = lake.segment_pins_versioned(spark, root)
+    pins, meta, base = lake.segment_state(spark, root)
     new_pins = dict(pins)
+    seq = base + 1  # liveness stamp (see _tombstone_watermarks)
 
     def _write_data(name: str) -> tuple[str, int]:
         return name, lake.write_segment(
-            spark, _cap_wide(frames[name]), f"{root}/{name}"
+            spark,
+            _cap_wide(frames[name]).withColumn(
+                "useq", F.lit(seq).cast("bigint")
+            ),
+            f"{root}/{name}",
         )
 
     # the batch's bucket counts feed BOTH derived writes (the counts
@@ -264,7 +290,10 @@ def append_batch(
     # committer cannot be silently dropped — the loser raises
     # ConcurrentCommitError and retries from fresh pins (its written
     # segments stay unpinned debris for the age-gated sweep)
-    lake.commit_segment_manifest(spark, root, new_pins, expected_base=base)
+    meta_kw = {"meta": meta} if meta else {}
+    lake.commit_segment_manifest(
+        spark, root, new_pins, expected_base=base, **meta_kw
+    )
     lake.expire_segments(
         spark, root, keep_manifests=keep_manifests,
         orphan_grace_sec=orphan_grace_sec,
@@ -273,12 +302,167 @@ def append_batch(
     return new_pins
 
 
+def _tombstone_watermarks(spark, root: str, pins: dict) -> DataFrame | None:
+    """Pinned tombstone state folded to one (doc_id, _dead) watermark
+    per doc — the same liveness axis as the text/ANN indexes: a data
+    row is LIVE iff its ``useq`` ≥ the watermark, so deletes kill all
+    prior rows and a later re-ingest (whose rows carry a newer
+    sequence) resurrects the id cleanly."""
+    if TOMBSTONES not in pins:
+        return None
+    return (
+        lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
+        .groupBy("doc_id")
+        .agg(F.max("dead_below").alias("_dead"))
+    )
+
+
+def _live(spark, root: str, df: DataFrame, pins: dict) -> DataFrame:
+    marks = _tombstone_watermarks(spark, root, pins)
+    if marks is None:
+        return df
+    return (
+        df.join(F.broadcast(marks), on="doc_id", how="left")
+        .filter(F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead")))
+        .drop("_dead")
+    )
+
+
 def read_index(
     spark: SparkSession, root: str, components: Sequence[str] | None = None
 ) -> dict[str, DataFrame]:
     """Manifest-pinned component frames (each a multi-segment union
-    scan) — the only read path."""
-    return lake.read_segmented_components(spark, root, components)
+    scan), LIVENESS-FILTERED for the doc-keyed data components once a
+    delete has committed — the only read path, so a deleted document
+    stops being a dedup blocker / candidate the instant the flip
+    lands. Derived stats components pass through (bucketcounts fold
+    their negative delete rows additively; stopbands were refreshed at
+    delete time)."""
+    pins, _zones, _blooms, _meta, _v = lake._manifest_state(spark, root)
+    names = list(components) if components is not None else [
+        n for n in pins if n != TOMBSTONES
+    ]
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = lake.read_segments(spark, f"{root}/{name}", pins[name])
+        if name in DATA_COMPONENTS:
+            # useq is protocol plumbing, not index content — served
+            # frames keep the pre-liveness public schema
+            df = _live(spark, root, df, pins).drop("useq")
+        out[name] = df
+    return out
+
+
+def delete_docs(
+    spark: SparkSession,
+    root: str,
+    doc_ids: Sequence,
+    max_bucket_width: int | None = None,
+) -> dict[str, list[int]]:
+    """LOGICAL delete from the dedup index (the GDPR take-down / the
+    un-block that lets a near-dup of a removed document be accepted
+    later): ONE expected_base commit lands —
+
+    - a ``(doc_id, dead_below)`` tombstone segment (reads liveness-
+      filter the doc-keyed components against it);
+    - a NEGATIVE bucketcounts segment for the deleted docs' live band
+      buckets (widths are additive, so committed count segments are
+      never rewritten);
+    - a REPLACED stop-band table: merged_stop with the negative delta
+      re-checks refreshed widths against the cap, so buckets whose
+      width fell back under it UN-STOP — candidate generation resumes
+      exactly where the width math says it should.
+
+    O(delete-set + the deleted docs' band rows); replayed deletes are
+    idempotent (only live rows contribute negatives). The cap comes
+    from the manifest meta pinned at bootstrap unless overridden."""
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return lake.segment_pins(spark, root)
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        pins, meta, base = lake.segment_state(spark, root)
+        cap = (
+            int(max_bucket_width)
+            if max_bucket_width is not None
+            else int(meta[META_CAP_KEY])
+        )
+        seq = base + 1
+        bands = lake.read_segments(spark, f"{root}/bands", pins["bands"])
+        if len(ids) <= _DELETE_LITERAL_BUDGET:
+            hit = bands.filter(F.col("doc_id").isin(ids))
+        else:
+            ids_df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+            hit = bands.join(F.broadcast(ids_df), on="doc_id", how="left_semi")
+        dead_bands = _live(spark, root, hit, pins)
+        neg = dead_bands.groupBy("band", "key").agg(
+            (-F.count(F.lit(1))).alias("_n")
+        )
+        committed_counts = lake.read_segments(
+            spark, f"{root}/bucketcounts", pins["bucketcounts"]
+        )
+        old_stop = lake.read_segments(
+            spark, f"{root}/stopbands", pins["stopbands"]
+        )
+        new_stop = merged_stop(old_stop, committed_counts, neg, cap)
+        tomb = spark.createDataFrame(
+            [(i, seq) for i in ids], ["doc_id", "dead_below"]
+        )
+        try:
+            return lake.append_segments(
+                spark,
+                root,
+                appends={
+                    TOMBSTONES: tomb.coalesce(1),
+                    "bucketcounts": neg.coalesce(1),
+                },
+                replaces={"stopbands": new_stop.coalesce(1)},
+                expected_base=base,
+            )
+        except lake.ConcurrentCommitError as e:
+            last_err = e
+    raise last_err
+
+
+def apply_index_deletes(
+    spark: SparkSession, root: str, max_bucket_width: int | None = None
+) -> dict[str, list[int]]:
+    """PHYSICAL delete completion: rewrite every doc-keyed component
+    live-rows-only, recompute bucket counts and the stop table from
+    the live bands (the O(index) ground truth — apply is already a
+    full rewrite), reset the tombstones — one expected_base manifest
+    flip. Dedup decisions before and after are identical."""
+    pins, meta, base = lake.segment_state(spark, root)
+    if TOMBSTONES not in pins:
+        return pins
+    cap = (
+        int(max_bucket_width)
+        if max_bucket_width is not None
+        else int(meta[META_CAP_KEY])
+    )
+    replaces: dict[str, DataFrame] = {}
+    for name in DATA_COMPONENTS:
+        if name not in pins:
+            continue
+        replaces[name] = _live(
+            spark,
+            root,
+            lake.read_segments(spark, f"{root}/{name}", pins[name]),
+            pins,
+        )
+    live_bands = replaces["bands"]
+    replaces["bucketcounts"] = bucket_counts(live_bands)
+    replaces["stopbands"] = stop_from_counts(
+        bucket_counts(live_bands), cap
+    )
+    replaces[TOMBSTONES] = (
+        lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
+        .limit(0)
+        .coalesce(1)
+    )
+    return lake.append_segments(
+        spark, root, appends={}, replaces=replaces, expected_base=base
+    )
 
 
 def compact_index(
@@ -290,7 +474,16 @@ def compact_index(
     union rewrite for the data components, sum re-aggregation for
     ``bucketcounts`` (additive). One O(index) rewrite that amortizes
     over the K O(batch) commits between compactions; run on a cadence
-    (streaming sink's ``compact_every``, or a maintenance cron)."""
+    (streaming sink's ``compact_every``, or a maintenance cron). With
+    live tombstones pinned, compaction IS the physical delete apply
+    (:func:`apply_index_deletes`)."""
+    pins = lake.segment_pins(spark, root)
+    if TOMBSTONES in pins and (
+        lake.read_segments(spark, f"{root}/{TOMBSTONES}", pins[TOMBSTONES])
+        .limit(1)
+        .count()
+    ):
+        return apply_index_deletes(spark, root)
     return lake.compact_segments(
         spark,
         root,

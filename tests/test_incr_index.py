@@ -515,11 +515,11 @@ def test_compaction_loses_to_mid_flight_ingest_then_retries(
     real_commit = lake.commit_segment_manifest
     state = {"armed": True}
 
-    def ingest_lands_first(spark_, root_, pins_, expected_base):
+    def ingest_lands_first(spark_, root_, pins_, expected_base, **kw):
         if state["armed"]:
             state["armed"] = False  # the nested append commits for real
             _append(spark, root, [(20, 2, "k2"), (21, 0, "k0")])
-        return real_commit(spark_, root_, pins_, expected_base)
+        return real_commit(spark_, root_, pins_, expected_base, **kw)
 
     monkeypatch.setattr(lake, "commit_segment_manifest", ingest_lands_first)
     with pytest.raises(lake.ConcurrentCommitError):
@@ -558,11 +558,11 @@ def test_ingest_loses_to_mid_flight_compaction_then_retries(
     real_commit = lake.commit_segment_manifest
     state = {"armed": True}
 
-    def compaction_lands_first(spark_, root_, pins_, expected_base):
+    def compaction_lands_first(spark_, root_, pins_, expected_base, **kw):
         if state["armed"]:
             state["armed"] = False  # the nested compaction commits for real
             incr_index.compact_index(spark, root)
-        return real_commit(spark_, root_, pins_, expected_base)
+        return real_commit(spark_, root_, pins_, expected_base, **kw)
 
     monkeypatch.setattr(lake, "commit_segment_manifest", compaction_lands_first)
     with pytest.raises(lake.ConcurrentCommitError):
@@ -654,3 +654,101 @@ def test_threaded_compaction_races_ingest(spark, tmp_path):
     before = _index_content(spark, root)
     incr_index.compact_index(spark, root)
     assert _index_content(spark, root) == before
+
+
+def test_delete_docs_unblocks_and_refreshes_stop_bands(spark, tmp_path):
+    """Deleting docs retracts their band-bucket widths exactly (the
+    negative additive counts), UN-stops a bucket whose width falls
+    back under the cap (the merged_stop re-check), and the served
+    index never shows a deleted doc's rows — all under one commit."""
+    # CAP is 3 here so widths cross with few rows
+    cap = 3
+    root = str(tmp_path / "idx")
+    incr_index.bootstrap_index(
+        spark,
+        root,
+        {
+            "bands": _bands_frame(
+                spark,
+                [(1, 0, "k0"), (2, 0, "k0"), (3, 0, "k0"), (4, 0, "k0"),
+                 (5, 1, "k1")],
+            ),
+            "shingles": _shingles_frame(spark, [1, 2, 3, 4, 5]),
+        },
+        max_bucket_width=cap,
+    )
+    # (0, k0) width 4 > 3: stopped
+    assert {(b, k) for b, k, *_ in _stop_set(spark, root)} == {(0, "k0")}
+    incr_index.delete_docs(spark, root, [1, 2])
+    # width back to 2 <= 3: un-stopped; counts fold to live widths
+    assert _stop_set(spark, root) == set()
+    idx = incr_index.read_index(spark, root)
+    assert {r["doc_id"] for r in idx["bands"].collect()} == {3, 4, 5}
+    assert {r["doc_id"] for r in idx["shingles"].collect()} == {3, 4, 5}
+    counts = {
+        (r["band"], r["key"], r["n"])
+        for r in idx["bucketcounts"]
+        .groupBy("band", "key")
+        .agg(F.sum("_n").alias("n"))
+        .collect()
+    }
+    assert counts == {(0, "k0", 2), (1, "k1", 1)}
+    # replayed delete: idempotent on every stat
+    incr_index.delete_docs(spark, root, [1, 999])
+    idx2 = incr_index.read_index(spark, root)
+    counts2 = {
+        (r["band"], r["key"], r["n"])
+        for r in idx2["bucketcounts"]
+        .groupBy("band", "key")
+        .agg(F.sum("_n").alias("n"))
+        .collect()
+    }
+    assert counts2 == counts
+
+
+def test_delete_then_reingest_resurrects_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _bootstrap(spark, root, [(1, 0, "k0"), (2, 0, "k0")], [1, 2])
+    incr_index.delete_docs(spark, root, [1])
+    assert {
+        r["doc_id"]
+        for r in incr_index.read_index(spark, root)["bands"].collect()
+    } == {2}
+    # re-ingest the id (a revised doc re-accepted after take-down):
+    # the new rows' sequence outranks the delete's watermark
+    _append(spark, root, [(1, 1, "k9")])
+    idx = incr_index.read_index(spark, root)
+    got = {(r["doc_id"], r["band"], r["key"]) for r in idx["bands"].collect()}
+    assert got == {(2, 0, "k0"), (1, 1, "k9")}  # old (1,0,k0) stays dead
+    assert _stop_set(spark, root) == _full_recompute_stop(spark, root)
+
+
+def test_compaction_applies_index_deletes_physically(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    _bootstrap(
+        spark, root,
+        [(1, 0, "k0"), (2, 0, "k0"), (3, 1, "k1")], [1, 2, 3],
+    )
+    _append(spark, root, [(10, 0, "k0"), (11, 1, "k1")])
+    incr_index.delete_docs(spark, root, [2, 11])
+    before = _index_content(spark, root)
+    before_stop = _stop_set(spark, root)
+    pins = incr_index.compact_index(spark, root)
+    assert _index_content(spark, root) == before
+    assert _stop_set(spark, root) == before_stop == _full_recompute_stop(
+        spark, root
+    )
+    bands_raw = lake.read_segments(spark, f"{root}/bands", pins["bands"])
+    assert bands_raw.filter(bands_raw.doc_id.isin([2, 11])).count() == 0
+    tomb = lake.read_segments(
+        spark, f"{root}/deleted_docs", pins["deleted_docs"]
+    )
+    assert tomb.count() == 0
+    counts = lake.read_segments(
+        spark, f"{root}/bucketcounts", pins["bucketcounts"]
+    )
+    assert counts.filter("_n <= 0").count() == 0
+    # tombstone-free follow-up: plain fold path still works
+    _append(spark, root, [(30, 2, "k2")])
+    pins2 = incr_index.compact_index(spark, root)
+    assert len(pins2["bands"]) == 1
