@@ -198,62 +198,88 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # core relational / cleaning / error-handling
-    "safe_division",
-    "grouped_agg_salted",
-    "anti_join",
-    "normalize_key_group",
-    "rank_asc_nulls_last",
-    "rank_dense_global",
-    "rank_sum_top1",
-    "orders_status_priority_cube",
-    "doc_search_time_travel",
-    "customer_balance_quartiles",
-    "doc_stream_search_ingest",
-    "orders_nearby_range_join",
+    # --- r9 window. Rotation rule: every component REWIRED this round
+    # keeps an in-window representative; the seven r9-new mutation
+    # queries enter; remaining slots go to the LONGEST-STALE green
+    # rows (last driver rows r3/r4 per the r8 verdict). Rotated OUT
+    # (all r8-green and untouched in r9): safe_division, anti_join,
+    # out: safe_division, anti_join, orders_nearby_range_join,
+    # events_asof_last_view, events_hll_daily_users, doc_neardup_pairs,
+    # doc_chargram_neardup, doc_dedup_clusters, doc_word_cms_topk,
+    # doc_unigram_surprisal, doc_dup_span_coverage,
+    # doc_source_mixture_weights, embedding_knn_srp,
+    # embedding_knn_ivfpq_fixed, embedding_neardup_pairs,
+    # embedding_dedup_clusters.
+    #
+    # lake protocol (hardened this round: typed concurrency, listStatus
+    # retries, intent-before-claim cleanup, blob-read retries)
     "lake_snapshot_roundtrip",
     "doc_point_lookup",
     "doc_delete_point_lookup",
+    # text index (rewired: useq liveness, rarest-first, one-read
+    # serving, commit job fold) + its r9-new mutation lifecycle
+    "doc_inverted_search_and",
+    "doc_inverted_phrase",
+    "doc_inverted_phrase3",
+    "doc_inverted_tfidf_topk",
+    "doc_inverted_bm25_topk",
+    "doc_inverted_prefix",
+    "doc_search_time_travel",
+    "doc_stream_search_ingest",
+    "doc_index_stats",
+    "doc_search_after_delete",
+    "doc_search_after_update",
+    "doc_stream_search_upsert",
+    # LSH dedup index (rewired: useq liveness, concurrent derived
+    # writes, stop-band un-stop, meta-carried cap)
+    "doc_incremental_neardup",
+    "doc_stream_incremental_dedup",
+    # ANN index (rewired: useq liveness, expected_base appends) + its
+    # r9-new mutation lifecycle
+    "embedding_incremental_ann",
+    "embedding_ann_cellcounts",
+    "embedding_stream_ann_ingest",
+    "embedding_ann_after_delete",
+    "embedding_ann_after_update",
+    # continuous rollup (rewired: dead-group filter in the merge,
+    # expected_base replay pin in the sink) + the r9-new retraction
     "orders_incremental_rollup",
     "orders_rollup_month_range",
     "orders_stream_rollup",
+    "orders_rollup_after_retraction",
+    "events_hll_rollup",
+    # zonemap/zcluster (rewired: tz-aware bounds, boundless all-NULL
+    # guard, empty-box raise) and expectations (name validation)
     "orders_zorder_box",
     "orders_constraint_audit",
-    "lineitem_group_histogram_quantiles",
-    "orders_histogram_quantiles",
-    # event-time analytics (batch)
-    "events_asof_last_view",
-    "events_hll_daily_users",
-    "events_hll_rollup",
-    "doc_inverted_tfidf_topk",
-    # LLM-data-pipeline surface: dedup / sketches / text analysis
-    "doc_inverted_bm25_topk",
-    "doc_inverted_phrase3",
-    "doc_neardup_pairs",
-    "doc_incremental_neardup",
-    "doc_chargram_neardup",
-    "doc_dedup_clusters",
-    "doc_word_cms_topk",
-    "doc_inverted_search_and",
-    "doc_inverted_phrase",
-    "doc_unigram_surprisal",
-    "doc_dup_span_coverage",
-    "doc_source_mixture_weights",
-    "doc_inverted_prefix",
-    # LLM-data-pipeline surface: embeddings / similarity search
-    "embedding_knn_srp",
+    # rows-only by documented design: value-pinned by fixed-constant
+    # twins + recall/invariant pytest harnesses
     "embedding_knn_ivf",
-    "embedding_knn_ivfpq_fixed",
     "embedding_knn_ivfpq",
-    "embedding_incremental_ann",
-    "embedding_ann_cellcounts",
-    "embedding_neardup_pairs",
-    "embedding_dedup_clusters",
-    # structured streaming (hourly = windowed-agg rep; the full
-    # streaming ingest-with-dedup loop is the heavy stateful rep)
+    # the flagship (entry()) — never rotates out
+    "rank_sum_top1",
+    # longest-stale green rows (last driver rows r3/r4), per the r8
+    # verdict's rotation-hygiene directive
+    "dedup_keep_first",
+    "setop_intersect",
+    "embedding_knn_blocked",
+    "semi_join",
+    "topk_orders",
+    "big_spenders_having",
+    "embedding_knn_bruteforce",
+    "embedding_knn_ivf_fixed",
+    "rank_desc_nulls_last",
+    "events_sessionize_stats",
+    # family representatives that keep the remaining operator families
+    # hot (windows, skew, sketches, streaming aggregation)
+    "grouped_agg_salted",
+    "normalize_key_group",
+    "rank_asc_nulls_last",
+    "rank_dense_global",
+    "customer_balance_quartiles",
+    "orders_histogram_quantiles",
+    "lineitem_group_histogram_quantiles",
     "events_stream_hourly",
-    "doc_stream_incremental_dedup",
-    "embedding_stream_ann_ingest",
 )
 
 

@@ -25,28 +25,19 @@ def test_registry_complete_and_paired():
 
 def test_driver_window_covers_every_family():
     """The driver's correctness harness checks the FIRST 50 registered
-    queries; pin the window so every operator family — including all
-    doc_/embedding_/streaming extension families — has a hard
+    queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The anchors below are the
-    per-family representatives of the CURRENT (r8) window and may not
-    silently regress out. The r8 rotation closes the last gap: the two
-    r7 buzzer additions (embedding_knn_ivfpq_fixed, embedding_knn_ivfpq)
-    join the window, as do the three r8-new incremental-ANN-index
-    queries (embedding_incremental_ann, embedding_ann_cellcounts,
-    embedding_stream_ann_ingest — all oracle-checked), so a green r8
-    run gives every one of the 120 registered queries a driver row
-    except only the names swapped out this round (all r7-green:
-    count_star, limit_head, customer_rolling_30d_spend,
-    orders_hash_sample, region_nation_list for the ANN family, then
-    setop_except_all, events_props_struct and events_json_by_type for
-    the r8 second-wave continuous-aggregate family
-    orders_incremental_rollup / orders_rollup_month_range /
-    orders_stream_rollup, events_daily_active_users for the HLL twin
-    events_hll_daily_users which carries the same daily-distinct
-    shape; embedding_knn_ivf + embedding_knn_ivfpq
-    stay rows-only by documented design)."""
+    prior round's CORRECTNESS file. The r9 window: every component
+    REWIRED this round keeps a representative (lake protocol
+    hardening; the text/LSH/ANN indexes' useq liveness + mutation
+    lifecycle; the rollup's merge filter + sink replay pin; zonemap/
+    zcluster/expectations ADVICE fixes), the seven r9-new mutation
+    queries enter (delete/upsert/CDC/retraction/meta-counter rows),
+    and the remaining slots go to the longest-stale green rows (last
+    driver rows r3/r4). Rotated out: all r8-green and untouched in r9
+    (safe_division, anti_join, the similarity battery, the one-shot
+    HLL twin, etc. — each keeps machinery in-window via a sibling)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -54,63 +45,42 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # the never-driver-verified tail — the r8 window's whole point
-        "embedding_knn_ivfpq_fixed",  # IVF-PQ oracle twin (r7 buzzer)
-        "embedding_knn_ivfpq",        # trained IVFADC, rows-only by design
-        # r8-new: the incremental ANN index family (all oracle-checked)
-        "embedding_incremental_ann",   # bootstrap→append→pinned IVFADC probe
-        "embedding_ann_cellcounts",    # additive per-cell stats segments
-        "embedding_stream_ann_ingest", # streaming foreachBatch ANN ingest
-        # r7 tail-closers that stay hot
-        "doc_stream_search_ingest",  # transactional index sink (r8 4th wave)
-        "doc_inverted_bm25_topk",    # BM25 off incremental state (r8 4th wave)
-        "events_hll_daily_users",   # cross-engine deterministic HLL
-        "events_hll_rollup",        # sketch as incremental rollup max-state
-        "doc_inverted_tfidf_topk",  # ranked retrieval (r8 4th wave)
-        "lineitem_group_histogram_quantiles",  # grouped rank sketch (r8)
-        "orders_zorder_box",  # z-order 2-D pruning (r8 4th wave)
-        "orders_constraint_audit",  # deequ-style expectations (r8 4th wave)
-        "orders_histogram_quantiles",  # mergeable rank sketch (r8 4th wave)
-        "doc_inverted_prefix",      # wildcard prefix search (r8 4th wave)
-        "doc_unigram_surprisal",
-        "doc_dup_span_coverage",
-        "doc_source_mixture_weights",
-        "embedding_knn_ivf",        # rows-only by design
-        # rewired this round (r8) — must be re-verified by the driver
-        "doc_incremental_neardup",      # commit job-count reduction
-        "doc_stream_incremental_dedup", # same index machinery
-        "lake_snapshot_roundtrip",      # atomic stale-claim break
-        "doc_point_lookup",             # bloom-sidecar segment skipping
-        "doc_delete_point_lookup",      # tombstone-delete GDPR roundtrip
-        # r7 rewires that stay hot
-        "doc_word_cms_topk",        # count-min frequency sketch
-        "doc_chargram_neardup",     # 'g'-flag oracle fix
-        # family representatives that keep every operator family hot
-        "doc_inverted_phrase3",     # n-ary positional phrase (r8 4th wave)
-        "doc_neardup_pairs",        # LSH banding + verify
-        "doc_dedup_clusters",       # connected-components dedup
-        "embedding_knn_srp",        # LSH-bucketed ANN
-        "embedding_neardup_pairs",  # cosine near-dup
-        "embedding_dedup_clusters", # semantic dedup
-        "events_asof_last_view",    # as-of join
-        # r8-new, second wave: the continuous-aggregate family
-        "orders_incremental_rollup",   # partial-agg segments, merge-on-read
-        "orders_rollup_month_range",   # zonemap chunk-excluded window read
-        "orders_stream_rollup",        # transactional foreachBatch sink
-        "events_stream_hourly",     # streaming windowed-agg rep
-        "rank_asc_nulls_last",      # global_rank
-        "rank_dense_global",        # quantile-shard cache
-        "customer_balance_quartiles",  # global_ntile
-        "grouped_agg_salted",       # skew-salted agg
-        "orders_status_priority_cube",  # CUBE / grouping sets
-        "anti_join",                # set-negation join
-        "orders_nearby_range_join",  # range join
-        # r8-new, fourth wave: inverted-index search (swapped in for
-        # doc_gopher_quality_flags / doc_tfidf_top_terms, both r7-green
-        # and unchanged; surprisal/dup-span/cms keep the text battery)
-        "doc_inverted_search_and",  # conjunctive posting intersection
-        "doc_inverted_phrase",      # positional phrase search
-        "doc_search_time_travel",   # manifest-v1 pinned search
+        # r9-new mutation lifecycle — never driver-verified before
+        "doc_search_after_delete",
+        "doc_search_after_update",
+        "doc_stream_search_upsert",
+        "doc_index_stats",
+        "embedding_ann_after_delete",
+        "embedding_ann_after_update",
+        "orders_rollup_after_retraction",
+        # rewired-in-r9 component representatives
+        "lake_snapshot_roundtrip",      # commit-protocol hardening
+        "doc_point_lookup",             # bloom plan from one manifest read
+        "doc_delete_point_lookup",      # tombstone GDPR roundtrip
+        "doc_inverted_search_and",      # rarest-first + liveness
+        "doc_inverted_bm25_topk",       # liveness-filtered doclens
+        "doc_search_time_travel",       # at_version tombstone semantics
+        "doc_stream_search_ingest",     # commit job fold + compaction policy
+        "doc_incremental_neardup",      # LSH useq liveness
+        "doc_stream_incremental_dedup", # concurrent derived writes
+        "embedding_incremental_ann",    # ANN useq liveness
+        "orders_incremental_rollup",    # merge dead-group filter
+        "orders_stream_rollup",         # expected_base replay pin
+        "events_hll_rollup",            # rides the same merge path
+        "orders_zorder_box",            # zonemap ADVICE fixes
+        "orders_constraint_audit",      # name-validation fix
+        # rows-only by documented design
+        "embedding_knn_ivf",
+        "embedding_knn_ivfpq",
+        # the flagship (entry())
+        "rank_sum_top1",
+        # longest-stale green rows (rotation hygiene, r8 verdict #6)
+        "dedup_keep_first",
+        "setop_intersect",
+        "embedding_knn_blocked",
+        "semi_join",
+        "topk_orders",
+        "big_spenders_having",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
@@ -198,7 +168,10 @@ def test_incr_index_ingest_appends_only_batch_rows(spark):
         qll.ensure_incr_index_built(spark, sf)
         tmp = qll._INCR_INDEX[(sf, qll.SHINGLE_K, qll.N_HASHES)]
         pins1 = lake.segment_pins(spark, tmp.name)
-        base_bands = lake.read_segments(spark, f"{tmp.name}/bands", pins1["bands"])
+        # drop the liveness-protocol stamp: content comparison only
+        base_bands = lake.read_segments(
+            spark, f"{tmp.name}/bands", pins1["bands"]
+        ).drop("useq")
         base_bands_n = base_bands.count()
         base_sh_n = lake.read_segments(
             spark, f"{tmp.name}/shingles", pins1["shingles"]
@@ -213,7 +186,9 @@ def test_incr_index_ingest_appends_only_batch_rows(spark):
         batch_bands_n = batch_bands.count()
         pins2 = qll.incr_index_ingest(spark, sf)
         # content: pinned = base ∪ batch exactly
-        now = lake.read_segments(spark, f"{tmp.name}/bands", pins2["bands"])
+        now = lake.read_segments(
+            spark, f"{tmp.name}/bands", pins2["bands"]
+        ).drop("useq")
         expected = base_bands.unionByName(batch_bands)
         assert now.exceptAll(expected).count() == 0
         assert expected.exceptAll(now).count() == 0
@@ -277,7 +252,10 @@ def test_incr_index_probe_survives_torn_ingest(spark):
         before = {tuple(r) for r in fn(spark, sf).collect()}
         tmp = qll._INCR_INDEX[(sf, qll.SHINGLE_K, qll.N_HASHES)]
         pins1 = lake.segment_pins(spark, tmp.name)
-        base_bands = lake.read_segments(spark, f"{tmp.name}/bands", pins1["bands"])
+        # drop the liveness-protocol stamp: content comparison only
+        base_bands = lake.read_segments(
+            spark, f"{tmp.name}/bands", pins1["bands"]
+        ).drop("useq")
         # torn ingest: batch band segment lands UNPINNED — probing a
         # band table that included it would match batch docs to
         # themselves, so any leak of the orphan segment shows up
@@ -293,7 +271,9 @@ def test_incr_index_probe_survives_torn_ingest(spark):
         # retried ingest: pinned content = base ∪ batch exactly (no
         # doubling — the orphan segment stays unpinned forever)
         pins2 = qll.incr_index_ingest(spark, sf)
-        merged = lake.read_segments(spark, f"{tmp.name}/bands", pins2["bands"])
+        merged = lake.read_segments(
+            spark, f"{tmp.name}/bands", pins2["bands"]
+        ).drop("useq")
         expected = base_bands.unionByName(batch_bands)
         assert merged.exceptAll(expected).count() == 0
         assert expected.exceptAll(merged).count() == 0
