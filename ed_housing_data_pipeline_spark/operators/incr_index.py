@@ -44,6 +44,24 @@ DATA_COMPONENTS = ("docs", "bands", "shingles")
 DERIVED_COMPONENTS = ("bucketcounts", "stopbands")
 TOMBSTONES = "deleted_docs"
 META_CAP_KEY = "max_bucket_width"
+
+
+def _meta_cap(meta: dict, override: int | None, op: str) -> int:
+    """The bucket-width cap for a maintenance op: the explicit override
+    wins, else the manifest meta pinned at bootstrap. An index whose
+    manifest lost the cap (bootstrapped before the meta-carried cap, or
+    committed by a writer that dropped it) raises an actionable typed
+    error instead of a bare KeyError."""
+    if override is not None:
+        return int(override)
+    cap = meta.get(META_CAP_KEY)
+    if cap is None:
+        raise ValueError(
+            f"{op}: manifest meta carries no {META_CAP_KEY!r} (index "
+            "bootstrapped before the cap rode the manifest, or a committer "
+            "dropped it) — pass max_bucket_width explicitly"
+        )
+    return int(cap)
 # below this many ids the delete scan pushes `doc_id IN (...)` into
 # the parquet reader (same budget as the text/ANN indexes)
 _DELETE_LITERAL_BUDGET = 256
@@ -382,11 +400,7 @@ def delete_docs(
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, meta, base = lake.segment_state(spark, root)
-        cap = (
-            int(max_bucket_width)
-            if max_bucket_width is not None
-            else int(meta[META_CAP_KEY])
-        )
+        cap = _meta_cap(meta, max_bucket_width, "delete_docs")
         seq = base + 1
         bands = lake.read_segments(spark, f"{root}/bands", pins["bands"])
         if len(ids) <= _DELETE_LITERAL_BUDGET:
@@ -435,11 +449,7 @@ def apply_index_deletes(
     pins, meta, base = lake.segment_state(spark, root)
     if TOMBSTONES not in pins:
         return pins
-    cap = (
-        int(max_bucket_width)
-        if max_bucket_width is not None
-        else int(meta[META_CAP_KEY])
-    )
+    cap = _meta_cap(meta, max_bucket_width, "apply_index_deletes")
     replaces: dict[str, DataFrame] = {}
     for name in DATA_COMPONENTS:
         if name not in pins:

@@ -95,7 +95,8 @@ def _commit_batch(
     text_col: str,
     init: bool,
     extra_meta: dict | None = None,
-) -> dict[str, list[int]]:
+    replay_guard: tuple[str, int] | None = None,
+) -> dict[str, list[int]] | None:
     """One O(batch) index commit: a postings segment (+ term bloom), a
     termstats segment — the batch's per-term document frequency, which
     is ADDITIVE across segments because each doc lives in exactly one
@@ -112,7 +113,18 @@ def _commit_batch(
     rebasing n_docs/total_tokens onto a stale value, and the commit is
     retried from a fresh read (batch-derived frames are unchanged; the
     failed attempt's segment files stay unpinned debris for the
-    age-gated sweep, the protocol's normal loser path)."""
+    age-gated sweep, the protocol's normal loser path).
+
+    ``replay_guard`` = (meta_key, batch_id) makes the commit a
+    transactional streaming-sink step: on EVERY attempt, the guard is
+    re-checked against the freshly read meta — the same manifest
+    version the commit is pinned to — and the commit returns None
+    (no-op) when ``meta[meta_key] >= batch_id``. Checking inside the
+    retry loop is what closes the zombie-driver double-commit: a rival
+    replaying the same checkpoint that lands this batch id between our
+    read and flip fails our attempt with ConcurrentCommitError, and
+    the NEXT attempt's fresh read sees the id and skips (mirrors
+    streaming/rollups.sink_rollup_batch)."""
     from pyspark import StorageLevel  # noqa: PLC0415
 
     from ed_housing_data_pipeline_spark.functions.text import (  # noqa: PLC0415
@@ -154,6 +166,10 @@ def _commit_batch(
                 prior, base = {}, 0
             else:
                 prior, base = lake.segment_meta_versioned(spark, root)
+            if replay_guard is not None:
+                key, bid = replay_guard
+                if bid <= int(prior.get(key, -1)):
+                    return None
             # rows carry the manifest sequence that commits them: the
             # liveness axis deletes/upserts tombstone against (a row is
             # live iff useq >= its doc's highest dead_below watermark)
@@ -204,13 +220,22 @@ def append_text_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_meta: dict | None = None,
-) -> dict[str, list[int]]:
+    replay_guard: tuple[str, int] | None = None,
+) -> dict[str, list[int]] | None:
     """Fold an ingest batch into the index: O(batch) — new postings +
     termstats segments, one manifest flip. The accumulated index is
     never rewritten; readers see the old pin or the new one, never a
-    partial write."""
+    partial write. With ``replay_guard`` (see :func:`_commit_batch`)
+    returns None when the guarded batch id is already committed."""
     return _commit_batch(
-        spark, root, batch, id_col, text_col, init=False, extra_meta=extra_meta
+        spark,
+        root,
+        batch,
+        id_col,
+        text_col,
+        init=False,
+        extra_meta=extra_meta,
+        replay_guard=replay_guard,
     )
 
 
@@ -344,7 +369,8 @@ def upsert_text_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_meta: dict | None = None,
-) -> dict[str, list[int]]:
+    replay_guard: tuple[str, int] | None = None,
+) -> dict[str, list[int]] | None:
     """Document REVISION in one atomic commit (the re-crawl / content-
     correction path): every batch doc's prior revision dies and its
     new content becomes searchable under the SAME manifest flip —
@@ -397,6 +423,15 @@ def upsert_text_batch(
         last_err: Exception | None = None
         for _attempt in range(3):
             pins, meta, base = lake.segment_state(spark, root)
+            if replay_guard is not None:
+                # re-checked on the SAME manifest version the commit is
+                # pinned to, every attempt — a rival checkpoint replayer
+                # landing this batch id mid-race is seen on the next
+                # fresh read instead of double-tombstoning the batch's
+                # own rows (see _commit_batch)
+                key, bid = replay_guard
+                if bid <= int(meta.get(key, -1)):
+                    return None
             seq = base + 1
             old_posts = _live(
                 spark,
@@ -508,8 +543,23 @@ def _stats_sum_reduce(df: DataFrame) -> DataFrame:
     )
 
 
+def _index_state(spark, root: str) -> tuple[dict, dict, dict]:
+    """(pins, blooms, meta) of the last committed manifest — ONE
+    filesystem read, internally consistent (resolved at one version).
+    Every search entry point reads this once and threads it through
+    its posting scan, doclens read, term stats, and corpus-size meta,
+    so a commit landing mid-search can never mix snapshots (e.g.
+    post-upsert doclens joined to pre-upsert postings)."""
+    pins, _zones, blooms, meta, _v = lake._manifest_state(spark, root)
+    return pins, blooms, meta
+
+
 def pinned_postings(
-    spark, root: str, terms: Sequence[str], at_version: int | None = None
+    spark,
+    root: str,
+    terms: Sequence[str],
+    at_version: int | None = None,
+    state: tuple[dict, dict, dict] | None = None,
 ) -> DataFrame:
     """The manifest-pinned postings scan restricted (a) driver-side to
     segments whose term bloom may hold one of ``terms`` and (b)
@@ -518,13 +568,17 @@ def pinned_postings(
     never decode. ``at_version`` time-travels to a retained historical
     manifest (pinned segments are immutable, so the read is
     byte-stable); historical reads skip bloom pruning — correctness
-    over driver-side skipping for audit-style queries."""
+    over driver-side skipping for audit-style queries. ``state`` (a
+    :func:`_index_state` snapshot) lets a composite search serve every
+    read from one manifest version."""
     probe = sorted(set(terms))
     if at_version is None:
         # ONE manifest read serves pins + bloom coverage + tombstone
         # state — a consistent snapshot, and no repeat FS round-trips
         # on the per-search hot path
-        pins, _zones, blooms, _meta, _v = lake._manifest_state(spark, root)
+        pins, blooms, _meta = state if state is not None else _index_state(
+            spark, root
+        )
         kept, pinned = lake.bloom_pruned_pins_from_state(
             spark, root, COMPONENT, "term", probe, pins, blooms
         )
@@ -570,13 +624,17 @@ def search_all_terms(
     reads (termstats time-travel isn't worth the audit path's
     complexity)."""
     probe = sorted(set(terms))
-    p = pinned_postings(spark, root, probe, at_version=at_version)
+    state = _index_state(spark, root) if at_version is None else None
+    p = pinned_postings(spark, root, probe, at_version=at_version, state=state)
     if (
         at_version is None
         and len(probe) > 1
-        and corpus_size(spark, root) >= _RAREST_MIN_CORPUS
+        and int(state[2].get("n_docs", 0)) >= _RAREST_MIN_CORPUS
     ):
-        dfs = {r.term: r.df for r in term_stats(spark, root, probe).collect()}
+        dfs = {
+            r.term: r.df
+            for r in term_stats(spark, root, probe, state=state).collect()
+        }
         rarest = min(probe, key=lambda w: dfs.get(w, 0))
         if dfs.get(rarest, 0) <= _RAREST_BROADCAST_MAX_DF:
             rare_docs = (
@@ -598,12 +656,19 @@ def search_all_terms(
     )
 
 
-def term_stats(spark, root: str, terms: Sequence[str]) -> DataFrame:
+def term_stats(
+    spark,
+    root: str,
+    terms: Sequence[str],
+    state: tuple[dict, dict, dict] | None = None,
+) -> DataFrame:
     """(term, df) corpus document frequency of the probe terms: the
     SUM of the per-segment additive stats — O(probe terms × segments)
     rows ever touched, never a postings pass."""
     probe = sorted(set(terms))
-    pins = lake.segment_pins(spark, root)[TERMSTATS]
+    if state is None:
+        state = _index_state(spark, root)
+    pins = state[0][TERMSTATS]
     seg = lake.read_segments(spark, f"{root}/{TERMSTATS}", pins)
     return (
         seg.filter(F.col("term").isin(probe))
@@ -628,12 +693,15 @@ def search_ranked(spark, root: str, terms: Sequence[str], k: int = 15) -> DataFr
     doc_word_idf convention (ln(N/df), df ≥ 1 for matched terms); N is
     the manifest-meta corpus count (no job) and df comes from the
     additive termstats segments, so scoring never aggregates the
-    postings beyond the probe terms."""
-    n_docs = corpus_size(spark, root)
-    stats = term_stats(spark, root, terms).withColumn(
+    postings beyond the probe terms. One :func:`_index_state` snapshot
+    serves N, df, and the postings — a commit landing mid-search can't
+    mix manifest versions."""
+    state = _index_state(spark, root)
+    n_docs = int(state[2].get("n_docs", 0))
+    stats = term_stats(spark, root, terms, state=state).withColumn(
         "_idf", F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
     )
-    p = pinned_postings(spark, root, terms)
+    p = pinned_postings(spark, root, terms, state=state)
     return (
         p.join(F.broadcast(stats.select("term", "_idf")), "term")
         .groupBy("doc_id")
@@ -745,12 +813,16 @@ def search_bm25(
     on the deterministic (score DESC, doc_id ASC) order. All arithmetic
     except ln is exactly-rounded IEEE, same determinism class as the
     tf-idf ranker (both engines round to 4 decimals)."""
-    meta = lake.segment_meta(spark, root)
+    # ONE _index_state snapshot serves meta, stats, doclens, and the
+    # postings, so df/N/dl always come from the same manifest version
+    # as the posting rows they score
+    state = _index_state(spark, root)
+    pins, _blooms, meta = state
     n_docs = float(int(meta.get("n_docs", 0)))
     # empty corpus: no postings → empty result whatever avgdl is; any
     # finite placeholder degrades gracefully instead of dividing by 0
     avgdl = float(int(meta.get("total_tokens", 0))) / n_docs if n_docs else 1.0
-    stats = term_stats(spark, root, terms).withColumn(
+    stats = term_stats(spark, root, terms, state=state).withColumn(
         "_idf",
         F.log(
             F.lit(1.0)
@@ -758,7 +830,6 @@ def search_bm25(
             / (F.col("df") + F.lit(0.5))
         ),
     )
-    pins = lake.segment_pins(spark, root)
     # liveness-filtered: after an upsert a doc has one dl row per
     # revision — only the live one may normalize its BM25 scores
     lens = _live(
@@ -767,7 +838,7 @@ def search_bm25(
         lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS]),
         pins,
     ).drop("useq")
-    p = pinned_postings(spark, root, terms)
+    p = pinned_postings(spark, root, terms, state=state)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
     )
@@ -795,7 +866,7 @@ def search_prefix(spark, root: str, prefix: str) -> DataFrame:
     count — (term, doc) rows are unique index-wide."""
     if not prefix:
         raise ValueError("search_prefix: empty prefix")
-    pins = lake.segment_pins(spark, root)
+    pins, _blooms, _meta = _index_state(spark, root)
     p = _live(
         spark,
         root,

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ed_housing_data_pipeline_spark.operators import text_index
-from ed_housing_data_pipeline_spark.sources import lake
 
 LAST_BATCH_KEY = "text_index_last_stream_batch"
 
@@ -50,12 +49,18 @@ def sink_text_batch(
     O(index / compact_every) per batch. ``None`` leaves compaction to
     an external maintenance cadence.
 
+    The replay check is enforced INSIDE the commit's retry loop, on
+    the same manifest version the commit is pinned to (the
+    ``replay_guard`` contract of text_index._commit_batch): a rival
+    committer — a zombie driver replaying the same checkpoint — that
+    lands this batch id between any read and the flip fails that
+    attempt with ConcurrentCommitError, and the retry's fresh read
+    recognizes the id and skips, instead of double-counting
+    df/N/total_tokens (mirrors streaming/rollups.sink_rollup_batch).
+
     Factored out of the foreachBatch closure so the replay contract is
     directly testable without driving a stream (the rollup sink's
     pattern)."""
-    last = int(lake.segment_meta(spark, root).get(LAST_BATCH_KEY, -1))
-    if batch_id <= last:
-        return False
     pins = text_index.append_text_batch(
         spark,
         root,
@@ -63,7 +68,10 @@ def sink_text_batch(
         id_col=id_col,
         text_col=text_col,
         extra_meta={LAST_BATCH_KEY: int(batch_id)},
+        replay_guard=(LAST_BATCH_KEY, int(batch_id)),
     )
+    if pins is None:
+        return False
     if compact_every and len(pins[text_index.COMPONENT]) >= compact_every:
         text_index.compact_text_index(spark, root)
     return True
@@ -86,10 +94,10 @@ def sink_text_upsert_batch(
     batch-id-in-meta contract (an upsert replayed after a
     crash-after-commit would otherwise tombstone its OWN rows' twin
     and re-count df deltas); the threshold compaction policy applies
-    unchanged."""
-    last = int(lake.segment_meta(spark, root).get(LAST_BATCH_KEY, -1))
-    if batch_id <= last:
-        return False
+    unchanged. As in :func:`sink_text_batch`, the replay check is
+    re-evaluated inside the commit's retry loop against the pinned
+    manifest version, so a rival replayer landing the same batch id
+    mid-race is skipped on retry, never double-committed."""
     pins = text_index.upsert_text_batch(
         spark,
         root,
@@ -97,7 +105,10 @@ def sink_text_upsert_batch(
         id_col=id_col,
         text_col=text_col,
         extra_meta={LAST_BATCH_KEY: int(batch_id)},
+        replay_guard=(LAST_BATCH_KEY, int(batch_id)),
     )
+    if pins is None:
+        return False
     if compact_every and len(pins[text_index.COMPONENT]) >= compact_every:
         text_index.compact_text_index(spark, root)
     return True
