@@ -52,6 +52,9 @@ TOMBSTONES = "deleted_ids"
 # below this many ids, delete pushes `id IN (...)` into the parquet
 # scan instead of a broadcast semi-join (same budget as text_index)
 _DELETE_LITERAL_BUDGET = 256
+# broadcast bound for the liveness-watermark fold (see text_index's
+# twin constant): ~2M (id, long) rows ≈ 50 MB serialized
+_LIVE_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def write_ann_model(
@@ -256,12 +259,22 @@ def _tombstone_watermarks(spark, root: str, pins: dict) -> DataFrame | None:
     )
 
 
-def _live(spark, root: str, df: DataFrame, pins: dict) -> DataFrame:
+def _live(
+    spark, root: str, df: DataFrame, pins: dict, meta: dict | None = None
+) -> DataFrame:
+    """Liveness filter on the sequence-watermark axis; broadcast only
+    while the pinned tombstone row count (manifest meta) stays under
+    the shared bound, shuffle join past it (text_index._live policy)."""
     marks = _tombstone_watermarks(spark, root, pins)
     if marks is None:
         return df
+    if (
+        meta is None
+        or int(meta.get(lake.TOMBSTONE_ROWS_KEY, 0)) <= _LIVE_BROADCAST_MAX_ROWS
+    ):
+        marks = F.broadcast(marks)
     return (
-        df.join(F.broadcast(marks), on="id", how="left")
+        df.join(marks, on="id", how="left")
         .filter(F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead")))
         .drop("_dead")
     )
@@ -270,12 +283,13 @@ def _live(spark, root: str, df: DataFrame, pins: dict) -> DataFrame:
 def read_ann_vectors(spark: SparkSession, root: str) -> DataFrame:
     """The committed LIVE encoded corpus (id, cell, codes) — a
     manifest-pinned multi-segment parquet scan, liveness-filtered
-    against the (tiny, broadcast) watermark set once a delete or
-    re-embedding upsert has committed. The only read path, so a dead
-    vector stops being probe-able the instant the flip lands."""
-    pins = lake.segment_pins(spark, root)
+    against the watermark set once a delete or re-embedding upsert has
+    committed (broadcast while small, shuffle join past the meta-
+    tracked bound). The only read path, so a dead vector stops being
+    probe-able the instant the flip lands."""
+    pins, meta, _base = lake.segment_state(spark, root)
     vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
-    out = _live(spark, root, vecs, pins)
+    out = _live(spark, root, vecs, pins, meta)
     return out.drop("useq") if "useq" in out.columns else out
 
 
@@ -295,30 +309,121 @@ def delete_ann_vectors(
     ids = sorted(set(ids))
     if not ids:
         return lake.segment_pins(spark, root)
+    if len(ids) <= _DELETE_LITERAL_BUDGET:
+        pred = F.col("id").isin(ids)
+        return _delete_commit(
+            spark,
+            root,
+            hit_fn=lambda df, pins: df.filter(pred),
+            tomb_fn=lambda spark, seq, pins: spark.createDataFrame(
+                [(i, seq) for i in ids], ["id", "dead_below"]
+            ).coalesce(1),
+            n_tomb_fn=lambda pins: len(ids),
+        )
+    return delete_from(
+        spark, root, spark.createDataFrame([(i,) for i in ids], ["id"])
+    )
+
+
+def delete_from(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    id_col: str = "id",
+    segment_partitions: int | None = 1,
+) -> dict[str, list[int]]:
+    """DataFrame-scale take-down: :func:`delete_ann_vectors` semantics
+    with the delete set as a DataFrame of ids ("delete every vector
+    whose document came from source X") — tombstones written FROM the
+    frame, negative cellcounts from semi-joining the pinned vectors
+    against it, nothing collected to the driver. ``ids_df`` must be
+    deterministic under recomputation (persisted for the commit's
+    duration so all jobs see one content)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    ids = (
+        ids_df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_tomb = ids.count()
+        if not n_tomb:
+            return lake.segment_pins(spark, root)
+
+        def _capp(df: DataFrame) -> DataFrame:
+            return df.coalesce(segment_partitions) if segment_partitions else df
+
+        return _delete_commit(
+            spark,
+            root,
+            hit_fn=lambda df, pins: df.join(ids, on="id", how="left_semi"),
+            tomb_fn=lambda spark, seq, pins: _capp(
+                ids.select("id", F.lit(seq).cast("bigint").alias("dead_below"))
+            ),
+            n_tomb_fn=lambda pins: n_tomb,
+        )
+    finally:
+        ids.unpersist()
+
+
+def delete_where(
+    spark: SparkSession, root: str, predicate
+) -> dict[str, list[int]]:
+    """Predicate take-down over the index's own rows (id, cell,
+    codes) — e.g. ``F.col("cell") == 3`` retires a whole inverted
+    list. The delete set derives per attempt from the pinned vectors
+    (filter + distinct, never collected); corpus-attribute predicates
+    belong on the corpus table → :func:`delete_from`."""
+
+    def _ids(pins: dict) -> DataFrame:
+        vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
+        return (
+            _live(spark, root, vecs.filter(predicate), pins)
+            .select("id")
+            .distinct()
+        )
+
+    return _delete_commit(
+        spark,
+        root,
+        hit_fn=lambda df, pins: df.join(_ids(pins), on="id", how="left_semi"),
+        tomb_fn=lambda spark, seq, pins: _ids(pins)
+        .select("id", F.lit(seq).cast("bigint").alias("dead_below"))
+        .coalesce(1),
+        n_tomb_fn=None,
+    )
+
+
+def _delete_commit(
+    spark: SparkSession, root: str, hit_fn, tomb_fn, n_tomb_fn
+) -> dict[str, list[int]]:
+    """Shared logical-delete commit (see text_index._delete_commit)."""
     last_err: Exception | None = None
     for _attempt in range(3):
-        pins, _meta, base = lake.segment_state(spark, root)
+        pins, meta, base = lake.segment_state(spark, root)
         seq = base + 1
         vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
-        if len(ids) <= _DELETE_LITERAL_BUDGET:
-            hit = vecs.filter(F.col("id").isin(ids))
-        else:
-            ids_df = spark.createDataFrame([(i,) for i in ids], ["id"])
-            hit = vecs.join(F.broadcast(ids_df), on="id", how="left_semi")
-        dead_vecs = _live(spark, root, hit, pins)
+        dead_vecs = _live(spark, root, hit_fn(vecs, pins), pins, meta)
         neg = dead_vecs.groupBy("cell").agg(
             (-F.count(F.lit(1))).cast("bigint").alias("_n")
         )
-        tomb = spark.createDataFrame(
-            [(i, seq) for i in ids], ["id", "dead_below"]
-        )
+        tomb = tomb_fn(spark, seq, pins)
+        n_tomb = int(n_tomb_fn(pins)) if n_tomb_fn is not None else tomb.count()
         try:
             return lake.append_segments(
                 spark,
                 root,
                 appends={
-                    TOMBSTONES: tomb.coalesce(1),
+                    TOMBSTONES: tomb,
                     CELLCOUNTS: neg.coalesce(1),
+                },
+                meta={
+                    **meta,
+                    lake.TOMBSTONE_ROWS_KEY: int(
+                        meta.get(lake.TOMBSTONE_ROWS_KEY, 0)
+                    )
+                    + n_tomb,
                 },
                 expected_base=base,
             )
@@ -350,9 +455,12 @@ def upsert_ann_vectors(
     enc = encoded_frame(df, vec_col, id_col, cents, codebooks).persist()
     try:
         ids_df = enc.select("id").distinct()
+        # tombstone rows this commit appends (pressure counter) — a
+        # tiny count over the cached encode
+        n_tomb = ids_df.count()
         last_err: Exception | None = None
         for _attempt in range(3):
-            pins, _meta, base = lake.segment_state(spark, root)
+            pins, meta, base = lake.segment_state(spark, root)
             seq = base + 1
             old_live = _live(
                 spark,
@@ -361,6 +469,7 @@ def upsert_ann_vectors(
                     spark, f"{root}/{VECTORS}", pins[VECTORS]
                 ).join(F.broadcast(ids_df), on="id", how="left_semi"),
                 pins,
+                meta,
             )
             neg = old_live.groupBy("cell").agg(
                 (-F.count(F.lit(1))).cast("bigint").alias("_n")
@@ -382,6 +491,13 @@ def upsert_ann_vectors(
                         ),
                         CELLCOUNTS: _cap(counts, segment_partitions),
                         TOMBSTONES: tomb.coalesce(1),
+                    },
+                    meta={
+                        **meta,
+                        lake.TOMBSTONE_ROWS_KEY: int(
+                            meta.get(lake.TOMBSTONE_ROWS_KEY, 0)
+                        )
+                        + n_tomb,
                     },
                     expected_base=base,
                 )
@@ -427,6 +543,9 @@ def apply_ann_deletes(spark: SparkSession, root: str) -> dict[str, list[int]]:
         id_col="id",
         transforms={VECTORS: _live_rows},
         reducers={CELLCOUNTS: _counts_sum_reduce},
+        # the tombstone component empties with this flip — the
+        # liveness-fold pressure counter resets with it
+        meta_fn=lambda m: {**m, lake.TOMBSTONE_ROWS_KEY: 0},
     )
 
 

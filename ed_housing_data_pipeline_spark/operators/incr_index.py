@@ -65,6 +65,9 @@ def _meta_cap(meta: dict, override: int | None, op: str) -> int:
 # below this many ids the delete scan pushes `doc_id IN (...)` into
 # the parquet reader (same budget as the text/ANN indexes)
 _DELETE_LITERAL_BUDGET = 256
+# broadcast bound for the liveness-watermark fold (see text_index's
+# twin constant): ~2M (id, long) rows ≈ 50 MB serialized
+_LIVE_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def bucket_counts(bands_df: DataFrame) -> DataFrame:
@@ -335,12 +338,24 @@ def _tombstone_watermarks(spark, root: str, pins: dict) -> DataFrame | None:
     )
 
 
-def _live(spark, root: str, df: DataFrame, pins: dict) -> DataFrame:
+def _live(
+    spark, root: str, df: DataFrame, pins: dict, meta: dict | None = None
+) -> DataFrame:
+    """Liveness filter on the sequence-watermark axis; the fold is
+    broadcast only while the pinned tombstone row count (manifest
+    meta, maintained by every delete commit) stays under the shared
+    bound — past it, the join degrades to a shuffle instead of an
+    unbounded broadcast (same policy as text_index._live)."""
     marks = _tombstone_watermarks(spark, root, pins)
     if marks is None:
         return df
+    if (
+        meta is None
+        or int(meta.get(lake.TOMBSTONE_ROWS_KEY, 0)) <= _LIVE_BROADCAST_MAX_ROWS
+    ):
+        marks = F.broadcast(marks)
     return (
-        df.join(F.broadcast(marks), on="doc_id", how="left")
+        df.join(marks, on="doc_id", how="left")
         .filter(F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead")))
         .drop("_dead")
     )
@@ -356,7 +371,7 @@ def read_index(
     lands. Derived stats components pass through (bucketcounts fold
     their negative delete rows additively; stopbands were refreshed at
     delete time)."""
-    pins, _zones, _blooms, _meta, _v = lake._manifest_state(spark, root)
+    pins, _zones, _blooms, meta, _v = lake._manifest_state(spark, root)
     names = list(components) if components is not None else [
         n for n in pins if n != TOMBSTONES
     ]
@@ -366,7 +381,7 @@ def read_index(
         if name in DATA_COMPONENTS:
             # useq is protocol plumbing, not index content — served
             # frames keep the pre-liveness public schema
-            df = _live(spark, root, df, pins).drop("useq")
+            df = _live(spark, root, df, pins, meta).drop("useq")
         out[name] = df
     return out
 
@@ -397,18 +412,139 @@ def delete_docs(
     ids = sorted(set(doc_ids))
     if not ids:
         return lake.segment_pins(spark, root)
+    if len(ids) <= _DELETE_LITERAL_BUDGET:
+        pred = F.col("doc_id").isin(ids)
+        return _delete_commit(
+            spark,
+            root,
+            hit_fn=lambda df, pins: df.filter(pred),
+            tomb_fn=lambda spark, seq, pins: spark.createDataFrame(
+                [(i, seq) for i in ids], ["doc_id", "dead_below"]
+            ).coalesce(1),
+            n_tomb_fn=lambda pins: len(ids),
+            max_bucket_width=max_bucket_width,
+            op="delete_docs",
+        )
+    return delete_from(
+        spark,
+        root,
+        spark.createDataFrame([(i,) for i in ids], ["doc_id"]),
+        max_bucket_width=max_bucket_width,
+    )
+
+
+def delete_from(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_width: int | None = None,
+    segment_partitions: int | None = 1,
+) -> dict[str, list[int]]:
+    """DataFrame-scale take-down: :func:`delete_docs` semantics with
+    the delete set as a DataFrame of ids — the "delete every doc from
+    source X" shape, where the set is millions of rows and must never
+    materialize on the driver. Tombstones are written FROM the frame,
+    the negative bucket counts come from semi-joining the pinned bands
+    against it, and the stop-band refresh uses the same incremental
+    merge as the list path — one ``expected_base`` flip. ``ids_df``
+    must be deterministic under recomputation (it is persisted for the
+    commit's duration so all three jobs see one content)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    ids = (
+        ids_df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_tomb = ids.count()
+        if not n_tomb:
+            return lake.segment_pins(spark, root)
+
+        def _capp(df: DataFrame) -> DataFrame:
+            return df.coalesce(segment_partitions) if segment_partitions else df
+
+        return _delete_commit(
+            spark,
+            root,
+            hit_fn=lambda df, pins: df.join(ids, on="doc_id", how="left_semi"),
+            tomb_fn=lambda spark, seq, pins: _capp(
+                ids.select(
+                    "doc_id", F.lit(seq).cast("bigint").alias("dead_below")
+                )
+            ),
+            n_tomb_fn=lambda pins: n_tomb,
+            max_bucket_width=max_bucket_width,
+            op="delete_from",
+        )
+    finally:
+        ids.unpersist()
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    max_bucket_width: int | None = None,
+) -> dict[str, list[int]]:
+    """Predicate take-down over the index's own ``docs`` component
+    (requires the index to carry one): tombstone every live document
+    whose stored row matches ``predicate`` — e.g.
+    ``F.col("source") == "revoked-crawl"``. The delete set is derived
+    per attempt from the pinned docs (filter + distinct, never
+    collected). Indexes without a docs component should filter their
+    corpus table and call :func:`delete_from`."""
+
+    def _ids(pins: dict) -> DataFrame:
+        if "docs" not in pins:
+            raise ValueError(
+                "delete_where: index has no 'docs' component — filter the "
+                "corpus table and pass ids to delete_from instead"
+            )
+        docs = lake.read_segments(spark, f"{root}/docs", pins["docs"])
+        return (
+            _live(spark, root, docs.filter(predicate), pins)
+            .select("doc_id")
+            .distinct()
+        )
+
+    return _delete_commit(
+        spark,
+        root,
+        hit_fn=lambda df, pins: df.join(
+            _ids(pins), on="doc_id", how="left_semi"
+        ),
+        tomb_fn=lambda spark, seq, pins: _ids(pins)
+        .select("doc_id", F.lit(seq).cast("bigint").alias("dead_below"))
+        .coalesce(1),
+        n_tomb_fn=None,
+        max_bucket_width=max_bucket_width,
+        op="delete_where",
+    )
+
+
+def _delete_commit(
+    spark: SparkSession,
+    root: str,
+    hit_fn,
+    tomb_fn,
+    n_tomb_fn,
+    max_bucket_width: int | None,
+    op: str,
+) -> dict[str, list[int]]:
+    """Shared logical-delete commit (see text_index._delete_commit):
+    ``hit_fn(bands_df, pins)`` restricts the pinned bands scan to the
+    delete set, ``tomb_fn(spark, seq, pins)`` builds the tombstone
+    frame, ``n_tomb_fn(pins)`` supplies the tombstone row count for
+    the pressure counter (None → count the frame, one tiny job)."""
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, meta, base = lake.segment_state(spark, root)
-        cap = _meta_cap(meta, max_bucket_width, "delete_docs")
+        cap = _meta_cap(meta, max_bucket_width, op)
         seq = base + 1
         bands = lake.read_segments(spark, f"{root}/bands", pins["bands"])
-        if len(ids) <= _DELETE_LITERAL_BUDGET:
-            hit = bands.filter(F.col("doc_id").isin(ids))
-        else:
-            ids_df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
-            hit = bands.join(F.broadcast(ids_df), on="doc_id", how="left_semi")
-        dead_bands = _live(spark, root, hit, pins)
+        dead_bands = _live(spark, root, hit_fn(bands, pins), pins, meta)
         neg = dead_bands.groupBy("band", "key").agg(
             (-F.count(F.lit(1))).alias("_n")
         )
@@ -419,18 +555,24 @@ def delete_docs(
             spark, f"{root}/stopbands", pins["stopbands"]
         )
         new_stop = merged_stop(old_stop, committed_counts, neg, cap)
-        tomb = spark.createDataFrame(
-            [(i, seq) for i in ids], ["doc_id", "dead_below"]
-        )
+        tomb = tomb_fn(spark, seq, pins)
+        n_tomb = int(n_tomb_fn(pins)) if n_tomb_fn is not None else tomb.count()
         try:
             return lake.append_segments(
                 spark,
                 root,
                 appends={
-                    TOMBSTONES: tomb.coalesce(1),
+                    TOMBSTONES: tomb,
                     "bucketcounts": neg.coalesce(1),
                 },
                 replaces={"stopbands": new_stop.coalesce(1)},
+                meta={
+                    **meta,
+                    lake.TOMBSTONE_ROWS_KEY: int(
+                        meta.get(lake.TOMBSTONE_ROWS_KEY, 0)
+                    )
+                    + n_tomb,
+                },
                 expected_base=base,
             )
         except lake.ConcurrentCommitError as e:
@@ -459,6 +601,7 @@ def apply_index_deletes(
             root,
             lake.read_segments(spark, f"{root}/{name}", pins[name]),
             pins,
+            meta,
         )
     live_bands = replaces["bands"]
     replaces["bucketcounts"] = bucket_counts(live_bands)
@@ -471,7 +614,14 @@ def apply_index_deletes(
         .coalesce(1)
     )
     return lake.append_segments(
-        spark, root, appends={}, replaces=replaces, expected_base=base
+        spark,
+        root,
+        appends={},
+        replaces=replaces,
+        # the tombstone component empties with this flip — the
+        # liveness-fold pressure counter resets with it
+        meta={**meta, lake.TOMBSTONE_ROWS_KEY: 0},
+        expected_base=base,
     )
 
 

@@ -58,6 +58,14 @@ _RAREST_BROADCAST_MAX_DF = 1_000_000
 # can possibly repay the df-stats probe job (corpus size is manifest
 # meta — the gate itself is a driver-side read, no job)
 _RAREST_MIN_CORPUS = 1_000_000
+# the liveness-watermark fold broadcasts only while the pinned
+# tombstone row count (manifest meta, driver-side read) stays under
+# this — ~2M (id, long) rows ≈ 50 MB serialized, comfortably inside
+# executor broadcast budgets; past it the fold joins as a shuffle
+# (AQE may still broadcast if the MAX-fold collapses it) so a
+# churn-heavy CDC stream between compactions cannot balloon a
+# broadcast without bound
+_LIVE_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def posting_table(
@@ -260,15 +268,28 @@ def _tombstone_watermarks(spark, root: str, pins: dict) -> DataFrame | None:
     )
 
 
-def _live(spark, root: str, df: DataFrame, pins: dict) -> DataFrame:
-    """Versioned-row liveness filter: broadcast-join the per-doc
-    watermark and keep rows committed at-or-after it. No tombstones →
-    the frame passes through untouched (and need not carry useq)."""
+def _live(
+    spark, root: str, df: DataFrame, pins: dict, meta: dict | None = None
+) -> DataFrame:
+    """Versioned-row liveness filter: join the per-doc watermark and
+    keep rows committed at-or-after it. No tombstones → the frame
+    passes through untouched (and need not carry useq). The fold is
+    broadcast while the pinned tombstone row count (``meta``'s
+    :data:`lake.TOMBSTONE_ROWS_KEY`, maintained by every delete/upsert
+    commit) stays under :data:`_LIVE_BROADCAST_MAX_ROWS`; past it — a
+    churn-heavy stream between compactions — it degrades to a shuffle
+    join instead of an unbounded broadcast. ``meta=None`` (legacy
+    callers) keeps the broadcast hint."""
     marks = _tombstone_watermarks(spark, root, pins)
     if marks is None:
         return df
+    if (
+        meta is None
+        or int(meta.get(lake.TOMBSTONE_ROWS_KEY, 0)) <= _LIVE_BROADCAST_MAX_ROWS
+    ):
+        marks = F.broadcast(marks)
     return (
-        df.join(F.broadcast(marks), on="doc_id", how="left")
+        df.join(marks, on="doc_id", how="left")
         .filter(F.col("_dead").isNull() | (F.col("useq") >= F.col("_dead")))
         .drop("_dead")
     )
@@ -307,28 +328,133 @@ def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
     ids = sorted(set(doc_ids))
     if not ids:
         return lake.segment_pins(spark, root)
+    if len(ids) <= _DELETE_LITERAL_BUDGET:
+        pred = F.col("doc_id").isin(ids)
+        return _delete_commit(
+            spark,
+            root,
+            hit_fn=lambda df, pins: df.filter(pred),
+            tomb_fn=lambda spark, seq, pins: spark.createDataFrame(
+                [(i, seq) for i in ids], ["doc_id", "dead_below"]
+            ).coalesce(1),
+            n_tomb_fn=lambda pins: len(ids),
+        )
+    return delete_from(
+        spark, root, spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    )
+
+
+def delete_from(
+    spark,
+    root: str,
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    segment_partitions: int | None = 1,
+) -> dict[str, list[int]]:
+    """The DataFrame-scale take-down: :func:`delete_docs` semantics
+    with the delete set expressed as a DataFrame of ids — "delete
+    every document from source X" at 100 TB, where the set is itself
+    millions of rows and must NEVER materialize on the driver. The
+    tombstone segment is written FROM the frame (a select, no
+    collect), the negative termstats come from semi-joining the pinned
+    postings against it (AQE broadcasts the build side only while it
+    is actually small), and the n_docs/total_tokens/n_tombstones meta
+    adjustments ride the same single ``expected_base`` flip.
+
+    ``ids_df`` must be deterministic under recomputation (e.g. a
+    filter over a committed table) — the same contract every segment
+    writer carries; it is persisted for the duration of the commit so
+    the tombstone write, the stats job, and the counters all see one
+    content. ``segment_partitions`` caps the tombstone segment's file
+    count (None preserves the frame's partitioning for very large
+    delete sets)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    ids = (
+        ids_df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_tomb = ids.count()
+        if not n_tomb:
+            return lake.segment_pins(spark, root)
+
+        def _cap(df: DataFrame) -> DataFrame:
+            return df.coalesce(segment_partitions) if segment_partitions else df
+
+        return _delete_commit(
+            spark,
+            root,
+            hit_fn=lambda df, pins: df.join(ids, on="doc_id", how="left_semi"),
+            tomb_fn=lambda spark, seq, pins: _cap(
+                ids.select(
+                    "doc_id", F.lit(seq).cast("bigint").alias("dead_below")
+                )
+            ),
+            n_tomb_fn=lambda pins: n_tomb,
+        )
+    finally:
+        ids.unpersist()
+
+
+def delete_where(spark, root: str, predicate) -> dict[str, list[int]]:
+    """Predicate take-down over the index's OWN rows: tombstone every
+    live document whose posting rows match ``predicate`` (a Column
+    over the posting schema term/doc_id/tf/positions — e.g.
+    ``F.col("term") == "leaked-secret-token"`` removes every document
+    containing a term). The delete set is derived per attempt from the
+    pinned postings (a filter + distinct, never collected); for
+    corpus-attribute predicates ("source = X") filter the corpus table
+    instead and pass the ids to :func:`delete_from`."""
+
+    def _ids(pins: dict) -> DataFrame:
+        posts = lake.read_segments(
+            spark, f"{root}/{COMPONENT}", pins[COMPONENT]
+        )
+        return (
+            _live(spark, root, posts.filter(predicate), pins)
+            .select("doc_id")
+            .distinct()
+        )
+
+    return _delete_commit(
+        spark,
+        root,
+        hit_fn=lambda df, pins: df.join(
+            _ids(pins), on="doc_id", how="left_semi"
+        ),
+        tomb_fn=lambda spark, seq, pins: _ids(pins)
+        .select("doc_id", F.lit(seq).cast("bigint").alias("dead_below"))
+        .coalesce(1),
+        n_tomb_fn=None,
+    )
+
+
+def _delete_commit(
+    spark,
+    root: str,
+    hit_fn,
+    tomb_fn,
+    n_tomb_fn,
+) -> dict[str, list[int]]:
+    """The shared logical-delete commit: ``hit_fn(component_df, pins)``
+    restricts a pinned scan to the delete set, ``tomb_fn(spark, seq,
+    pins)`` builds the tombstone segment frame, ``n_tomb_fn(pins)``
+    returns the tombstone row count for the pressure counter (None →
+    count the tombstone frame itself, one tiny job). Retries from
+    fresh state on ConcurrentCommitError like every pinned commit."""
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, meta, base = lake.segment_state(spark, root)
         seq = base + 1
         posts = lake.read_segments(spark, f"{root}/{COMPONENT}", pins[COMPONENT])
         lens = lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS])
-        if len(ids) <= _DELETE_LITERAL_BUDGET:
-            hit_posts = posts.filter(F.col("doc_id").isin(ids))
-            hit_lens = lens.filter(F.col("doc_id").isin(ids))
-        else:
-            ids_df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
-            hit_posts = posts.join(
-                F.broadcast(ids_df), on="doc_id", how="left_semi"
-            )
-            hit_lens = lens.join(
-                F.broadcast(ids_df), on="doc_id", how="left_semi"
-            )
         # only rows still LIVE contribute negative stats — re-deleting
         # a dead doc (or deleting a superseded revision) is a no-op on
         # every counter, which is what makes replayed deletes idempotent
-        dead_posts = _live(spark, root, hit_posts, pins)
-        dead_lens = _live(spark, root, hit_lens, pins)
+        dead_posts = _live(spark, root, hit_fn(posts, pins), pins, meta)
+        dead_lens = _live(spark, root, hit_fn(lens, pins), pins, meta)
         neg_stats = dead_posts.groupBy("term_h").agg(
             F.first("term").alias("term"),
             (-F.count(F.lit(1))).cast("bigint").alias("df"),
@@ -338,15 +464,14 @@ def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
             F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
         ).collect()[0]
         n_dead, tok_dead = int(row["_n"]), int(row["_tot"])
-        tomb = spark.createDataFrame(
-            [(i, seq) for i in ids], ["doc_id", "dead_below"]
-        )
+        tomb = tomb_fn(spark, seq, pins)
+        n_tomb = int(n_tomb_fn(pins)) if n_tomb_fn is not None else tomb.count()
         try:
             return lake.append_segments(
                 spark,
                 root,
                 appends={
-                    TOMBSTONES: tomb.coalesce(1),
+                    TOMBSTONES: tomb,
                     TERMSTATS: neg_stats.coalesce(1),
                 },
                 meta={
@@ -354,6 +479,10 @@ def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
                     "n_docs": int(meta.get("n_docs", 0)) - n_dead,
                     "total_tokens": int(meta.get("total_tokens", 0))
                     - tok_dead,
+                    lake.TOMBSTONE_ROWS_KEY: int(
+                        meta.get(lake.TOMBSTONE_ROWS_KEY, 0)
+                    )
+                    + n_tomb,
                 },
                 expected_base=base,
             )
@@ -416,8 +545,13 @@ def upsert_text_batch(
         row = all_lens.agg(
             F.count(F.lit(1)).alias("_n"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
+            # tombstone rows this commit will append (= distinct batch
+            # ids) — the liveness-fold pressure counter rides the same
+            # agg, no extra job
+            F.count_distinct(F.col("doc_id")).alias("_nid"),
         ).collect()[0]
         n_batch, tot_new = int(row["_n"]), int(row["_tot"])
+        n_tomb = int(row["_nid"])
         lens = all_lens.filter(F.col("dl") > 0)
         ids_df = batch.select(F.col(id_col).alias("doc_id")).distinct()
         last_err: Exception | None = None
@@ -440,6 +574,7 @@ def upsert_text_batch(
                     spark, f"{root}/{COMPONENT}", pins[COMPONENT]
                 ).join(F.broadcast(ids_df), on="doc_id", how="left_semi"),
                 pins,
+                meta,
             )
             old_lens = _live(
                 spark,
@@ -448,6 +583,7 @@ def upsert_text_batch(
                     spark, f"{root}/{DOCLENS}", pins[DOCLENS]
                 ).join(F.broadcast(ids_df), on="doc_id", how="left_semi"),
                 pins,
+                meta,
             )
             neg_stats = old_posts.groupBy("term_h").agg(
                 F.first("term").alias("term"),
@@ -484,6 +620,10 @@ def upsert_text_batch(
                         "total_tokens": int(meta.get("total_tokens", 0))
                         + tot_new
                         - tot_old,
+                        lake.TOMBSTONE_ROWS_KEY: int(
+                            meta.get(lake.TOMBSTONE_ROWS_KEY, 0)
+                        )
+                        + n_tomb,
                         **(extra_meta or {}),
                     },
                     expected_base=base,
@@ -527,6 +667,9 @@ def apply_text_deletes(spark, root: str) -> dict[str, list[int]]:
         id_col="doc_id",
         transforms={COMPONENT: _live_rows, DOCLENS: _live_rows},
         reducers={TERMSTATS: _stats_sum_reduce},
+        # the physical apply empties the tombstone component, so the
+        # liveness-fold pressure counter resets with it
+        meta_fn=lambda m: {**m, lake.TOMBSTONE_ROWS_KEY: 0},
     )
 
 
@@ -572,11 +715,12 @@ def pinned_postings(
     :func:`_index_state` snapshot) lets a composite search serve every
     read from one manifest version."""
     probe = sorted(set(terms))
+    meta: dict | None = None
     if at_version is None:
         # ONE manifest read serves pins + bloom coverage + tombstone
         # state — a consistent snapshot, and no repeat FS round-trips
         # on the per-search hot path
-        pins, blooms, _meta = state if state is not None else _index_state(
+        pins, blooms, meta = state if state is not None else _index_state(
             spark, root
         )
         kept, pinned = lake.bloom_pruned_pins_from_state(
@@ -596,7 +740,7 @@ def pinned_postings(
     # exclude deleted docs; a time-travel read sees exactly the
     # tombstone state of that commit (a pre-delete version still serves
     # the doc — that is what the audit query asks)
-    return _live(spark, root, hits.filter(F.col("term").isin(probe)), pins)
+    return _live(spark, root, hits.filter(F.col("term").isin(probe)), pins, meta)
 
 
 def search_all_terms(
@@ -837,6 +981,7 @@ def search_bm25(
         root,
         lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS]),
         pins,
+        meta,
     ).drop("useq")
     p = pinned_postings(spark, root, terms, state=state)
     norm = F.lit(k1) * (
@@ -866,7 +1011,7 @@ def search_prefix(spark, root: str, prefix: str) -> DataFrame:
     count — (term, doc) rows are unique index-wide."""
     if not prefix:
         raise ValueError("search_prefix: empty prefix")
-    pins, _blooms, _meta = _index_state(spark, root)
+    pins, _blooms, meta = _index_state(spark, root)
     p = _live(
         spark,
         root,
@@ -874,6 +1019,7 @@ def search_prefix(spark, root: str, prefix: str) -> DataFrame:
             F.col("term").startswith(prefix)
         ),
         pins,
+        meta,
     )
     return (
         p.groupBy("doc_id")

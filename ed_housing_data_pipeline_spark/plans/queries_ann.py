@@ -613,13 +613,14 @@ def _ensure_deleted_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 id_col="vec_id",
                 segment_partitions=8,
             )
-        dead = [
-            r.vec_id
-            for r in emb.filter(F.col("vec_id") % ANN_DELETE_MOD == 0)
-            .select("vec_id")
-            .collect()
-        ]
-        ann_index.delete_ann_vectors(spark, tmp.name, dead)
+        # DataFrame-scale take-down: the delete set is a FILTER over
+        # the embeddings table, never collected to the driver — the
+        # tombstone segment and negative cellcounts are built by joins
+        # (ann_index.delete_from; r9 VERDICT #1)
+        dead = emb.filter(F.col("vec_id") % ANN_DELETE_MOD == 0).select(
+            "vec_id"
+        )
+        ann_index.delete_from(spark, tmp.name, dead, id_col="vec_id")
         _ANN_DEL_INDEX[key] = tmp
     tmp = _ANN_DEL_INDEX[key]
     from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415

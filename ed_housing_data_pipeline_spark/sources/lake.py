@@ -363,6 +363,16 @@ def _committed_version(spark, dataset_root: str) -> int | None:
     return best
 
 
+# Shared manifest-meta key: the number of tombstone rows currently
+# pinned by an index's tombstone component. Every tombstone-appending
+# commit (delete/upsert) adds its row count; the physical apply resets
+# it to 0. Serving paths use it to bound the liveness-watermark fold
+# (broadcast below a row threshold, shuffle join above), and streaming
+# sinks use it as a compaction-pressure trigger — both driver-side
+# meta reads, no job.
+TOMBSTONE_ROWS_KEY = "n_tombstones"
+
+
 class ConcurrentCommitError(RuntimeError):
     """A pinned-version commit lost the race: another writer committed
     the version this commit was based on. Retry from fresh state (the
@@ -1799,6 +1809,18 @@ def segment_blooms(spark, root: str) -> dict[str, dict[int, list[str]]]:
     """The committed manifest's bloom-sidecar coverage map (component
     → segment → columns with a sidecar). A filesystem read, no job."""
     return _manifest_state(spark, root)[2]
+
+
+def tombstone_pressure(spark, root: str, max_rows: int) -> bool:
+    """True when the index's pinned tombstone row count (the
+    :data:`TOMBSTONE_ROWS_KEY` meta counter every delete/upsert commit
+    maintains) has reached ``max_rows`` — the compaction trigger that
+    bounds the liveness-watermark fold under churn-heavy streams whose
+    SEGMENT count alone would never fire the threshold policy (many
+    upserts, few segments). A driver-side manifest read, no job."""
+    return int(segment_meta(spark, root).get(TOMBSTONE_ROWS_KEY, 0)) >= int(
+        max_rows
+    )
 
 
 def segment_meta(spark, root: str) -> dict:

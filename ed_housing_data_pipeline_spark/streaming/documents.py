@@ -263,6 +263,7 @@ def run_stream_incremental_dedup(
     max_bucket_width: int = 4096,
     keep_latest: int = 2,
     compact_every: int | None = 64,
+    compact_dead: int | None = 100_000,
     segment_partitions: int | None = 8,
 ) -> None:
     """Drain the document stream (availableNow) through the
@@ -271,7 +272,13 @@ def run_stream_incremental_dedup(
     have committed manifest v1 first. Every ``compact_every``-th
     commit additionally folds the accumulated segments to one
     (amortized O(index / compact_every) per batch; ``None`` leaves
-    compaction to an external maintenance cadence).
+    compaction to an external maintenance cadence). ``compact_dead``
+    is the TOMBSTONE-pressure trigger: when concurrent take-downs
+    (incr_index.delete_docs/delete_from against the same root) have
+    pinned that many tombstone rows, the next commit compacts — which
+    physically applies the deletes and resets the counter — so the
+    liveness-watermark fold stays bounded even when the segment-count
+    policy alone would never fire (heavy churn, few segments).
     ``segment_partitions`` caps each committed segment's file count —
     micro-batches are small relative to the session's parallelism, and
     5 components × 32 task files per commit is both the dominant
@@ -324,7 +331,10 @@ def run_stream_incremental_dedup(
                 reader_grace_sec=600.0,
                 segment_partitions=sp,
             )
-            if compact_every and len(pins["bands"]) >= compact_every:
+            if (compact_every and len(pins["bands"]) >= compact_every) or (
+                compact_dead
+                and lake.tombstone_pressure(spark, index_root, compact_dead)
+            ):
                 incr_index.compact_index(spark, index_root)
         finally:
             accepted.unpersist()

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ed_housing_data_pipeline_spark.operators import text_index
+from ed_housing_data_pipeline_spark.sources import lake
 
 LAST_BATCH_KEY = "text_index_last_stream_batch"
 
@@ -33,6 +34,7 @@ def sink_text_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = 64,
+    compact_dead: int | None = 100_000,
 ) -> bool:
     """Commit ONE micro-batch into the index, exactly once: skip when
     the committed manifest already records ``batch_id`` (replay after
@@ -72,7 +74,9 @@ def sink_text_batch(
     )
     if pins is None:
         return False
-    if compact_every and len(pins[text_index.COMPONENT]) >= compact_every:
+    if (compact_every and len(pins[text_index.COMPONENT]) >= compact_every) or (
+        compact_dead and lake.tombstone_pressure(spark, root, compact_dead)
+    ):
         text_index.compact_text_index(spark, root)
     return True
 
@@ -85,6 +89,7 @@ def sink_text_upsert_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = 64,
+    compact_dead: int | None = 100_000,
 ) -> bool:
     """The CDC sibling of :func:`sink_text_batch`: each micro-batch is
     a wave of document REVISIONS (re-crawls, content corrections), not
@@ -109,7 +114,9 @@ def sink_text_upsert_batch(
     )
     if pins is None:
         return False
-    if compact_every and len(pins[text_index.COMPONENT]) >= compact_every:
+    if (compact_every and len(pins[text_index.COMPONENT]) >= compact_every) or (
+        compact_dead and lake.tombstone_pressure(spark, root, compact_dead)
+    ):
         text_index.compact_text_index(spark, root)
     return True
 
@@ -121,6 +128,7 @@ def run_stream_search_upserts(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = 64,
+    compact_dead: int | None = 100_000,
 ) -> None:
     """Drain a CDC stream of document revisions (availableNow) through
     the transactional upsert sink — the search index stays in lockstep
@@ -138,6 +146,7 @@ def run_stream_search_upserts(
             id_col=id_col,
             text_col=text_col,
             compact_every=compact_every,
+            compact_dead=compact_dead,
         )
 
     q = (
@@ -156,6 +165,7 @@ def run_stream_search_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = 64,
+    compact_dead: int | None = 100_000,
 ) -> None:
     """Drain the document stream (availableNow) through the
     transactional text-index sink. ``bootstrap_text_index`` must have
@@ -175,6 +185,7 @@ def run_stream_search_ingest(
             id_col=id_col,
             text_col=text_col,
             compact_every=compact_every,
+            compact_dead=compact_dead,
         )
 
     q = (

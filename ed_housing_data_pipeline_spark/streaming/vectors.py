@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ed_housing_data_pipeline_spark.operators import ann_index
+from ed_housing_data_pipeline_spark.sources import lake
 
 
 def run_stream_ann_ingest(
@@ -27,6 +28,7 @@ def run_stream_ann_ingest(
     id_col: str,
     keep_latest: int = 2,
     compact_every: int | None = 64,
+    compact_dead: int | None = 100_000,
     segment_partitions: int | None = 8,
 ) -> None:
     """Drain the embedding stream (availableNow) through the
@@ -34,7 +36,12 @@ def run_stream_ann_ingest(
     committed the model + manifest v1 first (the model is immutable;
     every micro-batch encodes with it). Every ``compact_every``-th
     commit folds the accumulated segments to one (amortized
-    O(index / compact_every) per batch); ``segment_partitions`` caps
+    O(index / compact_every) per batch); ``compact_dead`` additionally
+    fires compaction on tombstone pressure (concurrent GDPR deletes /
+    re-embedding upserts against the same root pinning that many
+    tombstone rows), which physically applies the deletes and resets
+    the counter — the liveness fold stays bounded under churn even
+    when few segments accumulate; ``segment_partitions`` caps
     per-commit file counts exactly as in the document sink."""
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -63,7 +70,12 @@ def run_stream_ann_ingest(
             reader_grace_sec=600.0,
             segment_partitions=segment_partitions,
         )
-        if compact_every and len(pins[ann_index.VECTORS]) >= compact_every:
+        if (
+            compact_every and len(pins[ann_index.VECTORS]) >= compact_every
+        ) or (
+            compact_dead
+            and lake.tombstone_pressure(spark, index_root, compact_dead)
+        ):
             ann_index.compact_ann_index(spark, index_root)
 
     q = (
