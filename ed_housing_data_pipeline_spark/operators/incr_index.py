@@ -44,6 +44,12 @@ DATA_COMPONENTS = ("docs", "bands", "shingles")
 DERIVED_COMPONENTS = ("bucketcounts", "stopbands")
 TOMBSTONES = "deleted_docs"
 META_CAP_KEY = "max_bucket_width"
+# below this many ids the delete scan pushes `doc_id IN (...)` into
+# the parquet reader (same budget as the text/ANN indexes)
+_DELETE_LITERAL_BUDGET = 256
+# broadcast bound for the liveness-watermark fold (see text_index's
+# twin constant): ~2M (id, long) rows ≈ 50 MB serialized
+_LIVE_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def _meta_cap(meta: dict, override: int | None, op: str) -> int:
@@ -62,12 +68,6 @@ def _meta_cap(meta: dict, override: int | None, op: str) -> int:
             "dropped it) — pass max_bucket_width explicitly"
         )
     return int(cap)
-# below this many ids the delete scan pushes `doc_id IN (...)` into
-# the parquet reader (same budget as the text/ANN indexes)
-_DELETE_LITERAL_BUDGET = 256
-# broadcast bound for the liveness-watermark fold (see text_index's
-# twin constant): ~2M (id, long) rows ≈ 50 MB serialized
-_LIVE_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def bucket_counts(bands_df: DataFrame) -> DataFrame:
@@ -371,7 +371,7 @@ def read_index(
     lands. Derived stats components pass through (bucketcounts fold
     their negative delete rows additively; stopbands were refreshed at
     delete time)."""
-    pins, _zones, _blooms, meta, _v = lake._manifest_state(spark, root)
+    pins, _zones, _blooms, meta, _schemas, _v = lake._manifest_state(spark, root)
     names = list(components) if components is not None else [
         n for n in pins if n != TOMBSTONES
     ]

@@ -693,7 +693,7 @@ def _index_state(spark, root: str) -> tuple[dict, dict, dict]:
     its posting scan, doclens read, term stats, and corpus-size meta,
     so a commit landing mid-search can never mix snapshots (e.g.
     post-upsert doclens joined to pre-upsert postings)."""
-    pins, _zones, blooms, meta, _v = lake._manifest_state(spark, root)
+    pins, _zones, blooms, meta, _schemas, _v = lake._manifest_state(spark, root)
     return pins, blooms, meta
 
 

@@ -1571,6 +1571,78 @@ def q_lake_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pinned.localCheckpoint(eager=True)
 
 
+# ------------------------------------------------- schema evolution (S8)
+@register(
+    "lake_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS price_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution on the segmented lake, end to end
+    as a driver-checkable query: segment v1 holds the even orders
+    WITHOUT o_orderstatus, a later append lands the odd orders WITH it
+    — the manifest-carried current schema evolves, and the reconciled
+    read (lake.read_segmented_components) serves the old segment's
+    missing column as NULL in canonical column order. The aggregate
+    groups by the evolved column, so the NULL-backfilled group must
+    carry exactly the even orders' counts/sums — a reader that
+    dropped, misordered, or misfilled the column hash-mismatches.
+    The query also exercises the NORMALIZATION step: compaction folds
+    the mixed-schema segments into one current-schema segment and the
+    re-read must be value-identical (checked in-query; a drift raises
+    rather than returning). At 100 TB this is the every-few-months
+    event every long-lived dataset hits — served without rewriting a
+    single committed segment until the next routine compaction
+    (r9 VERDICT #5)."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+
+    with tempfile.TemporaryDirectory(prefix="lake_schema_evo_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"orders": old}, init=True)
+        lake.append_segments(spark, ds, {"orders": new})
+        evolved = lake.read_segmented_components(spark, ds, ["orders"])["orders"]
+        if evolved.columns != ["o_orderkey", "o_totalprice", "o_orderstatus"]:
+            raise RuntimeError(f"evolved schema wrong: {evolved.columns}")
+        out = _agg(evolved).localCheckpoint(eager=True)
+        # compaction must normalize the mixed-schema tail with
+        # identical values (plain checks, not asserts — python -O)
+        lake.compact_segments(spark, ds)
+        pins = lake.segment_pins(spark, ds)
+        if len(pins["orders"]) != 1:
+            raise RuntimeError(f"compaction left {pins['orders']} pinned")
+        compacted = _agg(
+            lake.read_segmented_components(spark, ds, ["orders"])["orders"]
+        )
+        from collections import Counter  # noqa: PLC0415
+
+        if Counter(map(tuple, compacted.collect())) != Counter(
+            map(tuple, out.collect())
+        ):
+            raise RuntimeError("compaction changed evolved-read values")
+        return out
+
+
 # ------------------------------------------------- multi-dimensional agg
 @register(
     "orders_status_priority_cube",

@@ -380,6 +380,73 @@ class ConcurrentCommitError(RuntimeError):
     sweep)."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's frame is INCOMPATIBLY shaped against the
+    component's manifest-carried schema (a common column changed
+    type). Additive changes — new columns, or a writer still emitting
+    the pre-evolution column set — are legal and reconciled at read
+    time with null backfill; everything else must be an explicit new
+    component or a rewrite, never a silent reader-side coercion."""
+
+
+def _nullable_schema_json(schema_json: dict) -> dict:
+    """A StructType jsonValue with every top-level field nullable —
+    the stored form: once schemas can evolve, ANY column may be
+    missing from some segment (written before the column existed) and
+    reads null-backfill it, so non-null guarantees cannot survive the
+    union."""
+    return {
+        "type": "struct",
+        "fields": [{**f, "nullable": True} for f in schema_json["fields"]],
+    }
+
+
+def _evolved_schema_json(
+    prior: dict | None, new_schema, component: str
+) -> dict:
+    """The component's next manifest-carried schema given an incoming
+    frame: prior columns keep their order, genuinely new columns
+    append (add-column-with-null-backfill), an incoming frame missing
+    prior columns is fine (its segment reads back null-filled), and a
+    TYPE change on a common column raises
+    :class:`SchemaEvolutionError` — the one shape the protocol must
+    reject, because parquet cannot serve one column as two types
+    across segments. Type equality is structural on the Spark type
+    JSON with nullability normalized out (nested nullability is a
+    constraint, not a layout)."""
+
+    def _type_key(t):
+        # strip nullability flags recursively so e.g. array<int> with
+        # containsNull true/false compares equal
+        if isinstance(t, dict):
+            return {
+                k: _type_key(v)
+                for k, v in t.items()
+                if k not in ("nullable", "containsNull", "valueContainsNull")
+            }
+        if isinstance(t, list):
+            return [_type_key(v) for v in t]
+        return t
+
+    newj = new_schema.jsonValue()
+    if prior is None:
+        return _nullable_schema_json(newj)
+    prior_by_name = {f["name"]: f for f in prior["fields"]}
+    out = list(prior["fields"])
+    for f in newj["fields"]:
+        pf = prior_by_name.get(f["name"])
+        if pf is None:
+            out.append({**f, "nullable": True})
+        elif _type_key(pf["type"]) != _type_key(f["type"]):
+            raise SchemaEvolutionError(
+                f"component {component!r}: column {f['name']!r} is "
+                f"{pf['type']!r} in the manifest schema but the incoming "
+                f"frame carries {f['type']!r} — type changes need a new "
+                "component or an explicit rewrite"
+            )
+    return {"type": "struct", "fields": out}
+
+
 def _is_vanished_fs_error(exc: BaseException) -> bool:
     """True when a Hadoop filesystem call failed because its target
     path stopped existing mid-call — the signature of a CONCURRENT
@@ -1209,14 +1276,23 @@ def write_segment(spark, df: DataFrame, component_root: str) -> int:
     )
 
 
-def read_segments(spark, component_root: str, segments: Sequence[int]) -> DataFrame:
+def read_segments(
+    spark, component_root: str, segments: Sequence[int], schema=None
+) -> DataFrame:
     """A component at a pinned segment list: the UNION of the segment
     dirs, as one multi-path parquet scan (partition pruning, pushdown,
-    and split planning all apply across segments)."""
+    and split planning all apply across segments). ``schema`` (a
+    StructType, normally the component's manifest-carried current
+    schema) pins the read schema: segments written BEFORE a column
+    existed serve it as NULL (the parquet reader backfills missing
+    columns) — the reconciliation half of schema evolution. ``None``
+    keeps the footer-derived schema (single-schema components, the
+    common case)."""
     if not segments:
         raise ValueError(f"read_segments: empty segment list for {component_root}")
     root = component_root.rstrip("/")
-    return spark.read.parquet(*[_segment_dir(root, s) for s in segments])
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*[_segment_dir(root, s) for s in segments])
 
 
 def _zone_value(v):
@@ -1378,7 +1454,7 @@ def bloom_pruned_pins(
     segments) are kept. Never false-negative by bloom construction.
     Values are probed through the same STRING cast the writer hashed
     (intended for id-like string/integer columns)."""
-    pins, _zones, blooms, _meta, _version = _manifest_state(spark, root)
+    pins, _zones, blooms, _meta, _schemas, _version = _manifest_state(spark, root)
     return bloom_pruned_pins_from_state(
         spark, root, component, col, values, pins, blooms
     )
@@ -1436,10 +1512,19 @@ def commit_segment_manifest(
     zones: dict[str, dict[int, dict[str, list]]] | None = None,
     meta: dict | None = None,
     blooms: dict[str, dict[int, list[str]]] | None = None,
+    schemas: dict[str, dict] | None = None,
 ) -> int:
     """Atomically commit a full component→segment-list pin map as the
     next manifest snapshot (rows of (component, seg)). Returns the
     manifest's own snapshot version.
+
+    ``schemas`` (component → StructType jsonValue) rides under the
+    reserved ``"_schemas"`` key: the component's CURRENT logical
+    schema, maintained by the append_segments protocol (evolved on
+    add-column, rejected typed on type change) and used by readers to
+    reconcile segments written under older schema versions (NULL
+    backfill). Absent for components whose writers never evolve
+    (the index families' fixed layouts).
 
     ``expected_base`` enables optimistic concurrency: pass the
     manifest version the pins were DERIVED from (0 for the first
@@ -1489,6 +1574,8 @@ def commit_segment_manifest(
             for comp, bm in blooms.items()
             if bm
         }
+    if schemas:
+        doc["_schemas"] = {comp: sj for comp, sj in schemas.items() if sj}
     payload = json.dumps(doc, sort_keys=True)
     return write_snapshot_blob(
         spark,
@@ -1510,7 +1597,7 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     Version is resolved FIRST and the rows read from that pinned
     snapshot, so the pair is consistent even if a concurrent commit
     lands between the two reads."""
-    pins, _zones, _blooms, _meta, version = _manifest_state(spark, root)
+    pins, _zones, _blooms, _meta, _schemas, version = _manifest_state(spark, root)
     return pins, version
 
 
@@ -1521,11 +1608,13 @@ def _manifest_state(
     dict[str, dict[int, dict[str, list]]],
     dict[str, dict[int, list[str]]],
     dict,
+    dict[str, dict],
     int,
 ]:
-    """(pins, zones, blooms, meta, manifest_version) from the last
-    committed manifest blob — one filesystem read, consistent across
-    the tuple (version resolved first, blob read at that version).
+    """(pins, zones, blooms, meta, schemas, manifest_version) from the
+    last committed manifest blob — one filesystem read, consistent
+    across the tuple (version resolved first, blob read at that
+    version).
     The resolve-then-read pair can race a rival committer's retention
     (see read_snapshot_blob): a vanished committed blob is re-resolved
     — each retry sees a strictly newer pointer, so the loop converges
@@ -1561,7 +1650,14 @@ def _manifest_state(
         comp: {int(s): list(cols) for s, cols in bm.items()}
         for comp, bm in parsed.get("_blooms", {}).items()
     }
-    return pins, zones, blooms, parsed.get("_meta", {}), version
+    return (
+        pins,
+        zones,
+        blooms,
+        parsed.get("_meta", {}),
+        parsed.get("_schemas", {}),
+        version,
+    )
 
 
 def segment_manifest_versions(spark, root: str) -> list[int]:
@@ -1596,11 +1692,26 @@ def read_segmented_components_at(
 ) -> dict[str, DataFrame]:
     """Time travel: every component at the segment lists pinned by
     manifest ``version`` (mirrors read_segmented_components for the
-    committed head)."""
-    pins = segment_pins_at(spark, root, version)
+    committed head). The read uses the schemas AS OF that manifest —
+    a column added later does not appear in a historical read."""
+    parsed = json.loads(
+        read_snapshot_blob(spark, f"{root.rstrip('/')}/manifest", version=version)
+    )
+    pins = {
+        name: sorted({int(s) for s in segs})
+        for name, segs in parsed.items()
+        if not name.startswith("_")
+    }
+    schemas = parsed.get("_schemas", {})
     names = list(components) if components is not None else list(pins)
     return {
-        name: read_segments(spark, f"{root}/{name}", pins[name]) for name in names
+        name: read_segments(
+            spark,
+            f"{root}/{name}",
+            pins[name],
+            schema=_schema_from_json(schemas.get(name)),
+        )
+        for name in names
     }
 
 
@@ -1636,9 +1747,16 @@ def read_segmented_live(
     """The component minus its tombstoned ids: the manifest-pinned
     scan anti-joined against the (tiny) tombstone component. With no
     tombstone component pinned, this is exactly
-    read_segmented_components."""
-    pins = segment_pins(spark, root)
-    data = read_segments(spark, f"{root}/{component}", pins[component])
+    read_segmented_components. Schema-reconciled like every manifest
+    read (evolved columns null-backfill across segment vintages)."""
+    state = _manifest_state(spark, root)
+    pins, schemas = state[0], state[4]
+    data = read_segments(
+        spark,
+        f"{root}/{component}",
+        pins[component],
+        schema=_schema_from_json(schemas.get(component)),
+    )
     tomb = _tombstone_component(component)
     if tomb not in pins:
         return data
@@ -1656,7 +1774,7 @@ def apply_tombstones(
     cost class as compaction — run on the same maintenance cadence;
     the deleted bytes leave disk once the old segments age out of
     retention (expire_segments)."""
-    pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
+    pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
     tomb = _tombstone_component(component)
     if tomb not in pins:
         return pins
@@ -1694,6 +1812,8 @@ def apply_tombstones(
         kw["blooms"] = new_blooms
     if prior_meta:
         kw["meta"] = prior_meta
+    if schemas:
+        kw["schemas"] = schemas
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
 
@@ -1730,7 +1850,7 @@ def apply_segment_tombstones(
     maintenance cost class as compaction, amortized the same way."""
     reducers = reducers or {}
     transforms = transforms or {}
-    pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
+    pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
     if tombstones not in pins:
         return pins
     tomb_df = read_segments(spark, f"{root}/{tombstones}", pins[tombstones])
@@ -1738,21 +1858,37 @@ def apply_segment_tombstones(
     new_pins = dict(pins)
     rewritten: list[tuple[str, int]] = []
     for name in victims:
-        live = read_segments(spark, f"{root}/{name}", pins[name]).join(
-            dead, on=id_col, how="left_anti"
-        )
+        live = read_segments(
+            spark,
+            f"{root}/{name}",
+            pins[name],
+            schema=_schema_from_json(schemas.get(name)),
+        ).join(dead, on=id_col, how="left_anti")
         seg = write_segment(spark, live, f"{root}/{name}")
         new_pins[name] = [seg]
         rewritten.append((name, seg))
     for name, fn in transforms.items():
         live = fn(
-            read_segments(spark, f"{root}/{name}", pins[name]), tomb_df
+            read_segments(
+                spark,
+                f"{root}/{name}",
+                pins[name],
+                schema=_schema_from_json(schemas.get(name)),
+            ),
+            tomb_df,
         )
         seg = write_segment(spark, live, f"{root}/{name}")
         new_pins[name] = [seg]
         rewritten.append((name, seg))
     for name, reduce in reducers.items():
-        df = reduce(read_segments(spark, f"{root}/{name}", pins[name]))
+        df = reduce(
+            read_segments(
+                spark,
+                f"{root}/{name}",
+                pins[name],
+                schema=_schema_from_json(schemas.get(name)),
+            )
+        )
         seg = write_segment(spark, df, f"{root}/{name}")
         new_pins[name] = [seg]
         rewritten.append((name, seg))
@@ -1787,6 +1923,8 @@ def apply_segment_tombstones(
         kw["zones"] = new_zones
     if new_blooms:
         kw["blooms"] = new_blooms
+    if schemas:
+        kw["schemas"] = schemas
     meta = dict(prior_meta)
     if meta_fn is not None:
         meta = meta_fn(meta)
@@ -1794,6 +1932,24 @@ def apply_segment_tombstones(
         kw["meta"] = meta
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
+
+
+
+def _schema_from_json(schema_json: dict | None):
+    """StructType of a manifest-carried schema (None passes through —
+    readers fall back to the footer-derived schema)."""
+    if not schema_json:
+        return None
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    return StructType.fromJson(schema_json)
+
+
+def segment_schemas(spark, root: str) -> dict[str, dict]:
+    """The committed manifest's per-component current schemas
+    (component -> StructType jsonValue); empty when no writer ever
+    recorded them. A filesystem read, no Spark job."""
+    return _manifest_state(spark, root)[4]
 
 
 def segment_zones(
@@ -1838,7 +1994,7 @@ def segment_meta_versioned(spark, root: str) -> tuple[dict, int]:
     commit in between raises instead of silently absorbing a lost
     update."""
     state = _manifest_state(spark, root)
-    return state[3], state[4]
+    return state[3], state[5]
 
 
 def segment_state(spark, root: str) -> tuple[dict[str, list[int]], dict, int]:
@@ -1847,7 +2003,7 @@ def segment_state(spark, root: str) -> tuple[dict[str, list[int]], dict, int]:
     meta counters (e.g. an index delete that must see the same
     tombstone state its counter adjustments were computed from)."""
     state = _manifest_state(spark, root)
-    return state[0], state[3], state[4]
+    return state[0], state[3], state[5]
 
 
 def zone_pruned_pins(
@@ -1869,7 +2025,7 @@ def zone_pruned_pins(
     so timestamps compare chronologically. Row-level filtering still
     belongs to the caller's predicate — zonemaps only bound WHICH
     segments can contain matches."""
-    pins, zones, _blooms, _meta, _version = _manifest_state(spark, root)
+    pins, zones, _blooms, _meta, _schemas, _version = _manifest_state(spark, root)
     if component not in pins:
         raise KeyError(f"zone_pruned_pins: no pinned component {component!r}")
     zm = zones.get(component, {})
@@ -1916,11 +2072,21 @@ def read_segmented_components(
 ) -> dict[str, DataFrame]:
     """Every component at the segment lists pinned by the last
     committed manifest — the only safe read path (mirrors
-    read_components for the whole-dataset protocol)."""
-    pins = segment_pins(spark, root)
+    read_components for the whole-dataset protocol). Components whose
+    manifest carries a current schema are read WITH it: segments
+    written under older schema versions serve missing columns as NULL
+    (add-column evolution reconciles at read time)."""
+    state = _manifest_state(spark, root)
+    pins, schemas = state[0], state[4]
     names = list(components) if components is not None else list(pins)
     return {
-        name: read_segments(spark, f"{root}/{name}", pins[name]) for name in names
+        name: read_segments(
+            spark,
+            f"{root}/{name}",
+            pins[name],
+            schema=_schema_from_json(schemas.get(name)),
+        )
+        for name in names
     }
 
 
@@ -1969,9 +2135,9 @@ def append_segments(
     if set(appends) & set(replaces):
         raise ValueError("append_segments: a component cannot be in both maps")
     if init:
-        pins, zones, blooms, prior_meta, base = {}, {}, {}, {}, 0
+        pins, zones, blooms, prior_meta, schemas, base = {}, {}, {}, {}, {}, 0
     else:
-        pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
+        pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
     if expected_base is not None and expected_base != base:
         # fail BEFORE writing any segment file: the caller's payload
         # was derived from a manifest another writer has since replaced
@@ -1980,6 +2146,15 @@ def append_segments(
             f"but v{base} is now committed — re-read and retry"
         )
     new_pins = dict(pins)
+    # schema evolution happens BEFORE any segment lands: an
+    # incompatible frame raises typed with zero debris; compatible
+    # frames evolve the manifest-carried schema (add-column appends,
+    # missing columns read back null-filled)
+    new_schemas = dict(schemas)
+    for name, df in {**appends, **replaces}.items():
+        new_schemas[name] = _evolved_schema_json(
+            schemas.get(name), df.schema, name
+        )
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
         seg = write_segment(spark, df, f"{root}/{name}")
@@ -2026,7 +2201,14 @@ def append_segments(
     # derived state onto a value it wasn't computed from
     # (read-modify-write lost update).
     commit_base = base if expected_base is None else expected_base
-    commit_segment_manifest(spark, root, new_pins, expected_base=commit_base, **kw)
+    commit_segment_manifest(
+        spark,
+        root,
+        new_pins,
+        expected_base=commit_base,
+        schemas=new_schemas,
+        **kw,
+    )
     return new_pins
 
 
@@ -2090,7 +2272,7 @@ def compact_segments(
     compacted output). Application metadata (``_meta``) carries
     through unchanged."""
     reducers = reducers or {}
-    pins, zones, blooms, prior_meta, base = _manifest_state(spark, root)
+    pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
     names = list(components) if components is not None else list(pins)
     new_pins = dict(pins)
     changed = False
@@ -2099,7 +2281,16 @@ def compact_segments(
     for name in names:
         if len(pins[name]) < min_segments:
             continue
-        df = read_segments(spark, f"{root}/{name}", pins[name])
+        # a schema-pinned read makes compaction the NORMALIZATION step
+        # of schema evolution: segments written under older schema
+        # versions fold into one segment carrying the current schema
+        # (null-backfilled), so the mixed-schema tail ages out
+        df = read_segments(
+            spark,
+            f"{root}/{name}",
+            pins[name],
+            schema=_schema_from_json(schemas.get(name)),
+        )
         reduce = reducers.get(name)
         if reduce is not None:
             df = reduce(df)
@@ -2141,6 +2332,8 @@ def compact_segments(
             kw["blooms"] = new_blooms
         if prior_meta:
             kw["meta"] = prior_meta
+        if schemas:
+            kw["schemas"] = schemas
         commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
 

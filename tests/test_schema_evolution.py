@@ -1,0 +1,135 @@
+"""Schema evolution on the segmented lake (sources/lake).
+
+Pinned contract:
+- add-column: appending a frame with NEW columns evolves the
+  component's manifest-carried schema; segments written before the
+  column existed read back NULL-filled in the canonical column order.
+- old-writer: appending a frame MISSING evolved columns is legal; its
+  segment reads back null-filled.
+- type change on a common column raises the typed
+  SchemaEvolutionError BEFORE any segment lands (no debris pinned).
+- compaction normalizes: a mixed-schema component folds to one
+  segment carrying the current schema, results identical.
+- time travel reads the schema AS OF the historical manifest — a
+  later column does not leak into an older read.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_housing_data_pipeline_spark.sources import lake
+
+
+def _v1(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    )
+
+
+def _v2(spark):
+    return spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)],
+        "id bigint, name string, score double",
+    )
+
+
+def _read(spark, root):
+    return lake.read_segmented_components(spark, root, ["t"])["t"]
+
+
+def test_add_column_null_backfills_old_segments(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _v1(spark)}, init=True)
+    lake.append_segments(spark, root, {"t": _v2(spark)})
+    got = _read(spark, root)
+    assert got.columns == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_old_writer_missing_column_is_null_filled(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _v2(spark)}, init=True)
+    # a stale writer still emitting the pre-evolution column set
+    lake.append_segments(spark, root, {"t": _v1(spark)})
+    got = _read(spark, root)
+    assert got.columns == ["id", "name", "score"]
+    assert got.filter(F.col("score").isNull()).count() == 2
+    assert got.count() == 4
+
+
+def test_type_change_raises_typed_before_any_write(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _v1(spark)}, init=True)
+    pins_before = lake.segment_pins(spark, root)
+    bad = spark.createDataFrame([(9, 9)], "id bigint, name bigint")
+    with pytest.raises(lake.SchemaEvolutionError, match="name"):
+        lake.append_segments(spark, root, {"t": bad})
+    # nothing landed, nothing pinned
+    assert lake.segment_pins(spark, root) == pins_before
+
+
+def test_compaction_normalizes_to_current_schema(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _v1(spark)}, init=True)
+    lake.append_segments(spark, root, {"t": _v2(spark)})
+    before = sorted(tuple(r) for r in _read(spark, root).collect())
+    lake.compact_segments(spark, root)
+    pins = lake.segment_pins(spark, root)
+    assert len(pins["t"]) == 1
+    after_df = _read(spark, root)
+    assert sorted(tuple(r) for r in after_df.collect()) == before
+    # the compacted segment physically carries the evolved schema: a
+    # raw footer read (no manifest schema) shows all three columns
+    raw = lake.read_segments(spark, f"{root}/t", pins["t"])
+    assert set(raw.columns) == {"id", "name", "score"}
+
+
+def test_time_travel_reads_schema_as_of_version(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _v1(spark)}, init=True)
+    lake.append_segments(spark, root, {"t": _v2(spark)})
+    v1 = lake.read_segmented_components_at(spark, root, 1, ["t"])["t"]
+    assert v1.columns == ["id", "name"]
+    assert v1.count() == 2
+    v2 = lake.read_segmented_components_at(spark, root, 2, ["t"])["t"]
+    assert v2.columns == ["id", "name", "score"]
+
+
+def test_nested_types_evolve_and_nullability_is_not_a_conflict(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    a = spark.createDataFrame(
+        [(1, [1, 2])], "id bigint, xs array<bigint>"
+    )
+    lake.append_segments(spark, root, {"t": a}, init=True)
+    # same element type, different containsNull flag: NOT a conflict
+    b = spark.createDataFrame(
+        [(2, [3], "x")], "id bigint, xs array<bigint>, tag string"
+    )
+    lake.append_segments(spark, root, {"t": b})
+    got = _read(spark, root)
+    assert got.columns == ["id", "xs", "tag"]
+    # element type change IS a conflict
+    c = spark.createDataFrame([(3, ["s"])], "id bigint, xs array<string>")
+    with pytest.raises(lake.SchemaEvolutionError, match="xs"):
+        lake.append_segments(spark, root, {"t": c})
+
+
+def test_tombstone_apply_preserves_evolved_schema(spark, tmp_path):
+    """The per-component tombstone protocol (delete_rows /
+    read_segmented_live / apply_tombstones) serves and rewrites the
+    evolved schema."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _v1(spark)}, init=True)
+    lake.append_segments(spark, root, {"t": _v2(spark)})
+    lake.delete_rows(spark, root, "t", "id", [2, 3])
+    live = lake.read_segmented_live(spark, root, "t", "id")
+    assert live.columns == ["id", "name", "score"]
+    assert {r.id for r in live.collect()} == {1, 4}
+    lake.apply_tombstones(spark, root, "t", "id")
+    live2 = lake.read_segmented_live(spark, root, "t", "id")
+    assert sorted(tuple(r) for r in live2.collect()) == sorted(
+        tuple(r) for r in live.collect()
+    )
