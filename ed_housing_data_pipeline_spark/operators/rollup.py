@@ -66,7 +66,10 @@ def partial_rollup(
 
 
 def merge_rollup(
-    partials: DataFrame, keys: Sequence[str], measures: dict[str, str]
+    partials: DataFrame,
+    keys: Sequence[str],
+    measures: dict[str, str],
+    keep_state: bool = False,
 ) -> DataFrame:
     """Fold partial states: sums and counts add, min/max fold — the
     associativity that makes ``merge(partials) == partial(union)``
@@ -75,7 +78,56 @@ def merge_rollup(
     (:func:`retract_rollup_batch`) — drop out, exactly as a GROUP BY
     over the corrected facts would produce no row for them (the
     filter is a no-op on retraction-free views: every batch partial
-    carries ``_rows >= 1``)."""
+    carries ``_rows >= 1``).
+
+    MIN/MAX RESET semantics (exact extremes through retraction): when
+    the frame carries the ``_useq``/``_mm_reset`` state columns the
+    persisted protocol stamps, a reset row — written by a repairing
+    retraction, holding the EXACT re-aggregated min/max of its group
+    as of commit sequence ``_useq`` — supersedes every older row's
+    min/max for that group: the fold takes min/max only over the
+    highest reset row and rows committed strictly AFTER it (new
+    ingests keep folding in). Sums/counts fold over everything (reset
+    rows carry zeros). This stays associative: a merged row stamped
+    (max ``_useq``, OR of ``_mm_reset``) re-merges with later partials
+    to the same result, which is what lets compaction use this very
+    fold as its reducer (``keep_state=True`` keeps the stamp columns;
+    the default drops them for serving). Frames without the state
+    columns (ad-hoc merges of raw :func:`partial_rollup` outputs) get
+    the plain fold."""
+    has_state = "_useq" in partials.columns
+    if has_state:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        useq = F.coalesce(F.col("_useq"), F.lit(0))
+        reset = F.coalesce(F.col("_mm_reset"), F.lit(False))
+        # the window's hash partitioning on the keys is reused by the
+        # groupBy below — one shuffle total, same as the plain fold
+        w = Window.partitionBy(*keys)
+        s_star = F.max(F.when(reset, useq)).over(w)
+        mm_ok = (
+            s_star.isNull()
+            | (useq > s_star)
+            | (reset & (useq == s_star))
+        )
+        eff = partials.select(
+            *keys,
+            "_rows",
+            useq.alias("_useq"),
+            reset.alias("_mm_reset"),
+            *[
+                c
+                for name in measures
+                for c in (
+                    F.col(f"{name}_sum"),
+                    F.col(f"{name}_cnt"),
+                    F.when(mm_ok, F.col(f"{name}_min")).alias(f"{name}_min"),
+                    F.when(mm_ok, F.col(f"{name}_max")).alias(f"{name}_max"),
+                )
+            ],
+        )
+    else:
+        eff = partials
     aggs = [F.sum("_rows").alias("_rows")]
     for name in measures:
         aggs += [
@@ -84,11 +136,27 @@ def merge_rollup(
             F.min(f"{name}_min").alias(f"{name}_min"),
             F.max(f"{name}_max").alias(f"{name}_max"),
         ]
-    return partials.groupBy(*keys).agg(*aggs).filter(F.col("_rows") > 0)
+    if has_state and keep_state:
+        aggs += [
+            F.max("_useq").alias("_useq"),
+            F.max("_mm_reset").alias("_mm_reset"),
+        ]
+    return eff.groupBy(*keys).agg(*aggs).filter(F.col("_rows") > 0)
 
 
 def _spec_root(root: str) -> str:
     return f"{root.rstrip('/')}/spec"
+
+
+def _stamp(part: DataFrame, seq: int, mm_reset: bool = False) -> DataFrame:
+    """Stamp a partial frame with the manifest sequence committing it
+    (``_useq``) and the min/max-reset flag — the state columns
+    :func:`merge_rollup`'s reset semantics fold on. Ordinary ingests
+    and retractions stamp ``mm_reset=False``; only a repairing
+    retraction's re-aggregated override rows carry True."""
+    return part.withColumn("_useq", F.lit(int(seq)).cast("bigint")).withColumn(
+        "_mm_reset", F.lit(bool(mm_reset))
+    )
 
 
 def read_rollup_spec(
@@ -123,7 +191,7 @@ def bootstrap_rollup(
         sort_keys=True,
     )
     lake.write_snapshot_blob(spark, spec, _spec_root(root), version=1)
-    part = partial_rollup(df, keys, measures)
+    part = _stamp(partial_rollup(df, keys, measures), 1)
     if segment_partitions:
         part = part.coalesce(segment_partitions)
     return lake.append_segments(
@@ -155,19 +223,42 @@ def append_rollup_batch(
     batch-id hook); callers whose ``meta`` was DERIVED from committed
     state must pass the manifest version it was read from as
     ``expected_base`` so a rival committer conflicts loudly instead of
-    being clobbered (mirrors text_index._commit_batch)."""
+    being clobbered (mirrors text_index._commit_batch).
+
+    Partials are stamped with the committing manifest sequence (the
+    merge's min/max-reset axis), so the commit is always PINNED: with
+    ``expected_base`` the caller owns retries; without, a bounded
+    internal retry re-reads and re-stamps — a row stamped with a stale
+    sequence could otherwise be wrongly superseded by a concurrent
+    repair's reset."""
     keys, measures, zone_keys = read_rollup_spec(spark, root)
     part = partial_rollup(df, keys, measures)
     if segment_partitions:
         part = part.coalesce(segment_partitions)
-    pins = lake.append_segments(
-        spark,
-        root,
-        appends={PARTIALS: part},
-        zone_cols={PARTIALS: zone_keys} if zone_keys else None,
-        meta=meta,
-        expected_base=expected_base,
-    )
+
+    def _commit(base: int) -> dict[str, list[int]]:
+        return lake.append_segments(
+            spark,
+            root,
+            appends={PARTIALS: _stamp(part, base + 1)},
+            zone_cols={PARTIALS: zone_keys} if zone_keys else None,
+            meta=meta,
+            expected_base=base,
+        )
+
+    if expected_base is not None:
+        pins = _commit(expected_base)
+    else:
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            _p, base = lake.segment_pins_versioned(spark, root)
+            try:
+                pins = _commit(base)
+                break
+            except lake.ConcurrentCommitError as e:
+                last_err = e
+        else:
+            raise last_err
     lake.expire_segments(
         spark,
         root,
@@ -182,6 +273,7 @@ def retract_rollup_batch(
     spark: SparkSession,
     root: str,
     df: DataFrame,
+    remaining_facts: DataFrame | None = None,
     keep_manifests: int = 2,
     orphan_grace_sec: float = 24 * 3600,
     reader_grace_sec: float | None = None,
@@ -203,15 +295,23 @@ def retract_rollup_batch(
     double-ingesting one does.
 
     EXACTNESS CONTRACT: ``_rows``, ``{m}_sum``, ``{m}_cnt`` (and the
-    derived avg) are exact after retraction. ``{m}_min`` / ``{m}_max``
-    are NOT invertible from partial state — the negated segment
-    carries NULL min/max (the merge skips NULLs), so after a
-    retraction they are conservative BOUNDS: still valid envelopes of
-    the live values unless the retracted fact WAS the extreme, in
-    which case they over-cover until the view is rebuilt
-    (bootstrap_rollup on corrected facts). This is the standard
-    deletable-aggregate limitation; readers needing exact extremes
-    after corrections should not select them."""
+    derived avg) are always exact after retraction. MIN/MAX are not
+    invertible from partial state, so:
+
+    - With ``remaining_facts`` (the corrected fact source — at least
+      every live fact of the groups being touched), min/max stay
+      EXACT: the commit detects DIRTY groups (the retracted batch's
+      extreme ties the group's served extreme — the only groups whose
+      bounds can move), re-aggregates min/max for exactly those groups
+      from ``remaining_facts`` (one semi-joined O(dirty groups' facts)
+      agg, never a view rebuild), and appends the results as
+      ``_mm_reset`` override rows the merge's reset fold honors
+      (r9 VERDICT #8). The whole correction — negation + overrides —
+      is ONE segment under one pinned flip.
+    - Without it, min/max degrade to conservative BOUNDS: still valid
+      envelopes unless the retracted fact WAS the extreme, in which
+      case they over-cover until a repairing retraction or a rebuild
+      (the classic deletable-aggregate limitation)."""
     keys, measures, zone_keys = read_rollup_spec(spark, root)
     part = partial_rollup(df, keys, measures)
     neg_cols = [F.col(k) for k in keys] + [(-F.col("_rows")).alias("_rows")]
@@ -231,14 +331,78 @@ def retract_rollup_batch(
             for f in part.schema.fields
         ]
     )
-    if segment_partitions:
-        neg = neg.coalesce(segment_partitions)
-    pins = lake.append_segments(
-        spark,
-        root,
-        appends={PARTIALS: neg},
-        zone_cols={PARTIALS: zone_keys} if zone_keys else None,
-    )
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        pins0, base = lake.segment_pins_versioned(spark, root)
+        seq = base + 1
+        seg = _stamp(neg, seq)
+        if remaining_facts is not None:
+            served = merge_rollup(
+                lake.read_segmented_components(spark, root, [PARTIALS])[
+                    PARTIALS
+                ],
+                keys,
+                measures,
+            )
+            # a group is DIRTY iff the retracted batch's extreme
+            # reaches the served extreme — only then can the true
+            # extreme move (<=/>= instead of == for float safety;
+            # over-marking only costs a harmless re-aggregation)
+            dirty_pred = F.lit(False)
+            for name in measures:
+                dirty_pred = (
+                    dirty_pred
+                    | (F.col(f"r.{name}_min") <= F.col(f"s.{name}_min"))
+                    | (F.col(f"r.{name}_max") >= F.col(f"s.{name}_max"))
+                )
+            dirty = (
+                part.alias("r")
+                .join(served.alias("s"), on=list(keys))
+                .filter(dirty_pred)
+                .select(*keys)
+            )
+            repair = partial_rollup(
+                remaining_facts.join(dirty, on=list(keys), how="left_semi"),
+                keys,
+                measures,
+            )
+            # override rows: exact min/max, ZERO additive state (the
+            # negation already balanced the books)
+            over_cols = [F.col(k) for k in keys] + [
+                F.lit(0).cast("bigint").alias("_rows")
+            ]
+            for name in measures:
+                over_cols += [
+                    (F.col(f"{name}_sum") * 0).alias(f"{name}_sum"),
+                    F.lit(0).cast("bigint").alias(f"{name}_cnt"),
+                    F.col(f"{name}_min"),
+                    F.col(f"{name}_max"),
+                ]
+            override = repair.select(*over_cols).select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in part.schema.fields
+                ]
+            )
+            seg = seg.unionByName(_stamp(override, seq, mm_reset=True))
+        if segment_partitions:
+            seg = seg.coalesce(segment_partitions)
+        try:
+            pins = lake.append_segments(
+                spark,
+                root,
+                appends={PARTIALS: seg},
+                zone_cols={PARTIALS: zone_keys} if zone_keys else None,
+                # the override rows are derived from the served view at
+                # `base`; a rival commit in between must conflict, not
+                # be silently rebased under a stale repair
+                expected_base=base,
+            )
+            break
+        except lake.ConcurrentCommitError as e:
+            last_err = e
+    else:
+        raise last_err
     lake.expire_segments(
         spark,
         root,
@@ -324,6 +488,15 @@ def compact_rollup(
     return lake.compact_segments(
         spark,
         root,
-        reducers={PARTIALS: lambda df: merge_rollup(df, keys, measures)},
+        # keep_state: the compacted frame stays a valid PARTIAL — it
+        # carries (max _useq, OR of _mm_reset) per group, so a group
+        # whose min/max were reset by a repair compacts to a reset row
+        # that later ingests (strictly newer sequences) keep folding
+        # into, and re-compaction is idempotent
+        reducers={
+            PARTIALS: lambda df: merge_rollup(
+                df, keys, measures, keep_state=True
+            )
+        },
         min_segments=min_segments,
     )

@@ -283,6 +283,12 @@ def _ensure_retracted_rollup(spark: SparkSession, sf_dir: str) -> str:
             facts.filter(F.col("o_orderkey") % RETRACT_MOD == 0).drop(
                 "o_orderkey"
             ),
+            # the corrected fact source: min/max stay EXACT — dirty
+            # groups (retracted extreme ties the served extreme) get
+            # re-aggregated override rows in the same commit
+            remaining_facts=facts.filter(
+                F.col("o_orderkey") % RETRACT_MOD != 0
+            ).drop("o_orderkey"),
             segment_partitions=1,
         )
         _ROLLUP_RETRACT_DIR[key] = tmp
@@ -298,7 +304,9 @@ SELECT o_orderpriority AS priority,
        ROUND(SUM(o_totalprice), 2) AS price_sum,
        CAST(COUNT(o_totalprice) AS BIGINT) AS price_cnt,
        CAST(ROUND(ROUND(ROUND(SUM(o_totalprice), 2) * 100)
-                  / COUNT(o_totalprice)) AS BIGINT) AS price_avg_cents
+                  / COUNT(o_totalprice)) AS BIGINT) AS price_avg_cents,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max
 FROM orders
 WHERE o_orderkey % 53 <> 0
 GROUP BY 1, 2
@@ -352,6 +360,10 @@ def q_orders_rollup_after_retraction(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(cents / F.col("price_cnt"))
         .cast("bigint")
         .alias("price_avg_cents"),
+        # exact extremes through the retraction: stored doubles pass
+        # through min/max folds unchanged on both engines — no rounding
+        "price_min",
+        "price_max",
     )
 
 

@@ -294,3 +294,113 @@ def test_retraction_survives_compaction(spark, tmp_path):
         spark, f"{root}/{rollup.PARTIALS}", pins[rollup.PARTIALS]
     )
     assert seg.filter("_rows <= 0").count() == 0
+
+
+def test_repairing_retraction_exact_minmax_equals_direct(spark, tmp_path):
+    """With remaining_facts supplied, the retraction re-aggregates the
+    dirty groups' min/max and the served view equals the direct GROUP
+    BY over the corrected facts for EVERY statistic — including the
+    extremes a plain negation would have left as stale bounds."""
+    data = _facts(150, seed=11)
+    retract = [r for i, r in enumerate(data) if i % 7 == 0]
+    remaining = [r for i, r in enumerate(data) if i % 7 != 0]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [50, 100])
+    rollup.retract_rollup_batch(
+        spark,
+        root,
+        _df(spark, retract),
+        remaining_facts=_df(spark, remaining),
+        segment_partitions=1,
+    )
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, remaining)
+    )
+
+
+def test_repair_retracting_the_unique_extreme(spark, tmp_path):
+    """The hardest case: the retracted fact WAS the unique max — the
+    override row must land the new exact max (7.0), not the stale
+    bound (100.0)."""
+    data = [
+        Row(grp="g", bucket=1, val=1.0),
+        Row(grp="g", bucket=1, val=100.0),
+        Row(grp="g", bucket=1, val=7.0),
+    ]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [2])
+    rollup.retract_rollup_batch(
+        spark,
+        root,
+        _df(spark, [data[1]]),
+        remaining_facts=_df(spark, [data[0], data[2]]),
+        segment_partitions=1,
+    )
+    r = rollup.read_rollup(spark, root, derive_avg=False).collect()[0]
+    assert (r["v_min"], r["v_max"]) == (1.0, 7.0)
+    assert r["_rows"] == 2 and round(r["v_sum"], 6) == 8.0
+
+
+def test_repair_then_append_then_compact_lifecycle(spark, tmp_path):
+    """Reset rows compose with later ingests and compaction: a new
+    fact beyond the repaired extreme folds in (the reset only
+    supersedes OLDER rows), compaction keeps the reset semantics, and
+    a post-compaction append still converges to the direct truth."""
+    data = _facts(90, seed=23)
+    retract = [r for i, r in enumerate(data[:60]) if i % 5 == 0]
+    live0 = [r for i, r in enumerate(data[:60]) if i % 5 != 0]
+    root = str(tmp_path / "view")
+    _build(spark, root, data[:60], [30])
+    rollup.retract_rollup_batch(
+        spark,
+        root,
+        _df(spark, retract),
+        remaining_facts=_df(spark, live0),
+        segment_partitions=1,
+    )
+    # later ingest can move the extremes past the repaired values
+    rollup.append_rollup_batch(
+        spark, root, _df(spark, data[60:75]), segment_partitions=1
+    )
+    live1 = live0 + data[60:75]
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, live1)
+    )
+    pins = rollup.compact_rollup(spark, root)
+    assert len(pins[rollup.PARTIALS]) == 1
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, live1)
+    )
+    rollup.append_rollup_batch(
+        spark, root, _df(spark, data[75:]), segment_partitions=1
+    )
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, live1 + data[75:])
+    )
+
+
+def test_second_repair_supersedes_first(spark, tmp_path):
+    """Two repairing retractions in sequence: the newer reset outranks
+    the older one (max-sequence fold), and the view stays exact."""
+    data = [
+        Row(grp="g", bucket=1, val=float(v))
+        for v in [5, 50, 90, 100]
+    ]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [4])
+    rollup.retract_rollup_batch(
+        spark,
+        root,
+        _df(spark, [data[3]]),  # retract 100 -> max 90
+        remaining_facts=_df(spark, data[:3]),
+        segment_partitions=1,
+    )
+    rollup.retract_rollup_batch(
+        spark,
+        root,
+        _df(spark, [data[2]]),  # retract 90 -> max 50
+        remaining_facts=_df(spark, data[:2]),
+        segment_partitions=1,
+    )
+    r = rollup.read_rollup(spark, root, derive_avg=False).collect()[0]
+    assert (r["v_min"], r["v_max"], r["_rows"]) == (5.0, 50.0, 2)
