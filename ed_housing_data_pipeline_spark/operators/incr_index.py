@@ -142,42 +142,54 @@ def bootstrap_index(
 ) -> dict[str, list[int]]:
     """First commit: the data components (``bands`` + ``shingles``,
     optionally ``docs``) land as their first segments; bucket counts
-    and the stop table derive from the WRITTEN bands segment (a
-    read-back, not a lineage recompute — one-time O(corpus) agg), and
-    one manifest pins it all. Returns the committed pin map."""
+    and the stop table derive from the PASSED ``bands`` frame (the
+    same deterministic-content-or-persisted contract append_batch
+    documents — both production callers hold the signature frame
+    persisted, so the derived aggs scan cache, not lineage), and one
+    manifest pins it all. The five segment writes run as CONCURRENT
+    Spark jobs (they are mutually independent given that contract),
+    so bootstrap wall latency is the slowest write, not a five-job
+    serial chain — the r8/r9 cold-commit lever applied to the
+    bootstrap path too. Returns the committed pin map."""
     unknown = set(frames) - set(DATA_COMPONENTS)
     if "bands" not in frames or "shingles" not in frames or unknown:
         raise ValueError(
             f"bootstrap_index: need bands+shingles (docs optional), got "
             f"{sorted(frames)}"
         )
-    pins = {
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    counts = bucket_counts(frames["bands"]).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _write_data(name: str) -> tuple[str, int]:
         # rows carry the manifest sequence that commits them (the
         # delete/re-ingest liveness axis — see _tombstone_watermarks)
-        name: [
-            lake.write_segment(
-                spark,
-                df.withColumn("useq", F.lit(1).cast("bigint")),
-                f"{root}/{name}",
-            )
-        ]
-        for name, df in frames.items()
-    }
-    bands_read = lake.read_segments(spark, f"{root}/bands", pins["bands"])
-    counts = bucket_counts(bands_read)
-    pins["bucketcounts"] = [
-        lake.write_segment(spark, counts, f"{root}/bucketcounts")
-    ]
-    counts_read = lake.read_segments(
-        spark, f"{root}/bucketcounts", pins["bucketcounts"]
-    )
-    pins["stopbands"] = [
-        lake.write_segment(
+        return name, lake.write_segment(
             spark,
-            stop_from_counts(counts_read, max_bucket_width),
+            frames[name].withColumn("useq", F.lit(1).cast("bigint")),
+            f"{root}/{name}",
+        )
+
+    def _write_counts() -> int:
+        return lake.write_segment(spark, counts, f"{root}/bucketcounts")
+
+    def _write_stop() -> int:
+        return lake.write_segment(
+            spark,
+            stop_from_counts(counts, max_bucket_width),
             f"{root}/stopbands",
         )
-    ]
+
+    try:
+        with ThreadPoolExecutor(max_workers=len(frames) + 2) as pool:
+            data_futs = [pool.submit(_write_data, name) for name in frames]
+            counts_fut = pool.submit(_write_counts)
+            stop_fut = pool.submit(_write_stop)
+            pins = {name: [seg] for name, seg in (f.result() for f in data_futs)}
+            pins["bucketcounts"] = [counts_fut.result()]
+            pins["stopbands"] = [stop_fut.result()]
+    finally:
+        counts.unpersist()
     # first commit pinned at version 1: bootstrapping over an already-
     # committed index raises instead of silently replacing it. The
     # bucket cap rides the manifest meta so maintenance (delete's stop

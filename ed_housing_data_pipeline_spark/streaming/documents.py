@@ -143,8 +143,16 @@ def bootstrap_doc_index(
     The signature frame is persisted across the component writes so
     the corpus is shingled/hashed once, not once per component."""
     _require_uninitialized(spark, root)
-    sig = _signed(corpus, n_hashes, shingle_k).persist()
+    # small/single-file corpora otherwise run the CPU-bound shingle +
+    # md5 pass on one input split (scale_out is a no-op once the scan
+    # has ≥cores splits — the 100 TB case)
+    sig = _signed(sim.scale_out(corpus), n_hashes, shingle_k).persist()
     try:
+        # materialize the cache at full parallelism BEFORE the
+        # concurrent component writes: bootstrap_index runs its five
+        # segment writes as parallel jobs, and each would otherwise
+        # race to compute the shingle/hash pass into the cache
+        sig.count()
         incr_index.bootstrap_index(
             spark,
             root,
@@ -221,14 +229,18 @@ def dedup_batch_against_index(
     the batch (``max_bucket_width`` bounds that self-join's buckets,
     same guard as the committed stop-band stats). Returns the accepted
     subset of ``batch`` WITH its signature columns (``_sh``, ``mh_*``)
-    so callers never recompute the shingle pass; deterministic for a
-    given (batch, index)."""
+    so callers never recompute the shingle pass — PERSISTED and
+    materialized (callers unpersist when done committing): the batch
+    signature feeds ~6 branches of the decision DAG, and without the
+    internal cache each branch re-ran the scan → dropDuplicates
+    shuffle → anti-join → shingle/hash chain, which dominated the
+    micro-batch latency. Deterministic for a given (batch, index)."""
     # within-batch id repeats would sail past every near-dup check
     # (a pair needs id_a < id_b); at-least-once sources can produce them
     fresh = batch.dropDuplicates(["doc_id"]).join(
         index["shingles"].select("doc_id"), on="doc_id", how="left_anti"
     )
-    sig = _signed(fresh, n_hashes, shingle_k)
+    sig = _signed(fresh, n_hashes, shingle_k).persist()
     probe_bands = sim.band_keys(sig, "doc_id", n_hashes=n_hashes, bands=bands)
     cand = sim.lsh_probe_pairs(
         probe_bands, index["bands"], "doc_id", stop_bands=index["stopbands"]
@@ -249,7 +261,13 @@ def dedup_batch_against_index(
     batch_dups = _verified_dup_ids(
         pairs, "id_b", "id_a", batch_sh, batch_sh, threshold
     )
-    return survivors_sig.join(batch_dups, "doc_id", "left_anti")
+    out = survivors_sig.join(batch_dups, "doc_id", "left_anti").persist()
+    # materialize the decision, then drop the intermediate signature
+    # cache — the accepted frame's cached partitions carry everything
+    # downstream writes need
+    out.count()
+    sig.unpersist()
+    return out
 
 
 def run_stream_incremental_dedup(
