@@ -198,89 +198,91 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r9 window. Rotation rule: every component REWIRED this round
-    # keeps an in-window representative; the seven r9-new mutation
-    # queries enter; remaining slots go to the LONGEST-STALE green
-    # rows (last driver rows r3/r4 per the r8 verdict). Rotated OUT
-    # (all r8-green and untouched in r9): safe_division, anti_join,
-    # out: safe_division, anti_join, orders_nearby_range_join,
-    # events_asof_last_view, events_hll_daily_users, doc_neardup_pairs,
-    # doc_chargram_neardup, doc_dedup_clusters, doc_word_cms_topk,
-    # doc_unigram_surprisal, doc_dup_span_coverage,
-    # doc_source_mixture_weights, embedding_knn_srp,
-    # embedding_knn_ivfpq_fixed, embedding_neardup_pairs,
-    # embedding_dedup_clusters.
+    # --- r10 window. Rotation rule unchanged: every component REWIRED
+    # this round keeps an in-window representative; this round's two
+    # NEW queries enter; every query whose last driver row is r3/r4
+    # (the staleness bound the r9 verdict set: nothing older than r5)
+    # fills the remaining slots. Rotated OUT (all r9-green, untouched
+    # in r10, family reps stay): big_spenders_having,
+    # customer_balance_quartiles, dedup_keep_first,
+    # embedding_knn_blocked, embedding_knn_bruteforce,
+    # embedding_knn_ivf_fixed, events_sessionize_stats,
+    # events_stream_hourly, grouped_agg_salted,
+    # lineitem_group_histogram_quantiles, normalize_key_group,
+    # orders_constraint_audit, orders_histogram_quantiles,
+    # orders_zorder_box, rank_asc_nulls_last, rank_desc_nulls_last,
+    # rank_dense_global, semi_join, setop_intersect, topk_orders.
     #
-    # lake protocol (hardened this round: typed concurrency, listStatus
-    # retries, intent-before-claim cleanup, blob-read retries)
+    # the flagship (entry()) — never rotates out
+    "rank_sum_top1",
+    # lake protocol (rewired: schema evolution in append_segments /
+    # readers / compaction; narrowed vanished-error classification;
+    # tombstone-pressure meta) + the r10-new evolution query
+    "lake_schema_evolution",
     "lake_snapshot_roundtrip",
     "doc_point_lookup",
     "doc_delete_point_lookup",
-    # text index (rewired: useq liveness, rarest-first, one-read
-    # serving, commit job fold) + its r9-new mutation lifecycle
+    # text index (rewired: one-snapshot serving, per-retry replay
+    # guard in both sinks, DataFrame-scale delete_from/delete_where,
+    # bounded liveness fold) + the r10-new bulk take-down
+    "doc_search_after_bulk_delete",
     "doc_inverted_search_and",
+    "doc_inverted_bm25_topk",
+    "doc_inverted_tfidf_topk",
+    "doc_inverted_prefix",
     "doc_inverted_phrase",
     "doc_inverted_phrase3",
-    "doc_inverted_tfidf_topk",
-    "doc_inverted_bm25_topk",
-    "doc_inverted_prefix",
     "doc_search_time_travel",
-    "doc_stream_search_ingest",
     "doc_index_stats",
     "doc_search_after_delete",
     "doc_search_after_update",
+    "doc_stream_search_ingest",
     "doc_stream_search_upsert",
-    # LSH dedup index (rewired: useq liveness, concurrent derived
-    # writes, stop-band un-stop, meta-carried cap)
+    # LSH dedup index (rewired: concurrent bootstrap writes, persisted
+    # batch signature in the dedup decision, delete_from/delete_where,
+    # tombstone-pressure compaction in the sink)
     "doc_incremental_neardup",
     "doc_stream_incremental_dedup",
-    # ANN index (rewired: useq liveness, expected_base appends) + its
-    # r9-new mutation lifecycle
+    # ANN index (rewired: delete_from — the driver fixture's delete set
+    # is now a DataFrame filter — plus the shared pressure counter)
     "embedding_incremental_ann",
     "embedding_ann_cellcounts",
     "embedding_stream_ann_ingest",
     "embedding_ann_after_delete",
     "embedding_ann_after_update",
-    # continuous rollup (rewired: dead-group filter in the merge,
-    # expected_base replay pin in the sink) + the r9-new retraction
+    # continuous rollup (rewired: sequence-stamped partials, min/max
+    # reset fold, exact extremes through repairing retraction)
     "orders_incremental_rollup",
     "orders_rollup_month_range",
     "orders_stream_rollup",
     "orders_rollup_after_retraction",
     "events_hll_rollup",
-    # zonemap/zcluster (rewired: tz-aware bounds, boundless all-NULL
-    # guard, empty-box raise) and expectations (name validation)
-    "orders_zorder_box",
-    "orders_constraint_audit",
-    # rows-only by documented design: value-pinned by fixed-constant
-    # twins + recall/invariant pytest harnesses
+    # rows-only by documented design (fixed-constant twins green)
     "embedding_knn_ivf",
     "embedding_knn_ivfpq",
-    # the flagship (entry()) — never rotates out
-    "rank_sum_top1",
-    # longest-stale green rows (last driver rows r3/r4), per the r8
-    # verdict's rotation-hygiene directive
-    "dedup_keep_first",
-    "setop_intersect",
-    "embedding_knn_blocked",
-    "semi_join",
-    "topk_orders",
-    "big_spenders_having",
-    "embedding_knn_bruteforce",
-    "embedding_knn_ivf_fixed",
-    "rank_desc_nulls_last",
-    "events_sessionize_stats",
-    # family representatives that keep the remaining operator families
-    # hot (windows, skew, sketches, streaming aggregation)
-    "grouped_agg_salted",
-    "normalize_key_group",
-    "rank_asc_nulls_last",
-    "rank_dense_global",
-    "customer_balance_quartiles",
-    "orders_histogram_quantiles",
-    "lineitem_group_histogram_quantiles",
-    "events_stream_hourly",
+    # staleness tail, last driver rows r3 …
+    "doc_bpe_token_estimate",
+    "doc_jaccard_adjacent",
+    "doc_source_bucket_extract",
+    "doc_token_stats_by_lang",
+    "doc_word_topk",
+    "embedding_norms",
+    "events_sliding_counts",
+    # … and r4 — after this round no registered query's last driver
+    # row is older than r5
+    "coerce_json_field",
+    "doc_binary_bytes",
+    "doc_lang_breakdown",
+    "doc_quality_score",
+    "doc_simhash",
+    "embedding_label_centroids",
+    "events_retention_cohorts",
+    "events_rollup_day_type",
+    "horizontal_sum",
+    "schema_introspect",
+    "table_summary",
 )
+
 
 
 def _load_all() -> None:
