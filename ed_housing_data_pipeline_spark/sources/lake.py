@@ -1734,10 +1734,30 @@ def delete_rows(
     if not ids:
         return segment_pins(spark, root)
     df = spark.createDataFrame([(v,) for v in ids], [id_col]).distinct()
+    return delete_rows_from(spark, root, component, id_col, df)
+
+
+def delete_rows_from(
+    spark,
+    root: str,
+    component: str,
+    id_col: str,
+    ids_df: DataFrame,
+    segment_partitions: int | None = 1,
+) -> dict[str, list[int]]:
+    """DataFrame-scale :func:`delete_rows`: the delete set is a frame
+    of ids ("delete every row from source X") written straight into
+    the tombstone component — nothing ever materializes on the driver,
+    which is the only shape that survives a multi-million-row
+    take-down. ``segment_partitions`` caps the tombstone segment's
+    file count (None preserves the frame's partitioning)."""
+    df = ids_df.select(id_col).distinct()
+    if segment_partitions:
+        df = df.coalesce(segment_partitions)
     return append_segments(
         spark,
         root,
-        appends={_tombstone_component(component): df.coalesce(1)},
+        appends={_tombstone_component(component): df},
     )
 
 

@@ -133,3 +133,15 @@ def test_tombstone_apply_preserves_evolved_schema(spark, tmp_path):
     assert sorted(tuple(r) for r in live2.collect()) == sorted(
         tuple(r) for r in live.collect()
     )
+
+
+def test_delete_rows_from_dataframe_delete_set(spark, tmp_path):
+    """The generic per-component tombstone surface accepts a DataFrame
+    delete set (never driver-materialized) and matches the list path."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _v2(spark)}, init=True)
+    lake.delete_rows_from(
+        spark, root, "t", "id", _v2(spark).filter(F.col("id") == 3).select("id")
+    )
+    live = lake.read_segmented_live(spark, root, "t", "id")
+    assert {r.id for r in live.collect()} == {4}
