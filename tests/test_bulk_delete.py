@@ -35,6 +35,24 @@ from ed_housing_data_pipeline_spark.streaming import search as ssearch
 from tests.test_ann_index import CENTS, CODEBOOKS, _vecs
 from tests.test_text_index import DOCS_A, DOCS_B, DOCS_C, _build, _df
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def _base_text_idx(spark, tmp_path_factory):
+    """The canonical 3-commit text index, built once; tests copy the
+    tree (root-relative layout) before mutating it."""
+    root = str(tmp_path_factory.mktemp("bulkdel_base") / "idx")
+    _build(spark, root)
+    return root
+
+
+def _copy_idx(base: str, dest: str) -> str:
+    import shutil
+
+    shutil.copytree(base, dest)
+    return dest
+
 
 def _search_state(spark, root, terms=("alpha", "delta", "gamma", "beta")):
     """Order-insensitive snapshot of every text-search surface."""
@@ -64,12 +82,11 @@ def _search_state(spark, root, terms=("alpha", "delta", "gamma", "beta")):
     }
 
 
-def test_text_delete_from_matches_delete_docs(spark, tmp_path):
+def test_text_delete_from_matches_delete_docs(spark, tmp_path, _base_text_idx):
     """Same delete set through the list path and the DataFrame path →
     identical search results, stats, and meta counters."""
-    root_list, root_df = str(tmp_path / "a"), str(tmp_path / "b")
-    _build(spark, root_list)
-    _build(spark, root_df)
+    root_list = _copy_idx(_base_text_idx, str(tmp_path / "a"))
+    root_df = _copy_idx(_base_text_idx, str(tmp_path / "b"))
     dead = [0, 10, 20]
     text_index.delete_docs(spark, root_list, dead)
     ids_df = spark.createDataFrame([(i,) for i in dead], "doc_id bigint")
@@ -79,12 +96,11 @@ def test_text_delete_from_matches_delete_docs(spark, tmp_path):
     assert int(meta[lake.TOMBSTONE_ROWS_KEY]) == len(dead)
 
 
-def test_text_delete_from_filter_over_corpus(spark, tmp_path):
+def test_text_delete_from_filter_over_corpus(spark, tmp_path, _base_text_idx):
     """The verdict shape: the delete set is a FILTER over the corpus
     table (doc_id % 2 == 0), tombstoned without any driver-side id
     list; results equal an index built from the surviving docs."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = _copy_idx(_base_text_idx, str(tmp_path / "idx"))
     all_docs = _df(spark, DOCS_A + DOCS_B + DOCS_C)
     text_index.delete_from(
         spark, root, all_docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
@@ -109,11 +125,10 @@ def test_text_delete_from_filter_over_corpus(spark, tmp_path):
     assert {r.doc_id for r in tomb.collect()} == {0, 2, 10, 12, 20}
 
 
-def test_text_delete_where_by_term(spark, tmp_path):
+def test_text_delete_where_by_term(spark, tmp_path, _base_text_idx):
     """Predicate take-down over the index's own posting rows: every
     live doc containing 'delta' dies; its stats rows vanish."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = _copy_idx(_base_text_idx, str(tmp_path / "idx"))
     text_index.delete_where(spark, root, F.col("term") == "delta")
     assert text_index.search_all_terms(spark, root, ["delta"]).count() == 0
     stats = {
@@ -133,11 +148,10 @@ def test_text_delete_where_by_term(spark, tmp_path):
     assert got == {0, 2}
 
 
-def test_counter_lifecycle_reset_on_apply(spark, tmp_path):
+def test_counter_lifecycle_reset_on_apply(spark, tmp_path, _base_text_idx):
     """n_tombstones accumulates across delete + upsert commits and
     resets to 0 when the physical apply empties the component."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = _copy_idx(_base_text_idx, str(tmp_path / "idx"))
     text_index.delete_docs(spark, root, [0, 10])
     assert int(lake.segment_meta(spark, root)[lake.TOMBSTONE_ROWS_KEY]) == 2
     rev = spark.createDataFrame(
@@ -154,14 +168,13 @@ def test_counter_lifecycle_reset_on_apply(spark, tmp_path):
     assert before == after
 
 
-def test_live_fold_shuffle_fallback_identical_results(spark, tmp_path, monkeypatch):
+def test_live_fold_shuffle_fallback_identical_results(spark, tmp_path, monkeypatch, _base_text_idx):
     """Past the broadcast bound the liveness fold joins WITHOUT the
     broadcast hint (no BroadcastHashJoin on the watermark side is
     FORCED; AQE may still pick one at runtime, so we assert on the
     results and on the fold running at all) — results identical to the
     broadcast plan."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = _copy_idx(_base_text_idx, str(tmp_path / "idx"))
     text_index.delete_docs(spark, root, [0, 10])
     broadcast_state = _search_state(spark, root)
     monkeypatch.setattr(text_index, "_LIVE_BROADCAST_MAX_ROWS", 0)

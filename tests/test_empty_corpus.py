@@ -10,12 +10,20 @@ corpus is a caller error that must raise clearly."""
 
 from __future__ import annotations
 
-import glob
 import shutil
 
 import pytest
 
 from ed_housing_data_pipeline_spark.plans.registry import query_map
+
+
+def _write_empty_parquet(src: str, dst: str) -> None:
+    """A zero-row parquet with the source file's exact schema —
+    pyarrow-direct, so fixture setup schedules no Spark jobs."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(src)
+    pq.write_table(schema.empty_table(), dst)
 
 _COPY_TABLES = (
     "region nation customer supplier part orders lineitem events"
@@ -28,11 +36,9 @@ def empty_sf_dir(spark, tmp_path_factory):
     for t in _COPY_TABLES:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
     for t in ("documents", "embeddings"):
-        schema = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").schema
-        out = d / f"_{t}"
-        spark.createDataFrame([], schema).coalesce(1).write.parquet(str(out))
-        part = glob.glob(f"{out}/part-*.parquet")[0]
-        shutil.copy(part, str(d / f"{t}.parquet"))
+        _write_empty_parquet(
+            f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet")
+        )
     return str(d)
 
 
@@ -81,11 +87,9 @@ def all_empty_sf_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("all_empty_sf")
     tables = _COPY_TABLES + ["documents", "embeddings"]
     for t in tables:
-        schema = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").schema
-        out = d / f"_{t}"
-        spark.createDataFrame([], schema).coalesce(1).write.parquet(str(out))
-        part = glob.glob(f"{out}/part-*.parquet")[0]
-        shutil.copy(part, str(d / f"{t}.parquet"))
+        _write_empty_parquet(
+            f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet")
+        )
     return str(d)
 
 

@@ -28,16 +28,17 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r9 window: every component
-    REWIRED this round keeps a representative (lake protocol
-    hardening; the text/LSH/ANN indexes' useq liveness + mutation
-    lifecycle; the rollup's merge filter + sink replay pin; zonemap/
-    zcluster/expectations ADVICE fixes), the seven r9-new mutation
-    queries enter (delete/upsert/CDC/retraction/meta-counter rows),
-    and the remaining slots go to the longest-stale green rows (last
-    driver rows r3/r4). Rotated out: all r8-green and untouched in r9
-    (safe_division, anti_join, the similarity battery, the one-shot
-    HLL twin, etc. — each keeps machinery in-window via a sibling)."""
+    prior round's CORRECTNESS file. The r10 window: every component
+    REWIRED this round keeps a representative (lake schema evolution +
+    vanished-error narrowing; the text index's one-snapshot serving,
+    per-retry replay guards and DataFrame take-downs; the LSH index's
+    concurrent bootstrap + persisted batch signature; the ANN index's
+    delete_from fixture; the rollup's sequence-stamped partials and
+    exact min/max retraction), the two r10-new queries enter
+    (doc_search_after_bulk_delete, lake_schema_evolution), and every
+    query whose last driver row was r3/r4 fills the remaining slots —
+    after this round no registered query's driver row is older than
+    r5."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -45,42 +46,35 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # r9-new mutation lifecycle — never driver-verified before
-        "doc_search_after_delete",
-        "doc_search_after_update",
-        "doc_stream_search_upsert",
-        "doc_index_stats",
-        "embedding_ann_after_delete",
-        "embedding_ann_after_update",
-        "orders_rollup_after_retraction",
-        # rewired-in-r9 component representatives
-        "lake_snapshot_roundtrip",      # commit-protocol hardening
-        "doc_point_lookup",             # bloom plan from one manifest read
-        "doc_delete_point_lookup",      # tombstone GDPR roundtrip
-        "doc_inverted_search_and",      # rarest-first + liveness
-        "doc_inverted_bm25_topk",       # liveness-filtered doclens
-        "doc_search_time_travel",       # at_version tombstone semantics
-        "doc_stream_search_ingest",     # commit job fold + compaction policy
-        "doc_incremental_neardup",      # LSH useq liveness
-        "doc_stream_incremental_dedup", # concurrent derived writes
-        "embedding_incremental_ann",    # ANN useq liveness
-        "orders_incremental_rollup",    # merge dead-group filter
-        "orders_stream_rollup",         # expected_base replay pin
-        "events_hll_rollup",            # rides the same merge path
-        "orders_zorder_box",            # zonemap ADVICE fixes
-        "orders_constraint_audit",      # name-validation fix
+        # r10-new — never driver-verified before
+        "doc_search_after_bulk_delete",
+        "lake_schema_evolution",
+        # rewired-in-r10 component representatives
+        "lake_snapshot_roundtrip",      # protocol + schema evolution
+        "doc_delete_point_lookup",      # schema-evolved live reads
+        "doc_inverted_bm25_topk",       # one-snapshot serving
+        "doc_stream_search_ingest",     # per-retry replay guard
+        "doc_stream_search_upsert",     # per-retry replay guard (CDC)
+        "doc_search_after_delete",      # tombstone counter rides delete
+        "doc_incremental_neardup",      # concurrent bootstrap writes
+        "doc_stream_incremental_dedup", # persisted batch signature
+        "embedding_ann_after_delete",   # DataFrame delete_from fixture
+        "orders_incremental_rollup",    # sequence-stamped partials
+        "orders_rollup_after_retraction",  # exact min/max repair
         # rows-only by documented design
         "embedding_knn_ivf",
         "embedding_knn_ivfpq",
         # the flagship (entry())
         "rank_sum_top1",
-        # longest-stale green rows (rotation hygiene, r8 verdict #6)
-        "dedup_keep_first",
-        "setop_intersect",
-        "embedding_knn_blocked",
-        "semi_join",
-        "topk_orders",
-        "big_spenders_having",
+        # staleness tail (last driver rows r3/r4 -> bound becomes r5)
+        "doc_bpe_token_estimate",
+        "doc_jaccard_adjacent",
+        "embedding_norms",
+        "events_sliding_counts",
+        "coerce_json_field",
+        "horizontal_sum",
+        "schema_introspect",
+        "table_summary",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 

@@ -4,6 +4,7 @@ bloom-sidecar segment skipping on the term column."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from ed_housing_data_pipeline_spark.operators import text_index
@@ -37,6 +38,26 @@ def _build(spark, root):
     text_index.append_text_batch(spark, root, _df(spark, DOCS_C))
 
 
+@pytest.fixture(scope="module")
+def _base_idx(spark, tmp_path_factory):
+    """The canonical 3-commit index built ONCE per module. Tests get a
+    private COPY (segment dirs + manifests are root-relative, so a
+    copied tree is a fully independent index) — rebuilding the same
+    three commits in ~20 tests dominated the module's wall clock."""
+    root = str(tmp_path_factory.mktemp("text_idx_base") / "idx")
+    _build(spark, root)
+    return root
+
+
+@pytest.fixture()
+def built_root(_base_idx, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "idx")
+    shutil.copytree(_base_idx, root)
+    return root
+
+
 def test_posting_table_rows(spark):
     rows = {
         (r.term, r.doc_id): (r.tf, r.positions)
@@ -55,9 +76,8 @@ def test_null_and_blank_docs_produce_no_postings(spark):
     assert {r.doc_id for r in got} == {10}
 
 
-def test_search_all_terms_conjunction(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_search_all_terms_conjunction(spark, built_root):
+    root = built_root
     got = {
         r.doc_id: r.total_tf
         for r in text_index.search_all_terms(spark, root, ["alpha", "gamma"]).collect()
@@ -74,9 +94,8 @@ def test_search_all_terms_conjunction(spark, tmp_path):
     assert dup == {0, 2}
 
 
-def test_search_absent_term_is_empty(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_search_absent_term_is_empty(spark, built_root):
+    root = built_root
     assert text_index.search_all_terms(spark, root, ["alpha", "zzz"]).count() == 0
 
 
@@ -96,9 +115,8 @@ def test_search_sees_appended_batches(spark, tmp_path):
     assert len(lake.segment_pins(spark, root)["postings"]) == 2
 
 
-def test_phrase_adjacency_and_counts(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_phrase_adjacency_and_counts(spark, built_root):
+    root = built_root
     got = {
         r.doc_id: r.n_occ
         for r in text_index.search_phrase(spark, root, "alpha", "beta").collect()
@@ -118,9 +136,8 @@ def test_phrase_adjacency_and_counts(spark, tmp_path):
     )
 
 
-def test_phrase_repeated_word(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_phrase_repeated_word(spark, built_root):
+    root = built_root
     got = {
         r.doc_id: r.n_occ
         for r in text_index.search_phrase(spark, root, "beta", "beta").collect()
@@ -140,11 +157,10 @@ def test_phrase_repeated_word(spark, tmp_path):
     assert dd == {10: 1}
 
 
-def test_bloom_prunes_segments_by_term(spark, tmp_path):
+def test_bloom_prunes_segments_by_term(spark, built_root):
     """Each batch has a private vocabulary word; a probe for it must
     drop the other two segments driver-side (and never the holder)."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     pins = lake.segment_pins(spark, root)["postings"]
     assert len(pins) == 3
     kept, pinned = lake.bloom_pruned_pins(
@@ -180,13 +196,12 @@ def test_termstats_additive_and_corpus_meta(spark, tmp_path):
     assert got == {"alpha": 3, "beta": 3, "gamma": 3, "delta": 2}
 
 
-def test_search_ranked_scores_and_order(spark, tmp_path):
+def test_search_ranked_scores_and_order(spark, built_root):
     """Hand-computed tf-idf on the tiny corpus: score, rounding, and
     the (score DESC, doc_id ASC) cut."""
     import math
 
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     n = 8.0
     idf_a, idf_d = math.log(n / 3), math.log(n / 2)  # alpha df=3, delta df=2
     got = [
@@ -233,13 +248,12 @@ def test_stream_sink_replay_and_out_of_order(spark, tmp_path):
     assert got == {"delta": 2, "alpha": 3}  # would be 4/4 if replayed
 
 
-def test_compaction_preserves_search_and_stats(spark, tmp_path):
+def test_compaction_preserves_search_and_stats(spark, built_root):
     """Compaction folds 3 postings + 3 termstats segments to 1 each
     (stats through the sum reducer); conjunctive, phrase, and ranked
     search results, corpus meta, and bloom-backed term pruning are all
     identical before and after."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
 
     def _snapshot():
         return (
@@ -276,13 +290,12 @@ def test_compaction_preserves_search_and_stats(spark, tmp_path):
     assert kept == []
 
 
-def test_search_bm25_scores_and_order(spark, tmp_path):
+def test_search_bm25_scores_and_order(spark, built_root):
     """Hand-computed BM25 on the tiny corpus: RSJ idf, length
     normalization from doclens + meta avgdl, rounding, and the cut."""
     import math
 
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     k1, b = text_index.BM25_K1, text_index.BM25_B
     n = 8.0
     # corpus token counts: doc0=4, doc1=3, doc2=3, doc10=4, doc20=2,
@@ -411,11 +424,10 @@ def test_concurrent_appenders_never_lose_meta_counts(spark, tmp_path):
     assert len(lake.segment_pins(spark, root)["postings"]) == 3
 
 
-def test_search_prefix(spark, tmp_path):
+def test_search_prefix(spark, built_root):
     import pytest
 
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     got = {
         r.doc_id: (r.n_terms, r.total_tf)
         for r in text_index.search_prefix(spark, root, "de").collect()
@@ -434,13 +446,12 @@ def test_search_prefix(spark, tmp_path):
         text_index.search_prefix(spark, root, "")
 
 
-def test_delete_docs_excludes_everywhere_and_adjusts_stats(spark, tmp_path):
+def test_delete_docs_excludes_everywhere_and_adjusts_stats(spark, built_root):
     """A logical delete makes the docs unsearchable through every
     query path in one commit, and keeps every corpus-level statistic
     exact: df (via negative termstats rows), N and total tokens (meta
     counters). Replays and unknown ids are no-ops."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     assert text_index.corpus_size(spark, root) == 8
 
     text_index.delete_docs(spark, root, [0, 21])
@@ -483,21 +494,19 @@ def test_delete_docs_excludes_everywhere_and_adjusts_stats(spark, tmp_path):
     assert int(lake.segment_meta(spark, root)["total_tokens"]) == 12
 
 
-def test_delete_all_docs_of_a_term_removes_its_stats_row(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_delete_all_docs_of_a_term_removes_its_stats_row(spark, built_root):
+    root = built_root
     # epsilon appears only in doc 10
     text_index.delete_docs(spark, root, [10])
     assert text_index.term_stats(spark, root, ["epsilon"]).count() == 0
     assert text_index.search_all_terms(spark, root, ["epsilon"]).count() == 0
 
 
-def test_delete_then_time_travel_still_serves_old_version(spark, tmp_path):
+def test_delete_then_time_travel_still_serves_old_version(spark, built_root):
     """Tombstones are manifest state: a pre-delete manifest version
     still serves the deleted doc (the what-did-we-serve-then audit),
     the committed head does not."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     pre = lake.segment_manifest_versions(spark, root)[-1]
     text_index.delete_docs(spark, root, [0])
     head = {
@@ -514,14 +523,13 @@ def test_delete_then_time_travel_still_serves_old_version(spark, tmp_path):
     assert asof == {0, 2, 20}
 
 
-def test_compaction_applies_deletes_physically(spark, tmp_path):
+def test_compaction_applies_deletes_physically(spark, built_root):
     """With tombstones pinned, compaction IS the physical apply: dead
     rows leave the postings/doclens segments, negative stats fold
     away, the tombstone component resets — and every search result is
     identical before and after (then again after a second, tombstone-
     free compaction)."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     text_index.delete_docs(spark, root, [0, 21])
 
     def _snapshot():
@@ -580,12 +588,12 @@ def test_compaction_applies_deletes_physically(spark, tmp_path):
 
 
 def test_stream_sink_threshold_compaction_bounds_segments(spark, tmp_path):
-    """A long-lived ingest (22 micro-batches through the streaming
-    sink's commit path) with compact_every=4 ends with a BOUNDED
+    """A long-lived ingest (10 micro-batches through the streaming
+    sink's commit path) with compact_every=3 ends with a BOUNDED
     segment count — the threshold policy folds the index whenever the
-    postings component reaches the cadence — and every search result
-    and statistic is identical to an uncompacted twin of the same
-    ingest."""
+    postings component reaches the cadence (three times across this
+    ingest) — and every search result and statistic is identical to
+    an uncompacted twin of the same ingest."""
     from pyspark.sql import Row as _Row
 
     from ed_housing_data_pipeline_spark.streaming import search as ss
@@ -607,20 +615,20 @@ def test_stream_sink_threshold_compaction_bounds_segments(spark, tmp_path):
     compacted = str(tmp_path / "c")
     bulk = str(tmp_path / "p")
     text_index.bootstrap_text_index(spark, compacted, _batch(0))
-    for i in range(1, 22):
+    for i in range(1, 10):
         assert ss.sink_text_batch(
-            spark, compacted, _batch(i), i, compact_every=4
+            spark, compacted, _batch(i), i, compact_every=3
         )
     # the twin is ONE bulk bootstrap over the union — ingest order
     # never affects index content, and a single commit keeps the
-    # comparison build cheap (22 more commits taught nothing)
+    # comparison build cheap (more commits taught nothing)
     union = _batch(0)
-    for i in range(1, 22):
+    for i in range(1, 10):
         union = union.unionByName(_batch(i))
     text_index.bootstrap_text_index(spark, bulk, union)
 
     pins_c = lake.segment_pins(spark, compacted)
-    assert len(pins_c["postings"]) < 4 + 1  # folded at every threshold hit
+    assert len(pins_c["postings"]) < 3 + 1  # folded at every threshold hit
 
     def _state(root):
         return (
@@ -645,15 +653,14 @@ def test_stream_sink_threshold_compaction_bounds_segments(spark, tmp_path):
     assert _state(compacted) == _state(bulk)
 
 
-def test_rarest_first_conjunction_plan_and_results(spark, tmp_path, monkeypatch):
+def test_rarest_first_conjunction_plan_and_results(spark, built_root, monkeypatch):
     """With the corpus-size gate lowered, the conjunction broadcasts
     the rarest term's doc set as a LeftSemi filter (visible in the
     executed plan) and returns exactly the plain plan's results —
     including the short-circuit when a probe term has no live df and
     the interplay with deletes (df read from termstats AFTER the
     negative rows fold in)."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     plain = rows_set = {
         (r.doc_id, r.total_tf)
         for r in text_index.search_all_terms(spark, root, ["alpha", "gamma"]).collect()
@@ -675,14 +682,13 @@ def test_rarest_first_conjunction_plan_and_results(spark, tmp_path, monkeypatch)
     assert got == {(2, 2)}
 
 
-def test_upsert_replaces_content_atomically(spark, tmp_path):
+def test_upsert_replaces_content_atomically(spark, built_root):
     """A revision upsert makes the new content searchable and the old
     unsearchable in ONE commit, with exact df / N / token counters:
     doc 0 ("alpha beta gamma alpha", 4 tokens) becomes "omega beta"
     (2 tokens) — alpha's df drops, omega's appears, beta's is
     unchanged, total_tokens moves by -2, n_docs not at all."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     text_index.upsert_text_batch(
         spark, root, _df(spark, [Row(doc_id=0, text="omega beta")])
     )
@@ -712,9 +718,8 @@ def test_upsert_replaces_content_atomically(spark, tmp_path):
     assert bm == {0}
 
 
-def test_upsert_of_new_id_is_an_ingest(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_upsert_of_new_id_is_an_ingest(spark, built_root):
+    root = built_root
     text_index.upsert_text_batch(
         spark, root, _df(spark, [Row(doc_id=30, text="omega omega")])
     )
@@ -726,12 +731,11 @@ def test_upsert_of_new_id_is_an_ingest(spark, tmp_path):
     } == {30}
 
 
-def test_upsert_resurrects_a_deleted_id(spark, tmp_path):
+def test_upsert_resurrects_a_deleted_id(spark, built_root):
     """delete then upsert: the upsert's sequence outranks the delete's
     watermark, so the NEW revision serves while the pre-delete rows
     stay dead (no resurrection of old content)."""
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     text_index.delete_docs(spark, root, [0])
     assert text_index.corpus_size(spark, root) == 7
     text_index.upsert_text_batch(
@@ -752,9 +756,8 @@ def test_upsert_resurrects_a_deleted_id(spark, tmp_path):
     assert got == {"alpha": 2, "omega": 1}
 
 
-def test_repeated_upserts_last_revision_wins(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_repeated_upserts_last_revision_wins(spark, built_root):
+    root = built_root
     for txt in ("omega one", "omega two", "omega three four"):
         text_index.upsert_text_batch(
             spark, root, _df(spark, [Row(doc_id=1, text=txt)])
@@ -772,9 +775,8 @@ def test_repeated_upserts_last_revision_wins(spark, tmp_path):
     assert text_index.corpus_size(spark, root) == 8
 
 
-def test_apply_drops_superseded_revisions_physically(spark, tmp_path):
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+def test_apply_drops_superseded_revisions_physically(spark, built_root):
+    root = built_root
     text_index.upsert_text_batch(
         spark, root, _df(spark, [Row(doc_id=0, text="omega beta")])
     )
@@ -816,7 +818,7 @@ def test_apply_drops_superseded_revisions_physically(spark, tmp_path):
     assert lens.filter("doc_id = 0").count() == 1
 
 
-def test_stream_upsert_sink_replay_is_exactly_once(spark, tmp_path):
+def test_stream_upsert_sink_replay_is_exactly_once(spark, built_root):
     """A replayed revision micro-batch is skipped WHOLE: an upsert
     re-run would tombstone its own prior commit's rows and re-apply
     the df/token deltas — the batch-id-in-meta transaction makes the
@@ -824,8 +826,7 @@ def test_stream_upsert_sink_replay_is_exactly_once(spark, tmp_path):
     results are byte-stable across re-delivery."""
     from ed_housing_data_pipeline_spark.streaming import search as ss
 
-    root = str(tmp_path / "idx")
-    _build(spark, root)
+    root = built_root
     rev = _df(spark, [Row(doc_id=0, text="omega beta")])
     assert ss.sink_text_upsert_batch(spark, root, rev, 0) is True
     pins1 = lake.segment_pins(spark, root)
