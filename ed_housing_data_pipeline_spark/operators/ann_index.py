@@ -602,7 +602,10 @@ def probe_ann_index(
 
 
 def compact_ann_index(
-    spark: SparkSession, root: str, min_segments: int = 2
+    spark: SparkSession,
+    root: str,
+    min_segments: int = 2,
+    max_segment_bytes: int | None = None,
 ) -> dict[str, list[int]]:
     """Fold multi-segment components back to one segment — plain union
     rewrite for ``vectors``, sum re-aggregation for the additive
@@ -618,6 +621,7 @@ def compact_ann_index(
         .count()
     ):
         return apply_ann_deletes(spark, root)
+    # subset-sound reducer (pure additive sum) -> size-tiered legal
     return lake.compact_segments(
         spark,
         root,
@@ -627,4 +631,5 @@ def compact_ann_index(
             )
         },
         min_segments=min_segments,
+        max_segment_bytes=max_segment_bytes,
     )

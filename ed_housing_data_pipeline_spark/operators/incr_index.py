@@ -641,6 +641,7 @@ def compact_index(
     spark: SparkSession,
     root: str,
     min_segments: int = 2,
+    max_segment_bytes: int | None = None,
 ) -> dict[str, list[int]]:
     """Fold every multi-segment component to one segment — plain
     union rewrite for the data components, sum re-aggregation for
@@ -656,6 +657,7 @@ def compact_index(
         .count()
     ):
         return apply_index_deletes(spark, root)
+    # subset-sound reducer (pure additive sum) -> size-tiered legal
     return lake.compact_segments(
         spark,
         root,
@@ -665,6 +667,7 @@ def compact_index(
             )
         },
         min_segments=min_segments,
+        max_segment_bytes=max_segment_bytes,
     )
 
 

@@ -895,7 +895,12 @@ def search_phrase(spark, root: str, first: str, second: str) -> DataFrame:
     return search_phrase_n(spark, root, [first, second])
 
 
-def compact_text_index(spark, root: str, min_segments: int = 2) -> dict[str, list[int]]:
+def compact_text_index(
+    spark,
+    root: str,
+    min_segments: int = 2,
+    max_segment_bytes: int | None = None,
+) -> dict[str, list[int]]:
     """Fold a long-ingest index back to one segment per component:
     postings compact by plain union (rows are unique per (term, doc)
     across batches), termstats re-aggregate through a sum reducer —
@@ -925,11 +930,15 @@ def compact_text_index(spark, root: str, min_segments: int = 2) -> dict[str, lis
             F.sum("df").cast("bigint").alias("df"),
         )
 
+    # the plain-path reducer is subset-sound (pure additive sum, no
+    # liveness filter), so size-tiered compaction is legal here; the
+    # delete-apply branch above always runs the full rewrite
     return lake.compact_segments(
         spark,
         root,
         reducers={TERMSTATS: _stats_reduce},
         min_segments=min_segments,
+        max_segment_bytes=max_segment_bytes,
     )
 
 

@@ -2264,12 +2264,23 @@ def _carry_blooms(
     return out
 
 
+def _segment_bytes(spark, component_root: str, seg: int) -> int:
+    """On-disk bytes of one segment dir (Hadoop content summary) —
+    the driver-side input of size-tiered compaction planning."""
+    jvm, fs = _fs(spark, component_root)
+    path = jvm.org.apache.hadoop.fs.Path(
+        _segment_dir(component_root.rstrip("/"), seg)
+    )
+    return int(fs.getContentSummary(path).getLength())
+
+
 def compact_segments(
     spark,
     root: str,
     components: Sequence[str] | None = None,
     reducers: dict | None = None,
     min_segments: int = 2,
+    max_segment_bytes: int | None = None,
 ) -> dict[str, list[int]]:
     """Fold each multi-segment component back to ONE segment (read the
     pinned union — through ``reducers[name]`` if given, e.g. a
@@ -2282,6 +2293,22 @@ def compact_segments(
     ingest: run it on a cadence (every K commits / from a maintenance
     cron), amortizing the O(dataset) rewrite over the K O(batch)
     commits it covers.
+
+    ``max_segment_bytes`` turns on SIZE-TIERED compaction — the LSM
+    shape a 100 TB component actually needs: only segments smaller
+    than the threshold fold (micro-batch debris), segments that
+    already graduated past it keep their pins untouched, so each
+    maintenance pass rewrites O(small tail) instead of O(component)
+    and total rewrite work over a dataset's life is amortized
+    logarithmic, not quadratic. Requires SUBSET-SOUND reducers: a
+    plain union or an additive re-aggregation without liveness
+    filters qualifies (folding a subset of additive segments plus the
+    untouched rest sums to the same total); a reducer that DROPS
+    net-zero/negative groups (the rollup merge, the delete-apply
+    stats fold) does not — a negative row folded apart from its
+    positive twin would be filtered away. The index modules' plain
+    compaction reducers are all subset-sound; their delete-APPLY
+    paths always run the full rewrite.
 
     Zonemap coverage survives compaction WITHOUT the caller restating
     the zoned columns: the compacted segment's stats are recomputed
@@ -2299,7 +2326,16 @@ def compact_segments(
     rezone: list[tuple[str, int, list[str]]] = []
     rebloom: list[tuple[str, int, list[str]]] = []
     for name in names:
-        if len(pins[name]) < min_segments:
+        if max_segment_bytes is None:
+            fold = list(pins[name])
+        else:
+            fold = [
+                s
+                for s in pins[name]
+                if _segment_bytes(spark, f"{root}/{name}", s)
+                < max_segment_bytes
+            ]
+        if len(fold) < min_segments:
             continue
         # a schema-pinned read makes compaction the NORMALIZATION step
         # of schema evolution: segments written under older schema
@@ -2308,14 +2344,16 @@ def compact_segments(
         df = read_segments(
             spark,
             f"{root}/{name}",
-            pins[name],
+            fold,
             schema=_schema_from_json(schemas.get(name)),
         )
         reduce = reducers.get(name)
         if reduce is not None:
             df = reduce(df)
         seg = write_segment(spark, df, f"{root}/{name}")
-        new_pins[name] = [seg]
+        new_pins[name] = sorted(
+            [s for s in pins[name] if s not in fold] + [seg]
+        )
         zone_columns = sorted(
             {c for stats in zones.get(name, {}).values() for c in stats}
         )
@@ -2356,6 +2394,119 @@ def compact_segments(
             kw["schemas"] = schemas
         commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
+
+
+def validate_segmented(spark, root: str, deep: bool = False) -> dict:
+    """Consistency check (fsck) of a segmented dataset against its
+    committed manifest — the audit an operator runs before trusting a
+    restored/replicated 100 TB root, and the fast triage when a reader
+    errors. Driver-side filesystem work only (no Spark job) unless
+    ``deep``:
+
+    - every pinned segment dir must exist and contain at least one
+      parquet part file (a vanished pinned segment is data loss — by
+      protocol only UNPINNED segments are ever swept);
+    - zonemap stats, bloom advertisements, and manifest schemas must
+      reference only pinned segments / parse as valid Spark types
+      (stale metadata misdirects pruning);
+    - advertised bloom sidecar files must exist;
+    - the tombstone-pressure counter must be a non-negative int.
+    - ``deep`` additionally opens every pinned segment's parquet
+      footer and checks each file's columns are a SUBSET of the
+      manifest schema with equal types on the common columns (the
+      schema-evolution read contract) — O(files) footer reads.
+
+    Returns ``{"ok": bool, "errors": [...], "components": {name:
+    n_segments}}``; it reports, never repairs."""
+    errors: list[str] = []
+    pins, zones, blooms, meta, schemas, version = _manifest_state(spark, root)
+    jvm, fs = _fs(spark, root)
+
+    def _exists(path: str) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    for name, segs in pins.items():
+        for seg in segs:
+            d = _segment_dir(f"{root}/{name}", seg)
+            if not _exists(d):
+                errors.append(f"{name}/seg={seg}: pinned segment dir missing")
+                continue
+            parts = [
+                st.getPath().getName()
+                for st in _list_status(
+                    jvm, fs, jvm.org.apache.hadoop.fs.Path(d)
+                )
+                if st.getPath().getName().endswith(".parquet")
+            ]
+            if not parts:
+                errors.append(f"{name}/seg={seg}: no parquet part files")
+    for comp, zm in zones.items():
+        stale = set(zm) - set(pins.get(comp, []))
+        if stale:
+            errors.append(f"zonemap references unpinned {comp} segments: {sorted(stale)}")
+    for comp, bm in blooms.items():
+        stale = set(bm) - set(pins.get(comp, []))
+        if stale:
+            errors.append(f"blooms reference unpinned {comp} segments: {sorted(stale)}")
+        for seg, cols in bm.items():
+            for c in cols:
+                if seg in pins.get(comp, []) and not _exists(
+                    _bloom_path(f"{root}/{comp}", seg, c)
+                ):
+                    errors.append(
+                        f"{comp}/seg={seg}: advertised bloom sidecar for "
+                        f"{c!r} missing"
+                    )
+    parsed_schemas: dict[str, dict] = {}
+    for comp, sj in schemas.items():
+        if comp not in pins:
+            errors.append(f"schema recorded for unpinned component {comp!r}")
+            continue
+        try:
+            st = _schema_from_json(sj)
+            parsed_schemas[comp] = {f.name: f.dataType for f in st.fields}
+        except Exception as e:  # noqa: BLE001 - report, never raise
+            errors.append(f"{comp}: manifest schema unparseable: {e}")
+    tomb = meta.get(TOMBSTONE_ROWS_KEY)
+    if tomb is not None and (not isinstance(tomb, int) or tomb < 0):
+        errors.append(f"meta {TOMBSTONE_ROWS_KEY}={tomb!r}: not a non-negative int")
+    if deep:
+        for comp, fields in parsed_schemas.items():
+            for seg in pins[comp]:
+                d = _segment_dir(f"{root}/{comp}", seg)
+                if not _exists(d):
+                    continue
+                for st_ in _list_status(
+                    jvm, fs, jvm.org.apache.hadoop.fs.Path(d)
+                ):
+                    fn = st_.getPath().getName()
+                    if not fn.endswith(".parquet"):
+                        continue
+                    try:
+                        file_schema = spark.read.parquet(f"{d}/{fn}").schema
+                    except Exception as e:  # noqa: BLE001
+                        errors.append(f"{comp}/seg={seg}/{fn}: unreadable: {e}")
+                        continue
+                    for f in file_schema.fields:
+                        want = fields.get(f.name)
+                        if want is None:
+                            errors.append(
+                                f"{comp}/seg={seg}/{fn}: column {f.name!r} "
+                                "not in manifest schema"
+                            )
+                        elif want.simpleString() != f.dataType.simpleString():
+                            errors.append(
+                                f"{comp}/seg={seg}/{fn}: column {f.name!r} is "
+                                f"{f.dataType.simpleString()}, manifest says "
+                                f"{want.simpleString()}"
+                            )
+                    break  # one file per segment suffices: one writer wrote them all
+    return {
+        "ok": not errors,
+        "version": version,
+        "errors": errors,
+        "components": {name: len(segs) for name, segs in pins.items()},
+    }
 
 
 def expire_segments(

@@ -1,0 +1,164 @@
+"""Size-tiered (LSM-shape) compaction: only segments under the byte
+threshold fold; graduated segments keep their pins, zonemaps, and
+blooms untouched — each maintenance pass rewrites O(small tail), not
+O(component), so total rewrite work over a dataset's life is
+amortized logarithmic instead of quadratic."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from ed_housing_data_pipeline_spark.operators import text_index
+from ed_housing_data_pipeline_spark.sources import lake
+
+from tests.test_text_index import _df
+
+
+def _seg_rows(spark, n, start=0):
+    return spark.createDataFrame(
+        [(start + i, f"payload-{start + i}") for i in range(n)],
+        "id bigint, payload string",
+    )
+
+
+def test_tiered_compaction_folds_only_small_segments(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    # one BIG segment (5k rows) + three tiny ones
+    lake.append_segments(spark, root, {"t": _seg_rows(spark, 5000)}, init=True)
+    for i in range(3):
+        lake.append_segments(
+            spark, root, {"t": _seg_rows(spark, 5, 10_000 + 10 * i).coalesce(1)}
+        )
+    pins0 = lake.segment_pins(spark, root)["t"]
+    assert len(pins0) == 4
+    big = pins0[0]
+    big_bytes = lake._segment_bytes(spark, f"{root}/t", big)
+    before = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    lake.compact_segments(spark, root, max_segment_bytes=big_bytes)
+    pins1 = lake.segment_pins(spark, root)["t"]
+    # the big segment's PIN survives untouched; the three tiny ones
+    # folded into exactly one fresh segment
+    assert big in pins1 and len(pins1) == 2
+    after = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    assert after == before
+    # idempotent: re-running folds nothing (one big + one tiny-fold,
+    # and the fold may itself have graduated)
+    lake.compact_segments(spark, root, max_segment_bytes=big_bytes)
+    assert big in lake.segment_pins(spark, root)["t"]
+
+
+def test_tiered_compaction_additive_reducer_subset_sound(spark, tmp_path):
+    """Folding a SUBSET of additive count segments through the sum
+    reducer preserves the component-wide totals (the subset's sum plus
+    the untouched segments' rows equals the full sum)."""
+    root = str(tmp_path / "ds")
+
+    def counts(rows):
+        return spark.createDataFrame(rows, "k string, _n bigint").coalesce(1)
+
+    lake.append_segments(
+        spark,
+        root,
+        {"c": counts([("a", 5), ("b", 3)] * 400)},  # the big one
+        init=True,
+    )
+    lake.append_segments(spark, root, {"c": counts([("a", 2), ("c", 1)])})
+    lake.append_segments(spark, root, {"c": counts([("b", -3), ("c", 4)])})
+    pins0 = lake.segment_pins(spark, root)["c"]
+    big = pins0[0]
+    thresh = lake._segment_bytes(spark, f"{root}/c", big)
+
+    def total(df):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("k").agg(F.sum("_n").alias("n")).collect()
+        )
+
+    before = total(lake.read_segmented_components(spark, root, ["c"])["c"])
+    lake.compact_segments(
+        spark,
+        root,
+        reducers={"c": lambda df: df.groupBy("k").agg(F.sum("_n").alias("_n"))},
+        max_segment_bytes=thresh,
+    )
+    pins1 = lake.segment_pins(spark, root)["c"]
+    assert big in pins1 and len(pins1) == 2
+    assert total(
+        lake.read_segmented_components(spark, root, ["c"])["c"]
+    ) == before
+
+
+def test_text_index_tiered_compaction_content_neutral(spark, tmp_path):
+    """The text index's plain compaction path under a byte threshold:
+    the bootstrap segment graduates, micro-batch segments fold, and
+    every search surface is byte-identical."""
+    root = str(tmp_path / "idx")
+    bulk = [
+        Row(doc_id=i, text=f"alpha beta common{i % 7} filler{i}")
+        for i in range(400)
+    ]
+    text_index.bootstrap_text_index(spark, root, _df(spark, bulk))
+    for i in range(3):
+        text_index.append_text_batch(
+            spark,
+            root,
+            _df(spark, [Row(doc_id=1000 + i, text="alpha gamma tiny")]),
+        )
+    pins0 = lake.segment_pins(spark, root)[text_index.COMPONENT]
+    big = pins0[0]
+    thresh = lake._segment_bytes(
+        spark, f"{root}/{text_index.COMPONENT}", big
+    )
+
+    def state():
+        return (
+            sorted(
+                tuple(r)
+                for r in text_index.search_all_terms(
+                    spark, root, ["alpha", "gamma"]
+                ).collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in text_index.term_stats(
+                    spark, root, ["alpha", "beta", "gamma"]
+                ).collect()
+            ),
+            text_index.corpus_size(spark, root),
+        )
+
+    before = state()
+    text_index.compact_text_index(spark, root, max_segment_bytes=thresh)
+    pins1 = lake.segment_pins(spark, root)[text_index.COMPONENT]
+    assert big in pins1 and len(pins1) < len(pins0)
+    assert state() == before
+
+
+def test_validate_segmented_clean_and_corrupted(spark, tmp_path):
+    """fsck: a healthy evolved dataset validates ok (incl. deep footer
+    checks); deleting a pinned segment dir and a bloom sidecar turns
+    up exactly those errors."""
+    import shutil
+
+    root = str(tmp_path / "ds")
+    a = spark.createDataFrame([(1, "x")], "id bigint, name string")
+    b = spark.createDataFrame([(2, "y", 9.0)], "id bigint, name string, score double")
+    lake.append_segments(
+        spark, root, {"t": a.coalesce(1)}, init=True, bloom_cols={"t": ["name"]}
+    )
+    lake.append_segments(spark, root, {"t": b.coalesce(1)}, bloom_cols={"t": ["name"]})
+    rep = lake.validate_segmented(spark, root, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["components"] == {"t": 2}
+    pins = lake.segment_pins(spark, root)["t"]
+    # corrupt: remove a pinned segment dir and one advertised sidecar
+    shutil.rmtree(f"{root}/t/seg={pins[0]}")
+    rep2 = lake.validate_segmented(spark, root)
+    assert not rep2["ok"]
+    assert any("pinned segment dir missing" in e for e in rep2["errors"])
