@@ -1494,14 +1494,17 @@ def read_segments_bloom_pruned(
     """A component's manifest-pinned scan restricted to segments whose
     bloom may hold one of ``values`` — the caller still applies the
     row-level IN predicate (bloom skipping only shrinks the file
-    set)."""
+    set). Schema-reconciled like the zone-pruned read."""
+    schema = _schema_from_json(_manifest_state(spark, root)[4].get(component))
     kept, pinned = bloom_pruned_pins(spark, root, component, col, values)
     comp_root = f"{root.rstrip('/')}/{component}"
     if not kept:
         from pyspark.sql import functions as F  # noqa: PLC0415
 
-        return read_segments(spark, comp_root, pinned[:1]).filter(F.lit(False))
-    return read_segments(spark, comp_root, kept)
+        return read_segments(spark, comp_root, pinned[:1], schema=schema).filter(
+            F.lit(False)
+        )
+    return read_segments(spark, comp_root, kept, schema=schema)
 
 
 def commit_segment_manifest(
@@ -2077,14 +2080,21 @@ def read_segments_zone_pruned(
     zonemap range intersects ``[lo, hi]``. The caller must still apply
     the row-level predicate — this only shrinks the file set (and when
     every segment prunes away, returns an empty frame with the
-    component's schema)."""
+    component's schema). Schema-reconciled like every manifest read: a
+    pruned scan over mixed segment vintages must not inherit whichever
+    file's footer Spark samples first (an old footer would silently
+    drop evolved columns)."""
+    state = _manifest_state(spark, root)
     kept, pinned = zone_pruned_pins(spark, root, component, col, lo, hi)
+    schema = _schema_from_json(state[4].get(component))
     comp_root = f"{root.rstrip('/')}/{component}"
     if not kept:
         from pyspark.sql import functions as F  # noqa: PLC0415
 
-        return read_segments(spark, comp_root, pinned[:1]).filter(F.lit(False))
-    return read_segments(spark, comp_root, kept)
+        return read_segments(spark, comp_root, pinned[:1], schema=schema).filter(
+            F.lit(False)
+        )
+    return read_segments(spark, comp_root, kept, schema=schema)
 
 
 def read_segmented_components(

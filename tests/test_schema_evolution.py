@@ -145,3 +145,24 @@ def test_delete_rows_from_dataframe_delete_set(spark, tmp_path):
     )
     live = lake.read_segmented_live(spark, root, "t", "id")
     assert {r.id for r in live.collect()} == {4}
+
+
+def test_zone_pruned_read_serves_evolved_schema(spark, tmp_path):
+    """A zone-pruned range read over mixed segment vintages serves the
+    manifest schema (old segments null-backfilled), never whichever
+    file footer Spark samples first."""
+    root = str(tmp_path / "ds")
+    old = spark.createDataFrame([(1, 10)], "id bigint, bucket bigint")
+    new = spark.createDataFrame(
+        [(2, 20, "x")], "id bigint, bucket bigint, tag string"
+    )
+    lake.append_segments(
+        spark, root, {"t": old}, init=True, zone_cols={"t": ["bucket"]}
+    )
+    lake.append_segments(spark, root, {"t": new}, zone_cols={"t": ["bucket"]})
+    got = lake.read_segments_zone_pruned(spark, root, "t", "bucket", 0, 30)
+    assert got.columns == ["id", "bucket", "tag"]
+    assert {(r.id, r.tag) for r in got.collect()} == {(1, None), (2, "x")}
+    # pruned-to-one-old-segment read still carries the evolved schema
+    got_old = lake.read_segments_zone_pruned(spark, root, "t", "bucket", 0, 15)
+    assert got_old.columns == ["id", "bucket", "tag"]
