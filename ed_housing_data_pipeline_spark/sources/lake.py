@@ -2332,6 +2332,7 @@ def compact_segments(
     pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
     names = list(components) if components is not None else list(pins)
     new_pins = dict(pins)
+    new_schemas = dict(schemas)
     changed = False
     rezone: list[tuple[str, int, list[str]]] = []
     rebloom: list[tuple[str, int, list[str]]] = []
@@ -2360,6 +2361,13 @@ def compact_segments(
         reduce = reducers.get(name)
         if reduce is not None:
             df = reduce(df)
+        # a reducer's output may legitimately ADD columns (e.g. a
+        # merge that attaches fold-state columns) — evolve the
+        # manifest schema exactly like an append would, so the new
+        # columns survive the next schema-pinned read
+        new_schemas[name] = _evolved_schema_json(
+            schemas.get(name), df.schema, name
+        )
         seg = write_segment(spark, df, f"{root}/{name}")
         new_pins[name] = sorted(
             [s for s in pins[name] if s not in fold] + [seg]
@@ -2400,8 +2408,8 @@ def compact_segments(
             kw["blooms"] = new_blooms
         if prior_meta:
             kw["meta"] = prior_meta
-        if schemas:
-            kw["schemas"] = schemas
+        if new_schemas:
+            kw["schemas"] = new_schemas
         commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
 
