@@ -46,6 +46,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ed_housing_data_pipeline_spark.sources import lake
 
 PARTIALS = "partials"
+# manifest-meta flag a REPAIRING retraction sets: only then do the
+# serving merges need the min/max reset fold (a window pass that
+# forfeits map-side combine); reset-free views — the overwhelmingly
+# common state — keep the plain partial-aggregated fold
+MM_RESETS_KEY = "rollup_minmax_resets"
 
 
 def partial_rollup(
@@ -333,10 +338,12 @@ def retract_rollup_batch(
     )
     last_err: Exception | None = None
     for _attempt in range(3):
-        pins0, base = lake.segment_pins_versioned(spark, root)
+        pins0, meta0, base = lake.segment_state(spark, root)
         seq = base + 1
         seg = _stamp(neg, seq)
+        new_meta = None
         if remaining_facts is not None:
+            new_meta = {**meta0, MM_RESETS_KEY: True}
             served = merge_rollup(
                 lake.read_segmented_components(spark, root, [PARTIALS])[
                     PARTIALS
@@ -393,6 +400,7 @@ def retract_rollup_batch(
                 root,
                 appends={PARTIALS: seg},
                 zone_cols={PARTIALS: zone_keys} if zone_keys else None,
+                meta=new_meta,
                 # the override rows are derived from the served view at
                 # `base`; a rival commit in between must conflict, not
                 # be silently rebased under a stale repair
@@ -424,6 +432,10 @@ def read_rollup(
     mode)."""
     keys, measures, _zk = read_rollup_spec(spark, root)
     parts = lake.read_segmented_components(spark, root, [PARTIALS])[PARTIALS]
+    if not lake.segment_meta(spark, root).get(MM_RESETS_KEY):
+        # no repair ever committed: the state columns are inert — drop
+        # them so the merge keeps its map-side partial aggregation
+        parts = parts.drop("_useq", "_mm_reset")
     out = merge_rollup(parts, keys, measures)
     if derive_avg:
         for name in measures:
@@ -458,6 +470,8 @@ def read_rollup_range(
             f"(zone_keys={zone_keys})"
         )
     parts = lake.read_segments_zone_pruned(spark, root, PARTIALS, key, lo, hi)
+    if not lake.segment_meta(spark, root).get(MM_RESETS_KEY):
+        parts = parts.drop("_useq", "_mm_reset")
     pred = F.lit(True)
     if lo is not None:
         pred = pred & (F.col(key) >= F.lit(lo))
@@ -485,18 +499,26 @@ def compact_rollup(
     segments-per-read fan-in of a long-running view; zonemap coverage
     is recomputed by compact_segments from manifest metadata."""
     keys, measures, _zk = read_rollup_spec(spark, root)
-    return lake.compact_segments(
-        spark,
-        root,
+    has_resets = bool(lake.segment_meta(spark, root).get(MM_RESETS_KEY))
+
+    def _reduce(df: DataFrame) -> DataFrame:
+        if not has_resets:
+            # reset-free: inert state columns drop and the fold keeps
+            # its map-side combine; later rows' sequences only matter
+            # RELATIVE to reset rows, so compacting them away is sound
+            return merge_rollup(
+                df.drop("_useq", "_mm_reset"), keys, measures
+            )
         # keep_state: the compacted frame stays a valid PARTIAL — it
         # carries (max _useq, OR of _mm_reset) per group, so a group
         # whose min/max were reset by a repair compacts to a reset row
         # that later ingests (strictly newer sequences) keep folding
         # into, and re-compaction is idempotent
-        reducers={
-            PARTIALS: lambda df: merge_rollup(
-                df, keys, measures, keep_state=True
-            )
-        },
+        return merge_rollup(df, keys, measures, keep_state=True)
+
+    return lake.compact_segments(
+        spark,
+        root,
+        reducers={PARTIALS: _reduce},
         min_segments=min_segments,
     )
