@@ -282,6 +282,7 @@ def run_stream_incremental_dedup(
     keep_latest: int = 2,
     compact_every: int | None = 64,
     compact_dead: int | None = 100_000,
+    compact_max_bytes: int | None = None,
     segment_partitions: int | None = 8,
 ) -> None:
     """Drain the document stream (availableNow) through the
@@ -353,7 +354,13 @@ def run_stream_incremental_dedup(
                 compact_dead
                 and lake.tombstone_pressure(spark, index_root, compact_dead)
             ):
-                incr_index.compact_index(spark, index_root)
+                # compact_max_bytes -> size-tiered folding of the
+                # micro-batch tail (lake.compact_segments); the
+                # delete-apply branch inside compact_index still runs
+                # the full rewrite when tombstones are live
+                incr_index.compact_index(
+                    spark, index_root, max_segment_bytes=compact_max_bytes
+                )
         finally:
             accepted.unpersist()
 

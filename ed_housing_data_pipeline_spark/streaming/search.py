@@ -35,6 +35,7 @@ def sink_text_batch(
     text_col: str = "text",
     compact_every: int | None = 64,
     compact_dead: int | None = 100_000,
+    compact_max_bytes: int | None = None,
 ) -> bool:
     """Commit ONE micro-batch into the index, exactly once: skip when
     the committed manifest already records ``batch_id`` (replay after
@@ -77,7 +78,14 @@ def sink_text_batch(
     if (compact_every and len(pins[text_index.COMPONENT]) >= compact_every) or (
         compact_dead and lake.tombstone_pressure(spark, root, compact_dead)
     ):
-        text_index.compact_text_index(spark, root)
+        # compact_max_bytes opts into SIZE-TIERED maintenance: only
+        # small segments fold, graduated ones keep their pins (LSM
+        # shape — see lake.compact_segments); the tombstone-pressure
+        # path still applies deletes via the full rewrite inside
+        # compact_text_index when tombstones are live
+        text_index.compact_text_index(
+            spark, root, max_segment_bytes=compact_max_bytes
+        )
     return True
 
 
@@ -90,6 +98,7 @@ def sink_text_upsert_batch(
     text_col: str = "text",
     compact_every: int | None = 64,
     compact_dead: int | None = 100_000,
+    compact_max_bytes: int | None = None,
 ) -> bool:
     """The CDC sibling of :func:`sink_text_batch`: each micro-batch is
     a wave of document REVISIONS (re-crawls, content corrections), not
@@ -117,7 +126,14 @@ def sink_text_upsert_batch(
     if (compact_every and len(pins[text_index.COMPONENT]) >= compact_every) or (
         compact_dead and lake.tombstone_pressure(spark, root, compact_dead)
     ):
-        text_index.compact_text_index(spark, root)
+        # compact_max_bytes opts into SIZE-TIERED maintenance: only
+        # small segments fold, graduated ones keep their pins (LSM
+        # shape — see lake.compact_segments); the tombstone-pressure
+        # path still applies deletes via the full rewrite inside
+        # compact_text_index when tombstones are live
+        text_index.compact_text_index(
+            spark, root, max_segment_bytes=compact_max_bytes
+        )
     return True
 
 
@@ -129,6 +145,7 @@ def run_stream_search_upserts(
     text_col: str = "text",
     compact_every: int | None = 64,
     compact_dead: int | None = 100_000,
+    compact_max_bytes: int | None = None,
 ) -> None:
     """Drain a CDC stream of document revisions (availableNow) through
     the transactional upsert sink — the search index stays in lockstep
@@ -147,6 +164,7 @@ def run_stream_search_upserts(
             text_col=text_col,
             compact_every=compact_every,
             compact_dead=compact_dead,
+            compact_max_bytes=compact_max_bytes,
         )
 
     q = (
@@ -166,6 +184,7 @@ def run_stream_search_ingest(
     text_col: str = "text",
     compact_every: int | None = 64,
     compact_dead: int | None = 100_000,
+    compact_max_bytes: int | None = None,
 ) -> None:
     """Drain the document stream (availableNow) through the
     transactional text-index sink. ``bootstrap_text_index`` must have
@@ -186,6 +205,7 @@ def run_stream_search_ingest(
             text_col=text_col,
             compact_every=compact_every,
             compact_dead=compact_dead,
+            compact_max_bytes=compact_max_bytes,
         )
 
     q = (

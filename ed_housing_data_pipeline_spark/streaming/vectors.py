@@ -29,6 +29,7 @@ def run_stream_ann_ingest(
     keep_latest: int = 2,
     compact_every: int | None = 64,
     compact_dead: int | None = 100_000,
+    compact_max_bytes: int | None = None,
     segment_partitions: int | None = 8,
 ) -> None:
     """Drain the embedding stream (availableNow) through the
@@ -76,7 +77,9 @@ def run_stream_ann_ingest(
             compact_dead
             and lake.tombstone_pressure(spark, index_root, compact_dead)
         ):
-            ann_index.compact_ann_index(spark, index_root)
+            ann_index.compact_ann_index(
+                spark, index_root, max_segment_bytes=compact_max_bytes
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)
