@@ -314,11 +314,11 @@ def delete_ann_vectors(
         return _delete_commit(
             spark,
             root,
-            hit_fn=lambda df, pins: df.filter(pred),
-            tomb_fn=lambda spark, seq, pins: spark.createDataFrame(
+            hit_fn=lambda df, st: df.filter(pred),
+            tomb_fn=lambda spark, seq, st: spark.createDataFrame(
                 [(i, seq) for i in ids], ["id", "dead_below"]
             ).coalesce(1),
-            n_tomb_fn=lambda pins: len(ids),
+            n_tomb_fn=lambda st: len(ids),
         )
     return delete_from(
         spark, root, spark.createDataFrame([(i,) for i in ids], ["id"])
@@ -357,11 +357,11 @@ def delete_from(
         return _delete_commit(
             spark,
             root,
-            hit_fn=lambda df, pins: df.join(ids, on="id", how="left_semi"),
-            tomb_fn=lambda spark, seq, pins: _capp(
+            hit_fn=lambda df, st: df.join(ids, on="id", how="left_semi"),
+            tomb_fn=lambda spark, seq, st: _capp(
                 ids.select("id", F.lit(seq).cast("bigint").alias("dead_below"))
             ),
-            n_tomb_fn=lambda pins: n_tomb,
+            n_tomb_fn=lambda st: n_tomb,
         )
     finally:
         ids.unpersist()
@@ -373,22 +373,35 @@ def delete_where(
     """Predicate take-down over the index's own rows (id, cell,
     codes) — e.g. ``F.col("cell") == 3`` retires a whole inverted
     list. The delete set derives per attempt from the pinned vectors
-    (filter + distinct, never collected); corpus-attribute predicates
-    belong on the corpus table → :func:`delete_from`."""
+    (filter + distinct, never collected), computed ONCE per attempt
+    and persisted for the commit's duration, with its liveness fold
+    run under the attempt's manifest meta (bounded-broadcast policy —
+    see text_index.delete_where); corpus-attribute predicates belong
+    on the corpus table → :func:`delete_from`."""
+    from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
+        _persist_for_attempt,
+    )
 
-    def _ids(pins: dict) -> DataFrame:
-        vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
-        return (
-            _live(spark, root, vecs.filter(predicate), pins)
-            .select("id")
-            .distinct()
-        )
+    def _ids(st: dict) -> DataFrame:
+        if "ids" not in st:
+            vecs = lake.read_segments(
+                spark, f"{root}/{VECTORS}", st["pins"][VECTORS]
+            )
+            st["ids"] = _persist_for_attempt(
+                st,
+                _live(
+                    spark, root, vecs.filter(predicate), st["pins"], st["meta"]
+                )
+                .select("id")
+                .distinct(),
+            )
+        return st["ids"]
 
     return _delete_commit(
         spark,
         root,
-        hit_fn=lambda df, pins: df.join(_ids(pins), on="id", how="left_semi"),
-        tomb_fn=lambda spark, seq, pins: _ids(pins)
+        hit_fn=lambda df, st: df.join(_ids(st), on="id", how="left_semi"),
+        tomb_fn=lambda spark, seq, st: _ids(st)
         .select("id", F.lit(seq).cast("bigint").alias("dead_below"))
         .coalesce(1),
         n_tomb_fn=None,
@@ -398,19 +411,22 @@ def delete_where(
 def _delete_commit(
     spark: SparkSession, root: str, hit_fn, tomb_fn, n_tomb_fn
 ) -> dict[str, list[int]]:
-    """Shared logical-delete commit (see text_index._delete_commit)."""
+    """Shared logical-delete commit (see text_index._delete_commit —
+    same attempt-state contract: hooks take ``st`` with pins/meta/seq
+    and may stash attempt-scoped persisted frames in it)."""
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, meta, base = lake.segment_state(spark, root)
         seq = base + 1
-        vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
-        dead_vecs = _live(spark, root, hit_fn(vecs, pins), pins, meta)
-        neg = dead_vecs.groupBy("cell").agg(
-            (-F.count(F.lit(1))).cast("bigint").alias("_n")
-        )
-        tomb = tomb_fn(spark, seq, pins)
-        n_tomb = int(n_tomb_fn(pins)) if n_tomb_fn is not None else tomb.count()
+        st: dict = {"pins": pins, "meta": meta, "seq": seq, "_persisted": []}
         try:
+            vecs = lake.read_segments(spark, f"{root}/{VECTORS}", pins[VECTORS])
+            dead_vecs = _live(spark, root, hit_fn(vecs, st), pins, meta)
+            neg = dead_vecs.groupBy("cell").agg(
+                (-F.count(F.lit(1))).cast("bigint").alias("_n")
+            )
+            tomb = tomb_fn(spark, seq, st)
+            n_tomb = int(n_tomb_fn(st)) if n_tomb_fn is not None else tomb.count()
             return lake.append_segments(
                 spark,
                 root,
@@ -429,6 +445,9 @@ def _delete_commit(
             )
         except lake.ConcurrentCommitError as e:
             last_err = e
+        finally:
+            for cached in st["_persisted"]:
+                cached.unpersist()
     raise last_err
 
 

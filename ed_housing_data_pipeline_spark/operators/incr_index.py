@@ -429,11 +429,11 @@ def delete_docs(
         return _delete_commit(
             spark,
             root,
-            hit_fn=lambda df, pins: df.filter(pred),
-            tomb_fn=lambda spark, seq, pins: spark.createDataFrame(
+            hit_fn=lambda df, st: df.filter(pred),
+            tomb_fn=lambda spark, seq, st: spark.createDataFrame(
                 [(i, seq) for i in ids], ["doc_id", "dead_below"]
             ).coalesce(1),
-            n_tomb_fn=lambda pins: len(ids),
+            n_tomb_fn=lambda st: len(ids),
             max_bucket_width=max_bucket_width,
             op="delete_docs",
         )
@@ -480,13 +480,13 @@ def delete_from(
         return _delete_commit(
             spark,
             root,
-            hit_fn=lambda df, pins: df.join(ids, on="doc_id", how="left_semi"),
-            tomb_fn=lambda spark, seq, pins: _capp(
+            hit_fn=lambda df, st: df.join(ids, on="doc_id", how="left_semi"),
+            tomb_fn=lambda spark, seq, st: _capp(
                 ids.select(
                     "doc_id", F.lit(seq).cast("bigint").alias("dead_below")
                 )
             ),
-            n_tomb_fn=lambda pins: n_tomb,
+            n_tomb_fn=lambda st: n_tomb,
             max_bucket_width=max_bucket_width,
             op="delete_from",
         )
@@ -505,29 +505,40 @@ def delete_where(
     whose stored row matches ``predicate`` — e.g.
     ``F.col("source") == "revoked-crawl"``. The delete set is derived
     per attempt from the pinned docs (filter + distinct, never
-    collected). Indexes without a docs component should filter their
-    corpus table and call :func:`delete_from`."""
+    collected), computed ONCE per attempt and persisted for the
+    commit's duration, with its liveness fold run under the attempt's
+    manifest meta (bounded-broadcast policy — see
+    text_index.delete_where). Indexes without a docs component should
+    filter their corpus table and call :func:`delete_from`."""
+    from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
+        _persist_for_attempt,
+    )
 
-    def _ids(pins: dict) -> DataFrame:
-        if "docs" not in pins:
+    def _ids(st: dict) -> DataFrame:
+        if "docs" not in st["pins"]:
             raise ValueError(
                 "delete_where: index has no 'docs' component — filter the "
                 "corpus table and pass ids to delete_from instead"
             )
-        docs = lake.read_segments(spark, f"{root}/docs", pins["docs"])
-        return (
-            _live(spark, root, docs.filter(predicate), pins)
-            .select("doc_id")
-            .distinct()
-        )
+        if "ids" not in st:
+            docs = lake.read_segments(spark, f"{root}/docs", st["pins"]["docs"])
+            st["ids"] = _persist_for_attempt(
+                st,
+                _live(
+                    spark, root, docs.filter(predicate), st["pins"], st["meta"]
+                )
+                .select("doc_id")
+                .distinct(),
+            )
+        return st["ids"]
 
     return _delete_commit(
         spark,
         root,
-        hit_fn=lambda df, pins: df.join(
-            _ids(pins), on="doc_id", how="left_semi"
+        hit_fn=lambda df, st: df.join(
+            _ids(st), on="doc_id", how="left_semi"
         ),
-        tomb_fn=lambda spark, seq, pins: _ids(pins)
+        tomb_fn=lambda spark, seq, st: _ids(st)
         .select("doc_id", F.lit(seq).cast("bigint").alias("dead_below"))
         .coalesce(1),
         n_tomb_fn=None,
@@ -545,31 +556,34 @@ def _delete_commit(
     max_bucket_width: int | None,
     op: str,
 ) -> dict[str, list[int]]:
-    """Shared logical-delete commit (see text_index._delete_commit):
-    ``hit_fn(bands_df, pins)`` restricts the pinned bands scan to the
-    delete set, ``tomb_fn(spark, seq, pins)`` builds the tombstone
-    frame, ``n_tomb_fn(pins)`` supplies the tombstone row count for
-    the pressure counter (None → count the frame, one tiny job)."""
+    """Shared logical-delete commit (see text_index._delete_commit —
+    same attempt-state contract): ``hit_fn(bands_df, st)`` restricts
+    the pinned bands scan to the delete set, ``tomb_fn(spark, seq,
+    st)`` builds the tombstone frame, ``n_tomb_fn(st)`` supplies the
+    tombstone row count for the pressure counter (None → count the
+    frame, one tiny job). Hooks may stash attempt-scoped persisted
+    frames in ``st`` (unpersisted when the attempt ends)."""
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, meta, base = lake.segment_state(spark, root)
         cap = _meta_cap(meta, max_bucket_width, op)
         seq = base + 1
-        bands = lake.read_segments(spark, f"{root}/bands", pins["bands"])
-        dead_bands = _live(spark, root, hit_fn(bands, pins), pins, meta)
-        neg = dead_bands.groupBy("band", "key").agg(
-            (-F.count(F.lit(1))).alias("_n")
-        )
-        committed_counts = lake.read_segments(
-            spark, f"{root}/bucketcounts", pins["bucketcounts"]
-        )
-        old_stop = lake.read_segments(
-            spark, f"{root}/stopbands", pins["stopbands"]
-        )
-        new_stop = merged_stop(old_stop, committed_counts, neg, cap)
-        tomb = tomb_fn(spark, seq, pins)
-        n_tomb = int(n_tomb_fn(pins)) if n_tomb_fn is not None else tomb.count()
+        st: dict = {"pins": pins, "meta": meta, "seq": seq, "_persisted": []}
         try:
+            bands = lake.read_segments(spark, f"{root}/bands", pins["bands"])
+            dead_bands = _live(spark, root, hit_fn(bands, st), pins, meta)
+            neg = dead_bands.groupBy("band", "key").agg(
+                (-F.count(F.lit(1))).alias("_n")
+            )
+            committed_counts = lake.read_segments(
+                spark, f"{root}/bucketcounts", pins["bucketcounts"]
+            )
+            old_stop = lake.read_segments(
+                spark, f"{root}/stopbands", pins["stopbands"]
+            )
+            new_stop = merged_stop(old_stop, committed_counts, neg, cap)
+            tomb = tomb_fn(spark, seq, st)
+            n_tomb = int(n_tomb_fn(st)) if n_tomb_fn is not None else tomb.count()
             return lake.append_segments(
                 spark,
                 root,
@@ -589,6 +603,9 @@ def _delete_commit(
             )
         except lake.ConcurrentCommitError as e:
             last_err = e
+        finally:
+            for cached in st["_persisted"]:
+                cached.unpersist()
     raise last_err
 
 

@@ -75,6 +75,7 @@ def merge_rollup(
     keys: Sequence[str],
     measures: dict[str, str],
     keep_state: bool = False,
+    keep_zero: bool = False,
 ) -> DataFrame:
     """Fold partial states: sums and counts add, min/max fold — the
     associativity that makes ``merge(partials) == partial(union)``
@@ -84,6 +85,16 @@ def merge_rollup(
     over the corrected facts would produce no row for them (the
     filter is a no-op on retraction-free views: every batch partial
     carries ``_rows >= 1``).
+
+    ``keep_zero=True`` retains those net-zero/negative groups — the
+    SUBSET-SOUNDNESS switch compaction reducers need: a size-tiered
+    fold sees only SOME segments, so a retraction's negative partial
+    may fold apart from its positive twin and the group's partial sum
+    legitimately passes through ≤ 0; dropping it there would lose the
+    retraction (the served total would resurrect the deleted facts
+    once the graduated twin folds back in). Serving reads keep the
+    default: the net-zero drop is a VIEW rule, applied once at the
+    final full merge, never inside a partial fold.
 
     MIN/MAX RESET semantics (exact extremes through retraction): when
     the frame carries the ``_useq``/``_mm_reset`` state columns the
@@ -146,7 +157,8 @@ def merge_rollup(
             F.max("_useq").alias("_useq"),
             F.max("_mm_reset").alias("_mm_reset"),
         ]
-    return eff.groupBy(*keys).agg(*aggs).filter(F.col("_rows") > 0)
+    out = eff.groupBy(*keys).agg(*aggs)
+    return out if keep_zero else out.filter(F.col("_rows") > 0)
 
 
 def _spec_root(root: str) -> str:
@@ -491,34 +503,79 @@ def read_rollup_range(
 
 
 def compact_rollup(
-    spark: SparkSession, root: str, min_segments: int = 2
+    spark: SparkSession,
+    root: str,
+    min_segments: int = 2,
+    max_segment_bytes: int | None = None,
 ) -> dict[str, list[int]]:
-    """Fold the partial segments into one by running the merge as the
-    compaction reducer — valid precisely because merged partials ARE
-    partials (same schema, same associativity). Bounds the
-    segments-per-read fan-in of a long-running view; zonemap coverage
-    is recomputed by compact_segments from manifest metadata."""
-    keys, measures, _zk = read_rollup_spec(spark, root)
-    has_resets = bool(lake.segment_meta(spark, root).get(MM_RESETS_KEY))
+    """Fold partial segments by running the merge as the compaction
+    reducer — valid precisely because merged partials ARE partials
+    (same schema, same associativity). Bounds the segments-per-read
+    fan-in of a long-running view; zonemap coverage is recomputed by
+    compact_segments from manifest metadata.
 
-    def _reduce(df: DataFrame) -> DataFrame:
-        if not has_resets:
+    With ``max_segment_bytes`` (SIZE-TIERED maintenance — see
+    lake.compact_segments) the reducer folds with ``keep_zero=True``:
+    net-zero groups stay in the compacted PARTIAL and drop only at
+    serve time, which is what makes the fold SUBSET-SOUND — a tiered
+    pass may fold a retraction's negative partial apart from its
+    graduated positive twin, and the kept ≤0 group still cancels the
+    twin at serve. A year-long continuous aggregate then pays
+    amortized-logarithmic rewrite work instead of O(dataset) per pass,
+    with serving byte-identical to the uncompacted view. FULL folds
+    (``max_segment_bytes=None``) keep the net-zero drop: with every
+    segment in the fold the cancellation is already complete, so
+    fully-retracted groups leave the physical segment — the pass that
+    eventually sweeps any zero rows a tiered pass parked.
+
+    Views whose manifest carries the min/max-reset flag (a repairing
+    retraction committed — :func:`retract_rollup_batch`) are the one
+    exception: the reset fold is NOT subset-sound (a tier holding pre-
+    and post-reset rows of a group whose reset row already graduated
+    would fold superseded extremes back in), so such a pass ignores
+    ``max_segment_bytes`` and folds EVERYTHING — and, having applied
+    every reset, retires the flag and the state columns in the same
+    commit: the compacted min/max are plain exact values again, the
+    view returns to the map-side-combined serve fold, and the NEXT
+    pass regains size-tiering. The reducer decision and the fold are
+    pinned to ONE manifest version (``expected_base``): a retraction
+    landing between the meta read and the fold conflicts loudly and
+    the bounded retry re-decides from fresh state, instead of running
+    the no-reset reducer over state that now contains reset rows."""
+    keys, measures, _zk = read_rollup_spec(spark, root)
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        meta, version = lake.segment_meta_versioned(spark, root)
+        has_resets = bool(meta.get(MM_RESETS_KEY))
+        if has_resets:
+            # reset-aware FULL fold: masking applied, stamps dropped —
+            # the output rows are plain exact partials, so the flag
+            # retires with the same flip (meta override below)
+            def _reduce(df: DataFrame) -> DataFrame:
+                return merge_rollup(df, keys, measures)
+
+        else:
             # reset-free: inert state columns drop and the fold keeps
             # its map-side combine; later rows' sequences only matter
-            # RELATIVE to reset rows, so compacting them away is sound
-            return merge_rollup(
-                df.drop("_useq", "_mm_reset"), keys, measures
-            )
-        # keep_state: the compacted frame stays a valid PARTIAL — it
-        # carries (max _useq, OR of _mm_reset) per group, so a group
-        # whose min/max were reset by a repair compacts to a reset row
-        # that later ingests (strictly newer sequences) keep folding
-        # into, and re-compaction is idempotent
-        return merge_rollup(df, keys, measures, keep_state=True)
+            # RELATIVE to reset rows, so compacting them away is sound.
+            # keep_zero only under size-tiering, where the fold may be
+            # a subset; a full fold sweeps net-zero groups physically
+            def _reduce(df: DataFrame) -> DataFrame:
+                return merge_rollup(
+                    df.drop("_useq", "_mm_reset"), keys, measures,
+                    keep_zero=max_segment_bytes is not None,
+                )
 
-    return lake.compact_segments(
-        spark,
-        root,
-        reducers={PARTIALS: _reduce},
-        min_segments=min_segments,
-    )
+        try:
+            return lake.compact_segments(
+                spark,
+                root,
+                reducers={PARTIALS: _reduce},
+                min_segments=min_segments,
+                max_segment_bytes=None if has_resets else max_segment_bytes,
+                expected_base=version,
+                meta={**meta, MM_RESETS_KEY: False} if has_resets else None,
+            )
+        except lake.ConcurrentCommitError as e:
+            last_err = e
+    raise last_err

@@ -333,11 +333,11 @@ def delete_docs(spark, root: str, doc_ids: Sequence) -> dict[str, list[int]]:
         return _delete_commit(
             spark,
             root,
-            hit_fn=lambda df, pins: df.filter(pred),
-            tomb_fn=lambda spark, seq, pins: spark.createDataFrame(
+            hit_fn=lambda df, st: df.filter(pred),
+            tomb_fn=lambda spark, seq, st: spark.createDataFrame(
                 [(i, seq) for i in ids], ["doc_id", "dead_below"]
             ).coalesce(1),
-            n_tomb_fn=lambda pins: len(ids),
+            n_tomb_fn=lambda st: len(ids),
         )
     return delete_from(
         spark, root, spark.createDataFrame([(i,) for i in ids], ["doc_id"])
@@ -386,13 +386,13 @@ def delete_from(
         return _delete_commit(
             spark,
             root,
-            hit_fn=lambda df, pins: df.join(ids, on="doc_id", how="left_semi"),
-            tomb_fn=lambda spark, seq, pins: _cap(
+            hit_fn=lambda df, st: df.join(ids, on="doc_id", how="left_semi"),
+            tomb_fn=lambda spark, seq, st: _cap(
                 ids.select(
                     "doc_id", F.lit(seq).cast("bigint").alias("dead_below")
                 )
             ),
-            n_tomb_fn=lambda pins: n_tomb,
+            n_tomb_fn=lambda st: n_tomb,
         )
     finally:
         ids.unpersist()
@@ -404,31 +404,52 @@ def delete_where(spark, root: str, predicate) -> dict[str, list[int]]:
     over the posting schema term/doc_id/tf/positions — e.g.
     ``F.col("term") == "leaked-secret-token"`` removes every document
     containing a term). The delete set is derived per attempt from the
-    pinned postings (a filter + distinct, never collected); for
-    corpus-attribute predicates ("source = X") filter the corpus table
-    instead and pass the ids to :func:`delete_from`."""
+    pinned postings (a filter + distinct, never collected), computed
+    ONCE per attempt and persisted for the commit's duration — every
+    downstream job (negative stats, tombstone write, counters) sees
+    one content instead of re-running the corpus filter; its liveness
+    fold runs under the attempt's manifest meta, so it honors the same
+    bounded-broadcast policy as every other read. For corpus-attribute
+    predicates ("source = X") filter the corpus table instead and pass
+    the ids to :func:`delete_from`."""
 
-    def _ids(pins: dict) -> DataFrame:
-        posts = lake.read_segments(
-            spark, f"{root}/{COMPONENT}", pins[COMPONENT]
-        )
-        return (
-            _live(spark, root, posts.filter(predicate), pins)
-            .select("doc_id")
-            .distinct()
-        )
+    def _ids(st: dict) -> DataFrame:
+        if "ids" not in st:
+            posts = lake.read_segments(
+                spark, f"{root}/{COMPONENT}", st["pins"][COMPONENT]
+            )
+            st["ids"] = _persist_for_attempt(
+                st,
+                _live(
+                    spark, root, posts.filter(predicate), st["pins"], st["meta"]
+                )
+                .select("doc_id")
+                .distinct(),
+            )
+        return st["ids"]
 
     return _delete_commit(
         spark,
         root,
-        hit_fn=lambda df, pins: df.join(
-            _ids(pins), on="doc_id", how="left_semi"
+        hit_fn=lambda df, st: df.join(
+            _ids(st), on="doc_id", how="left_semi"
         ),
-        tomb_fn=lambda spark, seq, pins: _ids(pins)
+        tomb_fn=lambda spark, seq, st: _ids(st)
         .select("doc_id", F.lit(seq).cast("bigint").alias("dead_below"))
         .coalesce(1),
         n_tomb_fn=None,
     )
+
+
+def _persist_for_attempt(st: dict, df: DataFrame) -> DataFrame:
+    """Persist a frame for the lifetime of one _delete_commit attempt
+    (registered in the attempt state; unpersisted when the attempt
+    ends, win or lose)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    st["_persisted"].append(df)
+    return df
 
 
 def _delete_commit(
@@ -438,35 +459,43 @@ def _delete_commit(
     tomb_fn,
     n_tomb_fn,
 ) -> dict[str, list[int]]:
-    """The shared logical-delete commit: ``hit_fn(component_df, pins)``
-    restricts a pinned scan to the delete set, ``tomb_fn(spark, seq,
-    pins)`` builds the tombstone segment frame, ``n_tomb_fn(pins)``
-    returns the tombstone row count for the pressure counter (None →
-    count the tombstone frame itself, one tiny job). Retries from
-    fresh state on ConcurrentCommitError like every pinned commit."""
+    """The shared logical-delete commit. Each attempt reads ONE
+    manifest snapshot and exposes it to the hooks as the attempt state
+    ``st`` (``st["pins"]``, ``st["meta"]``, ``st["seq"]``):
+    ``hit_fn(component_df, st)`` restricts a pinned scan to the delete
+    set, ``tomb_fn(spark, seq, st)`` builds the tombstone segment
+    frame, ``n_tomb_fn(st)`` returns the tombstone row count for the
+    pressure counter (None → count the tombstone frame itself, one
+    tiny job). Hooks may stash attempt-scoped derived frames in ``st``
+    (see :func:`_persist_for_attempt`); they are unpersisted when the
+    attempt ends. Retries from fresh state on ConcurrentCommitError
+    like every pinned commit."""
     last_err: Exception | None = None
     for _attempt in range(3):
         pins, meta, base = lake.segment_state(spark, root)
         seq = base + 1
-        posts = lake.read_segments(spark, f"{root}/{COMPONENT}", pins[COMPONENT])
-        lens = lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS])
-        # only rows still LIVE contribute negative stats — re-deleting
-        # a dead doc (or deleting a superseded revision) is a no-op on
-        # every counter, which is what makes replayed deletes idempotent
-        dead_posts = _live(spark, root, hit_fn(posts, pins), pins, meta)
-        dead_lens = _live(spark, root, hit_fn(lens, pins), pins, meta)
-        neg_stats = dead_posts.groupBy("term_h").agg(
-            F.first("term").alias("term"),
-            (-F.count(F.lit(1))).cast("bigint").alias("df"),
-        )
-        row = dead_lens.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
-        ).collect()[0]
-        n_dead, tok_dead = int(row["_n"]), int(row["_tot"])
-        tomb = tomb_fn(spark, seq, pins)
-        n_tomb = int(n_tomb_fn(pins)) if n_tomb_fn is not None else tomb.count()
+        st: dict = {"pins": pins, "meta": meta, "seq": seq, "_persisted": []}
         try:
+            posts = lake.read_segments(
+                spark, f"{root}/{COMPONENT}", pins[COMPONENT]
+            )
+            lens = lake.read_segments(spark, f"{root}/{DOCLENS}", pins[DOCLENS])
+            # only rows still LIVE contribute negative stats — re-deleting
+            # a dead doc (or deleting a superseded revision) is a no-op on
+            # every counter, which is what makes replayed deletes idempotent
+            dead_posts = _live(spark, root, hit_fn(posts, st), pins, meta)
+            dead_lens = _live(spark, root, hit_fn(lens, st), pins, meta)
+            neg_stats = dead_posts.groupBy("term_h").agg(
+                F.first("term").alias("term"),
+                (-F.count(F.lit(1))).cast("bigint").alias("df"),
+            )
+            row = dead_lens.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("_tot"),
+            ).collect()[0]
+            n_dead, tok_dead = int(row["_n"]), int(row["_tot"])
+            tomb = tomb_fn(spark, seq, st)
+            n_tomb = int(n_tomb_fn(st)) if n_tomb_fn is not None else tomb.count()
             return lake.append_segments(
                 spark,
                 root,
@@ -488,6 +517,9 @@ def _delete_commit(
             )
         except lake.ConcurrentCommitError as e:
             last_err = e
+        finally:
+            for cached in st["_persisted"]:
+                cached.unpersist()
     raise last_err
 
 

@@ -318,12 +318,13 @@ def q_orders_rollup_after_retraction(spark: SparkSession, sf_dir: str) -> DataFr
     O(retraction) commit appending a NEGATED partial segment — the
     merge's additive fold cancels their contribution exactly and
     fully-retracted groups drop out, with committed segments never
-    rewritten. The oracle aggregates the raw facts minus the retracted
-    keys directly, value-checking counts, sums, and the derived avg
-    (min/max are intentionally NOT emitted: they are conservative
-    bounds after a retraction — the documented deletable-aggregate
-    limitation). The backfill/mis-ingest repair path a year-deep
-    100 TB continuous aggregate cannot afford to rebuild for."""
+    rewritten. The retraction passes ``remaining_facts``, so the
+    commit re-aggregates the dirty groups' min/max and appends them as
+    reset override rows — the oracle aggregates the raw facts minus
+    the retracted keys directly and value-checks counts, sums, the
+    derived avg, AND the EXACT extremes (``price_min``/``price_max``).
+    The backfill/mis-ingest repair path a year-deep 100 TB continuous
+    aggregate cannot afford to rebuild for."""
     key = (sf_dir,)
     if _audit() and _ROLLUP_RETRACT_DIR.get(key) is None:
         facts = t(spark, sf_dir, "orders").filter(

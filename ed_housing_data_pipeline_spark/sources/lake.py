@@ -1494,9 +1494,15 @@ def read_segments_bloom_pruned(
     """A component's manifest-pinned scan restricted to segments whose
     bloom may hold one of ``values`` — the caller still applies the
     row-level IN predicate (bloom skipping only shrinks the file
-    set). Schema-reconciled like the zone-pruned read."""
-    schema = _schema_from_json(_manifest_state(spark, root)[4].get(component))
-    kept, pinned = bloom_pruned_pins(spark, root, component, col, values)
+    set). Schema-reconciled like the zone-pruned read. Schema and
+    pruned pins resolve from ONE manifest snapshot: two separate reads
+    could straddle an add-column commit and serve pins newer than the
+    schema, silently dropping the fresh column."""
+    pins, _zones, blooms, _meta, schemas, _version = _manifest_state(spark, root)
+    schema = _schema_from_json(schemas.get(component))
+    kept, pinned = bloom_pruned_pins_from_state(
+        spark, root, component, col, values, pins, blooms
+    )
     comp_root = f"{root.rstrip('/')}/{component}"
     if not kept:
         from pyspark.sql import functions as F  # noqa: PLC0415
@@ -2049,6 +2055,16 @@ def zone_pruned_pins(
     belongs to the caller's predicate — zonemaps only bound WHICH
     segments can contain matches."""
     pins, zones, _blooms, _meta, _schemas, _version = _manifest_state(spark, root)
+    return zone_pruned_pins_from_state(component, col, lo, hi, pins, zones)
+
+
+def zone_pruned_pins_from_state(
+    component: str, col: str, lo, hi, pins: dict, zones: dict
+) -> tuple[list[int], list[int]]:
+    """:func:`zone_pruned_pins` over an ALREADY-READ manifest state —
+    for callers that consult several pieces of one manifest (pins +
+    zones + schema) and must see ONE consistent snapshot across them
+    (the bloom twin is :func:`bloom_pruned_pins_from_state`)."""
     if component not in pins:
         raise KeyError(f"zone_pruned_pins: no pinned component {component!r}")
     zm = zones.get(component, {})
@@ -2083,10 +2099,12 @@ def read_segments_zone_pruned(
     component's schema). Schema-reconciled like every manifest read: a
     pruned scan over mixed segment vintages must not inherit whichever
     file's footer Spark samples first (an old footer would silently
-    drop evolved columns)."""
-    state = _manifest_state(spark, root)
-    kept, pinned = zone_pruned_pins(spark, root, component, col, lo, hi)
-    schema = _schema_from_json(state[4].get(component))
+    drop evolved columns). Schema and pruned pins resolve from ONE
+    manifest snapshot — two reads could straddle an add-column commit
+    and pair new pins with the pre-evolution schema."""
+    pins, zones, _blooms, _meta, schemas, _version = _manifest_state(spark, root)
+    kept, pinned = zone_pruned_pins_from_state(component, col, lo, hi, pins, zones)
+    schema = _schema_from_json(schemas.get(component))
     comp_root = f"{root.rstrip('/')}/{component}"
     if not kept:
         from pyspark.sql import functions as F  # noqa: PLC0415
@@ -2181,10 +2199,18 @@ def append_segments(
     # frames evolve the manifest-carried schema (add-column appends,
     # missing columns read back null-filled)
     new_schemas = dict(schemas)
-    for name, df in {**appends, **replaces}.items():
+    for name, df in appends.items():
         new_schemas[name] = _evolved_schema_json(
             schemas.get(name), df.schema, name
         )
+    for name, df in replaces.items():
+        # a replace IS the explicit rewrite: the same commit unpins
+        # every prior segment of the component, so there is no older
+        # vintage to reconcile against — the recorded schema RESETS to
+        # the replacing frame's (type changes become legal here, and
+        # columns the rewrite dropped stop being served as phantom
+        # NULLs forever)
+        new_schemas[name] = _nullable_schema_json(df.schema.jsonValue())
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
         seg = write_segment(spark, df, f"{root}/{name}")
@@ -2291,6 +2317,8 @@ def compact_segments(
     reducers: dict | None = None,
     min_segments: int = 2,
     max_segment_bytes: int | None = None,
+    expected_base: int | None = None,
+    meta: dict | None = None,
 ) -> dict[str, list[int]]:
     """Fold each multi-segment component back to ONE segment (read the
     pinned union — through ``reducers[name]`` if given, e.g. a
@@ -2327,9 +2355,29 @@ def compact_segments(
     the way the reducers are not). Bloom coverage survives the same
     way (the folded segments' column sets are re-bloomed against the
     compacted output). Application metadata (``_meta``) carries
-    through unchanged."""
+    through unchanged unless ``meta`` is given, which REPLACES it
+    atomically with the compaction flip — the hook for state a fold
+    retires (e.g. compact_rollup clearing its min/max-reset flag once
+    a full fold has made the extremes plain again). ``meta`` is
+    committed only when the pass actually folds something; a no-op
+    pass leaves the manifest untouched.
+
+    ``expected_base`` pins the WHOLE pass — including the fresh state
+    read the fold plans from — to the manifest version the caller's
+    reducers were derived from: a caller whose reducer choice depends
+    on committed state (e.g. compact_rollup picking its fold by the
+    min/max-reset meta flag) passes the version it read that state at,
+    and a rival commit landing in between raises
+    :class:`ConcurrentCommitError` BEFORE any fold job runs instead of
+    reducing new state under a stale decision."""
     reducers = reducers or {}
     pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
+    if expected_base is not None and expected_base != base:
+        raise ConcurrentCommitError(
+            f"compact_segments: reducers derived from manifest "
+            f"v{expected_base} but v{base} is now committed — re-read "
+            "and retry"
+        )
     names = list(components) if components is not None else list(pins)
     new_pins = dict(pins)
     new_schemas = dict(schemas)
@@ -2406,8 +2454,9 @@ def compact_segments(
             kw["zones"] = new_zones
         if new_blooms:
             kw["blooms"] = new_blooms
-        if prior_meta:
-            kw["meta"] = prior_meta
+        commit_meta = meta if meta is not None else prior_meta
+        if commit_meta:
+            kw["meta"] = commit_meta
         if new_schemas:
             kw["schemas"] = new_schemas
         commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
@@ -2518,7 +2567,6 @@ def validate_segmented(spark, root: str, deep: bool = False) -> dict:
                                 f"{f.dataType.simpleString()}, manifest says "
                                 f"{want.simpleString()}"
                             )
-                    break  # one file per segment suffices: one writer wrote them all
     return {
         "ok": not errors,
         "version": version,

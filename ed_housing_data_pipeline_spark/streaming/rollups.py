@@ -35,12 +35,23 @@ def sink_rollup_batch(
     segment_partitions: int | None = 1,
     keep_latest: int = 2,
     compact_every: int | None = 16,
+    compact_max_bytes: int | None = None,
 ) -> bool:
     """Commit ONE micro-batch into the view, exactly once: skip when
     the committed manifest already records ``batch_id`` (replay after
     a crash-after-commit), else append the batch's partial segment
     with the id in the same manifest flip. Returns True when the
     batch was committed, False when recognized as a replay.
+
+    ``compact_max_bytes`` opts into SIZE-TIERED maintenance (the LSM
+    shape the other three sinks got first): once the partials
+    component holds ``compact_every`` pinned segments, only segments
+    under the byte threshold fold — graduated ones keep their pins —
+    so a year-long continuous aggregate pays amortized-logarithmic
+    rewrite work instead of O(view) every ``compact_every`` batches.
+    Sound because the rollup compaction reducer keeps net-zero groups
+    (subset-sound; see rollup.compact_rollup); a view with pending
+    min/max resets transparently runs the full fold that round.
 
     The replay check and the commit are pinned to ONE manifest
     version (``expected_base``): a rival committer on the same root
@@ -74,7 +85,9 @@ def sink_rollup_batch(
             last_err = e
             continue
         if compact_every and len(pins[rollup.PARTIALS]) >= compact_every:
-            rollup.compact_rollup(spark, root)
+            rollup.compact_rollup(
+                spark, root, max_segment_bytes=compact_max_bytes
+            )
         return True
     raise last_err
 
@@ -86,6 +99,7 @@ def run_stream_rollup(
     segment_partitions: int | None = 1,
     keep_latest: int = 2,
     compact_every: int | None = 16,
+    compact_max_bytes: int | None = None,
 ) -> None:
     """Drain the fact stream (availableNow) through the transactional
     rollup sink. ``bootstrap_rollup`` must have pinned the view spec
@@ -102,6 +116,7 @@ def run_stream_rollup(
             segment_partitions=segment_partitions,
             keep_latest=keep_latest,
             compact_every=compact_every,
+            compact_max_bytes=compact_max_bytes,
         )
 
     q = (

@@ -404,3 +404,88 @@ def test_second_repair_supersedes_first(spark, tmp_path):
     )
     r = rollup.read_rollup(spark, root, derive_avg=False).collect()[0]
     assert (r["v_min"], r["v_max"], r["_rows"]) == (5.0, 50.0, 2)
+
+
+def test_size_tiered_compaction_subset_sound_with_retraction(spark, tmp_path):
+    """The LSM shape the rollup family gained in r11: under a byte
+    threshold only small partials fold — and a fold that catches a
+    retraction's NEGATIVE partial apart from its graduated positive
+    twin must keep the net-negative group (keep_zero) so the serve
+    merge still cancels the twin. Served values are byte-identical to
+    the uncompacted view; the graduated segment's pin never moves."""
+    # bootstrap with MANY groups → a big partial segment; appends and
+    # the retraction touch few groups → small segments
+    boot = [
+        Row(grp=f"g{i % 97}", bucket=i % 211, val=float(i)) for i in range(2000)
+    ]
+    extra = [Row(grp="g1", bucket=1, val=7.0), Row(grp="zz", bucket=3, val=2.0)]
+    retract = boot[:40]  # groups live only in the graduated bootstrap
+    root = str(tmp_path / "view")
+    rollup.bootstrap_rollup(
+        spark, root, _df(spark, boot), KEYS, MEASURES,
+        zone_keys=["bucket"], segment_partitions=1,
+    )
+    rollup.append_rollup_batch(spark, root, _df(spark, extra), segment_partitions=1)
+    rollup.retract_rollup_batch(spark, root, _df(spark, retract), segment_partitions=1)
+    pins0 = lake.segment_pins(spark, root)[rollup.PARTIALS]
+    big = pins0[0]
+    thresh = lake._segment_bytes(spark, f"{root}/{rollup.PARTIALS}", big)
+    remaining = boot[40:] + extra
+    before = _r6(rows(rollup.read_rollup(spark, root, derive_avg=False)))
+    pins1 = rollup.compact_rollup(spark, root, max_segment_bytes=thresh)[
+        rollup.PARTIALS
+    ]
+    # bounded rewrite: the graduated bootstrap partial is untouched,
+    # the small tail folded to one fresh segment
+    assert big in pins1 and len(pins1) == 2
+    after = rows(rollup.read_rollup(spark, root, derive_avg=False))
+    assert _r6(after) == before
+    # exactness vs the direct aggregate for the additive stats
+    assert {(r[0], r[1]): (r[2], r[4]) for r in after} == {
+        (r[0], r[1]): (r[2], r[4]) for r in _direct(spark, remaining)
+    }
+    # the subset fold parked net-negative groups instead of dropping
+    # them (the graduated twin still has their positive rows)
+    folded = [s for s in pins1 if s != big]
+    seg = lake.read_segments(spark, f"{root}/{rollup.PARTIALS}", folded)
+    assert seg.filter("_rows < 0").count() > 0
+    # a later FULL fold sweeps them and serving is still identical
+    pins2 = rollup.compact_rollup(spark, root)[rollup.PARTIALS]
+    assert len(pins2) == 1
+    seg2 = lake.read_segments(spark, f"{root}/{rollup.PARTIALS}", pins2)
+    assert seg2.filter("_rows <= 0").count() == 0
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == before
+
+
+def test_reset_flag_retires_after_full_compaction(spark, tmp_path):
+    """A repairing retraction sets the min/max-reset manifest flag; a
+    full compaction applies every reset, so the same flip RETIRES the
+    flag — the view returns to the map-side-combined serve fold and
+    regains size-tiering eligibility — with served values still equal
+    to the direct aggregate of the corrected facts."""
+    data = _facts(150, seed=23)
+    retract = [r for i, r in enumerate(data) if i % 9 == 0]
+    remaining = [r for i, r in enumerate(data) if i % 9 != 0]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [50, 100])
+    rollup.retract_rollup_batch(
+        spark, root, _df(spark, retract),
+        remaining_facts=_df(spark, remaining), segment_partitions=1,
+    )
+    assert lake.segment_meta(spark, root).get(rollup.MM_RESETS_KEY) is True
+    # with resets pending, a size-tiered request transparently runs
+    # the FULL fold (the reset fold is not subset-sound)
+    pins = rollup.compact_rollup(spark, root, max_segment_bytes=1)[
+        rollup.PARTIALS
+    ]
+    assert len(pins) == 1
+    assert lake.segment_meta(spark, root).get(rollup.MM_RESETS_KEY) is False
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, remaining)
+    )
+    # the view keeps working incrementally after the flag retired
+    more = [Row(grp="q", bucket=9, val=1.5), Row(grp="a", bucket=1, val=-3.0)]
+    rollup.append_rollup_batch(spark, root, _df(spark, more), segment_partitions=1)
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, remaining + more)
+    )

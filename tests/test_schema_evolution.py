@@ -166,3 +166,40 @@ def test_zone_pruned_read_serves_evolved_schema(spark, tmp_path):
     # pruned-to-one-old-segment read still carries the evolved schema
     got_old = lake.read_segments_zone_pruned(spark, root, "t", "bucket", 0, 15)
     assert got_old.columns == ["id", "bucket", "tag"]
+
+
+def test_replace_resets_component_schema(spark, tmp_path):
+    """A replace IS the explicit rewrite the evolution errors point
+    to: the same commit unpins every prior segment of the component,
+    so the recorded schema resets to the replacing frame's — a retype
+    becomes legal, and columns the rewrite dropped stop being served
+    as phantom NULLs."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame([(1, "x", 5)], "id bigint, name string, flag int").coalesce(1)},
+        init=True,
+    )
+    # retype flag int→string and drop name via a replacing rewrite
+    lake.append_segments(
+        spark,
+        root,
+        appends={},
+        replaces={
+            "t": spark.createDataFrame(
+                [(1, "on"), (2, "off")], "id bigint, flag string"
+            ).coalesce(1)
+        },
+    )
+    df = lake.read_segmented_components(spark, root, ["t"])["t"]
+    assert df.schema["flag"].dataType.simpleString() == "string"
+    assert "name" not in df.columns
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "on"), (2, "off")]
+    # appends against the reset schema enforce the NEW types
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.append_segments(
+            spark,
+            root,
+            {"t": spark.createDataFrame([(3, 1)], "id bigint, flag int")},
+        )

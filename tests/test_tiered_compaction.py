@@ -162,3 +162,49 @@ def test_validate_segmented_clean_and_corrupted(spark, tmp_path):
     rep2 = lake.validate_segmented(spark, root)
     assert not rep2["ok"]
     assert any("pinned segment dir missing" in e for e in rep2["errors"])
+
+
+def test_compact_segments_expected_base_pins_the_pass(spark, tmp_path):
+    """A caller whose reducer choice was derived from committed state
+    pins the pass to that manifest version; a rival commit in between
+    raises the typed conflict BEFORE any fold job runs."""
+    import pytest
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": _seg_rows(spark, 4)}, init=True)
+    lake.append_segments(spark, root, {"t": _seg_rows(spark, 4, 100)})
+    _pins, version = lake.segment_pins_versioned(spark, root)
+    # rival commit lands after the caller read its state
+    lake.append_segments(spark, root, {"t": _seg_rows(spark, 4, 200)})
+    with pytest.raises(lake.ConcurrentCommitError):
+        lake.compact_segments(spark, root, expected_base=version)
+    # fresh base goes through
+    _pins2, v2 = lake.segment_pins_versioned(spark, root)
+    pins = lake.compact_segments(spark, root, expected_base=v2)
+    assert len(pins["t"]) == 1
+
+
+def test_validate_segmented_deep_checks_every_part_file(spark, tmp_path):
+    """Deep fsck opens EVERY pinned part file, not just the first: a
+    rogue later file with an off-manifest column is reported."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame([(1, "x")], "id bigint, name string").coalesce(1)},
+        init=True,
+    )
+    seg = lake.segment_pins(spark, root)["t"][0]
+    seg_dir = f"{root}/t/seg={seg}"
+    # a second, schema-divergent part file sorted AFTER the real one
+    spark.createDataFrame([(2, 9.5)], "id bigint, rogue double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/rogue")
+    import glob
+    import shutil
+
+    src = glob.glob(f"{tmp_path}/rogue/part-*.parquet")[0]
+    shutil.copy(src, f"{seg_dir}/part-zzzz-rogue.parquet")
+    rep = lake.validate_segmented(spark, root, deep=True)
+    assert not rep["ok"]
+    assert any("rogue" in e and "not in manifest schema" in e for e in rep["errors"])
