@@ -1643,6 +1643,82 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
 
+# ------------------------------------------------- type widening (S8)
+@register(
+    "lake_type_widening",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey % 1000) AS BIGINT) AS bucket_sum,
+           CAST(MAX(o_orderkey % 1000) AS BIGINT) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING schema evolution on the segmented lake (r10
+    VERDICT #3), end to end as a driver-checkable query: segment v1
+    lands a bucket column as INT, a later append carries the same
+    column as BIGINT — the manifest-carried schema widens in place
+    (lake._widened_atomic: lossless widenings only) and the pinned
+    read serves BOTH vintages under the wide schema, reconciled
+    natively by Spark's parquet readers (no rewrite of the committed
+    narrow segment). The aggregate sums the column across vintages, so
+    a reader that lost or mis-cast either vintage hash-mismatches
+    against the oracle's direct aggregation. Also exercises the
+    NORMALIZATION step: compaction folds the mixed-vintage tail into
+    one segment physically AT the wide type (checked in-query; drift
+    raises). At 100 TB this is the second-most-common evolution a
+    long-lived table hits after add-column — int ids outgrow 32 bits —
+    and it must not force an O(table) rewrite."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders")
+    bucket = F.col("o_orderkey") % 1000
+    narrow = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderpriority", bucket.cast("int").alias("bucket")
+    )
+    wide = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderpriority", bucket.cast("bigint").alias("bucket")
+    )
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("bucket").cast("bigint").alias("bucket_sum"),
+            F.max("bucket").cast("bigint").alias("bucket_max"),
+        )
+
+    with tempfile.TemporaryDirectory(prefix="lake_widen_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"orders": narrow}, init=True)
+        lake.append_segments(spark, ds, {"orders": wide})
+        evolved = lake.read_segmented_components(spark, ds, ["orders"])["orders"]
+        if evolved.schema["bucket"].dataType.simpleString() != "bigint":
+            raise RuntimeError(
+                f"widened schema wrong: {evolved.schema['bucket'].dataType}"
+            )
+        out = _agg(evolved).localCheckpoint(eager=True)
+        # compaction must normalize the narrow vintage physically
+        # (plain checks, not asserts — python -O)
+        lake.compact_segments(spark, ds)
+        pins = lake.segment_pins(spark, ds)
+        if len(pins["orders"]) != 1:
+            raise RuntimeError(f"compaction left {pins['orders']} pinned")
+        raw = spark.read.parquet(f"{ds}/orders/seg={pins['orders'][0]}")
+        if raw.schema["bucket"].dataType.simpleString() != "bigint":
+            raise RuntimeError("compaction did not normalize to the wide type")
+        from collections import Counter  # noqa: PLC0415
+
+        if Counter(map(tuple, _agg(raw).collect())) != Counter(
+            map(tuple, out.collect())
+        ):
+            raise RuntimeError("compaction changed widened-read values")
+        return out
+
+
 # ------------------------------------------------- multi-dimensional agg
 @register(
     "orders_status_priority_cube",

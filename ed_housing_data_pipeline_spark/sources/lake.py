@@ -383,10 +383,58 @@ class ConcurrentCommitError(RuntimeError):
 class SchemaEvolutionError(ValueError):
     """An append's frame is INCOMPATIBLY shaped against the
     component's manifest-carried schema (a common column changed
-    type). Additive changes — new columns, or a writer still emitting
-    the pre-evolution column set — are legal and reconciled at read
-    time with null backfill; everything else must be an explicit new
-    component or a rewrite, never a silent reader-side coercion."""
+    type). Additive changes — new columns, a writer still emitting
+    the pre-evolution column set, or a LOSSLESS type widening on an
+    atomic column — are legal and reconciled at read time; everything
+    else must be an explicit new component or a rewrite
+    (``replaces=``), never a silent reader-side coercion."""
+
+
+# the lossless integer-widening chain (Spark type-JSON names)
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+# ≤32-bit ints embed exactly in double's 53-bit mantissa; long does NOT
+_DOUBLE_EMBEDDABLE = {"byte", "short", "integer", "float"}
+
+
+def _decimal_ps(t: str) -> tuple[int, int] | None:
+    if not (isinstance(t, str) and t.startswith("decimal(") and t.endswith(")")):
+        return None
+    try:
+        p, s = t[len("decimal(") : -1].split(",")
+        return int(p), int(s)
+    except ValueError:
+        return None
+
+
+def _widened_atomic(a, b):
+    """The WIDER of two atomic Spark type-JSON names when one of them
+    widens LOSSLESSLY to the other, else None. The lattice mirrors
+    what Spark's parquet readers reconcile natively at scan time
+    (SPARK-40876 widening promotions): the integer chain
+    byte<short<int<long, float→double, narrow-int→double (exact in a
+    53-bit mantissa; long→double is lossy and stays rejected), and
+    decimal scale-up where neither the fractional nor the integral
+    digit budget shrinks. Anything else — string↔numeric, long→double,
+    nested/complex types — is not a widening."""
+    if not isinstance(a, str) or not isinstance(b, str):
+        return None
+    if a == b:
+        return a
+    if a in _INT_RANK and b in _INT_RANK:
+        return a if _INT_RANK[a] > _INT_RANK[b] else b
+    if {a, b} == {"float", "double"}:
+        return "double"
+    if (a == "double" and b in _DOUBLE_EMBEDDABLE) or (
+        b == "double" and a in _DOUBLE_EMBEDDABLE
+    ):
+        return "double"
+    pa, pb = _decimal_ps(a), _decimal_ps(b)
+    if pa and pb:
+        if pb[1] >= pa[1] and pb[0] - pb[1] >= pa[0] - pa[1]:
+            return b
+        if pa[1] >= pb[1] and pa[0] - pa[1] >= pb[0] - pb[1]:
+            return a
+    return None
 
 
 def _nullable_schema_json(schema_json: dict) -> dict:
@@ -407,13 +455,18 @@ def _evolved_schema_json(
     """The component's next manifest-carried schema given an incoming
     frame: prior columns keep their order, genuinely new columns
     append (add-column-with-null-backfill), an incoming frame missing
-    prior columns is fine (its segment reads back null-filled), and a
-    TYPE change on a common column raises
-    :class:`SchemaEvolutionError` — the one shape the protocol must
-    reject, because parquet cannot serve one column as two types
-    across segments. Type equality is structural on the Spark type
-    JSON with nullability normalized out (nested nullability is a
-    constraint, not a layout)."""
+    prior columns is fine (its segment reads back null-filled), a
+    LOSSLESS atomic widening on a common column evolves the recorded
+    type to the WIDER of the two — in either direction, so a
+    lagging writer still emitting the pre-widening type keeps
+    committing (its narrow segments reconcile at scan time under the
+    wide read schema, natively in Spark's parquet readers) — and any
+    other TYPE change raises :class:`SchemaEvolutionError`, because
+    parquet cannot serve one column as two unrelated types across
+    segments. Type equality is structural on the Spark type JSON with
+    nullability normalized out (nested nullability is a constraint,
+    not a layout); widening applies to top-level atomic types only
+    (nested layout changes stay strict)."""
 
     def _type_key(t):
         # strip nullability flags recursively so e.g. array<int> with
@@ -433,17 +486,25 @@ def _evolved_schema_json(
         return _nullable_schema_json(newj)
     prior_by_name = {f["name"]: f for f in prior["fields"]}
     out = list(prior["fields"])
+    widened: dict[str, dict] = {}
     for f in newj["fields"]:
         pf = prior_by_name.get(f["name"])
         if pf is None:
             out.append({**f, "nullable": True})
         elif _type_key(pf["type"]) != _type_key(f["type"]):
-            raise SchemaEvolutionError(
-                f"component {component!r}: column {f['name']!r} is "
-                f"{pf['type']!r} in the manifest schema but the incoming "
-                f"frame carries {f['type']!r} — type changes need a new "
-                "component or an explicit rewrite"
-            )
+            wide = _widened_atomic(pf["type"], f["type"])
+            if wide is None:
+                raise SchemaEvolutionError(
+                    f"component {component!r}: column {f['name']!r} is "
+                    f"{pf['type']!r} in the manifest schema but the incoming "
+                    f"frame carries {f['type']!r} — only lossless widenings "
+                    "evolve in place; other type changes need a new "
+                    "component or an explicit rewrite (replaces=)"
+                )
+            if wide != pf["type"]:
+                widened[f["name"]] = {**pf, "type": wide, "nullable": True}
+    if widened:
+        out = [widened.get(f["name"], f) for f in out]
     return {"type": "struct", "fields": out}
 
 
@@ -1378,7 +1439,9 @@ def _bloom_hash(value: str) -> tuple[int, int]:
     return _bloom_h12(h)
 
 
-def _write_segment_bloom(spark, component_root: str, seg: int, col: str) -> bool:
+def _write_segment_bloom(
+    spark, component_root: str, seg: int, col: str, overwrite: bool = False
+) -> bool:
     """Build and write one segment's bloom sidecar for ``col`` from
     the just-written files: ONE small job collects the distinct
     (h1, h2) hash pairs (bounded by _BLOOM_MAX_ROWS — larger segments
@@ -1415,8 +1478,12 @@ def _write_segment_bloom(spark, component_root: str, seg: int, col: str) -> bool
         {"m": m, "k": _BLOOM_K, "n": n, "b64": base64.b64encode(bytes(bits)).decode()}
     )
     jvm, fs = _fs(spark, component_root)
+    # exclusive create on the commit path (fresh segment ids, content
+    # deterministic); repair passes overwrite=True to replace whatever
+    # half-state a lost advertisement left behind
     out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(_bloom_path(component_root, seg, col)), False
+        jvm.org.apache.hadoop.fs.Path(_bloom_path(component_root, seg, col)),
+        overwrite,
     )
     out.write(payload.encode("utf-8"))
     out.close()
@@ -2562,6 +2629,12 @@ def validate_segmented(spark, root: str, deep: bool = False) -> dict:
                                 "not in manifest schema"
                             )
                         elif want.simpleString() != f.dataType.simpleString():
+                            # a file written before a lossless widening
+                            # is a legal vintage: the pinned read schema
+                            # reconciles it at scan time
+                            fj, wj = f.dataType.jsonValue(), want.jsonValue()
+                            if _widened_atomic(fj, wj) == wj:
+                                continue
                             errors.append(
                                 f"{comp}/seg={seg}/{fn}: column {f.name!r} is "
                                 f"{f.dataType.simpleString()}, manifest says "
@@ -2572,6 +2645,174 @@ def validate_segmented(spark, root: str, deep: bool = False) -> dict:
         "version": version,
         "errors": errors,
         "components": {name: len(segs) for name, segs in pins.items()},
+    }
+
+
+def repair_segmented(
+    spark,
+    root: str,
+    sweep_orphans: bool = True,
+    orphan_grace_sec: float = 24 * 3600,
+    dry_run: bool = False,
+) -> dict:
+    """Turn :func:`validate_segmented`'s findings into actions — the
+    recovery an operator runs after restoring a replicated 100 TB root
+    instead of hand-editing manifests. One pinned manifest flip:
+
+    - QUARANTINE missing pins: a pinned segment whose dir vanished (or
+      holds no parquet part files) is un-pinned — readers stop failing
+      on it immediately; the typed report names every affected
+      component/segment so the operator knows exactly what data needs
+      re-ingesting. A component losing its LAST segment is dropped
+      from the manifest entirely (with its schema/zones/blooms).
+    - DROP stale metadata: zonemap stats, bloom advertisements, and
+      schemas referencing unpinned segments/components.
+    - REBUILD sidecar coverage: advertised bloom sidecar files that
+      vanished are rebuilt from the pinned segment (or the
+      advertisement drops if the segment outgrew the bloom budget);
+      pinned segments MISSING zone stats / bloom advertisements for
+      columns their component covers elsewhere get them recomputed —
+      pruning coverage returns to uniform.
+    - SWEEP orphans (optional): delegates to :func:`expire_segments`
+      with the given grace, so unpinned debris past the intent age
+      gate is removed under the same provably-stale test every sweep
+      uses.
+
+    ``dry_run=True`` reports the planned actions without committing or
+    touching the filesystem. Returns the actions report plus the fsck
+    verdict AFTER repair (``report["ok"]``); raises nothing on a
+    healthy root (every action list is empty and no commit lands)."""
+    jvm, fs = _fs(spark, root)
+
+    def _exists(path: str) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    def _has_parts(path: str) -> bool:
+        return any(
+            st.getPath().getName().endswith(".parquet")
+            for st in _list_status(jvm, fs, jvm.org.apache.hadoop.fs.Path(path))
+        )
+
+    last_err: BaseException | None = None
+    for _attempt in range(3):
+        pins, zones, blooms, meta, schemas, base = _manifest_state(spark, root)
+        actions: dict = {
+            "unpinned": {},
+            "dropped_components": [],
+            "rebuilt_bloom_sidecars": {},
+            "dropped_bloom_ads": {},
+            "rebuilt_zone_stats": {},
+            "rebuilt_bloom_ads": {},
+            "swept_orphans": {},
+        }
+        new_pins: dict[str, list[int]] = {}
+        for name, segs in pins.items():
+            alive = []
+            for seg in segs:
+                d = _segment_dir(f"{root}/{name}", seg)
+                if _exists(d) and _has_parts(d):
+                    alive.append(seg)
+                else:
+                    actions["unpinned"].setdefault(name, []).append(seg)
+            if alive:
+                new_pins[name] = alive
+            else:
+                actions["dropped_components"].append(name)
+        changed = bool(actions["unpinned"]) or bool(actions["dropped_components"])
+        new_zones = _carry_zones(zones, new_pins)
+        new_blooms = _carry_blooms(blooms, new_pins)
+        new_schemas = {c: sj for c, sj in schemas.items() if c in new_pins}
+        changed = changed or new_zones != zones or new_blooms != blooms
+        changed = changed or set(new_schemas) != set(schemas)
+        # sidecar repair: missing advertised files, then coverage gaps
+        for comp, bm in list(new_blooms.items()):
+            cols_everywhere = sorted({c for cols in bm.values() for c in cols})
+            for seg, cols in list(bm.items()):
+                for c in list(cols):
+                    if _exists(_bloom_path(f"{root}/{comp}", seg, c)):
+                        continue
+                    changed = True
+                    if dry_run or _write_segment_bloom(
+                        spark, f"{root}/{comp}", seg, c, overwrite=True
+                    ):
+                        actions["rebuilt_bloom_sidecars"].setdefault(
+                            comp, []
+                        ).append([seg, c])
+                    else:  # outgrew the bloom budget: advertisement drops
+                        actions["dropped_bloom_ads"].setdefault(
+                            comp, []
+                        ).append([seg, c])
+                        bm[seg] = [x for x in bm[seg] if x != c]
+            for seg in new_pins.get(comp, []):
+                missing = [c for c in cols_everywhere if c not in bm.get(seg, [])]
+                for c in missing:
+                    if [seg, c] in actions["dropped_bloom_ads"].get(comp, []):
+                        continue  # just dropped for budget: don't re-add
+                    changed = True
+                    actions["rebuilt_bloom_ads"].setdefault(comp, []).append(
+                        [seg, c]
+                    )
+                    if not dry_run and _write_segment_bloom(
+                        spark, f"{root}/{comp}", seg, c, overwrite=True
+                    ):
+                        bm.setdefault(seg, []).append(c)
+            new_blooms[comp] = {s: sorted(cs) for s, cs in bm.items() if cs}
+        for comp, zm in list(new_zones.items()):
+            cols_everywhere = sorted(
+                {c for stats in zm.values() for c in stats}
+            )
+            if not cols_everywhere:
+                continue
+            for seg in new_pins.get(comp, []):
+                if seg in zm:
+                    continue
+                changed = True
+                actions["rebuilt_zone_stats"].setdefault(comp, []).append(seg)
+                if not dry_run:
+                    zm[seg] = _segment_zone_stats(
+                        spark, f"{root}/{comp}", seg, cols_everywhere
+                    )
+        if dry_run:
+            return {"actions": actions, "committed": False, "version": base}
+        if not changed:
+            committed = False
+            break
+        if not new_pins:
+            raise RuntimeError(
+                f"repair_segmented: every pinned segment of {root} is "
+                "missing — nothing left to repair toward; restore the "
+                "data or re-bootstrap"
+            )
+        kw: dict = {}
+        if new_zones:
+            kw["zones"] = {c: z for c, z in new_zones.items() if z}
+        if new_blooms:
+            kw["blooms"] = {c: b for c, b in new_blooms.items() if b}
+        if meta:
+            kw["meta"] = meta
+        if new_schemas:
+            kw["schemas"] = new_schemas
+        try:
+            commit_segment_manifest(
+                spark, root, new_pins, expected_base=base, **kw
+            )
+            committed = True
+            break
+        except ConcurrentCommitError as e:
+            last_err = e
+    else:
+        raise last_err
+    if sweep_orphans:
+        actions["swept_orphans"] = expire_segments(
+            spark, root, orphan_grace_sec=orphan_grace_sec
+        )
+    report = validate_segmented(spark, root)
+    return {
+        "actions": actions,
+        "committed": committed,
+        "ok": report["ok"],
+        "errors": report["errors"],
+        "version": report["version"],
     }
 
 

@@ -203,3 +203,111 @@ def test_replace_resets_component_schema(spark, tmp_path):
             root,
             {"t": spark.createDataFrame([(3, 1)], "id bigint, flag int")},
         )
+
+
+def test_type_widening_int_to_bigint_across_segments(spark, tmp_path):
+    """Lossless widenings evolve in place: an int column widened to
+    bigint by a later writer serves BOTH vintages under the wide read
+    schema (Spark's parquet readers reconcile narrow files natively);
+    a lagging narrow writer keeps committing; compaction normalizes
+    the physical tail; deep fsck accepts the legal vintages."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame([(1, 10)], "id bigint, n int").coalesce(1)},
+        init=True,
+    )
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame(
+            [(2, 4_000_000_000)], "id bigint, n bigint"
+        ).coalesce(1)},
+    )
+    # lagging writer still emitting int: legal, manifest stays bigint
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame([(3, 7)], "id bigint, n int").coalesce(1)},
+    )
+    df = lake.read_segmented_components(spark, root, ["t"])["t"]
+    assert df.schema["n"].dataType.simpleString() == "bigint"
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, 10), (2, 4_000_000_000), (3, 7),
+    ]
+    rep = lake.validate_segmented(spark, root, deep=True)
+    assert rep["ok"], rep["errors"]
+    # compaction rewrites the mixed-vintage tail AT the wide type
+    lake.compact_segments(spark, root)
+    seg = lake.segment_pins(spark, root)["t"]
+    assert len(seg) == 1
+    raw = spark.read.parquet(f"{root}/t/seg={seg[0]}")
+    assert raw.schema["n"].dataType.simpleString() == "bigint"
+
+
+def test_type_widening_float_double_and_decimal_scale_up(spark, tmp_path):
+    from decimal import Decimal
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame(
+            [(1.5, Decimal("1.25"))], "x float, d decimal(5,2)"
+        ).coalesce(1)},
+        init=True,
+    )
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame(
+            [(2.25, Decimal("123456.7890"))], "x double, d decimal(12,4)"
+        ).coalesce(1)},
+    )
+    df = lake.read_segmented_components(spark, root, ["t"])["t"]
+    assert df.schema["x"].dataType.simpleString() == "double"
+    assert df.schema["d"].dataType.simpleString() == "decimal(12,4)"
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        (1.5, Decimal("1.2500")),
+        (2.25, Decimal("123456.7890")),
+    ]
+    assert lake.validate_segmented(spark, root, deep=True)["ok"]
+
+
+def test_lossy_type_changes_stay_typed_rejects(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame(
+            [(10**18, "a")], "big bigint, s string"
+        ).coalesce(1)},
+        init=True,
+    )
+    # long→double loses precision past 2^53: rejected
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.append_segments(
+            spark, root,
+            {"t": spark.createDataFrame([(1.0, "b")], "big double, s string")},
+        )
+    # string↔numeric: rejected
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.append_segments(
+            spark, root,
+            {"t": spark.createDataFrame([(5, 6)], "big bigint, s int")},
+        )
+    # decimal that would DROP fractional digits: rejected
+    root2 = str(tmp_path / "ds2")
+    from decimal import Decimal
+    lake.append_segments(
+        spark, root2,
+        {"t": spark.createDataFrame([(Decimal("1.23"),)], "d decimal(5,2)").coalesce(1)},
+        init=True,
+    )
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.append_segments(
+            spark, root2,
+            {"t": spark.createDataFrame([(Decimal("12345678"),)], "d decimal(8,0)")},
+        )

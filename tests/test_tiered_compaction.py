@@ -208,3 +208,100 @@ def test_validate_segmented_deep_checks_every_part_file(spark, tmp_path):
     rep = lake.validate_segmented(spark, root, deep=True)
     assert not rep["ok"]
     assert any("rogue" in e and "not in manifest schema" in e for e in rep["errors"])
+
+
+def _kv(spark, rows_):
+    return spark.createDataFrame(rows_, "k int, name string").coalesce(1)
+
+
+def test_repair_segmented_quarantines_missing_pins(spark, tmp_path):
+    """fsck→repair loop: a restored root missing a pinned segment dir
+    is repaired by un-pinning it (typed report), after which reads work
+    and fsck is clean — no hand-edited manifests."""
+    import shutil
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark, root, {"t": _kv(spark, [(1, "a")])}, init=True,
+        zone_cols={"t": ["k"]},
+    )
+    lake.append_segments(
+        spark, root, {"t": _kv(spark, [(2, "b")])}, zone_cols={"t": ["k"]}
+    )
+    pins = lake.segment_pins(spark, root)["t"]
+    shutil.rmtree(f"{root}/t/seg={pins[0]}")
+    assert not lake.validate_segmented(spark, root)["ok"]
+    rep = lake.repair_segmented(spark, root)
+    assert rep["committed"] and rep["ok"], rep
+    assert rep["actions"]["unpinned"] == {"t": [pins[0]]}
+    df = lake.read_segmented_components(spark, root, ["t"])["t"]
+    assert [tuple(r) for r in df.collect()] == [(2, "b")]
+    # zonemap entry of the quarantined segment dropped with the pin
+    _kept, pinned = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=10)
+    assert pinned == [pins[1]]
+
+
+def test_repair_segmented_drops_empty_component_and_rebuilds_sidecars(
+    spark, tmp_path
+):
+    import os
+    import shutil
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": _kv(spark, [(1, "a")]), "gone": _kv(spark, [(9, "z")])},
+        init=True,
+        bloom_cols={"t": ["name"]},
+    )
+    pins0 = lake.segment_pins(spark, root)
+    # vaporize the whole 'gone' component and t's advertised sidecar
+    shutil.rmtree(f"{root}/gone/seg={pins0['gone'][0]}")
+    os.remove(lake._bloom_path(f"{root}/t", pins0["t"][0], "name"))
+    assert not lake.validate_segmented(spark, root)["ok"]
+    rep = lake.repair_segmented(spark, root)
+    assert rep["ok"], rep
+    assert rep["actions"]["dropped_components"] == ["gone"]
+    assert rep["actions"]["rebuilt_bloom_sidecars"] == {
+        "t": [[pins0["t"][0], "name"]]
+    }
+    assert "gone" not in lake.segment_pins(spark, root)
+    # the rebuilt sidecar answers point lookups again
+    kept, _ = lake.bloom_pruned_pins(spark, root, "t", "name", ["a"])
+    assert kept == pins0["t"]
+    kept_none, _ = lake.bloom_pruned_pins(spark, root, "t", "name", ["zzz"])
+    assert kept_none == []
+
+
+def test_repair_segmented_backfills_coverage_and_dry_run(spark, tmp_path):
+    """Pinned segments missing the zone stats / bloom ads their
+    component carries elsewhere get them recomputed; dry_run reports
+    the plan without committing."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark, root, {"t": _kv(spark, [(1, "a"), (5, "e")])}, init=True,
+        zone_cols={"t": ["k"]}, bloom_cols={"t": ["name"]},
+    )
+    # a second writer that forgot the sidecar policy
+    lake.append_segments(spark, root, {"t": _kv(spark, [(50, "x")])})
+    seg2 = lake.segment_pins(spark, root)["t"][1]
+    plan = lake.repair_segmented(spark, root, dry_run=True)
+    assert not plan["committed"]
+    assert plan["actions"]["rebuilt_zone_stats"] == {"t": [seg2]}
+    assert plan["actions"]["rebuilt_bloom_ads"] == {"t": [[seg2, "name"]]}
+    # nothing landed: pruning still keeps the uncovered segment
+    kept, _ = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=10)
+    assert seg2 in kept
+    rep = lake.repair_segmented(spark, root)
+    assert rep["committed"] and rep["ok"], rep
+    # coverage is uniform again: the range read now prunes segment 2
+    kept, _ = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=10)
+    assert seg2 not in kept
+    kept_b, _ = lake.bloom_pruned_pins(spark, root, "t", "name", ["x"])
+    assert kept_b == [seg2]
+    # healthy root: repair is a no-op that commits nothing
+    v0 = lake.segment_pins_versioned(spark, root)[1]
+    rep2 = lake.repair_segmented(spark, root)
+    assert not rep2["committed"] and rep2["ok"]
+    assert lake.segment_pins_versioned(spark, root)[1] == v0
