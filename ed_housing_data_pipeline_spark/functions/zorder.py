@@ -19,27 +19,57 @@ the corruption instead of bad clustering).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, functions as F
+
+
+def zorderN_sql(exprs: Sequence[str], bits: int = 10) -> str:
+    """SQL fragment interleaving the low ``bits`` bits of N
+    non-negative integer expressions (dimension j takes bit positions
+    ``j, j+N, j+2N, …`` — the Morton order for any N). NULL if any
+    input is NULL, negative, or >= 2**bits. ``N * bits`` must fit a
+    BIGINT (≤ 63 total interleaved bits); 3-4 dimension clustering —
+    date × key × region, the common real-world ask — fits comfortably
+    at the default 10 bits/dim."""
+    exprs = list(exprs)
+    n = len(exprs)
+    if n < 2:
+        raise ValueError(f"zorderN_sql: need >= 2 dimensions, got {n}")
+    if not 1 <= bits or n * bits > 63:
+        raise ValueError(
+            f"zorderN_sql: {n} dims x {bits} bits = {n * bits} "
+            "interleaved bits; must be in [1, 63]"
+        )
+    lim = 1 << bits
+    terms = []
+    for i in range(bits):
+        for j, e in enumerate(exprs):
+            terms.append(
+                f"shiftleft(shiftright({e}, {i}) & 1, {n * i + j})"
+            )
+    z = " | ".join(terms)
+    guards = " OR ".join(
+        f"({e}) IS NULL OR ({e}) < 0 OR ({e}) >= {lim}" for e in exprs
+    )
+    return f"CASE WHEN {guards} THEN NULL ELSE CAST({z} AS BIGINT) END"
+
+
+def zorderN(exprs: Sequence[str], bits: int = 10) -> Column:
+    """The N-dim interleave as a Column (inputs are SQL expression
+    strings over the frame's columns)."""
+    return F.expr(zorderN_sql(exprs, bits))
 
 
 def zorder2_sql(x_expr: str, y_expr: str, bits: int = 10) -> str:
     """SQL fragment interleaving the low ``bits`` bits of two
     non-negative integer expressions: x takes the even bit positions,
-    y the odd. NULL if either input is NULL, negative, or >= 2**bits."""
+    y the odd. NULL if either input is NULL, negative, or >= 2**bits.
+    (The N=2 case of :func:`zorderN_sql`, kept as the common calling
+    convention.)"""
     if not 1 <= bits <= 31:
         raise ValueError(f"zorder2_sql: bits must be in [1, 31], got {bits}")
-    lim = 1 << bits
-    terms = []
-    for i in range(bits):
-        terms.append(f"shiftleft(shiftright({x_expr}, {i}) & 1, {2 * i})")
-        terms.append(f"shiftleft(shiftright({y_expr}, {i}) & 1, {2 * i + 1})")
-    z = " | ".join(terms)
-    return (
-        f"CASE WHEN ({x_expr}) IS NULL OR ({y_expr}) IS NULL "
-        f"OR ({x_expr}) < 0 OR ({y_expr}) < 0 "
-        f"OR ({x_expr}) >= {lim} OR ({y_expr}) >= {lim} "
-        f"THEN NULL ELSE CAST({z} AS BIGINT) END"
-    )
+    return zorderN_sql([x_expr, y_expr], bits)
 
 
 def zorder2(x_expr: str, y_expr: str, bits: int = 10) -> Column:
@@ -48,20 +78,32 @@ def zorder2(x_expr: str, y_expr: str, bits: int = 10) -> Column:
     return F.expr(zorder2_sql(x_expr, y_expr, bits))
 
 
-def zorder2_py(x: int, y: int, bits: int = 10) -> int:
+def zorderN_py(vals: Sequence[int], bits: int = 10) -> int:
     """Pure-Python reference for tests."""
+    n = len(vals)
     z = 0
     for i in range(bits):
-        z |= ((x >> i) & 1) << (2 * i)
-        z |= ((y >> i) & 1) << (2 * i + 1)
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (n * i + j)
     return z
+
+
+def deinterleaveN_py(z: int, n: int, bits: int = 10) -> tuple[int, ...]:
+    """Inverse of :func:`zorderN_py` (tests: the interleave is a
+    bijection on the [0, 2**bits)^n cube)."""
+    out = [0] * n
+    for i in range(bits):
+        for j in range(n):
+            out[j] |= ((z >> (n * i + j)) & 1) << i
+    return tuple(out)
+
+
+def zorder2_py(x: int, y: int, bits: int = 10) -> int:
+    """Pure-Python reference for tests."""
+    return zorderN_py([x, y], bits)
 
 
 def deinterleave2_py(z: int, bits: int = 10) -> tuple[int, int]:
     """Inverse of :func:`zorder2_py` (tests: the interleave is a
     bijection on the [0, 2**bits) square)."""
-    x = y = 0
-    for i in range(bits):
-        x |= ((z >> (2 * i)) & 1) << i
-        y |= ((z >> (2 * i + 1)) & 1) << i
-    return x, y
+    return deinterleaveN_py(z, 2, bits)

@@ -24,7 +24,7 @@ from collections.abc import Mapping, Sequence
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
-from ed_housing_data_pipeline_spark.functions.zorder import zorder2
+from ed_housing_data_pipeline_spark.functions.zorder import zorderN
 from ed_housing_data_pipeline_spark.sources import lake
 
 
@@ -39,14 +39,40 @@ def write_zorder_clustered(
     n_segments: int = 8,
     bits: int = 10,
 ) -> dict[str, list[int]]:
-    """Cluster ``df`` into ``n_segments`` z-contiguous segments.
+    """The 2-D calling convention of
+    :func:`write_zorder_clustered_n` (kept for the common case)."""
+    return write_zorder_clustered_n(
+        spark,
+        root,
+        df,
+        component,
+        [x_expr, y_expr],
+        zone_cols,
+        n_segments=n_segments,
+        bits=bits,
+    )
+
+
+def write_zorder_clustered_n(
+    spark,
+    root: str,
+    df: DataFrame,
+    component: str,
+    exprs: Sequence[str],
+    zone_cols: Sequence[str],
+    n_segments: int = 8,
+    bits: int = 10,
+) -> dict[str, list[int]]:
+    """Cluster ``df`` into ``n_segments`` z-contiguous segments on the
+    N-dim Morton interleave of ``exprs`` (N·bits ≤ 63 — 3-4 dimension
+    clustering like date × key × region at the default 10 bits/dim).
 
     Slice boundaries come from approximate z-quantiles (one pass);
     duplicate cut points (skewed z) collapse, so fewer, fuller
     segments — never empty ones. Rows whose z is NULL (out-of-range
     inputs, see functions/zorder) land in the LAST slice so no row is
     lost; their segment keeps zone stats, it's just less tight."""
-    zed = df.withColumn("_z", zorder2(x_expr, y_expr, bits))
+    zed = df.withColumn("_z", zorderN(exprs, bits))
     zed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         probs = [i / n_segments for i in range(1, n_segments)]
@@ -92,10 +118,18 @@ def box_pruned_pins(
             "box_pruned_pins: empty box; use read_segmented_components "
             "for an unpredicated scan"
         )
+    # ONE manifest snapshot for every dimension's prune (N separate
+    # reads could straddle a rival commit and intersect pin lists from
+    # different versions)
+    pins, zones, _blooms, _meta, _schemas, _version = lake._manifest_state(
+        spark, root
+    )
     kept_sets = []
     pinned: list[int] = []
     for col, (lo, hi) in box.items():
-        kept, pinned = lake.zone_pruned_pins(spark, root, component, col, lo, hi)
+        kept, pinned = lake.zone_pruned_pins_from_state(
+            component, col, lo, hi, pins, zones
+        )
         kept_sets.append(set(kept))
     kept_all = set.intersection(*kept_sets) if kept_sets else set(pinned)
     return [s for s in pinned if s in kept_all], pinned

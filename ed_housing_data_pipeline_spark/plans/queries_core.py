@@ -830,6 +830,109 @@ def q_orders_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- 3-D z-order clustered layout
+ZBOX3_CUST = (200, 900)
+ZBOX3_MONTH = (6, 9)
+ZBOX3_PRICE = (50_000.0, 250_000.0)
+_ZORDER3_DIR: dict[tuple[str], object] = {}
+
+
+def _ensure_zorder3_segments(spark: SparkSession, sf_dir: str) -> str:
+    """Orders written as z-order-clustered segments on THREE
+    dimensions (custkey/16, order month, totalprice/1k) via the N-dim
+    Morton interleave (functions/zorder.zorderN) — built once per
+    (sf_dir) session. 3 dims × 10 bits = 30 interleaved bits."""
+    key = (sf_dir,)
+    tmp = _ZORDER3_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        from ed_housing_data_pipeline_spark.operators import zcluster  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="zorder3_orders_")
+        o = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            "o_totalprice",
+        )
+        zcluster.write_zorder_clustered_n(
+            spark,
+            tmp.name,
+            o,
+            component="orders",
+            exprs=[
+                "CAST(floor(o_custkey / 16) AS INT)",
+                "o_month",
+                "CAST(floor(o_totalprice / 1000) AS INT)",
+            ],
+            zone_cols=("o_custkey", "o_month", "o_totalprice"),
+            n_segments=8,
+        )
+        _ZORDER3_DIR[key] = tmp
+    return _ZORDER3_DIR[key].name
+
+
+@register(
+    "orders_zorder_box3",
+    oracle=f"""
+    SELECT month(o_orderdate) AS o_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN {ZBOX3_CUST[0]} AND {ZBOX3_CUST[1]}
+      AND month(o_orderdate) BETWEEN {ZBOX3_MONTH[0]} AND {ZBOX3_MONTH[1]}
+      AND o_totalprice BETWEEN {ZBOX3_PRICE[0]} AND {ZBOX3_PRICE[1]}
+    GROUP BY 1
+    """,
+)
+def q_orders_zorder_box3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D box aggregation through the N-dim z-order-clustered layout
+    (r10 VERDICT #6): segments are sliced on the Morton interleave of
+    (custkey bucket, order month, price bucket), zonemaps ride the RAW
+    columns, and ALL THREE range predicates prune segments driver-side
+    (zcluster.box_pruned_pins intersects the per-column keeps from one
+    manifest snapshot) before Spark plans anything. The oracle
+    aggregates the same box on the raw table, value-checking the whole
+    N-dim cluster → zone-advertise → intersect → scan lifecycle. At
+    100 TB, date × key × value is the common compound-predicate shape
+    a single-column sort can't serve — each extra clustered dimension
+    multiplies the segments excluded."""
+    from ed_housing_data_pipeline_spark.operators import zcluster  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.plans._caches import _audit  # noqa: PLC0415
+
+    if _audit() and _ZORDER3_DIR.get((sf_dir,)) is None:
+        base = t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            "o_totalprice",
+        )
+    else:
+        root = _ensure_zorder3_segments(spark, sf_dir)
+        base = zcluster.read_box(
+            spark,
+            root,
+            "orders",
+            {
+                "o_custkey": ZBOX3_CUST,
+                "o_month": ZBOX3_MONTH,
+                "o_totalprice": ZBOX3_PRICE,
+            },
+        )
+    return (
+        base.filter(
+            F.col("o_custkey").between(*ZBOX3_CUST)
+            & F.col("o_month").between(*ZBOX3_MONTH)
+            & F.col("o_totalprice").between(*ZBOX3_PRICE)
+        )
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ------------------------------------------------ constraint audit
 @register(
     "orders_constraint_audit",

@@ -157,3 +157,84 @@ def test_null_z_rows_survive_in_last_slice(spark, tmp_path):
     all_rows = lake.read_segments(spark, comp, pins)
     assert all_rows.count() == 65
     assert all_rows.filter(F.col("k") == 999).count() == 1
+
+
+def test_interleaveN_bijection_py():
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    for n in (3, 4):
+        for _ in range(200):
+            vals = tuple(rng.randrange(1 << 10) for _ in range(n))
+            assert zo.deinterleaveN_py(zo.zorderN_py(vals), n) == vals
+    # corner coverage
+    for vals in itertools.product((0, (1 << 10) - 1), repeat=3):
+        assert zo.deinterleaveN_py(zo.zorderN_py(vals), 3) == vals
+    # 2-D wrappers are the N=2 case bit-for-bit
+    assert zo.zorder2_py(37, 91) == zo.zorderN_py([37, 91])
+
+
+def test_zorderN_spark_expr_matches_python(spark):
+    import random
+
+    rng = random.Random(6)
+    rows_ = [
+        (rng.randrange(1 << 8), rng.randrange(1 << 8), rng.randrange(1 << 8))
+        for _ in range(64)
+    ]
+    df = spark.createDataFrame(rows_, "x int, y int, w int")
+    got = df.select(
+        "x", "y", "w", zo.zorderN(["x", "y", "w"], bits=8).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == zo.zorderN_py([r.x, r.y, r.w], bits=8), (r.x, r.y, r.w)
+
+
+def test_zorderN_guards_bit_budget():
+    import pytest
+
+    with pytest.raises(ValueError):
+        zo.zorderN_sql(["a"], bits=10)  # 1 dim is a plain sort
+    with pytest.raises(ValueError):
+        zo.zorderN_sql(["a", "b", "c"], bits=22)  # 66 > 63 bits
+    zo.zorderN_sql(["a", "b", "c"], bits=21)  # 63: exactly legal
+
+
+def test_3d_box_read_matches_full_scan(spark, tmp_path):
+    import random
+
+    rng = random.Random(9)
+    rows_ = [
+        (
+            i,
+            rng.randrange(1000),
+            rng.randrange(1, 13),
+            float(rng.randrange(500)),
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows_, "id bigint, k int, m int, p double")
+    root = str(tmp_path / "z3")
+    zcluster.write_zorder_clustered_n(
+        spark,
+        root,
+        df,
+        component="t",
+        exprs=["CAST(floor(k / 4) AS INT)", "m", "CAST(p AS INT)"],
+        zone_cols=("k", "m", "p"),
+        n_segments=8,
+    )
+    box = {"k": (100, 400), "m": (3, 6), "p": (50.0, 300.0)}
+    kept, pinned = zcluster.box_pruned_pins(spark, root, "t", box)
+    assert 0 < len(kept) < len(pinned)  # all three dimensions cut
+    pred = (
+        F.col("k").between(100, 400)
+        & F.col("m").between(3, 6)
+        & F.col("p").between(50.0, 300.0)
+    )
+    got = sorted(
+        r.id for r in zcluster.read_box(spark, root, "t", box).filter(pred).collect()
+    )
+    want = sorted(r.id for r in df.filter(pred).collect())
+    assert got == want
