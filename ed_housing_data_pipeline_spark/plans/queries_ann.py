@@ -882,3 +882,70 @@ def q_embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("adc"), 4).alias("adc"),
         F.col("rn").cast("bigint").alias("rn"),
     )
+
+
+# --------------------------------------- trained-path recall gates
+# The two trained queries above are rows-only at the driver (their
+# k-means loops have no SQL twin). These companions close that gap
+# with an ORACLE-CHECKABLE row (r10 VERDICT #7): run the trained
+# search, compare its neighbor pairs against the exact brute-force
+# ground truth computed in the same query, and return ONE row
+# ``ok = CAST(recall >= bound AS BIGINT)`` whose oracle is the
+# constant ``SELECT CAST(1 AS BIGINT) AS ok`` — a training or search
+# regression flips the row to 0 and the driver records a hard value
+# mismatch instead of a permanent ``no_oracle`` entry. Bounds match
+# the pytest harnesses (tests/test_operators_similarity.py): IVF ≥0.7
+# recall@3 (measured 0.9 at sf0.01; training is seed-deterministic),
+# IVF-PQ ≥0.10 @3-in-top-10 (~5× chance on these clusterless uniform
+# random vectors — m=4 codes over 64 dims retain little by design;
+# the bound pins plumbing, not PQ's information limit on noise).
+RECALL_OK_ORACLE = "SELECT CAST(1 AS BIGINT) AS ok"
+
+
+def _recall_ok(pairs: DataFrame, truth: DataFrame, bound: float) -> DataFrame:
+    """One row ``ok``: |pairs ∩ truth| / |pairs| >= bound. Two 1-row
+    aggregates crossJoined (the engine's scalar-broadcast pattern) —
+    no driver-side collect."""
+    hit = pairs.join(truth, ["q_id", "nn_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = pairs.agg(F.count(F.lit(1)).alias("n_tot"))
+    return hit.crossJoin(tot).select(
+        (F.col("n_hit") / F.col("n_tot") >= F.lit(bound))
+        .cast("bigint")
+        .alias("ok")
+    )
+
+
+@register("embedding_knn_ivf_recall", oracle=RECALL_OK_ORACLE)
+def q_embedding_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF-Flat recall gate: the multi-probe trained search's
+    top-3 (20 queries) against exact brute-force top-3, as one
+    oracle-checkable boolean row (see RECALL_OK_ORACLE block)."""
+    emb = emb_t(spark, sf_dir)
+    trained = q_embedding_knn_ivf(spark, sf_dir).select("q_id", "nn_id")
+    truth = sim.knn_bruteforce(
+        queries=emb.filter(F.col("vec_id") < 20),
+        corpus=emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=3,
+    ).select("q_id", "nn_id")
+    return _recall_ok(trained, truth, 0.7)
+
+
+@register("embedding_knn_ivfpq_recall", oracle=RECALL_OK_ORACLE)
+def q_embedding_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF-PQ recall gate: the IVFADC trained search's top-3
+    (20 queries) against exact brute-force top-10, as one
+    oracle-checkable boolean row (see RECALL_OK_ORACLE block)."""
+    emb = emb_t(spark, sf_dir)
+    trained = q_embedding_knn_ivfpq(spark, sf_dir).select("q_id", "nn_id")
+    truth = sim.knn_bruteforce(
+        queries=emb.filter(F.col("vec_id") < 20),
+        corpus=emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=10,
+    ).select("q_id", "nn_id")
+    return _recall_ok(trained, truth, 0.10)
