@@ -198,89 +198,93 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r10 window. Rotation rule unchanged: every component REWIRED
-    # this round keeps an in-window representative; this round's two
-    # NEW queries enter; every query whose last driver row is r3/r4
-    # (the staleness bound the r9 verdict set: nothing older than r5)
-    # fills the remaining slots. Rotated OUT (all r9-green, untouched
-    # in r10, family reps stay): big_spenders_having,
-    # customer_balance_quartiles, dedup_keep_first,
-    # embedding_knn_blocked, embedding_knn_bruteforce,
-    # embedding_knn_ivf_fixed, events_sessionize_stats,
-    # events_stream_hourly, grouped_agg_salted,
-    # lineitem_group_histogram_quantiles, normalize_key_group,
-    # orders_constraint_audit, orders_histogram_quantiles,
-    # orders_zorder_box, rank_asc_nulls_last, rank_desc_nulls_last,
-    # rank_dense_global, semi_join, setop_intersect, topk_orders.
+    # --- r11 window. Rotation rule unchanged: this round's FOUR new
+    # queries enter (lake_type_widening, orders_zorder_box3, and the
+    # two trained-ANN recall gates — which also retire the window's
+    # last two rows-only entries, embedding_knn_ivf/_knn_ivfpq: their
+    # checkable twins now carry hard oracle rows, so the window is
+    # 50/50 oracle-checked with no documented exceptions); every
+    # component REWIRED this round keeps an in-window representative;
+    # and the ENTIRE r5+r6 staleness tail (19+18 queries) fills the
+    # remaining slots, so after a green r11 no registered query's last
+    # driver row is older than r7. Rotated OUT (all r10-green,
+    # family reps stay): the r10 text-index battery
+    # (doc_inverted_search_and/_bm25_topk/_tfidf_topk/_prefix/_phrase/
+    # _phrase3, doc_search_time_travel, doc_index_stats,
+    # doc_search_after_delete/_after_update, doc_stream_search_ingest/
+    # _upsert, doc_delete_point_lookup — doc_point_lookup and
+    # doc_search_after_bulk_delete stay as the family's reps), the ANN
+    # index battery (embedding_incremental_ann/_cellcounts/
+    # _stream_ann_ingest/_after_update — _after_delete stays),
+    # lake_schema_evolution/lake_snapshot_roundtrip (lake_type_widening
+    # + doc_point_lookup rep the lake), doc_stream_incremental_dedup
+    # (doc_incremental_neardup reps the LSH index),
+    # orders_incremental_rollup + events_hll_rollup (the three rollup
+    # queries below rep the family), and the r10 staleness tail.
     #
     # the flagship (entry()) — never rotates out
     "rank_sum_top1",
-    # lake protocol (rewired: schema evolution in append_segments /
-    # readers / compaction; narrowed vanished-error classification;
-    # tombstone-pressure meta) + the r10-new evolution query
-    "lake_schema_evolution",
-    "lake_snapshot_roundtrip",
+    # NEW this round
+    "lake_type_widening",  # int→bigint widening evolution, end to end
+    "orders_zorder_box3",  # N-dim Morton clustering, 3-D box prune
+    "embedding_knn_ivf_recall",  # trained-path recall, oracle-checked
+    "embedding_knn_ivfpq_recall",
+    # rewired-component representatives: lake pruned reads now resolve
+    # schema+pins from one manifest snapshot (doc_point_lookup);
+    # delete_where/_delete_commit attempt-state refactor in all three
+    # index families (doc_search_after_bulk_delete,
+    # embedding_ann_after_delete, doc_incremental_neardup); rollup
+    # keep_zero reducer + size-tiered maintenance + reset-flag
+    # retirement (orders_stream_rollup, orders_rollup_after_retraction,
+    # orders_rollup_month_range); zcluster one-snapshot box pruning +
+    # N-dim writer delegation (orders_zorder_box)
     "doc_point_lookup",
-    "doc_delete_point_lookup",
-    # text index (rewired: one-snapshot serving, per-retry replay
-    # guard in both sinks, DataFrame-scale delete_from/delete_where,
-    # bounded liveness fold) + the r10-new bulk take-down
     "doc_search_after_bulk_delete",
-    "doc_inverted_search_and",
-    "doc_inverted_bm25_topk",
-    "doc_inverted_tfidf_topk",
-    "doc_inverted_prefix",
-    "doc_inverted_phrase",
-    "doc_inverted_phrase3",
-    "doc_search_time_travel",
-    "doc_index_stats",
-    "doc_search_after_delete",
-    "doc_search_after_update",
-    "doc_stream_search_ingest",
-    "doc_stream_search_upsert",
-    # LSH dedup index (rewired: concurrent bootstrap writes, persisted
-    # batch signature in the dedup decision, delete_from/delete_where,
-    # tombstone-pressure compaction in the sink)
-    "doc_incremental_neardup",
-    "doc_stream_incremental_dedup",
-    # ANN index (rewired: delete_from — the driver fixture's delete set
-    # is now a DataFrame filter — plus the shared pressure counter)
-    "embedding_incremental_ann",
-    "embedding_ann_cellcounts",
-    "embedding_stream_ann_ingest",
     "embedding_ann_after_delete",
-    "embedding_ann_after_update",
-    # continuous rollup (rewired: sequence-stamped partials, min/max
-    # reset fold, exact extremes through repairing retraction)
-    "orders_incremental_rollup",
-    "orders_rollup_month_range",
+    "doc_incremental_neardup",
     "orders_stream_rollup",
     "orders_rollup_after_retraction",
-    "events_hll_rollup",
-    # rows-only by documented design (fixed-constant twins green)
-    "embedding_knn_ivf",
-    "embedding_knn_ivfpq",
-    # staleness tail, last driver rows r3 …
-    "doc_bpe_token_estimate",
-    "doc_jaccard_adjacent",
-    "doc_source_bucket_extract",
-    "doc_token_stats_by_lang",
-    "doc_word_topk",
-    "embedding_norms",
-    "events_sliding_counts",
-    # … and r4 — after this round no registered query's last driver
-    # row is older than r5
-    "coerce_json_field",
-    "doc_binary_bytes",
-    "doc_lang_breakdown",
-    "doc_quality_score",
-    "doc_simhash",
-    "embedding_label_centroids",
-    "events_retention_cohorts",
-    "events_rollup_day_type",
-    "horizontal_sum",
-    "schema_introspect",
-    "table_summary",
+    "orders_rollup_month_range",
+    "orders_zorder_box",
+    # staleness tail: every r5 row …
+    "customer_order_gaps",
+    "doc_chunk_text",
+    "doc_lang_confusion",
+    "doc_pack_assignment",
+    "doc_pii_scrub",
+    "doc_quality_weighted_sample",
+    "doc_repetition_stats",
+    "doc_train_split",
+    "doc_word_idf",
+    "embedding_random_projection",
+    "events_stream_dedup_count",
+    "events_stream_enrich_category",
+    "events_stream_join_view_purchase",
+    "events_stream_sliding",
+    "events_stream_upsert_sink",
+    "filter_project",
+    "lineitem_numeric_profile",
+    "nation_top_customer_argmax",
+    "orders_cube_status_priority",
+    # … and every r6 row
+    "customers_without_orders_sql",
+    "doc_chunk_plan",
+    "doc_crosssource_contamination",
+    "doc_dedup_survivors",
+    "doc_lang_id_heuristic",
+    "doc_minhash_estimate_vs_exact",
+    "doc_rolling_hash",
+    "doc_simhash_neardup",
+    "doc_stratified_sample",
+    "events_anomaly_zscore",
+    "events_funnel_signup_purchase",
+    "events_stream_sessionize",
+    "events_stream_state_totals",
+    "lineitem_corr_stats",
+    "orders_key_skew_stats",
+    "orders_seasonality",
+    "priority_revenue_fact_join",
+    "setop_union_by_name",
 )
 
 
