@@ -85,6 +85,7 @@ HEADLINE = [
     "orders_histogram_quantiles",  # quantiles off the bin-table CDF
     "lineitem_group_histogram_quantiles",  # grouped rank sketch
     "orders_zorder_box",           # 2-D zonemap box pruning
+    "orders_zorder_box3",          # r11: N-dim Morton, 3-D box pruning
 ]
 
 # Cold-only rows (r6 VERDICT #5): these two run REAL side-effecting
@@ -102,6 +103,7 @@ COLD_ONLY = [
     "doc_stream_search_ingest",     # streamed text-index maintenance e2e
     "doc_search_after_delete",      # GDPR take-down + BM25 over remaining
     "doc_search_after_update",      # revision upsert + BM25 over revised
+    "lake_type_widening",           # r11: widening evolution e2e (tempdir build per run)
 ]
 
 

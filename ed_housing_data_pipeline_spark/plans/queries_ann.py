@@ -903,15 +903,20 @@ RECALL_OK_ORACLE = "SELECT CAST(1 AS BIGINT) AS ok"
 
 
 def _recall_ok(pairs: DataFrame, truth: DataFrame, bound: float) -> DataFrame:
-    """One row ``ok``: |pairs ∩ truth| / |pairs| >= bound. Two 1-row
-    aggregates crossJoined (the engine's scalar-broadcast pattern) —
-    no driver-side collect."""
-    hit = pairs.join(truth, ["q_id", "nn_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hit")
+    """One row ``ok``: |pairs ∩ truth| / |pairs| >= bound. ONE pass
+    over the trained pairs — a broadcast left join flags the hits
+    (truth is k·|queries| rows, bounded by construction) and a single
+    aggregate derives the ratio; no driver-side collect, no
+    recomputation of the trained search."""
+    flagged = pairs.join(
+        F.broadcast(
+            truth.select("q_id", "nn_id").withColumn("_hit", F.lit(1))
+        ),
+        ["q_id", "nn_id"],
+        "left",
     )
-    tot = pairs.agg(F.count(F.lit(1)).alias("n_tot"))
-    return hit.crossJoin(tot).select(
-        (F.col("n_hit") / F.col("n_tot") >= F.lit(bound))
+    return flagged.agg(
+        (F.count("_hit") / F.count(F.lit(1)) >= F.lit(bound))
         .cast("bigint")
         .alias("ok")
     )

@@ -51,11 +51,17 @@ def test_doc_and_embedding_queries_survive_empty_corpus(spark, empty_sf_dir):
         for name, fn in query_map().items():
             if not (name.startswith("doc_") or name.startswith("embedding_")):
                 continue
-            if name in ("embedding_knn_ivf", "embedding_knn_ivfpq"):
-                # documented raisers: both TRAIN a quantizer (k-means
-                # coarse cells; ivfpq additionally trains per-subspace
-                # PQ codebooks) and training on an empty corpus is a
-                # caller error that must fail loudly, not degrade
+            if name in (
+                "embedding_knn_ivf",
+                "embedding_knn_ivfpq",
+                "embedding_knn_ivf_recall",
+                "embedding_knn_ivfpq_recall",
+            ):
+                # documented raisers: all four TRAIN a quantizer
+                # (k-means coarse cells; ivfpq additionally trains
+                # per-subspace PQ codebooks; the recall gates run the
+                # trained searches) and training on an empty corpus is
+                # a caller error that must fail loudly, not degrade
                 with pytest.raises(ValueError, match="no non-null vectors"):
                     fn(spark, empty_sf_dir).count()
                 continue

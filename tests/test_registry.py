@@ -28,17 +28,17 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r10 window: every component
-    REWIRED this round keeps a representative (lake schema evolution +
-    vanished-error narrowing; the text index's one-snapshot serving,
-    per-retry replay guards and DataFrame take-downs; the LSH index's
-    concurrent bootstrap + persisted batch signature; the ANN index's
-    delete_from fixture; the rollup's sequence-stamped partials and
-    exact min/max retraction), the two r10-new queries enter
-    (doc_search_after_bulk_delete, lake_schema_evolution), and every
-    query whose last driver row was r3/r4 fills the remaining slots —
-    after this round no registered query's driver row is older than
-    r5."""
+    prior round's CORRECTNESS file. The r11 window: the four r11-new
+    queries enter (lake_type_widening, orders_zorder_box3, and the two
+    trained-ANN recall gates — which retire the rows-only entries from
+    the window: 50/50 oracle-checked), every component REWIRED in r11
+    keeps a representative (one-snapshot pruned reads; the
+    attempt-state delete_where refactor across the three index
+    families; the rollup's subset-sound keep_zero reducer, size-tiered
+    maintenance, and reset-flag retirement; zcluster's one-snapshot
+    box pruning), and the ENTIRE r5+r6 staleness tail fills the
+    remaining slots — after this round no registered query's driver
+    row is older than r7."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -46,35 +46,31 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # r10-new — never driver-verified before
-        "doc_search_after_bulk_delete",
-        "lake_schema_evolution",
-        # rewired-in-r10 component representatives
-        "lake_snapshot_roundtrip",      # protocol + schema evolution
-        "doc_delete_point_lookup",      # schema-evolved live reads
-        "doc_inverted_bm25_topk",       # one-snapshot serving
-        "doc_stream_search_ingest",     # per-retry replay guard
-        "doc_stream_search_upsert",     # per-retry replay guard (CDC)
-        "doc_search_after_delete",      # tombstone counter rides delete
-        "doc_incremental_neardup",      # concurrent bootstrap writes
-        "doc_stream_incremental_dedup", # persisted batch signature
-        "embedding_ann_after_delete",   # DataFrame delete_from fixture
-        "orders_incremental_rollup",    # sequence-stamped partials
-        "orders_rollup_after_retraction",  # exact min/max repair
-        # rows-only by documented design
-        "embedding_knn_ivf",
-        "embedding_knn_ivfpq",
+        # r11-new — never driver-verified before
+        "lake_type_widening",
+        "orders_zorder_box3",
+        "embedding_knn_ivf_recall",
+        "embedding_knn_ivfpq_recall",
+        # rewired-in-r11 component representatives
+        "doc_point_lookup",             # one-snapshot bloom-pruned read
+        "doc_search_after_bulk_delete", # delete attempt-state refactor
+        "embedding_ann_after_delete",   # same, ANN family
+        "doc_incremental_neardup",      # same, LSH family
+        "orders_stream_rollup",         # sink compact_max_bytes path
+        "orders_rollup_after_retraction",  # reset fold + flag lifecycle
+        "orders_rollup_month_range",    # one-snapshot zone-pruned read
+        "orders_zorder_box",            # one-snapshot box pruning
         # the flagship (entry())
         "rank_sum_top1",
-        # staleness tail (last driver rows r3/r4 -> bound becomes r5)
-        "doc_bpe_token_estimate",
-        "doc_jaccard_adjacent",
-        "embedding_norms",
-        "events_sliding_counts",
-        "coerce_json_field",
-        "horizontal_sum",
-        "schema_introspect",
-        "table_summary",
+        # staleness tail (last driver rows r5/r6 -> bound becomes r7)
+        "filter_project",
+        "customer_order_gaps",
+        "doc_pii_scrub",
+        "events_stream_sliding",
+        "orders_cube_status_priority",
+        "customers_without_orders_sql",
+        "doc_lang_id_heuristic",
+        "setop_union_by_name",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
