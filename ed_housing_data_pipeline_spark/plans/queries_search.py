@@ -613,6 +613,77 @@ def q_doc_search_after_bulk_delete(spark: SparkSession, sf_dir: str) -> DataFram
     return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
 
 
+# "purge every document containing this term" — the predicate
+# take-down (delete_where) whose delete set derives from the index's
+# OWN posting rows (a leaked token, a poisoned marker)
+PURGE_TERM = "dup"
+
+_TEXT_IDX_PURGE_DIR: dict[tuple[str], object] = {}
+
+
+def _ensure_term_purged_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """A session index exercising the PREDICATE take-down: the 3-batch
+    incremental build, then ONE text_index.delete_where commit whose
+    delete set is every live document matching ``term == PURGE_TERM``
+    — derived from the pinned postings per attempt (filter + distinct,
+    persisted for the commit's duration, never collected)."""
+    key = (sf_dir,)
+    tmp = _TEXT_IDX_PURGE_DIR.get(key)
+    if tmp is None:
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="text_index_purge_")
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        third = max(1, (int(n) + 1) // 3)
+        for i in range(3):
+            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
+            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            if i == 0:
+                text_index.bootstrap_text_index(spark, tmp.name, part)
+            else:
+                text_index.append_text_batch(spark, tmp.name, part)
+        text_index.delete_where(spark, tmp.name, F.col("term") == PURGE_TERM)
+        _TEXT_IDX_PURGE_DIR[key] = tmp
+    return _TEXT_IDX_PURGE_DIR[key].name
+
+
+@register(
+    "doc_search_after_term_purge",
+    oracle=_bm25_oracle(
+        where=(
+            "WHERE NOT list_contains("
+            + tokens_sql("lower(text)")
+            + f", '{PURGE_TERM}')"
+        )
+    ),
+)
+def q_doc_search_after_term_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval AFTER a PREDICATE take-down
+    (text_index.delete_where): every document whose postings match
+    ``term == PURGE_TERM`` (~5% of the corpus) is logically deleted in
+    ONE commit — the delete set derives from the index's OWN pinned
+    posting rows (the leaked-token / poisoned-marker shape, where the
+    corpus table can't express the predicate), computed once per
+    attempt, persisted for the commit's duration, liveness-folded
+    under the attempt's manifest meta, never collected. The oracle
+    recomputes BM25 over the documents whose whitespace tokens do NOT
+    contain the term, so a missed tombstone, a stale negative df, or
+    an unadjusted N/avgdl all hash-mismatch. Closes the one engine
+    mutation verb (delete_where) that had pytest-only coverage."""
+    from ed_housing_data_pipeline_spark.functions.text import tokens  # noqa: PLC0415
+
+    if _audit() and _TEXT_IDX_PURGE_DIR.get((sf_dir,)) is None:
+        docs = t(spark, sf_dir, "documents").filter(
+            ~F.array_contains(
+                tokens(F.lower(F.col("text"))), F.lit(PURGE_TERM)
+            )
+        )
+        return _audit_bm25_over(spark, docs.select("doc_id", "text"))
+    root = _ensure_term_purged_text_index(spark, sf_dir)
+    return text_index.search_bm25(spark, root, RANK_TERMS, k=RANK_K)
+
+
 UPDATE_MOD = 89  # docs with doc_id % 89 == 0 get a content revision
 UPDATE_SUFFIX = " zzupdated zzupdated"
 

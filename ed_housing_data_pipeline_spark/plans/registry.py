@@ -245,7 +245,11 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_stream_rollup",
     "orders_rollup_after_retraction",
     "orders_rollup_month_range",
-    "orders_zorder_box",
+    # r11-new: predicate take-down (delete_where) gains its first
+    # oracle row (orders_zorder_box rotates out for it — r9-green, and
+    # orders_zorder_box3 exercises the same rewired one-snapshot box
+    # pruning plus the N-dim writer)
+    "doc_search_after_term_purge",
     # staleness tail: every r5 row …
     "customer_order_gaps",
     "doc_chunk_text",

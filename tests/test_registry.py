@@ -59,7 +59,7 @@ def test_driver_window_covers_every_family():
         "orders_stream_rollup",         # sink compact_max_bytes path
         "orders_rollup_after_retraction",  # reset fold + flag lifecycle
         "orders_rollup_month_range",    # one-snapshot zone-pruned read
-        "orders_zorder_box",            # one-snapshot box pruning
+        "doc_search_after_term_purge",  # delete_where's first oracle row
         # the flagship (entry())
         "rank_sum_top1",
         # staleness tail (last driver rows r5/r6 -> bound becomes r7)
