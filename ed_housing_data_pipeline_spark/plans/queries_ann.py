@@ -307,16 +307,20 @@ def _ivfpq_fixed_oracle(
     cents: list[list[float]] = IVF_FIXED_CENTS,
     corpus_exclude_mod: int | None = None,
     vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    corpus_exclude_cell: int | None = None,
 ) -> str:
     # corpus_exclude_mod drops vec_id ≡ 0 (mod m) from the CORPUS side
     # of the self-join only — deleted vectors can still be queries
     # (queries are caller-side), they just never come back as
-    # neighbors (the ANN delete contract)
+    # neighbors (the ANN delete contract); corpus_exclude_cell drops a
+    # whole inverted list the same way (the delete_where-by-cell twin)
     corpus_cond = (
         f"AND e.vec_id % {corpus_exclude_mod} <> 0"
         if corpus_exclude_mod
         else ""
     )
+    if corpus_exclude_cell is not None:
+        corpus_cond += f" AND e.cell <> {corpus_exclude_cell}"
     def arr(vals: list[float]) -> str:
         return "CAST([" + ", ".join(repr(x) for x in vals) + "] AS DOUBLE[])"
 
@@ -648,6 +652,114 @@ def q_embedding_ann_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     forgotten completion for a 100 TB embedding store, at ingest cost
     instead of an index rebuild."""
     corpus = _ensure_deleted_ann_index(spark, sf_dir)
+    out = sim.knn_ivf_pq_encoded(
+        corpus,
+        emb_t(spark, sf_dir),
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=ANN_CENTS,
+        codebooks=PQ_FIXED_CODEBOOKS,
+        k=3,
+        nprobe=PQ_NPROBE,
+        cell_col="cell",
+        codes_col="codes",
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select(
+        "q_id",
+        "nn_id",
+        F.round(F.col("adc"), 4).alias("adc"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+ANN_PURGE_CELL = 1  # delete_where retires this whole inverted list (~15%)
+
+_ANN_PURGE_INDEX: dict[tuple[str], object] = {}
+
+
+def _ensure_cell_purged_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A session index exercising the PREDICATE take-down over the
+    index's own rows: the same bootstrap + two appends, then ONE
+    ann_index.delete_where commit tombstoning every live vector whose
+    ``cell == ANN_PURGE_CELL`` — retiring a whole inverted list. The
+    delete set derives from the pinned vectors per attempt (filter +
+    distinct, persisted for the commit's duration, never collected).
+    Returns the LIVE corpus frame."""
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        ann_index,
+    )
+
+    key = (sf_dir,)
+    tmp = _ANN_PURGE_INDEX.get(key)
+    if tmp is None:
+        if _audit():
+            enc = ann_index.encoded_frame(
+                emb_t(spark, sf_dir),
+                "embedding",
+                "vec_id",
+                ANN_CENTS,
+                PQ_FIXED_CODEBOOKS,
+            )
+            return enc.filter(F.col("cell") != ANN_PURGE_CELL).withColumnRenamed(
+                "id", "vec_id"
+            )
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_purge_")
+        emb = emb_t(spark, sf_dir)
+        ann_index.bootstrap_ann_index(
+            spark,
+            tmp.name,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            vec_col="embedding",
+            id_col="vec_id",
+            cents=ANN_CENTS,
+            codebooks=PQ_FIXED_CODEBOOKS,
+            segment_partitions=8,
+        )
+        for r in ANN_BATCH_MODULI:
+            ann_index.append_ann_batch(
+                spark,
+                tmp.name,
+                emb.filter(F.col("vec_id") % 4 == r),
+                vec_col="embedding",
+                id_col="vec_id",
+                segment_partitions=8,
+            )
+        ann_index.delete_where(
+            spark, tmp.name, F.col("cell") == ANN_PURGE_CELL
+        )
+        _ANN_PURGE_INDEX[key] = tmp
+    tmp = _ANN_PURGE_INDEX[key]
+    from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+        ann_index,
+    )
+
+    return ann_index.read_ann_vectors(spark, tmp.name).select(
+        F.col("id").alias("vec_id"), "cell", "codes"
+    )
+
+
+@register(
+    "embedding_ann_after_cell_purge",
+    oracle=_ivfpq_fixed_oracle(ANN_CENTS, corpus_exclude_cell=ANN_PURGE_CELL),
+)
+def q_embedding_ann_after_cell_purge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC search AFTER a predicate take-down over the index's own
+    rows (ann_index.delete_where): every vector in one coarse cell
+    (~15% of the corpus — a poisoned/retired inverted list) is
+    logically deleted in ONE commit whose delete set derives from the
+    pinned (id, cell, codes) scan — filter + distinct, persisted for
+    the commit's duration, liveness-folded under the attempt's
+    manifest meta, never collected. The probe must return exactly the
+    DuckDB twin's search over the corpus minus that cell (queries
+    still PROBE the retired cell; nothing comes back from it). With
+    doc_search_after_term_purge this gives delete_where an oracle row
+    in both families that expose it."""
+    corpus = _ensure_cell_purged_ann_index(spark, sf_dir)
     out = sim.knn_ivf_pq_encoded(
         corpus,
         emb_t(spark, sf_dir),

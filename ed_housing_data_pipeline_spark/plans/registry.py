@@ -240,7 +240,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     # N-dim writer delegation (orders_zorder_box)
     "doc_point_lookup",
     "doc_search_after_bulk_delete",
-    "embedding_ann_after_delete",
+    # r11-new: delete_where-by-cell oracle row; reps the same rewired
+    # _delete_commit attempt-state path embedding_ann_after_delete
+    # (r10-green) covered, plus the predicate verb
+    "embedding_ann_after_cell_purge",
     "doc_incremental_neardup",
     "orders_stream_rollup",
     "orders_rollup_after_retraction",

@@ -54,7 +54,7 @@ def test_driver_window_covers_every_family():
         # rewired-in-r11 component representatives
         "doc_point_lookup",             # one-snapshot bloom-pruned read
         "doc_search_after_bulk_delete", # delete attempt-state refactor
-        "embedding_ann_after_delete",   # same, ANN family
+        "embedding_ann_after_cell_purge",  # same, ANN family + delete_where
         "doc_incremental_neardup",      # same, LSH family
         "orders_stream_rollup",         # sink compact_max_bytes path
         "orders_rollup_after_retraction",  # reset fold + flag lifecycle

@@ -489,3 +489,47 @@ def test_reset_flag_retires_after_full_compaction(spark, tmp_path):
     assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
         _direct(spark, remaining + more)
     )
+
+
+def test_compact_rollup_retries_after_rival_commit(spark, tmp_path, monkeypatch):
+    """The TOCTOU fix (r10 ADVICE): compact_rollup pins its reducer
+    decision to the manifest version it read the reset flag at; a
+    rival commit landing in between makes that pass conflict, and the
+    bounded retry re-decides from fresh state. Injected via a
+    pass-through wrapper that commits a repairing retraction after the
+    flag read of the first attempt — the final state must reflect the
+    RESET-AWARE fold (exact extremes), not the stale no-reset one."""
+    data = _facts(60, seed=31)
+    retract = data[:8]
+    remaining = data[8:]
+    root = str(tmp_path / "view")
+    _build(spark, root, data, [30])
+
+    real = lake.compact_segments
+    calls = {"n": 0}
+
+    def racy(spark_, root_, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # rival repairing retraction lands between the flag read
+            # and the fold — the pinned pass must conflict, not fold
+            # reset rows with the stale no-reset reducer
+            rollup.retract_rollup_batch(
+                spark_,
+                root_,
+                _df(spark_, retract),
+                remaining_facts=_df(spark_, remaining),
+                segment_partitions=1,
+            )
+        return real(spark_, root_, **kw)
+
+    monkeypatch.setattr(lake, "compact_segments", racy)
+    pins = rollup.compact_rollup(spark, root)[rollup.PARTIALS]
+    assert calls["n"] == 2  # attempt 1 conflicted, attempt 2 folded
+    assert len(pins) == 1
+    # the retry saw the reset state: flag retired by the full fold and
+    # served extremes EXACT against the corrected facts
+    assert lake.segment_meta(spark, root).get(rollup.MM_RESETS_KEY) is False
+    assert _r6(rows(rollup.read_rollup(spark, root, derive_avg=False))) == _r6(
+        _direct(spark, remaining)
+    )
