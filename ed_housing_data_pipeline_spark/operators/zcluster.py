@@ -104,6 +104,103 @@ def write_zorder_clustered_n(
         zed.unpersist()
 
 
+def recluster_zorder(
+    spark,
+    root: str,
+    component: str,
+    exprs: Sequence[str],
+    zone_cols: Sequence[str],
+    n_segments: int = 8,
+    bits: int = 10,
+    min_segments: int = 2,
+    max_segment_bytes: int | None = None,
+) -> dict[str, list[int]]:
+    """OPTIMIZE … ZORDER BY as a maintenance verb over an EXISTING
+    segmented component: fold the pinned segments (or, with
+    ``max_segment_bytes``, only the small tail — the LSM shape) into
+    z-contiguous slices under ONE pinned manifest flip, with zonemaps
+    recomputed on the raw columns. This is what a long-ingested table
+    runs on a cadence so compound-predicate pruning stays tight after
+    thousands of append commits wrote arrival-ordered segments.
+
+    Differences from :func:`write_zorder_clustered_n` (the bootstrap
+    writer): the input is the component's own pinned scan
+    (schema-reconciled), untouched segments keep their pins/zonemaps/
+    blooms, all slices land as UNCOMMITTED segments first and ONE
+    commit_segment_manifest flips them in with ``expected_base`` — a
+    rival ingest conflicts loudly (retry from fresh pins) instead of
+    being dropped, and a crash mid-pass leaves only unpinned debris
+    for the orphan sweep. Content-neutral by construction: the rows
+    are re-sliced, never transformed."""
+    zone_cols = list(zone_cols)
+    pins, zones, blooms, meta, schemas, base = lake._manifest_state(spark, root)
+    if component not in pins:
+        raise KeyError(f"recluster_zorder: no pinned component {component!r}")
+    if max_segment_bytes is None:
+        fold = list(pins[component])
+    else:
+        fold = [
+            s
+            for s in pins[component]
+            if lake._segment_bytes(spark, f"{root}/{component}", s)
+            < max_segment_bytes
+        ]
+    if len(fold) < min_segments:
+        return pins
+    comp_root = f"{root.rstrip('/')}/{component}"
+    df = lake.read_segments(
+        spark,
+        comp_root,
+        fold,
+        schema=lake._schema_from_json(schemas.get(component)),
+    )
+    zed = df.withColumn("_z", zorderN(exprs, bits))
+    zed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        probs = [i / n_segments for i in range(1, n_segments)]
+        cuts = zed.stat.approxQuantile("_z", probs, 0.0)
+        zmax = zed.agg(F.max("_z")).collect()[0][0]
+        cuts = sorted({c for c in cuts if zmax is not None and c < zmax})
+        slice_sql = " + ".join(
+            f"CAST(_z > {float(c)!r} AS INT)" for c in cuts
+        ) or "0"
+        zed_s = zed.withColumn(
+            "_slice",
+            F.coalesce(F.expr(slice_sql), F.lit(len(cuts))).cast("int"),
+        )
+        new_segs: list[int] = []
+        for i in range(len(cuts) + 1):
+            part = zed_s.filter(F.col("_slice") == i).drop("_z", "_slice")
+            new_segs.append(lake.write_segment(spark, part, comp_root))
+        new_pins = dict(pins)
+        new_pins[component] = sorted(
+            [s for s in pins[component] if s not in fold] + new_segs
+        )
+        new_zones = lake._carry_zones(zones, new_pins)
+        for seg in new_segs:
+            new_zones.setdefault(component, {})[seg] = (
+                lake._segment_zone_stats(spark, comp_root, seg, zone_cols)
+            )
+        new_blooms = lake._carry_blooms(blooms, new_pins)
+        kw: dict = {}
+        if new_zones:
+            kw["zones"] = new_zones
+        if new_blooms:
+            kw["blooms"] = new_blooms
+        if meta:
+            kw["meta"] = meta
+        if schemas:
+            kw["schemas"] = {
+                c: sj for c, sj in schemas.items() if c in new_pins
+            }
+        lake.commit_segment_manifest(
+            spark, root, new_pins, expected_base=base, **kw
+        )
+        return new_pins
+    finally:
+        zed.unpersist()
+
+
 def box_pruned_pins(
     spark, root: str, component: str, box: Mapping[str, tuple]
 ) -> tuple[list[int], list[int]]:

@@ -238,3 +238,142 @@ def test_3d_box_read_matches_full_scan(spark, tmp_path):
     )
     want = sorted(r.id for r in df.filter(pred).collect())
     assert got == want
+
+
+def _append_messy(spark, root, n_batches=6, rows_per=500, seed=3):
+    """Arrival-ordered appends: each batch spans the FULL key space, so
+    every segment's zonemap covers everything and box pruning is
+    useless until a recluster pass."""
+    import random
+
+    rng = random.Random(seed)
+    for b in range(n_batches):
+        rows_ = [
+            (
+                b * rows_per + i,
+                rng.randrange(1000),
+                rng.randrange(1, 13),
+            )
+            for i in range(rows_per)
+        ]
+        df = spark.createDataFrame(rows_, "id bigint, k int, m int").coalesce(1)
+        lake.append_segments(
+            spark, root, {"t": df}, init=(b == 0), zone_cols={"t": ["k", "m"]}
+        )
+
+
+def test_recluster_zorder_makes_pruning_effective(spark, tmp_path):
+    """OPTIMIZE-ZORDER maintenance: arrival-ordered appends prune
+    nothing (every zonemap spans the key space); one recluster pass
+    re-slices them z-contiguously under one manifest flip — same rows,
+    box pruning now cuts segments on BOTH dimensions."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ds")
+    _append_messy(spark, root)
+    box = {"k": (0, 240), "m": (1, 3)}
+    kept0, pinned0 = zcluster.box_pruned_pins(spark, root, "t", box)
+    assert kept0 == pinned0  # arrival order: nothing prunable
+    before = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    pins = zcluster.recluster_zorder(
+        spark,
+        root,
+        "t",
+        exprs=["CAST(floor(k / 4) AS INT)", "m"],
+        zone_cols=("k", "m"),
+        n_segments=8,
+    )
+    kept1, pinned1 = zcluster.box_pruned_pins(spark, root, "t", box)
+    assert pinned1 == pins["t"]
+    assert 0 < len(kept1) < len(pinned1)  # pruning engaged
+    after = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    assert after == before  # content-neutral
+    # the pruned read is still row-complete for the box
+    pred = F.col("k").between(0, 240) & F.col("m").between(1, 3)
+    got = sorted(
+        r.id for r in zcluster.read_box(spark, root, "t", box).filter(pred).collect()
+    )
+    want = sorted(
+        r.id
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"]
+        .filter(pred)
+        .collect()
+    )
+    assert got == want
+
+
+def test_recluster_zorder_size_tiered_and_rival_commit(spark, tmp_path):
+    """Size-tiered recluster leaves graduated segments pinned; a rival
+    commit between the state read and the flip conflicts loudly."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    root = str(tmp_path / "ds")
+    # one BIG arrival segment + messy small tail
+    big = spark.createDataFrame(
+        [(10_000 + i, i % 1000, i % 12 + 1) for i in range(20_000)],
+        "id bigint, k int, m int",
+    ).coalesce(1)
+    lake.append_segments(spark, root, {"t": big}, init=True, zone_cols={"t": ["k", "m"]})
+    _append_messy_tail = [
+        spark.createDataFrame(
+            [(b * 100 + i, (i * 37) % 1000, i % 12 + 1) for i in range(100)],
+            "id bigint, k int, m int",
+        ).coalesce(1)
+        for b in range(3)
+    ]
+    for df in _append_messy_tail:
+        lake.append_segments(spark, root, {"t": df}, zone_cols={"t": ["k", "m"]})
+    pins0 = lake.segment_pins(spark, root)["t"]
+    big_seg = pins0[0]
+    thresh = lake._segment_bytes(spark, f"{root}/t", big_seg)
+    before = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    pins = zcluster.recluster_zorder(
+        spark,
+        root,
+        "t",
+        exprs=["CAST(floor(k / 4) AS INT)", "m"],
+        zone_cols=("k", "m"),
+        n_segments=4,
+        max_segment_bytes=thresh,
+    )
+    assert big_seg in pins["t"]  # graduated: pin untouched
+    after = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    assert after == before
+    # rival commit between read and flip → typed conflict (fire-once:
+    # the rival append itself commits through this same seam)
+    real = lake.commit_segment_manifest
+    state = {"fired": False}
+    def racy(spark_, root_, pins_, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            lake.append_segments(
+                spark_,
+                root_,
+                {"t": spark_.createDataFrame(
+                    [(1, 2, 3)], "id bigint, k int, m int"
+                )},
+            )
+        return real(spark_, root_, pins_, **kw)
+    lake.commit_segment_manifest = racy
+    try:
+        with pytest.raises(lake.ConcurrentCommitError):
+            zcluster.recluster_zorder(
+                spark, root, "t",
+                exprs=["CAST(floor(k / 4) AS INT)", "m"],
+                zone_cols=("k", "m"), n_segments=2,
+            )
+    finally:
+        lake.commit_segment_manifest = real
