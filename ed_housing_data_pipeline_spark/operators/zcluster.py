@@ -182,6 +182,20 @@ def recluster_zorder(
                 lake._segment_zone_stats(spark, comp_root, seg, zone_cols)
             )
         new_blooms = lake._carry_blooms(blooms, new_pins)
+        # bloom coverage follows the data: columns the component
+        # advertises elsewhere are re-bloomed on the fresh slices (the
+        # same self-describing carry compact_segments does)
+        bloom_columns = sorted(
+            {c for cols in blooms.get(component, {}).values() for c in cols}
+        )
+        for seg in new_segs:
+            built = [
+                c
+                for c in bloom_columns
+                if lake._write_segment_bloom(spark, comp_root, seg, c)
+            ]
+            if built:
+                new_blooms.setdefault(component, {})[seg] = built
         kw: dict = {}
         if new_zones:
             kw["zones"] = new_zones

@@ -377,3 +377,32 @@ def test_recluster_zorder_size_tiered_and_rival_commit(spark, tmp_path):
             )
     finally:
         lake.commit_segment_manifest = real
+
+
+def test_recluster_zorder_rebuilds_bloom_coverage(spark, tmp_path):
+    """Bloom advertisements follow the data through a recluster pass:
+    columns the component covered before are re-bloomed on the fresh
+    z-slices, so point-lookup skipping stays tight after maintenance."""
+    root = str(tmp_path / "ds")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 100 + i, (i * 7) % 50, i % 12 + 1) for i in range(100)],
+            "id bigint, k int, m int",
+        ).coalesce(1)
+        lake.append_segments(
+            spark, root, {"t": df}, init=(b == 0),
+            zone_cols={"t": ["k", "m"]}, bloom_cols={"t": ["id"]},
+        )
+    pins = zcluster.recluster_zorder(
+        spark, root, "t",
+        exprs=["k", "m"], zone_cols=("k", "m"), n_segments=4,
+    )
+    kept, pinned = lake.bloom_pruned_pins(spark, root, "t", "id", [105])
+    assert pinned == pins["t"]
+    assert len(kept) == 1  # exactly the slice holding id=105
+    got = (
+        lake.read_segments_bloom_pruned(spark, root, "t", "id", [105])
+        .filter("id = 105")
+        .collect()
+    )
+    assert [r.id for r in got] == [105]
