@@ -45,8 +45,13 @@ def zorderN_sql(exprs: Sequence[str], bits: int = 10) -> str:
     terms = []
     for i in range(bits):
         for j, e in enumerate(exprs):
+            # the shift operand must be BIGINT: Spark's shiftleft on an
+            # INT input masks the shift count & 31, so positions >= 31
+            # would silently wrap onto the low bits (and 31 would set
+            # the sign bit) — corrupt Morton codes with no error
             terms.append(
-                f"shiftleft(shiftright({e}, {i}) & 1, {n * i + j})"
+                f"shiftleft(shiftright(CAST(({e}) AS BIGINT), {i}) & 1, "
+                f"{n * i + j})"
             )
     z = " | ".join(terms)
     guards = " OR ".join(

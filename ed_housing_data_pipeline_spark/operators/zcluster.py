@@ -114,6 +114,7 @@ def recluster_zorder(
     bits: int = 10,
     min_segments: int = 2,
     max_segment_bytes: int | None = None,
+    force: bool = False,
 ) -> dict[str, list[int]]:
     """OPTIMIZE … ZORDER BY as a maintenance verb over an EXISTING
     segmented component: fold the pinned segments (or, with
@@ -122,6 +123,18 @@ def recluster_zorder(
     recomputed on the raw columns. This is what a long-ingested table
     runs on a cadence so compound-predicate pruning stays tight after
     thousands of append commits wrote arrival-ordered segments.
+
+    CONVERGENT by construction: the committed manifest meta records
+    this layout's own output slices (keyed by the expr/bits
+    signature), and later passes fold only segments OUTSIDE that set —
+    a cadence job with no new ingests is a no-op (no jobs beyond the
+    size probe, no commit), never a perpetual O(tail) rewrite. New
+    ingests since the last pass get their own slice wave (pins grow by
+    ≤ n_segments per wave, z-ranges may overlap across waves — zonemap
+    pruning doesn't require disjointness); ``force=True`` ignores the
+    marker and re-lays the whole component out as one clean wave (the
+    periodic level-merge). Changing ``exprs``/``bits`` invalidates the
+    marker automatically.
 
     Differences from :func:`write_zorder_clustered_n` (the bootstrap
     writer): the input is the component's own pinned scan
@@ -136,12 +149,22 @@ def recluster_zorder(
     pins, zones, blooms, meta, schemas, base = lake._manifest_state(spark, root)
     if component not in pins:
         raise KeyError(f"recluster_zorder: no pinned component {component!r}")
+    marker_key = f"zcluster_{component}"
+    marker = meta.get(marker_key) or {}
+    already: set[int] = set()
+    if (
+        not force
+        and marker.get("exprs") == list(exprs)
+        and marker.get("bits") == bits
+    ):
+        already = set(marker.get("segs", [])) & set(pins[component])
+    candidates = [s for s in pins[component] if s not in already]
     if max_segment_bytes is None:
-        fold = list(pins[component])
+        fold = candidates
     else:
         fold = [
             s
-            for s in pins[component]
+            for s in candidates
             if lake._segment_bytes(spark, f"{root}/{component}", s)
             < max_segment_bytes
         ]
@@ -201,8 +224,14 @@ def recluster_zorder(
             kw["zones"] = new_zones
         if new_blooms:
             kw["blooms"] = new_blooms
-        if meta:
-            kw["meta"] = meta
+        kw["meta"] = {
+            **meta,
+            marker_key: {
+                "exprs": list(exprs),
+                "bits": bits,
+                "segs": sorted(already | set(new_segs)),
+            },
+        }
         if schemas:
             kw["schemas"] = {
                 c: sj for c, sj in schemas.items() if c in new_pins
@@ -235,6 +264,16 @@ def box_pruned_pins(
     pins, zones, _blooms, _meta, _schemas, _version = lake._manifest_state(
         spark, root
     )
+    kept, pinned, _schema = _box_pruned_from_state(
+        component, box, pins, zones, None
+    )
+    return kept, pinned
+
+
+def _box_pruned_from_state(component, box, pins, zones, schemas):
+    """(kept, pinned, manifest schema) from one already-read manifest
+    state — shared by box_pruned_pins and read_box so both resolve
+    pins AND schema from the same snapshot."""
     kept_sets = []
     pinned: list[int] = []
     for col, (lo, hi) in box.items():
@@ -243,7 +282,12 @@ def box_pruned_pins(
         )
         kept_sets.append(set(kept))
     kept_all = set.intersection(*kept_sets) if kept_sets else set(pinned)
-    return [s for s in pinned if s in kept_all], pinned
+    schema = (
+        lake._schema_from_json(schemas.get(component))
+        if schemas is not None
+        else None
+    )
+    return [s for s in pinned if s in kept_all], pinned, schema
 
 
 def read_box(
@@ -251,9 +295,25 @@ def read_box(
 ) -> DataFrame:
     """The component's manifest-pinned scan restricted to segments
     whose zonemaps may intersect the box — the caller still applies
-    the row-level predicates (skipping only shrinks the file set)."""
-    kept, pinned = box_pruned_pins(spark, root, component, box)
+    the row-level predicates (skipping only shrinks the file set).
+    Schema-reconciled like every manifest read: kept segments may span
+    schema vintages (add-column appends, in-place type widening), and
+    the scan must not inherit whichever file's footer Spark samples
+    first; pins and schema resolve from ONE manifest snapshot."""
+    if not box:
+        raise ValueError(
+            "read_box: empty box; use read_segmented_components for an "
+            "unpredicated scan"
+        )
+    pins, zones, _blooms, _meta, schemas, _version = lake._manifest_state(
+        spark, root
+    )
+    kept, pinned, schema = _box_pruned_from_state(
+        component, box, pins, zones, schemas
+    )
     comp_root = f"{root.rstrip('/')}/{component}"
     if not kept:
-        return lake.read_segments(spark, comp_root, pinned[:1]).filter(F.lit(False))
-    return lake.read_segments(spark, comp_root, kept)
+        return lake.read_segments(
+            spark, comp_root, pinned[:1], schema=schema
+        ).filter(F.lit(False))
+    return lake.read_segments(spark, comp_root, kept, schema=schema)

@@ -2703,6 +2703,7 @@ def repair_segmented(
             "dropped_bloom_ads": {},
             "rebuilt_zone_stats": {},
             "rebuilt_bloom_ads": {},
+            "skipped_bloom_over_budget": {},
             "swept_orphans": {},
         }
         new_pins: dict[str, list[int]] = {}
@@ -2748,14 +2749,28 @@ def repair_segmented(
                 for c in missing:
                     if [seg, c] in actions["dropped_bloom_ads"].get(comp, []):
                         continue  # just dropped for budget: don't re-add
-                    changed = True
-                    actions["rebuilt_bloom_ads"].setdefault(comp, []).append(
-                        [seg, c]
-                    )
-                    if not dry_run and _write_segment_bloom(
+                    if dry_run:
+                        actions["rebuilt_bloom_ads"].setdefault(
+                            comp, []
+                        ).append([seg, c])
+                        continue
+                    # record-and-commit ONLY when the rebuild actually
+                    # lands: an over-budget segment (> _BLOOM_MAX_ROWS)
+                    # must not flip `changed` or claim a rebuild, else
+                    # repair re-runs the job and re-commits an
+                    # identical manifest forever (never converges)
+                    if _write_segment_bloom(
                         spark, f"{root}/{comp}", seg, c, overwrite=True
                     ):
                         bm.setdefault(seg, []).append(c)
+                        changed = True
+                        actions["rebuilt_bloom_ads"].setdefault(
+                            comp, []
+                        ).append([seg, c])
+                    else:
+                        actions["skipped_bloom_over_budget"].setdefault(
+                            comp, []
+                        ).append([seg, c])
             new_blooms[comp] = {s: sorted(cs) for s, cs in bm.items() if cs}
         for comp, zm in list(new_zones.items()):
             cols_everywhere = sorted(
@@ -2764,14 +2779,23 @@ def repair_segmented(
             if not cols_everywhere:
                 continue
             for seg in new_pins.get(comp, []):
-                if seg in zm:
+                # per-COLUMN diff: a segment with stats for only part
+                # of the component's column set (a writer that passed a
+                # narrower zone_cols) is a coverage gap too
+                missing = [
+                    c for c in cols_everywhere if c not in zm.get(seg, {})
+                ]
+                if not missing:
                     continue
                 changed = True
                 actions["rebuilt_zone_stats"].setdefault(comp, []).append(seg)
                 if not dry_run:
-                    zm[seg] = _segment_zone_stats(
-                        spark, f"{root}/{comp}", seg, cols_everywhere
-                    )
+                    zm[seg] = {
+                        **zm.get(seg, {}),
+                        **_segment_zone_stats(
+                            spark, f"{root}/{comp}", seg, missing
+                        ),
+                    }
         if dry_run:
             return {"actions": actions, "committed": False, "version": base}
         if not changed:

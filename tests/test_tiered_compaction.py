@@ -305,3 +305,70 @@ def test_repair_segmented_backfills_coverage_and_dry_run(spark, tmp_path):
     rep2 = lake.repair_segmented(spark, root)
     assert not rep2["committed"] and rep2["ok"]
     assert lake.segment_pins_versioned(spark, root)[1] == v0
+
+
+def test_repair_backfills_per_column_zone_gaps(spark, tmp_path):
+    """A segment with zone stats for only PART of the component's
+    column set is a coverage gap too: repair recomputes exactly the
+    missing columns and merges them into the existing stats."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame([(1, 10)], "k int, m int").coalesce(1)},
+        init=True,
+        zone_cols={"t": ["k", "m"]},
+    )
+    # a narrower writer: stats for k only
+    lake.append_segments(
+        spark,
+        root,
+        {"t": spark.createDataFrame([(500, 99)], "k int, m int").coalesce(1)},
+        zone_cols={"t": ["k"]},
+    )
+    seg2 = lake.segment_pins(spark, root)["t"][1]
+    # the m-range read cannot prune the half-covered segment yet
+    kept0, _ = lake.zone_pruned_pins(spark, root, "t", "m", lo=0, hi=50)
+    assert seg2 in kept0
+    rep = lake.repair_segmented(spark, root)
+    assert rep["committed"] and rep["ok"], rep
+    assert rep["actions"]["rebuilt_zone_stats"] == {"t": [seg2]}
+    kept1, _ = lake.zone_pruned_pins(spark, root, "t", "m", lo=0, hi=50)
+    assert seg2 not in kept1  # m=99 excluded now
+    # and the pre-existing k stats survived the merge
+    kept_k, _ = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=100)
+    assert kept_k == [lake.segment_pins(spark, root)["t"][0]]
+    # idempotent: second repair commits nothing
+    v = lake.segment_pins_versioned(spark, root)[1]
+    rep2 = lake.repair_segmented(spark, root)
+    assert not rep2["committed"]
+    assert lake.segment_pins_versioned(spark, root)[1] == v
+
+
+def test_repair_converges_on_over_budget_bloom_gap(spark, tmp_path):
+    """A pinned segment past _BLOOM_MAX_ROWS that lacks a bloom ad the
+    component carries elsewhere is reported as skipped — not claimed
+    rebuilt, not re-committed forever (the convergence bug the r11
+    review caught)."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": _seg_rows(spark, 10).coalesce(1)},
+        init=True,
+        bloom_cols={"t": ["id"]},
+    )
+    # over-budget segment, no bloom requested
+    lake.append_segments(
+        spark,
+        root,
+        {"t": _seg_rows(spark, lake._BLOOM_MAX_ROWS + 1, start=100).coalesce(4)},
+    )
+    seg2 = lake.segment_pins(spark, root)["t"][1]
+    v0 = lake.segment_pins_versioned(spark, root)[1]
+    rep = lake.repair_segmented(spark, root)
+    assert rep["ok"]
+    assert not rep["committed"]  # nothing rebuildable: no commit
+    assert rep["actions"]["skipped_bloom_over_budget"] == {"t": [[seg2, "id"]]}
+    assert rep["actions"]["rebuilt_bloom_ads"] == {}
+    assert lake.segment_pins_versioned(spark, root)[1] == v0

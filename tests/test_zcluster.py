@@ -370,10 +370,12 @@ def test_recluster_zorder_size_tiered_and_rival_commit(spark, tmp_path):
     lake.commit_segment_manifest = racy
     try:
         with pytest.raises(lake.ConcurrentCommitError):
+            # force: the convergence marker would otherwise make this
+            # pass a fold-nothing no-op that never reaches the commit
             zcluster.recluster_zorder(
                 spark, root, "t",
                 exprs=["CAST(floor(k / 4) AS INT)", "m"],
-                zone_cols=("k", "m"), n_segments=2,
+                zone_cols=("k", "m"), n_segments=2, force=True,
             )
     finally:
         lake.commit_segment_manifest = real
@@ -406,3 +408,61 @@ def test_recluster_zorder_rebuilds_bloom_coverage(spark, tmp_path):
         .collect()
     )
     assert [r.id for r in got] == [105]
+
+
+def test_zorderN_positions_past_31_bits_match_reference(spark):
+    """Regression: shiftleft on an INT operand masks the shift count
+    & 31, so Morton positions >= 31 silently wrapped before the
+    CAST-to-BIGINT fix — 4x10 and 3x21 shapes must match the Python
+    reference bit-for-bit and stay non-negative."""
+    import random
+
+    rng = random.Random(14)
+    for n, bits in ((4, 10), (3, 21)):
+        cols = [f"c{i}" for i in range(n)]
+        rows_ = [
+            tuple(rng.randrange(1 << min(bits, 16)) for _ in range(n))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(rows_, ", ".join(f"{c} int" for c in cols))
+        got = df.select(*cols, zo.zorderN(cols, bits=bits).alias("z")).collect()
+        for r in got:
+            want = zo.zorderN_py([r[c] for c in cols], bits=bits)
+            assert r.z == want and r.z >= 0, (n, bits, tuple(r))
+
+
+def test_recluster_zorder_converges_and_force_relayouts(spark, tmp_path):
+    """A cadence recluster with no new ingests is a no-op (the layout
+    marker records this pass's own slices); a new ingest gets its own
+    wave; force=True re-lays everything out as one clean wave."""
+    root = str(tmp_path / "ds")
+    _append_messy(spark, root, n_batches=4)
+    exprs = ["CAST(floor(k / 4) AS INT)", "m"]
+    pins1 = zcluster.recluster_zorder(
+        spark, root, "t", exprs=exprs, zone_cols=("k", "m"), n_segments=4
+    )
+    v1 = lake.segment_pins_versioned(spark, root)[1]
+    # converged: same call again folds nothing, commits nothing
+    pins2 = zcluster.recluster_zorder(
+        spark, root, "t", exprs=exprs, zone_cols=("k", "m"), n_segments=4
+    )
+    assert pins2 == pins1
+    assert lake.segment_pins_versioned(spark, root)[1] == v1
+    # a new ingest gets its own wave; prior slices keep their pins
+    df = spark.createDataFrame(
+        [(9_000 + i, i % 1000, i % 12 + 1) for i in range(200)],
+        "id bigint, k int, m int",
+    ).coalesce(1)
+    lake.append_segments(spark, root, {"t": df}, zone_cols={"t": ["k", "m"]})
+    pins3 = zcluster.recluster_zorder(
+        spark, root, "t", exprs=exprs, zone_cols=("k", "m"), n_segments=4
+    )
+    assert set(pins1["t"]) <= set(pins3["t"])
+    # force: one clean wave replaces every pin
+    pins4 = zcluster.recluster_zorder(
+        spark, root, "t", exprs=exprs, zone_cols=("k", "m"), n_segments=4,
+        force=True,
+    )
+    assert not set(pins3["t"]) & set(pins4["t"])
+    n = lake.read_segmented_components(spark, root, ["t"])["t"].count()
+    assert n == 4 * 500 + 200
