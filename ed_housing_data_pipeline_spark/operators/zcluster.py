@@ -75,22 +75,9 @@ def write_zorder_clustered_n(
     zed = df.withColumn("_z", zorderN(exprs, bits))
     zed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        probs = [i / n_segments for i in range(1, n_segments)]
-        cuts = zed.stat.approxQuantile("_z", probs, 0.0)
-        # drop duplicate cuts (skewed z) and any cut at the max (its
-        # upper slice would be empty); all-NULL z → no cuts, one slice
-        zmax = zed.agg(F.max("_z")).collect()[0][0]
-        cuts = sorted({c for c in cuts if zmax is not None and c < zmax})
-        # slice id = number of cuts strictly below z; NULL z → last slice
-        slice_sql = " + ".join(
-            f"CAST(_z > {float(c)!r} AS INT)" for c in cuts
-        ) or "0"
-        zed_s = zed.withColumn(
-            "_slice",
-            F.coalesce(F.expr(slice_sql), F.lit(len(cuts))).cast("int"),
-        )
+        zed_s, n_slices = _z_slices(zed, n_segments)
         pins: dict[str, list[int]] = {}
-        for i in range(len(cuts) + 1):
+        for i in range(n_slices):
             part = zed_s.filter(F.col("_slice") == i).drop("_z", "_slice")
             pins = lake.append_segments(
                 spark,
@@ -102,6 +89,34 @@ def write_zorder_clustered_n(
         return pins
     finally:
         zed.unpersist()
+
+
+def _z_slices(zed: DataFrame, n_segments: int) -> tuple[DataFrame, int]:
+    """``(frame with an int ``_slice`` column, slice count)`` from a
+    persisted z-keyed frame — the slice assignment shared by the
+    bootstrap writer and :func:`recluster_zorder` (one copy of the
+    skewed-z and NULL-z edge handling). Boundaries come from
+    approximate z-quantiles (one pass); duplicate cuts (skewed z)
+    collapse, so fewer, fuller segments — never empty ones; rows whose
+    z is NULL (out-of-range inputs, see functions/zorder) land in the
+    LAST slice so no row is lost."""
+    probs = [i / n_segments for i in range(1, n_segments)]
+    cuts = zed.stat.approxQuantile("_z", probs, 0.0)
+    # drop duplicate cuts and any cut at the max (its upper slice
+    # would be empty); all-NULL z → no cuts, one slice
+    zmax = zed.agg(F.max("_z")).collect()[0][0]
+    cuts = sorted({c for c in cuts if zmax is not None and c < zmax})
+    # slice id = number of cuts strictly below z; NULL z → last slice
+    slice_sql = " + ".join(
+        f"CAST(_z > {float(c)!r} AS INT)" for c in cuts
+    ) or "0"
+    return (
+        zed.withColumn(
+            "_slice",
+            F.coalesce(F.expr(slice_sql), F.lit(len(cuts))).cast("int"),
+        ),
+        len(cuts) + 1,
+    )
 
 
 def recluster_zorder(
@@ -159,7 +174,10 @@ def recluster_zorder(
     ):
         already = set(marker.get("segs", [])) & set(pins[component])
     candidates = [s for s in pins[component] if s not in already]
-    if max_segment_bytes is None:
+    if force or max_segment_bytes is None:
+        # force IS the whole-component level-merge: it must override
+        # the size filter too, else graduated prior waves would be
+        # excluded forever and the merge the flag exists for never runs
         fold = candidates
     else:
         fold = [
@@ -180,19 +198,9 @@ def recluster_zorder(
     zed = df.withColumn("_z", zorderN(exprs, bits))
     zed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        probs = [i / n_segments for i in range(1, n_segments)]
-        cuts = zed.stat.approxQuantile("_z", probs, 0.0)
-        zmax = zed.agg(F.max("_z")).collect()[0][0]
-        cuts = sorted({c for c in cuts if zmax is not None and c < zmax})
-        slice_sql = " + ".join(
-            f"CAST(_z > {float(c)!r} AS INT)" for c in cuts
-        ) or "0"
-        zed_s = zed.withColumn(
-            "_slice",
-            F.coalesce(F.expr(slice_sql), F.lit(len(cuts))).cast("int"),
-        )
+        zed_s, n_slices = _z_slices(zed, n_segments)
         new_segs: list[int] = []
-        for i in range(len(cuts) + 1):
+        for i in range(n_slices):
             part = zed_s.filter(F.col("_slice") == i).drop("_z", "_slice")
             new_segs.append(lake.write_segment(spark, part, comp_root))
         new_pins = dict(pins)

@@ -430,6 +430,36 @@ ANN_BATCH_MODULI = (1, 3)  # bootstrap = vec_id % 2 == 0; appends = % 4 ∈ {1, 
 ANN_CENTS = [[0.05 * x for x in c] for c in IVF_FIXED_CENTS]
 
 
+def _build_base_ann_index(spark: SparkSession, root: str, emb: DataFrame):
+    """The shared bootstrap + two-O(batch)-appends recipe of every
+    incremental-ANN fixture (base, deleted, cell-purged, updated) —
+    ONE copy of the corpus split, so all four fixtures provably index
+    the same corpus. Returns the last committed pin map."""
+    from ed_housing_data_pipeline_spark.operators import ann_index  # noqa: PLC0415
+
+    ann_index.bootstrap_ann_index(
+        spark,
+        root,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=ANN_CENTS,
+        codebooks=PQ_FIXED_CODEBOOKS,
+        segment_partitions=8,
+    )
+    pins = None
+    for r in ANN_BATCH_MODULI:
+        pins = ann_index.append_ann_batch(
+            spark,
+            root,
+            emb.filter(F.col("vec_id") % 4 == r),
+            vec_col="embedding",
+            id_col="vec_id",
+            segment_partitions=8,
+        )
+    return pins
+
+
 def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The committed encoded corpus (id, cell, codes) of the
     incremental IVF-PQ index — built once per sf_dir per session:
@@ -458,25 +488,7 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_index_")
         emb = emb_t(spark, sf_dir)
-        ann_index.bootstrap_ann_index(
-            spark,
-            tmp.name,
-            emb.filter(F.col("vec_id") % 2 == 0),
-            vec_col="embedding",
-            id_col="vec_id",
-            cents=ANN_CENTS,
-            codebooks=PQ_FIXED_CODEBOOKS,
-            segment_partitions=8,
-        )
-        for r in ANN_BATCH_MODULI:
-            pins = ann_index.append_ann_batch(
-                spark,
-                tmp.name,
-                emb.filter(F.col("vec_id") % 4 == r),
-                vec_col="embedding",
-                id_col="vec_id",
-                segment_partitions=8,
-            )
+        pins = _build_base_ann_index(spark, tmp.name, emb)
         _ANN_PIN[key] = pins
         # memoize only after the last manifest commit (a failed build
         # must not leave a tempdir memo with no readable manifest)
@@ -598,25 +610,7 @@ def _ensure_deleted_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_del_")
         emb = emb_t(spark, sf_dir)
-        ann_index.bootstrap_ann_index(
-            spark,
-            tmp.name,
-            emb.filter(F.col("vec_id") % 2 == 0),
-            vec_col="embedding",
-            id_col="vec_id",
-            cents=ANN_CENTS,
-            codebooks=PQ_FIXED_CODEBOOKS,
-            segment_partitions=8,
-        )
-        for r in ANN_BATCH_MODULI:
-            ann_index.append_ann_batch(
-                spark,
-                tmp.name,
-                emb.filter(F.col("vec_id") % 4 == r),
-                vec_col="embedding",
-                id_col="vec_id",
-                segment_partitions=8,
-            )
+        _build_base_ann_index(spark, tmp.name, emb)
         # DataFrame-scale take-down: the delete set is a FILTER over
         # the embeddings table, never collected to the driver — the
         # tombstone segment and negative cellcounts are built by joins
@@ -708,25 +702,7 @@ def _ensure_cell_purged_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame
 
         tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_purge_")
         emb = emb_t(spark, sf_dir)
-        ann_index.bootstrap_ann_index(
-            spark,
-            tmp.name,
-            emb.filter(F.col("vec_id") % 2 == 0),
-            vec_col="embedding",
-            id_col="vec_id",
-            cents=ANN_CENTS,
-            codebooks=PQ_FIXED_CODEBOOKS,
-            segment_partitions=8,
-        )
-        for r in ANN_BATCH_MODULI:
-            ann_index.append_ann_batch(
-                spark,
-                tmp.name,
-                emb.filter(F.col("vec_id") % 4 == r),
-                vec_col="embedding",
-                id_col="vec_id",
-                segment_partitions=8,
-            )
+        _build_base_ann_index(spark, tmp.name, emb)
         ann_index.delete_where(
             spark, tmp.name, F.col("cell") == ANN_PURGE_CELL
         )
@@ -831,25 +807,7 @@ def _ensure_updated_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_upd_")
         emb = emb_t(spark, sf_dir)
-        ann_index.bootstrap_ann_index(
-            spark,
-            tmp.name,
-            emb.filter(F.col("vec_id") % 2 == 0),
-            vec_col="embedding",
-            id_col="vec_id",
-            cents=ANN_CENTS,
-            codebooks=PQ_FIXED_CODEBOOKS,
-            segment_partitions=8,
-        )
-        for r in ANN_BATCH_MODULI:
-            ann_index.append_ann_batch(
-                spark,
-                tmp.name,
-                emb.filter(F.col("vec_id") % 4 == r),
-                vec_col="embedding",
-                id_col="vec_id",
-                segment_partitions=8,
-            )
+        _build_base_ann_index(spark, tmp.name, emb)
         ann_index.upsert_ann_vectors(
             spark,
             tmp.name,

@@ -37,6 +37,23 @@ def _audit() -> bool:
     return bool(queries_llm.AUDIT_LAZY_PLANS)
 
 
+def _build_3batch_index(spark: SparkSession, root: str, docs: DataFrame) -> None:
+    """The shared incremental-build recipe of every search fixture:
+    bootstrap on the first doc_id third, then two appended ingest
+    batches — the production path, not a one-shot write. ONE copy of
+    the range math (five fixtures build on it; a batching change must
+    not be mirrored by hand)."""
+    n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    third = max(1, (int(n) + 1) // 3)
+    for i in range(3):
+        lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        if i == 0:
+            text_index.bootstrap_text_index(spark, root, part)
+        else:
+            text_index.append_text_batch(spark, root, part)
+
+
 def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     """The session's persisted inverted index of the documents corpus:
     bootstrap on the first doc_id third, two appended ingest batches
@@ -49,15 +66,7 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
 
         tmp = tempfile.TemporaryDirectory(prefix="text_index_")
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-        third = max(1, (int(n) + 1) // 3)
-        for i in range(3):
-            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
-            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            if i == 0:
-                text_index.bootstrap_text_index(spark, tmp.name, part)
-            else:
-                text_index.append_text_batch(spark, tmp.name, part)
+        _build_3batch_index(spark, tmp.name, docs)
         _TEXT_IDX_DIR[key] = tmp
     return _TEXT_IDX_DIR[key].name
 
@@ -347,15 +356,7 @@ def _ensure_deleted_text_index(spark: SparkSession, sf_dir: str) -> str:
 
         tmp = tempfile.TemporaryDirectory(prefix="text_index_del_")
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-        third = max(1, (int(n) + 1) // 3)
-        for i in range(3):
-            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
-            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            if i == 0:
-                text_index.bootstrap_text_index(spark, tmp.name, part)
-            else:
-                text_index.append_text_batch(spark, tmp.name, part)
+        _build_3batch_index(spark, tmp.name, docs)
         dead = [
             r.doc_id
             for r in docs.filter(F.col("doc_id") % DELETE_MOD == 0)
@@ -562,15 +563,7 @@ def _ensure_bulk_deleted_text_index(spark: SparkSession, sf_dir: str) -> str:
 
         tmp = tempfile.TemporaryDirectory(prefix="text_index_bulkdel_")
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-        third = max(1, (int(n) + 1) // 3)
-        for i in range(3):
-            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
-            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            if i == 0:
-                text_index.bootstrap_text_index(spark, tmp.name, part)
-            else:
-                text_index.append_text_batch(spark, tmp.name, part)
+        _build_3batch_index(spark, tmp.name, docs)
         dead = (
             t(spark, sf_dir, "documents")
             .filter(F.col("source").isin(*BULK_DELETE_SOURCES))
@@ -634,15 +627,7 @@ def _ensure_term_purged_text_index(spark: SparkSession, sf_dir: str) -> str:
 
         tmp = tempfile.TemporaryDirectory(prefix="text_index_purge_")
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-        third = max(1, (int(n) + 1) // 3)
-        for i in range(3):
-            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
-            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            if i == 0:
-                text_index.bootstrap_text_index(spark, tmp.name, part)
-            else:
-                text_index.append_text_batch(spark, tmp.name, part)
+        _build_3batch_index(spark, tmp.name, docs)
         text_index.delete_where(spark, tmp.name, F.col("term") == PURGE_TERM)
         _TEXT_IDX_PURGE_DIR[key] = tmp
     return _TEXT_IDX_PURGE_DIR[key].name
@@ -724,15 +709,7 @@ def _ensure_updated_text_index(spark: SparkSession, sf_dir: str) -> str:
 
         tmp = tempfile.TemporaryDirectory(prefix="text_index_upd_")
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-        third = max(1, (int(n) + 1) // 3)
-        for i in range(3):
-            lo, hi = i * third, ((i + 1) * third if i < 2 else int(n) + 1)
-            part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            if i == 0:
-                text_index.bootstrap_text_index(spark, tmp.name, part)
-            else:
-                text_index.append_text_batch(spark, tmp.name, part)
+        _build_3batch_index(spark, tmp.name, docs)
         revised = _updated_docs(spark, sf_dir).filter(
             F.col("doc_id") % UPDATE_MOD == 0
         )

@@ -2545,10 +2545,14 @@ def validate_segmented(spark, root: str, deep: bool = False) -> dict:
       (stale metadata misdirects pruning);
     - advertised bloom sidecar files must exist;
     - the tombstone-pressure counter must be a non-negative int.
-    - ``deep`` additionally opens every pinned segment's parquet
+    - ``deep`` additionally opens EVERY pinned part file's parquet
       footer and checks each file's columns are a SUBSET of the
-      manifest schema with equal types on the common columns (the
-      schema-evolution read contract) — O(files) footer reads.
+      manifest schema with compatible types on the common columns
+      (equal, or a lossless widening source — the schema-evolution
+      read contract). O(files) driver-side reader inits: by protocol
+      one writer wrote each segment, so per-segment drift needs
+      external corruption — deep mode is the restore/audit gate, not
+      a cadence check.
 
     Returns ``{"ok": bool, "errors": [...], "components": {name:
     n_segments}}``; it reports, never repairs."""
@@ -2797,7 +2801,16 @@ def repair_segmented(
                         ),
                     }
         if dry_run:
-            return {"actions": actions, "committed": False, "version": base}
+            # same shape as the committing path (callers branch on
+            # report["ok"]); the verdict is the CURRENT un-repaired one
+            report = validate_segmented(spark, root)
+            return {
+                "actions": actions,
+                "committed": False,
+                "ok": report["ok"],
+                "errors": report["errors"],
+                "version": base,
+            }
         if not changed:
             committed = False
             break

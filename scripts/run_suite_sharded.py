@@ -108,8 +108,13 @@ def main() -> int:
                 for k in totals:
                     totals[k] += int(s.get(k, 0))
             for case in ET.parse(xml).getroot().iter("testcase"):
+                # junit classnames are dotted module paths
+                # ("tests.test_rollup" or "tests.test_x.TestClass"):
+                # the MODULE is the segment starting with test_
                 cls = case.get("classname", "")
-                mod = cls.split(".")[0] if cls else ""
+                mod = next(
+                    (p for p in cls.split(".") if p.startswith("test_")), ""
+                )
                 if mod:
                     durations[f"tests/{mod}.py"] = durations.get(
                         f"tests/{mod}.py", 0.0
@@ -128,7 +133,11 @@ def main() -> int:
         merged.update({k: round(v, 1) for k, v in durations.items()})
         with open(TIMINGS, "w", encoding="utf-8") as f:
             json.dump(
-                {k: v for k, v in sorted(merged.items()) if k.startswith("tests/")},
+                {
+                    k: v
+                    for k, v in sorted(merged.items())
+                    if k.startswith("tests/test_")
+                },
                 f,
                 indent=0,
                 sort_keys=True,
