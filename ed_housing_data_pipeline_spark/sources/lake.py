@@ -23,10 +23,12 @@ import os
 import random
 import threading
 import time
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
 
 
 def default_ingest_date() -> str:
@@ -1337,6 +1339,77 @@ def write_segment(spark, df: DataFrame, component_root: str) -> int:
     )
 
 
+def stage_segments(
+    spark, df: DataFrame, component_root: str, slice_col: str
+) -> list[int]:
+    """Materialize MANY fresh segments from ONE Spark write job: the
+    frame lands ``partitionBy(slice_col)`` into a staging dir, then
+    each non-empty slice dir is claimed a fresh segment id (the same
+    ``_INTENT.s<N>`` protocol as :func:`write_segment`) and RENAMED
+    into place — pure filesystem metadata operations, no second pass
+    over the data. Returns the new segment ids in ascending slice
+    order (ids are strictly increasing in-process, so the sorted pin
+    list preserves slice order). Like write_segment, the segments are
+    invisible until a manifest pins them; a crash mid-stage leaves a
+    ``_STAGE.<id>`` dir that :func:`expire_segments` age-gates away.
+
+    This is the 100 TB shape for any fold-to-N rewrite (z-order
+    waves, partition re-bucketing): the alternative — one filter-pass
+    write job per output slice — is O(n_slices) passes over the input.
+    ``slice_col`` is consumed (partition columns don't land in the
+    data files), so the written schema is the frame's minus it."""
+    root = component_root.rstrip("/")
+    jvm, fs = _fs(spark, root)
+    sid = _next_segment_id()
+    stage = f"{root}/_STAGE.{sid}"
+    df.write.mode("errorifexists").partitionBy(slice_col).parquet(stage)
+    jstage = jvm.org.apache.hadoop.fs.Path(stage)
+    prefix = f"{slice_col}="
+    slices: list[tuple[int, object]] = []
+    for st in _list_status(jvm, fs, jstage):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(prefix):
+            continue
+        val = name[len(prefix):]
+        try:
+            slices.append((int(val), st.getPath()))
+        except ValueError as e:
+            raise ValueError(
+                f"stage_segments: slice column {slice_col!r} must hold "
+                f"non-null integers; staged partition {name!r}"
+            ) from e
+    segs: list[int] = []
+    try:
+        for _val, jsrc in sorted(slices, key=lambda t: t[0]):
+            for _ in range(8):
+                seg = _next_segment_id()
+                intent = jvm.org.apache.hadoop.fs.Path(f"{root}/_INTENT.s{seg}")
+                try:
+                    out = fs.create(intent, False)
+                except Exception:  # noqa: BLE001 - claimed by a racer: new id
+                    continue
+                out.write(str(seg).encode("ascii"))
+                out.close()
+                if not fs.rename(
+                    jsrc, jvm.org.apache.hadoop.fs.Path(_segment_dir(root, seg))
+                ):
+                    raise RuntimeError(
+                        f"stage_segments: rename of staged slice {jsrc} failed"
+                    )
+                segs.append(seg)
+                break
+            else:
+                raise RuntimeError(
+                    f"stage_segments: could not claim a segment id under {root}"
+                )
+    finally:
+        # on success only _SUCCESS and empty scaffolding remain; on
+        # failure the unrenamed slices go with it (renamed ones are
+        # unpinned debris for the orphan sweep, same as write_segment)
+        fs.delete(jstage, True)
+    return segs
+
+
 def read_segments(
     spark, component_root: str, segments: Sequence[int], schema=None
 ) -> DataFrame:
@@ -1409,6 +1482,58 @@ def _segment_zone_stats(
         ]
         for i, c in enumerate(cols)
     }
+
+
+def _segment_zone_stats_many(
+    spark,
+    component_root: str,
+    segs: Sequence[int],
+    cols: Sequence[str],
+    schema=None,
+) -> dict[int, dict[str, list]]:
+    """Per-column ``[min, max, n_nulls]`` for MANY segments in ONE
+    Spark job: a multi-dir scan keyed by the segment id parsed from
+    ``_metadata.file_path``, grouped per segment. Batches what
+    :func:`_segment_zone_stats` does per segment — O(1) jobs instead
+    of O(segments) — for fold-to-N rewrites and repair's coverage
+    backfill. ``schema`` pins the read like any manifest read (the
+    segments may span schema vintages)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    segs = list(segs)
+    if not segs:
+        return {}
+    root = component_root.rstrip("/")
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(*[_segment_dir(root, s) for s in segs])
+    seg_key = (
+        F.regexp_extract(F.col("_metadata.file_path"), r"seg=(\d+)/", 1)
+        .cast("bigint")
+        .alias("__seg")
+    )
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).alias(f"__z{i}n"),
+            F.max(c).alias(f"__z{i}x"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__z{i}u"),
+        ]
+    out: dict[int, dict[str, list]] = {
+        # a segment yielding no group row is EMPTY (zero rows): stats
+        # match what the per-segment agg would return
+        s: {c: [None, None, 0] for c in cols}
+        for s in segs
+    }
+    for row in df.groupBy(seg_key).agg(*aggs).collect():
+        out[int(row["__seg"])] = {
+            c: [
+                _zone_value(row[f"__z{i}n"]),
+                _zone_value(row[f"__z{i}x"]),
+                int(row[f"__z{i}u"] or 0),
+            ]
+            for i, c in enumerate(cols)
+        }
+    return out
 
 
 # Bloom sidecars: equality-predicate segment skipping where zonemap
@@ -1488,6 +1613,96 @@ def _write_segment_bloom(
     out.write(payload.encode("utf-8"))
     out.close()
     return True
+
+
+# driver-side bound for one batched bloom collect: segments are
+# processed in chunks whose worst-case distinct-hash payload stays
+# under this many rows (at _BLOOM_MAX_ROWS per segment → 10 segs/chunk)
+_BLOOM_BATCH_ROWS = 2_000_000
+
+
+def _write_segment_blooms_many(
+    spark,
+    component_root: str,
+    segs: Sequence[int],
+    col: str,
+    overwrite: bool = False,
+) -> dict[int, bool]:
+    """Bloom sidecars for ``col`` over MANY segments in O(1) Spark
+    jobs per driver-memory-bounded chunk, instead of one job per
+    segment (:func:`_write_segment_bloom`): per chunk, one job counts
+    distinct hashes per segment (the over-budget test — those return
+    False and stay conservatively unpruned, same contract as the
+    per-segment path), one job collects the (segment, hash) pairs for
+    the under-budget segments, and the bit arrays are set driver-side.
+    Returns {seg: built}."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    segs = list(segs)
+    if not segs:
+        return {}
+    root = component_root.rstrip("/")
+    chunk_n = max(1, _BLOOM_BATCH_ROWS // _BLOOM_MAX_ROWS)
+    result: dict[int, bool] = {}
+    jvm, fs = _fs(spark, root)
+    for lo in range(0, len(segs), chunk_n):
+        chunk = segs[lo : lo + chunk_n]
+        seg_key = (
+            F.regexp_extract(F.col("_metadata.file_path"), r"seg=(\d+)/", 1)
+            .cast("bigint")
+            .alias("__seg")
+        )
+        pairs = (
+            spark.read.parquet(*[_segment_dir(root, s) for s in chunk])
+            .select(seg_key, F.col(col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .select(
+                "__seg",
+                F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("h"),
+            )
+            .distinct()
+        )
+        counts = {
+            int(r["__seg"]): int(r["n"])
+            for r in pairs.groupBy("__seg").agg(F.count("*").alias("n")).collect()
+        }
+        under = [s for s in chunk if counts.get(s, 0) <= _BLOOM_MAX_ROWS]
+        for s in chunk:
+            result[s] = s in under
+        if not under:
+            continue
+        hashes: dict[int, list[int]] = {s: [] for s in under}
+        for r in pairs.filter(F.col("__seg").isin(under)).collect():
+            hashes[int(r["__seg"])].append(int(r["h"]))
+        import base64  # noqa: PLC0415
+
+        for s in under:
+            hs = hashes[s]
+            n = len(hs)
+            m = max(64, n * _BLOOM_BITS_PER_ROW)
+            bits = bytearray((m + 7) // 8)
+            for h in hs:
+                h1, h2 = _bloom_h12(int(h))
+                for i in range(_BLOOM_K):
+                    p = (h1 + i * h2) % m
+                    bits[p >> 3] |= 1 << (p & 7)
+            payload = json.dumps(
+                {
+                    "m": m,
+                    "k": _BLOOM_K,
+                    "n": n,
+                    "b64": base64.b64encode(bytes(bits)).decode(),
+                }
+            )
+            out = fs.create(
+                jvm.org.apache.hadoop.fs.Path(_bloom_path(root, s, col)),
+                overwrite,
+            )
+            out.write(payload.encode("utf-8"))
+            out.close()
+    return result
 
 
 def _read_segment_bloom(spark, component_root: str, seg: int, col: str) -> dict:
@@ -1734,6 +1949,47 @@ def _manifest_state(
         parsed.get("_schemas", {}),
         version,
     )
+
+
+class ManifestSnapshot(NamedTuple):
+    """One consistent read of a segmented dataset's committed manifest
+    — the PUBLIC form of the state tuple, for maintenance verbs
+    (operators/zcluster, index compaction planners) that plan rewrites
+    against a pinned version and commit with ``expected_base=
+    snapshot.version``. All fields are plain JSON-shaped values."""
+
+    pins: dict[str, list[int]]
+    zones: dict[str, dict[int, dict[str, list]]]
+    blooms: dict[str, dict[int, list[str]]]
+    meta: dict
+    schemas: dict[str, dict]
+    version: int
+
+
+def manifest_snapshot(spark, root: str) -> ManifestSnapshot:
+    """The last committed manifest as a :class:`ManifestSnapshot` —
+    one filesystem read, consistent across every field (see
+    :func:`segment_pins_versioned`)."""
+    return ManifestSnapshot(*_manifest_state(spark, root))
+
+
+def schema_from_json(schema_json: dict | None):
+    """Public: the StructType for a manifest-carried schema JSON (or
+    None) — what external readers pass to :func:`read_segments` to pin
+    a mixed-vintage scan to the component's current logical schema."""
+    return _schema_from_json(schema_json)
+
+
+def segment_sizes(
+    spark, root: str, component: str, segments: Sequence[int]
+) -> dict[int, int]:
+    """On-disk bytes per segment — the driver-side input of size-
+    tiered maintenance planning (compaction tiers, recluster waves).
+    One metadata round-trip per segment dir today (fine at thousands
+    of segments; an FS with a batched content-summary API would slot
+    in here)."""
+    comp_root = f"{root.rstrip('/')}/{component}"
+    return {int(s): _segment_bytes(spark, comp_root, s) for s in segments}
 
 
 def segment_manifest_versions(spark, root: str) -> list[int]:
@@ -2243,7 +2499,14 @@ def append_segments(
     can't help (:func:`bloom_pruned_pins`). The sidecar file lands
     before the manifest flip and its presence is advertised in the
     blob, so readers never look for a sidecar that isn't there;
-    over-budget segments simply stay unadvertised (kept on read)."""
+    over-budget segments simply stay unadvertised (kept on read).
+
+    An ``appends`` value may also be a ``(DataFrame, slice_col)``
+    tuple: the frame is STAGED as one write job and lands as MANY
+    segments — one per distinct non-null integer ``slice_col`` value
+    (:func:`stage_segments`) — all pinned by this single commit. This
+    is the bulk-clustered-load shape (z-order bootstrap): N range
+    slices, one pass over the data, one manifest flip."""
     replaces = replaces or {}
     zone_cols = zone_cols or {}
     bloom_cols = bloom_cols or {}
@@ -2267,8 +2530,18 @@ def append_segments(
     # missing columns read back null-filled)
     new_schemas = dict(schemas)
     for name, df in appends.items():
+        if isinstance(df, tuple):
+            df, slice_col = df
+            # the slice column is consumed by the staged write — it
+            # never lands in the data files, so it must not evolve
+            # into the recorded schema either
+            logical = StructType(
+                [f for f in df.schema.fields if f.name != slice_col]
+            )
+        else:
+            logical = df.schema
         new_schemas[name] = _evolved_schema_json(
-            schemas.get(name), df.schema, name
+            schemas.get(name), logical, name
         )
     for name, df in replaces.items():
         # a replace IS the explicit rewrite: the same commit unpins
@@ -2280,28 +2553,23 @@ def append_segments(
         new_schemas[name] = _nullable_schema_json(df.schema.jsonValue())
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
-        seg = write_segment(spark, df, f"{root}/{name}")
-        new_pins[name] = [*pins.get(name, []), seg]
-        new_segs.append((name, seg))
+        if isinstance(df, tuple):
+            staged = stage_segments(spark, df[0], f"{root}/{name}", df[1])
+            new_pins[name] = [*pins.get(name, []), *staged]
+            new_segs += [(name, s) for s in staged]
+        else:
+            seg = write_segment(spark, df, f"{root}/{name}")
+            new_pins[name] = [*pins.get(name, []), seg]
+            new_segs.append((name, seg))
     for name, df in replaces.items():
         seg = write_segment(spark, df, f"{root}/{name}")
         new_pins[name] = [seg]
         new_segs.append((name, seg))
     new_zones = _carry_zones(zones, new_pins)
     new_blooms = _carry_blooms(blooms, new_pins)
-    for name, seg in new_segs:
-        cols = zone_cols.get(name)
-        if cols:
-            new_zones.setdefault(name, {})[seg] = _segment_zone_stats(
-                spark, f"{root}/{name}", seg, cols
-            )
-        built = [
-            c
-            for c in bloom_cols.get(name, [])
-            if _write_segment_bloom(spark, f"{root}/{name}", seg, c)
-        ]
-        if built:
-            new_blooms.setdefault(name, {})[seg] = built
+    _cover_new_segments(
+        spark, root, new_segs, zone_cols, bloom_cols, new_zones, new_blooms
+    )
     # pinned commit: concurrent committers cannot silently drop each
     # other's segments — the loser gets ConcurrentCommitError and must
     # retry from fresh pins (its written segments stay unpinned debris).
@@ -2365,6 +2633,50 @@ def _carry_blooms(
         if keep:
             out[comp] = keep
     return out
+
+
+def _cover_new_segments(
+    spark,
+    root: str,
+    new_segs: Sequence[tuple[str, int]],
+    zone_cols: dict[str, Sequence[str]],
+    bloom_cols: dict[str, Sequence[str]],
+    new_zones: dict,
+    new_blooms: dict,
+) -> None:
+    """Compute zonemap stats and bloom sidecars for just-written
+    segments, batched per component/column: a component landing ONE
+    segment keeps the per-segment O(batch) jobs; a component landing
+    MANY (a staged fold-to-N rewrite) gets one stats job and one
+    count+collect job pair per bloom column instead of O(segments)
+    jobs. Mutates ``new_zones`` / ``new_blooms`` in place."""
+    by_comp: dict[str, list[int]] = {}
+    for name, seg in new_segs:
+        by_comp.setdefault(name, []).append(seg)
+    for name, segs in by_comp.items():
+        comp_root = f"{root}/{name}"
+        zcols = list(zone_cols.get(name) or [])
+        if zcols:
+            if len(segs) == 1:
+                new_zones.setdefault(name, {})[segs[0]] = _segment_zone_stats(
+                    spark, comp_root, segs[0], zcols
+                )
+            else:
+                for seg, stats in _segment_zone_stats_many(
+                    spark, comp_root, segs, zcols
+                ).items():
+                    new_zones.setdefault(name, {})[seg] = stats
+        built_by_seg: dict[int, list[str]] = {}
+        for c in bloom_cols.get(name, []):
+            if len(segs) == 1:
+                ok = {segs[0]: _write_segment_bloom(spark, comp_root, segs[0], c)}
+            else:
+                ok = _write_segment_blooms_many(spark, comp_root, segs, c)
+            for seg, built in ok.items():
+                if built:
+                    built_by_seg.setdefault(seg, []).append(c)
+        for seg, cols in built_by_seg.items():
+            new_blooms.setdefault(name, {})[seg] = cols
 
 
 def _segment_bytes(spark, component_root: str, seg: int) -> int:
@@ -2528,6 +2840,163 @@ def compact_segments(
             kw["schemas"] = new_schemas
         commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
+
+
+def rewrite_segments(
+    spark,
+    root: str,
+    component: str,
+    rewrite: Callable,
+    plan: Callable | None = None,
+    min_segments: int = 2,
+    zone_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
+    meta_update: Callable | None = None,
+    max_attempts: int = 3,
+) -> dict[str, list[int]]:
+    """The fold-to-N rewrite hook — the generalization of
+    :func:`compact_segments` from "fold a segment set to ONE segment"
+    to "rewrite a segment set through a function returning N outputs",
+    owning every manifest invariant ONCE: the consistent snapshot, the
+    schema-pinned read of the fold set, staged or per-frame segment
+    writes, zone/bloom carry for untouched segments, coverage rebuild
+    on the fresh ones (batched), schema evolution + subsetting, the
+    ``expected_base`` flip, and a bounded retry-from-fresh-pins loop on
+    :class:`ConcurrentCommitError`. Layout verbs (OPTIMIZE-ZORDER
+    waves, partition re-bucketing, leveled merges) ride this instead
+    of re-wiring private helpers — the next manifest-schema change
+    lands here, in the module that owns the invariants.
+
+    ``plan(snapshot)`` picks the fold set from a
+    :class:`ManifestSnapshot` (default: every pinned segment of the
+    component). Fewer than ``min_segments`` candidates → no-op (no
+    jobs, no commit); the current pins return.
+
+    ``rewrite(df)`` maps the fold set's schema-pinned union to the new
+    layout and returns ONE of: a ``(DataFrame, slice_col)`` tuple —
+    the scale path, N segments from ONE staged write job
+    (:func:`stage_segments`); a list of DataFrames — one write job
+    each (small N, heterogeneous outputs); or a single DataFrame (the
+    compaction shape). Content is the rewrite's contract; the hook
+    never transforms rows.
+
+    Coverage on the fresh segments is self-describing like
+    :func:`compact_segments`: every column the folded-away segments
+    carried zone stats / bloom advertisements for is recomputed on the
+    outputs (plus any ``zone_cols`` / ``bloom_cols`` the caller adds —
+    a NEW layout may warrant new skipping columns).
+
+    ``meta_update(prior_meta, new_segs)`` returns the manifest
+    application metadata to commit atomically with the flip (layout
+    markers, wave counters); default carries the prior value. On a
+    lost commit race the WHOLE pass replans from fresh state — written
+    segments stay unpinned debris for the orphan sweep — up to
+    ``max_attempts`` times, then the typed conflict propagates."""
+    last_err: BaseException | None = None
+    for _attempt in range(max_attempts):
+        snap = manifest_snapshot(spark, root)
+        if component not in snap.pins:
+            raise KeyError(f"rewrite_segments: no pinned component {component!r}")
+        pinned = set(snap.pins[component])
+        fold = (
+            list(plan(snap)) if plan is not None else list(snap.pins[component])
+        )
+        stray = [s for s in fold if s not in pinned]
+        if stray:
+            raise ValueError(
+                f"rewrite_segments: plan chose unpinned segments {stray} "
+                f"of {component!r} — plans must derive from the snapshot"
+            )
+        if len(fold) < min_segments:
+            return snap.pins
+        comp_root = f"{root.rstrip('/')}/{component}"
+        df = read_segments(
+            spark,
+            comp_root,
+            fold,
+            schema=_schema_from_json(snap.schemas.get(component)),
+        )
+        out = rewrite(df)
+        if isinstance(out, tuple):
+            frame, slice_col = out
+            new_segments = stage_segments(spark, frame, comp_root, slice_col)
+            logical = StructType(
+                [f for f in frame.schema.fields if f.name != slice_col]
+            )
+        elif isinstance(out, DataFrame):
+            new_segments = [write_segment(spark, out, comp_root)]
+            logical = out.schema
+        else:
+            frames = list(out)
+            if not frames:
+                raise ValueError(
+                    "rewrite_segments: rewrite returned no output frames"
+                )
+            new_segments = [
+                write_segment(spark, f, comp_root) for f in frames
+            ]
+            logical = frames[0].schema
+        new_pins = dict(snap.pins)
+        new_pins[component] = sorted(
+            [s for s in snap.pins[component] if s not in set(fold)]
+            + new_segments
+        )
+        new_zones = _carry_zones(snap.zones, new_pins)
+        new_blooms = _carry_blooms(snap.blooms, new_pins)
+        # self-describing coverage: the folded segments' column sets,
+        # plus whatever the caller declares for the new layout
+        zcols = sorted(
+            {
+                c
+                for s in fold
+                for c in snap.zones.get(component, {}).get(s, {})
+            }
+            | set(zone_cols)
+        )
+        bcols = sorted(
+            {
+                c
+                for s in fold
+                for c in snap.blooms.get(component, {}).get(s, [])
+            }
+            | set(bloom_cols)
+        )
+        _cover_new_segments(
+            spark,
+            root.rstrip("/"),
+            [(component, s) for s in new_segments],
+            {component: zcols},
+            {component: bcols},
+            new_zones,
+            new_blooms,
+        )
+        new_schemas = dict(snap.schemas)
+        new_schemas[component] = _evolved_schema_json(
+            snap.schemas.get(component), logical, component
+        )
+        new_schemas = {c: sj for c, sj in new_schemas.items() if c in new_pins}
+        commit_meta = (
+            meta_update(snap.meta, list(new_segments))
+            if meta_update is not None
+            else snap.meta
+        )
+        kw: dict = {}
+        if new_zones:
+            kw["zones"] = new_zones
+        if new_blooms:
+            kw["blooms"] = new_blooms
+        if commit_meta:
+            kw["meta"] = commit_meta
+        if new_schemas:
+            kw["schemas"] = new_schemas
+        try:
+            commit_segment_manifest(
+                spark, root, new_pins, expected_base=snap.version, **kw
+            )
+            return new_pins
+        except ConcurrentCommitError as e:
+            last_err = e  # replan from fresh pins; debris to the sweep
+    raise last_err
 
 
 def validate_segmented(spark, root: str, deep: bool = False) -> dict:
@@ -2911,6 +3380,19 @@ def expire_segments(
         for cst in _list_status(jvm, fs, jvm.org.apache.hadoop.fs.Path(comp_root)):
             cname = cst.getPath().getName()
             if cst.isDirectory():
+                # a crashed staged write (stage_segments) leaves its
+                # _STAGE.<id> dir behind: never pinnable, so age-gate
+                # on the newest mtime inside and drop it whole
+                if cname.startswith("_STAGE."):
+                    try:
+                        best = float(cst.getModificationTime())
+                        it = fs.listFiles(cst.getPath(), True)
+                        while it.hasNext():
+                            best = max(best, float(it.next().getModificationTime()))
+                    except Exception:  # noqa: BLE001 - racer swept it
+                        continue
+                    if now_ms - best > orphan_grace_sec * 1000.0:
+                        fs.delete(cst.getPath(), True)
                 continue
             if cname.startswith("_BLOOM.s"):
                 try:
