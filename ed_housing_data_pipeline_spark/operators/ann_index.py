@@ -378,8 +378,8 @@ def delete_where(
     run under the attempt's manifest meta (bounded-broadcast policy —
     see text_index.delete_where); corpus-attribute predicates belong
     on the corpus table → :func:`delete_from`."""
-    from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
-        _persist_for_attempt,
+    from ed_housing_data_pipeline_spark.operators._commit import (  # noqa: PLC0415
+        persist_for_attempt as _persist_for_attempt,
     )
 
     def _ids(st: dict) -> DataFrame:

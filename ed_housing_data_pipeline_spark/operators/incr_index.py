@@ -383,7 +383,8 @@ def read_index(
     lands. Derived stats components pass through (bucketcounts fold
     their negative delete rows additively; stopbands were refreshed at
     delete time)."""
-    pins, _zones, _blooms, meta, _schemas, _v = lake._manifest_state(spark, root)
+    snap = lake.manifest_snapshot(spark, root)
+    pins, meta = snap.pins, snap.meta
     names = list(components) if components is not None else [
         n for n in pins if n != TOMBSTONES
     ]
@@ -510,8 +511,8 @@ def delete_where(
     manifest meta (bounded-broadcast policy — see
     text_index.delete_where). Indexes without a docs component should
     filter their corpus table and call :func:`delete_from`."""
-    from ed_housing_data_pipeline_spark.operators.text_index import (  # noqa: PLC0415
-        _persist_for_attempt,
+    from ed_housing_data_pipeline_spark.operators._commit import (  # noqa: PLC0415
+        persist_for_attempt as _persist_for_attempt,
     )
 
     def _ids(st: dict) -> DataFrame:

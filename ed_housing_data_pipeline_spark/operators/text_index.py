@@ -441,15 +441,11 @@ def delete_where(spark, root: str, predicate) -> dict[str, list[int]]:
     )
 
 
-def _persist_for_attempt(st: dict, df: DataFrame) -> DataFrame:
-    """Persist a frame for the lifetime of one _delete_commit attempt
-    (registered in the attempt state; unpersisted when the attempt
-    ends, win or lose)."""
-    from pyspark import StorageLevel  # noqa: PLC0415
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    st["_persisted"].append(df)
-    return df
+# the attempt-scoped persist contract is shared by all three index
+# families; the canonical copy lives in operators/_commit.py
+from ed_housing_data_pipeline_spark.operators._commit import (  # noqa: E402
+    persist_for_attempt as _persist_for_attempt,
+)
 
 
 def _delete_commit(
@@ -725,8 +721,8 @@ def _index_state(spark, root: str) -> tuple[dict, dict, dict]:
     its posting scan, doclens read, term stats, and corpus-size meta,
     so a commit landing mid-search can never mix snapshots (e.g.
     post-upsert doclens joined to pre-upsert postings)."""
-    pins, _zones, blooms, meta, _schemas, _v = lake._manifest_state(spark, root)
-    return pins, blooms, meta
+    snap = lake.manifest_snapshot(spark, root)
+    return snap.pins, snap.blooms, snap.meta
 
 
 def pinned_postings(

@@ -1,20 +1,21 @@
 """Z-order-clustered segment layout: multi-column data skipping.
 
 Writes a fact frame as segmented-lake segments RANGE-SLICED on the
-Morton interleave of two columns (functions/zorder), with zonemaps on
-the RAW columns — so a 2-D box predicate prunes segments on both
-dimensions driver-side (:func:`box_pruned_pins` intersects the
-per-column zonemap keeps). With one-column sorting the second
-predicate keeps every segment; with z-clustering both predicates cut,
+Morton interleave of N columns (functions/zorder), with zonemaps on
+the RAW columns — so a multi-dimensional box predicate prunes segments
+on every dimension driver-side (:func:`box_pruned_pins` intersects the
+per-column zonemap keeps). With one-column sorting the off-sort
+predicates keep every segment; with z-clustering all predicates cut,
 which is the whole point of space-filling-curve layouts at 100 TB.
 
-Scale note on the writer: each z-slice becomes one ``append_segments``
-commit, so the demo writer below makes ``n_segments`` passes over the
-(persisted) input. At real scale you'd stage the z-keyed frame once
-with ``repartitionByRange(n, z)`` and commit the already-materialized
-slices — the read path and manifest layout are identical; only the
-write amplification differs, and the input is persisted here so the
-passes are memory-local at test scale.
+Both the bootstrap writer and the recluster maintenance verb are
+SINGLE-PASS: the z-keyed frame is range-partitioned on its slice and
+written as N segments by ONE Spark job (lake.stage_segments /
+the (frame, slice_col) staged form of append_segments), never one
+filter-pass per slice. All manifest choreography — snapshot, carry,
+re-zone, re-bloom, schema subset, ``expected_base`` flip, bounded
+commit-race retry — is owned by lake.rewrite_segments; this module
+only decides WHAT to fold and HOW to slice it.
 """
 
 from __future__ import annotations
@@ -65,9 +66,10 @@ def write_zorder_clustered_n(
 ) -> dict[str, list[int]]:
     """Cluster ``df`` into ``n_segments`` z-contiguous segments on the
     N-dim Morton interleave of ``exprs`` (N·bits ≤ 63 — 3-4 dimension
-    clustering like date × key × region at the default 10 bits/dim).
+    clustering like date × key × region at the default 10 bits/dim),
+    as ONE staged write job + ONE manifest commit.
 
-    Slice boundaries come from approximate z-quantiles (one pass);
+    Slice boundaries come from approximate z-quantiles (one agg pass);
     duplicate cut points (skewed z) collapse, so fewer, fuller
     segments — never empty ones. Rows whose z is NULL (out-of-range
     inputs, see functions/zorder) land in the LAST slice so no row is
@@ -75,40 +77,74 @@ def write_zorder_clustered_n(
     zed = df.withColumn("_z", zorderN(exprs, bits))
     zed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        zed_s, n_slices = _z_slices(zed, n_segments)
-        pins: dict[str, list[int]] = {}
-        for i in range(n_slices):
-            part = zed_s.filter(F.col("_slice") == i).drop("_z", "_slice")
-            pins = lake.append_segments(
-                spark,
-                root,
-                appends={component: part},
-                init=(i == 0),
-                zone_cols={component: list(zone_cols)},
-            )
-        return pins
+        staged = _z_staged(zed, n_segments)
+        return lake.append_segments(
+            spark,
+            root,
+            appends={component: (staged, "_slice")},
+            init=True,
+            zone_cols={component: list(zone_cols)},
+        )
     finally:
         zed.unpersist()
+
+
+# exact cuts up to this many rows (the percentile sketch degrades
+# gracefully to approximate — but still 63-bit-precise — beyond it)
+_Z_QUANTILE_ACCURACY = 1_000_000
 
 
 def _z_slices(zed: DataFrame, n_segments: int) -> tuple[DataFrame, int]:
     """``(frame with an int ``_slice`` column, slice count)`` from a
     persisted z-keyed frame — the slice assignment shared by the
-    bootstrap writer and :func:`recluster_zorder` (one copy of the
-    skewed-z and NULL-z edge handling). Boundaries come from
-    approximate z-quantiles (one pass); duplicate cuts (skewed z)
-    collapse, so fewer, fuller segments — never empty ones; rows whose
-    z is NULL (out-of-range inputs, see functions/zorder) land in the
-    LAST slice so no row is lost."""
-    probs = [i / n_segments for i in range(1, n_segments)]
-    cuts = zed.stat.approxQuantile("_z", probs, 0.0)
-    # drop duplicate cuts and any cut at the max (its upper slice
-    # would be empty); all-NULL z → no cuts, one slice
-    zmax = zed.agg(F.max("_z")).collect()[0][0]
-    cuts = sorted({c for c in cuts if zmax is not None and c < zmax})
+    bootstrap writer and :func:`recluster_zorder`. Boundaries come
+    from ``approx_percentile`` ON THE BIGINT z itself (one agg pass,
+    fused with the z-max probe), so cut literals are exact 64-bit
+    integers — a float64 round-trip would collapse distinct z values above
+    2^53 (possible at n·bits > 53) and smear boundary rows across
+    slices. Duplicate cuts (skewed z) collapse, so fewer, fuller
+    segments — never empty ones; rows whose z is NULL (out-of-range
+    inputs, see functions/zorder) land in the LAST slice so no row is
+    lost."""
+    cuts: list[int] = []
+    if n_segments > 1:
+        probs = ", ".join(
+            repr(i / n_segments) for i in range(1, n_segments)
+        )
+        row = zed.agg(
+            F.expr(
+                f"approx_percentile(_z, array({probs}), "
+                f"{_Z_QUANTILE_ACCURACY})"
+            ).alias("cuts"),
+            F.max("_z").alias("zmax"),
+        ).collect()[0]
+        zmax = row["zmax"]
+        raw = row["cuts"]
+        if zmax is not None and int(zmax) >= (1 << 53):
+            # the percentile sketch holds doubles internally, so cut
+            # PLACEMENT above 2^53 would be float-rounded: recompute on
+            # the shifted key (exact in double space) and map back with
+            # exact integer boundaries — placement granularity degrades
+            # to 2^shift (≪ the z range), assignment stays exact
+            shift = int(zmax).bit_length() - 53
+            srow = zed.agg(
+                F.expr(
+                    f"approx_percentile(shiftright(_z, {shift}), "
+                    f"array({probs}), {_Z_QUANTILE_ACCURACY})"
+                ).alias("cuts")
+            ).collect()[0]
+            raw = (
+                None
+                if srow["cuts"] is None
+                else [((int(c) + 1) << shift) - 1 for c in srow["cuts"]]
+            )
+        if zmax is not None and raw is not None:
+            # drop duplicate cuts and any cut at the max (its upper
+            # slice would be empty); all-NULL z → no cuts, one slice
+            cuts = sorted({int(c) for c in raw if int(c) < int(zmax)})
     # slice id = number of cuts strictly below z; NULL z → last slice
     slice_sql = " + ".join(
-        f"CAST(_z > {float(c)!r} AS INT)" for c in cuts
+        f"CAST(_z > CAST({c} AS BIGINT) AS INT)" for c in cuts
     ) or "0"
     return (
         zed.withColumn(
@@ -116,6 +152,20 @@ def _z_slices(zed: DataFrame, n_segments: int) -> tuple[DataFrame, int]:
             F.coalesce(F.expr(slice_sql), F.lit(len(cuts))).cast("int"),
         ),
         len(cuts) + 1,
+    )
+
+
+def _z_staged(zed: DataFrame, n_segments: int) -> DataFrame:
+    """The staged single-write-job form of the slice assignment:
+    range-partitioned so each task holds one z-contiguous slice,
+    z-sorted within partitions for file-internal locality, ``_z``
+    dropped (the raw columns carry the zonemaps). Feed to
+    lake.stage_segments / the staged append with slice_col='_slice'."""
+    zed_s, n_slices = _z_slices(zed, n_segments)
+    return (
+        zed_s.repartitionByRange(n_slices, "_slice", "_z")
+        .sortWithinPartitions("_slice", "_z")
+        .drop("_z")
     )
 
 
@@ -130,6 +180,8 @@ def recluster_zorder(
     min_segments: int = 2,
     max_segment_bytes: int | None = None,
     force: bool = False,
+    max_waves: int | None = 8,
+    max_attempts: int = 3,
 ) -> dict[str, list[int]]:
     """OPTIMIZE … ZORDER BY as a maintenance verb over an EXISTING
     segmented component: fold the pinned segments (or, with
@@ -146,110 +198,94 @@ def recluster_zorder(
     size probe, no commit), never a perpetual O(tail) rewrite. New
     ingests since the last pass get their own slice wave (pins grow by
     ≤ n_segments per wave, z-ranges may overlap across waves — zonemap
-    pruning doesn't require disjointness); ``force=True`` ignores the
-    marker and re-lays the whole component out as one clean wave (the
-    periodic level-merge). Changing ``exprs``/``bits`` invalidates the
+    pruning doesn't require disjointness). BOUNDED GROWTH: the marker
+    counts graduated waves, and once a pass would start wave
+    ``max_waves + 1`` it instead folds every candidate AND the prior
+    waves' slices as one clean level-merge (wave count resets to 1) —
+    read fan-in is capped at ~``max_waves × n_segments`` without an
+    operator remembering to schedule force passes. ``force=True``
+    triggers that whole-component level-merge explicitly and overrides
+    the size filter; changing ``exprs``/``bits`` invalidates the
     marker automatically.
 
-    Differences from :func:`write_zorder_clustered_n` (the bootstrap
-    writer): the input is the component's own pinned scan
-    (schema-reconciled), untouched segments keep their pins/zonemaps/
-    blooms, all slices land as UNCOMMITTED segments first and ONE
-    commit_segment_manifest flips them in with ``expected_base`` — a
-    rival ingest conflicts loudly (retry from fresh pins) instead of
-    being dropped, and a crash mid-pass leaves only unpinned debris
-    for the orphan sweep. Content-neutral by construction: the rows
-    are re-sliced, never transformed."""
+    Execution rides lake.rewrite_segments: the fold set is planned
+    against one manifest snapshot, the slices land from ONE staged
+    write job, untouched segments keep their pins/zonemaps/blooms,
+    bloom coverage is rebuilt on the fresh slices (batched), and a
+    rival ingest landing mid-pass triggers a replan-from-fresh-pins
+    retry (up to ``max_attempts``; the failed attempt's slices are
+    unpinned debris for the orphan sweep) before the typed conflict
+    propagates. Content-neutral by construction: the rows are
+    re-sliced, never transformed."""
     zone_cols = list(zone_cols)
-    pins, zones, blooms, meta, schemas, base = lake._manifest_state(spark, root)
-    if component not in pins:
-        raise KeyError(f"recluster_zorder: no pinned component {component!r}")
     marker_key = f"zcluster_{component}"
-    marker = meta.get(marker_key) or {}
-    already: set[int] = set()
-    if (
-        not force
-        and marker.get("exprs") == list(exprs)
-        and marker.get("bits") == bits
-    ):
-        already = set(marker.get("segs", [])) & set(pins[component])
-    candidates = [s for s in pins[component] if s not in already]
-    if force or max_segment_bytes is None:
-        # force IS the whole-component level-merge: it must override
-        # the size filter too, else graduated prior waves would be
-        # excluded forever and the merge the flag exists for never runs
-        fold = candidates
-    else:
-        fold = [
-            s
-            for s in candidates
-            if lake._segment_bytes(spark, f"{root}/{component}", s)
-            < max_segment_bytes
-        ]
-    if len(fold) < min_segments:
-        return pins
-    comp_root = f"{root.rstrip('/')}/{component}"
-    df = lake.read_segments(
-        spark,
-        comp_root,
-        fold,
-        schema=lake._schema_from_json(schemas.get(component)),
-    )
-    zed = df.withColumn("_z", zorderN(exprs, bits))
-    zed.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        zed_s, n_slices = _z_slices(zed, n_segments)
-        new_segs: list[int] = []
-        for i in range(n_slices):
-            part = zed_s.filter(F.col("_slice") == i).drop("_z", "_slice")
-            new_segs.append(lake.write_segment(spark, part, comp_root))
-        new_pins = dict(pins)
-        new_pins[component] = sorted(
-            [s for s in pins[component] if s not in fold] + new_segs
-        )
-        new_zones = lake._carry_zones(zones, new_pins)
-        for seg in new_segs:
-            new_zones.setdefault(component, {})[seg] = (
-                lake._segment_zone_stats(spark, comp_root, seg, zone_cols)
-            )
-        new_blooms = lake._carry_blooms(blooms, new_pins)
-        # bloom coverage follows the data: columns the component
-        # advertises elsewhere are re-bloomed on the fresh slices (the
-        # same self-describing carry compact_segments does)
-        bloom_columns = sorted(
-            {c for cols in blooms.get(component, {}).values() for c in cols}
-        )
-        for seg in new_segs:
-            built = [
-                c
-                for c in bloom_columns
-                if lake._write_segment_bloom(spark, comp_root, seg, c)
-            ]
-            if built:
-                new_blooms.setdefault(component, {})[seg] = built
-        kw: dict = {}
-        if new_zones:
-            kw["zones"] = new_zones
-        if new_blooms:
-            kw["blooms"] = new_blooms
-        kw["meta"] = {
-            **meta,
+    ctx: dict = {}
+    persisted: list[DataFrame] = []
+
+    def plan(snap: lake.ManifestSnapshot) -> list[int]:
+        pins = snap.pins[component]
+        marker = (snap.meta or {}).get(marker_key) or {}
+        already: set[int] = set()
+        waves = 0
+        if (
+            not force
+            and marker.get("exprs") == list(exprs)
+            and marker.get("bits") == bits
+        ):
+            already = set(marker.get("segs", [])) & set(pins)
+            if already:
+                waves = int(marker.get("waves", 1))
+        candidates = [s for s in pins if s not in already]
+        if force:
+            ctx.update(base=set(), waves=1)
+            return list(pins)
+        if max_segment_bytes is None:
+            small = candidates
+        else:
+            sizes = lake.segment_sizes(spark, root, component, candidates)
+            small = [s for s in candidates if sizes[s] < max_segment_bytes]
+        if len(small) < min_segments:
+            return []  # no-op pass: the hook commits nothing
+        if max_waves is not None and waves >= max_waves:
+            # automatic level-merge: this wave would exceed the budget,
+            # so fold the graduated waves back in with it
+            ctx.update(base=set(), waves=1)
+            return sorted(set(small) | already)
+        ctx.update(base=already, waves=waves + 1)
+        return small
+
+    def meta_update(prior_meta: dict, new_segs: list[int]) -> dict:
+        return {
+            **(prior_meta or {}),
             marker_key: {
                 "exprs": list(exprs),
                 "bits": bits,
-                "segs": sorted(already | set(new_segs)),
+                "segs": sorted(ctx["base"] | set(new_segs)),
+                "waves": ctx["waves"],
             },
         }
-        if schemas:
-            kw["schemas"] = {
-                c: sj for c, sj in schemas.items() if c in new_pins
-            }
-        lake.commit_segment_manifest(
-            spark, root, new_pins, expected_base=base, **kw
+
+    def rewrite(df: DataFrame):
+        zed = df.withColumn("_z", zorderN(exprs, bits))
+        zed.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(zed)
+        return (_z_staged(zed, n_segments), "_slice")
+
+    try:
+        return lake.rewrite_segments(
+            spark,
+            root,
+            component,
+            rewrite=rewrite,
+            plan=plan,
+            min_segments=min_segments,
+            zone_cols=zone_cols,
+            meta_update=meta_update,
+            max_attempts=max_attempts,
         )
-        return new_pins
     finally:
-        zed.unpersist()
+        for z in persisted:
+            z.unpersist()
 
 
 def box_pruned_pins(
@@ -269,11 +305,9 @@ def box_pruned_pins(
     # ONE manifest snapshot for every dimension's prune (N separate
     # reads could straddle a rival commit and intersect pin lists from
     # different versions)
-    pins, zones, _blooms, _meta, _schemas, _version = lake._manifest_state(
-        spark, root
-    )
+    snap = lake.manifest_snapshot(spark, root)
     kept, pinned, _schema = _box_pruned_from_state(
-        component, box, pins, zones, None
+        component, box, snap.pins, snap.zones, None
     )
     return kept, pinned
 
@@ -291,7 +325,7 @@ def _box_pruned_from_state(component, box, pins, zones, schemas):
         kept_sets.append(set(kept))
     kept_all = set.intersection(*kept_sets) if kept_sets else set(pinned)
     schema = (
-        lake._schema_from_json(schemas.get(component))
+        lake.schema_from_json(schemas.get(component))
         if schemas is not None
         else None
     )
@@ -313,11 +347,9 @@ def read_box(
             "read_box: empty box; use read_segmented_components for an "
             "unpredicated scan"
         )
-    pins, zones, _blooms, _meta, schemas, _version = lake._manifest_state(
-        spark, root
-    )
+    snap = lake.manifest_snapshot(spark, root)
     kept, pinned, schema = _box_pruned_from_state(
-        component, box, pins, zones, schemas
+        component, box, snap.pins, snap.zones, snap.schemas
     )
     comp_root = f"{root.rstrip('/')}/{component}"
     if not kept:

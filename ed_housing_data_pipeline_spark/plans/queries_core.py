@@ -2014,7 +2014,7 @@ def q_doc_delete_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     root = _ensure_deleted_corpus(spark, sf_dir)
     hits = lake.read_segments_bloom_pruned(spark, root, "docs", "doc_id", ids)
-    dead = lake._tombstone_component("docs")
+    dead = lake.tombstone_component("docs")
     pins = lake.segment_pins(spark, root)
     out = hits.filter(F.col("doc_id").isin(ids))
     if dead in pins:  # subtract any post-apply tombstones

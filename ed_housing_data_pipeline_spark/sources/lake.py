@@ -2051,6 +2051,13 @@ def _tombstone_component(component: str) -> str:
     return f"{component}__tombstones"
 
 
+def tombstone_component(component: str) -> str:
+    """Public: the paired tombstone component's name for a logically
+    deletable component — callers that inspect pins (audits, tests)
+    resolve the naming convention through this, not a string format."""
+    return _tombstone_component(component)
+
+
 def delete_rows(
     spark, root: str, component: str, id_col: str, ids: Sequence
 ) -> dict[str, list[int]]:

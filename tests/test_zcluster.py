@@ -332,7 +332,7 @@ def test_recluster_zorder_size_tiered_and_rival_commit(spark, tmp_path):
         lake.append_segments(spark, root, {"t": df}, zone_cols={"t": ["k", "m"]})
     pins0 = lake.segment_pins(spark, root)["t"]
     big_seg = pins0[0]
-    thresh = lake._segment_bytes(spark, f"{root}/t", big_seg)
+    thresh = lake.segment_sizes(spark, root, "t", [big_seg])[big_seg]
     before = sorted(
         tuple(r)
         for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
@@ -352,26 +352,42 @@ def test_recluster_zorder_size_tiered_and_rival_commit(spark, tmp_path):
         for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
     )
     assert after == before
-    # rival commit between read and flip → typed conflict (fire-once:
-    # the rival append itself commits through this same seam)
+    # rival commit between read and flip: a ONE-SHOT rival is absorbed
+    # by the replan-from-fresh-pins retry (the rival's row survives the
+    # re-laid-out component); a PERSISTENT rival exhausts the bounded
+    # attempts and the typed conflict propagates. The rival append
+    # itself commits through this same seam, so it fires re-entrantly.
     real = lake.commit_segment_manifest
-    state = {"fired": False}
+    state = {"fired": False, "always": False, "depth": 0}
     def racy(spark_, root_, pins_, **kw):
-        if not state["fired"]:
+        if state["depth"] == 0 and (state["always"] or not state["fired"]):
             state["fired"] = True
-            lake.append_segments(
-                spark_,
-                root_,
-                {"t": spark_.createDataFrame(
-                    [(1, 2, 3)], "id bigint, k int, m int"
-                )},
-            )
+            state["depth"] += 1
+            try:
+                lake.append_segments(
+                    spark_,
+                    root_,
+                    {"t": spark_.createDataFrame(
+                        [(77_777, 2, 3)], "id bigint, k int, m int"
+                    )},
+                )
+            finally:
+                state["depth"] -= 1
         return real(spark_, root_, pins_, **kw)
     lake.commit_segment_manifest = racy
     try:
+        # force: the convergence marker would otherwise make this
+        # pass a fold-nothing no-op that never reaches the commit
+        pins_retry = zcluster.recluster_zorder(
+            spark, root, "t",
+            exprs=["CAST(floor(k / 4) AS INT)", "m"],
+            zone_cols=("k", "m"), n_segments=2, force=True,
+        )
+        assert lake.segment_pins(spark, root)["t"] == pins_retry["t"]
+        live = lake.read_segmented_components(spark, root, ["t"])["t"]
+        assert live.filter("id = 77777").count() == 1  # rival survived
+        state["always"] = True
         with pytest.raises(lake.ConcurrentCommitError):
-            # force: the convergence marker would otherwise make this
-            # pass a fold-nothing no-op that never reaches the commit
             zcluster.recluster_zorder(
                 spark, root, "t",
                 exprs=["CAST(floor(k / 4) AS INT)", "m"],
@@ -466,3 +482,128 @@ def test_recluster_zorder_converges_and_force_relayouts(spark, tmp_path):
     assert not set(pins3["t"]) & set(pins4["t"])
     n = lake.read_segmented_components(spark, root, ["t"])["t"].count()
     assert n == 4 * 500 + 200
+
+
+def _count_jobs(spark, fn):
+    """Total Spark jobs submitted while fn() runs (job-group probe)."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"probe-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_recluster_wave_job_count_independent_of_slices(spark, tmp_path):
+    """The staged wave writes ALL slices in ONE Spark write job
+    (repartitionByRange → partitionBy → rename): total jobs per wave
+    must not grow with n_segments. The old shape — one filter-pass
+    write per slice — would differ by ~n_segments between these runs."""
+    counts = {}
+    for n_seg in (4, 8):
+        root = str(tmp_path / f"ds{n_seg}")
+        _append_messy(spark, root, n_batches=4)
+        counts[n_seg] = _count_jobs(
+            spark,
+            lambda: zcluster.recluster_zorder(
+                spark, root, "t",
+                exprs=["CAST(floor(k / 4) AS INT)", "m"],
+                zone_cols=("k", "m"), n_segments=n_seg,
+            ),
+        )
+        assert len(lake.segment_pins(spark, root)["t"]) > 1
+    assert counts[4] == counts[8], counts
+    # absolute ceiling: persist+agg (cuts+max), range-sampling, the
+    # ONE staged write, batched zone stats, footer probes — but NOT
+    # anything that scales with slice count
+    assert counts[8] <= 12, counts
+
+
+def test_bootstrap_writer_is_single_pass_and_one_commit(spark, tmp_path):
+    """The bootstrap writer stages every slice from one write job and
+    pins them in ONE manifest commit (manifest version 1)."""
+    df = _grid_df(spark)
+    root = str(tmp_path / "z1")
+    jobs = _count_jobs(
+        spark,
+        lambda: zcluster.write_zorder_clustered(
+            spark, root, df, "t", "x", "y",
+            zone_cols=("x", "y"), n_segments=8, bits=6,
+        ),
+    )
+    assert jobs <= 12, jobs
+    pins, version = lake.segment_pins_versioned(spark, root)
+    assert len(pins["t"]) > 1
+    assert version == 1  # one commit pinned every slice
+
+
+def test_recluster_auto_level_merge_bounds_wave_count(spark, tmp_path):
+    """Bounded read fan-in without operator-scheduled force passes:
+    once a pass would start wave max_waves+1, the graduated waves fold
+    back in as one clean level-merge and the wave counter resets."""
+    root = str(tmp_path / "ds")
+    exprs = ["CAST(floor(k / 4) AS INT)", "m"]
+    _append_messy(spark, root, n_batches=2, seed=11)
+    def _ingest(seed):
+        import random as _r
+        rng = _r.Random(seed)
+        for _ in range(2):
+            rows_ = [(rng.randrange(10_000), rng.randrange(1000), rng.randrange(1, 13)) for _ in range(500)]
+            lake.append_segments(
+                spark, root,
+                {"t": spark.createDataFrame(rows_, "id bigint, k int, m int").coalesce(1)},
+                zone_cols={"t": ["k", "m"]},
+            )
+
+    kw = dict(exprs=exprs, zone_cols=("k", "m"), n_segments=4, max_waves=2)
+    zcluster.recluster_zorder(spark, root, "t", **kw)  # wave 1
+    marker = lake.segment_meta(spark, root)["zcluster_t"]
+    assert marker["waves"] == 1
+    wave1 = set(marker["segs"])
+    _ingest(12)
+    zcluster.recluster_zorder(spark, root, "t", **kw)  # wave 2
+    marker = lake.segment_meta(spark, root)["zcluster_t"]
+    assert marker["waves"] == 2
+    assert wave1 <= set(marker["segs"])  # wave-1 slices still graduated
+    _ingest(13)
+    zcluster.recluster_zorder(spark, root, "t", **kw)  # would be wave 3
+    marker = lake.segment_meta(spark, root)["zcluster_t"]
+    assert marker["waves"] == 1  # level-merged, counter reset
+    pins = lake.segment_pins(spark, root)["t"]
+    assert not wave1 & set(pins)  # the old waves' slices were folded in
+    assert set(pins) == set(marker["segs"])
+    n = lake.read_segmented_components(spark, root, ["t"])["t"].count()
+    assert n == 6 * 500  # content-neutral throughout
+
+
+def test_z_slice_cuts_are_exact_past_float53(spark):
+    """Above 2^53 the percentile sketch's internal doubles can no
+    longer place cuts at unit granularity, so _z_slices recomputes
+    them on the shifted key and maps back with EXACT integer
+    boundaries: values 2^shift apart still split into n slices,
+    assignment is monotone in z, and no row is lost."""
+    base = 1 << 60
+    step = 1 << 16  # > the 2^(61-53)=2^8 placement granularity
+    zs = [base + i * step for i in range(8)]
+    df = spark.createDataFrame([(z,) for z in zs], "_z bigint")
+    sliced, n = zcluster._z_slices(df, 4)
+    got = {r["_z"]: r["_slice"] for r in sliced.collect()}
+    assert len(got) == 8  # lossless
+    assert n == 4
+    slices = [got[z] for z in zs]
+    assert slices == sorted(slices)  # monotone in z
+    assert len(set(slices)) == 4, slices
+    # adjacent z values (inside one granularity cell) collapse into
+    # the same slice rather than smearing across a float-rounded cut
+    tight = spark.createDataFrame(
+        [(base + i,) for i in range(8)], "_z bigint"
+    )
+    sliced_t, n_t = zcluster._z_slices(tight, 4)
+    rows = sliced_t.collect()
+    assert len(rows) == 8
+    vals = sorted(r["_slice"] for r in rows)
+    assert vals == [v for v in vals if v is not None]  # all assigned
