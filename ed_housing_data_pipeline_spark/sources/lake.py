@@ -1627,6 +1627,7 @@ def _write_segment_blooms_many(
     segs: Sequence[int],
     col: str,
     overwrite: bool = False,
+    dry_run: bool = False,
 ) -> dict[int, bool]:
     """Bloom sidecars for ``col`` over MANY segments in O(1) Spark
     jobs per driver-memory-bounded chunk, instead of one job per
@@ -1635,25 +1636,25 @@ def _write_segment_blooms_many(
     False and stay conservatively unpruned, same contract as the
     per-segment path), one job collects the (segment, hash) pairs for
     the under-budget segments, and the bit arrays are set driver-side.
-    Returns {seg: built}."""
+    Returns {seg: built}. ``dry_run`` stops after the count probe —
+    the returned map says what an apply WOULD build vs drop, with no
+    sidecar written (repair's plan/apply parity)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     segs = list(segs)
     if not segs:
         return {}
     root = component_root.rstrip("/")
-    chunk_n = max(1, _BLOOM_BATCH_ROWS // _BLOOM_MAX_ROWS)
-    result: dict[int, bool] = {}
     jvm, fs = _fs(spark, root)
-    for lo in range(0, len(segs), chunk_n):
-        chunk = segs[lo : lo + chunk_n]
+
+    def _pairs(over: Sequence[int]):
         seg_key = (
             F.regexp_extract(F.col("_metadata.file_path"), r"seg=(\d+)/", 1)
             .cast("bigint")
             .alias("__seg")
         )
-        pairs = (
-            spark.read.parquet(*[_segment_dir(root, s) for s in chunk])
+        return (
+            spark.read.parquet(*[_segment_dir(root, s) for s in over])
             .select(seg_key, F.col(col).cast("string").alias("v"))
             .filter(F.col("v").isNotNull())
             .select(
@@ -1664,21 +1665,35 @@ def _write_segment_blooms_many(
             )
             .distinct()
         )
-        counts = {
-            int(r["__seg"]): int(r["n"])
-            for r in pairs.groupBy("__seg").agg(F.count("*").alias("n")).collect()
-        }
-        under = [s for s in chunk if counts.get(s, 0) <= _BLOOM_MAX_ROWS]
-        for s in chunk:
-            result[s] = s in under
-        if not under:
-            continue
-        hashes: dict[int, list[int]] = {s: [] for s in under}
-        for r in pairs.filter(F.col("__seg").isin(under)).collect():
-            hashes[int(r["__seg"])].append(int(r["h"]))
-        import base64  # noqa: PLC0415
 
-        for s in under:
+    # phase 1: ONE job counts distinct hashes per segment (over-budget
+    # test); phase 2 collects packed by the ACTUAL counts, so many
+    # small segments fit in one collect job and the driver-side payload
+    # stays bounded by _BLOOM_BATCH_ROWS even at worst-case segments
+    counts = {
+        int(r["__seg"]): int(r["n"])
+        for r in _pairs(segs).groupBy("__seg").agg(F.count("*").alias("n")).collect()
+    }
+    under = [s for s in segs if counts.get(s, 0) <= _BLOOM_MAX_ROWS]
+    result: dict[int, bool] = {s: s in set(under) for s in segs}
+    if not under or dry_run:
+        return result
+    chunks: list[list[int]] = [[]]
+    load = 0
+    for s in under:
+        n = max(counts.get(s, 0), 1)
+        if chunks[-1] and load + n > _BLOOM_BATCH_ROWS:
+            chunks.append([])
+            load = 0
+        chunks[-1].append(s)
+        load += n
+    import base64  # noqa: PLC0415
+
+    for chunk in chunks:
+        hashes: dict[int, list[int]] = {s: [] for s in chunk}
+        for r in _pairs(chunk).collect():
+            hashes[int(r["__seg"])].append(int(r["h"]))
+        for s in chunk:
             hs = hashes[s]
             n = len(hs)
             m = max(64, n * _BLOOM_BITS_PER_ROW)
@@ -3205,17 +3220,31 @@ def repair_segmented(
         new_schemas = {c: sj for c, sj in schemas.items() if c in new_pins}
         changed = changed or new_zones != zones or new_blooms != blooms
         changed = changed or set(new_schemas) != set(schemas)
-        # sidecar repair: missing advertised files, then coverage gaps
+        # sidecar repair: missing advertised files, then coverage gaps.
+        # Both are BATCHED per (component, column) — one count+collect
+        # job pair per column over its gap segments, never one job per
+        # (segment, column): a restored root with 10^4 pinned segments
+        # must not issue 10^4 sequential driver jobs per column.
         for comp, bm in list(new_blooms.items()):
+            comp_root = f"{root}/{comp}"
             cols_everywhere = sorted({c for cols in bm.values() for c in cols})
-            for seg, cols in list(bm.items()):
-                for c in list(cols):
-                    if _exists(_bloom_path(f"{root}/{comp}", seg, c)):
-                        continue
-                    changed = True
-                    if dry_run or _write_segment_bloom(
-                        spark, f"{root}/{comp}", seg, c, overwrite=True
-                    ):
+            missing_files: dict[str, list[int]] = {}
+            for seg, cols in sorted(bm.items()):
+                for c in cols:
+                    if not _exists(_bloom_path(comp_root, seg, c)):
+                        missing_files.setdefault(c, []).append(seg)
+            for c in sorted(missing_files):
+                changed = True
+                # dry_run probes the budget (count job only, nothing
+                # written) so the PLAN says rebuild-vs-drop exactly as
+                # an apply would act, instead of claiming rebuilds that
+                # an apply would drop for exceeding _BLOOM_MAX_ROWS
+                built = _write_segment_blooms_many(
+                    spark, comp_root, missing_files[c], c,
+                    overwrite=True, dry_run=dry_run,
+                )
+                for seg in missing_files[c]:
+                    if built[seg]:
                         actions["rebuilt_bloom_sidecars"].setdefault(
                             comp, []
                         ).append([seg, c])
@@ -3224,29 +3253,33 @@ def repair_segmented(
                             comp, []
                         ).append([seg, c])
                         bm[seg] = [x for x in bm[seg] if x != c]
+            gap_by_col: dict[str, list[int]] = {}
             for seg in new_pins.get(comp, []):
-                missing = [c for c in cols_everywhere if c not in bm.get(seg, [])]
-                for c in missing:
+                for c in cols_everywhere:
+                    if c in bm.get(seg, []):
+                        continue
                     if [seg, c] in actions["dropped_bloom_ads"].get(comp, []):
                         continue  # just dropped for budget: don't re-add
-                    if dry_run:
-                        actions["rebuilt_bloom_ads"].setdefault(
-                            comp, []
-                        ).append([seg, c])
-                        continue
+                    gap_by_col.setdefault(c, []).append(seg)
+            for c in sorted(gap_by_col):
+                built = _write_segment_blooms_many(
+                    spark, comp_root, gap_by_col[c], c,
+                    overwrite=True, dry_run=dry_run,
+                )
+                for seg in gap_by_col[c]:
                     # record-and-commit ONLY when the rebuild actually
-                    # lands: an over-budget segment (> _BLOOM_MAX_ROWS)
-                    # must not flip `changed` or claim a rebuild, else
-                    # repair re-runs the job and re-commits an
-                    # identical manifest forever (never converges)
-                    if _write_segment_bloom(
-                        spark, f"{root}/{comp}", seg, c, overwrite=True
-                    ):
-                        bm.setdefault(seg, []).append(c)
+                    # lands (or, in dry_run, provably would): an
+                    # over-budget segment (> _BLOOM_MAX_ROWS) must not
+                    # flip `changed` or claim a rebuild, else repair
+                    # re-runs the job and re-commits an identical
+                    # manifest forever (never converges)
+                    if built[seg]:
                         changed = True
                         actions["rebuilt_bloom_ads"].setdefault(
                             comp, []
                         ).append([seg, c])
+                        if not dry_run:
+                            bm.setdefault(seg, []).append(c)
                     else:
                         actions["skipped_bloom_over_budget"].setdefault(
                             comp, []
@@ -3258,23 +3291,41 @@ def repair_segmented(
             )
             if not cols_everywhere:
                 continue
+            # per-COLUMN diff: a segment with stats for only part of
+            # the component's column set (a writer that passed a
+            # narrower zone_cols) is a coverage gap too
+            missing_by_seg: dict[int, list[str]] = {}
             for seg in new_pins.get(comp, []):
-                # per-COLUMN diff: a segment with stats for only part
-                # of the component's column set (a writer that passed a
-                # narrower zone_cols) is a coverage gap too
                 missing = [
                     c for c in cols_everywhere if c not in zm.get(seg, {})
                 ]
-                if not missing:
-                    continue
-                changed = True
-                actions["rebuilt_zone_stats"].setdefault(comp, []).append(seg)
-                if not dry_run:
+                if missing:
+                    missing_by_seg[seg] = missing
+            if not missing_by_seg:
+                continue
+            changed = True
+            actions["rebuilt_zone_stats"].setdefault(comp, []).extend(
+                sorted(missing_by_seg)
+            )
+            if not dry_run:
+                # ONE stats job for every gap segment of the component
+                # (schema-pinned: a gap column a vintage predates is
+                # genuinely all-NULL there, and [None, None, n] is its
+                # correct — and prunable — zonemap entry)
+                union_cols = sorted(
+                    {c for cs in missing_by_seg.values() for c in cs}
+                )
+                stats_many = _segment_zone_stats_many(
+                    spark,
+                    f"{root}/{comp}",
+                    sorted(missing_by_seg),
+                    union_cols,
+                    schema=_schema_from_json(schemas.get(comp)),
+                )
+                for seg, missing in missing_by_seg.items():
                     zm[seg] = {
                         **zm.get(seg, {}),
-                        **_segment_zone_stats(
-                            spark, f"{root}/{comp}", seg, missing
-                        ),
+                        **{c: stats_many[seg][c] for c in missing},
                     }
         if dry_run:
             # same shape as the committing path (callers branch on

@@ -372,3 +372,78 @@ def test_repair_converges_on_over_budget_bloom_gap(spark, tmp_path):
     assert rep["actions"]["skipped_bloom_over_budget"] == {"t": [[seg2, "id"]]}
     assert rep["actions"]["rebuilt_bloom_ads"] == {}
     assert lake.segment_pins_versioned(spark, root)[1] == v0
+
+
+def test_repair_coverage_rebuild_is_batched(spark, tmp_path):
+    """Coverage backfill issues O(columns) jobs, not O(segments ×
+    columns): with 50 induced gap segments the whole repair stays
+    under a constant job budget, and the report/commit are exactly
+    what the per-segment path produced."""
+    import uuid
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark, root, {"t": _kv(spark, [(1, "a")])}, init=True,
+        zone_cols={"t": ["k"]}, bloom_cols={"t": ["name"]},
+    )
+    # 50 writers that forgot the sidecar policy → 50 zone gaps + 50
+    # bloom-ad gaps
+    for i in range(50):
+        lake.append_segments(
+            spark, root, {"t": _kv(spark, [(10 + i, f"v{i}")]).coalesce(1)}
+        )
+    gap_segs = lake.segment_pins(spark, root)["t"][1:]
+    sc = spark.sparkContext
+    group = f"probe-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "repair job-count probe")
+    try:
+        rep = lake.repair_segmented(spark, root, sweep_orphans=False)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert rep["committed"] and rep["ok"], rep
+    assert sorted(rep["actions"]["rebuilt_zone_stats"]["t"]) == gap_segs
+    assert sorted(t[0] for t in rep["actions"]["rebuilt_bloom_ads"]["t"]) == gap_segs
+    # one zone-stats job + one count/collect pair per bloom column,
+    # plus constant scan overhead (file-listing/footer jobs for the
+    # 51-path scans) — NOT the old path's >= 2 jobs per (segment,
+    # column), which at 50 gaps x 2 columns would exceed 100
+    assert jobs <= 15, jobs
+    assert jobs < len(gap_segs), jobs
+    # coverage is uniform: every gap segment prunes again
+    kept, _ = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=5)
+    assert kept == lake.segment_pins(spark, root)["t"][:1]
+
+
+def test_repair_dry_run_reports_drop_for_over_budget_sidecar(spark, tmp_path):
+    """Plan/apply parity: a vanished advertised sidecar whose segment
+    outgrew the bloom budget is planned as a DROP (dry_run probes the
+    count), matching what apply then does — not claimed as a rebuild."""
+    import os
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark,
+        root,
+        {"t": _seg_rows(spark, 10).coalesce(1)},
+        init=True,
+        bloom_cols={"t": ["id"]},
+    )
+    seg1 = lake.segment_pins(spark, root)["t"][0]
+    # grow the advertisement onto an over-budget segment by hand:
+    # vaporize the small segment's sidecar AND swap in big data
+    os.remove(lake._bloom_path(f"{root}/t", seg1, "id"))
+    import shutil
+
+    shutil.rmtree(f"{root}/t/seg={seg1}")
+    _seg_rows(spark, lake._BLOOM_MAX_ROWS + 1).coalesce(4).write.parquet(
+        f"{root}/t/seg={seg1}"
+    )
+    plan = lake.repair_segmented(spark, root, dry_run=True)
+    assert not plan["committed"]
+    assert plan["actions"]["rebuilt_bloom_sidecars"] == {}
+    assert plan["actions"]["dropped_bloom_ads"] == {"t": [[seg1, "id"]]}
+    rep = lake.repair_segmented(spark, root)
+    assert rep["committed"] and rep["ok"], rep
+    assert rep["actions"]["dropped_bloom_ads"] == {"t": [[seg1, "id"]]}
+    assert lake.segment_blooms(spark, root) == {}
