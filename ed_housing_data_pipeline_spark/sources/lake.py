@@ -439,6 +439,32 @@ def _widened_atomic(a, b):
     return None
 
 
+def _field_meta(f: dict) -> dict:
+    return f.get("metadata") or {}
+
+
+def _with_field_ids(schema_json: dict) -> dict:
+    """Stamp a stable ``field_id`` into each field's metadata (existing
+    ids kept; missing ones assigned past the current max, in field
+    order). Field ids are the COLUMN IDENTITY that survives renames:
+    the name is presentation, the id is the thing zone stats, reads,
+    and evolution reason about — the Iceberg/Delta column-mapping
+    design, carried in the Spark StructField metadata dict so the
+    stored document stays a plain StructType jsonValue."""
+    nid = (
+        max((_field_meta(f).get("field_id", 0) for f in schema_json["fields"]), default=0)
+        + 1
+    )
+    fields = []
+    for f in schema_json["fields"]:
+        md = dict(_field_meta(f))
+        if "field_id" not in md:
+            md["field_id"] = nid
+            nid += 1
+        fields.append({**f, "metadata": md})
+    return {"type": "struct", "fields": fields}
+
+
 def _nullable_schema_json(schema_json: dict) -> dict:
     """A StructType jsonValue with every top-level field nullable —
     the stored form: once schemas can evolve, ANY column may be
@@ -485,26 +511,68 @@ def _evolved_schema_json(
 
     newj = new_schema.jsonValue()
     if prior is None:
-        return _nullable_schema_json(newj)
-    prior_by_name = {f["name"]: f for f in prior["fields"]}
+        return _with_field_ids(_nullable_schema_json(newj))
+    prior = _with_field_ids(prior)  # stamp ids onto pre-field-id vintages
+    live_by_name: dict[str, dict] = {}
+    alias_to_live: dict[str, str] = {}
+    retired: set[str] = set()
+    for f in prior["fields"]:
+        md = _field_meta(f)
+        if md.get("dropped"):
+            retired.add(f["name"])
+            retired.update(md.get("prior_names", []))
+            continue
+        live_by_name[f["name"]] = f
+        for p in md.get("prior_names", []):
+            alias_to_live[p] = f["name"]
     out = list(prior["fields"])
+    next_id = (
+        max(_field_meta(f).get("field_id", 0) for f in prior["fields"])
+        + 1
+        if prior["fields"]
+        else 1
+    )
     widened: dict[str, dict] = {}
+    claimed: set[str] = set()  # live names already matched this frame
     for f in newj["fields"]:
-        pf = prior_by_name.get(f["name"])
+        # a lagging writer still emitting a PRE-RENAME name resolves to
+        # the renamed field (same field id) — its segment's physical
+        # column reconciles at read time through the coalesce shim
+        name = f["name"] if f["name"] in live_by_name else alias_to_live.get(f["name"])
+        pf = live_by_name.get(name) if name is not None else None
         if pf is None:
-            out.append({**f, "nullable": True})
-        elif _type_key(pf["type"]) != _type_key(f["type"]):
+            if f["name"] in retired or f["name"] in alias_to_live:
+                raise SchemaEvolutionError(
+                    f"component {component!r}: column name {f['name']!r} is "
+                    "RETIRED (a dropped column or a pre-rename name) — old "
+                    "segments still carry physical data under it, so "
+                    "re-introducing it would silently resurrect those "
+                    "values; pick a fresh name"
+                )
+            out.append(
+                {**f, "nullable": True, "metadata": {"field_id": next_id}}
+            )
+            next_id += 1
+            continue
+        if pf["name"] in claimed:
+            raise SchemaEvolutionError(
+                f"component {component!r}: the incoming frame carries "
+                f"{f['name']!r} AND another name of the same field "
+                f"({pf['name']!r}) — one field, one column per frame"
+            )
+        claimed.add(pf["name"])
+        if _type_key(pf["type"]) != _type_key(f["type"]):
             wide = _widened_atomic(pf["type"], f["type"])
             if wide is None:
                 raise SchemaEvolutionError(
-                    f"component {component!r}: column {f['name']!r} is "
+                    f"component {component!r}: column {pf['name']!r} is "
                     f"{pf['type']!r} in the manifest schema but the incoming "
                     f"frame carries {f['type']!r} — only lossless widenings "
                     "evolve in place; other type changes need a new "
                     "component or an explicit rewrite (replaces=)"
                 )
             if wide != pf["type"]:
-                widened[f["name"]] = {**pf, "type": wide, "nullable": True}
+                widened[pf["name"]] = {**pf, "type": wide, "nullable": True}
     if widened:
         out = [widened.get(f["name"], f) for f in out]
     return {"type": "struct", "fields": out}
@@ -1421,12 +1489,75 @@ def read_segments(
     existed serve it as NULL (the parquet reader backfills missing
     columns) — the reconciliation half of schema evolution. ``None``
     keeps the footer-derived schema (single-schema components, the
-    common case)."""
+    common case).
+
+    RENAMED columns (field metadata ``prior_names``, see
+    :func:`rename_columns`) reconcile in the SAME single scan: the
+    read schema grows one nullable shadow field per retired name (a
+    segment written pre-rename serves its data there; every other
+    segment serves NULL — Spark's name-based parquet matching), and a
+    ``coalesce(current, *priors)`` projection folds the vintages back
+    into the current name. Still one multi-path scan, no per-vintage
+    grouping; components that never renamed take the plain pinned-read
+    path untouched."""
     if not segments:
         raise ValueError(f"read_segments: empty segment list for {component_root}")
     root = component_root.rstrip("/")
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*[_segment_dir(root, s) for s in segments])
+    dirs = [_segment_dir(root, s) for s in segments]
+    if schema is None:
+        return spark.read.parquet(*dirs)
+    scan_schema, renames = _rename_shadow_plan(schema)
+    df = spark.read.schema(scan_schema).parquet(*dirs)
+    if not renames:
+        return df
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return df.select(
+        *[_renamed_col(F, f.name, renames) for f in schema.fields]
+    )
+
+
+def _rename_shadow_plan(schema):
+    """``(scan_schema, renames)`` for a manifest-carried StructType:
+    one nullable SHADOW field per retired pre-rename name (at the
+    field's CURRENT — possibly widened — type: narrow pre-rename
+    parquet reconciles under it natively, like any widening), plus the
+    ``{current: [prior, …]}`` map the projection coalesces through.
+    Components that never renamed return (schema, {}) — the untouched
+    fast path. Shared by :func:`read_segments` and the batched
+    coverage builders, so zone stats and bloom hashes see a renamed
+    vintage's values exactly as readers do."""
+    renames = {
+        f.name: list((f.metadata or {}).get("prior_names", []))
+        for f in schema.fields
+        if (f.metadata or {}).get("prior_names")
+    }
+    if not renames:
+        return schema, {}
+    from pyspark.sql.types import StructField  # noqa: PLC0415
+
+    live = {f.name for f in schema.fields}
+    by_name = {f.name: f for f in schema.fields}
+    shadow: list[StructField] = []
+    seen: set[str] = set()
+    for new, priors in renames.items():
+        for p in priors:
+            if p in live or p in seen:
+                continue
+            shadow.append(StructField(p, by_name[new].dataType, True))
+            seen.add(p)
+    return StructType(list(schema.fields) + shadow), renames
+
+
+def _renamed_col(F, name: str, renames: dict[str, list[str]]):
+    """The read-time value of one logical column over mixed rename
+    vintages: coalesce(current, *prior_names) when renamed, the plain
+    column otherwise."""
+    if name in renames:
+        return F.coalesce(
+            F.col(name), *[F.col(p) for p in renames[name]]
+        ).alias(name)
+    return F.col(name)
 
 
 def _zone_value(v):
@@ -1504,7 +1635,12 @@ def _segment_zone_stats_many(
     if not segs:
         return {}
     root = component_root.rstrip("/")
-    reader = spark.read if schema is None else spark.read.schema(schema)
+    renames: dict[str, list[str]] = {}
+    if schema is None:
+        reader = spark.read
+    else:
+        scan_schema, renames = _rename_shadow_plan(schema)
+        reader = spark.read.schema(scan_schema)
     df = reader.parquet(*[_segment_dir(root, s) for s in segs])
     seg_key = (
         F.regexp_extract(F.col("_metadata.file_path"), r"seg=(\d+)/", 1)
@@ -1513,10 +1649,11 @@ def _segment_zone_stats_many(
     )
     aggs = []
     for i, c in enumerate(cols):
+        v = _renamed_col(F, c, renames)
         aggs += [
-            F.min(c).alias(f"__z{i}n"),
-            F.max(c).alias(f"__z{i}x"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__z{i}u"),
+            F.min(v).alias(f"__z{i}n"),
+            F.max(v).alias(f"__z{i}x"),
+            F.sum(v.isNull().cast("long")).alias(f"__z{i}u"),
         ]
     out: dict[int, dict[str, list]] = {
         # a segment yielding no group row is EMPTY (zero rows): stats
@@ -1628,6 +1765,7 @@ def _write_segment_blooms_many(
     col: str,
     overwrite: bool = False,
     dry_run: bool = False,
+    schema=None,
 ) -> dict[int, bool]:
     """Bloom sidecars for ``col`` over MANY segments in O(1) Spark
     jobs per driver-memory-bounded chunk, instead of one job per
@@ -1638,7 +1776,11 @@ def _write_segment_blooms_many(
     the under-budget segments, and the bit arrays are set driver-side.
     Returns {seg: built}. ``dry_run`` stops after the count probe —
     the returned map says what an apply WOULD build vs drop, with no
-    sidecar written (repair's plan/apply parity)."""
+    sidecar written (repair's plan/apply parity). ``schema`` (the
+    component's manifest StructType) makes mixed-vintage segments safe:
+    a segment that predates the column serves NULLs (empty bloom —
+    correct), and a pre-rename segment's values are found under their
+    prior physical name via the same coalesce plan readers use."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     segs = list(segs)
@@ -1646,6 +1788,10 @@ def _write_segment_blooms_many(
         return {}
     root = component_root.rstrip("/")
     jvm, fs = _fs(spark, root)
+    renames: dict[str, list[str]] = {}
+    scan_schema = None
+    if schema is not None:
+        scan_schema, renames = _rename_shadow_plan(schema)
 
     def _pairs(over: Sequence[int]):
         seg_key = (
@@ -1653,9 +1799,12 @@ def _write_segment_blooms_many(
             .cast("bigint")
             .alias("__seg")
         )
+        reader = (
+            spark.read if scan_schema is None else spark.read.schema(scan_schema)
+        )
         return (
-            spark.read.parquet(*[_segment_dir(root, s) for s in over])
-            .select(seg_key, F.col(col).cast("string").alias("v"))
+            reader.parquet(*[_segment_dir(root, s) for s in over])
+            .select(seg_key, _renamed_col(F, col, renames).cast("string").alias("v"))
             .filter(F.col("v").isNotNull())
             .select(
                 "__seg",
@@ -2311,12 +2460,24 @@ def apply_segment_tombstones(
 
 def _schema_from_json(schema_json: dict | None):
     """StructType of a manifest-carried schema (None passes through —
-    readers fall back to the footer-derived schema)."""
+    readers fall back to the footer-derived schema). DROPPED columns
+    (fields kept in the stored document for name/id reservation, see
+    :func:`drop_columns`) are excluded — they no longer exist
+    logically; field metadata (``field_id``, ``prior_names``) rides
+    through so :func:`read_segments` can reconcile renamed vintages."""
     if not schema_json:
         return None
     from pyspark.sql.types import StructType  # noqa: PLC0415
 
-    return StructType.fromJson(schema_json)
+    live = {
+        "type": "struct",
+        "fields": [
+            f
+            for f in schema_json["fields"]
+            if not (f.get("metadata") or {}).get("dropped")
+        ],
+    }
+    return StructType.fromJson(live)
 
 
 def segment_schemas(spark, root: str) -> dict[str, dict]:
@@ -2324,6 +2485,218 @@ def segment_schemas(spark, root: str) -> dict[str, dict]:
     (component -> StructType jsonValue); empty when no writer ever
     recorded them. A filesystem read, no Spark job."""
     return _manifest_state(spark, root)[4]
+
+
+def rename_columns(
+    spark, root: str, component: str, mapping: dict[str, str],
+    max_attempts: int = 3,
+) -> int:
+    """ALTER TABLE … RENAME COLUMN as a METADATA-ONLY commit — no
+    segment is rewritten, which is the point: at 100 TB a rename must
+    not cost an O(table) rewrite. The recorded field keeps its stable
+    ``field_id`` and gains the old name in ``prior_names``; pinned
+    reads reconcile every pre-rename segment through the coalesce shim
+    in :func:`read_segments`, and a LAGGING writer still appending the
+    old name keeps committing (evolution maps retired names back to
+    the field). Zonemap keys follow the rename in the same flip; bloom
+    sidecars are COPIED to the new name BEFORE the flip and the old
+    files dropped after, so an advertised sidecar resolves whatever
+    commits or crashes. The new name must be fresh — not a live,
+    pre-rename, or dropped name of the component (old segments still
+    hold physical data under those; reuse would resurrect it).
+    Retries from fresh state on a commit race. Returns the committed
+    manifest version."""
+    if not mapping:
+        raise ValueError("rename_columns: empty mapping")
+    last_err: BaseException | None = None
+    for _attempt in range(max_attempts):
+        pins, zones, blooms, meta, schemas, base = _manifest_state(spark, root)
+        if component not in pins:
+            raise KeyError(f"rename_columns: no pinned component {component!r}")
+        sj = schemas.get(component)
+        if not sj:
+            raise SchemaEvolutionError(
+                f"rename_columns: component {component!r} has no recorded "
+                "schema — only schema-tracked components support renames"
+            )
+        fields = [dict(f) for f in _with_field_ids(sj)["fields"]]
+        for old, new in mapping.items():
+            reserved: set[str] = set()
+            live: set[str] = set()
+            for f in fields:
+                md = _field_meta(f)
+                reserved.add(f["name"])
+                reserved.update(md.get("prior_names", []))
+                if not md.get("dropped"):
+                    live.add(f["name"])
+            if old not in live:
+                raise SchemaEvolutionError(
+                    f"rename_columns: {old!r} is not a live column of "
+                    f"{component!r}"
+                )
+            if new in reserved:
+                raise SchemaEvolutionError(
+                    f"rename_columns: {new!r} is reserved in {component!r} "
+                    "(a live, pre-rename, or dropped name — old segments "
+                    "may still carry physical data under it)"
+                )
+            for i, f in enumerate(fields):
+                if f["name"] == old and not _field_meta(f).get("dropped"):
+                    md = dict(_field_meta(f))
+                    md["prior_names"] = [*md.get("prior_names", []), old]
+                    fields[i] = {**f, "name": new, "metadata": md}
+                    break
+        new_schemas = {
+            **schemas,
+            component: {"type": "struct", "fields": fields},
+        }
+        new_zones = {
+            c: {s: dict(st) for s, st in zm.items()} for c, zm in zones.items()
+        }
+        for st in new_zones.get(component, {}).values():
+            for old, new in mapping.items():
+                if old in st:
+                    st[new] = st.pop(old)
+        new_blooms = {
+            c: {s: list(cols) for s, cols in bm.items()}
+            for c, bm in blooms.items()
+        }
+        comp_root = f"{root.rstrip('/')}/{component}"
+        jvm, fs = _fs(spark, comp_root)
+        old_files: list[str] = []
+        for s, cols in new_blooms.get(component, {}).items():
+            for old, new in mapping.items():
+                if old in cols:
+                    src = _bloom_path(comp_root, s, old)
+                    payload = _read_small_file(
+                        jvm, fs, jvm.org.apache.hadoop.fs.Path(src)
+                    )
+                    out = fs.create(
+                        jvm.org.apache.hadoop.fs.Path(
+                            _bloom_path(comp_root, s, new)
+                        ),
+                        True,
+                    )
+                    out.write(payload.encode("utf-8"))
+                    out.close()
+                    old_files.append(src)
+                    cols[cols.index(old)] = new
+        kw: dict = {"schemas": new_schemas}
+        if new_zones:
+            kw["zones"] = new_zones
+        if new_blooms:
+            kw["blooms"] = new_blooms
+        if meta:
+            kw["meta"] = meta
+        try:
+            version = commit_segment_manifest(
+                spark, root, pins, expected_base=base, **kw
+            )
+        except ConcurrentCommitError as e:
+            last_err = e  # copied sidecars are junk; retry re-copies
+            continue
+        for src in old_files:  # best-effort: unadvertised leftovers
+            try:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(src), False)
+            except Exception:  # noqa: BLE001
+                pass
+        return version
+    raise last_err
+
+
+def drop_columns(
+    spark, root: str, component: str, cols: Sequence[str],
+    max_attempts: int = 3,
+) -> int:
+    """ALTER TABLE … DROP COLUMN as a METADATA-ONLY commit: the field
+    stays in the stored schema document flagged ``dropped`` (its name
+    and ``field_id`` remain RESERVED — old segments still carry the
+    physical data, and a later add-column reusing the name would
+    silently resurrect it), readers stop serving it immediately
+    (:func:`_schema_from_json` filters dropped fields), its zonemap
+    stats and bloom advertisements drop in the same flip, and the
+    orphaned sidecar files are deleted best-effort after. No segment
+    is rewritten; the physical bytes age out with normal compaction.
+    Retries from fresh state on a commit race. Returns the committed
+    manifest version."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("drop_columns: empty column list")
+    last_err: BaseException | None = None
+    for _attempt in range(max_attempts):
+        pins, zones, blooms, meta, schemas, base = _manifest_state(spark, root)
+        if component not in pins:
+            raise KeyError(f"drop_columns: no pinned component {component!r}")
+        sj = schemas.get(component)
+        if not sj:
+            raise SchemaEvolutionError(
+                f"drop_columns: component {component!r} has no recorded "
+                "schema — only schema-tracked components support drops"
+            )
+        fields = [dict(f) for f in _with_field_ids(sj)["fields"]]
+        live = {
+            f["name"] for f in fields if not _field_meta(f).get("dropped")
+        }
+        missing = [c for c in cols if c not in live]
+        if missing:
+            raise SchemaEvolutionError(
+                f"drop_columns: {missing!r} are not live columns of "
+                f"{component!r}"
+            )
+        if not live - set(cols):
+            raise SchemaEvolutionError(
+                f"drop_columns: cannot drop every column of {component!r}"
+            )
+        for i, f in enumerate(fields):
+            if f["name"] in cols and not _field_meta(f).get("dropped"):
+                fields[i] = {
+                    **f,
+                    "metadata": {**_field_meta(f), "dropped": True},
+                }
+        new_schemas = {
+            **schemas,
+            component: {"type": "struct", "fields": fields},
+        }
+        new_zones = {
+            c: {s: dict(st) for s, st in zm.items()} for c, zm in zones.items()
+        }
+        for st in new_zones.get(component, {}).values():
+            for c in cols:
+                st.pop(c, None)
+        new_blooms = {
+            c: {s: list(bs) for s, bs in bm.items()} for c, bm in blooms.items()
+        }
+        dead_files: list[str] = []
+        comp_root = f"{root.rstrip('/')}/{component}"
+        for s, bs in list(new_blooms.get(component, {}).items()):
+            for c in cols:
+                if c in bs:
+                    bs.remove(c)
+                    dead_files.append(_bloom_path(comp_root, s, c))
+            if not bs:
+                del new_blooms[component][s]
+        kw: dict = {"schemas": new_schemas}
+        if new_zones:
+            kw["zones"] = new_zones
+        if new_blooms:
+            kw["blooms"] = new_blooms
+        if meta:
+            kw["meta"] = meta
+        try:
+            version = commit_segment_manifest(
+                spark, root, pins, expected_base=base, **kw
+            )
+        except ConcurrentCommitError as e:
+            last_err = e
+            continue
+        jvm, fs = _fs(spark, comp_root)
+        for path in dead_files:  # best-effort: no longer advertised
+            try:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+            except Exception:  # noqa: BLE001
+                pass
+        return version
+    raise last_err
 
 
 def segment_zones(
@@ -2572,7 +2945,9 @@ def append_segments(
         # the replacing frame's (type changes become legal here, and
         # columns the rewrite dropped stop being served as phantom
         # NULLs forever)
-        new_schemas[name] = _nullable_schema_json(df.schema.jsonValue())
+        new_schemas[name] = _with_field_ids(
+            _nullable_schema_json(df.schema.jsonValue())
+        )
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
         if isinstance(df, tuple):
@@ -3242,6 +3617,7 @@ def repair_segmented(
                 built = _write_segment_blooms_many(
                     spark, comp_root, missing_files[c], c,
                     overwrite=True, dry_run=dry_run,
+                    schema=_schema_from_json(schemas.get(comp)),
                 )
                 for seg in missing_files[c]:
                     if built[seg]:
@@ -3265,6 +3641,7 @@ def repair_segmented(
                 built = _write_segment_blooms_many(
                     spark, comp_root, gap_by_col[c], c,
                     overwrite=True, dry_run=dry_run,
+                    schema=_schema_from_json(schemas.get(comp)),
                 )
                 for seg in gap_by_col[c]:
                     # record-and-commit ONLY when the rebuild actually

@@ -311,3 +311,150 @@ def test_lossy_type_changes_stay_typed_rejects(spark, tmp_path):
             spark, root2,
             {"t": spark.createDataFrame([(Decimal("12345678"),)], "d decimal(8,0)")},
         )
+
+
+# ---------------------------------------------------------------- renames
+def _rename_root(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame(
+            [(1, 10, "x"), (2, 20, "y")], "id int, amount int, tag string"
+        )},
+        init=True, zone_cols={"t": ["amount"]}, bloom_cols={"t": ["id"]},
+    )
+    return root
+
+
+def test_rename_column_is_metadata_only_and_reads_reconcile(spark, tmp_path):
+    root = _rename_root(spark, tmp_path)
+    seg0 = lake.segment_pins(spark, root)["t"][0]
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    # no rewrite: the same segment is still pinned, physical name old
+    assert lake.segment_pins(spark, root)["t"] == [seg0]
+    raw = spark.read.parquet(f"{root}/t/seg={seg0}")
+    assert "amount" in raw.columns
+    out = _read(spark, root)
+    assert out.columns == ["id", "total", "tag"]
+    assert sorted(map(tuple, out.collect())) == [(1, 10, "x"), (2, 20, "y")]
+
+
+def test_rename_mixed_vintages_one_scan_and_pruning(spark, tmp_path):
+    root = _rename_root(spark, tmp_path)
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    # post-rename writer (new name) and LAGGING writer (old name)
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(3, 30, "z")], "id int, total int, tag string")},
+        zone_cols={"t": ["total"]}, bloom_cols={"t": ["id"]},
+    )
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(4, 40, "w")], "id int, amount int, tag string")},
+        bloom_cols={"t": ["id"]},
+    )
+    out = _read(spark, root)
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 10, "x"), (2, 20, "y"), (3, 30, "z"), (4, 40, "w")
+    ]
+    # zonemap keys followed the rename: the [10,20] vintage prunes for
+    # a total-range predicate even though its stats were written pre-rename
+    kept, pinned = lake.zone_pruned_pins(spark, root, "t", "total", lo=35, hi=50)
+    assert len(pinned) == 3
+    assert len(kept) == 1  # only the un-zoned lagging segment survives
+    got = (
+        lake.read_segments_zone_pruned(spark, root, "t", "total", lo=35, hi=50)
+        .filter(F.col("total").between(35, 50))
+        .collect()
+    )
+    assert [(r.id, r.total) for r in got] == [(4, 40)]
+    # bloom sidecars survived the rename (copied, not orphaned)
+    kept_b, _ = lake.bloom_pruned_pins(spark, root, "t", "id", [1])
+    assert len(kept_b) == 1
+
+
+def test_rename_rejects_reserved_names_and_requires_live_column(spark, tmp_path):
+    root = _rename_root(spark, tmp_path)
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.rename_columns(spark, root, "t", {"tag": "amount"})  # retired
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.rename_columns(spark, root, "t", {"tag": "total"})  # live
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.rename_columns(spark, root, "t", {"nope": "other"})  # not live
+    # a frame carrying BOTH names of one field is ambiguous
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.append_segments(
+            spark, root,
+            {"t": spark.createDataFrame(
+                [(9, 1, 2, "q")], "id int, amount int, total int, tag string"
+            )},
+        )
+
+
+def test_rename_then_compaction_normalizes_physical_names(spark, tmp_path):
+    root = _rename_root(spark, tmp_path)
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(3, 30, "z")], "id int, total int, tag string")},
+    )
+    before = sorted(map(tuple, _read(spark, root).collect()))
+    lake.compact_segments(spark, root)
+    pins = lake.segment_pins(spark, root)["t"]
+    assert len(pins) == 1
+    raw = spark.read.parquet(f"{root}/t/seg={pins[0]}")
+    assert raw.columns == ["id", "total", "tag"]  # old name aged out
+    assert sorted(map(tuple, _read(spark, root).collect())) == before
+
+
+def test_drop_column_is_metadata_only_and_name_stays_reserved(spark, tmp_path):
+    root = _rename_root(spark, tmp_path)
+    seg0 = lake.segment_pins(spark, root)["t"][0]
+    lake.drop_columns(spark, root, "t", ["tag"])
+    assert lake.segment_pins(spark, root)["t"] == [seg0]  # no rewrite
+    out = _read(spark, root)
+    assert out.columns == ["id", "amount"]
+    # re-introducing the dropped name would resurrect old physical data
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.append_segments(
+            spark, root,
+            {"t": spark.createDataFrame([(9, 5, "q")], "id int, amount int, tag string")},
+        )
+    # dropping everything is a typed reject
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.drop_columns(spark, root, "t", ["id", "amount"])
+    # compaction writes the dropped column out of the physical files
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(3, 30)], "id int, amount int")},
+    )
+    lake.compact_segments(spark, root)
+    pins = lake.segment_pins(spark, root)["t"]
+    raw = spark.read.parquet(f"{root}/t/seg={pins[0]}")
+    assert raw.columns == ["id", "amount"]
+
+
+def test_repair_zone_backfill_respects_renames(spark, tmp_path):
+    """Coverage backfill on a pre-rename segment must find the values
+    under their prior physical name — [None, None, n] stats would make
+    a real-data segment silently prunable (wrong results)."""
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(1, 10), (2, 20)], "id int, amount int")},
+        init=True,  # NO zone stats: this segment is the coverage gap
+    )
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(3, 500)], "id int, amount int")},
+        zone_cols={"t": ["amount"]},
+    )
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    rep = lake.repair_segmented(spark, root, sweep_orphans=False)
+    assert rep["committed"] and rep["ok"], rep
+    seg_gap = lake.segment_pins(spark, root)["t"][0]
+    stats = lake.segment_zones(spark, root)["t"][seg_gap]["total"]
+    assert stats[:2] == [10, 20]  # real values, via the prior name
+    kept, _ = lake.zone_pruned_pins(spark, root, "t", "total", lo=15, hi=18)
+    assert kept == [seg_gap]
