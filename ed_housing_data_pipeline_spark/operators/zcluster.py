@@ -169,6 +169,72 @@ def _z_staged(zed: DataFrame, n_segments: int) -> DataFrame:
     )
 
 
+def plan_recluster(
+    spark,
+    root: str,
+    component: str,
+    exprs: Sequence[str],
+    bits: int = 10,
+    min_segments: int = 2,
+    max_segment_bytes: int | None = None,
+    force: bool = False,
+    max_waves: int | None = 8,
+    snap: lake.ManifestSnapshot | None = None,
+) -> dict:
+    """The fold-set decision of :func:`recluster_zorder`, callable on
+    its own (one implementation — the verb's plan closure and
+    lake.maintain's dry-run report both use it): reads the layout
+    marker, applies the size tier, and decides a level-merge. Returns
+    ``{"fold": [segs], "level_merge": bool, "waves": next_count,
+    "base": [graduated segs carried in the next marker]}``; an empty
+    ``fold`` means the pass would be a no-op. Driver-side metadata
+    plus the size probe — no Spark jobs."""
+    if snap is None:
+        snap = lake.manifest_snapshot(spark, root)
+    pins = snap.pins[component]
+    marker = (snap.meta or {}).get(f"zcluster_{component}") or {}
+    already: set[int] = set()
+    waves = 0
+    if (
+        not force
+        and marker.get("exprs") == list(exprs)
+        and marker.get("bits") == bits
+    ):
+        already = set(marker.get("segs", [])) & set(pins)
+        if already:
+            waves = int(marker.get("waves", 1))
+    candidates = [s for s in pins if s not in already]
+    if force:
+        return {
+            "fold": list(pins),
+            "level_merge": True,
+            "waves": 1,
+            "base": [],
+        }
+    if max_segment_bytes is None:
+        small = candidates
+    else:
+        sizes = lake.segment_sizes(spark, root, component, candidates)
+        small = [s for s in candidates if sizes[s] < max_segment_bytes]
+    if len(small) < min_segments:
+        return {"fold": [], "level_merge": False, "waves": waves, "base": sorted(already)}
+    if max_waves is not None and waves >= max_waves:
+        # automatic level-merge: this wave would exceed the budget, so
+        # the graduated waves fold back in with it
+        return {
+            "fold": sorted(set(small) | already),
+            "level_merge": True,
+            "waves": 1,
+            "base": [],
+        }
+    return {
+        "fold": small,
+        "level_merge": False,
+        "waves": waves + 1,
+        "base": sorted(already),
+    }
+
+
 def recluster_zorder(
     spark,
     root: str,
@@ -223,36 +289,20 @@ def recluster_zorder(
     persisted: list[DataFrame] = []
 
     def plan(snap: lake.ManifestSnapshot) -> list[int]:
-        pins = snap.pins[component]
-        marker = (snap.meta or {}).get(marker_key) or {}
-        already: set[int] = set()
-        waves = 0
-        if (
-            not force
-            and marker.get("exprs") == list(exprs)
-            and marker.get("bits") == bits
-        ):
-            already = set(marker.get("segs", [])) & set(pins)
-            if already:
-                waves = int(marker.get("waves", 1))
-        candidates = [s for s in pins if s not in already]
-        if force:
-            ctx.update(base=set(), waves=1)
-            return list(pins)
-        if max_segment_bytes is None:
-            small = candidates
-        else:
-            sizes = lake.segment_sizes(spark, root, component, candidates)
-            small = [s for s in candidates if sizes[s] < max_segment_bytes]
-        if len(small) < min_segments:
-            return []  # no-op pass: the hook commits nothing
-        if max_waves is not None and waves >= max_waves:
-            # automatic level-merge: this wave would exceed the budget,
-            # so fold the graduated waves back in with it
-            ctx.update(base=set(), waves=1)
-            return sorted(set(small) | already)
-        ctx.update(base=already, waves=waves + 1)
-        return small
+        p = plan_recluster(
+            spark,
+            root,
+            component,
+            exprs,
+            bits=bits,
+            min_segments=min_segments,
+            max_segment_bytes=max_segment_bytes,
+            force=force,
+            max_waves=max_waves,
+            snap=snap,
+        )
+        ctx.update(base=set(p["base"]), waves=p["waves"])
+        return p["fold"]
 
     def meta_update(prior_meta: dict, new_segs: list[int]) -> dict:
         return {

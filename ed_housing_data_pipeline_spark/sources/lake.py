@@ -3757,6 +3757,141 @@ def repair_segmented(
     }
 
 
+def maintain(
+    spark, root: str, policy: dict | None = None, dry_run: bool = False
+) -> dict:
+    """THE maintenance cadence verb: one call sequences everything a
+    fleet scheduler runs against a segmented root — size-tiered
+    compaction → z-order recluster waves → coverage repair → retention
+    / orphan sweep — each step under its own minimal snapshot+flip
+    (every verb is independently retry-safe against rival ingests), so
+    an ingest landing mid-cadence conflicts with at most one step's
+    commit and the cadence still converges. ``dry_run=True`` produces
+    the SAME report shape from the same planning code paths
+    (plan_recluster, the size tier, repair's probing dry-run) with no
+    commit and no mutation.
+
+    ``policy`` keys (all optional — omitted steps are skipped):
+
+    - ``"compact"``: kwargs for :func:`compact_segments`
+      (``components``, ``min_segments``, ``max_segment_bytes``,
+      ``reducers``). Size-tiered when ``max_segment_bytes`` is set.
+    - ``"recluster"``: ``{component: kwargs}`` for
+      operators.zcluster.recluster_zorder (``exprs``, ``zone_cols``,
+      ``n_segments``, ``bits``, ``min_segments``,
+      ``max_segment_bytes``, ``max_waves``). Runs AFTER compaction so
+      freshly folded segments join the wave.
+    - ``"repair"``: ``True`` (default) / ``False`` / kwargs for
+      :func:`repair_segmented`. Runs with its own orphan sweep
+      disabled — retention is the last step's job.
+    - ``"expire"``: kwargs for :func:`expire_segments`
+      (``keep_manifests``, ``orphan_grace_sec``, ``reader_grace_sec``)
+      or ``False``. Sweeps the debris every earlier step may have
+      left (failed-attempt slices, pre-compaction segments past
+      retention).
+
+    Returns ``{"dry_run", "compact", "recluster", "repair", "expire",
+    "version"}`` — per-step reports an operator can alert on."""
+    policy = policy or {}
+    report: dict = {"dry_run": dry_run}
+
+    # ---- 1) size-tiered compaction
+    ckw = policy.get("compact")
+    if ckw is None:
+        report["compact"] = {"skipped": True}
+    else:
+        before = segment_pins(spark, root)
+        names = list(ckw.get("components") or before)
+        min_seg = int(ckw.get("min_segments", 2))
+        max_bytes = ckw.get("max_segment_bytes")
+        plan: dict[str, list[int]] = {}
+        for name in names:
+            if max_bytes is None:
+                fold = list(before.get(name, []))
+            else:
+                sizes = segment_sizes(spark, root, name, before.get(name, []))
+                fold = [s for s in before.get(name, []) if sizes[s] < max_bytes]
+            if len(fold) >= min_seg:
+                plan[name] = fold
+        if dry_run:
+            report["compact"] = {"would_fold": plan}
+        else:
+            after = compact_segments(spark, root, **ckw)
+            report["compact"] = {
+                "folded": {
+                    n: sorted(set(before[n]) - set(after.get(n, [])))
+                    for n in before
+                    if set(before[n]) - set(after.get(n, []))
+                }
+            }
+
+    # ---- 2) recluster waves
+    rkw = policy.get("recluster")
+    if not rkw:
+        report["recluster"] = {"skipped": True}
+    else:
+        from ed_housing_data_pipeline_spark.operators import (  # noqa: PLC0415
+            zcluster,
+        )
+
+        rrep: dict[str, dict] = {}
+        for comp, kw in rkw.items():
+            if dry_run:
+                p = zcluster.plan_recluster(
+                    spark,
+                    root,
+                    comp,
+                    kw["exprs"],
+                    **{
+                        k: kw[k]
+                        for k in (
+                            "bits",
+                            "min_segments",
+                            "max_segment_bytes",
+                            "max_waves",
+                        )
+                        if k in kw
+                    },
+                )
+                rrep[comp] = {
+                    "would_fold": p["fold"],
+                    "level_merge": p["level_merge"],
+                }
+            else:
+                before_c = set(segment_pins(spark, root).get(comp, []))
+                pins = zcluster.recluster_zorder(spark, root, comp, **kw)
+                rrep[comp] = {
+                    "folded": sorted(before_c - set(pins.get(comp, []))),
+                    "new_segments": sorted(set(pins.get(comp, [])) - before_c),
+                }
+        report["recluster"] = rrep
+
+    # ---- 3) coverage repair (no sweep: retention is step 4)
+    pkw = policy.get("repair", True)
+    if pkw is False:
+        report["repair"] = {"skipped": True}
+    else:
+        pkw = {} if pkw is True else dict(pkw)
+        pkw["sweep_orphans"] = False
+        report["repair"] = repair_segmented(spark, root, dry_run=dry_run, **pkw)
+
+    # ---- 4) retention + orphan sweep
+    ekw = policy.get("expire")
+    if ekw is False or (ekw is None and "expire" in policy):
+        report["expire"] = {"skipped": True}
+    elif dry_run:
+        # expire is grace-gated deletion; a dry cadence reports the
+        # step as deferred rather than simulating mtimes
+        report["expire"] = {"skipped": True, "reason": "dry_run"}
+    else:
+        report["expire"] = {
+            "swept": expire_segments(spark, root, **(ekw or {}))
+        }
+
+    report["version"] = segment_pins_versioned(spark, root)[1]
+    return report
+
+
 def expire_segments(
     spark,
     root: str,
