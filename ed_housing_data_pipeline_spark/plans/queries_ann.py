@@ -1024,3 +1024,94 @@ def q_embedding_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     ).select("q_id", "nn_id")
     return _recall_ok(trained, truth, 0.10)
+
+
+# ------------------------- clustered fixture: a gate that can FAIL on
+# quality. The uniform-random embeddings table is PQ's information-
+# theoretic worst case (the 0.10 bound above pins plumbing, not
+# encoder quality — r11 VERDICT #5), so this fixture derives a
+# DETERMINISTIC micro-clustered vector set from the SAME table with
+# native exprs only: every run of 8 consecutive vec_ids shares a
+# pseudo-random group center (3·sin(g·37 + d·61) per dimension) and
+# the raw embedding value, scaled to ±0.05, perturbs it. Group sizes
+# (≤8) fit inside true top-10, and inter-center distance² (~E 64·9)
+# dwarfs both the noise and PQ's quantization error, so a HEALTHY
+# pipeline's trained top-3 lands inside the true top-10 almost surely
+# (recall pinned ≥ 0.8 — groups are WHY: with a few huge clusters the
+# codes tie within the cluster and top-3 becomes an arbitrary draw
+# from hundreds, which is chance, not quality), while a codebook
+# assignment / ADC bug collapses the row to 0
+# (tests/test_operators_similarity.py pins the flip with a
+# deliberately-broken codebook).
+CLUSTERED_GROUP = 8  # members per planted micro-group
+CLUSTERED_NOISE = 0.05
+CLUSTERED_CENTER = 3.0
+
+
+def clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) with planted micro-group structure — one
+    native-expr transform over the embeddings table, no new data."""
+    emb = emb_t(spark, sf_dir)
+    g = F.floor(F.col("vec_id") / CLUSTERED_GROUP).cast("double")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.sin(g * F.lit(37.0) + i.cast("double") * F.lit(61.0))
+            * F.lit(float(CLUSTERED_CENTER))
+            + x * F.lit(float(CLUSTERED_NOISE)),
+        ).alias("embedding"),
+    )
+
+
+def ivfpq_clustered_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    codebooks: list | None = None,
+    bound: float = 0.8,
+) -> DataFrame:
+    """The clustered-fixture recall gate, with the codebooks injectable
+    so the broken-codebook test proves the gate can fail (a gate no
+    regression can flip is not a gate)."""
+    vecs = clustered_emb(spark, sf_dir)
+    _blocked, cents = sim.kmeans_blocks(
+        vecs, vec_col="embedding", id_col="vec_id", k=IVF_K, iters=2
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else sim.pq_train_codebooks(
+            vecs, vec_col="embedding", id_col="vec_id", m=PQ_M, k=PQ_K, iters=2
+        )
+    )
+    trained = sim.knn_ivf_pq(
+        vecs,
+        vec_col="embedding",
+        id_col="vec_id",
+        cents=cents,
+        codebooks=books,
+        k=3,
+        nprobe=IVF_NPROBE,
+        query_filter=F.col("vec_id") < 20,
+    ).select("q_id", "nn_id")
+    truth = sim.knn_bruteforce(
+        queries=vecs.filter(F.col("vec_id") < 20),
+        corpus=vecs,
+        vec_col="embedding",
+        id_col="vec_id",
+        k=10,
+    ).select("q_id", "nn_id")
+    return _recall_ok(trained, truth, bound)
+
+
+@register("embedding_knn_ivfpq_recall_clustered", oracle=RECALL_OK_ORACLE)
+def q_embedding_knn_ivfpq_recall_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained IVF-PQ QUALITY gate on the planted-cluster fixture:
+    recall@3-in-top-10 >= 0.8 as one oracle-checkable boolean row (see
+    the CLUSTERED_K block). Unlike embedding_knn_ivfpq_recall (whose
+    0.10 bound on uniform noise pins plumbing only), a PQ encoder
+    quality regression — bad codebook assignment, a residual/ADC bug —
+    fails THIS row."""
+    return ivfpq_clustered_recall(spark, sf_dir)

@@ -893,3 +893,24 @@ def test_knn_ivfpq_arrow_fallback_matches_expr_path(spark, monkeypatch):
     via_arrow = run()
     assert via_expr == via_arrow
     assert len(via_arrow) == 9 * 3
+
+
+def test_ivfpq_clustered_recall_gate_flips_on_broken_codebook(spark):
+    """The quality gate can actually FAIL (r11 VERDICT #5): on the
+    planted micro-group fixture a healthy trained IVF-PQ pipeline
+    scores recall 1.0 (>= the 0.8 bound), and a deliberately-broken
+    codebook — every centroid zeroed, so codes carry no information
+    and ADC cannot rank — flips the oracle-checked row to 0."""
+    from ed_housing_data_pipeline_spark.operators import similarity as sim_  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.plans import queries_ann as qa  # noqa: PLC0415
+
+    sf = "/root/testdata/sf0.001"
+    healthy = qa.ivfpq_clustered_recall(spark, sf).collect()
+    assert [r["ok"] for r in healthy] == [1]
+    vecs = qa.clustered_emb(spark, sf)
+    books = sim_.pq_train_codebooks(
+        vecs, vec_col="embedding", id_col="vec_id", m=qa.PQ_M, k=qa.PQ_K, iters=2
+    )
+    broken = [[[0.0] * len(c0) for c0 in book] for book in books]
+    flipped = qa.ivfpq_clustered_recall(spark, sf, codebooks=broken).collect()
+    assert [r["ok"] for r in flipped] == [0]
