@@ -104,7 +104,26 @@ COLD_ONLY = [
     "doc_search_after_delete",      # GDPR take-down + BM25 over remaining
     "doc_search_after_update",      # revision upsert + BM25 over revised
     "lake_type_widening",           # r11: widening evolution e2e (tempdir build per run)
+    "lake_rename_evolution",        # r12: rename evolution e2e (tempdir build per run)
+    "embedding_knn_ivfpq_recall_clustered",  # r12: trains coarse+PQ per run
 ]
+
+
+def run_canary(spark) -> float:
+    """A FIXED synthetic job (no repo code, no input data): hash-mix +
+    aggregate over a generated range. Identical work every round, so
+    its round-over-round drift measures THE HOST, not this repo —
+    the denominator that separates real regressions from shared-box
+    contention (r11 VERDICT #4). Min of 3 like the headline's
+    amortized model."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "sum(CAST((id * 2654435761) % 1000003 AS BIGINT)) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
@@ -175,8 +194,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_runtime_confs(spark)
 
+    canary_start = run_canary(spark)
     timings, cold = run_suite(spark, SF_DIR)
+    canary_end = run_canary(spark)
     detail = {
+        # host-drift denominator: the same synthetic job before and
+        # after the suite; compare across rounds' BENCH_r{N}.json to
+        # separate host slowdown from repo regressions
+        "canary": {"start": canary_start, "end": canary_end},
         "sf": _sf_of(SF_DIR),
         # caching model disclosure: "queries" are steady-state (family
         # caches warm, min of 5); "cold_queries" are each query's first
@@ -216,6 +241,7 @@ def main() -> int:
         "n_queries": len(timings),
         "queries": top5,
         "cold_total": round(sum(cold.values()), 3),
+        "canary": {"start": canary_start, "end": canary_end},
         "detail": "BENCH_detail.json",
     }
     print(json.dumps(result))

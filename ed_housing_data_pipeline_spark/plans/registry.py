@@ -198,7 +198,90 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r11 window. Rotation rule unchanged: this round's FOUR new
+    # --- r12 window. Rotation rule unchanged: this round's TWO new
+    # queries enter (lake_rename_evolution — metadata-only rename
+    # evolution via field ids; embedding_knn_ivfpq_recall_clustered —
+    # the PQ QUALITY gate on the planted micro-group fixture); every
+    # component REWIRED this round keeps an in-window representative
+    # (zcluster now rides lake.rewrite_segments with staged single-job
+    # waves: orders_zorder_box/_box3; the lake read path gained the
+    # rename shim and field-id schemas, touching EVERY pinned read:
+    # lake_type_widening, lake_schema_evolution, doc_point_lookup; the
+    # three index families moved to manifest_snapshot + the shared
+    # _commit.persist_for_attempt: doc_search_after_bulk_delete,
+    # doc_search_after_term_purge, embedding_ann_after_cell_purge,
+    # doc_incremental_neardup, doc_stream_incremental_dedup,
+    # doc_stream_search_ingest); the ENTIRE r7 staleness tail (26
+    # queries) fills the middle; and the last 10 slots start draining
+    # the r8 tail, so after a green r12 no registered query's last
+    # driver row is older than r8. Rotated OUT (all r11-green,
+    # family reps stay in): the r5/r6 staleness tails that r11 closed,
+    # the trained-ANN recall pair (the clustered quality gate plus
+    # embedding_knn_ivfpq_fixed rep the family), orders_stream_rollup /
+    # orders_rollup_after_retraction / orders_rollup_month_range
+    # (rollup untouched this round; orders_incremental_rollup-family
+    # coverage continues via the suite and bench).
+    #
+    # the flagship (entry()) — never rotates out
+    "rank_sum_top1",
+    # NEW this round
+    "lake_rename_evolution",
+    "embedding_knn_ivfpq_recall_clustered",
+    # rewired-component representatives (see header note)
+    "orders_zorder_box",
+    "orders_zorder_box3",
+    "lake_type_widening",
+    "lake_schema_evolution",
+    "doc_point_lookup",
+    "doc_search_after_bulk_delete",
+    "doc_search_after_term_purge",
+    "embedding_ann_after_cell_purge",
+    "doc_incremental_neardup",
+    "doc_stream_incremental_dedup",
+    "doc_stream_search_ingest",
+    # the ENTIRE r7 staleness tail
+    "count_star",
+    "customer_moving_avg",
+    "customer_rolling_30d_spend",
+    "doc_exact_dedup",
+    "doc_export_shards",
+    "doc_fingerprint",
+    "doc_fuzzy_pairs_levenshtein",
+    "doc_gopher_quality_flags",
+    "doc_minhash_signature",
+    "doc_tfidf_top_terms",
+    "events_daily_active_users",
+    "events_hourly_by_type",
+    "events_json_by_type",
+    "events_props_struct",
+    "grouped_agg",
+    "inner_join_agg",
+    "left_join",
+    "limit_head",
+    "lineitem_quantity_quantiles",
+    "orders_filtered_aggs",
+    "orders_hash_sample",
+    "orders_priority_pivot",
+    "region_nation_list",
+    "setop_except_all",
+    "supplier_balance_distribution",
+    "topk_per_group",
+    # start of the r8 tail (family-spread picks; the remaining 7 r8
+    # rows rotate in next round)
+    "anti_join",
+    "safe_division",
+    "events_asof_last_view",
+    "events_hll_daily_users",
+    "orders_status_priority_cube",
+    "orders_nearby_range_join",
+    "embedding_knn_srp",
+    "embedding_knn_ivfpq_fixed",
+    "doc_neardup_pairs",
+    "doc_word_cms_topk",
+)
+
+_PRIORITY_ORDER_R11: tuple[str, ...] = (
+    # --- r11 window (kept for provenance). This round's FOUR new
     # queries enter (lake_type_widening, orders_zorder_box3, and the
     # two trained-ANN recall gates — which also retire the window's
     # last two rows-only entries, embedding_knn_ivf/_knn_ivfpq: their
