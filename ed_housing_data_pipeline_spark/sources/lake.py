@@ -2977,6 +2977,10 @@ def append_segments(
     for name, df in appends.items():
         if isinstance(df, tuple):
             staged = stage_segments(spark, df[0], f"{root}/{name}", df[1])
+            if not staged:  # empty frame → zero slice dirs: pin one
+                staged = [  # empty segment so the manifest stays valid
+                    write_segment(spark, df[0].drop(df[1]), f"{root}/{name}")
+                ]
             new_pins[name] = [*pins.get(name, []), *staged]
             new_segs += [(name, s) for s in staged]
         else:
@@ -3342,6 +3346,14 @@ def rewrite_segments(
         if isinstance(out, tuple):
             frame, slice_col = out
             new_segments = stage_segments(spark, frame, comp_root, slice_col)
+            if not new_segments:
+                # an all-empty fold set stages zero slice dirs; the
+                # component must still pin SOMETHING (a manifest rejects
+                # empty pin lists), so land one empty current-schema
+                # segment — same shape the fold-to-one path produces
+                new_segments = [
+                    write_segment(spark, frame.drop(slice_col), comp_root)
+                ]
             logical = StructType(
                 [f for f in frame.schema.fields if f.name != slice_col]
             )
@@ -3796,7 +3808,9 @@ def maintain(
     (plan_recluster, the size tier, repair's probing dry-run) with no
     commit and no mutation.
 
-    ``policy`` keys (all optional — omitted steps are skipped):
+    ``policy`` keys (compact/recluster are OPT-IN — they rewrite data,
+    so the policy must name them; repair and expire default ON — they
+    are no-ops on a healthy root and pass ``False`` to skip):
 
     - ``"compact"``: kwargs for :func:`compact_segments`
       (``components``, ``min_segments``, ``max_segment_bytes``,

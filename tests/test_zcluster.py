@@ -607,3 +607,25 @@ def test_z_slice_cuts_are_exact_past_float53(spark):
     assert len(rows) == 8
     vals = sorted(r["_slice"] for r in rows)
     assert vals == [v for v in vals if v is not None]  # all assigned
+
+
+def test_empty_input_still_pins_valid_manifest(spark, tmp_path):
+    """An all-empty clustered write (or an all-empty recluster fold)
+    stages zero slice dirs; the commit must still pin one empty
+    current-schema segment instead of rejecting an empty pin list."""
+    empty = spark.createDataFrame([], "k bigint, x int, y int")
+    root = str(tmp_path / "ze")
+    pins = zcluster.write_zorder_clustered(
+        spark, root, empty, "t", "x", "y", zone_cols=("x", "y"), n_segments=4
+    )
+    assert len(pins["t"]) == 1
+    out = lake.read_segmented_components(spark, root, ["t"])["t"]
+    assert out.count() == 0
+    assert out.columns == ["k", "x", "y"]
+    # recluster over two empty segments folds to one empty segment
+    lake.append_segments(spark, root, {"t": empty})
+    pins2 = zcluster.recluster_zorder(
+        spark, root, "t", exprs=["x", "y"], zone_cols=("x", "y"), n_segments=4
+    )
+    assert len(pins2["t"]) == 1
+    assert lake.read_segmented_components(spark, root, ["t"])["t"].count() == 0
