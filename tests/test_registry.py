@@ -28,17 +28,15 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r11 window: the four r11-new
-    queries enter (lake_type_widening, orders_zorder_box3, and the two
-    trained-ANN recall gates — which retire the rows-only entries from
-    the window: 50/50 oracle-checked), every component REWIRED in r11
-    keeps a representative (one-snapshot pruned reads; the
-    attempt-state delete_where refactor across the three index
-    families; the rollup's subset-sound keep_zero reducer, size-tiered
-    maintenance, and reset-flag retirement; zcluster's one-snapshot
-    box pruning), and the ENTIRE r5+r6 staleness tail fills the
-    remaining slots — after this round no registered query's driver
-    row is older than r7."""
+    prior round's CORRECTNESS file. The r12 window: the two r12-new
+    queries enter (lake_rename_evolution — field-id rename evolution;
+    embedding_knn_ivfpq_recall_clustered — the PQ quality gate), every
+    component REWIRED in r12 keeps a representative (zcluster on the
+    lake rewrite hook with staged single-job waves; the lake read path's
+    rename shim + field-id schemas; the index families' manifest_snapshot
+    + shared persist_for_attempt), the ENTIRE r7 staleness tail fills
+    the middle, and 10 r8 rows start draining that tail — after this
+    round no registered query's driver row is older than r8."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -46,31 +44,32 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # r11-new — never driver-verified before
-        "lake_type_widening",
-        "orders_zorder_box3",
-        "embedding_knn_ivf_recall",
-        "embedding_knn_ivfpq_recall",
-        # rewired-in-r11 component representatives
-        "doc_point_lookup",             # one-snapshot bloom-pruned read
-        "doc_search_after_bulk_delete", # delete attempt-state refactor
-        "embedding_ann_after_cell_purge",  # same, ANN family + delete_where
-        "doc_incremental_neardup",      # same, LSH family
-        "orders_stream_rollup",         # sink compact_max_bytes path
-        "orders_rollup_after_retraction",  # reset fold + flag lifecycle
-        "orders_rollup_month_range",    # one-snapshot zone-pruned read
-        "doc_search_after_term_purge",  # delete_where's first oracle row
+        # r12-new — never driver-verified before
+        "lake_rename_evolution",
+        "embedding_knn_ivfpq_recall_clustered",
+        # rewired-in-r12 component representatives
+        "orders_zorder_box",            # staged single-job recluster waves
+        "orders_zorder_box3",           # N-dim path on the rewrite hook
+        "lake_type_widening",           # evolved schemas now carry field ids
+        "lake_schema_evolution",        # add-column under the id-aware diff
+        "doc_point_lookup",             # bloom read path after the shim
+        "doc_search_after_bulk_delete", # text_index manifest_snapshot move
+        "doc_search_after_term_purge",  # shared persist_for_attempt
+        "embedding_ann_after_cell_purge",  # ann_index same
+        "doc_incremental_neardup",      # incr_index same
+        "doc_stream_incremental_dedup",
+        "doc_stream_search_ingest",
         # the flagship (entry())
         "rank_sum_top1",
-        # staleness tail (last driver rows r5/r6 -> bound becomes r7)
-        "filter_project",
-        "customer_order_gaps",
-        "doc_pii_scrub",
-        "events_stream_sliding",
-        "orders_cube_status_priority",
-        "customers_without_orders_sql",
-        "doc_lang_id_heuristic",
-        "setop_union_by_name",
+        # staleness tail (last driver rows r7 -> bound becomes r8)
+        "count_star",
+        "grouped_agg",
+        "left_join",
+        "events_hourly_by_type",
+        "doc_minhash_signature",
+        "lineitem_quantity_quantiles",
+        "doc_export_shards",
+        "topk_per_group",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
