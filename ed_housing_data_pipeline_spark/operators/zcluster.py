@@ -174,7 +174,7 @@ def plan_recluster(
     root: str,
     component: str,
     exprs: Sequence[str],
-    bits: int = 10,
+    bits: int | str = 10,  # "sort" = recluster_sorted's marker sentinel
     min_segments: int = 2,
     max_segment_bytes: int | None = None,
     force: bool = False,
@@ -317,6 +317,89 @@ def recluster_zorder(
 
     def rewrite(df: DataFrame):
         zed = df.withColumn("_z", zorderN(exprs, bits))
+        zed.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(zed)
+        return (_z_staged(zed, n_segments), "_slice")
+
+    try:
+        return lake.rewrite_segments(
+            spark,
+            root,
+            component,
+            rewrite=rewrite,
+            plan=plan,
+            min_segments=min_segments,
+            zone_cols=zone_cols,
+            meta_update=meta_update,
+            max_attempts=max_attempts,
+        )
+    finally:
+        for z in persisted:
+            z.unpersist()
+
+
+def recluster_sorted(
+    spark,
+    root: str,
+    component: str,
+    order_expr: str,
+    zone_cols: Sequence[str],
+    n_segments: int = 8,
+    min_segments: int = 2,
+    max_segment_bytes: int | None = None,
+    force: bool = False,
+    max_waves: int | None = 8,
+    max_attempts: int = 3,
+) -> dict[str, list[int]]:
+    """OPTIMIZE … ORDER BY as a maintenance verb — the SINGLE-column
+    sibling of :func:`recluster_zorder` for workloads whose predicates
+    hit one dimension (time-series retention scans, id-range reads):
+    fold the pinned tail into range-contiguous segments on
+    ``order_expr`` (numeric — slice cuts come from approx_percentile)
+    so that column's zonemaps become tight. Same machinery end to end
+    — the layout marker (keyed by the expr with a ``"sort"`` bits
+    sentinel, so switching between sorted and z-order layouts
+    invalidates cleanly), the size tier, the wave budget with
+    automatic level-merge, the ONE staged write job, and
+    lake.rewrite_segments owning the manifest choreography — which is
+    the point of the fold-to-N hook: a new layout verb is ~30 lines of
+    WHAT, zero lines of manifest HOW."""
+    zone_cols = list(zone_cols)
+    marker_key = f"zcluster_{component}"
+    ctx: dict = {}
+    persisted: list[DataFrame] = []
+
+    def plan(snap: lake.ManifestSnapshot) -> list[int]:
+        p = plan_recluster(
+            spark,
+            root,
+            component,
+            [order_expr],
+            bits="sort",
+            min_segments=min_segments,
+            max_segment_bytes=max_segment_bytes,
+            force=force,
+            max_waves=max_waves,
+            snap=snap,
+        )
+        ctx.update(base=set(p["base"]), waves=p["waves"])
+        return p["fold"]
+
+    def meta_update(prior_meta: dict, new_segs: list[int]) -> dict:
+        return {
+            **(prior_meta or {}),
+            marker_key: {
+                "exprs": [order_expr],
+                "bits": "sort",
+                "segs": sorted(ctx["base"] | set(new_segs)),
+                "waves": ctx["waves"],
+            },
+        }
+
+    def rewrite(df: DataFrame):
+        zed = df.withColumn(
+            "_z", F.expr(order_expr).cast("bigint")
+        )
         zed.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(zed)
         return (_z_staged(zed, n_segments), "_slice")

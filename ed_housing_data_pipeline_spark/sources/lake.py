@@ -1499,7 +1499,13 @@ def read_segments(
     ``coalesce(current, *priors)`` projection folds the vintages back
     into the current name. Still one multi-path scan, no per-vintage
     grouping; components that never renamed take the plain pinned-read
-    path untouched."""
+    path untouched. Honest cost while renamed vintages remain pinned:
+    a predicate on a renamed column filters post-scan (coalesce is not
+    pushable into parquet row-group stats) — segment-level zonemap
+    pruning still applies (the rename verb rewrites zone keys), column
+    pruning and whole-stage codegen are unaffected, and routine
+    compaction normalizes the physical names so the shim (and the
+    pushdown gap) ages out with the old segments."""
     if not segments:
         raise ValueError(f"read_segments: empty segment list for {component_root}")
     root = component_root.rstrip("/")
@@ -3875,30 +3881,36 @@ def maintain(
 
         rrep: dict[str, dict] = {}
         for comp, kw in rkw.items():
+            kind = kw.get("kind", "zorder")  # or "sorted": 1-D ORDER BY
             if dry_run:
-                p = zcluster.plan_recluster(
-                    spark,
-                    root,
-                    comp,
-                    kw["exprs"],
-                    **{
-                        k: kw[k]
-                        for k in (
-                            "bits",
-                            "min_segments",
-                            "max_segment_bytes",
-                            "max_waves",
-                        )
-                        if k in kw
-                    },
+                exprs = (
+                    kw["exprs"] if kind == "zorder" else [kw["order_expr"]]
                 )
+                pkw = {
+                    k: kw[k]
+                    for k in ("min_segments", "max_segment_bytes", "max_waves")
+                    if k in kw
+                }
+                if kind == "sorted":
+                    pkw["bits"] = "sort"
+                elif "bits" in kw:
+                    pkw["bits"] = kw["bits"]
+                p = zcluster.plan_recluster(spark, root, comp, exprs, **pkw)
                 rrep[comp] = {
                     "would_fold": p["fold"],
                     "level_merge": p["level_merge"],
                 }
             else:
                 before_c = set(segment_pins(spark, root).get(comp, []))
-                pins = zcluster.recluster_zorder(spark, root, comp, **kw)
+                verb = (
+                    zcluster.recluster_zorder
+                    if kind == "zorder"
+                    else zcluster.recluster_sorted
+                )
+                pins = verb(
+                    spark, root, comp,
+                    **{k: v for k, v in kw.items() if k != "kind"},
+                )
                 rrep[comp] = {
                     "folded": sorted(before_c - set(pins.get(comp, []))),
                     "new_segments": sorted(set(pins.get(comp, [])) - before_c),

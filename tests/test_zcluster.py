@@ -629,3 +629,69 @@ def test_empty_input_still_pins_valid_manifest(spark, tmp_path):
     )
     assert len(pins2["t"]) == 1
     assert lake.read_segmented_components(spark, root, ["t"])["t"].count() == 0
+
+
+def test_recluster_sorted_single_column_layout(spark, tmp_path):
+    """The 1-D ORDER BY sibling: arrival-ordered appends prune nothing
+    on k; recluster_sorted makes k-range pruning tight, stays
+    content-neutral, converges via the marker, and switching the
+    layout to z-order afterwards invalidates the marker cleanly."""
+    root = str(tmp_path / "ds")
+    _append_messy(spark, root, n_batches=4, seed=21)
+    kept0, pinned0 = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=120)
+    assert kept0 == pinned0  # arrival order: nothing prunable
+    before = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    pins = zcluster.recluster_sorted(
+        spark, root, "t", order_expr="k", zone_cols=("k", "m"), n_segments=8
+    )
+    kept1, pinned1 = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=120)
+    assert pinned1 == pins["t"]
+    assert 0 < len(kept1) < len(pinned1)  # k-pruning engaged
+    after = sorted(
+        tuple(r)
+        for r in lake.read_segmented_components(spark, root, ["t"])["t"].collect()
+    )
+    assert after == before  # content-neutral
+    marker = lake.segment_meta(spark, root)["zcluster_t"]
+    assert marker["bits"] == "sort" and marker["exprs"] == ["k"]
+    # converged: idle pass commits nothing
+    v = lake.segment_pins_versioned(spark, root)[1]
+    assert zcluster.recluster_sorted(
+        spark, root, "t", order_expr="k", zone_cols=("k", "m"), n_segments=8
+    ) == pins
+    assert lake.segment_pins_versioned(spark, root)[1] == v
+    # layout switch: the z-order verb sees a foreign marker and re-lays
+    pins_z = zcluster.recluster_zorder(
+        spark, root, "t",
+        exprs=["CAST(floor(k / 4) AS INT)", "m"], zone_cols=("k", "m"),
+        n_segments=4,
+    )
+    assert not set(pins["t"]) & set(pins_z["t"])
+
+
+def test_maintain_runs_sorted_recluster_kind(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    _append_messy(spark, root, n_batches=3, seed=23)
+    policy = {
+        "recluster": {
+            "t": {
+                "kind": "sorted",
+                "order_expr": "k",
+                "zone_cols": ("k", "m"),
+                "n_segments": 4,
+            }
+        },
+        "repair": False,
+        "expire": False,
+    }
+    plan = lake.maintain(spark, root, policy, dry_run=True)
+    assert sorted(plan["recluster"]["t"]["would_fold"]) == lake.segment_pins(
+        spark, root
+    )["t"]
+    rep = lake.maintain(spark, root, policy)
+    assert rep["recluster"]["t"]["new_segments"]
+    kept, pinned = lake.zone_pruned_pins(spark, root, "t", "k", lo=0, hi=120)
+    assert 0 < len(kept) < len(pinned)
