@@ -385,11 +385,13 @@ class ConcurrentCommitError(RuntimeError):
 class SchemaEvolutionError(ValueError):
     """An append's frame is INCOMPATIBLY shaped against the
     component's manifest-carried schema (a common column changed
-    type). Additive changes — new columns, a writer still emitting
-    the pre-evolution column set, or a LOSSLESS type widening on an
-    atomic column — are legal and reconciled at read time; everything
-    else must be an explicit new component or a rewrite
-    (``replaces=``), never a silent reader-side coercion."""
+    type, or a column name retired by a rename/drop is being
+    re-introduced). Additive changes — new columns, a writer still
+    emitting the pre-evolution column set or a pre-rename name, or a
+    LOSSLESS type widening on an atomic column — are legal and
+    reconciled at read time; everything else must be an explicit new
+    component or a rewrite (``replaces=``), never a silent
+    reader-side coercion."""
 
 
 # the lossless integer-widening chain (Spark type-JSON names)
