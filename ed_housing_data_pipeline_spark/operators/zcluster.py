@@ -397,6 +397,18 @@ def recluster_sorted(
         }
 
     def rewrite(df: DataFrame):
+        from pyspark.sql.types import NumericType  # noqa: PLC0415
+
+        key_type = df.selectExpr(order_expr).schema[0].dataType
+        if not isinstance(key_type, NumericType):
+            # a silent cast('bigint') would NULL every key and fold the
+            # whole component into ONE unsorted slice — an expensive
+            # no-op wearing a success marker; reject typed instead
+            raise ValueError(
+                f"recluster_sorted: order_expr {order_expr!r} resolves to "
+                f"{key_type.simpleString()}; range slicing needs a numeric "
+                "key (cuts come from approx_percentile)"
+            )
         zed = df.withColumn(
             "_z", F.expr(order_expr).cast("bigint")
         )

@@ -1832,7 +1832,8 @@ def _write_segment_blooms_many(
         for r in _pairs(segs).groupBy("__seg").agg(F.count("*").alias("n")).collect()
     }
     under = [s for s in segs if counts.get(s, 0) <= _BLOOM_MAX_ROWS]
-    result: dict[int, bool] = {s: s in set(under) for s in segs}
+    under_set = set(under)
+    result: dict[int, bool] = {s: s in under_set for s in segs}
     if not under or dry_run:
         return result
     chunks: list[list[int]] = [[]]
@@ -3002,7 +3003,8 @@ def append_segments(
     new_zones = _carry_zones(zones, new_pins)
     new_blooms = _carry_blooms(blooms, new_pins)
     _cover_new_segments(
-        spark, root, new_segs, zone_cols, bloom_cols, new_zones, new_blooms
+        spark, root, new_segs, zone_cols, bloom_cols, new_zones, new_blooms,
+        schemas=new_schemas,
     )
     # pinned commit: concurrent committers cannot silently drop each
     # other's segments — the loser gets ConcurrentCommitError and must
@@ -3077,35 +3079,46 @@ def _cover_new_segments(
     bloom_cols: dict[str, Sequence[str]],
     new_zones: dict,
     new_blooms: dict,
+    schemas: dict[str, dict] | None = None,
 ) -> None:
     """Compute zonemap stats and bloom sidecars for just-written
     segments, batched per component/column: a component landing ONE
     segment keeps the per-segment O(batch) jobs; a component landing
     MANY (a staged fold-to-N rewrite) gets one stats job and one
     count+collect job pair per bloom column instead of O(segments)
-    jobs. Mutates ``new_zones`` / ``new_blooms`` in place."""
+    jobs. ``schemas`` (the commit's evolved schema jsons) makes the
+    builders rename-aware: a LAGGING writer's fresh segment physically
+    carries a pre-rename column name, and zone/bloom stats requested
+    under the CURRENT name must find its values through the same
+    coalesce plan readers use — not crash on an unresolved column.
+    Mutates ``new_zones`` / ``new_blooms`` in place."""
     by_comp: dict[str, list[int]] = {}
     for name, seg in new_segs:
         by_comp.setdefault(name, []).append(seg)
     for name, segs in by_comp.items():
         comp_root = f"{root}/{name}"
+        sch = _schema_from_json((schemas or {}).get(name))
+        if sch is not None and not _rename_shadow_plan(sch)[1]:
+            sch = None  # no renames: the plain footer-schema fast path
         zcols = list(zone_cols.get(name) or [])
         if zcols:
-            if len(segs) == 1:
+            if len(segs) == 1 and sch is None:
                 new_zones.setdefault(name, {})[segs[0]] = _segment_zone_stats(
                     spark, comp_root, segs[0], zcols
                 )
             else:
                 for seg, stats in _segment_zone_stats_many(
-                    spark, comp_root, segs, zcols
+                    spark, comp_root, segs, zcols, schema=sch
                 ).items():
                     new_zones.setdefault(name, {})[seg] = stats
         built_by_seg: dict[int, list[str]] = {}
         for c in bloom_cols.get(name, []):
-            if len(segs) == 1:
+            if len(segs) == 1 and sch is None:
                 ok = {segs[0]: _write_segment_bloom(spark, comp_root, segs[0], c)}
             else:
-                ok = _write_segment_blooms_many(spark, comp_root, segs, c)
+                ok = _write_segment_blooms_many(
+                    spark, comp_root, segs, c, schema=sch
+                )
             for seg, built in ok.items():
                 if built:
                     built_by_seg.setdefault(seg, []).append(c)
@@ -3351,8 +3364,32 @@ def rewrite_segments(
             schema=_schema_from_json(snap.schemas.get(component)),
         )
         out = rewrite(df)
+        # schema evolution FIRST, over EVERY output frame's schema —
+        # an incompatible output raises typed with zero segment debris
+        # (a later frame may legitimately add columns; folding only
+        # frames[0] would silently lose them from the recorded schema,
+        # making the data invisible to every pinned read and physically
+        # dropped at the next normalization)
         if isinstance(out, tuple):
             frame, slice_col = out
+            out_schemas = [
+                StructType(
+                    [f for f in frame.schema.fields if f.name != slice_col]
+                )
+            ]
+        elif isinstance(out, DataFrame):
+            out_schemas = [out.schema]
+        else:
+            out = list(out)
+            if not out:
+                raise ValueError(
+                    "rewrite_segments: rewrite returned no output frames"
+                )
+            out_schemas = [f.schema for f in out]
+        evolved = snap.schemas.get(component)
+        for sch in out_schemas:
+            evolved = _evolved_schema_json(evolved, sch, component)
+        if isinstance(out, tuple):
             new_segments = stage_segments(spark, frame, comp_root, slice_col)
             if not new_segments:
                 # an all-empty fold set stages zero slice dirs; the
@@ -3362,25 +3399,14 @@ def rewrite_segments(
                 new_segments = [
                     write_segment(spark, frame.drop(slice_col), comp_root)
                 ]
-            logical = StructType(
-                [f for f in frame.schema.fields if f.name != slice_col]
-            )
         elif isinstance(out, DataFrame):
             new_segments = [write_segment(spark, out, comp_root)]
-            logical = out.schema
         else:
-            frames = list(out)
-            if not frames:
-                raise ValueError(
-                    "rewrite_segments: rewrite returned no output frames"
-                )
-            new_segments = [
-                write_segment(spark, f, comp_root) for f in frames
-            ]
-            logical = frames[0].schema
+            new_segments = [write_segment(spark, f, comp_root) for f in out]
+        fold_set = set(fold)
         new_pins = dict(snap.pins)
         new_pins[component] = sorted(
-            [s for s in snap.pins[component] if s not in set(fold)]
+            [s for s in snap.pins[component] if s not in fold_set]
             + new_segments
         )
         new_zones = _carry_zones(snap.zones, new_pins)
@@ -3411,11 +3437,10 @@ def rewrite_segments(
             {component: bcols},
             new_zones,
             new_blooms,
+            schemas={component: evolved},
         )
         new_schemas = dict(snap.schemas)
-        new_schemas[component] = _evolved_schema_json(
-            snap.schemas.get(component), logical, component
-        )
+        new_schemas[component] = evolved
         new_schemas = {c: sj for c, sj in new_schemas.items() if c in new_pins}
         commit_meta = (
             meta_update(snap.meta, list(new_segments))
@@ -3848,19 +3873,22 @@ def maintain(
         report["compact"] = {"skipped": True}
     else:
         before = segment_pins(spark, root)
-        names = list(ckw.get("components") or before)
-        min_seg = int(ckw.get("min_segments", 2))
-        max_bytes = ckw.get("max_segment_bytes")
-        plan: dict[str, list[int]] = {}
-        for name in names:
-            if max_bytes is None:
-                fold = list(before.get(name, []))
-            else:
-                sizes = segment_sizes(spark, root, name, before.get(name, []))
-                fold = [s for s in before.get(name, []) if sizes[s] < max_bytes]
-            if len(fold) >= min_seg:
-                plan[name] = fold
         if dry_run:
+            # plan only on the dry path — the apply path lets
+            # compact_segments do its own (identical) fold selection,
+            # instead of paying a second sizing pass it then discards
+            names = list(ckw.get("components") or before)
+            min_seg = int(ckw.get("min_segments", 2))
+            max_bytes = ckw.get("max_segment_bytes")
+            plan: dict[str, list[int]] = {}
+            for name in names:
+                if max_bytes is None:
+                    fold = list(before.get(name, []))
+                else:
+                    sizes = segment_sizes(spark, root, name, before.get(name, []))
+                    fold = [s for s in before.get(name, []) if sizes[s] < max_bytes]
+                if len(fold) >= min_seg:
+                    plan[name] = fold
             report["compact"] = {"would_fold": plan}
         else:
             after = compact_segments(spark, root, **ckw)
@@ -3890,7 +3918,12 @@ def maintain(
                 )
                 pkw = {
                     k: kw[k]
-                    for k in ("min_segments", "max_segment_bytes", "max_waves")
+                    for k in (
+                        "min_segments",
+                        "max_segment_bytes",
+                        "max_waves",
+                        "force",
+                    )
                     if k in kw
                 }
                 if kind == "sorted":

@@ -458,3 +458,95 @@ def test_repair_zone_backfill_respects_renames(spark, tmp_path):
     assert stats[:2] == [10, 20]  # real values, via the prior name
     kept, _ = lake.zone_pruned_pins(spark, root, "t", "total", lo=15, hi=18)
     assert kept == [seg_gap]
+
+
+def test_lagging_writer_coverage_under_current_names(spark, tmp_path):
+    """A lagging writer appends the OLD physical name while naming the
+    CURRENT column in zone_cols/bloom_cols (what any config-driven
+    ingest does post-rename): coverage must be computed through the
+    rename plan — real stats under the current name, a resolving bloom
+    — not crash on an unresolved column."""
+    root = _rename_root(spark, tmp_path)
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame(
+            [(7, 700, "q"), (8, 800, "r")], "id int, amount int, tag string"
+        )},
+        zone_cols={"t": ["total"]}, bloom_cols={"t": ["id"]},
+    )
+    seg = lake.segment_pins(spark, root)["t"][-1]
+    stats = lake.segment_zones(spark, root)["t"][seg]["total"]
+    assert stats[:2] == [700, 800]  # values found via the prior name
+    kept, _ = lake.zone_pruned_pins(spark, root, "t", "total", lo=0, hi=100)
+    assert seg not in kept  # and they prune
+    kept_b, _ = lake.bloom_pruned_pins(spark, root, "t", "id", [7])
+    assert kept_b == [seg]
+    got = sorted(
+        map(tuple, lake.read_segments_bloom_pruned(
+            spark, root, "t", "id", [7]
+        ).filter(F.col("id") == 7).collect())
+    )
+    assert got == [(7, 700, "q")]
+
+
+def test_rewrite_segments_folds_schema_over_every_output_frame(spark, tmp_path):
+    """The fold-to-N list path must evolve the recorded schema from
+    EVERY output frame — a column only the second frame carries has to
+    survive pinned reads (losing it would physically drop the data at
+    the next normalization), and a type conflict between output frames
+    is a typed reject with zero segment debris."""
+    import pytest
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")},
+        init=True,
+    )
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame([(3, "c")], "id int, name string")},
+    )
+
+    def split_and_annotate(df):
+        return [
+            df.filter(F.col("id") % 2 == 0),
+            df.filter(F.col("id") % 2 == 1).withColumn("extra", F.lit(9)),
+        ]
+
+    lake.rewrite_segments(spark, root, "t", rewrite=split_and_annotate)
+    out = lake.read_segmented_components(spark, root, ["t"])["t"]
+    assert out.columns == ["id", "name", "extra"]
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 9), (2, "b", None), (3, "c", 9)
+    ]
+
+    def conflicting(df):
+        return [
+            df.select("id", "name"),
+            df.select("id", F.col("id").alias("name")),  # name as INT
+        ]
+
+    segs_before = lake.segment_numbers(spark, f"{root}/t")
+    with pytest.raises(lake.SchemaEvolutionError):
+        lake.rewrite_segments(spark, root, "t", rewrite=conflicting)
+    # typed reject BEFORE any segment landed: no debris
+    assert lake.segment_numbers(spark, f"{root}/t") == segs_before
+
+
+def test_recluster_sorted_rejects_non_numeric_key(spark, tmp_path):
+    import pytest
+    from ed_housing_data_pipeline_spark.operators import zcluster
+
+    root = str(tmp_path / "ds")
+    for i in range(2):
+        lake.append_segments(
+            spark, root,
+            {"t": spark.createDataFrame([(i, "x")], "k int, name string")},
+            init=(i == 0),
+        )
+    with pytest.raises(ValueError, match="numeric"):
+        zcluster.recluster_sorted(
+            spark, root, "t", order_expr="name", zone_cols=("k",)
+        )
