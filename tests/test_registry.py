@@ -28,9 +28,10 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r12 window: the two r12-new
+    prior round's CORRECTNESS file. The r12 window: the three r12-new
     queries enter (lake_rename_evolution — field-id rename evolution;
-    embedding_knn_ivfpq_recall_clustered — the PQ quality gate), every
+    embedding_knn_ivfpq_recall_clustered — the PQ quality gate;
+    lake_maintain_cycle — the cadence verb end to end), every
     component REWIRED in r12 keeps a representative (zcluster on the
     lake rewrite hook with staged single-job waves; the lake read path's
     rename shim + field-id schemas; the index families' manifest_snapshot
@@ -46,7 +47,9 @@ def test_driver_window_covers_every_family():
     must_have = {
         # r12-new — never driver-verified before
         "lake_rename_evolution",
+        "lake_maintain_cycle",
         "embedding_knn_ivfpq_recall_clustered",
+        "lake_maintain_cycle",
         # rewired-in-r12 component representatives
         "orders_zorder_box",            # staged single-job recluster waves
         "orders_zorder_box3",           # N-dim path on the rewrite hook
