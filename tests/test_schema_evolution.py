@@ -550,3 +550,19 @@ def test_recluster_sorted_rejects_non_numeric_key(spark, tmp_path):
         zcluster.recluster_sorted(
             spark, root, "t", order_expr="name", zone_cols=("k",)
         )
+
+
+def test_time_travel_reads_pre_rename_names(spark, tmp_path):
+    """A historical read serves the schema AS OF that manifest: before
+    the rename the column is its old name; the head read serves the
+    new name — same values either way."""
+    root = _rename_root(spark, tmp_path)
+    v1 = lake.segment_pins_versioned(spark, root)[1]
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    old = lake.read_segmented_components_at(spark, root, v1)["t"]
+    assert old.columns == ["id", "amount", "tag"]
+    new = _read(spark, root)
+    assert new.columns == ["id", "total", "tag"]
+    assert sorted(r[1] for r in old.collect()) == sorted(
+        r[1] for r in new.collect()
+    )
