@@ -56,8 +56,9 @@ def test_doc_and_embedding_queries_survive_empty_corpus(spark, empty_sf_dir):
                 "embedding_knn_ivfpq",
                 "embedding_knn_ivf_recall",
                 "embedding_knn_ivfpq_recall",
+                "embedding_knn_ivfpq_recall_clustered",
             ):
-                # documented raisers: all four TRAIN a quantizer
+                # documented raisers: all five TRAIN a quantizer
                 # (k-means coarse cells; ivfpq additionally trains
                 # per-subspace PQ codebooks; the recall gates run the
                 # trained searches) and training on an empty corpus is
