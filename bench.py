@@ -106,6 +106,8 @@ COLD_ONLY = [
     "lake_type_widening",           # r11: widening evolution e2e (tempdir build per run)
     "lake_rename_evolution",        # r12: rename evolution e2e (tempdir build per run)
     "embedding_knn_ivfpq_recall_clustered",  # r12: trains coarse+PQ per run
+    "lake_maintain_cycle",          # r12: full maintenance cadence e2e
+    "lake_changes_feed",            # r12: CDF read across a rewrite e2e
 ]
 
 

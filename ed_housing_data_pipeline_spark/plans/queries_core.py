@@ -1903,6 +1903,63 @@ def q_lake_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
 
+# ------------------------------------------------- change-data-feed
+@register(
+    "lake_changes_feed",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS price_sum
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY 1
+    """,
+)
+def q_lake_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-FEED read on the segmented lake (the Delta CDF /
+    Iceberg incremental-read class), end to end as a driver-checkable
+    query: batch A (keys ≡0 mod 3) commits as version v1, batch B
+    (≡1) appends, a COMPACTION rewrites the whole component (its
+    outputs are marked in manifest meta and must NOT re-enter the
+    feed), batch C (≡2) appends — and ``lake.read_segment_changes``
+    from v1 must serve exactly batches B+C: B comes from the
+    intermediate manifest that pinned it (it was folded away by the
+    compaction), C from the head, and the rewrite fold (carrying ALL
+    rows including batch A) is excluded. The oracle aggregates the
+    %3≠0 keys directly, so a feed that double-counted through the
+    rewrite, dropped the folded-away batch, or leaked batch A
+    hash-mismatches. At 100 TB this is how downstream consumers
+    (index maintainers, training-data refreshes) read a table
+    incrementally without ever rescanning it — and layout maintenance
+    must be invisible to them."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    part = F.col("o_orderkey") % 3
+    with tempfile.TemporaryDirectory(prefix="lake_cdf_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(
+            spark, ds, {"orders": orders.filter(part == 0)}, init=True
+        )
+        v1 = lake.segment_pins_versioned(spark, ds)[1]
+        lake.append_segments(spark, ds, {"orders": orders.filter(part == 1)})
+        lake.compact_segments(spark, ds)  # rewrite inside the window
+        lake.append_segments(spark, ds, {"orders": orders.filter(part == 2)})
+        feed = lake.read_segment_changes(spark, ds, "orders", v1)
+        return (
+            feed.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

@@ -198,7 +198,7 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r12 window. Rotation rule unchanged: this round's THREE new
+    # --- r12 window. Rotation rule unchanged: this round's FOUR new
     # queries enter (lake_rename_evolution — metadata-only rename
     # evolution via field ids; embedding_knn_ivfpq_recall_clustered —
     # the PQ QUALITY gate on the planted micro-group fixture); every
@@ -276,7 +276,11 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_nearby_range_join",
     "embedding_knn_srp",
     "embedding_knn_ivfpq_fixed",
-    "doc_neardup_pairs",
+    # r12-new, fourth row: the change-data-feed read (rewrites marked
+    # and excluded) — doc_neardup_pairs rotates in next round with the
+    # remaining r8 tail (doc_minhash_signature + doc_incremental_neardup
+    # keep the minhash/LSH machinery in-window)
+    "lake_changes_feed",
     # r12-new, third row: the maintenance cadence verb end to end
     # (takes the last slot from the r8 tail; doc_word_cms_topk rotates
     # in next round with the remaining r8 rows)

@@ -2245,6 +2245,106 @@ def read_segmented_components_at(
     }
 
 
+def _mark_rewrites(
+    meta: dict,
+    new_pins: dict[str, Sequence[int]],
+    additions: dict[str, Sequence[int]],
+) -> dict:
+    """Record rewrite OUTPUTS (compaction folds, recluster slices) in
+    manifest meta under ``_cdc_rewrites`` so the change feed
+    (:func:`read_segment_changes`) can tell content-neutral layout
+    maintenance apart from genuine appends. Carried entries subset to
+    still-pinned segments, so the marker never outgrows the pin set."""
+    prior = (meta or {}).get("_cdc_rewrites", {})
+    out: dict[str, list[int]] = {}
+    for comp, pins_ in new_pins.items():
+        pinned = set(pins_)
+        keep = {int(s) for s in prior.get(comp, []) if int(s) in pinned}
+        keep |= {int(s) for s in additions.get(comp, []) if int(s) in pinned}
+        if keep:
+            out[comp] = sorted(keep)
+    if not out and "_cdc_rewrites" not in (meta or {}):
+        return meta or {}
+    return {**(meta or {}), "_cdc_rewrites": out}
+
+
+def read_segment_changes(
+    spark,
+    root: str,
+    component: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL read — the change-data-feed class (Delta CDF /
+    Iceberg incremental-append): every row APPENDED to ``component``
+    after manifest ``from_version`` (exclusive) up to ``to_version``
+    (inclusive; default the committed head), as one schema-pinned
+    union scan. Walks the RETAINED manifest versions in order and
+    takes each version's first-seen new segments, EXCLUDING rewrite
+    outputs (compaction / recluster mark their output segments in
+    manifest meta via ``_mark_rewrites``) — so content-neutral layout
+    maintenance between the two versions never re-emits old rows into
+    the feed, and a segment that was appended AND compacted away
+    inside the window is still picked up from the intermediate
+    manifest that pinned it (its files survive while that manifest is
+    retained).
+
+    Contract with retention (the same one Delta CDF has with VACUUM):
+    the feed is exact while every manifest in (from, to] is retained —
+    tune ``expire_segments(keep_manifests=, reader_grace_sec=)`` to
+    the consumer's cadence. A ``from_version`` already expired raises
+    FileNotFoundError instead of silently under-reporting. Logical
+    deletes are their own feed: consume the paired
+    ``tombstone_component(component)`` the same way."""
+    mroot = f"{root.rstrip('/')}/manifest"
+    head = _committed_version(spark, mroot)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest under {mroot}")
+    to_version = head if to_version is None else to_version
+    seen = set(
+        segment_pins_at(spark, root, from_version).get(component, [])
+    )
+    walk = [
+        v
+        for v in snapshot_versions(spark, mroot)
+        if from_version < v <= to_version
+    ]
+    feed: list[int] = []
+    schema_json = None
+    for v in walk:
+        parsed = json.loads(read_snapshot_blob(spark, mroot, version=v))
+        pins_v = {int(s) for s in parsed.get(component, [])}
+        rewrites_v = {
+            int(s)
+            for s in parsed.get("_meta", {})
+            .get("_cdc_rewrites", {})
+            .get(component, [])
+        }
+        feed += sorted((pins_v - seen) - rewrites_v)
+        seen |= pins_v
+        schema_json = parsed.get("_schemas", {}).get(component, schema_json)
+    if not feed:
+        schema = _schema_from_json(schema_json)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        head_pins = segment_pins(spark, root)
+        if component not in head_pins:
+            raise KeyError(
+                f"read_segment_changes: unknown component {component!r}"
+            )
+        return read_segments(
+            spark, f"{root.rstrip('/')}/{component}", head_pins[component][:1]
+        ).filter(F.lit(False))
+    return read_segments(
+        spark,
+        f"{root.rstrip('/')}/{component}",
+        feed,
+        schema=_schema_from_json(schema_json),
+    )
+
+
 def _tombstone_component(component: str) -> str:
     return f"{component}__tombstones"
 
@@ -3208,6 +3308,7 @@ def compact_segments(
     new_pins = dict(pins)
     new_schemas = dict(schemas)
     changed = False
+    fold_outputs: dict[str, list[int]] = {}
     rezone: list[tuple[str, int, list[str]]] = []
     rebloom: list[tuple[str, int, list[str]]] = []
     for name in names:
@@ -3243,6 +3344,7 @@ def compact_segments(
             schemas.get(name), df.schema, name
         )
         seg = write_segment(spark, df, f"{root}/{name}")
+        fold_outputs.setdefault(name, []).append(seg)
         new_pins[name] = sorted(
             [s for s in pins[name] if s not in fold] + [seg]
         )
@@ -3280,7 +3382,9 @@ def compact_segments(
             kw["zones"] = new_zones
         if new_blooms:
             kw["blooms"] = new_blooms
-        commit_meta = meta if meta is not None else prior_meta
+        commit_meta = _mark_rewrites(
+            meta if meta is not None else prior_meta, new_pins, fold_outputs
+        )
         if commit_meta:
             kw["meta"] = commit_meta
         if new_schemas:
@@ -3446,6 +3550,11 @@ def rewrite_segments(
             meta_update(snap.meta, list(new_segments))
             if meta_update is not None
             else snap.meta
+        )
+        # rewrite outputs carry no NEW rows: mark them so the change
+        # feed (read_segment_changes) skips layout maintenance
+        commit_meta = _mark_rewrites(
+            commit_meta, new_pins, {component: new_segments}
         )
         kw: dict = {}
         if new_zones:

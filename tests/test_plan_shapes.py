@@ -24,8 +24,23 @@ def dfs(spark):
     queries_llm.ensure_incr_index_built(spark, SF)
     # audit the real pre-checkpoint plans of the cache-owning queries
     queries_llm.AUDIT_LAZY_PLANS = True
+    # the tempdir-lifecycle e2e rows (schema evolution / maintenance
+    # cadence) EXECUTE their whole fixture at call time and return an
+    # eager localCheckpoint — the "plan" is a bare RDD scan with
+    # nothing to audit, and building four throwaway lakes here is the
+    # fixture's single biggest cost; their real plan shapes are
+    # audited where they live (the lake/zcluster suites)
+    eager_e2e = {
+        "lake_schema_evolution",
+        "lake_type_widening",
+        "lake_rename_evolution",
+        "lake_maintain_cycle",
+        "lake_changes_feed",
+    }
     try:
         for name, fn in query_map().items():
+            if name in eager_e2e:
+                continue
             out[name] = fn(spark, SF)
     finally:
         queries_llm.AUDIT_LAZY_PLANS = False

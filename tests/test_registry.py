@@ -48,6 +48,7 @@ def test_driver_window_covers_every_family():
         # r12-new — never driver-verified before
         "lake_rename_evolution",
         "lake_maintain_cycle",
+        "lake_changes_feed",
         "embedding_knn_ivfpq_recall_clustered",
         "lake_maintain_cycle",
         # rewired-in-r12 component representatives

@@ -771,3 +771,76 @@ def test_snapshot_blob_roundtrip_and_time_travel(spark, tmp_path):
         lake.write_snapshot_blob(spark, '{"a": 9}', root, version=2)
     with pytest.raises(FileNotFoundError):
         lake.read_snapshot_blob(spark, str(tmp_path / "nothing"))
+
+
+# ------------------------------------------------ change-data-feed
+def test_read_segment_changes_excludes_rewrites(spark, tmp_path):
+    """Incremental read between two manifest versions: genuine appends
+    flow, a compaction INSIDE the window does not re-emit old rows,
+    and a segment appended-then-compacted within the window is still
+    picked up from the intermediate manifest that pinned it."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ds")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        )
+
+    lake.append_segments(spark, root, {"t": batch(0, 100)}, init=True)
+    v1 = lake.segment_pins_versioned(spark, root)[1]
+    lake.append_segments(spark, root, {"t": batch(100, 150)})
+    lake.compact_segments(spark, root)  # rewrite: no new rows
+    lake.append_segments(spark, root, {"t": batch(150, 180)})
+    feed = lake.read_segment_changes(spark, root, "t", v1)
+    got = sorted(r.k for r in feed.collect())
+    # exactly the two appended batches — the appended-then-compacted
+    # batch (100..150) comes from the intermediate manifest, the
+    # compacted fold (0..180's rewrite outputs) is excluded
+    assert got == list(range(100, 150)) + list(range(150, 180))
+    # idle window → typed empty frame with the component's schema
+    head = lake.segment_pins_versioned(spark, root)[1]
+    empty = lake.read_segment_changes(spark, root, "t", head)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_read_segment_changes_skips_recluster_and_bounds(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.operators import zcluster
+
+    root = str(tmp_path / "ds")
+    for i in range(3):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 13).cast("int").alias("m"),
+        )
+        lake.append_segments(
+            spark, root, {"t": df}, init=(i == 0), zone_cols={"t": ["k", "m"]}
+        )
+    v1 = lake.segment_pins_versioned(spark, root)[1]
+    # a maintenance wave between the versions: content-neutral
+    zcluster.recluster_zorder(
+        spark, root, "t",
+        exprs=["CAST(floor(k / 8) AS INT)", "m"], zone_cols=("k", "m"),
+        n_segments=4, bits=6,
+    )
+    lake.append_segments(
+        spark, root,
+        {"t": spark.range(300, 320).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 13).cast("int").alias("m"),
+        )},
+        zone_cols={"t": ["k", "m"]},
+    )
+    feed = lake.read_segment_changes(spark, root, "t", v1)
+    assert sorted(r.k for r in feed.collect()) == list(range(300, 320))
+    # delete feed: the tombstone component is its own change stream
+    lake.delete_rows(spark, root, "t", "k", [301, 302])
+    v2 = lake.segment_pins_versioned(spark, root)[1]
+    dead = lake.read_segment_changes(
+        spark, root, lake.tombstone_component("t"), v1
+    )
+    assert sorted(r.k for r in dead.collect()) == [301, 302]
+    assert v2 > v1
