@@ -276,12 +276,12 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "orders_nearby_range_join",
     "embedding_knn_srp",
     "embedding_knn_ivfpq_fixed",
-    # r12-new, fourth row: the change-data-feed read (rewrites marked
+    # r12-new: the change-data-feed read (rewrites marked
     # and excluded) — doc_neardup_pairs rotates in next round with the
     # remaining r8 tail (doc_minhash_signature + doc_incremental_neardup
     # keep the minhash/LSH machinery in-window)
     "lake_changes_feed",
-    # r12-new, third row: the maintenance cadence verb end to end
+    # r12-new: the maintenance cadence verb end to end
     # (takes the last slot from the r8 tail; doc_word_cms_topk rotates
     # in next round with the remaining r8 rows)
     "lake_maintain_cycle",

@@ -2301,8 +2301,15 @@ def read_segment_changes(
     if head is None:
         raise FileNotFoundError(f"no committed manifest under {mroot}")
     to_version = head if to_version is None else to_version
-    seen = set(
-        segment_pins_at(spark, root, from_version).get(component, [])
+    # from_version=0 is the bootstrap ("everything since the beginning"
+    # — the same sentinel commit_segment_manifest documents for the
+    # first commit); there is no manifest 0 to diff against
+    seen = (
+        set()
+        if from_version <= 0
+        else set(
+            segment_pins_at(spark, root, from_version).get(component, [])
+        )
     )
     walk = [
         v
@@ -2467,8 +2474,15 @@ def apply_tombstones(
         kw["zones"] = new_zones
     if new_blooms:
         kw["blooms"] = new_blooms
-    if prior_meta:
-        kw["meta"] = prior_meta
+    # a tombstone APPLY is a rewrite: its outputs carry only
+    # pre-existing rows, so the change feed must not re-emit them
+    # (the deletes themselves were announced by the tombstone
+    # component's own append feed)
+    marked = _mark_rewrites(
+        prior_meta, new_pins, {component: [seg], tomb: new_pins[tomb]}
+    )
+    if marked:
+        kw["meta"] = marked
     if schemas:
         kw["schemas"] = schemas
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
@@ -2585,6 +2599,10 @@ def apply_segment_tombstones(
     meta = dict(prior_meta)
     if meta_fn is not None:
         meta = meta_fn(meta)
+    additions: dict[str, list[int]] = {tombstones: list(new_pins[tombstones])}
+    for name, seg in rewritten:
+        additions.setdefault(name, []).append(seg)
+    meta = _mark_rewrites(meta, new_pins, additions)  # see apply_tombstones
     if meta:
         kw["meta"] = meta
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
@@ -3118,6 +3136,20 @@ def append_segments(
     if new_blooms:
         kw["blooms"] = new_blooms
     new_meta = meta if meta is not None else prior_meta
+    if (
+        meta is not None
+        and "_cdc_rewrites" in prior_meta
+        and "_cdc_rewrites" not in meta
+    ):
+        # the meta REPLACE contract is for APPLICATION state; the
+        # change feed's rewrite markers are infrastructure and ride
+        # through (subset to the new pins), else an expiry later could
+        # leave a rewrite fold unmarked at its first retained sighting
+        new_meta = _mark_rewrites(
+            {**meta, "_cdc_rewrites": prior_meta["_cdc_rewrites"]},
+            new_pins,
+            {},
+        )
     if new_meta:
         kw["meta"] = new_meta
     # ``expected_base`` (checked against the fresh read above, and
@@ -3382,9 +3414,16 @@ def compact_segments(
             kw["zones"] = new_zones
         if new_blooms:
             kw["blooms"] = new_blooms
-        commit_meta = _mark_rewrites(
-            meta if meta is not None else prior_meta, new_pins, fold_outputs
-        )
+        base_meta = meta if meta is not None else prior_meta
+        if (
+            meta is not None
+            and "_cdc_rewrites" in prior_meta
+            and "_cdc_rewrites" not in meta
+        ):
+            base_meta = {
+                **meta, "_cdc_rewrites": prior_meta["_cdc_rewrites"]
+            }  # infrastructure carry — see append_segments
+        commit_meta = _mark_rewrites(base_meta, new_pins, fold_outputs)
         if commit_meta:
             kw["meta"] = commit_meta
         if new_schemas:
@@ -3551,6 +3590,13 @@ def rewrite_segments(
             if meta_update is not None
             else snap.meta
         )
+        if (
+            "_cdc_rewrites" in snap.meta
+        ) and "_cdc_rewrites" not in (commit_meta or {}):
+            commit_meta = {
+                **(commit_meta or {}),
+                "_cdc_rewrites": snap.meta["_cdc_rewrites"],
+            }  # infrastructure carry past a meta_update that dropped it
         # rewrite outputs carry no NEW rows: mark them so the change
         # feed (read_segment_changes) skips layout maintenance
         commit_meta = _mark_rewrites(

@@ -28,7 +28,7 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r12 window: the three r12-new
+    prior round's CORRECTNESS file. The r12 window: the four r12-new
     queries enter (lake_rename_evolution — field-id rename evolution;
     embedding_knn_ivfpq_recall_clustered — the PQ quality gate;
     lake_maintain_cycle — the cadence verb end to end), every
@@ -50,8 +50,7 @@ def test_driver_window_covers_every_family():
         "lake_maintain_cycle",
         "lake_changes_feed",
         "embedding_knn_ivfpq_recall_clustered",
-        "lake_maintain_cycle",
-        # rewired-in-r12 component representatives
+                # rewired-in-r12 component representatives
         "orders_zorder_box",            # staged single-job recluster waves
         "orders_zorder_box3",           # N-dim path on the rewrite hook
         "lake_type_widening",           # evolved schemas now carry field ids

@@ -844,3 +844,52 @@ def test_read_segment_changes_skips_recluster_and_bounds(spark, tmp_path):
     )
     assert sorted(r.k for r in dead.collect()) == [301, 302]
     assert v2 > v1
+
+
+def test_read_segment_changes_bootstrap_and_delete_apply(spark, tmp_path):
+    """from_version=0 bootstraps the feed (everything since the
+    beginning); a PHYSICAL delete apply inside a window is a marked
+    rewrite — the surviving rows are not re-emitted as appends."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ds")
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    lake.append_segments(spark, root, {"t": df}, init=True)
+    boot = lake.read_segment_changes(spark, root, "t", 0)
+    assert sorted(r.k for r in boot.collect()) == list(range(50))
+    v1 = lake.segment_pins_versioned(spark, root)[1]
+    lake.delete_rows(spark, root, "t", "k", [3, 4])
+    lake.apply_tombstones(spark, root, "t", "k")
+    feed = lake.read_segment_changes(spark, root, "t", v1)
+    # the 48 surviving rows were rewritten, not appended: empty feed
+    assert feed.count() == 0
+    # while the delete feed (consumed from v1) carries the two ids
+    dead = lake.read_segment_changes(
+        spark, root, lake.tombstone_component("t"), v1
+    )
+    assert sorted(r.k for r in dead.collect()) == [3, 4]
+
+
+def test_cdc_markers_survive_caller_meta_replace(spark, tmp_path):
+    """The meta REPLACE contract covers application state only: a sink
+    committing its own meta after a compaction must not wipe the
+    rewrite markers the change feed depends on."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ds")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    lake.append_segments(spark, root, {"t": batch(0, 30)}, init=True)
+    v1 = lake.segment_pins_versioned(spark, root)[1]
+    lake.append_segments(spark, root, {"t": batch(30, 40)})
+    lake.compact_segments(spark, root)
+    # a streaming-sink-style commit REPLACING meta wholesale
+    lake.append_segments(
+        spark, root, {"t": batch(40, 45)}, meta={"batch": 7}
+    )
+    m = lake.segment_meta(spark, root)
+    assert m["batch"] == 7 and m["_cdc_rewrites"]["t"]
+    feed = lake.read_segment_changes(spark, root, "t", v1)
+    assert sorted(r.k for r in feed.collect()) == list(range(30, 45))
