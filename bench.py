@@ -108,6 +108,7 @@ COLD_ONLY = [
     "embedding_knn_ivfpq_recall_clustered",  # r12: trains coarse+PQ per run
     "lake_maintain_cycle",          # r12: full maintenance cadence e2e
     "lake_changes_feed",            # r12: CDF read across a rewrite e2e
+    "lake_mirror_consume",          # r12: exactly-once CDF consumer e2e
 ]
 
 

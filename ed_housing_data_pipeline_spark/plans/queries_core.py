@@ -1960,6 +1960,66 @@ def q_lake_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ------------------------------------------------- CDF consumer loop
+@register(
+    "lake_mirror_consume",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS price_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_lake_mirror_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACTLY-ONCE change-feed consumer loop end to end
+    (lake.consume_changes): a source component ingests orders in three
+    batches with a compaction in between, a downstream MIRROR is
+    maintained purely by cadence calls of the consumer — whose
+    watermark advances atomically with each sink commit — including a
+    REPLAY call that must be a no-op (checked in-query; a duplicate
+    apply or a leaked rewrite fold hash-mismatches the full-table
+    oracle). This is the downstream-maintenance shape at 100 TB:
+    derived tables and training refreshes read each table
+    incrementally, exactly once, with layout maintenance invisible."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    part = F.col("o_orderkey") % 3
+    with tempfile.TemporaryDirectory(prefix="lake_mirror_") as root:
+        src, dst = f"{root}/src", f"{root}/dst"
+        lake.append_segments(
+            spark, src, {"orders": orders.filter(part == 0)}, init=True
+        )
+        lake.consume_changes(spark, src, "orders", dst)
+        lake.append_segments(spark, src, {"orders": orders.filter(part == 1)})
+        lake.compact_segments(spark, src)  # maintenance inside the window
+        lake.consume_changes(spark, src, "orders", dst)
+        lake.append_segments(spark, src, {"orders": orders.filter(part == 2)})
+        rep = lake.consume_changes(spark, src, "orders", dst)
+        if not rep["applied"]:
+            raise RuntimeError(f"third window should apply: {rep}")
+        v = lake.segment_pins_versioned(spark, dst)[1]
+        replay = lake.consume_changes(spark, src, "orders", dst)
+        if replay["applied"] or lake.segment_pins_versioned(spark, dst)[1] != v:
+            raise RuntimeError(f"replay was not a no-op: {replay}")
+        mirror = lake.read_segmented_components(spark, dst, ["orders"])[
+            "orders"
+        ]
+        return (
+            mirror.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

@@ -2296,6 +2296,38 @@ def read_segment_changes(
     FileNotFoundError instead of silently under-reporting. Logical
     deletes are their own feed: consume the paired
     ``tombstone_component(component)`` the same way."""
+    feed, schema_json = _changed_segments(
+        spark, root, component, from_version, to_version
+    )
+    if not feed:
+        schema = _schema_from_json(schema_json)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        head_pins = segment_pins(spark, root)
+        if component not in head_pins:
+            raise KeyError(
+                f"read_segment_changes: unknown component {component!r}"
+            )
+        return read_segments(
+            spark, f"{root.rstrip('/')}/{component}", head_pins[component][:1]
+        ).filter(F.lit(False))
+    return read_segments(
+        spark,
+        f"{root.rstrip('/')}/{component}",
+        feed,
+        schema=_schema_from_json(schema_json),
+    )
+
+
+def _changed_segments(
+    spark, root: str, component: str, from_version: int, to_version: int | None
+) -> tuple[list[int], dict | None]:
+    """(appended segment ids in (from, to], latest schema json seen) —
+    the retained-version walk behind :func:`read_segment_changes`,
+    driver-side filesystem reads only (no Spark job), so a consumer
+    can detect an EMPTY window before planning any scan."""
     mroot = f"{root.rstrip('/')}/manifest"
     head = _committed_version(spark, mroot)
     if head is None:
@@ -2330,26 +2362,91 @@ def read_segment_changes(
         feed += sorted((pins_v - seen) - rewrites_v)
         seen |= pins_v
         schema_json = parsed.get("_schemas", {}).get(component, schema_json)
-    if not feed:
-        schema = _schema_from_json(schema_json)
-        if schema is not None:
-            return spark.createDataFrame([], schema)
-        from pyspark.sql import functions as F  # noqa: PLC0415
+    return feed, schema_json
 
-        head_pins = segment_pins(spark, root)
-        if component not in head_pins:
-            raise KeyError(
-                f"read_segment_changes: unknown component {component!r}"
-            )
-        return read_segments(
-            spark, f"{root.rstrip('/')}/{component}", head_pins[component][:1]
-        ).filter(F.lit(False))
-    return read_segments(
+
+def consume_changes(
+    spark,
+    source_root: str,
+    component: str,
+    sink_root: str,
+    sink_component: str | None = None,
+    transform: Callable | None = None,
+) -> dict:
+    """EXACTLY-ONCE incremental consumption of a component's change
+    feed into another segmented dataset — the downstream-maintenance
+    loop (mirror replicas, training-data refreshes, derived tables)
+    run as a cadence verb. The consumer's watermark (last source
+    manifest version consumed) lives in the SINK's manifest meta and
+    advances ATOMICALLY with the data commit, so a replayed or crashed
+    run re-reads the same window instead of double-applying (the same
+    transactional-sink discipline the streaming committers use); a
+    rival consumer of the same sink loses the ``expected_base`` race
+    and retries from the advanced watermark — never applies twice.
+
+    Each call: read the sink's watermark for (source, component) →
+    ``read_segment_changes`` since it → optionally ``transform(df)`` →
+    one O(batch) append pinned to the sink version the watermark was
+    read at. An empty window still advances the watermark (meta-only
+    commit) so the next call's version walk stays short. Returns
+    ``{"from", "to", "applied"}``."""
+    sink_component = sink_component or component
+    src_head = _committed_version(spark, f"{source_root.rstrip('/')}/manifest")
+    if src_head is None:
+        raise FileNotFoundError(f"no committed manifest under {source_root}")
+    wm_key = f"cdf_watermark:{component}"
+    try:
+        sink_pins, sink_zones, sink_blooms, sink_meta, sink_schemas, sink_base = (
+            _manifest_state(spark, sink_root)
+        )
+        sink_init = False
+    except FileNotFoundError:
+        sink_pins, sink_zones, sink_blooms = {}, {}, {}
+        sink_meta, sink_schemas, sink_base, sink_init = {}, {}, 0, True
+    wm = int(sink_meta.get(wm_key, 0))
+    if src_head <= wm:
+        return {"from": wm, "to": wm, "applied": False}
+    # driver-side walk first: a maintenance-only window (rewrites, no
+    # appends) must advance the watermark WITHOUT accreting an empty
+    # segment per cadence — and without planning any scan
+    feed_segs, schema_json = _changed_segments(
+        spark, source_root, component, wm, src_head
+    )
+    new_meta = {**sink_meta, wm_key: src_head}
+    if not feed_segs:
+        if sink_init:
+            return {"from": wm, "to": src_head, "applied": False}
+        # commit against the SAME sink state the watermark was read at
+        # (expected_base): a rival consumer advancing it concurrently
+        # must conflict, never be silently regressed by our stale meta
+        kw: dict = {"meta": new_meta}
+        if sink_zones:
+            kw["zones"] = sink_zones
+        if sink_blooms:
+            kw["blooms"] = sink_blooms
+        if sink_schemas:
+            kw["schemas"] = sink_schemas
+        commit_segment_manifest(
+            spark, sink_root, sink_pins, expected_base=sink_base, **kw
+        )
+        return {"from": wm, "to": src_head, "applied": False}
+    feed = read_segments(
         spark,
-        f"{root.rstrip('/')}/{component}",
-        feed,
+        f"{source_root.rstrip('/')}/{component}",
+        feed_segs,
         schema=_schema_from_json(schema_json),
     )
+    if transform is not None:
+        feed = transform(feed)
+    append_segments(
+        spark,
+        sink_root,
+        {sink_component: feed},
+        init=sink_init,
+        meta=new_meta,
+        expected_base=None if sink_init else sink_base,
+    )
+    return {"from": wm, "to": src_head, "applied": True}
 
 
 def _tombstone_component(component: str) -> str:

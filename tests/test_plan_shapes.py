@@ -36,6 +36,7 @@ def dfs(spark):
         "lake_rename_evolution",
         "lake_maintain_cycle",
         "lake_changes_feed",
+        "lake_mirror_consume",
     }
     try:
         for name, fn in query_map().items():

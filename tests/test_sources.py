@@ -893,3 +893,65 @@ def test_cdc_markers_survive_caller_meta_replace(spark, tmp_path):
     assert m["batch"] == 7 and m["_cdc_rewrites"]["t"]
     feed = lake.read_segment_changes(spark, root, "t", v1)
     assert sorted(r.k for r in feed.collect()) == list(range(30, 45))
+
+
+def test_consume_changes_exactly_once_mirror(spark, tmp_path):
+    """The checkpointed consumer: bootstraps a mirror from the feed,
+    applies only new windows on later calls (replays are no-ops), a
+    maintenance-only window advances the watermark without accreting
+    segments, a crashed commit re-reads the same window, and a rival
+    consumer loses the pinned race instead of double-applying."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    lake.append_segments(spark, src, {"t": batch(0, 100)}, init=True)
+    rep = lake.consume_changes(spark, src, "t", dst)
+    assert rep["applied"] and rep["from"] == 0
+    assert lake.read_segmented_components(spark, dst, ["t"])["t"].count() == 100
+    # replay with no new source commits: no-op, nothing committed
+    v_dst = lake.segment_pins_versioned(spark, dst)[1]
+    rep2 = lake.consume_changes(spark, src, "t", dst)
+    assert not rep2["applied"] and rep2["from"] == rep2["to"]
+    assert lake.segment_pins_versioned(spark, dst)[1] == v_dst
+    # maintenance-only window: watermark advances, zero new segments
+    lake.append_segments(spark, src, {"t": batch(100, 120)})
+    lake.compact_segments(spark, src)
+    rep3 = lake.consume_changes(spark, src, "t", dst)
+    assert rep3["applied"]  # the appended batch flows
+    mirror = lake.read_segmented_components(spark, dst, ["t"])["t"]
+    assert sorted(r.k for r in mirror.collect()) == list(range(120))
+    lake.compact_segments(spark, dst)  # keep the mirror tidy too
+    pins_before = lake.segment_pins(spark, dst)["t"]
+    # a maintenance-only window on src: logical delete + physical
+    # apply (both rewrite/mark; no appends to 't' itself)
+    lake.delete_rows(spark, src, "t", "k", [0])
+    lake.apply_tombstones(spark, src, "t", "k")
+    rep4 = lake.consume_changes(spark, src, "t", dst)
+    assert not rep4["applied"] and rep4["to"] > rep4["from"]
+    assert lake.segment_pins(spark, dst)["t"] == pins_before  # no accretion
+    # crash between read and commit: watermark not advanced, window re-read
+    lake.append_segments(spark, src, {"t": batch(120, 130)})
+    real = lake.commit_segment_manifest
+    calls = {"n": 0}
+    def crash_once(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before the flip")
+        return real(*a, **kw)
+    lake.commit_segment_manifest = crash_once
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            lake.consume_changes(spark, src, "t", dst)
+    finally:
+        lake.commit_segment_manifest = real
+    rep5 = lake.consume_changes(spark, src, "t", dst)  # retry: same window
+    assert rep5["applied"]
+    mirror = lake.read_segmented_components(spark, dst, ["t"])["t"]
+    assert mirror.count() == 130
+    assert mirror.filter(F.col("k") >= 120).count() == 10  # exactly once
