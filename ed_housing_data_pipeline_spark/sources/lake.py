@@ -2372,6 +2372,7 @@ def consume_changes(
     sink_root: str,
     sink_component: str | None = None,
     transform: Callable | None = None,
+    max_attempts: int = 3,
 ) -> dict:
     """EXACTLY-ONCE incremental consumption of a component's change
     feed into another segmented dataset — the downstream-maintenance
@@ -2388,13 +2389,49 @@ def consume_changes(
     ``read_segment_changes`` since it → optionally ``transform(df)`` →
     one O(batch) append pinned to the sink version the watermark was
     read at. An empty window still advances the watermark (meta-only
-    commit) so the next call's version walk stays short. Returns
-    ``{"from", "to", "applied"}``."""
+    commit) so the next call's version walk stays short. A lost sink
+    race retries from the fresh watermark up to ``max_attempts`` (the
+    rival may have consumed the window already — the retry then
+    no-ops). Returns ``{"from", "to", "applied"}``.
+
+    Semantics are APPEND-feed: upserted revisions arrive as appends of
+    the new revision (downstream dedupes on its own key/watermark, the
+    same way every index family's liveness rule does) and physical
+    deletes arrive on the paired tombstone component's feed — this
+    verb never retracts rows from the sink."""
     sink_component = sink_component or component
     src_head = _committed_version(spark, f"{source_root.rstrip('/')}/manifest")
     if src_head is None:
         raise FileNotFoundError(f"no committed manifest under {source_root}")
     wm_key = f"cdf_watermark:{component}"
+    last_err: BaseException | None = None
+    for _attempt in range(max_attempts):
+        try:
+            return _consume_changes_once(
+                spark,
+                source_root,
+                component,
+                sink_root,
+                sink_component,
+                transform,
+                src_head,
+                wm_key,
+            )
+        except ConcurrentCommitError as e:
+            last_err = e  # rival sink commit: replan from fresh watermark
+    raise last_err
+
+
+def _consume_changes_once(
+    spark,
+    source_root: str,
+    component: str,
+    sink_root: str,
+    sink_component: str,
+    transform: Callable | None,
+    src_head: int,
+    wm_key: str,
+) -> dict:
     try:
         sink_pins, sink_zones, sink_blooms, sink_meta, sink_schemas, sink_base = (
             _manifest_state(spark, sink_root)
