@@ -2020,6 +2020,98 @@ def q_lake_mirror_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ------------------------------------------------- row-level upsert
+@register(
+    "lake_upsert_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(price), 2) AS price_sum
+    FROM (
+        SELECT 'RESURRECTED' AS o_orderpriority, 999.99 AS price
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice + 100000 AS price
+        FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    )
+    GROUP BY 1
+    """,
+)
+def q_lake_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-commit row-level UPSERT on a plain segmented component
+    (lake.upsert_rows — the MERGE INTO class, r12 VERDICT #1), end to
+    end: orders ingest as plain appends, a revision batch (keys ≡0 mod
+    7) upserts with repriced totals, a delete takes down keys ≡0 mod 5
+    (killing prior revisions INCLUDING the upserted ones), and a final
+    upsert re-inserts the deleted keys ≡0 mod 15 — resurrection, the
+    case the bare-id tombstone rule cannot express. The merged view
+    must aggregate exactly what the oracle computes on the equivalent
+    UNION of survivors; then a PHYSICAL apply (merged=True) rewrites
+    the component and the re-read must be value-identical (checked
+    in-query) — compaction normalization preserves the watermark
+    semantics. Each mutation is ONE expected_base manifest flip:
+    delete+append never exists as two half-applied commits. At 100 TB
+    this is how a dimension table or mirror takes row-level updates:
+    O(batch) commits, liveness folded at read, physical apply on the
+    maintenance cadence."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    with tempfile.TemporaryDirectory(prefix="lake_upsert_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"orders": orders}, init=True)
+        lake.upsert_rows(
+            spark, ds, "orders", "o_orderkey",
+            orders.filter(k % 7 == 0).withColumn(
+                "price", F.col("price") + F.lit(100000)
+            ),
+        )
+        lake.delete_rows_from(
+            spark, ds, "orders", "o_orderkey",
+            orders.filter(k % 5 == 0).select("o_orderkey"),
+        )
+        lake.upsert_rows(
+            spark, ds, "orders", "o_orderkey",
+            orders.filter(k % 15 == 0).select(
+                "o_orderkey",
+                F.lit("RESURRECTED").alias("o_orderpriority"),
+                F.lit(999.99).alias("price"),
+            ),
+        )
+
+        def _agg(df: DataFrame) -> DataFrame:
+            return df.groupBy(
+                F.col("o_orderpriority").alias("priority")
+            ).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.sum("price"), 2).alias("price_sum"),
+            )
+
+        out = _agg(
+            lake.read_segmented_merged(spark, ds, "orders", "o_orderkey")
+        ).localCheckpoint(eager=True)
+        # physical apply must preserve the merged view exactly
+        lake.apply_tombstones(spark, ds, "orders", "o_orderkey", merged=True)
+        from collections import Counter  # noqa: PLC0415
+
+        after = _agg(
+            lake.read_segmented_merged(spark, ds, "orders", "o_orderkey")
+        )
+        if Counter(map(tuple, after.collect())) != Counter(
+            map(tuple, out.collect())
+        ):
+            raise RuntimeError("physical apply changed the merged view")
+        return out
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

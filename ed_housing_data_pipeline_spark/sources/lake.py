@@ -1650,8 +1650,13 @@ def _segment_zone_stats_many(
         scan_schema, renames = _rename_shadow_plan(schema)
         reader = spark.read.schema(scan_schema)
     df = reader.parquet(*[_segment_dir(root, s) for s in segs])
+    # anchored to the file's immediate parent dir: an unanchored
+    # ``seg=\d+/`` would match a dataset ROOT that itself contains a
+    # seg=N path element, mis-keying every row onto one phantom segment
+    # and leaving the real segments on empty-segment default stats —
+    # which pruning would then treat as prunable (silent data drop)
     seg_key = (
-        F.regexp_extract(F.col("_metadata.file_path"), r"seg=(\d+)/", 1)
+        F.regexp_extract(F.col("_metadata.file_path"), r"/seg=(\d+)/[^/]*$", 1)
         .cast("bigint")
         .alias("__seg")
     )
@@ -1802,8 +1807,12 @@ def _write_segment_blooms_many(
         scan_schema, renames = _rename_shadow_plan(schema)
 
     def _pairs(over: Sequence[int]):
+        # anchored like _segment_zone_stats_many: the segment id is the
+        # file's immediate parent, never an ancestor path element
         seg_key = (
-            F.regexp_extract(F.col("_metadata.file_path"), r"seg=(\d+)/", 1)
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/seg=(\d+)/[^/]*$", 1
+            )
             .cast("bigint")
             .alias("__seg")
         )
@@ -2174,13 +2183,16 @@ def segment_sizes(
     while it.hasNext():
         st = it.next()
         path = st.getPath().toString()
-        i = path.find(marker)
+        # rfind + no-slash-after: the segment id must be the file's
+        # IMMEDIATE parent dir — a dataset root that itself contains a
+        # seg=N path element must not absorb every byte under it
+        i = path.rfind(marker)
         if i < 0:
             continue
         tail = path[i + len(marker):]
         j = tail.find("/")
-        if j < 0:
-            continue  # a file directly named seg=...: not segment data
+        if j < 0 or "/" in tail[j + 1:]:
+            continue  # bare seg=… file, or seg=N was an ancestor dir
         try:
             seg = int(tail[:j])
         except ValueError:
@@ -2336,9 +2348,10 @@ def _changed_segments(
     # from_version=0 is the bootstrap ("everything since the beginning"
     # — the same sentinel commit_segment_manifest documents for the
     # first commit); there is no manifest 0 to diff against
+    bootstrap = from_version <= 0
     seen = (
         set()
-        if from_version <= 0
+        if bootstrap
         else set(
             segment_pins_at(spark, root, from_version).get(component, [])
         )
@@ -2348,18 +2361,36 @@ def _changed_segments(
         for v in snapshot_versions(spark, mroot)
         if from_version < v <= to_version
     ]
+    if bootstrap and not walk and to_version >= 1:
+        # every manifest in (0, to] has expired: the documented
+        # fail-loud contract (an expired from_version raises) must not
+        # be bypassed by the 0 sentinel
+        raise FileNotFoundError(
+            f"read_segment_changes: no retained manifest <= v{to_version} "
+            f"under {mroot} — the bootstrap window has expired"
+        )
     feed: list[int] = []
     schema_json = None
-    for v in walk:
+    for i, v in enumerate(walk):
         parsed = json.loads(read_snapshot_blob(spark, mroot, version=v))
         pins_v = {int(s) for s in parsed.get(component, [])}
-        rewrites_v = {
-            int(s)
-            for s in parsed.get("_meta", {})
-            .get("_cdc_rewrites", {})
-            .get(component, [])
-        }
-        feed += sorted((pins_v - seen) - rewrites_v)
+        if bootstrap and i == 0:
+            # the earliest RETAINED version seeds the bootstrap with its
+            # FULL pin set — rewrite outputs INCLUDED: once retention
+            # expired the pre-compaction manifests, the folds are the
+            # only copy of those rows, and excluding them would hand a
+            # fresh mirror a silently incomplete bootstrap. (At v1 this
+            # equals the incremental rule: an init commit has no
+            # rewrite markers.)
+            feed += sorted(pins_v)
+        else:
+            rewrites_v = {
+                int(s)
+                for s in parsed.get("_meta", {})
+                .get("_cdc_rewrites", {})
+                .get(component, [])
+            }
+            feed += sorted((pins_v - seen) - rewrites_v)
         seen |= pins_v
         schema_json = parsed.get("_schemas", {}).get(component, schema_json)
     return feed, schema_json
@@ -2403,7 +2434,14 @@ def consume_changes(
     src_head = _committed_version(spark, f"{source_root.rstrip('/')}/manifest")
     if src_head is None:
         raise FileNotFoundError(f"no committed manifest under {source_root}")
-    wm_key = f"cdf_watermark:{component}"
+    # keyed by (source, source component, sink component) — two sources
+    # sharing a component name into one sink, or one source consumed
+    # into two sink components, must each hold their OWN watermark (a
+    # shared key would let the second consumer see the first's advanced
+    # mark and silently no-op its windows)
+    wm_key = (
+        f"cdf_watermark:{source_root.rstrip('/')}:{component}:{sink_component}"
+    )
     last_err: BaseException | None = None
     for _attempt in range(max_attempts):
         try:
@@ -2528,14 +2566,162 @@ def delete_rows_from(
     the tombstone component — nothing ever materializes on the driver,
     which is the only shape that survives a multi-million-row
     take-down. ``segment_partitions`` caps the tombstone segment's
-    file count (None preserves the frame's partitioning)."""
-    df = ids_df.select(id_col).distinct()
+    file count (None preserves the frame's partitioning).
+
+    Every tombstone row is stamped ``dead_below`` = the manifest
+    sequence this delete commits at (the revision axis the index
+    families use — text_index.py's useq/dead_below watermark): under
+    :func:`read_segmented_merged` the delete kills exactly the
+    revisions committed BEFORE it, so a LATER :func:`upsert_rows` of
+    the same id resurrects. :func:`read_segmented_live` (the legacy
+    bare-id view) ignores the stamp and hides every revision of a
+    tombstoned id. A rival commit landing mid-delete conflicts loudly
+    (the established delete contract) — the caller retries."""
+    df0 = ids_df.select(id_col).distinct()
     if segment_partitions:
-        df = df.coalesce(segment_partitions)
+        df0 = df0.coalesce(segment_partitions)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    base = segment_pins_versioned(spark, root)[1]
+    df = df0.withColumn(DEAD_BELOW_COL, F.lit(base + 1).cast("bigint"))
     return append_segments(
         spark,
         root,
         appends={_tombstone_component(component): df},
+        expected_base=base,
+    )
+
+
+#: Revision axis of a versioned component (the lake-core port of the
+#: index families' useq/dead_below watermark — operators/text_index.py):
+#: data rows carry ``_useq`` = the manifest sequence that committed
+#: them (absent/NULL reads as 0 — plain appends predate every
+#: tombstone); tombstone rows carry ``dead_below`` = the sequence of
+#: the delete/upsert that wrote them. A row is LIVE under
+#: :func:`read_segmented_merged` iff its ``_useq`` >= its id's highest
+#: ``dead_below``.
+UPSERT_SEQ_COL = "_useq"
+DEAD_BELOW_COL = "dead_below"
+
+#: A tombstone row with NO ``dead_below`` (written before the revision
+#: axis existed) kills every revision — the legacy bare-id intent.
+_DEAD_ALL_SEQ = 1 << 62
+
+
+def upsert_rows(
+    spark,
+    root: str,
+    component: str,
+    id_col: str,
+    rows: DataFrame,
+    max_attempts: int = 3,
+) -> dict[str, list[int]]:
+    """Single-commit row-level UPSERT on a plain segmented component —
+    the MERGE INTO class every mirror and dimension table needs
+    (r12 VERDICT #1): ONE ``expected_base`` manifest flip pins both a
+    tombstone-at-this-sequence for the upserted ids AND the new
+    revisions, so readers see pre- or post-upsert state, never half,
+    and delete+append never exists as two non-atomic commits. The
+    design is the index families' sequence-watermark liveness axis
+    (operators/text_index.py useq/dead_below) ported to the lake core:
+
+    - new rows land stamped ``_useq = seq`` (the committing manifest
+      sequence);
+    - one ``(id, dead_below=seq)`` tombstone row per upserted id:
+      prior revisions (``_useq < seq``, including unstamped plain
+      appends, which read as 0) die, the new rows (``_useq = seq``)
+      live, and a later upsert of a DELETED id resurrects it because
+      its sequence outranks the delete's.
+
+    ``rows`` may carry many rows per id ("replace all rows of these
+    ids"). O(batch) — committed segments are never touched; the dead
+    revisions leave disk when :func:`apply_tombstones` (with
+    ``merged=True``) or compaction rewrites them on the maintenance
+    cadence. Serve the merged view with :func:`read_segmented_merged`.
+    Retries from fresh state on a rival commit (the payload restamps
+    at the fresh sequence). Returns the committed pin map."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    last_err: BaseException | None = None
+    for _attempt in range(max_attempts):
+        base = segment_pins_versioned(spark, root)[1]
+        seq = base + 1
+        stamped = rows.withColumn(
+            UPSERT_SEQ_COL, F.lit(seq).cast("bigint")
+        )
+        tomb = (
+            rows.select(id_col)
+            .distinct()
+            .coalesce(1)
+            .withColumn(DEAD_BELOW_COL, F.lit(seq).cast("bigint"))
+        )
+        try:
+            return append_segments(
+                spark,
+                root,
+                appends={
+                    component: stamped,
+                    _tombstone_component(component): tomb,
+                },
+                expected_base=base,
+            )
+        except ConcurrentCommitError as e:
+            last_err = e  # rival commit: replan; restamp at fresh seq
+    raise last_err
+
+
+def read_segmented_merged(
+    spark, root: str, component: str, id_col: str
+) -> DataFrame:
+    """The component's MERGED view — every id's surviving revisions
+    under the sequence-watermark liveness rule: a row is live iff its
+    ``_useq`` (0 for plain unstamped appends) is >= the highest
+    ``dead_below`` committed for its id. :func:`upsert_rows` revisions
+    replace, :func:`delete_rows` kills, a post-delete upsert
+    resurrects — the merged table a mirror or dimension consumer
+    expects. With no tombstone component pinned this is exactly the
+    plain pinned read. The watermark fold is O(tombstones) — one
+    groupBy over the (tiny) tombstone component; Spark/AQE broadcasts
+    it under the auto threshold, and past it the join degrades to a
+    shuffle rather than an unbounded broadcast. The ``_useq`` column
+    rides along (callers that don't want it drop it); legacy
+    tombstones with no ``dead_below`` kill every revision (their
+    original bare-id intent)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    state = _manifest_state(spark, root)
+    pins, schemas = state[0], state[4]
+    data = read_segments(
+        spark,
+        f"{root.rstrip('/')}/{component}",
+        pins[component],
+        schema=_schema_from_json(schemas.get(component)),
+    )
+    tomb = _tombstone_component(component)
+    if tomb not in pins:
+        return data
+    tdf = read_segments(
+        spark,
+        f"{root.rstrip('/')}/{tomb}",
+        pins[tomb],
+        schema=_schema_from_json(schemas.get(tomb)),
+    )
+    dead_all = F.lit(_DEAD_ALL_SEQ).cast("bigint")
+    db = (
+        F.coalesce(F.col(DEAD_BELOW_COL), dead_all)
+        if DEAD_BELOW_COL in tdf.columns
+        else dead_all
+    )
+    marks = tdf.groupBy(id_col).agg(F.max(db).alias("_dead"))
+    useq = (
+        F.coalesce(F.col(UPSERT_SEQ_COL), F.lit(0))
+        if UPSERT_SEQ_COL in data.columns
+        else F.lit(0)
+    )
+    return (
+        data.join(marks, on=id_col, how="left")
+        .filter(F.col("_dead").isNull() | (useq >= F.col("_dead")))
+        .drop("_dead")
     )
 
 
@@ -2563,7 +2749,7 @@ def read_segmented_live(
 
 
 def apply_tombstones(
-    spark, root: str, component: str, id_col: str
+    spark, root: str, component: str, id_col: str, merged: bool = False
 ) -> dict[str, list[int]]:
     """PHYSICAL delete: rewrite the component as one live-rows-only
     segment and reset its tombstone component to one empty segment,
@@ -2571,12 +2757,22 @@ def apply_tombstones(
     post-apply state, never half). The rewrite is the same O(dataset)
     cost class as compaction — run on the same maintenance cadence;
     the deleted bytes leave disk once the old segments age out of
-    retention (expire_segments)."""
+    retention (expire_segments).
+
+    ``merged=True`` applies the sequence-watermark liveness rule
+    (:func:`read_segmented_merged`) instead of the bare-id anti-join —
+    REQUIRED for components mutated through :func:`upsert_rows`, where
+    the bare-id rule would physically drop live resurrected/upserted
+    revisions."""
     pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
     tomb = _tombstone_component(component)
     if tomb not in pins:
         return pins
-    live = read_segmented_live(spark, root, component, id_col)
+    live = (
+        read_segmented_merged(spark, root, component, id_col)
+        if merged
+        else read_segmented_live(spark, root, component, id_col)
+    )
     new_pins = dict(pins)
     seg = write_segment(spark, live, f"{root}/{component}")
     new_pins[component] = [seg]
@@ -2786,8 +2982,11 @@ def rename_columns(
     old name keeps committing (evolution maps retired names back to
     the field). Zonemap keys follow the rename in the same flip; bloom
     sidecars are COPIED to the new name BEFORE the flip and the old
-    files dropped after, so an advertised sidecar resolves whatever
-    commits or crashes. The new name must be fresh — not a live,
+    files LEFT IN PLACE for reader grace (a reader holding the
+    pre-rename manifest still probes the old advertisement), so an
+    advertised sidecar resolves whatever commits or crashes —
+    expire_segments sweeps sidecars no retained manifest advertises.
+    The new name must be fresh — not a live,
     pre-rename, or dropped name of the component (old segments still
     hold physical data under those; reuse would resurrect it).
     Retries from fresh state on a commit race. Returns the committed
@@ -2849,7 +3048,6 @@ def rename_columns(
         }
         comp_root = f"{root.rstrip('/')}/{component}"
         jvm, fs = _fs(spark, comp_root)
-        old_files: list[str] = []
         for s, cols in new_blooms.get(component, {}).items():
             for old, new in mapping.items():
                 if old in cols:
@@ -2865,7 +3063,6 @@ def rename_columns(
                     )
                     out.write(payload.encode("utf-8"))
                     out.close()
-                    old_files.append(src)
                     cols[cols.index(old)] = new
         kw: dict = {"schemas": new_schemas}
         if new_zones:
@@ -2875,18 +3072,16 @@ def rename_columns(
         if meta:
             kw["meta"] = meta
         try:
-            version = commit_segment_manifest(
+            return commit_segment_manifest(
                 spark, root, pins, expected_base=base, **kw
             )
         except ConcurrentCommitError as e:
             last_err = e  # copied sidecars are junk; retry re-copies
             continue
-        for src in old_files:  # best-effort: unadvertised leftovers
-            try:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(src), False)
-            except Exception:  # noqa: BLE001
-                pass
-        return version
+        # old-name sidecars stay on disk past the flip (reader grace): a
+        # concurrent reader still holding the pre-rename manifest probes
+        # the OLD advertisement and must resolve it. expire_segments
+        # age-gates sidecars no retained manifest advertises.
     raise last_err
 
 
@@ -2901,7 +3096,8 @@ def drop_columns(
     silently resurrect it), readers stop serving it immediately
     (:func:`_schema_from_json` filters dropped fields), its zonemap
     stats and bloom advertisements drop in the same flip, and the
-    orphaned sidecar files are deleted best-effort after. No segment
+    orphaned sidecar files stay for reader grace until expire_segments
+    sweeps them (no retained manifest advertises them). No segment
     is rewritten; the physical bytes age out with normal compaction.
     Retries from fresh state on a commit race. Returns the committed
     manifest version."""
@@ -2952,13 +3148,10 @@ def drop_columns(
         new_blooms = {
             c: {s: list(bs) for s, bs in bm.items()} for c, bm in blooms.items()
         }
-        dead_files: list[str] = []
-        comp_root = f"{root.rstrip('/')}/{component}"
         for s, bs in list(new_blooms.get(component, {}).items()):
             for c in cols:
                 if c in bs:
                     bs.remove(c)
-                    dead_files.append(_bloom_path(comp_root, s, c))
             if not bs:
                 del new_blooms[component][s]
         kw: dict = {"schemas": new_schemas}
@@ -2969,19 +3162,15 @@ def drop_columns(
         if meta:
             kw["meta"] = meta
         try:
-            version = commit_segment_manifest(
+            return commit_segment_manifest(
                 spark, root, pins, expected_base=base, **kw
             )
         except ConcurrentCommitError as e:
             last_err = e
             continue
-        jvm, fs = _fs(spark, comp_root)
-        for path in dead_files:  # best-effort: no longer advertised
-            try:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
-            except Exception:  # noqa: BLE001
-                pass
-        return version
+        # the dropped column's sidecars stay on disk past the flip
+        # (reader grace, same as rename_columns); expire_segments
+        # age-gates sidecars no retained manifest advertises
     raise last_err
 
 
@@ -4298,6 +4487,11 @@ def expire_segments(
         ),
     )
     keep: dict[str, set[int]] = {}
+    # (component, seg, col) bloom advertisements across ALL retained
+    # manifests: a sidecar none of them advertises (rename/drop left it
+    # for reader grace, or a crash orphaned it) is age-gated away even
+    # when its segment is still pinned
+    adv_blooms: dict[str, set[tuple[int, str]]] = {}
     for v in snapshot_versions(spark, f"{root}/manifest"):
         try:
             parsed = json.loads(read_snapshot_blob(spark, f"{root}/manifest", v))
@@ -4307,6 +4501,10 @@ def expire_segments(
             if name.startswith("_"):  # manifest metadata (e.g. _zones)
                 continue
             keep.setdefault(name, set()).update(int(s) for s in segs)
+        for name, bm in parsed.get("_blooms", {}).items():
+            adv_blooms.setdefault(name, set()).update(
+                (int(s), c) for s, cols in bm.items() for c in cols
+            )
     jvm, fs = _fs(spark, root)
     now_ms = time.time() * 1000.0
     dropped: dict[str, list[int]] = {}
@@ -4340,11 +4538,25 @@ def expire_segments(
                         fs.delete(cst.getPath(), True)
                 continue
             if cname.startswith("_BLOOM.s"):
+                stem = cname[len("_BLOOM.s"):]
                 try:
-                    iseg = int(cname[len("_BLOOM.s"):].split(".", 1)[0])
+                    seg_str, rest = stem.split(".", 1)
+                    iseg = int(seg_str)
                 except ValueError:
                     continue
                 bloom_files.setdefault(iseg, []).append(cst.getPath())
+                col = rest[:-5] if rest.endswith(".json") else rest
+                if (iseg, col) not in adv_blooms.get(name, set()):
+                    # no retained manifest advertises this sidecar
+                    # (rename/drop reader-grace leftover, or a crash
+                    # before the flip): age-gate and drop the file
+                    # alone, pinned segment or not
+                    if (
+                        now_ms - float(cst.getModificationTime())
+                        > orphan_grace_sec * 1000.0
+                    ):
+                        fs.delete(cst.getPath(), False)
+                    continue
             elif cname.startswith("_INTENT.s"):
                 try:
                     iseg = int(cname[len("_INTENT.s"):])

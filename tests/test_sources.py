@@ -955,3 +955,142 @@ def test_consume_changes_exactly_once_mirror(spark, tmp_path):
     mirror = lake.read_segmented_components(spark, dst, ["t"])["t"]
     assert mirror.count() == 130
     assert mirror.filter(F.col("k") >= 120).count() == 10  # exactly once
+
+
+# --------------------------------------------------------- r13 fixes
+
+
+def test_batched_coverage_anchored_past_seg_element_in_root(spark, tmp_path):
+    """A dataset ROOT containing a 'seg=<digits>' path element must not
+    mis-key the batched zone/bloom builders (the segment id is the
+    file's IMMEDIATE parent, never an ancestor): unanchored parsing
+    would leave every real segment on empty-segment default stats,
+    which pruning then treats as prunable — silent data drop."""
+    root = str(tmp_path / "seg=3" / "ds")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    lake.append_segments(
+        spark, root, {"t": batch(0, 10)}, init=True,
+        zone_cols={"t": ["k"]}, bloom_cols={"t": ["k"]},
+    )
+    lake.append_segments(
+        spark, root, {"t": batch(100, 110)},
+        zone_cols={"t": ["k"]}, bloom_cols={"t": ["k"]},
+    )
+    pins = lake.segment_pins(spark, root)["t"]
+    zones = lake.segment_zones(spark, root)["t"]
+    assert {tuple(zones[s]["k"][:2]) for s in pins} == {(0, 9), (100, 109)}
+    kept, pinned = lake.zone_pruned_pins(spark, root, "t", "k", 100, 109)
+    assert len(pinned) == 2 and len(kept) == 1
+    assert rows(lake.read_segments(spark, f"{root}/t", kept)) == [
+        (v,) for v in range(100, 110)
+    ]
+    kept_b, _ = lake.bloom_pruned_pins(spark, root, "t", "k", [105])
+    assert len(kept_b) == 1
+    sizes = lake.segment_sizes(spark, root, "t", pins)
+    assert set(sizes) == set(pins) and all(v > 0 for v in sizes.values())
+
+
+def test_consume_changes_watermarks_key_on_source_and_sink_component(
+    spark, tmp_path
+):
+    """Watermarks are per (source root, source component, sink
+    component): two sources sharing a component name feeding one sink,
+    and one source consumed into two sink components, must each advance
+    their OWN mark — a shared key would make the second consumer see an
+    already-advanced watermark and silently skip its window."""
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    dst = str(tmp_path / "dst")
+    lake.append_segments(spark, src1, {"t": batch(0, 10)}, init=True)
+    lake.append_segments(spark, src2, {"t": batch(50, 60)}, init=True)
+    rep1 = lake.consume_changes(spark, src1, "t", dst, sink_component="m1")
+    assert rep1["applied"]
+    # same component name, different source, same sink
+    rep2 = lake.consume_changes(spark, src2, "t", dst, sink_component="m2")
+    assert rep2["applied"], "src2's watermark collided with src1's"
+    # same source into a SECOND sink component
+    rep3 = lake.consume_changes(spark, src1, "t", dst, sink_component="m3")
+    assert rep3["applied"], "the second sink component saw m1's watermark"
+    got = lake.read_segmented_components(spark, dst, ["m1", "m2", "m3"])
+    assert sorted(r.k for r in got["m1"].collect()) == list(range(10))
+    assert sorted(r.k for r in got["m2"].collect()) == list(range(50, 60))
+    assert sorted(r.k for r in got["m3"].collect()) == list(range(10))
+
+
+def test_rename_and_drop_leave_bloom_sidecars_for_reader_grace(
+    spark, tmp_path
+):
+    """rename/drop keep the superseded sidecar files on disk (a reader
+    that snapshotted the pre-rename manifest still probes the OLD
+    advertisement mid-read); expire_segments age-gates sidecars no
+    retained manifest advertises, so they sweep on the normal cadence
+    instead of breaking a concurrent probe."""
+    import os
+
+    root = str(tmp_path / "ds")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    lake.append_segments(
+        spark, root, {"t": df}, init=True, bloom_cols={"t": ["k", "v"]}
+    )
+    seg = lake.segment_pins(spark, root)["t"][0]
+    tdir = str(tmp_path / "ds" / "t")
+    old_k = os.path.join(tdir, f"_BLOOM.s{seg}.k.json")
+    assert os.path.exists(old_k)
+    lake.rename_columns(spark, root, "t", {"k": "key"})
+    new_k = os.path.join(tdir, f"_BLOOM.s{seg}.key.json")
+    assert os.path.exists(new_k) and os.path.exists(old_k)
+    lake.drop_columns(spark, root, "t", ["v"])
+    old_v = os.path.join(tdir, f"_BLOOM.s{seg}.v.json")
+    assert os.path.exists(old_v)
+    # the sweep drops exactly the unadvertised files once aged…
+    lake.expire_segments(
+        spark, root, keep_manifests=1, orphan_grace_sec=0.0,
+        reader_grace_sec=0.0,
+    )
+    assert not os.path.exists(old_k) and not os.path.exists(old_v)
+    assert os.path.exists(new_k)
+    # …and the advertised one still serves lookups
+    kept, pinned = lake.bloom_pruned_pins(spark, root, "t", "key", [7])
+    assert kept == [seg]
+
+
+def test_cdf_bootstrap_exact_after_history_expired(spark, tmp_path):
+    """from_version=0 once retention expired the pre-compaction
+    manifests: the earliest RETAINED version's full pin set (fold
+    outputs included — they are the only remaining copy of the old
+    rows) seeds the bootstrap, so a fresh mirror is complete; a window
+    that expired entirely raises instead of under-reporting."""
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    root = str(tmp_path / "ds")
+    lake.append_segments(spark, root, {"t": batch(0, 30)}, init=True)  # v1
+    lake.append_segments(spark, root, {"t": batch(30, 60)})  # v2
+    lake.compact_segments(spark, root)  # v3: fold marked _cdc_rewrites
+    lake.append_segments(spark, root, {"t": batch(60, 70)})  # v4
+    lake.expire_segments(
+        spark, root, keep_manifests=2, orphan_grace_sec=0.0,
+        reader_grace_sec=0.0,
+    )
+    assert lake.segment_manifest_versions(spark, root) == [3, 4]
+    boot = lake.read_segment_changes(spark, root, "t", 0)
+    assert sorted(r.k for r in boot.collect()) == list(range(70))
+    # incremental reads from a retained version are unchanged
+    inc = lake.read_segment_changes(spark, root, "t", 3)
+    assert sorted(r.k for r in inc.collect()) == list(range(60, 70))
+    # a fully-expired explicit window fails loud
+    with pytest.raises(FileNotFoundError, match="expired"):
+        lake.read_segment_changes(spark, root, "t", 0, to_version=2)
+    # and so does an expired non-zero from_version (existing contract)
+    with pytest.raises(FileNotFoundError):
+        lake.read_segment_changes(spark, root, "t", 1)

@@ -111,3 +111,130 @@ def test_delete_races_ingest_loudly(spark, tmp_path, monkeypatch):
     # retry lands the delete exactly once
     lake.delete_rows(spark, root, "docs", "doc_id", [1])
     assert lake.read_segmented_live(spark, root, "docs", "doc_id").count() == 80
+
+
+# ------------------------------------------------ r13: revision axis
+
+
+def test_upsert_rows_single_commit_replace_and_merged_read(spark, tmp_path):
+    """upsert_rows = tombstone-at-sequence + new revisions in ONE
+    manifest flip: the merged view serves exactly the latest revision
+    per id, plain appends read as sequence 0, and the whole upsert is
+    atomic (one version increment)."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)  # doc_id 0..79, v = float(doc_id), two segments
+    v0 = lake.segment_pins_versioned(spark, root)[1]
+    ups = spark.createDataFrame(
+        [Row(doc_id=j, v=1000.0 + j) for j in (3, 5, 70)],
+        "doc_id bigint, v double",
+    )
+    lake.upsert_rows(spark, root, "docs", "doc_id", ups)
+    assert lake.segment_pins_versioned(spark, root)[1] == v0 + 1  # atomic
+    merged = lake.read_segmented_merged(spark, root, "docs", "doc_id")
+    got = {r.doc_id: r.v for r in merged.collect()}
+    assert len(got) == 80
+    assert got[3] == 1003.0 and got[5] == 1005.0 and got[70] == 1070.0
+    assert got[4] == 4.0  # untouched ids serve the plain append
+
+
+def test_delete_then_upsert_resurrects_under_merged_view(spark, tmp_path):
+    """The sequence watermark composes under MAX: a delete kills all
+    prior revisions, a LATER upsert of the same id outranks the delete
+    and resurrects it — while the legacy bare-id live view keeps hiding
+    every tombstoned id (documented divergence)."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    lake.delete_rows(spark, root, "docs", "doc_id", [7, 8])
+    merged = lake.read_segmented_merged(spark, root, "docs", "doc_id")
+    assert merged.count() == 78
+    lake.upsert_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame([Row(doc_id=7, v=-7.0)], "doc_id bigint, v double"),
+    )
+    merged = lake.read_segmented_merged(spark, root, "docs", "doc_id")
+    got = {r.doc_id: r.v for r in merged.collect()}
+    assert len(got) == 79 and got[7] == -7.0 and 8 not in got
+    # legacy view: id 7 has tombstone rows, so it stays hidden there
+    live = lake.read_segmented_live(spark, root, "docs", "doc_id")
+    assert live.filter(F.col("doc_id") == 7).count() == 0
+
+
+def test_upsert_retries_past_a_rival_commit(spark, tmp_path, monkeypatch):
+    """A rival ingest landing mid-upsert costs a retry, never a lost
+    update: the payload restamps at the fresh sequence and both commits
+    survive."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    real_commit = lake.commit_segment_manifest
+    state = {"armed": True}
+
+    def rival_lands_first(*args, **kwargs):
+        if state["armed"]:
+            state["armed"] = False
+            lake.append_segments(
+                spark,
+                root,
+                appends={
+                    "docs": spark.createDataFrame(
+                        [Row(doc_id=900, v=9.0)], "doc_id bigint, v double"
+                    ).coalesce(1)
+                },
+            )
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(lake, "commit_segment_manifest", rival_lands_first)
+    lake.upsert_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame([Row(doc_id=0, v=100.0)], "doc_id bigint, v double"),
+    )
+    monkeypatch.setattr(lake, "commit_segment_manifest", real_commit)
+    merged = lake.read_segmented_merged(spark, root, "docs", "doc_id")
+    got = {r.doc_id: r.v for r in merged.collect()}
+    assert len(got) == 81  # rival's row AND the upsert both landed
+    assert got[0] == 100.0 and got[900] == 9.0
+    # the upsert's stamp equals the sequence that actually committed it
+    head = lake.segment_pins_versioned(spark, root)[1]
+    data = lake.read_segmented_components(spark, root, ["docs"])["docs"]
+    stamped = data.filter(F.col("doc_id") == 0).filter(
+        F.col(lake.UPSERT_SEQ_COL).isNotNull()
+    )
+    assert [r[lake.UPSERT_SEQ_COL] for r in stamped.collect()] == [head]
+
+
+def test_apply_tombstones_merged_keeps_resurrected_revisions(
+    spark, tmp_path
+):
+    """Physical apply with merged=True preserves the watermark
+    semantics: upserted/resurrected revisions survive the rewrite, the
+    tombstone component resets, and the merged view is unchanged."""
+    from collections import Counter
+
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    lake.delete_rows(spark, root, "docs", "doc_id", [1, 2, 3])
+    lake.upsert_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame(
+            [Row(doc_id=2, v=22.0), Row(doc_id=50, v=55.0)],
+            "doc_id bigint, v double",
+        ),
+    )
+    before = Counter(
+        (r.doc_id, r.v)
+        for r in lake.read_segmented_merged(
+            spark, root, "docs", "doc_id"
+        ).collect()
+    )
+    assert (2, 22.0) in before and (1, 1.0) not in before
+    lake.apply_tombstones(spark, root, "docs", "doc_id", merged=True)
+    pins = lake.segment_pins(spark, root)
+    assert len(pins["docs"]) == 1  # folded to one live segment
+    tomb = lake.tombstone_component("docs")
+    assert lake.read_segments(spark, f"{root}/{tomb}", pins[tomb]).count() == 0
+    after = Counter(
+        (r.doc_id, r.v)
+        for r in lake.read_segmented_merged(
+            spark, root, "docs", "doc_id"
+        ).collect()
+    )
+    assert after == before
