@@ -2020,6 +2020,154 @@ def q_lake_mirror_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ------------------------------------------- retraction-aware feed
+@register(
+    "lake_changes_typed_feed",
+    oracle="""
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           ROUND(SUM(o_totalprice), 2) AS price_sum,
+           CAST(2 AS BIGINT) AS last_commit
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(NULL AS DOUBLE) AS price_sum,
+           CAST(3 AS BIGINT) AS last_commit
+    FROM orders WHERE o_orderkey % 6 = 0
+    """,
+)
+def q_lake_changes_typed_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRACTION-AWARE change feed (read_segment_changes with
+    include_changes=True — the Delta-CDF ``_change_type`` shape): after
+    an initial ingest (keys ≡0 mod 3, manifest v1), an append (≡1 mod
+    3, v2) and a delete (≡0 mod 6, v3), the feed from v1 must carry the
+    appended rows as 'insert' stamped ``_commit_version=2`` and the
+    deleted ids as 'delete' rows (id populated, other columns NULL)
+    stamped 3 — the total order a consumer applies a window in without
+    reimplementing a liveness rule. The oracle recomputes both slices
+    from the raw table, so a feed that leaked batch A, dropped deletes,
+    or mis-stamped versions hash-mismatches. At 100 TB the version walk
+    stays driver-side; each version's slice is one pinned multi-dir
+    scan."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    with tempfile.TemporaryDirectory(prefix="lake_cdf_typed_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(
+            spark, ds, {"orders": orders.filter(k % 3 == 0)}, init=True
+        )
+        v1 = lake.segment_pins_versioned(spark, ds)[1]
+        lake.append_segments(spark, ds, {"orders": orders.filter(k % 3 == 1)})
+        lake.delete_rows_from(
+            spark, ds, "orders", "o_orderkey",
+            orders.filter(k % 6 == 0).select("o_orderkey"),
+        )
+        feed = lake.read_segment_changes(
+            spark, ds, "orders", v1, include_changes=True
+        )
+        return (
+            feed.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+                F.max("_commit_version").alias("last_commit"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+# --------------------------------------------- retraction-aware mirror
+@register(
+    "lake_cdf_merged_mirror",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           ROUND(SUM(price), 2) AS price_sum
+    FROM (
+        SELECT o_orderkey, 'RESURRECTED' AS o_orderpriority, 999.99 AS price
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice + 100000 AS price
+        FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    )
+    GROUP BY 1
+    """,
+)
+def q_lake_cdf_merged_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retraction-aware consumer loop end to end
+    (consume_changes(merge=True) — r12 VERDICT #2): a source takes
+    appends, an upsert (≡0 mod 7 repriced), a mid-window COMPACTION, a
+    delete (≡0 mod 5), and a resurrection upsert (≡0 mod 15), while a
+    MIRROR is maintained purely by cadence calls that consume the data
+    feed AND the tombstone feed in one commit per window, carrying the
+    source's revision axis verbatim. The mirror's merged view must
+    hash-match the full merged oracle — no hand-rolled liveness rule —
+    and a replay call must be a no-op (checked in-query). At 100 TB
+    this is a MERGE-maintained downstream table: O(batch) windows,
+    empty windows advance meta-only with no Spark job, layout
+    maintenance invisible."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    with tempfile.TemporaryDirectory(prefix="lake_cdf_mirror_") as root:
+        src, dst = f"{root}/src", f"{root}/dst"
+        lake.append_segments(spark, src, {"orders": orders}, init=True)
+        lake.consume_changes(spark, src, "orders", dst, merge=True)
+        lake.upsert_rows(
+            spark, src, "orders", "o_orderkey",
+            orders.filter(k % 7 == 0).withColumn(
+                "price", F.col("price") + F.lit(100000)
+            ),
+        )
+        lake.compact_segments(spark, src)  # maintenance inside the window
+        lake.delete_rows_from(
+            spark, src, "orders", "o_orderkey",
+            orders.filter(k % 5 == 0).select("o_orderkey"),
+        )
+        lake.consume_changes(spark, src, "orders", dst, merge=True)
+        lake.upsert_rows(
+            spark, src, "orders", "o_orderkey",
+            orders.filter(k % 15 == 0).select(
+                "o_orderkey",
+                F.lit("RESURRECTED").alias("o_orderpriority"),
+                F.lit(999.99).alias("price"),
+            ),
+        )
+        rep = lake.consume_changes(spark, src, "orders", dst, merge=True)
+        if not rep["applied"]:
+            raise RuntimeError(f"final window should apply: {rep}")
+        v = lake.segment_pins_versioned(spark, dst)[1]
+        replay = lake.consume_changes(spark, src, "orders", dst, merge=True)
+        if replay["applied"] or lake.segment_pins_versioned(spark, dst)[1] != v:
+            raise RuntimeError(f"replay was not a no-op: {replay}")
+        mirror = lake.read_segmented_merged(spark, dst, "orders", "o_orderkey")
+        return (
+            mirror.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+                F.round(F.sum("price"), 2).alias("price_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 # ------------------------------------------------- row-level upsert
 @register(
     "lake_upsert_roundtrip",

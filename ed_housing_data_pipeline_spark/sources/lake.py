@@ -2286,6 +2286,7 @@ def read_segment_changes(
     component: str,
     from_version: int,
     to_version: int | None = None,
+    include_changes: bool = False,
 ) -> DataFrame:
     """INCREMENTAL read — the change-data-feed class (Delta CDF /
     Iceberg incremental-append): every row APPENDED to ``component``
@@ -2307,30 +2308,99 @@ def read_segment_changes(
     the consumer's cadence. A ``from_version`` already expired raises
     FileNotFoundError instead of silently under-reporting. Logical
     deletes are their own feed: consume the paired
-    ``tombstone_component(component)`` the same way."""
-    feed, schema_json = _changed_segments(
+    ``tombstone_component(component)`` the same way — or pass
+    ``include_changes=True`` for the merged, RETRACTION-AWARE feed
+    (the Delta-CDF ``_change_type`` shape): one frame of the
+    component's schema plus ``_change_type`` ('insert' rows from the
+    data feed; 'delete' rows from the paired tombstone feed, id
+    column(s) populated and every other column NULL) and
+    ``_commit_version`` (the manifest version that committed the
+    change — the total order a consumer applies the window in).
+    Within one version, deletes order BEFORE inserts: the watermark
+    rule is kill-strictly-below, so an upsert's own rows (same
+    sequence) survive its tombstone. Each version's slice is one
+    pinned multi-dir scan; the union stays a single plan."""
+    comp_root = f"{root.rstrip('/')}/{component}"
+    if not include_changes:
+        feed, schema_json = _changed_segments(
+            spark, root, component, from_version, to_version
+        )
+        if not feed:
+            return _empty_feed_frame(spark, root, component, schema_json)
+        return read_segments(
+            spark, comp_root, feed, schema=_schema_from_json(schema_json)
+        )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    pairs, schema_json = _changed_segments_versioned(
         spark, root, component, from_version, to_version
     )
-    if not feed:
-        schema = _schema_from_json(schema_json)
-        if schema is not None:
-            return spark.createDataFrame([], schema)
-        from pyspark.sql import functions as F  # noqa: PLC0415
-
-        head_pins = segment_pins(spark, root)
-        if component not in head_pins:
-            raise KeyError(
-                f"read_segment_changes: unknown component {component!r}"
-            )
-        return read_segments(
-            spark, f"{root.rstrip('/')}/{component}", head_pins[component][:1]
-        ).filter(F.lit(False))
-    return read_segments(
-        spark,
-        f"{root.rstrip('/')}/{component}",
-        feed,
-        schema=_schema_from_json(schema_json),
+    tomb = _tombstone_component(component)
+    tpairs, tschema_json = _changed_segments_versioned(
+        spark, root, tomb, from_version, to_version
     )
+    base = _empty_feed_frame(spark, root, component, schema_json)
+    data_cols = base.columns
+    typed = base.select(
+        F.lit("insert").alias("_change_type"),
+        F.lit(0).cast("bigint").alias("_commit_version"),
+        *data_cols,
+    ).filter(F.lit(False))
+
+    def _by_version(ps):
+        grouped: dict[int, list[int]] = {}
+        for v, s in ps:
+            grouped.setdefault(v, []).append(s)
+        return grouped
+
+    schema = _schema_from_json(schema_json)
+    for v, segs in sorted(_by_version(pairs).items()):
+        sl = read_segments(spark, comp_root, segs, schema=schema)
+        typed = typed.unionByName(
+            sl.select(
+                F.lit("insert").alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+                *data_cols,
+            )
+        )
+    tschema = _schema_from_json(tschema_json)
+    dtypes = dict(base.dtypes)
+    for v, segs in sorted(_by_version(tpairs).items()):
+        tl = read_segments(spark, f"{root.rstrip('/')}/{tomb}", segs, schema=tschema)
+        id_cols = {c for c in tl.columns if c != DEAD_BELOW_COL}
+        typed = typed.unionByName(
+            tl.select(
+                F.lit("delete").alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+                *[
+                    (
+                        F.col(c) if c in id_cols else F.lit(None)
+                    ).cast(dtypes[c]).alias(c)
+                    for c in data_cols
+                ],
+            )
+        )
+    return typed
+
+
+def _empty_feed_frame(
+    spark, root: str, component: str, schema_json: dict | None
+) -> DataFrame:
+    """A zero-row frame in the component's feed schema (manifest-
+    recorded if present, else the head pins' footer schema)."""
+    schema = _schema_from_json(schema_json)
+    if schema is not None:
+        return spark.createDataFrame([], schema)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    head_pins = segment_pins(spark, root)
+    if component not in head_pins:
+        raise KeyError(
+            f"read_segment_changes: unknown component {component!r}"
+        )
+    return read_segments(
+        spark, f"{root.rstrip('/')}/{component}", head_pins[component][:1]
+    ).filter(F.lit(False))
 
 
 def _changed_segments(
@@ -2340,6 +2410,18 @@ def _changed_segments(
     the retained-version walk behind :func:`read_segment_changes`,
     driver-side filesystem reads only (no Spark job), so a consumer
     can detect an EMPTY window before planning any scan."""
+    pairs, schema_json = _changed_segments_versioned(
+        spark, root, component, from_version, to_version
+    )
+    return [s for _v, s in pairs], schema_json
+
+
+def _changed_segments_versioned(
+    spark, root: str, component: str, from_version: int, to_version: int | None
+) -> tuple[list[tuple[int, int]], dict | None]:
+    """((manifest_version, segment) pairs in commit order, latest
+    schema json seen) — the version-stamped walk the retraction-aware
+    feed and the consumer share. Driver-side filesystem reads only."""
     mroot = f"{root.rstrip('/')}/manifest"
     head = _committed_version(spark, mroot)
     if head is None:
@@ -2369,7 +2451,7 @@ def _changed_segments(
             f"read_segment_changes: no retained manifest <= v{to_version} "
             f"under {mroot} — the bootstrap window has expired"
         )
-    feed: list[int] = []
+    feed: list[tuple[int, int]] = []
     schema_json = None
     for i, v in enumerate(walk):
         parsed = json.loads(read_snapshot_blob(spark, mroot, version=v))
@@ -2382,7 +2464,7 @@ def _changed_segments(
             # fresh mirror a silently incomplete bootstrap. (At v1 this
             # equals the incremental rule: an init commit has no
             # rewrite markers.)
-            feed += sorted(pins_v)
+            feed += [(v, s) for s in sorted(pins_v)]
         else:
             rewrites_v = {
                 int(s)
@@ -2390,7 +2472,7 @@ def _changed_segments(
                 .get("_cdc_rewrites", {})
                 .get(component, [])
             }
-            feed += sorted((pins_v - seen) - rewrites_v)
+            feed += [(v, s) for s in sorted((pins_v - seen) - rewrites_v)]
         seen |= pins_v
         schema_json = parsed.get("_schemas", {}).get(component, schema_json)
     return feed, schema_json
@@ -2404,6 +2486,7 @@ def consume_changes(
     sink_component: str | None = None,
     transform: Callable | None = None,
     max_attempts: int = 3,
+    merge: bool = False,
 ) -> dict:
     """EXACTLY-ONCE incremental consumption of a component's change
     feed into another segmented dataset — the downstream-maintenance
@@ -2423,13 +2506,26 @@ def consume_changes(
     commit) so the next call's version walk stays short. A lost sink
     race retries from the fresh watermark up to ``max_attempts`` (the
     rival may have consumed the window already — the retry then
-    no-ops). Returns ``{"from", "to", "applied"}``.
+    no-ops). Returns ``{"from", "to", "applied", "attempts",
+    "raced"}`` — ``raced`` counts lost sink races (a cadence
+    scheduler logs rival-consumer churn without exception parsing).
 
-    Semantics are APPEND-feed: upserted revisions arrive as appends of
-    the new revision (downstream dedupes on its own key/watermark, the
-    same way every index family's liveness rule does) and physical
-    deletes arrive on the paired tombstone component's feed — this
-    verb never retracts rows from the sink."""
+    Default semantics are APPEND-feed: upserted revisions arrive as
+    appends of the new revision (downstream dedupes on its own
+    key/watermark, the same way every index family's liveness rule
+    does) and physical deletes arrive on the paired tombstone
+    component's feed — this verb never retracts rows from the sink.
+
+    ``merge=True`` makes the mirror RETRACTION-AWARE: the same window
+    additionally consumes the paired tombstone component's feed into
+    the sink's paired tombstone component — ONE commit pins both — so
+    ``read_segmented_merged(sink…)`` equals the source's merged view
+    exactly (the mirrored rows carry the source's ``_useq`` /
+    ``dead_below`` revision axis verbatim; upserts replace, deletes
+    retract, resurrections serve). A merge-mode sink component must be
+    maintained exclusively by this consumer — local writes would mix
+    sequence axes. ``transform`` still applies to the DATA feed only
+    (tombstones mirror untouched: ids must stay joinable)."""
     sink_component = sink_component or component
     src_head = _committed_version(spark, f"{source_root.rstrip('/')}/manifest")
     if src_head is None:
@@ -2443,9 +2539,9 @@ def consume_changes(
         f"cdf_watermark:{source_root.rstrip('/')}:{component}:{sink_component}"
     )
     last_err: BaseException | None = None
-    for _attempt in range(max_attempts):
+    for attempt in range(max_attempts):
         try:
-            return _consume_changes_once(
+            rep = _consume_changes_once(
                 spark,
                 source_root,
                 component,
@@ -2454,7 +2550,9 @@ def consume_changes(
                 transform,
                 src_head,
                 wm_key,
+                merge,
             )
+            return {**rep, "attempts": attempt + 1, "raced": attempt}
         except ConcurrentCommitError as e:
             last_err = e  # rival sink commit: replan from fresh watermark
     raise last_err
@@ -2469,6 +2567,7 @@ def _consume_changes_once(
     transform: Callable | None,
     src_head: int,
     wm_key: str,
+    merge: bool = False,
 ) -> dict:
     try:
         sink_pins, sink_zones, sink_blooms, sink_meta, sink_schemas, sink_base = (
@@ -2487,8 +2586,18 @@ def _consume_changes_once(
     feed_segs, schema_json = _changed_segments(
         spark, source_root, component, wm, src_head
     )
+    tomb_segs: list[int] = []
+    tomb_schema_json: dict | None = None
+    if merge:
+        tomb_segs, tomb_schema_json = _changed_segments(
+            spark,
+            source_root,
+            _tombstone_component(component),
+            wm,
+            src_head,
+        )
     new_meta = {**sink_meta, wm_key: src_head}
-    if not feed_segs:
+    if not feed_segs and not tomb_segs:
         if sink_init:
             return {"from": wm, "to": src_head, "applied": False}
         # commit against the SAME sink state the watermark was read at
@@ -2505,18 +2614,31 @@ def _consume_changes_once(
             spark, sink_root, sink_pins, expected_base=sink_base, **kw
         )
         return {"from": wm, "to": src_head, "applied": False}
-    feed = read_segments(
-        spark,
-        f"{source_root.rstrip('/')}/{component}",
-        feed_segs,
-        schema=_schema_from_json(schema_json),
-    )
-    if transform is not None:
-        feed = transform(feed)
+    appends: dict[str, DataFrame] = {}
+    if feed_segs:
+        feed = read_segments(
+            spark,
+            f"{source_root.rstrip('/')}/{component}",
+            feed_segs,
+            schema=_schema_from_json(schema_json),
+        )
+        if transform is not None:
+            feed = transform(feed)
+        appends[sink_component] = feed
+    if tomb_segs:
+        # tombstones mirror VERBATIM (dead_below sequence axis intact):
+        # the sink's merged read then applies the source's own
+        # liveness rule, so mirror == source merged view
+        appends[_tombstone_component(sink_component)] = read_segments(
+            spark,
+            f"{source_root.rstrip('/')}/{_tombstone_component(component)}",
+            tomb_segs,
+            schema=_schema_from_json(tomb_schema_json),
+        )
     append_segments(
         spark,
         sink_root,
-        {sink_component: feed},
+        appends,
         init=sink_init,
         meta=new_meta,
         expected_base=None if sink_init else sink_base,

@@ -1094,3 +1094,124 @@ def test_cdf_bootstrap_exact_after_history_expired(spark, tmp_path):
     # and so does an expired non-zero from_version (existing contract)
     with pytest.raises(FileNotFoundError):
         lake.read_segment_changes(spark, root, "t", 1)
+
+
+def test_read_segment_changes_typed_feed(spark, tmp_path):
+    """include_changes=True — the retraction-aware Delta-CDF shape:
+    inserts from the data feed, deletes from the paired tombstone feed
+    (id populated, other columns NULL), each stamped with the manifest
+    version that committed it; an upsert emits its tombstone AND its
+    new revision at the SAME version (kill-strictly-below: the new
+    rows survive their own tombstone)."""
+    root = str(tmp_path / "ds")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    lake.append_segments(spark, root, {"t": batch(0, 10)}, init=True)  # v1
+    lake.append_segments(spark, root, {"t": batch(10, 20)})  # v2
+    lake.delete_rows(spark, root, "t", "k", [1, 12])  # v3
+    lake.upsert_rows(  # v4: delete@4 + insert@4 for k=2
+        spark, root, "t", "k",
+        spark.range(2, 3).select(F.col("id").alias("k"), F.lit(222.0).alias("v")),
+    )
+    feed = lake.read_segment_changes(spark, root, "t", 1, include_changes=True)
+    got = {
+        (r["_change_type"], r["k"], r["_commit_version"]): r["v"]
+        for r in feed.collect()
+    }
+    assert {k for k in got if k[0] == "insert"} == (
+        {("insert", j, 2) for j in range(10, 20)} | {("insert", 2, 4)}
+    )
+    assert {k for k in got if k[0] == "delete"} == {
+        ("delete", 1, 3), ("delete", 12, 3), ("delete", 2, 4),
+    }
+    assert got[("insert", 2, 4)] == 222.0
+    assert got[("delete", 1, 3)] is None  # non-id columns are NULL
+    # replaying the typed feed under the kill-below rule reproduces the
+    # merged view of the window's net effect for the touched ids
+    merged = lake.read_segmented_merged(spark, root, "t", "k")
+    live = {r.k: r.v for r in merged.collect()}
+    assert 1 not in live and 12 not in live and live[2] == 222.0
+
+
+def test_consume_changes_merge_mirrors_upsert_delete_resurrect(
+    spark, tmp_path
+):
+    """merge=True: the mirror consumes data AND tombstone feeds in one
+    commit per window, carrying the source's revision axis verbatim —
+    its merged view equals the source's through upserts, deletes, a
+    mid-window compaction, and a resurrection; replay stays a no-op."""
+    from collections import Counter
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    lake.append_segments(spark, src, {"t": batch(0, 40)}, init=True)
+    rep = lake.consume_changes(spark, src, "t", dst, merge=True)
+    assert rep["applied"] and rep["raced"] == 0 and rep["attempts"] == 1
+    lake.upsert_rows(
+        spark, src, "t", "k",
+        spark.range(1, 3).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")),
+    )
+    lake.compact_segments(spark, src)  # maintenance inside the window
+    lake.delete_rows(spark, src, "t", "k", [3, 4])
+    assert lake.consume_changes(spark, src, "t", dst, merge=True)["applied"]
+    lake.upsert_rows(  # resurrect a deleted id
+        spark, src, "t", "k",
+        spark.range(3, 4).select(F.col("id").alias("k"), F.lit(33.0).alias("v")),
+    )
+    assert lake.consume_changes(spark, src, "t", dst, merge=True)["applied"]
+    replay = lake.consume_changes(spark, src, "t", dst, merge=True)
+    assert not replay["applied"]
+    want = Counter(
+        (r.k, r.v)
+        for r in lake.read_segmented_merged(spark, src, "t", "k").collect()
+    )
+    got = Counter(
+        (r.k, r.v)
+        for r in lake.read_segmented_merged(spark, dst, "t", "k").collect()
+    )
+    assert got == want
+    assert got[(3, 33.0)] == 1 and (4, 4.0) not in got and got[(1, -1.0)] == 1
+
+
+def test_consume_changes_two_consumer_race_surfaces_raced(
+    spark, tmp_path, monkeypatch
+):
+    """Two consumers racing one sink: the loser's commit conflicts, its
+    retry sees the advanced watermark and no-ops — exactly-once — and
+    the return dict reports the churn (raced/attempts) so a scheduler
+    can log rival-consumer pressure without parsing exceptions."""
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lake.append_segments(spark, src, {"t": batch(0, 10)}, init=True)
+    lake.consume_changes(spark, src, "t", dst)  # bootstrap the sink
+    lake.append_segments(spark, src, {"t": batch(10, 20)})
+    real_commit = lake.commit_segment_manifest
+    state = {"armed": True}
+
+    def rival_consumes_first(*args, **kwargs):
+        if state["armed"] and args[1] == dst:
+            state["armed"] = False
+            lake.consume_changes(spark, src, "t", dst)  # the rival wins
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(lake, "commit_segment_manifest", rival_consumes_first)
+    rep = lake.consume_changes(spark, src, "t", dst)
+    monkeypatch.setattr(lake, "commit_segment_manifest", real_commit)
+    assert rep["raced"] == 1 and rep["attempts"] == 2
+    assert not rep["applied"]  # the rival consumed the window
+    mirror = lake.read_segmented_components(spark, dst, ["t"])["t"]
+    assert sorted(r.k for r in mirror.collect()) == list(range(20))
