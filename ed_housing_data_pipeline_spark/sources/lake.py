@@ -467,6 +467,36 @@ def _with_field_ids(schema_json: dict) -> dict:
     return {"type": "struct", "fields": fields}
 
 
+def _strip_prior_names(schema_json: dict) -> dict:
+    """Retire the rename shim from a recorded schema: drop every
+    field's ``prior_names`` metadata. Correct ONLY after a FULL fold of
+    the component (every pinned segment physically carries the current
+    names — the coalesce shadow scan has nothing left to reconcile), at
+    which point reads regain exact predicate pushdown on the renamed
+    columns. NOTE: this also ends the lagging-writer grace for those
+    renames — an old-name append afterwards evolves as a NEW column
+    instead of mapping back to the field."""
+    fields = []
+    changed = False
+    for f in schema_json.get("fields", []):
+        md = _field_meta(f)
+        if md.get("prior_names"):
+            md = {k: v for k, v in md.items() if k != "prior_names"}
+            f = {**f, "metadata": md}
+            changed = True
+        fields.append(f)
+    if not changed:
+        return schema_json
+    return {"type": "struct", "fields": fields}
+
+
+def _has_prior_names(schema_json: dict | None) -> bool:
+    return bool(schema_json) and any(
+        _field_meta(f).get("prior_names")
+        for f in schema_json.get("fields", [])
+    )
+
+
 def _nullable_schema_json(schema_json: dict) -> dict:
     """A StructType jsonValue with every top-level field nullable —
     the stored form: once schemas can evolve, ANY column may be
@@ -1505,9 +1535,11 @@ def read_segments(
     a predicate on a renamed column filters post-scan (coalesce is not
     pushable into parquet row-group stats) — segment-level zonemap
     pruning still applies (the rename verb rewrites zone keys), column
-    pruning and whole-stage codegen are unaffected, and routine
-    compaction normalizes the physical names so the shim (and the
-    pushdown gap) ages out with the old segments."""
+    pruning and whole-stage codegen are unaffected, and a FULL fold
+    (compaction, or ``maintain(normalize_renames=True)`` on cadence)
+    normalizes the physical names AND retires the shim from the
+    recorded schema (:func:`_strip_prior_names`), restoring exact
+    pushdown."""
     if not segments:
         raise ValueError(f"read_segments: empty segment list for {component_root}")
     root = component_root.rstrip("/")
@@ -3822,9 +3854,13 @@ def compact_segments(
         )
         seg = write_segment(spark, df, f"{root}/{name}")
         fold_outputs.setdefault(name, []).append(seg)
-        new_pins[name] = sorted(
-            [s for s in pins[name] if s not in fold] + [seg]
-        )
+        survivors = [s for s in pins[name] if s not in fold]
+        new_pins[name] = sorted([*survivors, seg])
+        if not survivors:
+            # FULL fold: every pinned segment now physically carries
+            # the current names — retire the rename shim so reads
+            # regain exact pushdown (see _strip_prior_names)
+            new_schemas[name] = _strip_prior_names(new_schemas[name])
         zone_columns = sorted(
             {c for stats in zones.get(name, {}).values() for c in stats}
         )
@@ -3977,6 +4013,10 @@ def rewrite_segments(
         evolved = snap.schemas.get(component)
         for sch in out_schemas:
             evolved = _evolved_schema_json(evolved, sch, component)
+        if evolved is not None and not (pinned - set(fold)):
+            # FULL fold: outputs carry the current physical names —
+            # retire the rename shim (see _strip_prior_names)
+            evolved = _strip_prior_names(evolved)
         if isinstance(out, tuple):
             new_segments = stage_segments(spark, frame, comp_root, slice_col)
             if not new_segments:
@@ -4448,6 +4488,13 @@ def maintain(
     - ``"compact"``: kwargs for :func:`compact_segments`
       (``components``, ``min_segments``, ``max_segment_bytes``,
       ``reducers``). Size-tiered when ``max_segment_bytes`` is set.
+    - ``"normalize_renames"``: ``True`` folds every component whose
+      recorded schema still carries ``prior_names`` to one segment
+      under the CURRENT physical names and retires the rename shim —
+      closing the renamed-column pushdown gap on cadence (predicates
+      on a renamed column filter post-scan until normalization).
+      Opt-in like every data rewrite; a no-op when nothing is renamed.
+      NOTE it ends the lagging-writer grace for those renames.
     - ``"recluster"``: ``{component: kwargs}`` for
       operators.zcluster.recluster_zorder (``exprs``, ``zone_cols``,
       ``n_segments``, ``bits``, ``min_segments``,
@@ -4499,6 +4546,24 @@ def maintain(
                     if set(before[n]) - set(after.get(n, []))
                 }
             }
+
+    # ---- 1b) rename normalization: full-fold the components whose
+    # schema still carries prior_names (the pushdown gap ages out here)
+    if not policy.get("normalize_renames"):
+        report["normalize_renames"] = {"skipped": True}
+    else:
+        schemas_now = _manifest_state(spark, root)[4]
+        targets = sorted(
+            c for c, sj in schemas_now.items() if _has_prior_names(sj)
+        )
+        if dry_run:
+            report["normalize_renames"] = {"would_normalize": targets}
+        else:
+            if targets:
+                compact_segments(
+                    spark, root, components=targets, min_segments=1
+                )
+            report["normalize_renames"] = {"normalized": targets}
 
     # ---- 2) recluster waves
     rkw = policy.get("recluster")

@@ -37,6 +37,9 @@ def dfs(spark):
         "lake_maintain_cycle",
         "lake_changes_feed",
         "lake_mirror_consume",
+        "lake_changes_typed_feed",
+        "lake_upsert_roundtrip",
+        "lake_cdf_merged_mirror",
     }
     try:
         for name, fn in query_map().items():

@@ -566,3 +566,48 @@ def test_time_travel_reads_pre_rename_names(spark, tmp_path):
     assert sorted(r[1] for r in old.collect()) == sorted(
         r[1] for r in new.collect()
     )
+
+
+def test_maintain_normalize_renames_closes_pushdown_gap(spark, tmp_path):
+    """The renamed-column pushdown gap ages out on cadence: before
+    normalization a predicate on the renamed column filters post-scan
+    (the coalesce shim is not pushable into parquet row-group stats);
+    maintain(normalize_renames=True) full-folds the component under the
+    current physical names and retires the shim, after which the SAME
+    predicate reaches the scan as a PushedFilter and values are
+    unchanged."""
+    root = _rename_root(spark, tmp_path)
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame(
+            [(3, 30, "z")], "id int, total int, tag string"
+        )},
+    )
+
+    def plan_of():
+        df = _read(spark, root).filter(F.col("total") > 15)
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    before_rows = sorted(map(tuple, plan_of()[0].collect()))
+    assert "PushedFilters: [IsNotNull(total), GreaterThan(total,15)" not in (
+        plan_of()[1]
+    )  # the honest pre-normalization cost
+    # dry run names the target without rewriting
+    dry = lake.maintain(
+        spark, root, {"normalize_renames": True}, dry_run=True
+    )
+    assert dry["normalize_renames"] == {"would_normalize": ["t"]}
+    assert len(lake.segment_pins(spark, root)["t"]) == 2  # untouched
+    rep = lake.maintain(spark, root, {"normalize_renames": True})
+    assert rep["normalize_renames"] == {"normalized": ["t"]}
+    sj = lake.segment_schemas(spark, root)["t"]
+    assert not any(
+        (f.get("metadata") or {}).get("prior_names") for f in sj["fields"]
+    )
+    df, plan = plan_of()
+    assert "PushedFilters: [IsNotNull(total), GreaterThan(total,15)" in plan
+    assert sorted(map(tuple, df.collect())) == before_rows
+    # a second cadence is a no-op (nothing renamed anymore)
+    rep2 = lake.maintain(spark, root, {"normalize_renames": True})
+    assert rep2["normalize_renames"] == {"normalized": []}
