@@ -122,3 +122,19 @@ def write_xlsx(path, data_rows, sheet_name="Sheet1"):
     with zipfile.ZipFile(path, "w") as z:
         for name, content in parts.items():
             z.writestr(name, content)
+
+
+def count_jobs(spark, fn):
+    """Total Spark jobs submitted while fn() runs (job-group probe) —
+    the mechanical pin for 'this verb is driver-side metadata only'
+    and 'this wave is ONE write job' claims."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"probe-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))

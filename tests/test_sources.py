@@ -1215,3 +1215,53 @@ def test_consume_changes_two_consumer_race_surfaces_raced(
     assert not rep["applied"]  # the rival consumed the window
     mirror = lake.read_segmented_components(spark, dst, ["t"])["t"]
     assert sorted(r.k for r in mirror.collect()) == list(range(20))
+
+
+def test_metadata_plane_verbs_schedule_zero_spark_jobs(spark, tmp_path):
+    """Mechanical pin on the metadata plane (r12 VERDICT #5): the
+    change-feed version walk, the empty-window consumer cadence
+    (meta-only watermark advance), and rename/drop evolution are
+    driver-side filesystem work — ZERO Spark jobs. At 100 TB the
+    metadata plane must never queue behind the data plane."""
+    from tests.conftest import count_jobs
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lake.append_segments(spark, src, {"t": batch(0, 20)}, init=True)
+    lake.append_segments(spark, src, {"t": batch(20, 40)})
+    lake.consume_changes(spark, src, "t", dst)  # mirror in sync
+    # the version walk (window planning) is driver-side only
+    assert count_jobs(
+        spark,
+        lambda: lake._changed_segments(spark, src, "t", 1, None),
+    ) == 0
+    # maintenance-only window: compaction rewrites, no appends — the
+    # cadence advances the watermark with a meta-only commit, NO job
+    lake.compact_segments(spark, src)
+    rep = {}
+    jobs = count_jobs(
+        spark,
+        lambda: rep.update(lake.consume_changes(spark, src, "t", dst)),
+    )
+    assert rep["to"] > rep["from"] and not rep["applied"]
+    assert jobs == 0, f"meta-only cadence scheduled {jobs} Spark jobs"
+    # an already-caught-up cadence is also job-free
+    assert count_jobs(
+        spark, lambda: lake.consume_changes(spark, src, "t", dst)
+    ) == 0
+    # rename/drop evolution is metadata-only
+    assert count_jobs(
+        spark, lambda: lake.rename_columns(spark, src, "t", {"k": "key"})
+    ) == 0
+    lake.append_segments(
+        spark, src,
+        {"t": spark.range(3).select(
+            F.col("id").alias("key"), F.lit("x").alias("tag")
+        )},
+    )
+    assert count_jobs(
+        spark, lambda: lake.drop_columns(spark, src, "t", ["tag"])
+    ) == 0
