@@ -109,6 +109,10 @@ COLD_ONLY = [
     "lake_maintain_cycle",          # r12: full maintenance cadence e2e
     "lake_changes_feed",            # r12: CDF read across a rewrite e2e
     "lake_mirror_consume",          # r12: exactly-once CDF consumer e2e
+    "lake_upsert_roundtrip",        # r13: row-level upsert/merge lifecycle e2e
+    "lake_cdf_merged_mirror",       # r13: retraction-aware consumer loop e2e
+    "lake_changes_typed_feed",      # r13: _change_type feed across a delete
+    "lake_stream_mirror_consume",   # r13: continuous mirror (stream-driven)
 ]
 
 

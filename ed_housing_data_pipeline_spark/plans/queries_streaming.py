@@ -781,3 +781,78 @@ def q_doc_stream_search_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.run_stream_search_ingest(stream, root, f"{tmp}/ckpt")
         out = text_index.search_all_terms(spark, root, SEARCH_TERMS)
         return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------- continuous lake mirror
+@register(
+    "lake_stream_mirror_consume",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(price), 2) AS price_sum
+    FROM (
+        SELECT o_orderpriority, o_totalprice + 50000 AS price
+        FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
+    )
+    GROUP BY 1
+    """,
+)
+def q_lake_stream_mirror_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer loop driven CONTINUOUSLY (streaming/lake_mirror —
+    r12 VERDICT #8): orders arrive as a stream whose foreachBatch sink
+    commits each micro-batch into the SOURCE exactly-once (batch id in
+    the manifest flip) and advances a retraction-aware MIRROR by one
+    consume_changes cadence per batch; after the drain, a source-side
+    UPSERT (≡0 mod 7 repriced) and DELETE (≡0 mod 11) flow through one
+    more cadence, and the mirror's merged view must hash-match the
+    oracle's merged table. At 100 TB this is a mirror that FOLLOWS a
+    hot table: O(batch) per micro-batch on both ledgers, replay-safe
+    on either half independently."""
+    from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.streaming import (  # noqa: PLC0415
+        lake_mirror,
+    )
+
+    ensure_runtime_confs(spark)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    with tempfile.TemporaryDirectory(prefix="stream_mirror_") as tmp:
+        src, dst = f"{tmp}/src", f"{tmp}/dst"
+        schema = tables.load_table(spark, sf_dir, "orders").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/orders.parque[t]")
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+        lake_mirror.run_stream_mirror(stream, src, dst, "orders", f"{tmp}/ckpt")
+        lake.upsert_rows(
+            spark, src, "orders", "o_orderkey",
+            orders.filter(k % 7 == 0).withColumn(
+                "price", F.col("price") + F.lit(50000)
+            ),
+        )
+        lake.delete_rows_from(
+            spark, src, "orders", "o_orderkey",
+            orders.filter(k % 11 == 0).select("o_orderkey"),
+        )
+        rep = lake.consume_changes(spark, src, "orders", dst, merge=True)
+        if not rep["applied"]:
+            raise RuntimeError(f"post-drain CDC window should apply: {rep}")
+        mirror = lake.read_segmented_merged(spark, dst, "orders", "o_orderkey")
+        return (
+            mirror.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.sum("price"), 2).alias("price_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -198,7 +198,93 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r12 window. Rotation rule unchanged: this round's FOUR new
+    # --- r13 window. This round's THREE new queries enter
+    # (lake_upsert_roundtrip — single-commit row-level upsert/merge;
+    # lake_cdf_merged_mirror — the retraction-aware consumer loop;
+    # lake_changes_typed_feed — the _change_type/_commit_version feed),
+    # plus lake_mirror_consume (the ONE query no driver round has ever
+    # sampled; judge-green in every full-registry run — r12 VERDICT
+    # #3). The lake core was rewired this round (CDF bootstrap + typed
+    # feed, consumer watermark keys + merge mode, delete stamping,
+    # rename/drop sidecar grace, strip-prior-names on full folds,
+    # maintain normalize step, anchored batched coverage builders), so
+    # its reps stay in-window: lake_changes_feed, lake_rename_evolution,
+    # lake_maintain_cycle, doc_point_lookup, doc_delete_point_lookup
+    # (apply_tombstones + delete path), orders_zorder_box (staged
+    # writes + batched coverage). The ENTIRE r8 staleness tail (9) and
+    # the ENTIRE r9 tail (19) fill the middle — after a green r13 no
+    # registered query's last driver row is older than r10 — and the
+    # last 11 slots start draining the r10 tail (family-spread picks,
+    # lake/delete-adjacent first). Rotated OUT (all r12-green,
+    # unchanged, family reps stay in): the r7-tail relational battery
+    # (count_star, limit_head, grouped_agg, left_join, …), the events
+    # battery reps, the r12 index-family reps (their modules were NOT
+    # touched this round), lake_type_widening / lake_schema_evolution
+    # (evolution core repped by lake_rename_evolution), and
+    # orders_zorder_box3 (box keeps the family).
+    #
+    # the flagship (entry()) — never rotates out
+    "rank_sum_top1",
+    # NEW this round
+    "lake_upsert_roundtrip",
+    "lake_cdf_merged_mirror",
+    "lake_changes_typed_feed",
+    # never driver-sampled until now
+    "lake_mirror_consume",
+    # rewired-component representatives (see header note)
+    "lake_changes_feed",
+    "lake_rename_evolution",
+    "lake_maintain_cycle",
+    "doc_point_lookup",
+    "doc_delete_point_lookup",
+    "orders_zorder_box",
+    # the ENTIRE r8 staleness tail
+    "doc_chargram_neardup",
+    "doc_dedup_clusters",
+    "doc_dup_span_coverage",
+    "doc_neardup_pairs",
+    "doc_source_mixture_weights",
+    "doc_unigram_surprisal",
+    "doc_word_cms_topk",
+    "embedding_dedup_clusters",
+    "embedding_neardup_pairs",
+    # the ENTIRE r9 staleness tail
+    "big_spenders_having",
+    "customer_balance_quartiles",
+    "dedup_keep_first",
+    "embedding_knn_blocked",
+    "embedding_knn_bruteforce",
+    "embedding_knn_ivf_fixed",
+    "events_sessionize_stats",
+    "events_stream_hourly",
+    "grouped_agg_salted",
+    "lineitem_group_histogram_quantiles",
+    "normalize_key_group",
+    "orders_constraint_audit",
+    "orders_histogram_quantiles",
+    "rank_asc_nulls_last",
+    "rank_dense_global",
+    "rank_desc_nulls_last",
+    "semi_join",
+    "setop_intersect",
+    "topk_orders",
+    # start of the r10 tail (family-spread picks; the remaining r10
+    # rows rotate in next round)
+    "lake_snapshot_roundtrip",
+    "doc_index_stats",
+    "doc_search_after_delete",
+    "doc_search_after_update",
+    "embedding_ann_after_delete",
+    "embedding_incremental_ann",
+    "orders_incremental_rollup",
+    "events_hll_rollup",
+    "doc_inverted_bm25_topk",
+    "doc_search_time_travel",
+    "table_summary",
+)
+
+_PRIORITY_ORDER_R12: tuple[str, ...] = (
+    # --- r12 window (kept for provenance). This round's FOUR new
     # queries enter (lake_rename_evolution — metadata-only rename
     # evolution via field ids; embedding_knn_ivfpq_recall_clustered —
     # the PQ QUALITY gate on the planted micro-group fixture); every

@@ -569,3 +569,45 @@ def test_doc_index_refuses_reinit_over_committed_manifest(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="already has a committed manifest"):
         docstream.bootstrap_doc_index(spark, corpus, root)
+
+
+def test_sink_mirror_batch_replay_and_catchup(spark, tmp_path):
+    """The continuous-mirror sink's two halves are independently
+    exactly-once: a replayed micro-batch id skips the source commit
+    (committed=False) and its cadence no-ops; a batch whose cadence was
+    MISSED (crash between the halves) is healed by the replay's
+    cadence."""
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.sources import lake
+    from ed_housing_data_pipeline_spark.streaming import lake_mirror
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    rep0 = lake_mirror.sink_mirror_batch(
+        spark, src, dst, "t", batch(0, 10), 0
+    )
+    assert rep0["committed"] and rep0["applied"]
+    # replay of batch 0: source skip, cadence no-op, nothing duplicated
+    rep0b = lake_mirror.sink_mirror_batch(
+        spark, src, dst, "t", batch(0, 10), 0
+    )
+    assert not rep0b["committed"] and not rep0b["applied"]
+    # crash between halves: commit batch 1 to the source only…
+    meta, base = lake.segment_meta_versioned(spark, src)
+    lake.append_segments(
+        spark, src, {"t": batch(10, 20)},
+        meta={**meta, lake_mirror.LAST_BATCH_KEY: 1}, expected_base=base,
+    )
+    # …then the replayed batch-1 sink call skips half 1 but its cadence
+    # catches the mirror up
+    rep1 = lake_mirror.sink_mirror_batch(
+        spark, src, dst, "t", batch(10, 20), 1
+    )
+    assert not rep1["committed"] and rep1["applied"]
+    mirror = lake.read_segmented_merged(spark, dst, "t", "k")
+    assert sorted(r.k for r in mirror.collect()) == list(range(20))
