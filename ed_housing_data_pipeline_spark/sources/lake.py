@@ -2435,6 +2435,22 @@ def _empty_feed_frame(
     ).filter(F.lit(False))
 
 
+def plan_segment_changes(
+    spark,
+    root: str,
+    component: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> list[int]:
+    """PUBLIC window planning for the change feed: the appended
+    segment ids in (from, to] — the same walk
+    :func:`read_segment_changes` scans, WITHOUT planning any scan.
+    Driver-side filesystem reads only (ZERO Spark jobs — pinned in the
+    suite); a cadence scheduler uses it to detect an empty window or
+    size a batch before committing to a read."""
+    return _changed_segments(spark, root, component, from_version, to_version)[0]
+
+
 def _changed_segments(
     spark, root: str, component: str, from_version: int, to_version: int | None
 ) -> tuple[list[int], dict | None]:

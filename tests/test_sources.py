@@ -1236,7 +1236,7 @@ def test_metadata_plane_verbs_schedule_zero_spark_jobs(spark, tmp_path):
     # the version walk (window planning) is driver-side only
     assert count_jobs(
         spark,
-        lambda: lake._changed_segments(spark, src, "t", 1, None),
+        lambda: lake.plan_segment_changes(spark, src, "t", 1),
     ) == 0
     # maintenance-only window: compaction rewrites, no appends — the
     # cadence advances the watermark with a meta-only commit, NO job
