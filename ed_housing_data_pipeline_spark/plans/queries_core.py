@@ -2027,13 +2027,15 @@ def q_lake_mirror_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'insert' AS change_type,
            CAST(COUNT(*) AS BIGINT) AS n_changes,
            ROUND(SUM(o_totalprice), 2) AS price_sum,
-           CAST(2 AS BIGINT) AS last_commit
+           CAST(2 AS BIGINT) AS last_commit,
+           CAST(0 AS BIGINT) AS last_seq
     FROM orders WHERE o_orderkey % 3 = 1
     UNION ALL
     SELECT 'delete' AS change_type,
            CAST(COUNT(*) AS BIGINT) AS n_changes,
            CAST(NULL AS DOUBLE) AS price_sum,
-           CAST(3 AS BIGINT) AS last_commit
+           CAST(3 AS BIGINT) AS last_commit,
+           CAST(3 AS BIGINT) AS last_seq
     FROM orders WHERE o_orderkey % 6 = 0
     """,
 )
@@ -2078,6 +2080,7 @@ def q_lake_changes_typed_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n_changes"),
                 F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
                 F.max("_commit_version").alias("last_commit"),
+                F.max("_change_seq").alias("last_seq"),
             )
             .localCheckpoint(eager=True)
         )

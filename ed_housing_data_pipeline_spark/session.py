@@ -79,3 +79,21 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
+
+
+def count_spark_jobs(spark: SparkSession, fn) -> int:
+    """Total Spark jobs submitted while ``fn()`` runs (job-group
+    probe) — the mechanical pin behind 'this verb is driver-side
+    metadata only' and 'this wave is ONE write job' claims (the
+    zero-job suite pins and scripts/plan_audit.py's lifecycle table
+    share this one implementation)."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"probe-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))

@@ -2343,15 +2343,28 @@ def read_segment_changes(
     ``tombstone_component(component)`` the same way — or pass
     ``include_changes=True`` for the merged, RETRACTION-AWARE feed
     (the Delta-CDF ``_change_type`` shape): one frame of the
-    component's schema plus ``_change_type`` ('insert' rows from the
-    data feed; 'delete' rows from the paired tombstone feed, id
-    column(s) populated and every other column NULL) and
-    ``_commit_version`` (the manifest version that committed the
-    change — the total order a consumer applies the window in).
-    Within one version, deletes order BEFORE inserts: the watermark
-    rule is kill-strictly-below, so an upsert's own rows (same
-    sequence) survive its tombstone. Each version's slice is one
-    pinned multi-dir scan; the union stays a single plan."""
+    component's schema plus three change columns —
+
+    - ``_change_type``: 'insert' rows from the data feed; 'delete'
+      rows from the paired tombstone feed (id column(s) populated,
+      every other column NULL);
+    - ``_commit_version``: the manifest version that committed the
+      change (the window's total order);
+    - ``_change_seq``: the LIVENESS watermark — an insert's revision
+      sequence (its ``_useq``; 0 for plain unstamped appends) or a
+      delete's ``dead_below`` (a legacy id-only tombstone reads as the
+      kill-all sentinel). A consumer reconstructs the source's merged
+      view exactly: keep an insert iff its ``_change_seq`` >= the MAX
+      delete ``_change_seq`` for its id — the same
+      kill-strictly-below rule :func:`read_segmented_merged` applies,
+      so an upsert's own rows survive their same-sequence tombstone
+      and plain appends die under ANY delete regardless of commit
+      order.
+
+    Each version's slice is one pinned multi-dir scan; the union stays
+    a single plan (a very wide interactive window pays a per-version
+    union — cadence consumers go through :func:`consume_changes`,
+    which reads each feed as one scan)."""
     comp_root = f"{root.rstrip('/')}/{component}"
     if not include_changes:
         feed, schema_json = _changed_segments(
@@ -2364,18 +2377,23 @@ def read_segment_changes(
         )
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    pairs, schema_json = _changed_segments_versioned(
-        spark, root, component, from_version, to_version
-    )
     tomb = _tombstone_component(component)
-    tpairs, tschema_json = _changed_segments_versioned(
-        spark, root, tomb, from_version, to_version
+    multi = _changed_segments_multi(
+        spark, root, [component, tomb], from_version, to_version
     )
+    pairs, schema_json = multi[component]
+    tpairs, tschema_json = multi[tomb]
     base = _empty_feed_frame(spark, root, component, schema_json)
     data_cols = base.columns
+    insert_seq = (
+        F.coalesce(F.col(UPSERT_SEQ_COL), F.lit(0))
+        if UPSERT_SEQ_COL in data_cols
+        else F.lit(0)
+    )
     typed = base.select(
         F.lit("insert").alias("_change_type"),
         F.lit(0).cast("bigint").alias("_commit_version"),
+        F.lit(0).cast("bigint").alias("_change_seq"),
         *data_cols,
     ).filter(F.lit(False))
 
@@ -2392,18 +2410,26 @@ def read_segment_changes(
             sl.select(
                 F.lit("insert").alias("_change_type"),
                 F.lit(v).cast("bigint").alias("_commit_version"),
+                insert_seq.cast("bigint").alias("_change_seq"),
                 *data_cols,
             )
         )
     tschema = _schema_from_json(tschema_json)
     dtypes = dict(base.dtypes)
+    dead_all = F.lit(_DEAD_ALL_SEQ).cast("bigint")
     for v, segs in sorted(_by_version(tpairs).items()):
         tl = read_segments(spark, f"{root.rstrip('/')}/{tomb}", segs, schema=tschema)
         id_cols = {c for c in tl.columns if c != DEAD_BELOW_COL}
+        delete_seq = (
+            F.coalesce(F.col(DEAD_BELOW_COL), dead_all)
+            if DEAD_BELOW_COL in tl.columns
+            else dead_all
+        )
         typed = typed.unionByName(
             tl.select(
                 F.lit("delete").alias("_change_type"),
                 F.lit(v).cast("bigint").alias("_commit_version"),
+                delete_seq.alias("_change_seq"),
                 *[
                     (
                         F.col(c) if c in id_cols else F.lit(None)
@@ -2467,9 +2493,66 @@ def _changed_segments(
 def _changed_segments_versioned(
     spark, root: str, component: str, from_version: int, to_version: int | None
 ) -> tuple[list[tuple[int, int]], dict | None]:
-    """((manifest_version, segment) pairs in commit order, latest
-    schema json seen) — the version-stamped walk the retraction-aware
-    feed and the consumer share. Driver-side filesystem reads only."""
+    """((manifest_version, segment) pairs in commit order, window-safe
+    schema json) — single-component view of the multi walk."""
+    return _changed_segments_multi(
+        spark, root, [component], from_version, to_version
+    )[component]
+
+
+def _union_prior_names(
+    schema_json: dict, names_by_id: dict[int, set[str]]
+) -> dict:
+    """Enrich a schema with every name each field (by ``field_id``)
+    carried anywhere in a feed window, as ``prior_names`` — the
+    window-safe read schema: a later full fold may have STRIPPED the
+    rename shim from the head schema, but segments committed earlier in
+    the window still hold their vintage's physical names and must
+    reconcile through the coalesce shadow scan."""
+    fields = []
+    changed = False
+    for f in schema_json.get("fields", []):
+        md = _field_meta(f)
+        fid = md.get("field_id")
+        extra = (
+            (names_by_id.get(fid, set()) - {f["name"]})
+            if fid is not None
+            else set()
+        )
+        have = set(md.get("prior_names", []))
+        if extra - have:
+            fields.append(
+                {**f, "metadata": {**md, "prior_names": sorted(have | extra)}}
+            )
+            changed = True
+        else:
+            fields.append(f)
+    if not changed:
+        return schema_json
+    return {"type": "struct", "fields": fields}
+
+
+def _changed_segments_multi(
+    spark,
+    root: str,
+    components: Sequence[str],
+    from_version: int,
+    to_version: int | None,
+) -> dict[str, tuple[list[tuple[int, int]], dict | None]]:
+    """{component: ((version, segment) pairs in commit order,
+    window-safe schema json)} for MANY components in ONE retained-
+    version walk — each manifest blob is read and parsed once however
+    many feeds ride it (the merge consumer walks data + tombstones).
+    Driver-side filesystem reads only (no Spark job), so a consumer
+    can detect an EMPTY window before planning any scan.
+
+    The returned schema is the latest recorded one enriched with every
+    name each field carried ACROSS the window (prior_names union by
+    field_id): a rename followed by a normalizing full fold inside the
+    window strips the shim from the head schema, but the feed still
+    scans pre-rename segments from intermediate manifests — without
+    the union those reads would silently null-backfill the renamed
+    column."""
     mroot = f"{root.rstrip('/')}/manifest"
     head = _committed_version(spark, mroot)
     if head is None:
@@ -2479,13 +2562,11 @@ def _changed_segments_versioned(
     # — the same sentinel commit_segment_manifest documents for the
     # first commit); there is no manifest 0 to diff against
     bootstrap = from_version <= 0
-    seen = (
-        set()
-        if bootstrap
-        else set(
-            segment_pins_at(spark, root, from_version).get(component, [])
-        )
-    )
+    if bootstrap:
+        seen: dict[str, set[int]] = {c: set() for c in components}
+    else:
+        at = segment_pins_at(spark, root, from_version)
+        seen = {c: set(at.get(c, [])) for c in components}
     walk = [
         v
         for v in snapshot_versions(spark, mroot)
@@ -2499,31 +2580,51 @@ def _changed_segments_versioned(
             f"read_segment_changes: no retained manifest <= v{to_version} "
             f"under {mroot} — the bootstrap window has expired"
         )
-    feed: list[tuple[int, int]] = []
-    schema_json = None
+    feeds: dict[str, list[tuple[int, int]]] = {c: [] for c in components}
+    schema_json: dict[str, dict | None] = {c: None for c in components}
+    names_by_id: dict[str, dict[int, set[str]]] = {c: {} for c in components}
     for i, v in enumerate(walk):
         parsed = json.loads(read_snapshot_blob(spark, mroot, version=v))
-        pins_v = {int(s) for s in parsed.get(component, [])}
-        if bootstrap and i == 0:
-            # the earliest RETAINED version seeds the bootstrap with its
-            # FULL pin set — rewrite outputs INCLUDED: once retention
-            # expired the pre-compaction manifests, the folds are the
-            # only copy of those rows, and excluding them would hand a
-            # fresh mirror a silently incomplete bootstrap. (At v1 this
-            # equals the incremental rule: an init commit has no
-            # rewrite markers.)
-            feed += [(v, s) for s in sorted(pins_v)]
-        else:
-            rewrites_v = {
-                int(s)
-                for s in parsed.get("_meta", {})
-                .get("_cdc_rewrites", {})
-                .get(component, [])
-            }
-            feed += [(v, s) for s in sorted((pins_v - seen) - rewrites_v)]
-        seen |= pins_v
-        schema_json = parsed.get("_schemas", {}).get(component, schema_json)
-    return feed, schema_json
+        for c in components:
+            pins_v = {int(s) for s in parsed.get(c, [])}
+            if bootstrap and i == 0:
+                # the earliest RETAINED version seeds the bootstrap with
+                # its FULL pin set — rewrite outputs INCLUDED: once
+                # retention expired the pre-compaction manifests, the
+                # folds are the only copy of those rows, and excluding
+                # them would hand a fresh mirror a silently incomplete
+                # bootstrap. (At v1 this equals the incremental rule: an
+                # init commit has no rewrite markers.)
+                feeds[c] += [(v, s) for s in sorted(pins_v)]
+            else:
+                rewrites_v = {
+                    int(s)
+                    for s in parsed.get("_meta", {})
+                    .get("_cdc_rewrites", {})
+                    .get(c, [])
+                }
+                feeds[c] += [
+                    (v, s) for s in sorted((pins_v - seen[c]) - rewrites_v)
+                ]
+            seen[c] |= pins_v
+            sj = parsed.get("_schemas", {}).get(c)
+            if sj is not None:
+                schema_json[c] = sj
+                for f in sj.get("fields", []):
+                    md = _field_meta(f)
+                    fid = md.get("field_id")
+                    if fid is None:
+                        continue
+                    bucket = names_by_id[c].setdefault(fid, set())
+                    bucket.add(f["name"])
+                    bucket.update(md.get("prior_names", []))
+    out: dict[str, tuple[list[tuple[int, int]], dict | None]] = {}
+    for c in components:
+        sj = schema_json[c]
+        if sj is not None and names_by_id[c]:
+            sj = _union_prior_names(sj, names_by_id[c])
+        out[c] = (feeds[c], sj)
+    return out
 
 
 def consume_changes(
@@ -2625,24 +2726,35 @@ def _consume_changes_once(
     except FileNotFoundError:
         sink_pins, sink_zones, sink_blooms = {}, {}, {}
         sink_meta, sink_schemas, sink_base, sink_init = {}, {}, 0, True
-    wm = int(sink_meta.get(wm_key, 0))
+    # migration: sinks written before the key carried source_root /
+    # sink_component stored a bare per-component mark — adopt it rather
+    # than re-bootstrapping (and duplicating) an already-synced mirror;
+    # the next commit writes the fully-qualified key
+    wm = int(
+        sink_meta.get(
+            wm_key, sink_meta.get(f"cdf_watermark:{component}", 0)
+        )
+    )
     if src_head <= wm:
         return {"from": wm, "to": wm, "applied": False}
     # driver-side walk first: a maintenance-only window (rewrites, no
     # appends) must advance the watermark WITHOUT accreting an empty
-    # segment per cadence — and without planning any scan
-    feed_segs, schema_json = _changed_segments(
-        spark, source_root, component, wm, src_head
-    )
+    # segment per cadence — and without planning any scan. Merge mode
+    # rides the SAME walk for both feeds (each blob parsed once).
     tomb_segs: list[int] = []
     tomb_schema_json: dict | None = None
     if merge:
-        tomb_segs, tomb_schema_json = _changed_segments(
-            spark,
-            source_root,
-            _tombstone_component(component),
-            wm,
-            src_head,
+        tomb = _tombstone_component(component)
+        multi = _changed_segments_multi(
+            spark, source_root, [component, tomb], wm, src_head
+        )
+        pairs, schema_json = multi[component]
+        feed_segs = [s for _v, s in pairs]
+        tomb_segs = [s for _v, s in multi[tomb][0]]
+        tomb_schema_json = multi[tomb][1]
+    else:
+        feed_segs, schema_json = _changed_segments(
+            spark, source_root, component, wm, src_head
         )
     new_meta = {**sink_meta, wm_key: src_head}
     if not feed_segs and not tomb_segs:

@@ -125,16 +125,7 @@ def write_xlsx(path, data_rows, sheet_name="Sheet1"):
 
 
 def count_jobs(spark, fn):
-    """Total Spark jobs submitted while fn() runs (job-group probe) —
-    the mechanical pin for 'this verb is driver-side metadata only'
-    and 'this wave is ONE write job' claims."""
-    import uuid
+    """Shared job-group probe (one implementation: session.count_spark_jobs)."""
+    from ed_housing_data_pipeline_spark.session import count_spark_jobs
 
-    sc = spark.sparkContext
-    group = f"probe-{uuid.uuid4().hex[:8]}"
-    sc.setJobGroup(group, "job-count probe")
-    try:
-        fn()
-    finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
-    return len(sc.statusTracker().getJobIdsForGroup(group))
+    return count_spark_jobs(spark, fn)

@@ -28,16 +28,18 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r12 window: the four r12-new
-    queries enter (lake_rename_evolution — field-id rename evolution;
-    embedding_knn_ivfpq_recall_clustered — the PQ quality gate;
-    lake_maintain_cycle — the cadence verb end to end), every
-    component REWIRED in r12 keeps a representative (zcluster on the
-    lake rewrite hook with staged single-job waves; the lake read path's
-    rename shim + field-id schemas; the index families' manifest_snapshot
-    + shared persist_for_attempt), the ENTIRE r7 staleness tail fills
-    the middle, and 10 r8 rows start draining that tail — after this
-    round no registered query's driver row is older than r8."""
+    prior round's CORRECTNESS file. The r13 window: the three r13-new
+    queries enter (lake_upsert_roundtrip — the row-level merge verb;
+    lake_cdf_merged_mirror — the retraction-aware consumer loop;
+    lake_changes_typed_feed — the _change_type feed), plus
+    lake_mirror_consume (never driver-sampled before), every lake-core
+    surface REWIRED in r13 keeps a representative (CDF bootstrap/typed
+    feed, consumer watermark keys + merge mode, delete stamping,
+    rename/drop sidecar grace + strip-on-fold, maintain normalize,
+    anchored batched coverage builders), the ENTIRE r8 and r9 staleness
+    tails fill the middle, and 11 r10 rows start draining that tail —
+    after this round no registered query's driver row is older than
+    r10."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -45,34 +47,31 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # r12-new — never driver-verified before
-        "lake_rename_evolution",
-        "lake_maintain_cycle",
-        "lake_changes_feed",
-        "embedding_knn_ivfpq_recall_clustered",
-                # rewired-in-r12 component representatives
-        "orders_zorder_box",            # staged single-job recluster waves
-        "orders_zorder_box3",           # N-dim path on the rewrite hook
-        "lake_type_widening",           # evolved schemas now carry field ids
-        "lake_schema_evolution",        # add-column under the id-aware diff
-        "doc_point_lookup",             # bloom read path after the shim
-        "doc_search_after_bulk_delete", # text_index manifest_snapshot move
-        "doc_search_after_term_purge",  # shared persist_for_attempt
-        "embedding_ann_after_cell_purge",  # ann_index same
-        "doc_incremental_neardup",      # incr_index same
-        "doc_stream_incremental_dedup",
-        "doc_stream_search_ingest",
+        # r13-new — never driver-verified before
+        "lake_upsert_roundtrip",
+        "lake_cdf_merged_mirror",
+        "lake_changes_typed_feed",
+        "lake_mirror_consume",
+        # rewired-in-r13 lake-core representatives
+        "lake_changes_feed",        # CDF bootstrap + version walk
+        "lake_rename_evolution",    # rename + strip-on-full-fold path
+        "lake_maintain_cycle",      # maintain (normalize step added)
+        "doc_point_lookup",         # bloom read path, batched builders
+        "doc_delete_point_lookup",  # delete stamping + apply path
+        "orders_zorder_box",        # staged writes + anchored coverage
         # the flagship (entry())
         "rank_sum_top1",
-        # staleness tail (last driver rows r7 -> bound becomes r8)
-        "count_star",
-        "grouped_agg",
-        "left_join",
-        "events_hourly_by_type",
-        "doc_minhash_signature",
-        "lineitem_quantity_quantiles",
-        "doc_export_shards",
-        "topk_per_group",
+        # staleness tails (r8 fully drained, r9 fully drained,
+        # 11 r10 rows in -> bound becomes r10)
+        "doc_chargram_neardup",
+        "doc_word_cms_topk",
+        "embedding_neardup_pairs",
+        "big_spenders_having",
+        "rank_dense_global",
+        "topk_orders",
+        "lake_snapshot_roundtrip",
+        "doc_inverted_bm25_topk",
+        "table_summary",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 

@@ -1118,9 +1118,10 @@ def test_read_segment_changes_typed_feed(spark, tmp_path):
         spark.range(2, 3).select(F.col("id").alias("k"), F.lit(222.0).alias("v")),
     )
     feed = lake.read_segment_changes(spark, root, "t", 1, include_changes=True)
+    rows_ = feed.collect()
     got = {
         (r["_change_type"], r["k"], r["_commit_version"]): r["v"]
-        for r in feed.collect()
+        for r in rows_
     }
     assert {k for k in got if k[0] == "insert"} == (
         {("insert", j, 2) for j in range(10, 20)} | {("insert", 2, 4)}
@@ -1130,11 +1131,31 @@ def test_read_segment_changes_typed_feed(spark, tmp_path):
     }
     assert got[("insert", 2, 4)] == 222.0
     assert got[("delete", 1, 3)] is None  # non-id columns are NULL
-    # replaying the typed feed under the kill-below rule reproduces the
-    # merged view of the window's net effect for the touched ids
+    # _change_seq is the liveness watermark: plain appends carry 0, an
+    # upsert's rows carry their revision sequence, a delete carries its
+    # dead_below — so the kill-strictly-below rule reconstructs the
+    # source's merged view EXACTLY from the feed alone
+    seqs = {
+        (r["_change_type"], r["k"], r["_commit_version"]): r["_change_seq"]
+        for r in rows_
+    }
+    assert seqs[("insert", 10, 2)] == 0 and seqs[("insert", 2, 4)] == 4
+    assert seqs[("delete", 1, 3)] == 3 and seqs[("delete", 2, 4)] == 4
+    kill = {}
+    for r in rows_:
+        if r["_change_type"] == "delete":
+            kill[r["k"]] = max(kill.get(r["k"], 0), r["_change_seq"])
+    replayed = {
+        r["k"]: r["v"]
+        for r in rows_
+        if r["_change_type"] == "insert"
+        and r["_change_seq"] >= kill.get(r["k"], 0)
+    }
     merged = lake.read_segmented_merged(spark, root, "t", "k")
     live = {r.k: r.v for r in merged.collect()}
     assert 1 not in live and 12 not in live and live[2] == 222.0
+    window_keys = {r["k"] for r in rows_ if r["_change_type"] == "insert"}
+    assert replayed == {k: v for k, v in live.items() if k in window_keys}
 
 
 def test_consume_changes_merge_mirrors_upsert_delete_resurrect(
@@ -1265,3 +1286,39 @@ def test_metadata_plane_verbs_schedule_zero_spark_jobs(spark, tmp_path):
     assert count_jobs(
         spark, lambda: lake.drop_columns(spark, src, "t", ["tag"])
     ) == 0
+
+
+def test_changes_feed_survives_rename_normalization_in_window(
+    spark, tmp_path
+):
+    """A rename AND its normalizing full fold can both land inside one
+    consumer window: the head schema no longer carries prior_names, but
+    the feed still scans pre-rename segments from intermediate
+    manifests — the walk must re-attach every name each field carried
+    across the window (union by field_id), or those reads would
+    silently null-backfill the renamed column into the mirror."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lake.append_segments(
+        spark, src,
+        {"t": spark.createDataFrame([(1, 10)], "id int, amount int")},
+        init=True,
+    )
+    lake.consume_changes(spark, src, "t", dst)  # watermark = v1
+    lake.append_segments(  # v2: pre-rename vintage inside the window
+        spark, src,
+        {"t": spark.createDataFrame([(2, 20), (3, 30)], "id int, amount int")},
+    )
+    lake.rename_columns(spark, src, "t", {"amount": "total"})  # v3
+    rep = lake.maintain(spark, src, {"normalize_renames": True})  # v4: strip
+    assert rep["normalize_renames"] == {"normalized": ["t"]}
+    # the direct typed feed serves the vintage's values under the
+    # current name…
+    feed = lake.read_segment_changes(spark, src, "t", 1, include_changes=True)
+    ins = {r["id"]: r["total"] for r in feed.collect() if r["_change_type"] == "insert"}
+    assert ins == {2: 20, 3: 30}
+    # …and so does the consumer's window
+    assert lake.consume_changes(spark, src, "t", dst)["applied"]
+    mirror = lake.read_segmented_components(spark, dst, ["t"])["t"]
+    got = {r.id: r.total for r in mirror.collect()}
+    assert got[2] == 20 and got[3] == 30, f"null-backfilled mirror: {got}"

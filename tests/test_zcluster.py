@@ -485,17 +485,10 @@ def test_recluster_zorder_converges_and_force_relayouts(spark, tmp_path):
 
 
 def _count_jobs(spark, fn):
-    """Total Spark jobs submitted while fn() runs (job-group probe)."""
-    import uuid
+    """Shared job-group probe (one implementation: session.count_spark_jobs)."""
+    from ed_housing_data_pipeline_spark.session import count_spark_jobs
 
-    sc = spark.sparkContext
-    group = f"probe-{uuid.uuid4().hex[:8]}"
-    sc.setJobGroup(group, "job-count probe")
-    try:
-        fn()
-    finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
-    return len(sc.statusTracker().getJobIdsForGroup(group))
+    return count_spark_jobs(spark, fn)
 
 
 def test_recluster_wave_job_count_independent_of_slices(spark, tmp_path):
