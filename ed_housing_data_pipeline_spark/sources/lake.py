@@ -3050,6 +3050,14 @@ def apply_tombstones(
     tomb = _tombstone_component(component)
     if tomb not in pins:
         return pins
+    if (
+        read_segments(spark, f"{root}/{tomb}", pins[tomb]).limit(1).count()
+        == 0
+    ):
+        # a prior apply reset the component to one EMPTY segment: a
+        # cadence re-running this verb must no-op (one tiny probe job),
+        # not re-fold the whole dataset every pass
+        return pins
     live = (
         read_segmented_merged(spark, root, component, id_col)
         if merged
@@ -4623,6 +4631,14 @@ def maintain(
       on a renamed column filter post-scan until normalization).
       Opt-in like every data rewrite; a no-op when nothing is renamed.
       NOTE it ends the lagging-writer grace for those renames.
+    - ``"apply_tombstones"``: ``{component: {"id_col": str,
+      "merged": bool}}`` — PHYSICAL apply of each component's logical
+      deletes (:func:`apply_tombstones`) on cadence, keeping the
+      read-time watermark fold bounded under delete/upsert churn.
+      ``merged=True`` (default) applies the sequence-watermark rule —
+      required for components mutated via :func:`upsert_rows`. Opt-in
+      (rewrites data); a no-op when the component has no pinned
+      tombstones.
     - ``"recluster"``: ``{component: kwargs}`` for
       operators.zcluster.recluster_zorder (``exprs``, ``zone_cols``,
       ``n_segments``, ``bits``, ``min_segments``,
@@ -4692,6 +4708,34 @@ def maintain(
                     spark, root, components=targets, min_segments=1
                 )
             report["normalize_renames"] = {"normalized": targets}
+
+    # ---- 1c) physical tombstone apply (bounds the watermark fold)
+    akw = policy.get("apply_tombstones")
+    if not akw:
+        report["apply_tombstones"] = {"skipped": True}
+    else:
+        pins_now = segment_pins(spark, root)
+        arep: dict[str, str] = {}
+        for comp, kw in akw.items():
+            if _tombstone_component(comp) not in pins_now:
+                arep[comp] = "no_tombstones"
+            elif dry_run:
+                arep[comp] = "would_apply"
+            else:
+                before_v = segment_pins_versioned(spark, root)[1]
+                apply_tombstones(
+                    spark,
+                    root,
+                    comp,
+                    kw["id_col"],
+                    merged=bool(kw.get("merged", True)),
+                )
+                arep[comp] = (
+                    "applied"
+                    if segment_pins_versioned(spark, root)[1] != before_v
+                    else "no_tombstones"  # reset-and-quiet: apply no-ops
+                )
+        report["apply_tombstones"] = arep
 
     # ---- 2) recluster waves
     rkw = policy.get("recluster")

@@ -130,3 +130,54 @@ def test_maintain_compact_step_and_policy_gating(spark, tmp_path):
         lake.read_segmented_components(spark, root, ["t"])["t"].count()
         == 20_000 + 100
     )
+
+
+def test_maintain_applies_tombstones_with_merged_semantics(spark, tmp_path):
+    """The cadence verb can make logical deletes physical (bounding the
+    read-time watermark fold): upserted/resurrected revisions survive
+    the apply, the tombstone component resets, dry-run only reports,
+    and a tombstone-free component is a no-op."""
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    root = str(tmp_path / "ds")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    lake.append_segments(spark, root, {"t": batch(0, 30)}, init=True)
+    lake.delete_rows(spark, root, "t", "k", [1, 2])
+    lake.upsert_rows(  # resurrect 2
+        spark, root, "t", "k",
+        spark.range(2, 3).select(F.col("id").alias("k"), F.lit(22.0).alias("v")),
+    )
+    want = sorted(
+        (r.k, r.v)
+        for r in lake.read_segmented_merged(spark, root, "t", "k").collect()
+    )
+    dry = lake.maintain(
+        spark, root, {"apply_tombstones": {"t": {"id_col": "k"}}},
+        dry_run=True,
+    )
+    assert dry["apply_tombstones"] == {"t": "would_apply"}
+    rep = lake.maintain(
+        spark, root, {"apply_tombstones": {"t": {"id_col": "k"}}}
+    )
+    assert rep["apply_tombstones"] == {"t": "applied"}
+    pins = lake.segment_pins(spark, root)
+    assert len(pins["t"]) == 1
+    tomb = lake.tombstone_component("t")
+    assert lake.read_segments(spark, f"{root}/{tomb}", pins[tomb]).count() == 0
+    got = sorted(
+        (r.k, r.v)
+        for r in lake.read_segmented_merged(spark, root, "t", "k").collect()
+    )
+    assert got == want and (2, 22.0) in got and (1, 1.0) not in got
+    # fresh component without tombstones: the step is a no-op
+    rep2 = lake.maintain(
+        spark, root, {"apply_tombstones": {"t": {"id_col": "k"}}}
+    )
+    assert rep2["apply_tombstones"] == {"t": "no_tombstones"}
