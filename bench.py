@@ -113,6 +113,7 @@ COLD_ONLY = [
     "lake_cdf_merged_mirror",       # r13: retraction-aware consumer loop e2e
     "lake_changes_typed_feed",      # r13: _change_type feed across a delete
     "lake_stream_mirror_consume",   # r13: continuous mirror (stream-driven)
+    "lake_upsert_time_travel",      # r13: merged-view time travel e2e
 ]
 
 

@@ -2263,6 +2263,99 @@ def q_lake_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
 
+# --------------------------------------------- merged-view time travel
+@register(
+    "lake_upsert_time_travel",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(price), 2) AS price_sum
+    FROM (
+        SELECT o_orderpriority, o_totalprice + 100000 AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    GROUP BY 1
+    """,
+)
+def q_lake_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the merged view (read_segmented_merged_at): the
+    upsert → delete → resurrect lifecycle commits v1..v4, and the read
+    AS OF v2 must serve exactly the post-upsert pre-delete state — the
+    deletes committed later are invisible because the historical
+    manifest pins neither their tombstone segments nor the later
+    revisions, and the immutable _useq/dead_below stamps make the
+    liveness rule evaluate exactly as it did at that head. In-query
+    checks walk the other versions: v1 equals the raw ingest count, v3
+    drops the deleted keys, and the head read equals
+    read_segmented_merged. This is the audit axis of a row-level-merge
+    table ("what did the dimension look like before the correction?")
+    as one pinned read — byte-stable while the manifest is retained."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    k = F.col("o_orderkey")
+    with tempfile.TemporaryDirectory(prefix="lake_tt_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"orders": orders}, init=True)  # v1
+        lake.upsert_rows(  # v2
+            spark, ds, "orders", "o_orderkey",
+            orders.filter(k % 7 == 0).withColumn(
+                "price", F.col("price") + F.lit(100000)
+            ),
+        )
+        lake.delete_rows_from(  # v3
+            spark, ds, "orders", "o_orderkey",
+            orders.filter(k % 5 == 0).select("o_orderkey"),
+        )
+        lake.upsert_rows(  # v4
+            spark, ds, "orders", "o_orderkey",
+            orders.filter(k % 15 == 0).select(
+                "o_orderkey",
+                F.lit("RESURRECTED").alias("o_orderpriority"),
+                F.lit(999.99).alias("price"),
+            ),
+        )
+        n_all = orders.count()
+        if lake.read_segmented_merged_at(
+            spark, ds, 1, "orders", "o_orderkey"
+        ).count() != n_all:
+            raise RuntimeError("v1 read should equal the raw ingest")
+        at3 = lake.read_segmented_merged_at(spark, ds, 3, "orders", "o_orderkey")
+        if at3.filter(k % 5 == 0).count() != 0:
+            raise RuntimeError("v3 read serves deleted keys")
+        from collections import Counter  # noqa: PLC0415
+
+        head_v = lake.segment_pins_versioned(spark, ds)[1]
+        a = Counter(
+            map(tuple, lake.read_segmented_merged_at(
+                spark, ds, head_v, "orders", "o_orderkey"
+            ).collect())
+        )
+        b = Counter(
+            map(tuple, lake.read_segmented_merged(
+                spark, ds, "orders", "o_orderkey"
+            ).collect())
+        )
+        if a != b:
+            raise RuntimeError("head time travel diverges from the head read")
+        return (
+            lake.read_segmented_merged_at(spark, ds, 2, "orders", "o_orderkey")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.sum("price"), 2).alias("price_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

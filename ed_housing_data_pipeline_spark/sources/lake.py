@@ -2988,6 +2988,16 @@ def read_segmented_merged(
         pins[tomb],
         schema=_schema_from_json(schemas.get(tomb)),
     )
+    return _merged_view(data, tdf, id_col)
+
+
+def _merged_view(data: DataFrame, tdf: DataFrame, id_col: str) -> DataFrame:
+    """The sequence-watermark liveness join shared by the head and
+    time-travel merged reads: keep a data row iff its ``_useq`` (0
+    when unstamped) >= its id's highest ``dead_below`` (kill-all for
+    stampless legacy tombstones)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     dead_all = F.lit(_DEAD_ALL_SEQ).cast("bigint")
     db = (
         F.coalesce(F.col(DEAD_BELOW_COL), dead_all)
@@ -3005,6 +3015,53 @@ def read_segmented_merged(
         .filter(F.col("_dead").isNull() | (useq >= F.col("_dead")))
         .drop("_dead")
     )
+
+
+def read_segmented_merged_at(
+    spark, root: str, version: int, component: str, id_col: str
+) -> DataFrame:
+    """TIME TRAVEL on the merged view: the component's surviving
+    revisions as of RETAINED manifest ``version`` — the pins, schemas,
+    AND tombstone watermarks are all read from that manifest, so the
+    result is byte-stable history: a row deleted at v+1 still serves
+    here, an upsert committed later is invisible, and (because
+    ``dead_below``/``_useq`` stamps are immutable data) the liveness
+    rule evaluates exactly as it did at the historical head. This is
+    the audit axis a row-level-merge table needs: "what did this
+    dimension look like before Tuesday's correction?" as one pinned
+    read."""
+    parsed = json.loads(
+        read_snapshot_blob(
+            spark, f"{root.rstrip('/')}/manifest", version=version
+        )
+    )
+    pins = {
+        name: sorted({int(s) for s in segs})
+        for name, segs in parsed.items()
+        if not name.startswith("_")
+    }
+    schemas = parsed.get("_schemas", {})
+    if component not in pins:
+        raise KeyError(
+            f"read_segmented_merged_at: no component {component!r} at "
+            f"manifest v{version}"
+        )
+    data = read_segments(
+        spark,
+        f"{root.rstrip('/')}/{component}",
+        pins[component],
+        schema=_schema_from_json(schemas.get(component)),
+    )
+    tomb = _tombstone_component(component)
+    if tomb not in pins:
+        return data
+    tdf = read_segments(
+        spark,
+        f"{root.rstrip('/')}/{tomb}",
+        pins[tomb],
+        schema=_schema_from_json(schemas.get(tomb)),
+    )
+    return _merged_view(data, tdf, id_col)
 
 
 def read_segmented_live(

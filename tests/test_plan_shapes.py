@@ -40,6 +40,7 @@ def dfs(spark):
         "lake_changes_typed_feed",
         "lake_upsert_roundtrip",
         "lake_cdf_merged_mirror",
+        "lake_upsert_time_travel",
     }
     try:
         for name, fn in query_map().items():
