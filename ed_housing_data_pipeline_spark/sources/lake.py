@@ -2636,6 +2636,8 @@ def consume_changes(
     transform: Callable | None = None,
     max_attempts: int = 3,
     merge: bool = False,
+    sink_zone_cols: Sequence[str] = (),
+    sink_bloom_cols: Sequence[str] = (),
 ) -> dict:
     """EXACTLY-ONCE incremental consumption of a component's change
     feed into another segmented dataset — the downstream-maintenance
@@ -2674,7 +2676,12 @@ def consume_changes(
     retract, resurrections serve). A merge-mode sink component must be
     maintained exclusively by this consumer — local writes would mix
     sequence axes. ``transform`` still applies to the DATA feed only
-    (tombstones mirror untouched: ids must stay joinable)."""
+    (tombstones mirror untouched: ids must stay joinable).
+
+    ``sink_zone_cols``/``sink_bloom_cols`` collect pruning coverage on
+    each window's sink segment (append_segments semantics) — a mirror
+    serving point lookups or range reads wants its own zonemaps/blooms,
+    not just the source's."""
     sink_component = sink_component or component
     src_head = _committed_version(spark, f"{source_root.rstrip('/')}/manifest")
     if src_head is None:
@@ -2700,6 +2707,8 @@ def consume_changes(
                 src_head,
                 wm_key,
                 merge,
+                sink_zone_cols,
+                sink_bloom_cols,
             )
             return {**rep, "attempts": attempt + 1, "raced": attempt}
         except ConcurrentCommitError as e:
@@ -2717,6 +2726,8 @@ def _consume_changes_once(
     src_head: int,
     wm_key: str,
     merge: bool = False,
+    sink_zone_cols: Sequence[str] = (),
+    sink_bloom_cols: Sequence[str] = (),
 ) -> dict:
     try:
         sink_pins, sink_zones, sink_blooms, sink_meta, sink_schemas, sink_base = (
@@ -2795,6 +2806,11 @@ def _consume_changes_once(
             tomb_segs,
             schema=_schema_from_json(tomb_schema_json),
         )
+    cov: dict = {}
+    if sink_zone_cols and sink_component in appends:
+        cov["zone_cols"] = {sink_component: list(sink_zone_cols)}
+    if sink_bloom_cols and sink_component in appends:
+        cov["bloom_cols"] = {sink_component: list(sink_bloom_cols)}
     append_segments(
         spark,
         sink_root,
@@ -2802,6 +2818,7 @@ def _consume_changes_once(
         init=sink_init,
         meta=new_meta,
         expected_base=None if sink_init else sink_base,
+        **cov,
     )
     return {"from": wm, "to": src_head, "applied": True}
 
@@ -2897,6 +2914,8 @@ def upsert_rows(
     id_col: str,
     rows: DataFrame,
     max_attempts: int = 3,
+    zone_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
 ) -> dict[str, list[int]]:
     """Single-commit row-level UPSERT on a plain segmented component —
     the MERGE INTO class every mirror and dimension table needs
@@ -2920,8 +2939,11 @@ def upsert_rows(
     revisions leave disk when :func:`apply_tombstones` (with
     ``merged=True``) or compaction rewrites them on the maintenance
     cadence. Serve the merged view with :func:`read_segmented_merged`.
-    Retries from fresh state on a rival commit (the payload restamps
-    at the fresh sequence). Returns the committed pin map."""
+    ``zone_cols``/``bloom_cols`` collect pruning coverage on the new
+    revision segment exactly as append_segments does (a dimension
+    table served by point lookups wants its id bloomed on every
+    commit). Retries from fresh state on a rival commit (the payload
+    restamps at the fresh sequence). Returns the committed pin map."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     last_err: BaseException | None = None
@@ -2937,6 +2959,11 @@ def upsert_rows(
             .coalesce(1)
             .withColumn(DEAD_BELOW_COL, F.lit(seq).cast("bigint"))
         )
+        kw: dict = {}
+        if zone_cols:
+            kw["zone_cols"] = {component: list(zone_cols)}
+        if bloom_cols:
+            kw["bloom_cols"] = {component: list(bloom_cols)}
         try:
             return append_segments(
                 spark,
@@ -2946,6 +2973,7 @@ def upsert_rows(
                     _tombstone_component(component): tomb,
                 },
                 expected_base=base,
+                **kw,
             )
         except ConcurrentCommitError as e:
             last_err = e  # rival commit: replan; restamp at fresh seq

@@ -1322,3 +1322,48 @@ def test_changes_feed_survives_rename_normalization_in_window(
     mirror = lake.read_segmented_components(spark, dst, ["t"])["t"]
     got = {r.id: r.total for r in mirror.collect()}
     assert got[2] == 20 and got[3] == 30, f"null-backfilled mirror: {got}"
+
+
+def test_upsert_and_mirror_collect_pruning_coverage(spark, tmp_path):
+    """zone_cols/bloom_cols ride the upsert commit and the consumer's
+    sink commits: a dimension served by point lookups gets its id
+    bloomed per revision, and a mirror builds its OWN zonemaps —
+    pruning works downstream without a repair pass."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    lake.append_segments(
+        spark, src, {"t": batch(0, 50)}, init=True,
+        zone_cols={"t": ["k"]}, bloom_cols={"t": ["k"]},
+    )
+    lake.upsert_rows(
+        spark, src, "t", "k", batch(900, 905),
+        zone_cols=["k"], bloom_cols=["k"],
+    )
+    zones = lake.segment_zones(spark, src)["t"]
+    pins = lake.segment_pins(spark, src)["t"]
+    assert all(s in zones and "k" in zones[s] for s in pins)
+    kept, pinned = lake.bloom_pruned_pins(spark, src, "t", "k", [902])
+    assert len(kept) == 1 and len(pinned) == 2
+    # mirror coverage: each consumed window's sink segment gets stats
+    lake.consume_changes(
+        spark, src, "t", dst, merge=True,
+        sink_zone_cols=["k"], sink_bloom_cols=["k"],
+    )
+    lake.append_segments(spark, src, {"t": batch(50, 60)})
+    lake.consume_changes(
+        spark, src, "t", dst, merge=True,
+        sink_zone_cols=["k"], sink_bloom_cols=["k"],
+    )
+    dzones = lake.segment_zones(spark, dst)["t"]
+    dpins = lake.segment_pins(spark, dst)["t"]
+    assert all(s in dzones and "k" in dzones[s] for s in dpins)
+    # window 1's segment spans [0, 904] (bootstrap + upserted ids);
+    # window 2's spans [50, 59] — a probe at 900 keeps only window 1
+    dkept, dpinned = lake.zone_pruned_pins(spark, dst, "t", "k", 900, 904)
+    assert len(dkept) == 1 and len(dpinned) == 2
