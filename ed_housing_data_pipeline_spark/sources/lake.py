@@ -4025,113 +4025,276 @@ def compact_segments(
     min/max-reset meta flag) passes the version it read that state at,
     and a rival commit landing in between raises
     :class:`ConcurrentCommitError` BEFORE any fold job runs instead of
-    reducing new state under a stale decision."""
+    reducing new state under a stale decision.
+
+    Since r13 this is a thin wrapper over :func:`rewrite_components` —
+    the multi-component fold-to-N core that also backs
+    :func:`rewrite_segments` — so the manifest invariants (schema
+    evolution + prior_names retirement on full folds, coverage
+    rebuild, rewrite marking, the atomic all-components flip) have ONE
+    owner. A rival commit landing mid-pass conflicts loudly (no
+    internal retry — the established compaction contract: the caller
+    retries from fresh pins)."""
     reducers = reducers or {}
-    pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
-    if expected_base is not None and expected_base != base:
-        raise ConcurrentCommitError(
-            f"compact_segments: reducers derived from manifest "
-            f"v{expected_base} but v{base} is now committed — re-read "
-            "and retry"
-        )
-    names = list(components) if components is not None else list(pins)
-    new_pins = dict(pins)
-    new_schemas = dict(schemas)
-    changed = False
-    fold_outputs: dict[str, list[int]] = {}
-    rezone: list[tuple[str, int, list[str]]] = []
-    rebloom: list[tuple[str, int, list[str]]] = []
-    for name in names:
-        if max_segment_bytes is None:
-            fold = list(pins[name])
-        else:
-            fold = [
-                s
-                for s in pins[name]
-                if _segment_bytes(spark, f"{root}/{name}", s)
-                < max_segment_bytes
-            ]
-        if len(fold) < min_segments:
-            continue
-        # a schema-pinned read makes compaction the NORMALIZATION step
-        # of schema evolution: segments written under older schema
-        # versions fold into one segment carrying the current schema
-        # (null-backfilled), so the mixed-schema tail ages out
-        df = read_segments(
-            spark,
-            f"{root}/{name}",
-            fold,
-            schema=_schema_from_json(schemas.get(name)),
-        )
-        reduce = reducers.get(name)
-        if reduce is not None:
-            df = reduce(df)
-        # a reducer's output may legitimately ADD columns (e.g. a
-        # merge that attaches fold-state columns) — evolve the
-        # manifest schema exactly like an append would, so the new
-        # columns survive the next schema-pinned read
-        new_schemas[name] = _evolved_schema_json(
-            schemas.get(name), df.schema, name
-        )
-        seg = write_segment(spark, df, f"{root}/{name}")
-        fold_outputs.setdefault(name, []).append(seg)
-        survivors = [s for s in pins[name] if s not in fold]
-        new_pins[name] = sorted([*survivors, seg])
-        if not survivors:
-            # FULL fold: every pinned segment now physically carries
-            # the current names — retire the rename shim so reads
-            # regain exact pushdown (see _strip_prior_names)
-            new_schemas[name] = _strip_prior_names(new_schemas[name])
-        zone_columns = sorted(
-            {c for stats in zones.get(name, {}).values() for c in stats}
-        )
-        if zone_columns:
-            rezone.append((name, seg, zone_columns))
-        bloom_columns = sorted(
-            {c for cols in blooms.get(name, {}).values() for c in cols}
-        )
-        if bloom_columns:
-            rebloom.append((name, seg, bloom_columns))
-        changed = True
-    if changed:
-        new_zones = _carry_zones(zones, new_pins)
-        new_blooms = _carry_blooms(blooms, new_pins)
-        for name, seg, cols in rezone:
-            new_zones.setdefault(name, {})[seg] = _segment_zone_stats(
-                spark, f"{root}/{name}", seg, cols
+
+    def specs_of(snap: ManifestSnapshot) -> dict[str, dict]:
+        names = list(components) if components is not None else list(snap.pins)
+
+        def tier_plan(name: str):
+            def plan(s: ManifestSnapshot) -> list[int]:
+                pins_ = s.pins[name]
+                if max_segment_bytes is None:
+                    return list(pins_)
+                return [
+                    seg
+                    for seg in pins_
+                    if _segment_bytes(spark, f"{root}/{name}", seg)
+                    < max_segment_bytes
+                ]
+
+            return plan
+
+        return {
+            name: {
+                "rewrite": reducers.get(name),
+                "plan": tier_plan(name),
+                "min_segments": min_segments,
+                "coverage_scope": "component",
+            }
+            for name in names
+        }
+
+    return rewrite_components(
+        spark,
+        root,
+        specs_of,
+        meta=meta,
+        expected_base=expected_base,
+        max_attempts=1,
+    )
+
+
+def rewrite_components(
+    spark,
+    root: str,
+    specs,
+    meta: dict | None = None,
+    meta_update: Callable | None = None,
+    expected_base: int | None = None,
+    max_attempts: int = 1,
+) -> dict[str, list[int]]:
+    """The multi-component fold-to-N rewrite core — ONE manifest flip
+    rewrites any set of components through per-component functions,
+    owning every manifest invariant once: the consistent snapshot,
+    schema-pinned reads of each fold set, staged or per-frame segment
+    writes, zone/bloom carry for untouched segments, batched coverage
+    rebuild on the fresh ones, schema evolution (+ ``prior_names``
+    retirement when a component's fold covered every pinned segment),
+    rewrite marking for the change feed, and the ``expected_base``
+    commit. :func:`compact_segments` (all components, one output each,
+    no retry) and :func:`rewrite_segments` (one component, N outputs,
+    retry-from-fresh) are thin wrappers.
+
+    ``specs`` maps component → spec dict, or is a callable
+    ``specs(snapshot) -> dict`` evaluated on the pass's own snapshot
+    (so "every pinned component" plans see the same state the commit
+    is pinned to). Spec keys:
+
+    - ``"rewrite"``: ``df -> DataFrame | [DataFrame, ...] |
+      (DataFrame, slice_col)`` — None means identity (the plain fold).
+      The tuple shape stages N segments from ONE write job
+      (:func:`stage_segments`).
+    - ``"plan"``: ``snapshot -> [segment, ...]`` fold selection
+      (default: every pinned segment). Must choose pinned segments.
+    - ``"min_segments"``: fewer candidates → that component no-ops
+      (default 2).
+    - ``"zone_cols"`` / ``"bloom_cols"``: extra coverage columns for
+      the new layout, unioned with the self-describing set.
+    - ``"coverage_scope"``: ``"fold"`` (default — recompute the
+      columns the folded-away segments carried) or ``"component"``
+      (every column any pinned segment carries — compaction's rule).
+
+    ``meta`` REPLACES application metadata atomically with the flip;
+    ``meta_update(prior_meta, {component: [new_segs]}) -> dict``
+    computes it per attempt (mutually exclusive with ``meta``); the
+    change feed's ``_cdc_rewrites`` markers ride through either. A
+    no-op pass (nothing reached min_segments) returns the current pins
+    with no commit and no jobs. ``expected_base`` pins the WHOLE pass
+    to that manifest version (typed conflict BEFORE any fold job) and
+    disables retry; otherwise a lost flip replans from fresh state up
+    to ``max_attempts`` times — written segments stay unpinned debris
+    for the orphan sweep."""
+    if meta is not None and meta_update is not None:
+        raise ValueError("rewrite_components: meta and meta_update are exclusive")
+    last_err: BaseException | None = None
+    attempts = 1 if expected_base is not None else max_attempts
+    for _attempt in range(attempts):
+        snap = manifest_snapshot(spark, root)
+        if expected_base is not None and expected_base != snap.version:
+            raise ConcurrentCommitError(
+                f"rewrite_components: pass derived from manifest "
+                f"v{expected_base} but v{snap.version} is now committed — "
+                "re-read and retry"
             )
-        for name, seg, cols in rebloom:
-            built = [
-                c
-                for c in cols
-                if _write_segment_bloom(spark, f"{root}/{name}", seg, c)
-            ]
-            if built:
-                new_blooms.setdefault(name, {})[seg] = built
-        # pinned: an ingest landing mid-compaction must not be dropped
-        # by the compacted manifest (and vice versa); zones/blooms/meta
-        # kwargs only when non-empty (see append_segments)
-        kw = {}
+        spec_map = specs(snap) if callable(specs) else specs
+        new_pins = dict(snap.pins)
+        new_schemas = dict(snap.schemas)
+        outputs: dict[str, list[int]] = {}
+        new_segs: list[tuple[str, int]] = []
+        zone_req: dict[str, list[str]] = {}
+        bloom_req: dict[str, list[str]] = {}
+        for comp, spec in spec_map.items():
+            if comp not in snap.pins:
+                raise KeyError(
+                    f"rewrite_components: no pinned component {comp!r}"
+                )
+            pinned = set(snap.pins[comp])
+            plan = spec.get("plan")
+            fold = list(plan(snap)) if plan is not None else list(snap.pins[comp])
+            stray = [s for s in fold if s not in pinned]
+            if stray:
+                raise ValueError(
+                    f"rewrite_components: plan chose unpinned segments "
+                    f"{stray} of {comp!r} — plans must derive from the snapshot"
+                )
+            if len(fold) < int(spec.get("min_segments", 2)):
+                continue
+            comp_root = f"{root.rstrip('/')}/{comp}"
+            # a schema-pinned read makes the rewrite the NORMALIZATION
+            # step of schema evolution: segments written under older
+            # schema versions fold into output carrying the current
+            # schema (null-backfilled), so the mixed-schema tail ages out
+            df = read_segments(
+                spark,
+                comp_root,
+                fold,
+                schema=_schema_from_json(snap.schemas.get(comp)),
+            )
+            rewrite = spec.get("rewrite")
+            out = rewrite(df) if rewrite is not None else df
+            # schema evolution FIRST, over EVERY output frame's schema —
+            # an incompatible output raises typed with zero segment
+            # debris (a later frame may legitimately add columns;
+            # folding only frames[0] would silently lose them from the
+            # recorded schema, making the data invisible to every
+            # pinned read and physically dropped at the next
+            # normalization)
+            if isinstance(out, tuple):
+                frame, slice_col = out
+                out_schemas = [
+                    StructType(
+                        [f for f in frame.schema.fields if f.name != slice_col]
+                    )
+                ]
+            elif isinstance(out, DataFrame):
+                out_schemas = [out.schema]
+            else:
+                out = list(out)
+                if not out:
+                    raise ValueError(
+                        "rewrite_components: rewrite returned no output frames"
+                    )
+                out_schemas = [f.schema for f in out]
+            evolved = snap.schemas.get(comp)
+            for sch in out_schemas:
+                evolved = _evolved_schema_json(evolved, sch, comp)
+            survivors = [s for s in snap.pins[comp] if s not in set(fold)]
+            if evolved is not None and not survivors:
+                # FULL fold: every pinned segment now physically
+                # carries the current names — retire the rename shim
+                # so reads regain exact pushdown (_strip_prior_names)
+                evolved = _strip_prior_names(evolved)
+            if isinstance(out, tuple):
+                outs = stage_segments(spark, frame, comp_root, slice_col)
+                if not outs:
+                    # an all-empty fold set stages zero slice dirs; the
+                    # component must still pin SOMETHING (a manifest
+                    # rejects empty pin lists), so land one empty
+                    # current-schema segment — the fold-to-one shape
+                    outs = [
+                        write_segment(spark, frame.drop(slice_col), comp_root)
+                    ]
+            elif isinstance(out, DataFrame):
+                outs = [write_segment(spark, out, comp_root)]
+            else:
+                outs = [write_segment(spark, f, comp_root) for f in out]
+            new_pins[comp] = sorted([*survivors, *outs])
+            new_schemas[comp] = evolved
+            outputs[comp] = outs
+            new_segs += [(comp, s) for s in outs]
+            # self-describing coverage: the folded segments' column
+            # sets ("fold") or every pinned segment's ("component" —
+            # compaction's rule), plus whatever the caller declares
+            # for the new layout
+            scope = (
+                snap.pins[comp]
+                if spec.get("coverage_scope") == "component"
+                else fold
+            )
+            zone_req[comp] = sorted(
+                {
+                    c
+                    for s in scope
+                    for c in snap.zones.get(comp, {}).get(s, {})
+                }
+                | set(spec.get("zone_cols") or ())
+            )
+            bloom_req[comp] = sorted(
+                {
+                    c
+                    for s in scope
+                    for c in snap.blooms.get(comp, {}).get(s, [])
+                }
+                | set(spec.get("bloom_cols") or ())
+            )
+        if not outputs:
+            return snap.pins
+        new_zones = _carry_zones(snap.zones, new_pins)
+        new_blooms = _carry_blooms(snap.blooms, new_pins)
+        _cover_new_segments(
+            spark,
+            root.rstrip("/"),
+            new_segs,
+            zone_req,
+            bloom_req,
+            new_zones,
+            new_blooms,
+            schemas=new_schemas,
+        )
+        new_schemas = {c: sj for c, sj in new_schemas.items() if c in new_pins}
+        if meta_update is not None:
+            commit_meta = meta_update(snap.meta, outputs)
+        elif meta is not None:
+            commit_meta = meta
+        else:
+            commit_meta = snap.meta
+        if (
+            "_cdc_rewrites" in snap.meta
+        ) and "_cdc_rewrites" not in (commit_meta or {}):
+            commit_meta = {
+                **(commit_meta or {}),
+                "_cdc_rewrites": snap.meta["_cdc_rewrites"],
+            }  # infrastructure carry past a meta source that dropped it
+        # rewrite outputs carry no NEW rows: mark them so the change
+        # feed (read_segment_changes) skips layout maintenance
+        commit_meta = _mark_rewrites(commit_meta, new_pins, outputs)
+        kw: dict = {}
         if new_zones:
             kw["zones"] = new_zones
         if new_blooms:
             kw["blooms"] = new_blooms
-        base_meta = meta if meta is not None else prior_meta
-        if (
-            meta is not None
-            and "_cdc_rewrites" in prior_meta
-            and "_cdc_rewrites" not in meta
-        ):
-            base_meta = {
-                **meta, "_cdc_rewrites": prior_meta["_cdc_rewrites"]
-            }  # infrastructure carry — see append_segments
-        commit_meta = _mark_rewrites(base_meta, new_pins, fold_outputs)
         if commit_meta:
             kw["meta"] = commit_meta
         if new_schemas:
             kw["schemas"] = new_schemas
-        commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
-    return new_pins
+        try:
+            commit_segment_manifest(
+                spark, root, new_pins, expected_base=snap.version, **kw
+            )
+            return new_pins
+        except ConcurrentCommitError as e:
+            last_err = e  # replan from fresh pins; debris to the sweep
+    raise last_err
 
 
 def rewrite_segments(
@@ -4146,18 +4309,15 @@ def rewrite_segments(
     meta_update: Callable | None = None,
     max_attempts: int = 3,
 ) -> dict[str, list[int]]:
-    """The fold-to-N rewrite hook — the generalization of
-    :func:`compact_segments` from "fold a segment set to ONE segment"
-    to "rewrite a segment set through a function returning N outputs",
-    owning every manifest invariant ONCE: the consistent snapshot, the
-    schema-pinned read of the fold set, staged or per-frame segment
-    writes, zone/bloom carry for untouched segments, coverage rebuild
-    on the fresh ones (batched), schema evolution + subsetting, the
-    ``expected_base`` flip, and a bounded retry-from-fresh-pins loop on
-    :class:`ConcurrentCommitError`. Layout verbs (OPTIMIZE-ZORDER
-    waves, partition re-bucketing, leveled merges) ride this instead
-    of re-wiring private helpers — the next manifest-schema change
-    lands here, in the module that owns the invariants.
+    """The single-component fold-to-N rewrite hook — the layout-verb
+    surface (OPTIMIZE-ZORDER waves, partition re-bucketing, leveled
+    merges) over :func:`rewrite_components`, which owns every manifest
+    invariant ONCE: the consistent snapshot, the schema-pinned read of
+    the fold set, staged or per-frame segment writes, zone/bloom carry
+    for untouched segments, coverage rebuild on the fresh ones
+    (batched), schema evolution + subsetting, the ``expected_base``
+    flip, and a bounded retry-from-fresh-pins loop on
+    :class:`ConcurrentCommitError`.
 
     ``plan(snapshot)`` picks the fold set from a
     :class:`ManifestSnapshot` (default: every pinned segment of the
@@ -4184,147 +4344,27 @@ def rewrite_segments(
     lost commit race the WHOLE pass replans from fresh state — written
     segments stay unpinned debris for the orphan sweep — up to
     ``max_attempts`` times, then the typed conflict propagates."""
-    last_err: BaseException | None = None
-    for _attempt in range(max_attempts):
-        snap = manifest_snapshot(spark, root)
-        if component not in snap.pins:
-            raise KeyError(f"rewrite_segments: no pinned component {component!r}")
-        pinned = set(snap.pins[component])
-        fold = (
-            list(plan(snap)) if plan is not None else list(snap.pins[component])
-        )
-        stray = [s for s in fold if s not in pinned]
-        if stray:
-            raise ValueError(
-                f"rewrite_segments: plan chose unpinned segments {stray} "
-                f"of {component!r} — plans must derive from the snapshot"
-            )
-        if len(fold) < min_segments:
-            return snap.pins
-        comp_root = f"{root.rstrip('/')}/{component}"
-        df = read_segments(
-            spark,
-            comp_root,
-            fold,
-            schema=_schema_from_json(snap.schemas.get(component)),
-        )
-        out = rewrite(df)
-        # schema evolution FIRST, over EVERY output frame's schema —
-        # an incompatible output raises typed with zero segment debris
-        # (a later frame may legitimately add columns; folding only
-        # frames[0] would silently lose them from the recorded schema,
-        # making the data invisible to every pinned read and physically
-        # dropped at the next normalization)
-        if isinstance(out, tuple):
-            frame, slice_col = out
-            out_schemas = [
-                StructType(
-                    [f for f in frame.schema.fields if f.name != slice_col]
-                )
-            ]
-        elif isinstance(out, DataFrame):
-            out_schemas = [out.schema]
-        else:
-            out = list(out)
-            if not out:
-                raise ValueError(
-                    "rewrite_segments: rewrite returned no output frames"
-                )
-            out_schemas = [f.schema for f in out]
-        evolved = snap.schemas.get(component)
-        for sch in out_schemas:
-            evolved = _evolved_schema_json(evolved, sch, component)
-        if evolved is not None and not (pinned - set(fold)):
-            # FULL fold: outputs carry the current physical names —
-            # retire the rename shim (see _strip_prior_names)
-            evolved = _strip_prior_names(evolved)
-        if isinstance(out, tuple):
-            new_segments = stage_segments(spark, frame, comp_root, slice_col)
-            if not new_segments:
-                # an all-empty fold set stages zero slice dirs; the
-                # component must still pin SOMETHING (a manifest rejects
-                # empty pin lists), so land one empty current-schema
-                # segment — same shape the fold-to-one path produces
-                new_segments = [
-                    write_segment(spark, frame.drop(slice_col), comp_root)
-                ]
-        elif isinstance(out, DataFrame):
-            new_segments = [write_segment(spark, out, comp_root)]
-        else:
-            new_segments = [write_segment(spark, f, comp_root) for f in out]
-        fold_set = set(fold)
-        new_pins = dict(snap.pins)
-        new_pins[component] = sorted(
-            [s for s in snap.pins[component] if s not in fold_set]
-            + new_segments
-        )
-        new_zones = _carry_zones(snap.zones, new_pins)
-        new_blooms = _carry_blooms(snap.blooms, new_pins)
-        # self-describing coverage: the folded segments' column sets,
-        # plus whatever the caller declares for the new layout
-        zcols = sorted(
-            {
-                c
-                for s in fold
-                for c in snap.zones.get(component, {}).get(s, {})
+    mu = None
+    if meta_update is not None:
+        def mu(prior_meta, outputs):  # adapt to the single-component form
+            return meta_update(prior_meta, list(outputs.get(component, [])))
+
+    return rewrite_components(
+        spark,
+        root,
+        {
+            component: {
+                "rewrite": rewrite,
+                "plan": plan,
+                "min_segments": min_segments,
+                "zone_cols": zone_cols,
+                "bloom_cols": bloom_cols,
+                "coverage_scope": "fold",
             }
-            | set(zone_cols)
-        )
-        bcols = sorted(
-            {
-                c
-                for s in fold
-                for c in snap.blooms.get(component, {}).get(s, [])
-            }
-            | set(bloom_cols)
-        )
-        _cover_new_segments(
-            spark,
-            root.rstrip("/"),
-            [(component, s) for s in new_segments],
-            {component: zcols},
-            {component: bcols},
-            new_zones,
-            new_blooms,
-            schemas={component: evolved},
-        )
-        new_schemas = dict(snap.schemas)
-        new_schemas[component] = evolved
-        new_schemas = {c: sj for c, sj in new_schemas.items() if c in new_pins}
-        commit_meta = (
-            meta_update(snap.meta, list(new_segments))
-            if meta_update is not None
-            else snap.meta
-        )
-        if (
-            "_cdc_rewrites" in snap.meta
-        ) and "_cdc_rewrites" not in (commit_meta or {}):
-            commit_meta = {
-                **(commit_meta or {}),
-                "_cdc_rewrites": snap.meta["_cdc_rewrites"],
-            }  # infrastructure carry past a meta_update that dropped it
-        # rewrite outputs carry no NEW rows: mark them so the change
-        # feed (read_segment_changes) skips layout maintenance
-        commit_meta = _mark_rewrites(
-            commit_meta, new_pins, {component: new_segments}
-        )
-        kw: dict = {}
-        if new_zones:
-            kw["zones"] = new_zones
-        if new_blooms:
-            kw["blooms"] = new_blooms
-        if commit_meta:
-            kw["meta"] = commit_meta
-        if new_schemas:
-            kw["schemas"] = new_schemas
-        try:
-            commit_segment_manifest(
-                spark, root, new_pins, expected_base=snap.version, **kw
-            )
-            return new_pins
-        except ConcurrentCommitError as e:
-            last_err = e  # replan from fresh pins; debris to the sweep
-    raise last_err
+        },
+        meta_update=mu,
+        max_attempts=max_attempts,
+    )
 
 
 def validate_segmented(spark, root: str, deep: bool = False) -> dict:
