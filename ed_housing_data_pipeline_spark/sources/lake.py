@@ -2997,10 +2997,23 @@ def read_segmented_merged(
     rides along (callers that don't want it drop it); legacy
     tombstones with no ``dead_below`` kill every revision (their
     original bare-id intent)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     state = _manifest_state(spark, root)
-    pins, schemas = state[0], state[4]
+    return _merged_from_state(
+        spark, root, component, id_col, state[0], state[4]
+    )
+
+
+def _merged_from_state(
+    spark,
+    root: str,
+    component: str,
+    id_col: str,
+    pins: dict[str, list[int]],
+    schemas: dict[str, dict],
+) -> DataFrame:
+    """Pinned data + tombstone reads → merged view, shared by the head
+    and time-travel merged readers so a manifest-format change cannot
+    make history diverge from head reads."""
     data = read_segments(
         spark,
         f"{root.rstrip('/')}/{component}",
@@ -3032,7 +3045,12 @@ def _merged_view(data: DataFrame, tdf: DataFrame, id_col: str) -> DataFrame:
         if DEAD_BELOW_COL in tdf.columns
         else dead_all
     )
-    marks = tdf.groupBy(id_col).agg(F.max(db).alias("_dead"))
+    # collision-proof internal alias: a user column named "_dead"
+    # must not make the merged view unreadable (ambiguous reference)
+    mark = "_dead"
+    while mark in data.columns:
+        mark += "_"
+    marks = tdf.groupBy(id_col).agg(F.max(db).alias(mark))
     useq = (
         F.coalesce(F.col(UPSERT_SEQ_COL), F.lit(0))
         if UPSERT_SEQ_COL in data.columns
@@ -3040,8 +3058,8 @@ def _merged_view(data: DataFrame, tdf: DataFrame, id_col: str) -> DataFrame:
     )
     return (
         data.join(marks, on=id_col, how="left")
-        .filter(F.col("_dead").isNull() | (useq >= F.col("_dead")))
-        .drop("_dead")
+        .filter(F.col(mark).isNull() | (useq >= F.col(mark)))
+        .drop(mark)
     )
 
 
@@ -3057,7 +3075,15 @@ def read_segmented_merged_at(
     rule evaluates exactly as it did at the historical head. This is
     the audit axis a row-level-merge table needs: "what did this
     dimension look like before Tuesday's correction?" as one pinned
-    read."""
+    read. Read-committed: a version past the committed head (a
+    crashed writer's orphan blob awaiting the sweep) is rejected, not
+    served as history."""
+    head = _committed_version(spark, f"{root.rstrip('/')}/manifest")
+    if head is None or version > head:
+        raise FileNotFoundError(
+            f"read_segmented_merged_at: v{version} is not a committed "
+            f"manifest under {root} (head: {head})"
+        )
     parsed = json.loads(
         read_snapshot_blob(
             spark, f"{root.rstrip('/')}/manifest", version=version
@@ -3068,28 +3094,14 @@ def read_segmented_merged_at(
         for name, segs in parsed.items()
         if not name.startswith("_")
     }
-    schemas = parsed.get("_schemas", {})
     if component not in pins:
         raise KeyError(
             f"read_segmented_merged_at: no component {component!r} at "
             f"manifest v{version}"
         )
-    data = read_segments(
-        spark,
-        f"{root.rstrip('/')}/{component}",
-        pins[component],
-        schema=_schema_from_json(schemas.get(component)),
+    return _merged_from_state(
+        spark, root, component, id_col, pins, parsed.get("_schemas", {})
     )
-    tomb = _tombstone_component(component)
-    if tomb not in pins:
-        return data
-    tdf = read_segments(
-        spark,
-        f"{root.rstrip('/')}/{tomb}",
-        pins[tomb],
-        schema=_schema_from_json(schemas.get(tomb)),
-    )
-    return _merged_view(data, tdf, id_col)
 
 
 def read_segmented_live(
@@ -3131,10 +3143,19 @@ def apply_tombstones(
     REQUIRED for components mutated through :func:`upsert_rows`, where
     the bare-id rule would physically drop live resurrected/upserted
     revisions."""
+    return _apply_tombstones(spark, root, component, id_col, merged)[0]
+
+
+def _apply_tombstones(
+    spark, root: str, component: str, id_col: str, merged: bool = False
+) -> tuple[dict[str, list[int]], bool]:
+    """(pins, applied) — the race-free form maintain's report uses (a
+    rival ingest between two manifest reads must not make a no-op look
+    like an apply)."""
     pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
     tomb = _tombstone_component(component)
     if tomb not in pins:
-        return pins
+        return pins, False
     if (
         read_segments(spark, f"{root}/{tomb}", pins[tomb]).limit(1).count()
         == 0
@@ -3142,7 +3163,7 @@ def apply_tombstones(
         # a prior apply reset the component to one EMPTY segment: a
         # cadence re-running this verb must no-op (one tiny probe job),
         # not re-fold the whole dataset every pass
-        return pins
+        return pins, False
     live = (
         read_segmented_merged(spark, root, component, id_col)
         if merged
@@ -3191,7 +3212,7 @@ def apply_tombstones(
     if schemas:
         kw["schemas"] = schemas
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
-    return new_pins
+    return new_pins, True
 
 
 def apply_segment_tombstones(
@@ -4045,11 +4066,12 @@ def compact_segments(
                 pins_ = s.pins[name]
                 if max_segment_bytes is None:
                     return list(pins_)
+                # ONE recursive listing, not a content-summary RPC per
+                # segment (segment_sizes' documented contract) — a
+                # 10^4-segment component must not probe sequentially
+                sizes = segment_sizes(spark, root, name, pins_)
                 return [
-                    seg
-                    for seg in pins_
-                    if _segment_bytes(spark, f"{root}/{name}", seg)
-                    < max_segment_bytes
+                    seg for seg in pins_ if sizes[seg] < max_segment_bytes
                 ]
 
             return plan
@@ -4763,7 +4785,9 @@ def maintain(
       ``merged=True`` (default) applies the sequence-watermark rule —
       required for components mutated via :func:`upsert_rows`. Opt-in
       (rewrites data); a no-op when the component has no pinned
-      tombstones.
+      tombstones (or only a prior apply's empty reset segment). Runs
+      FIRST: the live-only fold it leaves is what compaction's size
+      tier then sees, instead of two full rewrites per cadence.
     - ``"recluster"``: ``{component: kwargs}`` for
       operators.zcluster.recluster_zorder (``exprs``, ``zone_cols``,
       ``n_segments``, ``bits``, ``min_segments``,
@@ -4782,6 +4806,32 @@ def maintain(
     "version"}`` — per-step reports an operator can alert on."""
     policy = policy or {}
     report: dict = {"dry_run": dry_run}
+
+    # ---- 0) physical tombstone apply (bounds the watermark fold).
+    # Runs BEFORE compaction: the live-only fold it leaves is what the
+    # size tier then sees (already one segment -> compaction skips it),
+    # instead of compacting dead revisions only to rewrite them again.
+    akw = policy.get("apply_tombstones")
+    if not akw:
+        report["apply_tombstones"] = {"skipped": True}
+    else:
+        pins_now = segment_pins(spark, root)
+        arep: dict[str, str] = {}
+        for comp, kw in akw.items():
+            if _tombstone_component(comp) not in pins_now:
+                arep[comp] = "no_tombstones"
+            elif dry_run:
+                arep[comp] = "would_apply"
+            else:
+                _pins, applied = _apply_tombstones(
+                    spark,
+                    root,
+                    comp,
+                    kw["id_col"],
+                    merged=bool(kw.get("merged", True)),
+                )
+                arep[comp] = "applied" if applied else "no_tombstones"
+        report["apply_tombstones"] = arep
 
     # ---- 1) size-tiered compaction
     ckw = policy.get("compact")
@@ -4833,34 +4883,6 @@ def maintain(
                     spark, root, components=targets, min_segments=1
                 )
             report["normalize_renames"] = {"normalized": targets}
-
-    # ---- 1c) physical tombstone apply (bounds the watermark fold)
-    akw = policy.get("apply_tombstones")
-    if not akw:
-        report["apply_tombstones"] = {"skipped": True}
-    else:
-        pins_now = segment_pins(spark, root)
-        arep: dict[str, str] = {}
-        for comp, kw in akw.items():
-            if _tombstone_component(comp) not in pins_now:
-                arep[comp] = "no_tombstones"
-            elif dry_run:
-                arep[comp] = "would_apply"
-            else:
-                before_v = segment_pins_versioned(spark, root)[1]
-                apply_tombstones(
-                    spark,
-                    root,
-                    comp,
-                    kw["id_col"],
-                    merged=bool(kw.get("merged", True)),
-                )
-                arep[comp] = (
-                    "applied"
-                    if segment_pins_versioned(spark, root)[1] != before_v
-                    else "no_tombstones"  # reset-and-quiet: apply no-ops
-                )
-        report["apply_tombstones"] = arep
 
     # ---- 2) recluster waves
     rkw = policy.get("recluster")

@@ -238,3 +238,38 @@ def test_apply_tombstones_merged_keeps_resurrected_revisions(
         ).collect()
     )
     assert after == before
+
+
+def test_merged_view_survives_user_dead_column_and_rejects_orphan_version(
+    spark, tmp_path
+):
+    """Edge hardening: a user column named '_dead' must not make the
+    merged view unreadable (the internal liveness alias is
+    collision-proof), and time travel refuses a manifest version past
+    the committed head (a crashed writer's orphan blob is not
+    history)."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    lake.append_segments(
+        spark, root,
+        {"d": spark.createDataFrame(
+            [Row(doc_id=1, _dead="x"), Row(doc_id=2, _dead="y")],
+            "doc_id bigint, _dead string",
+        )},
+        init=True,
+    )
+    lake.delete_rows(spark, root, "d", "doc_id", [1])
+    lake.upsert_rows(
+        spark, root, "d", "doc_id",
+        spark.createDataFrame([Row(doc_id=1, _dead="z")],
+                              "doc_id bigint, _dead string"),
+    )
+    got = {r.doc_id: r["_dead"] for r in
+           lake.read_segmented_merged(spark, root, "d", "doc_id").collect()}
+    assert got == {1: "z", 2: "y"}
+    head = lake.segment_pins_versioned(spark, root)[1]
+    at1 = lake.read_segmented_merged_at(spark, root, 1, "d", "doc_id")
+    assert {r.doc_id for r in at1.collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError, match="not a committed"):
+        lake.read_segmented_merged_at(spark, root, head + 5, "d", "doc_id")
