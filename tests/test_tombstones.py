@@ -273,3 +273,95 @@ def test_merged_view_survives_user_dead_column_and_rejects_orphan_version(
     assert {r.doc_id for r in at1.collect()} == {1, 2}
     with pytest.raises(FileNotFoundError, match="not a committed"):
         lake.read_segmented_merged_at(spark, root, head + 5, "d", "doc_id")
+
+
+def test_revision_axis_matches_model_under_random_interleaving(
+    spark, tmp_path
+):
+    """Model-based check of the whole revision axis: a seeded random
+    interleaving of plain appends, upserts, deletes, compactions, and
+    physical applies is replayed against a driver-side model of the
+    liveness rule (a row is live iff its useq >= its id's max
+    dead_below; plain appends are useq 0; apply drops dead rows and
+    clears watermarks). After every commit the merged view must equal
+    the model, and at the end time travel must reproduce the model's
+    snapshot at every retained version."""
+    import random
+    from collections import Counter
+
+    from ed_housing_data_pipeline_spark.sources import lake as lk
+
+    rng = random.Random(13)
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [Row(k=i, v=v) for i, v in rows], "k bigint, v double"
+        ).coalesce(1)
+
+    for trial in range(2):
+        root = str(tmp_path / f"m{trial}")
+        rows_model: list[tuple[int, float, int]] = []  # (id, value, useq)
+        max_dead: dict[int, int] = {}
+        init = [(i, float(i)) for i in range(6)]
+        lk.append_segments(spark, root, {"t": df_of(init)}, init=True)
+        rows_model += [(i, v, 0) for i, v in init]
+
+        def live() -> Counter:
+            return Counter(
+                (i, v)
+                for i, v, useq in rows_model
+                if useq >= max_dead.get(i, 0)
+            )
+
+        snapshots: dict[int, Counter] = {}
+        v = lk.segment_pins_versioned(spark, root)[1]
+        snapshots[v] = live()
+        for step in range(12):
+            op = rng.choice(
+                ["append", "upsert", "delete", "upsert", "compact", "apply"]
+            )
+            ids = rng.sample(range(12), rng.randint(1, 3))
+            base_v = lk.segment_pins_versioned(spark, root)[1]
+            if op == "append":
+                batch = [(i, 1000.0 * (step + 1) + i) for i in ids]
+                lk.append_segments(spark, root, {"t": df_of(batch)})
+                rows_model += [(i, val, 0) for i, val in batch]
+            elif op == "upsert":
+                seq = base_v + 1
+                batch = [(i, 2000.0 * (step + 1) + i) for i in ids]
+                lk.upsert_rows(spark, root, "t", "k", df_of(batch))
+                for i, val in batch:
+                    max_dead[i] = max(max_dead.get(i, 0), seq)
+                    rows_model.append((i, val, seq))
+            elif op == "delete":
+                seq = base_v + 1
+                lk.delete_rows(spark, root, "t", "k", ids)
+                for i in ids:
+                    max_dead[i] = max(max_dead.get(i, 0), seq)
+            elif op == "compact":
+                lk.compact_segments(spark, root)  # content-neutral
+            else:  # apply: physicalize, clear watermarks
+                lk.apply_tombstones(spark, root, "t", "k", merged=True)
+                rows_model = [
+                    (i, val, useq)
+                    for i, val, useq in rows_model
+                    if useq >= max_dead.get(i, 0)
+                ]
+                max_dead = {}
+            got = Counter(
+                (r.k, r.v)
+                for r in lk.read_segmented_merged(
+                    spark, root, "t", "k"
+                ).collect()
+            )
+            assert got == live(), f"trial {trial} step {step} op {op}"
+            v = lk.segment_pins_versioned(spark, root)[1]
+            snapshots[v] = live()
+        for v, want in snapshots.items():
+            at = Counter(
+                (r.k, r.v)
+                for r in lk.read_segmented_merged_at(
+                    spark, root, v, "t", "k"
+                ).collect()
+            )
+            assert at == want, f"trial {trial} time travel at v{v}"
