@@ -365,3 +365,35 @@ def test_revision_axis_matches_model_under_random_interleaving(
                 ).collect()
             )
             assert at == want, f"trial {trial} time travel at v{v}"
+
+
+def test_upsert_rows_empty_batch_is_harmless(spark, tmp_path):
+    """An empty upsert batch (a cadence with nothing to revise) commits
+    two empty segments and changes no answer: the merged view is
+    unchanged, later upserts behave normally, and compaction folds the
+    empties away."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    before = sorted(
+        (r.doc_id, r.v)
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    )
+    empty = spark.createDataFrame([], "doc_id bigint, v double")
+    lake.upsert_rows(spark, root, "docs", "doc_id", empty)
+    after = sorted(
+        (r.doc_id, r.v)
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    )
+    assert after == before
+    lake.upsert_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame([Row(doc_id=0, v=-1.0)], "doc_id bigint, v double"),
+    )
+    got = {r.doc_id: r.v for r in
+           lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()}
+    assert got[0] == -1.0 and len(got) == 80
+    lake.compact_segments(spark, root)
+    assert got == {
+        r.doc_id: r.v
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    }
