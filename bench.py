@@ -117,6 +117,16 @@ COLD_ONLY = [
 ]
 
 
+# Reference canary: run_canary() measured on the quiet r12 host whose
+# 16.41s headline is the round-over-round anchor. canary_normalized =
+# value * (REF_CANARY / min(canary_start, canary_end)) rescales the
+# headline to that host, so a reader comparing BENCH_r{N}.json rounds
+# sees repo drift, not shared-box contention (r13 VERDICT #6: the raw
+# 22.05s read as a 34% regression until the canary attribution showed
+# the host was ~1.8x slower; normalized it was ~12s).
+REF_CANARY = 0.210
+
+
 def run_canary(spark) -> float:
     """A FIXED synthetic job (no repo code, no input data): hash-mix +
     aggregate over a generated range. Identical work every round, so
@@ -241,15 +251,23 @@ def main() -> int:
     top5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    value = round(sum(timings.values()), 3)
+    run_can = min(canary_start, canary_end)
     result = {
         "metric": "headline_total",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "sf": _sf_of(SF_DIR),
         "n_queries": len(timings),
         "queries": top5,
         "cold_total": round(sum(cold.values()), 3),
         "canary": {"start": canary_start, "end": canary_end},
+        # self-attributing headline: value rescaled to the r12
+        # reference host (see REF_CANARY) — compare THIS field
+        # round-over-round, the raw value only within one host session
+        "canary_normalized": round(value * REF_CANARY / run_can, 3)
+        if run_can > 0
+        else None,
         "detail": "BENCH_detail.json",
     }
     print(json.dumps(result))

@@ -2356,6 +2356,111 @@ def q_lake_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ------------------------------------------- conditional MERGE class
+@register(
+    "lake_merge_conditional",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '2-HIGH'
+                THEN ROUND(price + 1000, 2) ELSE price END AS price,
+           n_orders
+    FROM dim
+    UNION ALL
+    SELECT o_custkey + 10000000 AS o_custkey,
+           'X-NEW' AS o_orderpriority,
+           0.0 AS price,
+           CAST(0 AS BIGINT) AS n_orders
+    FROM dim WHERE o_orderpriority = '3-MEDIUM'
+    """,
+)
+def q_lake_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL conditional MERGE class (lake.merge_rows — r13 VERDICT
+    #1): a dimension keyed on the COMPOSITE (o_custkey,
+    o_orderpriority) takes one mixed cadence batch — an exact copy of
+    its '1-URGENT' slice (must SKIP: content-unchanged), a repriced
+    '2-HIGH' slice (must UPDATE), and brand-new 'X-NEW' keys (must
+    INSERT) — as ONE expected_base manifest flip. Pinned in-query:
+    the report's updated/inserted/skipped counts equal the slice
+    sizes exactly; the tombstone component holds ONE row per UPDATED
+    key and nothing else (no-op and insert keys never churn the
+    tombstone component — the merged-read fold cost
+    bench_merged_read measured is exactly these rows); a replay of
+    the unchanged slice commits NOTHING (version pinned). The merged
+    view must hash-match the oracle's algebraic MERGE (CASE-update +
+    UNION-insert). At 100 TB this is the dimension-maintenance verb:
+    O(batch) commits, one pruned target read per cadence, skip-if-
+    unchanged keeping no-op refreshes from inflating the watermark
+    fold. Reference parity: silver_to_gold.py:73-77's LEA dimension
+    join is the single-key special case of this verb."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    keys = ["o_custkey", "o_orderpriority"]
+    dim0 = (
+        t(spark, sf_dir, "orders")
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    pri = F.col("o_orderpriority")
+    with tempfile.TemporaryDirectory(prefix="lake_merge_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"dim": dim0}, init=True)
+        cur = lake.read_segmented_merged(spark, ds, "dim", keys).drop(
+            "_useq"
+        ).localCheckpoint(eager=True)
+        unchanged = cur.filter(pri == "1-URGENT")
+        updated = cur.filter(pri == "2-HIGH").withColumn(
+            "price", F.round(F.col("price") + 1000, 2)
+        )
+        inserted = cur.filter(pri == "3-MEDIUM").select(
+            (F.col("o_custkey") + 10000000).alias("o_custkey"),
+            F.lit("X-NEW").alias("o_orderpriority"),
+            F.lit(0.0).alias("price"),
+            F.lit(0).cast("bigint").alias("n_orders"),
+        )
+        rep = lake.merge_rows(
+            spark, ds, "dim", keys,
+            unchanged.unionByName(updated).unionByName(inserted),
+        )
+        n_urgent, n_high, n_med = (
+            unchanged.count(), updated.count(), inserted.count()
+        )
+        if (rep["updated"], rep["inserted"], rep["skipped"]) != (
+            n_high, n_med, n_urgent
+        ):
+            raise RuntimeError(f"merge report off: {rep}")
+        pins = lake.segment_pins(spark, ds)
+        tomb = lake.read_segments(
+            spark, f"{ds}/{lake.tombstone_component('dim')}",
+            pins[lake.tombstone_component("dim")],
+        )
+        if tomb.count() != n_high:
+            raise RuntimeError(
+                "tombstone component must hold exactly one row per "
+                f"updated key: {tomb.count()} != {n_high}"
+            )
+        # replaying the unchanged slice is a FULL no-op: no version flip
+        v = lake.segment_pins_versioned(spark, ds)[1]
+        rep2 = lake.merge_rows(spark, ds, "dim", keys, unchanged)
+        if rep2["applied"] or lake.segment_pins_versioned(spark, ds)[1] != v:
+            raise RuntimeError(f"no-op batch committed: {rep2}")
+        return (
+            lake.read_segmented_merged(spark, ds, "dim", keys)
+            .drop("_useq")
+            .localCheckpoint(eager=True)
+        )
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

@@ -198,7 +198,93 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r13 window. This round's THREE new queries enter
+    # --- r14 window. This round's ONE new query enters
+    # (lake_merge_conditional — the full conditional MERGE class:
+    # composite keys, WHEN MATCHED AND pred, skip-if-unchanged), plus
+    # the two r13-born queries that registered AFTER the r13 window
+    # froze and so have never had a driver row (lake_upsert_time_travel,
+    # lake_stream_mirror_consume — r13 VERDICT #3 / ADVICE #5). The
+    # lake core was rewired again this round (merge_rows + composite
+    # keys on every row-level verb, per-component tombstone pressure
+    # counter + maintain auto-apply, typed feed flattened to one
+    # tagged scan per feed, restricted+retiring legacy watermark
+    # adoption, kill-all guard), so its reps stay in-window:
+    # lake_upsert_roundtrip, lake_cdf_merged_mirror,
+    # lake_changes_typed_feed, lake_mirror_consume, lake_changes_feed,
+    # lake_maintain_cycle, doc_delete_point_lookup (the delete path
+    # now carries the counter). The ENTIRE r10 staleness tail (26 rows
+    # — the oldest last-green cohort per CORRECTNESS_r02..r13) fills
+    # the middle, and the last 13 slots start draining the r11 tail
+    # (family-spread picks). After a green r14 nothing is never-
+    # sampled except the two rows-only trained ANN paths, and no
+    # registered query's last driver row is older than r11. Rotated
+    # OUT (all r13-green, unchanged, family reps stay in): the r8/r9
+    # tails r13 closed, doc_point_lookup (doc_delete_point_lookup
+    # keeps the bloom-lookup family), orders_zorder_box (zcluster
+    # untouched this round; lake_maintain_cycle still runs recluster),
+    # and the r9-tail relational battery.
+    #
+    # the flagship (entry()) — never rotates out
+    "rank_sum_top1",
+    # NEW this round
+    "lake_merge_conditional",
+    # r13-born, never driver-sampled
+    "lake_upsert_time_travel",
+    "lake_stream_mirror_consume",
+    # rewired-component representatives (see header note)
+    "lake_upsert_roundtrip",
+    "lake_cdf_merged_mirror",
+    "lake_changes_typed_feed",
+    "lake_mirror_consume",
+    "lake_changes_feed",
+    "lake_maintain_cycle",
+    "doc_delete_point_lookup",
+    # the ENTIRE r10 staleness tail
+    "coerce_json_field",
+    "doc_binary_bytes",
+    "doc_bpe_token_estimate",
+    "doc_inverted_phrase",
+    "doc_inverted_phrase3",
+    "doc_inverted_prefix",
+    "doc_inverted_search_and",
+    "doc_inverted_tfidf_topk",
+    "doc_jaccard_adjacent",
+    "doc_lang_breakdown",
+    "doc_quality_score",
+    "doc_simhash",
+    "doc_source_bucket_extract",
+    "doc_stream_search_upsert",
+    "doc_token_stats_by_lang",
+    "doc_word_topk",
+    "embedding_ann_after_update",
+    "embedding_ann_cellcounts",
+    "embedding_label_centroids",
+    "embedding_norms",
+    "embedding_stream_ann_ingest",
+    "events_retention_cohorts",
+    "events_rollup_day_type",
+    "events_sliding_counts",
+    "horizontal_sum",
+    "schema_introspect",
+    # start of the r11 tail (family-spread picks; the remaining r11
+    # rows rotate in next round)
+    "filter_project",
+    "customers_without_orders_sql",
+    "nation_top_customer_argmax",
+    "orders_cube_status_priority",
+    "lineitem_corr_stats",
+    "orders_key_skew_stats",
+    "doc_lang_id_heuristic",
+    "doc_pii_scrub",
+    "doc_rolling_hash",
+    "embedding_random_projection",
+    "events_stream_sessionize",
+    "events_funnel_signup_purchase",
+    "orders_rollup_after_retraction",
+)
+
+_PRIORITY_ORDER_R13: tuple[str, ...] = (
+    # --- r13 window (kept for provenance). THREE new queries entered
     # (lake_upsert_roundtrip — single-commit row-level upsert/merge;
     # lake_cdf_merged_mirror — the retraction-aware consumer loop;
     # lake_changes_typed_feed — the _change_type/_commit_version feed),
@@ -372,104 +458,6 @@ _PRIORITY_ORDER_R12: tuple[str, ...] = (
     # in next round with the remaining r8 rows)
     "lake_maintain_cycle",
 )
-
-_PRIORITY_ORDER_R11: tuple[str, ...] = (
-    # --- r11 window (kept for provenance). This round's FOUR new
-    # queries enter (lake_type_widening, orders_zorder_box3, and the
-    # two trained-ANN recall gates — which also retire the window's
-    # last two rows-only entries, embedding_knn_ivf/_knn_ivfpq: their
-    # checkable twins now carry hard oracle rows, so the window is
-    # 50/50 oracle-checked with no documented exceptions); every
-    # component REWIRED this round keeps an in-window representative;
-    # and the ENTIRE r5+r6 staleness tail (19+18 queries) fills the
-    # remaining slots, so after a green r11 no registered query's last
-    # driver row is older than r7. Rotated OUT (all r10-green,
-    # family reps stay): the r10 text-index battery
-    # (doc_inverted_search_and/_bm25_topk/_tfidf_topk/_prefix/_phrase/
-    # _phrase3, doc_search_time_travel, doc_index_stats,
-    # doc_search_after_delete/_after_update, doc_stream_search_ingest/
-    # _upsert, doc_delete_point_lookup — doc_point_lookup and
-    # doc_search_after_bulk_delete stay as the family's reps), the ANN
-    # index battery (embedding_incremental_ann/_cellcounts/
-    # _stream_ann_ingest/_after_update — _after_delete stays),
-    # lake_schema_evolution/lake_snapshot_roundtrip (lake_type_widening
-    # + doc_point_lookup rep the lake), doc_stream_incremental_dedup
-    # (doc_incremental_neardup reps the LSH index),
-    # orders_incremental_rollup + events_hll_rollup (the three rollup
-    # queries below rep the family), and the r10 staleness tail.
-    #
-    # the flagship (entry()) — never rotates out
-    "rank_sum_top1",
-    # NEW this round
-    "lake_type_widening",  # int→bigint widening evolution, end to end
-    "orders_zorder_box3",  # N-dim Morton clustering, 3-D box prune
-    "embedding_knn_ivf_recall",  # trained-path recall, oracle-checked
-    "embedding_knn_ivfpq_recall",
-    # rewired-component representatives: lake pruned reads now resolve
-    # schema+pins from one manifest snapshot (doc_point_lookup);
-    # delete_where/_delete_commit attempt-state refactor in all three
-    # index families (doc_search_after_bulk_delete,
-    # embedding_ann_after_delete, doc_incremental_neardup); rollup
-    # keep_zero reducer + size-tiered maintenance + reset-flag
-    # retirement (orders_stream_rollup, orders_rollup_after_retraction,
-    # orders_rollup_month_range); zcluster one-snapshot box pruning +
-    # N-dim writer delegation (orders_zorder_box)
-    "doc_point_lookup",
-    "doc_search_after_bulk_delete",
-    # r11-new: delete_where-by-cell oracle row; reps the same rewired
-    # _delete_commit attempt-state path embedding_ann_after_delete
-    # (r10-green) covered, plus the predicate verb
-    "embedding_ann_after_cell_purge",
-    "doc_incremental_neardup",
-    "orders_stream_rollup",
-    "orders_rollup_after_retraction",
-    "orders_rollup_month_range",
-    # r11-new: predicate take-down (delete_where) gains its first
-    # oracle row (orders_zorder_box rotates out for it — r9-green, and
-    # orders_zorder_box3 exercises the same rewired one-snapshot box
-    # pruning plus the N-dim writer)
-    "doc_search_after_term_purge",
-    # staleness tail: every r5 row …
-    "customer_order_gaps",
-    "doc_chunk_text",
-    "doc_lang_confusion",
-    "doc_pack_assignment",
-    "doc_pii_scrub",
-    "doc_quality_weighted_sample",
-    "doc_repetition_stats",
-    "doc_train_split",
-    "doc_word_idf",
-    "embedding_random_projection",
-    "events_stream_dedup_count",
-    "events_stream_enrich_category",
-    "events_stream_join_view_purchase",
-    "events_stream_sliding",
-    "events_stream_upsert_sink",
-    "filter_project",
-    "lineitem_numeric_profile",
-    "nation_top_customer_argmax",
-    "orders_cube_status_priority",
-    # … and every r6 row
-    "customers_without_orders_sql",
-    "doc_chunk_plan",
-    "doc_crosssource_contamination",
-    "doc_dedup_survivors",
-    "doc_lang_id_heuristic",
-    "doc_minhash_estimate_vs_exact",
-    "doc_rolling_hash",
-    "doc_simhash_neardup",
-    "doc_stratified_sample",
-    "events_anomaly_zscore",
-    "events_funnel_signup_purchase",
-    "events_stream_sessionize",
-    "events_stream_state_totals",
-    "lineitem_corr_stats",
-    "orders_key_skew_stats",
-    "orders_seasonality",
-    "priority_revenue_fact_join",
-    "setop_union_by_name",
-)
-
 
 
 def _load_all() -> None:

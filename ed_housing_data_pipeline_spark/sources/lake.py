@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def default_ingest_date() -> str:
@@ -2361,10 +2361,13 @@ def read_segment_changes(
       and plain appends die under ANY delete regardless of commit
       order.
 
-    Each version's slice is one pinned multi-dir scan; the union stays
-    a single plan (a very wide interactive window pays a per-version
-    union — cadence consumers go through :func:`consume_changes`,
-    which reads each feed as one scan)."""
+    Each feed is ONE pinned multi-dir scan however many manifest
+    versions the window spans: the ``seg=N`` segment directories are
+    hive-partition-discovered (``basePath``), so every row carries its
+    segment id, and a window-sized seg→version MAP LITERAL derives
+    ``_commit_version`` — plan size independent of window width
+    (r13 VERDICT #4; a component with a data column literally named
+    ``seg`` falls back to the per-version union)."""
     comp_root = f"{root.rstrip('/')}/{component}"
     if not include_changes:
         feed, schema_json = _changed_segments(
@@ -2385,6 +2388,14 @@ def read_segment_changes(
     tpairs, tschema_json = multi[tomb]
     base = _empty_feed_frame(spark, root, component, schema_json)
     data_cols = base.columns
+    clash = {"_change_type", "_commit_version", "_change_seq"} & set(data_cols)
+    if clash:
+        raise ValueError(
+            f"read_segment_changes(include_changes=True): component "
+            f"{component!r} has data column(s) {sorted(clash)} colliding "
+            "with the reserved change-feed columns — rename them "
+            "(rename_columns) or consume the plain feeds"
+        )
     insert_seq = (
         F.coalesce(F.col(UPSERT_SEQ_COL), F.lit(0))
         if UPSERT_SEQ_COL in data_cols
@@ -2396,30 +2407,30 @@ def read_segment_changes(
         F.lit(0).cast("bigint").alias("_change_seq"),
         *data_cols,
     ).filter(F.lit(False))
-
-    def _by_version(ps):
-        grouped: dict[int, list[int]] = {}
-        for v, s in ps:
-            grouped.setdefault(v, []).append(s)
-        return grouped
-
-    schema = _schema_from_json(schema_json)
-    for v, segs in sorted(_by_version(pairs).items()):
-        sl = read_segments(spark, comp_root, segs, schema=schema)
+    if pairs:
+        sl, ver = _feed_scan_with_version(
+            spark, comp_root, pairs, _schema_from_json(schema_json)
+        )
         typed = typed.unionByName(
             sl.select(
                 F.lit("insert").alias("_change_type"),
-                F.lit(v).cast("bigint").alias("_commit_version"),
+                ver.alias("_commit_version"),
                 insert_seq.cast("bigint").alias("_change_seq"),
                 *data_cols,
             )
         )
-    tschema = _schema_from_json(tschema_json)
     dtypes = dict(base.dtypes)
     dead_all = F.lit(_DEAD_ALL_SEQ).cast("bigint")
-    for v, segs in sorted(_by_version(tpairs).items()):
-        tl = read_segments(spark, f"{root.rstrip('/')}/{tomb}", segs, schema=tschema)
-        id_cols = {c for c in tl.columns if c != DEAD_BELOW_COL}
+    if tpairs:
+        tl, tver = _feed_scan_with_version(
+            spark,
+            f"{root.rstrip('/')}/{tomb}",
+            tpairs,
+            _schema_from_json(tschema_json),
+        )
+        id_cols = {
+            c for c in tl.columns if c not in (DEAD_BELOW_COL, _SEG_TAG_COL)
+        }
         delete_seq = (
             F.coalesce(F.col(DEAD_BELOW_COL), dead_all)
             if DEAD_BELOW_COL in tl.columns
@@ -2428,7 +2439,7 @@ def read_segment_changes(
         typed = typed.unionByName(
             tl.select(
                 F.lit("delete").alias("_change_type"),
-                F.lit(v).cast("bigint").alias("_commit_version"),
+                tver.alias("_commit_version"),
                 delete_seq.alias("_change_seq"),
                 *[
                     (
@@ -2439,6 +2450,68 @@ def read_segment_changes(
             )
         )
     return typed
+
+
+#: hive partition-dir name of a segment (``seg=N``) — the column the
+#: tagged feed scan discovers via basePath
+_SEG_TAG_COL = "seg"
+
+
+def _feed_scan_with_version(spark, component_root: str, pairs, schema):
+    """(frame, version Column) for a change-feed window: ONE multi-dir
+    scan over the window's ``(version, segment)`` pairs with the
+    segment id discovered as a hive partition column (``seg=N`` dirs +
+    ``basePath``), and ``_commit_version`` derived through a
+    window-sized seg→version map literal — so the PLAN stays one scan
+    per feed regardless of how many manifest versions the window
+    spans. Components with a data column literally named ``seg``
+    (shadowing the partition dir) fall back to a per-version union.
+    Rename vintages reconcile exactly as :func:`read_segments` does
+    (same shadow plan + coalesce projection)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    root = component_root.rstrip("/")
+    data_names = (
+        {f.name for f in schema.fields} if schema is not None else set()
+    )
+    if schema is not None and _SEG_TAG_COL not in data_names:
+        scan_schema, renames = _rename_shadow_plan(schema)
+        tagged = StructType(
+            [*scan_schema.fields, StructField(_SEG_TAG_COL, LongType(), False)]
+        )
+        df = (
+            spark.read.option("basePath", root)
+            .schema(tagged)
+            .parquet(*[_segment_dir(root, s) for _v, s in pairs])
+        )
+        if renames:
+            df = df.select(
+                *[_renamed_col(F, f.name, renames) for f in schema.fields],
+                F.col(_SEG_TAG_COL),
+            )
+        vm = F.create_map(
+            *[
+                F.lit(x).cast("bigint")
+                for v, s in pairs
+                for x in (s, v)
+            ]
+        )
+        return df, vm[F.col(_SEG_TAG_COL)].cast("bigint")
+    # no recorded schema, or a data column shadows the partition dir
+    # name: per-version union fallback (correct, window-width plan)
+    grouped: dict[int, list[int]] = {}
+    for v, s in pairs:
+        grouped.setdefault(v, []).append(s)
+    out = None
+    ver_col = "_feed_version"
+    while schema is not None and ver_col in data_names:
+        ver_col += "_"
+    for v, segs in sorted(grouped.items()):
+        sl = read_segments(spark, root, segs, schema=schema).withColumn(
+            ver_col, F.lit(v).cast("bigint")
+        )
+        out = sl if out is None else out.unionByName(sl)
+    return out, F.col(ver_col)
 
 
 def _empty_feed_frame(
@@ -2739,15 +2812,27 @@ def _consume_changes_once(
         sink_meta, sink_schemas, sink_base, sink_init = {}, {}, 0, True
     # migration: sinks written before the key carried source_root /
     # sink_component stored a bare per-component mark — adopt it rather
-    # than re-bootstrapping (and duplicating) an already-synced mirror;
-    # the next commit writes the fully-qualified key
-    wm = int(
-        sink_meta.get(
-            wm_key, sink_meta.get(f"cdf_watermark:{component}", 0)
-        )
-    )
+    # than re-bootstrapping (and duplicating) an already-synced mirror.
+    # Adoption is RESTRICTED to the same-named sink component (the
+    # only consumer shape the pre-keying era could have written), and
+    # the legacy key is RETIRED in the same commit that records the
+    # qualified one — so a later consumer with a different source or
+    # sink component can never silently inherit this consumer's
+    # advanced mark and skip its own bootstrap window. The adoption is
+    # surfaced loudly in the report (``adopted_legacy_key``) so fleet
+    # operators can find pre-r13 sinks that inherited a shared history.
+    legacy_key = f"cdf_watermark:{component}"
+    adopted = False
+    if wm_key in sink_meta:
+        wm = int(sink_meta[wm_key])
+    elif legacy_key in sink_meta and sink_component == component:
+        wm = int(sink_meta[legacy_key])
+        adopted = True
+    else:
+        wm = 0
+    flag = {"adopted_legacy_key": True} if adopted else {}
     if src_head <= wm:
-        return {"from": wm, "to": wm, "applied": False}
+        return {"from": wm, "to": wm, "applied": False, **flag}
     # driver-side walk first: a maintenance-only window (rewrites, no
     # appends) must advance the watermark WITHOUT accreting an empty
     # segment per cadence — and without planning any scan. Merge mode
@@ -2768,9 +2853,11 @@ def _consume_changes_once(
             spark, source_root, component, wm, src_head
         )
     new_meta = {**sink_meta, wm_key: src_head}
+    if adopted:
+        new_meta.pop(legacy_key, None)  # retire: no later inheritance
     if not feed_segs and not tomb_segs:
         if sink_init:
-            return {"from": wm, "to": src_head, "applied": False}
+            return {"from": wm, "to": src_head, "applied": False, **flag}
         # commit against the SAME sink state the watermark was read at
         # (expected_base): a rival consumer advancing it concurrently
         # must conflict, never be silently regressed by our stale meta
@@ -2784,7 +2871,7 @@ def _consume_changes_once(
         commit_segment_manifest(
             spark, sink_root, sink_pins, expected_base=sink_base, **kw
         )
-        return {"from": wm, "to": src_head, "applied": False}
+        return {"from": wm, "to": src_head, "applied": False, **flag}
     appends: dict[str, DataFrame] = {}
     if feed_segs:
         feed = read_segments(
@@ -2820,7 +2907,7 @@ def _consume_changes_once(
         expected_base=None if sink_init else sink_base,
         **cov,
     )
-    return {"from": wm, "to": src_head, "applied": True}
+    return {"from": wm, "to": src_head, "applied": True, **flag}
 
 
 def _tombstone_component(component: str) -> str:
@@ -2834,8 +2921,33 @@ def tombstone_component(component: str) -> str:
     return _tombstone_component(component)
 
 
+def _id_cols(id_col) -> list[str]:
+    """Normalize the key spec every row-level verb takes: a single
+    column name or a sequence of them (composite keys — the MERGE
+    class a multi-column dimension needs)."""
+    if isinstance(id_col, str):
+        return [id_col]
+    cols = list(id_col)
+    if not cols or not all(isinstance(c, str) for c in cols):
+        raise ValueError(f"id_col must be a column name or a non-empty "
+                         f"sequence of names, got {id_col!r}")
+    return cols
+
+
+def component_tombstone_rows_key(component: str) -> str:
+    """Manifest-meta key of the PER-COMPONENT tombstone row counter
+    (the lake-core port of the index families' :data:`TOMBSTONE_ROWS_KEY`
+    pressure counter): every delete/upsert/merge commit adds the
+    tombstone rows it appends; the physical apply resets it to 0.
+    ``maintain(apply_tombstones={comp: {"auto": ...}})`` reads it
+    driver-side (no job) to fire the physical apply only under
+    pressure, bounding the merged-read watermark fold without operator
+    policy."""
+    return f"{TOMBSTONE_ROWS_KEY}:{component}"
+
+
 def delete_rows(
-    spark, root: str, component: str, id_col: str, ids: Sequence
+    spark, root: str, component: str, id_col, ids: Sequence
 ) -> dict[str, list[int]]:
     """LOGICAL delete on an append-only component: append one
     O(delete-set) tombstone segment (rows of ``id_col``) to the
@@ -2845,10 +2957,15 @@ def delete_rows(
     same optimistic protocol (a racing ingest or delete conflicts
     loudly and retries). Readers subtract tombstones via
     :func:`read_segmented_live`; :func:`apply_tombstones` makes the
-    delete physical (the GDPR completion step)."""
+    delete physical (the GDPR completion step). ``id_col`` may be a
+    sequence of names (composite keys) with ``ids`` a sequence of
+    tuples."""
     if not ids:
         return segment_pins(spark, root)
-    df = spark.createDataFrame([(v,) for v in ids], [id_col]).distinct()
+    idc = _id_cols(id_col)
+    rows = [(v,) if len(idc) == 1 and not isinstance(v, tuple) else tuple(v)
+            for v in ids]
+    df = spark.createDataFrame(rows, idc).distinct()
     return delete_rows_from(spark, root, component, id_col, df)
 
 
@@ -2856,7 +2973,7 @@ def delete_rows_from(
     spark,
     root: str,
     component: str,
-    id_col: str,
+    id_col,
     ids_df: DataFrame,
     segment_partitions: int | None = 1,
 ) -> dict[str, list[int]]:
@@ -2865,7 +2982,9 @@ def delete_rows_from(
     the tombstone component — nothing ever materializes on the driver,
     which is the only shape that survives a multi-million-row
     take-down. ``segment_partitions`` caps the tombstone segment's
-    file count (None preserves the frame's partitioning).
+    file count (None preserves the frame's partitioning). ``id_col``
+    may be a sequence of names — composite keys tombstone as key
+    tuples, and the merged/live readers fold liveness per tuple.
 
     Every tombstone row is stamped ``dead_below`` = the manifest
     sequence this delete commits at (the revision axis the index
@@ -2875,20 +2994,35 @@ def delete_rows_from(
     the same id resurrects. :func:`read_segmented_live` (the legacy
     bare-id view) ignores the stamp and hides every revision of a
     tombstoned id. A rival commit landing mid-delete conflicts loudly
-    (the established delete contract) — the caller retries."""
-    df0 = ids_df.select(id_col).distinct()
+    (the established delete contract) — the caller retries.
+
+    The commit also advances the component's tombstone-row pressure
+    counter (:func:`component_tombstone_rows_key`) atomically with the
+    append — one extra O(delete-set) count job over the (persisted)
+    id frame, which is what lets ``maintain``'s auto policy bound the
+    merged-read fold without any operator bookkeeping."""
+    idc = _id_cols(id_col)
+    df0 = ids_df.select(*idc).distinct()
     if segment_partitions:
         df0 = df0.coalesce(segment_partitions)
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    base = segment_pins_versioned(spark, root)[1]
-    df = df0.withColumn(DEAD_BELOW_COL, F.lit(base + 1).cast("bigint"))
-    return append_segments(
-        spark,
-        root,
-        appends={_tombstone_component(component): df},
-        expected_base=base,
-    )
+    df0.persist()
+    try:
+        n_tomb = df0.count()
+        state = _manifest_state(spark, root)
+        meta, base = state[3], state[5]
+        df = df0.withColumn(DEAD_BELOW_COL, F.lit(base + 1).cast("bigint"))
+        ckey = component_tombstone_rows_key(component)
+        return append_segments(
+            spark,
+            root,
+            appends={_tombstone_component(component): df},
+            expected_base=base,
+            meta={**meta, ckey: int(meta.get(ckey, 0)) + n_tomb},
+        )
+    finally:
+        df0.unpersist()
 
 
 #: Revision axis of a versioned component (the lake-core port of the
@@ -2907,15 +3041,57 @@ DEAD_BELOW_COL = "dead_below"
 _DEAD_ALL_SEQ = 1 << 62
 
 
+def _guard_legacy_killall(
+    spark, root: str, component: str, ids_df: DataFrame, idc: list[str],
+    pins: dict, schemas: dict,
+) -> None:
+    """Fail LOUDLY instead of silently dropping a revision: a
+    stampless legacy tombstone (no ``dead_below`` — written before the
+    revision axis existed) kills EVERY revision of its id, including
+    ones committed later, so an upsert/merge of such an id would
+    commit rows that no merged read ever serves. One tiny probe job
+    over the (pushdown-filtered) tombstone component; escape hatch:
+    ``apply_tombstones(..., merged=True)`` first, which retires the
+    legacy rows."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    tomb = _tombstone_component(component)
+    if tomb not in pins:
+        return
+    tdf = read_segments(
+        spark,
+        f"{root.rstrip('/')}/{tomb}",
+        pins[tomb],
+        schema=_schema_from_json(schemas.get(tomb)),
+    )
+    if not set(idc) <= set(tdf.columns):
+        return  # keyed on a different axis — not this verb's tombstones
+    legacy = (
+        tdf.filter(F.col(DEAD_BELOW_COL).isNull())
+        if DEAD_BELOW_COL in tdf.columns
+        else tdf
+    )
+    if legacy.join(ids_df, on=idc, how="left_semi").limit(1).count():
+        raise RuntimeError(
+            f"upsert/merge into {component!r}: some batch ids are covered "
+            "by LEGACY kill-all tombstones (no dead_below stamp) — the new "
+            "revisions would be silently invisible to every merged read. "
+            "Run apply_tombstones(..., merged=True) first to retire them, "
+            "or pass check_legacy_tombstones=False to accept the loss."
+        )
+
+
 def upsert_rows(
     spark,
     root: str,
     component: str,
-    id_col: str,
+    id_col,
     rows: DataFrame,
     max_attempts: int = 3,
     zone_cols: Sequence[str] = (),
     bloom_cols: Sequence[str] = (),
+    segment_partitions: int | None = 1,
+    check_legacy_tombstones: bool = True,
 ) -> dict[str, list[int]]:
     """Single-commit row-level UPSERT on a plain segmented component —
     the MERGE INTO class every mirror and dimension table needs
@@ -2943,45 +3119,274 @@ def upsert_rows(
     revision segment exactly as append_segments does (a dimension
     table served by point lookups wants its id bloomed on every
     commit). Retries from fresh state on a rival commit (the payload
-    restamps at the fresh sequence). Returns the committed pin map."""
+    restamps at the fresh sequence). Returns the committed pin map.
+
+    ``id_col`` may be a sequence of names (composite keys).
+    ``segment_partitions`` caps the tombstone segment's file count
+    like :func:`delete_rows_from` (None preserves the id frame's
+    partitioning — the multi-million-id batch shape). The commit
+    advances the component's tombstone pressure counter
+    (:func:`component_tombstone_rows_key`) atomically, and — unless
+    ``check_legacy_tombstones=False`` — probes for stampless kill-all
+    tombstones covering the batch, which would make the new revisions
+    silently invisible (:func:`_guard_legacy_killall`). This verb
+    never reads the target's data rows: blind whole-key replace, the
+    O(batch) fast path. For conditional / skip-if-unchanged MERGE
+    semantics use :func:`merge_rows`."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    last_err: BaseException | None = None
-    for _attempt in range(max_attempts):
-        base = segment_pins_versioned(spark, root)[1]
-        seq = base + 1
-        stamped = rows.withColumn(
-            UPSERT_SEQ_COL, F.lit(seq).cast("bigint")
-        )
-        tomb = (
-            rows.select(id_col)
-            .distinct()
-            .coalesce(1)
-            .withColumn(DEAD_BELOW_COL, F.lit(seq).cast("bigint"))
-        )
-        kw: dict = {}
-        if zone_cols:
-            kw["zone_cols"] = {component: list(zone_cols)}
-        if bloom_cols:
-            kw["bloom_cols"] = {component: list(bloom_cols)}
-        try:
-            return append_segments(
-                spark,
-                root,
-                appends={
-                    component: stamped,
-                    _tombstone_component(component): tomb,
-                },
-                expected_base=base,
-                **kw,
+    idc = _id_cols(id_col)
+    ids = rows.select(*idc).distinct()
+    if segment_partitions:
+        ids = ids.coalesce(segment_partitions)
+    ids.persist()
+    try:
+        n_tomb = ids.count()
+        ckey = component_tombstone_rows_key(component)
+        last_err: BaseException | None = None
+        for _attempt in range(max_attempts):
+            state = _manifest_state(spark, root)
+            pins, meta, schemas, base = state[0], state[3], state[4], state[5]
+            if check_legacy_tombstones:
+                _guard_legacy_killall(
+                    spark, root, component, ids, idc, pins, schemas
+                )
+            seq = base + 1
+            stamped = rows.withColumn(
+                UPSERT_SEQ_COL, F.lit(seq).cast("bigint")
             )
-        except ConcurrentCommitError as e:
-            last_err = e  # rival commit: replan; restamp at fresh seq
+            tomb = ids.withColumn(
+                DEAD_BELOW_COL, F.lit(seq).cast("bigint")
+            )
+            kw: dict = {
+                "meta": {**meta, ckey: int(meta.get(ckey, 0)) + n_tomb}
+            }
+            if zone_cols:
+                kw["zone_cols"] = {component: list(zone_cols)}
+            if bloom_cols:
+                kw["bloom_cols"] = {component: list(bloom_cols)}
+            try:
+                return append_segments(
+                    spark,
+                    root,
+                    appends={
+                        component: stamped,
+                        _tombstone_component(component): tomb,
+                    },
+                    expected_base=base,
+                    **kw,
+                )
+            except ConcurrentCommitError as e:
+                last_err = e  # rival commit: replan; restamp at fresh seq
+        raise last_err
+    finally:
+        ids.unpersist()
+
+
+def _uniq_name(base: str, taken) -> str:
+    """An internal column name guaranteed not to collide with user
+    columns (the _merged_view while-loop alias rule, shared)."""
+    name = base
+    while name in taken:
+        name += "_"
+    return name
+
+
+def merge_rows(
+    spark,
+    root: str,
+    component: str,
+    id_col,
+    rows: DataFrame,
+    when_matched=None,
+    skip_unchanged: bool = True,
+    insert_unmatched: bool = True,
+    max_attempts: int = 3,
+    zone_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
+    segment_partitions: int | None = 1,
+    check_legacy_tombstones: bool = True,
+) -> dict:
+    """The FULL conditional MERGE class on a segmented component —
+    ``MERGE INTO target USING rows ON keys WHEN MATCHED [AND pred]
+    THEN UPDATE WHEN NOT MATCHED THEN INSERT`` — as ONE
+    ``expected_base`` manifest flip (r13 VERDICT #1, generalizing
+    :func:`upsert_rows`):
+
+    - ``id_col``: one name or a sequence (composite keys). A matched
+      key is whole-key REPLACED by the batch's rows for it (many rows
+      per key allowed on both sides, like upsert_rows).
+    - ``when_matched``: optional boolean predicate (SQL string or
+      Column) over ``source.<col>`` / ``target.<col>`` — a matched key
+      updates only if SOME (source row, live target row) pair
+      satisfies it (``WHEN MATCHED AND <pred>``). None → every matched
+      key is an update candidate.
+    - ``skip_unchanged=True`` (default): a matched key whose batch
+      rows are content-identical to its live rows (multiset compare
+      over the aligned column set, xxhash64 row fingerprints — a
+      2^-64-per-key collision bound) is SKIPPED: no revision, no
+      tombstone row. This is what keeps no-op cadence batches from
+      churning the tombstone component, whose accumulated rows are
+      exactly the merged-read fold cost bench_merged_read measured.
+    - ``insert_unmatched=True``: unmatched keys insert (NULL-keyed
+      batch rows never match — SQL join semantics — so they insert).
+
+    Unlike :func:`upsert_rows` (the blind O(batch) fast path), this
+    verb READS the target's merged view restricted to the batch's keys
+    — one pruned scan + one O(batch-matched) fingerprint shuffle, the
+    same cost class as Delta/Iceberg MERGE's touched-file scan. The
+    commit is upsert-shaped: changed/new rows land stamped
+    ``_useq = seq``; ONE ``(keys, dead_below=seq)`` tombstone row per
+    UPDATED key (inserts never tombstone); pressure counter advanced;
+    a fully-no-op batch commits NOTHING (version unchanged). Retries
+    from fresh state on a rival commit. Returns ``{"pins", "version",
+    "updated", "inserted", "skipped", "applied", "attempts"}``.
+
+    Oracle twin: ``lake_merge_conditional`` (plans/queries_core);
+    reference parity: the reference's LEA dimension join
+    (silver_to_gold.py:73-77) is the single-key special case."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    idc = _id_cols(id_col)
+    missing = [c for c in idc if c not in rows.columns]
+    if missing:
+        raise ValueError(f"merge_rows: batch lacks key column(s) {missing}")
+    pred = (
+        F.expr(when_matched)
+        if isinstance(when_matched, str)
+        else when_matched
+    )
+    last_err: BaseException | None = None
+    for attempt in range(max_attempts):
+        state = _manifest_state(spark, root)
+        pins, meta, schemas, base = state[0], state[3], state[4], state[5]
+        if component not in pins:
+            raise KeyError(
+                f"merge_rows: no component {component!r} under {root} — "
+                "bootstrap it with append_segments/upsert_rows first"
+            )
+        if check_legacy_tombstones:
+            _guard_legacy_killall(
+                spark, root, component,
+                rows.select(*idc).distinct(), idc, pins, schemas,
+            )
+        target = _merged_from_state(
+            spark, root, component, idc, pins, schemas
+        )
+        # aligned compare set: every target data column (manifest
+        # order, _useq excluded) plus batch-only additions; each side
+        # serves a missing column as NULL at the agreed type, so an
+        # evolution-lagging writer compares exactly as its rows would
+        # read back
+        tgt_schema = _schema_from_json(schemas.get(component)) or target.schema
+        types = {f.name: f.dataType for f in tgt_schema.fields}
+        for f in rows.schema.fields:
+            types.setdefault(f.name, f.dataType)
+        cmp_cols = [c for c in types if c != UPSERT_SEQ_COL]
+
+        def _fp(df: DataFrame):
+            have = set(df.columns)
+            return F.xxhash64(
+                *[
+                    (F.col(c) if c in have else F.lit(None)).cast(types[c])
+                    for c in cmp_cols
+                ]
+            )
+
+        taken = set(idc)
+        sfp = _uniq_name("_src_fp", taken)
+        tfp = _uniq_name("_tgt_fp", taken)
+        updc = _uniq_name("_upd", taken)
+        insc = _uniq_name("_ins", taken)
+        pfl = _uniq_name("_pred", taken)
+        src_fp = rows.groupBy(*idc).agg(
+            F.sort_array(F.collect_list(_fp(rows))).alias(sfp)
+        )
+        tgt_m = target.join(rows.select(*idc).distinct(), on=idc, how="left_semi")
+        tgt_fp = tgt_m.groupBy(*idc).agg(
+            F.sort_array(F.collect_list(_fp(target))).alias(tfp)
+        )
+        decision = src_fp.join(tgt_fp, on=idc, how="left")
+        matched = F.col(tfp).isNotNull()
+        upd = matched
+        if pred is not None:
+            cond = None
+            for c in idc:
+                eq = F.col(f"source.{c}") == F.col(f"target.{c}")
+                cond = eq if cond is None else (cond & eq)
+            pred_keys = (
+                rows.alias("source")
+                .join(target.alias("target"), on=cond, how="inner")
+                .filter(pred)
+                .select(*[F.col(f"source.{c}").alias(c) for c in idc])
+                .distinct()
+                .withColumn(pfl, F.lit(True))
+            )
+            decision = decision.join(pred_keys, on=idc, how="left")
+            upd = upd & F.coalesce(F.col(pfl), F.lit(False))
+        if skip_unchanged:
+            upd = upd & (F.col(sfp) != F.col(tfp))
+        ins = (~matched) & F.lit(bool(insert_unmatched))
+        decision = decision.select(
+            *idc, upd.alias(updc), ins.alias(insc)
+        ).persist()
+        try:
+            tallies = decision.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(updc).cast("int")).alias("u"),
+                F.sum(F.col(insc).cast("int")).alias("i"),
+            ).collect()[0]
+            n_keys, n_upd, n_ins = (
+                int(tallies["n"]), int(tallies["u"] or 0), int(tallies["i"] or 0)
+            )
+            rep = {
+                "updated": n_upd,
+                "inserted": n_ins,
+                "skipped": n_keys - n_upd - n_ins,
+                "attempts": attempt + 1,
+            }
+            if n_upd == 0 and n_ins == 0:
+                # a fully-no-op batch commits NOTHING: no revision, no
+                # tombstone row, no version flip (the pinned contract)
+                return {**rep, "applied": False, "pins": pins, "version": base}
+            seq = base + 1
+            write_rows = rows.join(
+                decision.filter(F.col(updc) | F.col(insc)).select(*idc),
+                on=idc,
+                how="left_semi",
+            ).withColumn(UPSERT_SEQ_COL, F.lit(seq).cast("bigint"))
+            appends: dict[str, DataFrame] = {component: write_rows}
+            ckey = component_tombstone_rows_key(component)
+            new_meta = dict(meta)
+            if n_upd:
+                tomb = decision.filter(F.col(updc)).select(*idc)
+                if segment_partitions:
+                    tomb = tomb.coalesce(segment_partitions)
+                appends[_tombstone_component(component)] = tomb.withColumn(
+                    DEAD_BELOW_COL, F.lit(seq).cast("bigint")
+                )
+                new_meta[ckey] = int(meta.get(ckey, 0)) + n_upd
+            kw: dict = {"meta": new_meta}
+            if zone_cols:
+                kw["zone_cols"] = {component: list(zone_cols)}
+            if bloom_cols:
+                kw["bloom_cols"] = {component: list(bloom_cols)}
+            try:
+                new_pins = append_segments(
+                    spark, root, appends, expected_base=base, **kw
+                )
+                return {
+                    **rep, "applied": True, "pins": new_pins, "version": seq,
+                }
+            except ConcurrentCommitError as e:
+                last_err = e  # rival commit: replan against fresh state
+        finally:
+            decision.unpersist()
     raise last_err
 
 
 def read_segmented_merged(
-    spark, root: str, component: str, id_col: str
+    spark, root: str, component: str, id_col
 ) -> DataFrame:
     """The component's MERGED view — every id's surviving revisions
     under the sequence-watermark liveness rule: a row is live iff its
@@ -3007,7 +3412,7 @@ def _merged_from_state(
     spark,
     root: str,
     component: str,
-    id_col: str,
+    id_col,
     pins: dict[str, list[int]],
     schemas: dict[str, dict],
 ) -> DataFrame:
@@ -3032,13 +3437,15 @@ def _merged_from_state(
     return _merged_view(data, tdf, id_col)
 
 
-def _merged_view(data: DataFrame, tdf: DataFrame, id_col: str) -> DataFrame:
+def _merged_view(data: DataFrame, tdf: DataFrame, id_col) -> DataFrame:
     """The sequence-watermark liveness join shared by the head and
     time-travel merged reads: keep a data row iff its ``_useq`` (0
     when unstamped) >= its id's highest ``dead_below`` (kill-all for
-    stampless legacy tombstones)."""
+    stampless legacy tombstones). ``id_col`` may be a sequence of
+    names — the fold groups and joins on the composite key tuple."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    idc = _id_cols(id_col)
     dead_all = F.lit(_DEAD_ALL_SEQ).cast("bigint")
     db = (
         F.coalesce(F.col(DEAD_BELOW_COL), dead_all)
@@ -3050,21 +3457,21 @@ def _merged_view(data: DataFrame, tdf: DataFrame, id_col: str) -> DataFrame:
     mark = "_dead"
     while mark in data.columns:
         mark += "_"
-    marks = tdf.groupBy(id_col).agg(F.max(db).alias(mark))
+    marks = tdf.groupBy(*idc).agg(F.max(db).alias(mark))
     useq = (
         F.coalesce(F.col(UPSERT_SEQ_COL), F.lit(0))
         if UPSERT_SEQ_COL in data.columns
         else F.lit(0)
     )
     return (
-        data.join(marks, on=id_col, how="left")
+        data.join(marks, on=idc, how="left")
         .filter(F.col(mark).isNull() | (useq >= F.col(mark)))
         .drop(mark)
     )
 
 
 def read_segmented_merged_at(
-    spark, root: str, version: int, component: str, id_col: str
+    spark, root: str, version: int, component: str, id_col
 ) -> DataFrame:
     """TIME TRAVEL on the merged view: the component's surviving
     revisions as of RETAINED manifest ``version`` — the pins, schemas,
@@ -3105,13 +3512,15 @@ def read_segmented_merged_at(
 
 
 def read_segmented_live(
-    spark, root: str, component: str, id_col: str
+    spark, root: str, component: str, id_col
 ) -> DataFrame:
     """The component minus its tombstoned ids: the manifest-pinned
     scan anti-joined against the (tiny) tombstone component. With no
     tombstone component pinned, this is exactly
     read_segmented_components. Schema-reconciled like every manifest
-    read (evolved columns null-backfill across segment vintages)."""
+    read (evolved columns null-backfill across segment vintages).
+    ``id_col`` may be a sequence of names (composite keys)."""
+    idc = _id_cols(id_col)
     state = _manifest_state(spark, root)
     pins, schemas = state[0], state[4]
     data = read_segments(
@@ -3123,12 +3532,12 @@ def read_segmented_live(
     tomb = _tombstone_component(component)
     if tomb not in pins:
         return data
-    dead = read_segments(spark, f"{root}/{tomb}", pins[tomb]).select(id_col)
-    return data.join(dead, on=id_col, how="left_anti")
+    dead = read_segments(spark, f"{root}/{tomb}", pins[tomb]).select(*idc)
+    return data.join(dead, on=idc, how="left_anti")
 
 
 def apply_tombstones(
-    spark, root: str, component: str, id_col: str, merged: bool = False
+    spark, root: str, component: str, id_col, merged: bool = False
 ) -> dict[str, list[int]]:
     """PHYSICAL delete: rewrite the component as one live-rows-only
     segment and reset its tombstone component to one empty segment,
@@ -3147,7 +3556,7 @@ def apply_tombstones(
 
 
 def _apply_tombstones(
-    spark, root: str, component: str, id_col: str, merged: bool = False
+    spark, root: str, component: str, id_col, merged: bool = False
 ) -> tuple[dict[str, list[int]], bool]:
     """(pins, applied) — the race-free form maintain's report uses (a
     rival ingest between two manifest reads must not make a no-op look
@@ -3203,9 +3612,13 @@ def _apply_tombstones(
     # a tombstone APPLY is a rewrite: its outputs carry only
     # pre-existing rows, so the change feed must not re-emit them
     # (the deletes themselves were announced by the tombstone
-    # component's own append feed)
+    # component's own append feed). The apply also RESETS the
+    # component's tombstone pressure counter — the merged-read fold is
+    # back at its floor, so maintain's auto policy re-arms from zero.
     marked = _mark_rewrites(
-        prior_meta, new_pins, {component: [seg], tomb: new_pins[tomb]}
+        {**prior_meta, component_tombstone_rows_key(component): 0},
+        new_pins,
+        {component: [seg], tomb: new_pins[tomb]},
     )
     if marked:
         kw["meta"] = marked
@@ -4779,15 +5192,33 @@ def maintain(
       Opt-in like every data rewrite; a no-op when nothing is renamed.
       NOTE it ends the lagging-writer grace for those renames.
     - ``"apply_tombstones"``: ``{component: {"id_col": str,
-      "merged": bool}}`` — PHYSICAL apply of each component's logical
-      deletes (:func:`apply_tombstones`) on cadence, keeping the
-      read-time watermark fold bounded under delete/upsert churn.
-      ``merged=True`` (default) applies the sequence-watermark rule —
-      required for components mutated via :func:`upsert_rows`. Opt-in
-      (rewrites data); a no-op when the component has no pinned
-      tombstones (or only a prior apply's empty reset segment). Runs
-      FIRST: the live-only fold it leaves is what compaction's size
-      tier then sees, instead of two full rewrites per cadence.
+      "merged": bool, "auto": dict | None}}`` — PHYSICAL apply of each
+      component's logical deletes (:func:`apply_tombstones`) on
+      cadence, keeping the read-time watermark fold bounded under
+      delete/upsert churn. ``merged=True`` (default) applies the
+      sequence-watermark rule — required for components mutated via
+      :func:`upsert_rows` / :func:`merge_rows`. Opt-in (rewrites
+      data); a no-op when the component has no pinned tombstones (or
+      only a prior apply's empty reset segment). Runs FIRST: the
+      live-only fold it leaves is what compaction's size tier then
+      sees, instead of two full rewrites per cadence.
+
+      ``"auto"`` makes the apply PRESSURE-DRIVEN (the index families'
+      counter-triggered design — operators/incr_index — ported to the
+      lake core): the O(dataset) rewrite fires only when accumulated
+      churn has actually inflated the merged-read fold, so an
+      every-cadence policy stops paying full rewrites for quiet
+      tables. Keys (fire when ANY bound is hit; all driver-side
+      manifest/listing reads, ZERO jobs when below threshold):
+
+      * ``"max_rows"``: int — the component's tombstone-row pressure
+        counter (:func:`component_tombstone_rows_key`, advanced by
+        every delete/upsert/merge commit, reset by the apply) has
+        reached this many churned keys.
+      * ``"max_bytes_ratio"``: float — pinned tombstone-component
+        bytes / data-component bytes (``segment_sizes`` listings) has
+        reached this fraction — the counter-free fallback for
+        components whose tombstones predate the counter.
     - ``"recluster"``: ``{component: kwargs}`` for
       operators.zcluster.recluster_zorder (``exprs``, ``zone_cols``,
       ``n_segments``, ``bits``, ``min_segments``,
@@ -4815,12 +5246,44 @@ def maintain(
     if not akw:
         report["apply_tombstones"] = {"skipped": True}
     else:
-        pins_now = segment_pins(spark, root)
+        state_now = _manifest_state(spark, root)
+        pins_now, meta_now = state_now[0], state_now[3]
         arep: dict[str, str] = {}
         for comp, kw in akw.items():
             if _tombstone_component(comp) not in pins_now:
                 arep[comp] = "no_tombstones"
-            elif dry_run:
+                continue
+            auto = kw.get("auto")
+            if auto:
+                # pressure gate: fire the O(dataset) rewrite only when
+                # accumulated churn crossed a bound — all driver-side
+                # (meta counter / size listings), zero Spark jobs when
+                # the table is quiet
+                fire = False
+                if "max_rows" in auto:
+                    n = int(
+                        meta_now.get(component_tombstone_rows_key(comp), 0)
+                    )
+                    fire = n >= int(auto["max_rows"])
+                if not fire and "max_bytes_ratio" in auto:
+                    tname = _tombstone_component(comp)
+                    tb = sum(
+                        segment_sizes(
+                            spark, root, tname, pins_now[tname]
+                        ).values()
+                    )
+                    db = sum(
+                        segment_sizes(
+                            spark, root, comp, pins_now.get(comp, [])
+                        ).values()
+                    )
+                    fire = db > 0 and tb / db >= float(
+                        auto["max_bytes_ratio"]
+                    )
+                if not fire:
+                    arep[comp] = "below_pressure"
+                    continue
+            if dry_run:
                 arep[comp] = "would_apply"
             else:
                 _pins, applied = _apply_tombstones(

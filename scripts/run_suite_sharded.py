@@ -142,11 +142,18 @@ def main() -> int:
                 indent=0,
                 sort_keys=True,
             )
+    # PASSED is the certification number (collected = passed + failed +
+    # errors + skipped; quoting collected as "passed" overstated the
+    # suite by the skip count — r13 VERDICT #7)
+    passed = (
+        totals["tests"] - totals["failures"] - totals["errors"]
+        - totals["skipped"]
+    )
     print(
-        f"\n=== sharded suite: {totals['tests']} tests, "
-        f"{totals['failures']} failures, {totals['errors']} errors, "
-        f"{totals['skipped']} skipped in {wall:.0f}s wall "
-        f"({len(procs)} shards) ==="
+        f"\n=== sharded suite: {passed} passed, "
+        f"{totals['failures']} failed, {totals['errors']} errors, "
+        f"{totals['skipped']} skipped ({totals['tests']} collected) "
+        f"in {wall:.0f}s wall ({len(procs)} shards) ==="
     )
     if failed_shards or totals["failures"] or totals["errors"]:
         for i in failed_shards:

@@ -1024,6 +1024,99 @@ def test_consume_changes_watermarks_key_on_source_and_sink_component(
     assert sorted(r.k for r in got["m3"].collect()) == list(range(10))
 
 
+def test_consume_changes_legacy_watermark_adoption_is_restricted_and_retired(
+    spark, tmp_path
+):
+    """Pre-r13 sinks stored a bare ``cdf_watermark:<component>`` mark.
+    Migration contract (r13 VERDICT #8 + ADVICE medium): the SAME-named
+    sink component adopts it (no re-bootstrap duplication), surfaces
+    ``adopted_legacy_key`` in its report, and RETIRES the legacy key in
+    the same commit — so a later consumer with a different sink
+    component can never silently inherit the advanced mark: it
+    bootstraps its own full window instead."""
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lake.append_segments(spark, src, {"t": batch(0, 10)}, init=True)
+    lake.consume_changes(spark, src, "t", dst)
+    # forge the pre-r13 sink shape: qualified key -> bare legacy key
+    state = lake._manifest_state(spark, dst)
+    pins, meta, base = state[0], dict(state[3]), state[5]
+    (qual_key,) = [k for k in meta if k.startswith("cdf_watermark:")]
+    meta["cdf_watermark:t"] = meta.pop(qual_key)
+    lake.commit_segment_manifest(
+        spark, dst, pins, expected_base=base, meta=meta,
+        schemas=state[4] or None,
+    )
+    lake.append_segments(spark, src, {"t": batch(10, 15)})
+    rep = lake.consume_changes(spark, src, "t", dst)
+    assert rep["adopted_legacy_key"] is True and rep["applied"]
+    got = lake.read_segmented_components(spark, dst, ["t"])["t"]
+    assert sorted(r.k for r in got.collect()) == list(range(15))  # no dups
+    meta_after = lake.segment_meta(spark, dst)
+    assert "cdf_watermark:t" not in meta_after, "legacy key must retire"
+    assert qual_key in meta_after
+    rep2 = lake.consume_changes(spark, src, "t", dst)
+    assert "adopted_legacy_key" not in rep2  # one-shot migration flag
+    # a DIFFERENT sink component must NOT inherit: full bootstrap
+    rep3 = lake.consume_changes(spark, src, "t", dst, sink_component="m2")
+    assert rep3["applied"] and "adopted_legacy_key" not in rep3
+    m2 = lake.read_segmented_components(spark, dst, ["m2"])["m2"]
+    assert sorted(r.k for r in m2.collect()) == list(range(15))
+
+
+def test_typed_feed_rejects_reserved_column_collision(spark, tmp_path):
+    """A component with a data column named like one of the three
+    reserved change-feed columns raises a CLEAR error from
+    include_changes=True instead of emitting an ambiguous frame
+    (ADVICE r13); the plain feeds stay readable."""
+    import pytest
+
+    root = str(tmp_path / "src")
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("x").alias("_change_type")
+    )
+    lake.append_segments(spark, root, {"t": df}, init=True)
+    with pytest.raises(ValueError, match="_change_type"):
+        lake.read_segment_changes(spark, root, "t", 0, include_changes=True)
+    assert lake.read_segment_changes(spark, root, "t", 0).count() == 5
+
+
+def test_typed_feed_plan_is_one_scan_per_feed(spark, tmp_path):
+    """The retraction-aware feed's PLAN stays two parquet scans (data +
+    tombstones) however many manifest versions the window spans — the
+    seg= hive-dir tag + seg->version map replaces the per-version
+    union (r13 VERDICT #4). At 100 TB an interactive multi-hundred-
+    version window must not pay plan size linear in versions."""
+    import re
+
+    root = str(tmp_path / "src")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    lake.append_segments(spark, root, {"t": batch(0, 10)}, init=True)
+    for i in range(4):  # 4 more data versions
+        lake.append_segments(
+            spark, root, {"t": batch(10 + i * 5, 15 + i * 5)}
+        )
+    lake.delete_rows(spark, root, "t", "k", [1, 2])
+    lake.delete_rows(spark, root, "t", "k", [11])
+    feed = lake.read_segment_changes(spark, root, "t", 0, include_changes=True)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans == 2, f"expected 2 scans (7-version window), got {n_scans}"
+    # and the flattened feed is value-identical to the manifest walk
+    rows_ = feed.collect()
+    assert sum(r._change_type == "insert" for r in rows_) == 30
+    assert sum(r._change_type == "delete" for r in rows_) == 3
+    versions = {r._commit_version for r in rows_}
+    assert versions == set(range(1, 8))
+
+
 def test_rename_and_drop_leave_bloom_sidecars_for_reader_grace(
     spark, tmp_path
 ):

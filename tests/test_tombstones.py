@@ -397,3 +397,270 @@ def test_upsert_rows_empty_batch_is_harmless(spark, tmp_path):
         r.doc_id: r.v
         for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
     }
+
+
+# ---------------------------------------------------------------- r14:
+# the full MERGE class (merge_rows), composite keys, pressure counter,
+# auto-apply, and the legacy kill-all guard
+
+
+def _dim(spark, root):
+    lake.append_segments(
+        spark,
+        root,
+        appends={
+            "dim": spark.createDataFrame(
+                [Row(k1=i, k2=f"g{i % 3}", v=float(i)) for i in range(12)],
+                "k1 bigint, k2 string, v double",
+            ).coalesce(1)
+        },
+        init=True,
+    )
+
+
+def test_merge_rows_conditional_update_skip_and_insert(spark, tmp_path):
+    """WHEN MATCHED [AND changed] THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT on a COMPOSITE key, one manifest flip: unchanged keys skip
+    (no revision, no tombstone row), changed keys revise with exactly
+    one tombstone row each, new keys insert with NO tombstone row."""
+    root = str(tmp_path / "t")
+    _dim(spark, root)
+    batch = spark.createDataFrame(
+        [
+            Row(k1=0, k2="g0", v=0.0),     # unchanged -> skip
+            Row(k1=1, k2="g1", v=100.0),   # changed -> update
+            Row(k1=99, k2="gX", v=-1.0),   # new -> insert
+        ],
+        "k1 bigint, k2 string, v double",
+    )
+    rep = lake.merge_rows(spark, root, "dim", ["k1", "k2"], batch)
+    assert (rep["updated"], rep["inserted"], rep["skipped"]) == (1, 1, 1)
+    assert rep["applied"] and rep["version"] == 2
+    got = {
+        (r.k1, r.k2): r.v
+        for r in lake.read_segmented_merged(
+            spark, root, "dim", ["k1", "k2"]
+        ).collect()
+    }
+    assert got[(1, "g1")] == 100.0 and got[(99, "gX")] == -1.0
+    assert got[(0, "g0")] == 0.0 and len(got) == 13
+    # exactly ONE tombstone row (the updated key), counter in sync
+    pins = lake.segment_pins(spark, root)
+    tomb = lake.read_segments(
+        spark, f"{root}/{lake.tombstone_component('dim')}",
+        pins[lake.tombstone_component("dim")],
+    )
+    assert [(r.k1, r.k2) for r in tomb.collect()] == [(1, "g1")]
+    assert lake.segment_meta(spark, root)[
+        lake.component_tombstone_rows_key("dim")
+    ] == 1
+
+
+def test_merge_rows_noop_batch_commits_nothing(spark, tmp_path):
+    """A fully-unchanged batch is a FULL no-op: no manifest flip, no
+    tombstone rows, counter untouched (the r13 VERDICT #1 pin — no-op
+    cadence revisions must not churn the tombstone component)."""
+    root = str(tmp_path / "t")
+    _dim(spark, root)
+    v0 = lake.segment_pins_versioned(spark, root)[1]
+    same = spark.createDataFrame(
+        [Row(k1=i, k2=f"g{i % 3}", v=float(i)) for i in range(12)],
+        "k1 bigint, k2 string, v double",
+    )
+    rep = lake.merge_rows(spark, root, "dim", ["k1", "k2"], same)
+    assert not rep["applied"] and rep["skipped"] == 12
+    assert rep["updated"] == 0 and rep["inserted"] == 0
+    assert lake.segment_pins_versioned(spark, root)[1] == v0
+    assert lake.tombstone_component("dim") not in lake.segment_pins(spark, root)
+    assert lake.segment_meta(spark, root).get(
+        lake.component_tombstone_rows_key("dim"), 0
+    ) == 0
+
+
+def test_merge_rows_when_matched_predicate(spark, tmp_path):
+    """WHEN MATCHED AND <pred>: only matched keys with a (source,
+    target) pair satisfying the predicate update; the rest skip even
+    though their content differs."""
+    root = str(tmp_path / "t")
+    _dim(spark, root)
+    batch = spark.createDataFrame(
+        [Row(k1=1, k2="g1", v=0.5), Row(k1=2, k2="g2", v=50.0)],
+        "k1 bigint, k2 string, v double",
+    )
+    rep = lake.merge_rows(
+        spark, root, "dim", ["k1", "k2"], batch,
+        when_matched="source.v > target.v",
+    )
+    assert rep["updated"] == 1 and rep["skipped"] == 1
+    got = {
+        (r.k1, r.k2): r.v
+        for r in lake.read_segmented_merged(
+            spark, root, "dim", ["k1", "k2"]
+        ).collect()
+    }
+    assert got[(2, "g2")] == 50.0 and got[(1, "g1")] == 1.0  # not downgraded
+
+
+def test_merge_rows_multirow_keys_and_composite_delete(spark, tmp_path):
+    """Whole-key replace with MANY rows per key on both sides, and the
+    composite-key delete/resurrect lifecycle under the merged view."""
+    root = str(tmp_path / "t")
+    lake.append_segments(
+        spark, root,
+        appends={"t": spark.createDataFrame(
+            [Row(a=1, b="x", v=1.0), Row(a=1, b="x", v=2.0),
+             Row(a=2, b="y", v=3.0)],
+            "a bigint, b string, v double",
+        )},
+        init=True,
+    )
+    # same multiset for (1,x) -> skip; (2,y) gets TWO rows -> update
+    batch = spark.createDataFrame(
+        [Row(a=1, b="x", v=2.0), Row(a=1, b="x", v=1.0),
+         Row(a=2, b="y", v=30.0), Row(a=2, b="y", v=31.0)],
+        "a bigint, b string, v double",
+    )
+    rep = lake.merge_rows(spark, root, "t", ["a", "b"], batch)
+    assert rep["skipped"] == 1 and rep["updated"] == 1
+    got = sorted(
+        (r.a, r.b, r.v)
+        for r in lake.read_segmented_merged(spark, root, "t", ["a", "b"]).collect()
+    )
+    assert got == [(1, "x", 1.0), (1, "x", 2.0), (2, "y", 30.0), (2, "y", 31.0)]
+    lake.delete_rows(spark, root, "t", ["a", "b"], [(1, "x")])
+    assert lake.read_segmented_merged(
+        spark, root, "t", ["a", "b"]
+    ).count() == 2
+    lake.upsert_rows(
+        spark, root, "t", ["a", "b"],
+        spark.createDataFrame([Row(a=1, b="x", v=9.0)],
+                              "a bigint, b string, v double"),
+    )
+    got = sorted(
+        (r.a, r.b, r.v)
+        for r in lake.read_segmented_merged(spark, root, "t", ["a", "b"]).collect()
+    )
+    assert got == [(1, "x", 9.0), (2, "y", 30.0), (2, "y", 31.0)]
+
+
+def test_tombstone_pressure_counter_and_auto_apply(spark, tmp_path):
+    """The lake-core pressure trigger (r13 VERDICT #2): every
+    delete/upsert/merge commit advances the per-component counter;
+    maintain(auto max_rows) does NOT apply below the bound, applies at
+    it, and the apply resets the counter (re-arming the trigger)."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    ckey = lake.component_tombstone_rows_key("docs")
+    lake.delete_rows(spark, root, "docs", "doc_id", [1, 2, 3])
+    assert lake.segment_meta(spark, root)[ckey] == 3
+    lake.upsert_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame([Row(doc_id=10, v=-1.0)],
+                              "doc_id bigint, v double"),
+    )
+    assert lake.segment_meta(spark, root)[ckey] == 4
+    policy = {"apply_tombstones": {"docs": {
+        "id_col": "doc_id", "merged": True, "auto": {"max_rows": 6},
+    }}}
+    rep = lake.maintain(spark, root, policy)
+    assert rep["apply_tombstones"]["docs"] == "below_pressure"
+    data_pins = lake.segment_pins(spark, root)["docs"]
+    lake.delete_rows(spark, root, "docs", "doc_id", [20, 21])
+    assert lake.segment_meta(spark, root)[ckey] == 6
+    before = sorted(
+        (r.doc_id, r.v)
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    )
+    rep = lake.maintain(spark, root, policy)
+    assert rep["apply_tombstones"]["docs"] == "applied"
+    assert lake.segment_meta(spark, root)[ckey] == 0
+    assert lake.segment_pins(spark, root)["docs"] != data_pins
+    after = sorted(
+        (r.doc_id, r.v)
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    )
+    assert after == before  # apply is content-neutral
+    # re-armed: next cadence is below pressure again
+    rep = lake.maintain(spark, root, policy)
+    assert rep["apply_tombstones"]["docs"] in ("below_pressure", "no_tombstones")
+
+
+def test_auto_apply_bytes_ratio_fallback(spark, tmp_path):
+    """max_bytes_ratio fires from segment_sizes listings alone — the
+    counter-free path for tombstones that predate the counter."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    lake.delete_rows(spark, root, "docs", "doc_id", list(range(30)))
+    policy_lo = {"apply_tombstones": {"docs": {
+        "id_col": "doc_id", "auto": {"max_bytes_ratio": 100.0},
+    }}}
+    rep = lake.maintain(spark, root, policy_lo)
+    assert rep["apply_tombstones"]["docs"] == "below_pressure"
+    policy_hi = {"apply_tombstones": {"docs": {
+        "id_col": "doc_id", "auto": {"max_bytes_ratio": 0.0001},
+    }}}
+    rep = lake.maintain(spark, root, policy_hi)
+    assert rep["apply_tombstones"]["docs"] == "applied"
+    assert lake.read_segmented_live(spark, root, "docs", "doc_id").count() == 50
+
+
+def test_upsert_segment_partitions_knob(spark, tmp_path):
+    """segment_partitions mirrors delete_rows_from: default 1 file,
+    None preserves the batch's parallelism on the tombstone write
+    (the multi-million-id shape — r13 VERDICT #5)."""
+    import glob
+
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    batch = spark.range(0, 24).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("v")
+    ).repartition(6)
+    lake.upsert_rows(spark, root, "docs", "doc_id", batch,
+                     segment_partitions=None)
+    tname = lake.tombstone_component("docs")
+    seg = lake.segment_pins(spark, root)[tname][-1]
+    files = glob.glob(f"{root}/{tname}/seg={seg}/part-*.parquet")
+    assert len(files) > 1, "None must preserve the frame's partitioning"
+    assert lake.read_segmented_merged(
+        spark, root, "docs", "doc_id"
+    ).filter(F.col("v") == 0.0).count() == 24
+
+
+def test_legacy_killall_guard_raises_then_apply_unblocks(spark, tmp_path):
+    """A stampless kill-all tombstone covering a batch id makes
+    upsert/merge raise LOUDLY (the revision would be silently
+    invisible); apply_tombstones retires the legacy rows and the same
+    batch then lands (ADVICE r13)."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    # forge a legacy (pre-revision-axis) tombstone: bare id, no stamp
+    lake.append_segments(
+        spark, root,
+        appends={lake.tombstone_component("docs"): spark.createDataFrame(
+            [Row(doc_id=7)], "doc_id bigint"
+        )},
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=7, v=700.0)], "doc_id bigint, v double"
+    )
+    with pytest.raises(RuntimeError, match="kill-all"):
+        lake.upsert_rows(spark, root, "docs", "doc_id", batch)
+    with pytest.raises(RuntimeError, match="kill-all"):
+        lake.merge_rows(spark, root, "docs", "doc_id", batch)
+    # un-covered ids pass the guard untouched
+    lake.upsert_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame([Row(doc_id=8, v=800.0)],
+                              "doc_id bigint, v double"),
+    )
+    # escape hatch 1: opt out explicitly (documented loss)
+    # escape hatch 2 (the supported one): physical apply retires legacy
+    lake.apply_tombstones(spark, root, "docs", "doc_id", merged=True)
+    lake.upsert_rows(spark, root, "docs", "doc_id", batch)
+    got = {
+        r.doc_id: r.v
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    }
+    assert got[7] == 700.0 and got[8] == 800.0
