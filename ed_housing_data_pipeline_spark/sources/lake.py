@@ -3028,11 +3028,14 @@ def delete_rows_from(
 #: Revision axis of a versioned component (the lake-core port of the
 #: index families' useq/dead_below watermark — operators/text_index.py):
 #: data rows carry ``_useq`` = the manifest sequence that committed
-#: them (absent/NULL reads as 0 — plain appends predate every
-#: tombstone); tombstone rows carry ``dead_below`` = the sequence of
-#: the delete/upsert that wrote them. A row is LIVE under
-#: :func:`read_segmented_merged` iff its ``_useq`` >= its id's highest
-#: ``dead_below``.
+#: them (absent/NULL reads as 0 — rows written BEFORE the component
+#: carried the axis predate every tombstone; once the recorded schema
+#: carries ``_useq``, :func:`append_segments` stamps plain appends at
+#: their commit sequence too, so commit order is respected — an
+#: append AFTER a delete of the same id serves); tombstone rows carry
+#: ``dead_below`` = the sequence of the delete/upsert that wrote
+#: them. A row is LIVE under :func:`read_segmented_merged` iff its
+#: ``_useq`` >= its id's highest ``dead_below``.
 UPSERT_SEQ_COL = "_useq"
 DEAD_BELOW_COL = "dead_below"
 
@@ -4232,18 +4235,44 @@ def append_segments(
         new_schemas[name] = _with_field_ids(
             _nullable_schema_json(df.schema.jsonValue())
         )
+    # revision-axis stamping: an append to a component whose recorded
+    # schema already carries ``_useq`` (i.e. it has taken upserts) is
+    # stamped with THIS commit's sequence when the frame lacks the
+    # column — so a plain append lands ordered AFTER earlier deletes
+    # of the same ids instead of silently reading as sequence 0 and
+    # dying under them (r13 ADVICE). Frames that already carry the
+    # column (upsert payloads, CDF mirror feeds replicating the
+    # SOURCE's axis verbatim) pass through untouched.
+    def _stamp(name: str, df: DataFrame) -> DataFrame:
+        recorded = {
+            f["name"] for f in (new_schemas.get(name) or {}).get("fields", [])
+        }
+        if UPSERT_SEQ_COL in recorded and UPSERT_SEQ_COL not in df.columns:
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            return df.withColumn(
+                UPSERT_SEQ_COL, F.lit(base + 1).cast("bigint")
+            )
+        return df
+
     new_segs: list[tuple[str, int]] = []
     for name, df in appends.items():
         if isinstance(df, tuple):
-            staged = stage_segments(spark, df[0], f"{root}/{name}", df[1])
+            staged = stage_segments(
+                spark, _stamp(name, df[0]), f"{root}/{name}", df[1]
+            )
             if not staged:  # empty frame → zero slice dirs: pin one
                 staged = [  # empty segment so the manifest stays valid
-                    write_segment(spark, df[0].drop(df[1]), f"{root}/{name}")
+                    write_segment(
+                        spark,
+                        _stamp(name, df[0].drop(df[1])),
+                        f"{root}/{name}",
+                    )
                 ]
             new_pins[name] = [*pins.get(name, []), *staged]
             new_segs += [(name, s) for s in staged]
         else:
-            seg = write_segment(spark, df, f"{root}/{name}")
+            seg = write_segment(spark, _stamp(name, df), f"{root}/{name}")
             new_pins[name] = [*pins.get(name, []), seg]
             new_segs.append((name, seg))
     for name, df in replaces.items():

@@ -282,9 +282,12 @@ def test_revision_axis_matches_model_under_random_interleaving(
     interleaving of plain appends, upserts, deletes, compactions, and
     physical applies is replayed against a driver-side model of the
     liveness rule (a row is live iff its useq >= its id's max
-    dead_below; plain appends are useq 0; apply drops dead rows and
-    clears watermarks). After every commit the merged view must equal
-    the model, and at the end time travel must reproduce the model's
+    dead_below; plain appends are useq 0 UNTIL the component carries
+    the axis — after the first upsert, append_segments stamps appends
+    at their commit sequence, so commit order is respected and an
+    append after a delete serves; apply drops dead rows and clears
+    watermarks). After every commit the merged view must equal the
+    model, and at the end time travel must reproduce the model's
     snapshot at every retained version."""
     import random
     from collections import Counter
@@ -302,6 +305,7 @@ def test_revision_axis_matches_model_under_random_interleaving(
         root = str(tmp_path / f"m{trial}")
         rows_model: list[tuple[int, float, int]] = []  # (id, value, useq)
         max_dead: dict[int, int] = {}
+        axis = False  # schema carries _useq after the first upsert
         init = [(i, float(i)) for i in range(6)]
         lk.append_segments(spark, root, {"t": df_of(init)}, init=True)
         rows_model += [(i, v, 0) for i, v in init]
@@ -325,11 +329,13 @@ def test_revision_axis_matches_model_under_random_interleaving(
             if op == "append":
                 batch = [(i, 1000.0 * (step + 1) + i) for i in ids]
                 lk.append_segments(spark, root, {"t": df_of(batch)})
-                rows_model += [(i, val, 0) for i, val in batch]
+                useq = (base_v + 1) if axis else 0
+                rows_model += [(i, val, useq) for i, val in batch]
             elif op == "upsert":
                 seq = base_v + 1
                 batch = [(i, 2000.0 * (step + 1) + i) for i in ids]
                 lk.upsert_rows(spark, root, "t", "k", df_of(batch))
+                axis = True
                 for i, val in batch:
                     max_dead[i] = max(max_dead.get(i, 0), seq)
                     rows_model.append((i, val, seq))
@@ -664,3 +670,44 @@ def test_legacy_killall_guard_raises_then_apply_unblocks(spark, tmp_path):
         for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
     }
     assert got[7] == 700.0 and got[8] == 800.0
+
+
+def test_append_after_delete_serves_on_axis_component(spark, tmp_path):
+    """Once a component carries the revision axis, a PLAIN append
+    committed after a delete of the same id is stamped at its commit
+    sequence and SERVES under the merged view (pre-r14 it read as
+    sequence 0 and silently died under the earlier delete — ADVICE
+    r13); mirrors are unaffected because CDF feeds carry the source's
+    stamps verbatim."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)
+    # adopt the axis (schema gains _useq)
+    lake.upsert_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame([Row(doc_id=0, v=-1.0)],
+                              "doc_id bigint, v double"),
+    )
+    lake.delete_rows(spark, root, "docs", "doc_id", [5])
+    lake.append_segments(
+        spark, root,
+        appends={"docs": spark.createDataFrame(
+            [Row(doc_id=5, v=555.0)], "doc_id bigint, v double"
+        )},
+    )
+    got = {
+        r.doc_id: r.v
+        for r in lake.read_segmented_merged(
+            spark, root, "docs", "doc_id"
+        ).collect()
+    }
+    assert got[5] == 555.0, "append after delete must serve (commit order)"
+    # the mirror replays the same history through the CDF feed
+    dst = str(tmp_path / "dst")
+    lake.consume_changes(spark, root, "docs", dst, merge=True)
+    mirror = {
+        r.doc_id: r.v
+        for r in lake.read_segmented_merged(
+            spark, dst, "docs", "doc_id"
+        ).collect()
+    }
+    assert mirror == got
