@@ -1511,7 +1511,8 @@ def stage_segments(
 
 
 def read_segments(
-    spark, component_root: str, segments: Sequence[int], schema=None
+    spark, component_root: str, segments: Sequence[int], schema=None,
+    where=None,
 ) -> DataFrame:
     """A component at a pinned segment list: the UNION of the segment
     dirs, as one multi-path parquet scan (partition pruning, pushdown,
@@ -1532,22 +1533,34 @@ def read_segments(
     into the current name. Still one multi-path scan, no per-vintage
     grouping; components that never renamed take the plain pinned-read
     path untouched. Honest cost while renamed vintages remain pinned:
-    a predicate on a renamed column filters post-scan (coalesce is not
-    pushable into parquet row-group stats) — segment-level zonemap
-    pruning still applies (the rename verb rewrites zone keys), column
-    pruning and whole-stage codegen are unaffected, and a FULL fold
-    (compaction, or ``maintain(normalize_renames=True)`` on cadence)
-    normalizes the physical names AND retires the shim from the
-    recorded schema (:func:`_strip_prior_names`), restoring exact
-    pushdown."""
+    a predicate a CALLER applies on the returned frame filters
+    post-scan (coalesce is not pushable into parquet row-group stats)
+    — segment-level zonemap pruning still applies (the rename verb
+    rewrites zone keys), column pruning and whole-stage codegen are
+    unaffected, and a FULL fold (compaction, or
+    ``maintain(normalize_renames=True)`` on cadence) normalizes the
+    physical names AND retires the shim from the recorded schema
+    (:func:`_strip_prior_names`), restoring exact pushdown.
+
+    ``where`` closes that gap WITHOUT ending the lagging-writer grace
+    (r13 VERDICT #9): a callable over the RAW pre-projection frame
+    (current + shadow vintage columns) whose Column filters BEFORE
+    the coalesce, so Catalyst pushes it into the parquet scan. Build
+    it with :func:`vintage_predicate` — the per-vintage disjunction
+    ``pred(current) OR pred(prior)`` is EXACT because each segment
+    serves exactly one vintage (the others read NULL, and NULL
+    predicates are falsy)."""
     if not segments:
         raise ValueError(f"read_segments: empty segment list for {component_root}")
     root = component_root.rstrip("/")
     dirs = [_segment_dir(root, s) for s in segments]
     if schema is None:
-        return spark.read.parquet(*dirs)
+        df = spark.read.parquet(*dirs)
+        return df.filter(where(df)) if where is not None else df
     scan_schema, renames = _rename_shadow_plan(schema)
     df = spark.read.schema(scan_schema).parquet(*dirs)
+    if where is not None:
+        df = df.filter(where(df))
     if not renames:
         return df
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -1555,6 +1568,36 @@ def read_segments(
     return df.select(
         *[_renamed_col(F, f.name, renames) for f in schema.fields]
     )
+
+
+def vintage_predicate(schema, name: str, make):
+    """A rename-aware PUSHABLE predicate for :func:`read_segments`'
+    ``where`` hook: ``make`` builds the predicate from one Column
+    (e.g. ``lambda c: c > 5``); the result ORs it across the logical
+    column's current and prior physical names, which is exactly
+    equivalent to the same predicate on the post-read coalesce —
+    every segment serves one vintage and NULLs are falsy — but lands
+    in the parquet scan's ``PushedFilters`` on EVERY vintage, so
+    fleets that keep the lagging-writer grace (normalization OFF) no
+    longer trade it for pushdown. Column-pruning note: the scan reads
+    current + prior columns for the filter either way (they are the
+    same logical column)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    priors = []
+    for f in schema.fields:
+        if f.name == name:
+            priors = list((f.metadata or {}).get("prior_names", []))
+            break
+
+    def _where(df: DataFrame):
+        pred = make(F.col(name))
+        for p in priors:
+            if p in df.columns:
+                pred = pred | make(F.col(p))
+        return pred
+
+    return _where
 
 
 def _rename_shadow_plan(schema):
@@ -3204,6 +3247,7 @@ def merge_rows(
     when_matched=None,
     skip_unchanged: bool = True,
     insert_unmatched: bool = True,
+    update_set=None,
     max_attempts: int = 3,
     zone_cols: Sequence[str] = (),
     bloom_cols: Sequence[str] = (),
@@ -3233,6 +3277,16 @@ def merge_rows(
       exactly the merged-read fold cost bench_merged_read measured.
     - ``insert_unmatched=True``: unmatched keys insert (NULL-keyed
       batch rows never match — SQL join semantics — so they insert).
+    - ``update_set``: PARTIAL-COLUMN update (``... THEN UPDATE SET c =
+      expr``): ``{column: expression}`` over ``source.*``/``target.*``
+      — an updated key's replacement rows are its LIVE TARGET rows
+      with only the named columns rewritten (every other column keeps
+      the target's value), so a narrow patch frame (keys + one metric)
+      updates a wide dimension without nulling the rest. Requires the
+      batch unique per key (a multi-row patch is ambiguous — raises);
+      ``skip_unchanged`` then compares the PATCHED rows against the
+      target, so a patch that writes the value already there is a
+      no-op. None (default) → whole-key replace by the batch's rows.
 
     Unlike :func:`upsert_rows` (the blind O(batch) fast path), this
     verb READS the target's merged view restricted to the batch's keys
@@ -3302,25 +3356,65 @@ def merge_rows(
         updc = _uniq_name("_upd", taken)
         insc = _uniq_name("_ins", taken)
         pfl = _uniq_name("_pred", taken)
-        src_fp = rows.groupBy(*idc).agg(
-            F.sort_array(F.collect_list(_fp(rows))).alias(sfp)
+        nsc = _uniq_name("_src_n", taken)
+        # (source row, live target row) pairs — shared by the
+        # when_matched predicate and the partial-column patch
+        cond = None
+        for c in idc:
+            eq = F.col(f"source.{c}") == F.col(f"target.{c}")
+            cond = eq if cond is None else (cond & eq)
+        pairs = (
+            rows.alias("source").join(target.alias("target"), on=cond, how="inner")
+            if (pred is not None or update_set)
+            else None
+        )
+        if update_set:
+            bad = sorted(set(update_set) & set(idc))
+            if bad:
+                raise ValueError(
+                    f"merge_rows: update_set cannot rewrite key column(s) {bad}"
+                )
+            unknown = sorted(
+                c for c in update_set if c not in types or c == UPSERT_SEQ_COL
+            )
+            if unknown:
+                raise ValueError(
+                    f"merge_rows: update_set targets unknown column(s) {unknown}"
+                )
+            tcols = [c for c in target.columns if c != UPSERT_SEQ_COL]
+            patched = pairs.select(
+                *[
+                    (
+                        (
+                            F.expr(e) if isinstance(e, str) else e
+                        ).cast(types[c]).alias(c)
+                        if (e := update_set.get(c)) is not None
+                        else F.col(f"target.{c}").alias(c)
+                    )
+                    for c in tcols
+                ]
+            )
+            upd_src = patched  # replacement rows for matched keys
+        else:
+            upd_src = rows  # whole-key replace by the batch's rows
+        src_fp = upd_src.groupBy(*idc).agg(
+            F.sort_array(F.collect_list(_fp(upd_src))).alias(sfp)
         )
         tgt_m = target.join(rows.select(*idc).distinct(), on=idc, how="left_semi")
         tgt_fp = tgt_m.groupBy(*idc).agg(
             F.sort_array(F.collect_list(_fp(target))).alias(tfp)
         )
-        decision = src_fp.join(tgt_fp, on=idc, how="left")
+        decision = (
+            rows.groupBy(*idc)
+            .agg(F.count(F.lit(1)).alias(nsc))
+            .join(src_fp, on=idc, how="left")
+            .join(tgt_fp, on=idc, how="left")
+        )
         matched = F.col(tfp).isNotNull()
         upd = matched
         if pred is not None:
-            cond = None
-            for c in idc:
-                eq = F.col(f"source.{c}") == F.col(f"target.{c}")
-                cond = eq if cond is None else (cond & eq)
             pred_keys = (
-                rows.alias("source")
-                .join(target.alias("target"), on=cond, how="inner")
-                .filter(pred)
+                pairs.filter(pred)
                 .select(*[F.col(f"source.{c}").alias(c) for c in idc])
                 .distinct()
                 .withColumn(pfl, F.lit(True))
@@ -3331,17 +3425,23 @@ def merge_rows(
             upd = upd & (F.col(sfp) != F.col(tfp))
         ins = (~matched) & F.lit(bool(insert_unmatched))
         decision = decision.select(
-            *idc, upd.alias(updc), ins.alias(insc)
+            *idc, F.col(nsc), upd.alias(updc), ins.alias(insc)
         ).persist()
         try:
             tallies = decision.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col(updc).cast("int")).alias("u"),
                 F.sum(F.col(insc).cast("int")).alias("i"),
+                F.max(F.col(nsc)).alias("m"),
             ).collect()[0]
             n_keys, n_upd, n_ins = (
                 int(tallies["n"]), int(tallies["u"] or 0), int(tallies["i"] or 0)
             )
+            if update_set and int(tallies["m"] or 0) > 1:
+                raise ValueError(
+                    "merge_rows: update_set requires the batch unique per "
+                    "key (a multi-row patch is ambiguous)"
+                )
             rep = {
                 "updated": n_upd,
                 "inserted": n_ins,
@@ -3353,11 +3453,31 @@ def merge_rows(
                 # tombstone row, no version flip (the pinned contract)
                 return {**rep, "applied": False, "pins": pins, "version": base}
             seq = base + 1
-            write_rows = rows.join(
-                decision.filter(F.col(updc) | F.col(insc)).select(*idc),
-                on=idc,
-                how="left_semi",
-            ).withColumn(UPSERT_SEQ_COL, F.lit(seq).cast("bigint"))
+            parts = []
+            if n_upd:
+                parts.append(
+                    upd_src.join(
+                        decision.filter(F.col(updc)).select(*idc),
+                        on=idc,
+                        how="left_semi",
+                    )
+                )
+            if n_ins:
+                parts.append(
+                    rows.join(
+                        decision.filter(F.col(insc)).select(*idc),
+                        on=idc,
+                        how="left_semi",
+                    )
+                )
+            write_rows = parts[0]
+            for p in parts[1:]:
+                write_rows = write_rows.unionByName(
+                    p, allowMissingColumns=True
+                )
+            write_rows = write_rows.withColumn(
+                UPSERT_SEQ_COL, F.lit(seq).cast("bigint")
+            )
             appends: dict[str, DataFrame] = {component: write_rows}
             ckey = component_tombstone_rows_key(component)
             new_meta = dict(meta)
@@ -4141,6 +4261,35 @@ def read_segmented_components(
         )
         for name in names
     }
+
+
+def read_segmented_where(
+    spark, root: str, component: str, col: str, make
+) -> DataFrame:
+    """Pinned read of one component with a rename-aware PUSHED
+    predicate on logical column ``col``: ``make`` builds the predicate
+    from one Column (e.g. ``lambda c: c.between(5, 9)``), and it lands
+    in the parquet scan's ``PushedFilters`` on EVERY rename vintage
+    (:func:`vintage_predicate` — the exact per-vintage disjunction),
+    so a fleet keeping the lagging-writer grace (rename normalization
+    OFF) still gets row-group skipping on pre-rename segments. For
+    components that never renamed this is exactly a filter on the
+    pinned read."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    state = _manifest_state(spark, root)
+    pins, schemas = state[0], state[4]
+    schema = _schema_from_json(schemas.get(component))
+    if schema is None:
+        df = read_segments(spark, f"{root}/{component}", pins[component])
+        return df.filter(make(F.col(col)))
+    return read_segments(
+        spark,
+        f"{root}/{component}",
+        pins[component],
+        schema=schema,
+        where=vintage_predicate(schema, col, make),
+    )
 
 
 def append_segments(

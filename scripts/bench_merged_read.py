@@ -117,6 +117,72 @@ def main() -> int:
             f"overhead vs floor: live {live / plain:.2f}x, "
             f"merged {merged / plain:.2f}x, post-apply {applied / plain:.2f}x"
         )
+
+        # ---- phase 2: the SAME churn under maintain's AUTO cadence
+        # (r13 VERDICT #2): every 5 commits the cadence runs with
+        # auto max_rows = 10% of the table; the physical apply fires
+        # only at pressure, and the merged-read overhead sampled at
+        # each cadence point must stay bounded (~1.5x floor) instead
+        # of drifting to the unbounded-churn 2.5x ceiling above.
+        root2 = f"{tmp}/ds_auto"
+        for i in range(4):
+            df = spark.range(i * batch, (i + 1) * batch).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 997).alias("bucket"),
+                (F.col("id") * 1.0).alias("v"),
+            )
+            lake.append_segments(spark, root2, {"t": df}, init=(i == 0))
+        policy = {
+            "apply_tombstones": {
+                "t": {
+                    "id_col": "k",
+                    "merged": True,
+                    "auto": {"max_rows": int(N_ROWS * 0.10)},
+                }
+            }
+        }
+        worst = 0.0
+        applies = 0
+        for j in range(N_CHURN):
+            lo = (j * slice_rows) % N_ROWS
+            ids = spark.range(lo, min(lo + slice_rows, N_ROWS)).select(
+                F.col("id").alias("k")
+            )
+            if j % 2 == 0:
+                lake.upsert_rows(
+                    spark, root2, "t", "k",
+                    ids.select(
+                        "k",
+                        (F.col("k") % 997).alias("bucket"),
+                        F.lit(-1.0).alias("v"),
+                    ),
+                )
+            else:
+                lake.delete_rows_from(spark, root2, "t", "k", ids)
+            if j % 5 == 4:
+                t0 = time.perf_counter()
+                agg(lake.read_segmented_merged(spark, root2, "t", "k"))
+                t_merged = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                agg(lake.read_segmented_components(spark, root2, ["t"])["t"])
+                t_plain = time.perf_counter() - t0
+                ratio = t_merged / t_plain
+                worst = max(worst, ratio)
+                rep = lake.maintain(spark, root2, policy)
+                verdict = rep["apply_tombstones"]["t"]
+                applies += verdict == "applied"
+                n = lake.segment_meta(spark, root2).get(
+                    lake.component_tombstone_rows_key("t"), 0
+                )
+                print(
+                    f"cadence @commit {j + 1:3d}: merged/plain "
+                    f"{ratio:4.2f}x, counter={n:,}, apply={verdict}"
+                )
+        print(
+            f"auto cadence: worst sampled overhead {worst:.2f}x floor, "
+            f"{applies} pressure-fired applies over {N_CHURN} commits "
+            f"(threshold {int(N_ROWS * 0.10):,} churned rows)"
+        )
     return 0
 
 

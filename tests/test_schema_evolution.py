@@ -611,3 +611,36 @@ def test_maintain_normalize_renames_closes_pushdown_gap(spark, tmp_path):
     # a second cadence is a no-op (nothing renamed anymore)
     rep2 = lake.maintain(spark, root, {"normalize_renames": True})
     assert rep2["normalize_renames"] == {"normalized": []}
+
+
+def test_vintage_predicate_pushes_on_pre_rename_segments(spark, tmp_path):
+    """r13 VERDICT #9 (grace AND pushdown): with rename normalization
+    OFF, read_segmented_where's per-vintage disjunction lands in the
+    parquet scan's PushedFilters under BOTH the old and new physical
+    names — exact because each segment serves one vintage and NULL
+    predicates are falsy — and the values equal the post-read filter
+    on the coalesced frame."""
+    root = _rename_root(spark, tmp_path)
+    lake.rename_columns(spark, root, "t", {"amount": "total"})
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame(
+            [(3, 30, "z"), (4, 8, "w")], "id int, total int, tag string"
+        )},
+    )
+    df = lake.read_segmented_where(
+        spark, root, "t", "total", lambda c: c > 15
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(total,15)" in plan, plan
+    assert "GreaterThan(amount,15)" in plan, plan  # pre-rename vintage
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, _read(spark, root).filter(F.col("total") > 15).collect())
+    )
+    assert got == want == [(2, 20, "y"), (3, 30, "z")]
+    # never-renamed component: plain pushed filter, same verb
+    df2 = lake.read_segmented_where(
+        spark, root, "t", "id", lambda c: c == 4
+    )
+    assert [r.id for r in df2.collect()] == [4]

@@ -589,6 +589,23 @@ def test_tombstone_pressure_counter_and_auto_apply(spark, tmp_path):
     # re-armed: next cadence is below pressure again
     rep = lake.maintain(spark, root, policy)
     assert rep["apply_tombstones"]["docs"] in ("below_pressure", "no_tombstones")
+    # the below-pressure gate is METADATA-PLANE: zero Spark jobs
+    from tests.conftest import count_jobs
+
+    lake.delete_rows(spark, root, "docs", "doc_id", [30])
+    quiet = {
+        "apply_tombstones": {"docs": {
+            "id_col": "doc_id", "auto": {"max_rows": 10**9},
+        }},
+        "repair": False,
+        "expire": False,
+    }
+    rep = {}
+    jobs = count_jobs(
+        spark, lambda: rep.update(lake.maintain(spark, root, quiet))
+    )
+    assert rep["apply_tombstones"]["docs"] == "below_pressure"
+    assert jobs == 0, f"below-pressure gate scheduled {jobs} jobs"
 
 
 def test_auto_apply_bytes_ratio_fallback(spark, tmp_path):
@@ -711,3 +728,63 @@ def test_append_after_delete_serves_on_axis_component(spark, tmp_path):
         ).collect()
     }
     assert mirror == got
+
+
+def test_merge_rows_update_set_partial_column_patch(spark, tmp_path):
+    """UPDATE SET c = expr (partial-column MERGE): a narrow patch frame
+    rewrites only the named columns — every other column keeps the
+    target's value — expressions see both sides (source./target.), a
+    patch writing the value already there skips, a multi-row patch per
+    key raises, and key columns are not rewritable."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    lake.append_segments(
+        spark, root,
+        appends={"dim": spark.createDataFrame(
+            [Row(k=1, g="a", price=10.0, note="n1"),
+             Row(k=2, g="b", price=20.0, note="n2"),
+             Row(k=3, g="c", price=30.0, note="n3")],
+            "k bigint, g string, price double, note string",
+        )},
+        init=True,
+    )
+    patch = spark.createDataFrame(
+        [Row(k=1, price=11.0), Row(k=2, price=20.0), Row(k=9, price=99.0)],
+        "k bigint, price double",
+    )
+    rep = lake.merge_rows(
+        spark, root, "dim", "k", patch, update_set={"price": "source.price"}
+    )
+    assert (rep["updated"], rep["skipped"], rep["inserted"]) == (1, 1, 1)
+    got = {
+        r.k: (r.g, r.price, r.note)
+        for r in lake.read_segmented_merged(spark, root, "dim", "k").collect()
+    }
+    assert got[1] == ("a", 11.0, "n1")  # non-patched columns survive
+    assert got[2] == ("b", 20.0, "n2")  # value-identical patch skipped
+    assert got[9] == (None, 99.0, None)  # narrow insert null-fills
+    rep = lake.merge_rows(
+        spark, root, "dim", "k",
+        spark.createDataFrame([Row(k=3, price=5.0)], "k bigint, price double"),
+        update_set={"price": "target.price + source.price"},
+    )
+    assert rep["updated"] == 1
+    got = {
+        r.k: r.price
+        for r in lake.read_segmented_merged(spark, root, "dim", "k").collect()
+    }
+    assert got[3] == 35.0
+    with pytest.raises(ValueError, match="unique per key"):
+        lake.merge_rows(
+            spark, root, "dim", "k",
+            spark.createDataFrame(
+                [Row(k=1, price=1.0), Row(k=1, price=2.0)],
+                "k bigint, price double",
+            ),
+            update_set={"price": "source.price"},
+        )
+    with pytest.raises(ValueError, match="key column"):
+        lake.merge_rows(
+            spark, root, "dim", "k", patch, update_set={"k": "source.k"}
+        )
