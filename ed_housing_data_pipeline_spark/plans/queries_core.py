@@ -2461,6 +2461,85 @@ def q_lake_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ---------------------------------------------- partial-column MERGE
+@register(
+    "lake_merge_patch",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND(c_acctbal + CASE WHEN c_custkey % 3 = 0
+                                  THEN 100.0 ELSE 0.0 END, 2) AS bal
+    FROM customer
+    """,
+)
+def q_lake_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column MERGE (lake.merge_rows update_set — ``WHEN
+    MATCHED THEN UPDATE SET bal = target.bal + source.delta``): a
+    NARROW patch frame (key + delta only) adjusts one column of a wide
+    dimension; every non-patched column (c_mktsegment here) must
+    survive untouched, zero-delta patch rows must SKIP (patched ==
+    target → no revision, no tombstone row), and a replay of an
+    all-zero patch commits NOTHING (version pinned in-query). The
+    merged view must hash-match the oracle's algebraic patch. At
+    100 TB this is the metric-adjustment cadence: the patch never
+    carries (or nulls) the columns it doesn't own."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    dim0 = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+    k = F.col("c_custkey")
+    with tempfile.TemporaryDirectory(prefix="lake_patch_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"dim": dim0}, init=True)
+        patch = dim0.filter((k % 3 == 0) | (k % 5 == 0)).select(
+            "c_custkey",
+            F.when(k % 3 == 0, F.lit(100.0)).otherwise(F.lit(0.0)).alias(
+                "delta"
+            ),
+        )
+        rep = lake.merge_rows(
+            spark, ds, "dim", "c_custkey", patch,
+            update_set={"bal": "round(target.bal + source.delta, 2)"},
+            insert_unmatched=False,
+        )
+        n_upd = patch.filter(F.col("delta") != 0).count()
+        n_zero = patch.filter(F.col("delta") == 0).count()
+        if (rep["updated"], rep["skipped"], rep["inserted"]) != (
+            n_upd, n_zero, 0
+        ):
+            raise RuntimeError(f"patch report off: {rep}")
+        pins = lake.segment_pins(spark, ds)
+        tname = lake.tombstone_component("dim")
+        if lake.read_segments(
+            spark, f"{ds}/{tname}", pins[tname]
+        ).count() != n_upd:
+            raise RuntimeError("tombstones must equal updated keys")
+        # an all-zero patch replay is a FULL no-op: no version flip
+        v = lake.segment_pins_versioned(spark, ds)[1]
+        rep2 = lake.merge_rows(
+            spark, ds, "dim", "c_custkey",
+            patch.withColumn("delta", F.lit(0.0)),
+            update_set={"bal": "round(target.bal + source.delta, 2)"},
+            insert_unmatched=False,
+        )
+        if rep2["applied"] or lake.segment_pins_versioned(spark, ds)[1] != v:
+            raise RuntimeError(f"zero patch committed: {rep2}")
+        return (
+            lake.read_segmented_merged(spark, ds, "dim", "c_custkey")
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("bal"), 2).alias("bal"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

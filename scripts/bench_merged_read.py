@@ -160,12 +160,16 @@ def main() -> int:
             else:
                 lake.delete_rows_from(spark, root2, "t", "k", ids)
             if j % 5 == 4:
-                t0 = time.perf_counter()
-                agg(lake.read_segmented_merged(spark, root2, "t", "k"))
-                t_merged = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                agg(lake.read_segmented_components(spark, root2, ["t"])["t"])
-                t_plain = time.perf_counter() - t0
+                t_merged = t_plain = float("inf")
+                for _ in range(2):  # best-of-2: shared-box noise guard
+                    t0 = time.perf_counter()
+                    agg(lake.read_segmented_merged(spark, root2, "t", "k"))
+                    t_merged = min(t_merged, time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    agg(
+                        lake.read_segmented_components(spark, root2, ["t"])["t"]
+                    )
+                    t_plain = min(t_plain, time.perf_counter() - t0)
                 ratio = t_merged / t_plain
                 worst = max(worst, ratio)
                 rep = lake.maintain(spark, root2, policy)
