@@ -856,3 +856,109 @@ def q_lake_stream_mirror_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+# ---------------------------------------- continuous dimension merge
+@register(
+    "lake_stream_merge_dim",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND(c_acctbal + CASE WHEN c_custkey % 3 = 0
+                                  THEN 100.0 ELSE 0.0 END, 2) AS bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 10000000 AS c_custkey,
+           'STREAMED' AS c_mktsegment,
+           0.0 AS bal
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def q_lake_stream_merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 dimension upkeep driven CONTINUOUSLY
+    (streaming/lake_merge — the streaming twin of lake.merge_rows): a
+    customer dimension bootstraps as a plain ingest, then a change
+    stream arrives whose foreachBatch sink MERGEs each micro-batch
+    exactly-once (batch id rides the merge's own manifest flip) —
+    repriced keys (≡0 mod 3, +100) UPDATE, brand-new 'STREAMED' keys
+    (≡0 mod 7, shifted id space) INSERT, and the untouched bulk SKIPS.
+    Pinned in-query: the tombstone component holds exactly one row per
+    UPDATED key (the unchanged majority of the stream never churns
+    it — the property that keeps the merged-read fold at its floor
+    under a mostly-stale dimension stream), and the pressure counter
+    agrees. The merged view must hash-match the oracle's algebraic
+    patch + insert. At 100 TB this is a dimension FOLLOWING a change
+    stream: O(batch) per micro-batch, replay-safe on the id guard."""
+    from ed_housing_data_pipeline_spark.sources import lake  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.streaming import (  # noqa: PLC0415
+        lake_merge,
+    )
+
+    ensure_runtime_confs(spark)
+    keys = "c_custkey"
+    dim0 = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+    k = F.col("c_custkey")
+    with tempfile.TemporaryDirectory(prefix="stream_merge_") as tmp:
+        root = f"{tmp}/dim"
+        lake.append_segments(spark, root, {"dim": dim0}, init=True)
+        schema = tables.load_table(spark, sf_dir, "customer").schema
+        # ONE file source emitting both change classes per input row
+        # (array + explode; the conditional insert slot is an empty
+        # array when the row spawns no new key) — half the source
+        # scans of a two-stream union
+        main = F.struct(
+            F.col("c_custkey"),
+            F.col("c_mktsegment"),
+            F.when(
+                k % 3 == 0, F.round(F.round(F.col("c_acctbal"), 2) + 100.0, 2)
+            ).otherwise(F.round(F.col("c_acctbal"), 2)).alias("bal"),
+        )
+        spawned = F.struct(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.lit("STREAMED").alias("c_mktsegment"),
+            F.lit(0.0).alias("bal"),
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/customer.parque[t]")
+            .select(
+                F.explode(
+                    F.when(k % 7 == 0, F.array(main, spawned)).otherwise(
+                        F.array(main)
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        lake_merge.run_stream_merge(
+            stream, root, "dim", keys, f"{tmp}/ckpt"
+        )
+        n_upd = dim0.filter(k % 3 == 0).count()
+        pins = lake.segment_pins(spark, root)
+        tname = lake.tombstone_component("dim")
+        n_tomb = (
+            lake.read_segments(spark, f"{root}/{tname}", pins[tname]).count()
+            if tname in pins
+            else 0
+        )
+        if n_tomb != n_upd:
+            raise RuntimeError(
+                f"only UPDATED keys may tombstone: {n_tomb} != {n_upd}"
+            )
+        if lake.segment_meta(spark, root).get(
+            lake.component_tombstone_rows_key("dim"), 0
+        ) != n_upd:
+            raise RuntimeError("pressure counter disagrees with tombstones")
+        return (
+            lake.read_segmented_merged(spark, root, "dim", keys)
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("bal"), 2).alias("bal"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -198,11 +198,13 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r14 window. This round's TWO new queries enter
+    # --- r14 window. This round's THREE new queries enter
     # (lake_merge_conditional — the full conditional MERGE class:
     # composite keys, WHEN MATCHED AND pred, skip-if-unchanged;
     # lake_merge_patch — partial-column UPDATE SET over
-    # source./target. with zero-delta skip), plus
+    # source./target. with zero-delta skip; lake_stream_merge_dim —
+    # the exactly-once streaming merge sink, batch id riding the
+    # merge's own flip), plus
     # the two r13-born queries that registered AFTER the r13 window
     # froze and so have never had a driver row (lake_upsert_time_travel,
     # lake_stream_mirror_consume — r13 VERDICT #3 / ADVICE #5). The
@@ -231,6 +233,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     # NEW this round
     "lake_merge_conditional",
     "lake_merge_patch",
+    "lake_stream_merge_dim",
     # r13-born, never driver-sampled
     "lake_upsert_time_travel",
     "lake_stream_mirror_consume",
@@ -282,7 +285,6 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "doc_rolling_hash",
     "embedding_random_projection",
     "events_stream_sessionize",
-    "events_funnel_signup_purchase",
 )
 
 _PRIORITY_ORDER_R13: tuple[str, ...] = (

@@ -3248,6 +3248,8 @@ def merge_rows(
     skip_unchanged: bool = True,
     insert_unmatched: bool = True,
     update_set=None,
+    when_matched_delete=None,
+    extra_meta: dict | None = None,
     max_attempts: int = 3,
     zone_cols: Sequence[str] = (),
     bloom_cols: Sequence[str] = (),
@@ -3287,6 +3289,15 @@ def merge_rows(
       ``skip_unchanged`` then compares the PATCHED rows against the
       target, so a patch that writes the value already there is a
       no-op. None (default) → whole-key replace by the batch's rows.
+    - ``when_matched_delete``: ``WHEN MATCHED AND <pred> THEN
+      DELETE`` — a matched key with SOME (source, target) pair
+      satisfying this predicate is TOMBSTONED at this commit's
+      sequence (no replacement rows; a later upsert resurrects).
+      Evaluated BEFORE the update clause: a key matching both deletes.
+      Completes the MERGE grammar alongside update/insert.
+    - ``extra_meta``: merged into the sink's manifest meta atomically
+      with the commit (the transactional-sink hook — a streaming
+      committer records its batch id here, replay-safe).
 
     Unlike :func:`upsert_rows` (the blind O(batch) fast path), this
     verb READS the target's merged view restricted to the batch's keys
@@ -3312,6 +3323,11 @@ def merge_rows(
         F.expr(when_matched)
         if isinstance(when_matched, str)
         else when_matched
+    )
+    dpred = (
+        F.expr(when_matched_delete)
+        if isinstance(when_matched_delete, str)
+        else when_matched_delete
     )
     last_err: BaseException | None = None
     for attempt in range(max_attempts):
@@ -3365,7 +3381,7 @@ def merge_rows(
             cond = eq if cond is None else (cond & eq)
         pairs = (
             rows.alias("source").join(target.alias("target"), on=cond, how="inner")
-            if (pred is not None or update_set)
+            if (pred is not None or dpred is not None or update_set)
             else None
         )
         if update_set:
@@ -3411,6 +3427,17 @@ def merge_rows(
             .join(tgt_fp, on=idc, how="left")
         )
         matched = F.col(tfp).isNotNull()
+        dfl = _uniq_name("_delp", taken)
+        dele = F.lit(False)
+        if dpred is not None:
+            del_keys = (
+                pairs.filter(dpred)
+                .select(*[F.col(f"source.{c}").alias(c) for c in idc])
+                .distinct()
+                .withColumn(dfl, F.lit(True))
+            )
+            decision = decision.join(del_keys, on=idc, how="left")
+            dele = matched & F.coalesce(F.col(dfl), F.lit(False))
         upd = matched
         if pred is not None:
             pred_keys = (
@@ -3423,19 +3450,26 @@ def merge_rows(
             upd = upd & F.coalesce(F.col(pfl), F.lit(False))
         if skip_unchanged:
             upd = upd & (F.col(sfp) != F.col(tfp))
+        upd = upd & ~dele  # the delete clause wins a double match
         ins = (~matched) & F.lit(bool(insert_unmatched))
+        delc = _uniq_name("_dele", taken)
         decision = decision.select(
-            *idc, F.col(nsc), upd.alias(updc), ins.alias(insc)
+            *idc, F.col(nsc), upd.alias(updc), ins.alias(insc),
+            dele.alias(delc),
         ).persist()
         try:
             tallies = decision.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col(updc).cast("int")).alias("u"),
                 F.sum(F.col(insc).cast("int")).alias("i"),
+                F.sum(F.col(delc).cast("int")).alias("d"),
                 F.max(F.col(nsc)).alias("m"),
             ).collect()[0]
-            n_keys, n_upd, n_ins = (
-                int(tallies["n"]), int(tallies["u"] or 0), int(tallies["i"] or 0)
+            n_keys, n_upd, n_ins, n_del = (
+                int(tallies["n"]),
+                int(tallies["u"] or 0),
+                int(tallies["i"] or 0),
+                int(tallies["d"] or 0),
             )
             if update_set and int(tallies["m"] or 0) > 1:
                 raise ValueError(
@@ -3445,12 +3479,32 @@ def merge_rows(
             rep = {
                 "updated": n_upd,
                 "inserted": n_ins,
-                "skipped": n_keys - n_upd - n_ins,
+                "deleted": n_del,
+                "skipped": n_keys - n_upd - n_ins - n_del,
                 "attempts": attempt + 1,
             }
-            if n_upd == 0 and n_ins == 0:
+            if n_upd == 0 and n_ins == 0 and n_del == 0:
                 # a fully-no-op batch commits NOTHING: no revision, no
                 # tombstone row, no version flip (the pinned contract)
+                if extra_meta:
+                    # ... unless the caller needs its meta recorded
+                    # atomically anyway (a streaming committer's batch
+                    # id): meta-only flip, zero segments, full
+                    # zones/blooms/schemas carry
+                    mkw: dict = {"meta": {**meta, **extra_meta}}
+                    if state[1]:
+                        mkw["zones"] = state[1]
+                    if state[2]:
+                        mkw["blooms"] = state[2]
+                    if schemas:
+                        mkw["schemas"] = schemas
+                    try:
+                        commit_segment_manifest(
+                            spark, root, pins, expected_base=base, **mkw
+                        )
+                    except ConcurrentCommitError as e:
+                        last_err = e
+                        continue
                 return {**rep, "applied": False, "pins": pins, "version": base}
             seq = base + 1
             parts = []
@@ -3470,25 +3524,28 @@ def merge_rows(
                         how="left_semi",
                     )
                 )
-            write_rows = parts[0]
-            for p in parts[1:]:
-                write_rows = write_rows.unionByName(
-                    p, allowMissingColumns=True
+            appends: dict[str, DataFrame] = {}
+            if parts:
+                write_rows = parts[0]
+                for p in parts[1:]:
+                    write_rows = write_rows.unionByName(
+                        p, allowMissingColumns=True
+                    )
+                appends[component] = write_rows.withColumn(
+                    UPSERT_SEQ_COL, F.lit(seq).cast("bigint")
                 )
-            write_rows = write_rows.withColumn(
-                UPSERT_SEQ_COL, F.lit(seq).cast("bigint")
-            )
-            appends: dict[str, DataFrame] = {component: write_rows}
             ckey = component_tombstone_rows_key(component)
-            new_meta = dict(meta)
-            if n_upd:
-                tomb = decision.filter(F.col(updc)).select(*idc)
+            new_meta = {**meta, **(extra_meta or {})}
+            if n_upd or n_del:
+                tomb = decision.filter(
+                    F.col(updc) | F.col(delc)
+                ).select(*idc)
                 if segment_partitions:
                     tomb = tomb.coalesce(segment_partitions)
                 appends[_tombstone_component(component)] = tomb.withColumn(
                     DEAD_BELOW_COL, F.lit(seq).cast("bigint")
                 )
-                new_meta[ckey] = int(meta.get(ckey, 0)) + n_upd
+                new_meta[ckey] = int(meta.get(ckey, 0)) + n_upd + n_del
             kw: dict = {"meta": new_meta}
             if zone_cols:
                 kw["zone_cols"] = {component: list(zone_cols)}

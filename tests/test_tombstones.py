@@ -788,3 +788,102 @@ def test_merge_rows_update_set_partial_column_patch(spark, tmp_path):
         lake.merge_rows(
             spark, root, "dim", "k", patch, update_set={"k": "source.k"}
         )
+
+
+def test_merge_rows_when_matched_delete_clause(spark, tmp_path):
+    """WHEN MATCHED AND <pred> THEN DELETE: matched keys satisfying the
+    predicate tombstone at this commit's sequence (no replacement
+    rows); the delete clause wins a double match; a delete-only batch
+    commits no data segment; a later merge resurrects."""
+    root = str(tmp_path / "t")
+    _dim(spark, root)  # k1 0..11, k2 g{k1%3}, v float(k1)
+    batch = spark.createDataFrame(
+        [Row(k1=1, k2="g1", v=-1.0),   # delete marker
+         Row(k1=2, k2="g2", v=200.0),  # update
+         Row(k1=3, k2="g0", v=3.0),    # unchanged -> skip
+         Row(k1=99, k2="gX", v=9.0)],  # insert
+        "k1 bigint, k2 string, v double",
+    )
+    rep = lake.merge_rows(
+        spark, root, "dim", ["k1", "k2"], batch,
+        when_matched_delete="source.v < 0",
+    )
+    assert (rep["updated"], rep["inserted"], rep["deleted"], rep["skipped"]) \
+        == (1, 1, 1, 1)
+    got = {
+        (r.k1, r.k2): r.v
+        for r in lake.read_segmented_merged(
+            spark, root, "dim", ["k1", "k2"]
+        ).collect()
+    }
+    assert (1, "g1") not in got and got[(2, "g2")] == 200.0
+    assert got[(99, "gX")] == 9.0 and len(got) == 12  # 12 - 1 del + 1 ins
+    # counter: update + delete keys both churn
+    assert lake.segment_meta(spark, root)[
+        lake.component_tombstone_rows_key("dim")
+    ] == 2
+    # double match (delete pred AND changed): delete wins
+    data_pins = lake.segment_pins(spark, root)["dim"]
+    rep = lake.merge_rows(
+        spark, root, "dim", ["k1", "k2"],
+        spark.createDataFrame([Row(k1=2, k2="g2", v=-5.0)],
+                              "k1 bigint, k2 string, v double"),
+        when_matched_delete="source.v < 0",
+    )
+    assert rep["deleted"] == 1 and rep["updated"] == 0
+    # delete-only batch: tombstone append only, data pins untouched
+    assert lake.segment_pins(spark, root)["dim"] == data_pins
+    assert (2, "g2") not in {
+        (r.k1, r.k2)
+        for r in lake.read_segmented_merged(
+            spark, root, "dim", ["k1", "k2"]
+        ).collect()
+    }
+    # resurrect via merge insert
+    rep = lake.merge_rows(
+        spark, root, "dim", ["k1", "k2"],
+        spark.createDataFrame([Row(k1=2, k2="g2", v=2.5)],
+                              "k1 bigint, k2 string, v double"),
+    )
+    assert rep["inserted"] == 1
+
+
+def test_stream_merge_sink_is_replay_safe(spark, tmp_path):
+    """The foreachBatch merge sink (streaming/lake_merge): the batch id
+    rides the merge's own manifest flip — a replayed batch is skipped
+    untouched (even a non-idempotent update_set delta patch), a no-op
+    batch still records its id (meta-only flip), and the bootstrap
+    batch plain-appends."""
+    from ed_housing_data_pipeline_spark.streaming import lake_merge
+
+    root = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(6)], "k bigint, v double"
+    )
+    rep = lake_merge.sink_merge_batch(spark, root, "dim", "k", b0, 0)
+    assert rep["committed"] and rep.get("bootstrap")
+    patch = spark.createDataFrame([Row(k=1, v=100.0)], "k bigint, v double")
+    rep = lake_merge.sink_merge_batch(
+        spark, root, "dim", "k", patch, 1,
+        update_set={"v": "target.v + source.v"},
+    )
+    assert rep["committed"] and rep["updated"] == 1
+    got = {r.k: r.v for r in
+           lake.read_segmented_merged(spark, root, "dim", "k").collect()}
+    assert got[1] == 101.0
+    # REPLAY of the delta patch: must not double-apply
+    rep = lake_merge.sink_merge_batch(
+        spark, root, "dim", "k", patch, 1,
+        update_set={"v": "target.v + source.v"},
+    )
+    assert not rep["committed"] and rep.get("replay")
+    got = {r.k: r.v for r in
+           lake.read_segmented_merged(spark, root, "dim", "k").collect()}
+    assert got[1] == 101.0
+    # a fully-no-op batch still advances the id (meta-only flip)
+    noop = spark.createDataFrame([Row(k=2, v=2.0)], "k bigint, v double")
+    rep = lake_merge.sink_merge_batch(spark, root, "dim", "k", noop, 2)
+    assert rep["committed"] and not rep["applied"]
+    assert lake.segment_meta(spark, root)[lake_merge.LAST_BATCH_KEY] == 2
+    rep = lake_merge.sink_merge_batch(spark, root, "dim", "k", noop, 2)
+    assert not rep["committed"] and rep.get("replay")
