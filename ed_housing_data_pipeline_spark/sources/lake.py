@@ -3343,8 +3343,37 @@ def merge_rows(
                 spark, root, component,
                 rows.select(*idc).distinct(), idc, pins, schemas,
             )
-        target = _merged_from_state(
-            spark, root, component, idc, pins, schemas
+        # touched-segment pruning (the Delta/Iceberg MERGE file-skip
+        # shape): when the single key column carries zonemap coverage,
+        # one tiny (2-value) agg over the batch bounds the key range
+        # and the target read drops every segment whose range cannot
+        # intersect it — at 100 TB the merge then scans only the
+        # segments the batch can touch, not the table. Conservative:
+        # stat-less segments stay; composite keys / uncovered columns
+        # read unpruned.
+        read_pins = pins
+        zones_all = state[1]
+        if len(idc) == 1 and any(
+            idc[0] in zs for zs in zones_all.get(component, {}).values()
+        ):
+            b = rows.agg(
+                F.min(idc[0]).alias("lo"), F.max(idc[0]).alias("hi")
+            ).collect()[0]
+            if b["lo"] is not None:
+                kept, _pinned = zone_pruned_pins_from_state(
+                    component, idc[0], b["lo"], b["hi"], pins, zones_all
+                )
+                if kept:
+                    read_pins = {**pins, component: kept}
+                elif (sch := _schema_from_json(schemas.get(component))) is not None:
+                    read_pins = None  # no segment can match: empty target
+                    empty_target = spark.createDataFrame([], sch)
+        target = (
+            empty_target
+            if read_pins is None
+            else _merged_from_state(
+                spark, root, component, idc, read_pins, schemas
+            )
         )
         # aligned compare set: every target data column (manifest
         # order, _useq excluded) plus batch-only additions; each side

@@ -887,3 +887,53 @@ def test_stream_merge_sink_is_replay_safe(spark, tmp_path):
     assert lake.segment_meta(spark, root)[lake_merge.LAST_BATCH_KEY] == 2
     rep = lake_merge.sink_merge_batch(spark, root, "dim", "k", noop, 2)
     assert not rep["committed"] and rep.get("replay")
+
+
+def test_merge_rows_prunes_touched_segments_by_zonemap(spark, tmp_path):
+    """The Delta/Iceberg MERGE file-skip shape: with zonemap coverage
+    on the key, the target read drops every segment whose key range
+    cannot intersect the batch's (min, max) — at 100 TB the merge
+    scans touched segments, not the table. A batch entirely outside
+    every range reads an EMPTY target (pure insert)."""
+    root = str(tmp_path / "t")
+    _corpus(spark, root)  # two segments: doc_id 0-39 and 40-79, zoned
+    seg_lo, seg_hi = lake.segment_pins(spark, root)["docs"]
+    reads: list[list[int]] = []
+    real = lake.read_segments
+
+    def spy(spark_, comp_root, segments, **kw):
+        if comp_root.endswith("/docs"):
+            reads.append(sorted(segments))
+        return real(spark_, comp_root, segments, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(lake, "read_segments", side_effect=spy):
+        rep = lake.merge_rows(
+            spark, root, "docs", "doc_id",
+            spark.createDataFrame(
+                [Row(doc_id=41, v=-41.0), Row(doc_id=50, v=50.0)],
+                "doc_id bigint, v double",
+            ),
+            zone_cols=["doc_id"],  # the revision segment stays prunable
+        )
+    assert rep["updated"] == 1 and rep["skipped"] == 1
+    assert [seg_lo] not in reads  # never scanned alone…
+    assert all(seg_lo not in segs for segs in reads), (
+        f"low segment (0-39) must be pruned for a 41-50 batch: {reads}"
+    )
+    # a fully out-of-range batch inserts against an EMPTY target scan
+    reads.clear()
+    with mock.patch.object(lake, "read_segments", side_effect=spy):
+        rep = lake.merge_rows(
+            spark, root, "docs", "doc_id",
+            spark.createDataFrame(
+                [Row(doc_id=500, v=5.0)], "doc_id bigint, v double"
+            ),
+        )
+    assert rep["inserted"] == 1 and reads == [], reads
+    got = {
+        r.doc_id: r.v
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    }
+    assert got[41] == -41.0 and got[500] == 5.0 and got[50] == 50.0
