@@ -937,3 +937,47 @@ def test_merge_rows_prunes_touched_segments_by_zonemap(spark, tmp_path):
         for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
     }
     assert got[41] == -41.0 and got[500] == 5.0 and got[50] == 50.0
+
+
+def test_merge_rows_retries_past_a_rival_commit(spark, tmp_path, monkeypatch):
+    """A rival ingest landing mid-merge costs a retry, never a lost
+    update or a stale decision: the retry recomputes matched/changed
+    against the FRESH state (the rival's rows are visible to it) and
+    both commits survive."""
+    root = str(tmp_path / "t")
+    _dim(spark, root)
+    real_commit = lake.commit_segment_manifest
+    state = {"armed": True}
+
+    def rival_lands_first(*args, **kwargs):
+        if state["armed"]:
+            state["armed"] = False
+            lake.append_segments(
+                spark, root,
+                appends={"dim": spark.createDataFrame(
+                    [Row(k1=900, k2="gZ", v=9.0)],
+                    "k1 bigint, k2 string, v double",
+                )},
+            )
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(lake, "commit_segment_manifest", rival_lands_first)
+    rep = lake.merge_rows(
+        spark, root, "dim", ["k1", "k2"],
+        spark.createDataFrame(
+            [Row(k1=900, k2="gZ", v=9.0),   # the rival's row: now a SKIP
+             Row(k1=1, k2="g1", v=111.0)],  # update
+            "k1 bigint, k2 string, v double",
+        ),
+    )
+    monkeypatch.setattr(lake, "commit_segment_manifest", real_commit)
+    assert rep["attempts"] == 2
+    # the retry's decision saw the rival's row: skip, not insert
+    assert (rep["updated"], rep["inserted"], rep["skipped"]) == (1, 0, 1)
+    got = {
+        (r.k1, r.k2): r.v
+        for r in lake.read_segmented_merged(
+            spark, root, "dim", ["k1", "k2"]
+        ).collect()
+    }
+    assert got[(900, "gZ")] == 9.0 and got[(1, "g1")] == 111.0
