@@ -28,18 +28,18 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r13 window: the three r13-new
-    queries enter (lake_upsert_roundtrip — the row-level merge verb;
-    lake_cdf_merged_mirror — the retraction-aware consumer loop;
-    lake_changes_typed_feed — the _change_type feed), plus
-    lake_mirror_consume (never driver-sampled before), every lake-core
-    surface REWIRED in r13 keeps a representative (CDF bootstrap/typed
-    feed, consumer watermark keys + merge mode, delete stamping,
-    rename/drop sidecar grace + strip-on-fold, maintain normalize,
-    anchored batched coverage builders), the ENTIRE r8 and r9 staleness
-    tails fill the middle, and 11 r10 rows start draining that tail —
-    after this round no registered query's driver row is older than
-    r10."""
+    prior round's CORRECTNESS file. The r14 window: the three r14-new
+    queries enter (lake_merge_conditional — the full conditional MERGE
+    class; lake_merge_patch — partial-column UPDATE SET;
+    lake_stream_merge_dim — the exactly-once streaming merge sink),
+    plus the two r13-born rows that registered after the r13 window
+    froze (lake_upsert_time_travel, lake_stream_mirror_consume — never
+    driver-sampled), every lake-core surface REWIRED in r14 keeps a
+    representative (upsert counter/guard/partitions, consumer watermark
+    adoption, typed-feed flattening, maintain auto step, delete-path
+    counter), the ENTIRE r10 staleness tail fills the middle, and 12
+    r11 rows start draining that tail — after this round no registered
+    query's driver row is older than r11."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -47,31 +47,35 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # r13-new — never driver-verified before
-        "lake_upsert_roundtrip",
-        "lake_cdf_merged_mirror",
-        "lake_changes_typed_feed",
-        "lake_mirror_consume",
-        # rewired-in-r13 lake-core representatives
-        "lake_changes_feed",        # CDF bootstrap + version walk
-        "lake_rename_evolution",    # rename + strip-on-full-fold path
-        "lake_maintain_cycle",      # maintain (normalize step added)
-        "doc_point_lookup",         # bloom read path, batched builders
-        "doc_delete_point_lookup",  # delete stamping + apply path
-        "orders_zorder_box",        # staged writes + anchored coverage
+        # r14-new — never driver-verified before
+        "lake_merge_conditional",
+        "lake_merge_patch",
+        "lake_stream_merge_dim",
+        # r13-born, never driver-sampled (r13 VERDICT #3 / ADVICE #5)
+        "lake_upsert_time_travel",
+        "lake_stream_mirror_consume",
+        # rewired-in-r14 lake-core representatives
+        "lake_upsert_roundtrip",    # upsert counter/guard/partitions
+        "lake_cdf_merged_mirror",   # consumer loop, adoption restriction
+        "lake_changes_typed_feed",  # one-tagged-scan-per-feed rewrite
+        "lake_mirror_consume",      # exactly-once consumer
+        "lake_changes_feed",        # CDF version walk
+        "lake_maintain_cycle",      # maintain (auto apply step added)
+        "doc_delete_point_lookup",  # delete path now carries the counter
         # the flagship (entry())
         "rank_sum_top1",
-        # staleness tails (r8 fully drained, r9 fully drained,
-        # 11 r10 rows in -> bound becomes r10)
-        "doc_chargram_neardup",
-        "doc_word_cms_topk",
-        "embedding_neardup_pairs",
-        "big_spenders_having",
-        "rank_dense_global",
-        "topk_orders",
-        "lake_snapshot_roundtrip",
-        "doc_inverted_bm25_topk",
-        "table_summary",
+        # staleness tails (r10 fully in -> bound becomes r11)
+        "doc_inverted_search_and",
+        "doc_quality_score",
+        "embedding_norms",
+        "events_retention_cohorts",
+        "horizontal_sum",
+        "schema_introspect",
+        # r11-tail family-spread picks
+        "filter_project",
+        "orders_cube_status_priority",
+        "doc_pii_scrub",
+        "events_stream_sessionize",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
