@@ -114,6 +114,9 @@ COLD_ONLY = [
     "lake_changes_typed_feed",      # r13: _change_type feed across a delete
     "lake_stream_mirror_consume",   # r13: continuous mirror (stream-driven)
     "lake_upsert_time_travel",      # r13: merged-view time travel e2e
+    "lake_merge_conditional",       # r14: conditional MERGE, composite keys
+    "lake_merge_patch",             # r14: partial-column UPDATE SET
+    "lake_stream_merge_dim",        # r14: exactly-once streaming merge sink
 ]
 
 
