@@ -120,13 +120,15 @@ COLD_ONLY = [
 ]
 
 
-# Reference canary: run_canary() measured on the quiet r12 host whose
-# 16.41s headline is the round-over-round anchor. canary_normalized =
-# value * (REF_CANARY / min(canary_start, canary_end)) rescales the
+# Reference canary: the START-side run_canary() measured on the quiet
+# r12 host whose 16.41s headline is the round-over-round anchor.
+# canary_normalized = value * (REF_CANARY / canary_start) rescales the
 # headline to that host, so a reader comparing BENCH_r{N}.json rounds
 # sees repo drift, not shared-box contention (r13 VERDICT #6: the raw
 # 22.05s read as a 34% regression until the canary attribution showed
-# the host was ~1.8x slower; normalized it was ~12s).
+# the host was ~1.8x slower; normalized: 22.05 * 0.210/0.387 ≈ 12s).
+# START-side only: the end-side canary runs JIT-warm after the suite
+# (r12: start 0.210 vs end 0.124) and would over-correct.
 REF_CANARY = 0.210
 
 
@@ -255,7 +257,6 @@ def main() -> int:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
     value = round(sum(timings.values()), 3)
-    run_can = min(canary_start, canary_end)
     result = {
         "metric": "headline_total",
         "value": value,
@@ -268,8 +269,8 @@ def main() -> int:
         # self-attributing headline: value rescaled to the r12
         # reference host (see REF_CANARY) — compare THIS field
         # round-over-round, the raw value only within one host session
-        "canary_normalized": round(value * REF_CANARY / run_can, 3)
-        if run_can > 0
+        "canary_normalized": round(value * REF_CANARY / canary_start, 3)
+        if canary_start > 0
         else None,
         "detail": "BENCH_detail.json",
     }
