@@ -3344,25 +3344,45 @@ def merge_rows(
                 rows.select(*idc).distinct(), idc, pins, schemas,
             )
         # touched-segment pruning (the Delta/Iceberg MERGE file-skip
-        # shape): when the single key column carries zonemap coverage,
-        # one tiny (2-value) agg over the batch bounds the key range
-        # and the target read drops every segment whose range cannot
-        # intersect it — at 100 TB the merge then scans only the
-        # segments the batch can touch, not the table. Conservative:
-        # stat-less segments stay; composite keys / uncovered columns
-        # read unpruned.
+        # shape): one tiny agg over the batch bounds each key column's
+        # (min, max), and the target read drops every segment whose
+        # zonemap range cannot intersect it on SOME covered key column
+        # (composite keys intersect per-column kept sets — an equi-join
+        # match needs every column in range) — at 100 TB the merge then
+        # scans only the segments the batch can touch, not the table.
+        # Conservative: stat-less segments stay; uncovered columns and
+        # all-NULL batch columns don't prune.
         read_pins = pins
         zones_all = state[1]
-        if len(idc) == 1 and any(
-            idc[0] in zs for zs in zones_all.get(component, {}).values()
-        ):
+        covered = [
+            c
+            for c in idc
+            if any(c in zs for zs in zones_all.get(component, {}).values())
+        ]
+        if covered:
             b = rows.agg(
-                F.min(idc[0]).alias("lo"), F.max(idc[0]).alias("hi")
+                *[
+                    x
+                    for c in covered
+                    for x in (
+                        F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
+                    )
+                ]
             ).collect()[0]
-            if b["lo"] is not None:
-                kept, _pinned = zone_pruned_pins_from_state(
-                    component, idc[0], b["lo"], b["hi"], pins, zones_all
+            kept_set: set[int] | None = None
+            for c in covered:
+                if b[f"lo_{c}"] is None:
+                    continue  # all-NULL batch column: no bound from it
+                kept_c, _pinned = zone_pruned_pins_from_state(
+                    component, c, b[f"lo_{c}"], b[f"hi_{c}"], pins, zones_all
                 )
+                kept_set = (
+                    set(kept_c)
+                    if kept_set is None
+                    else kept_set & set(kept_c)
+                )
+            if kept_set is not None:
+                kept = [s for s in pins[component] if s in kept_set]
                 if kept:
                     read_pins = {**pins, component: kept}
                 elif (sch := _schema_from_json(schemas.get(component))) is not None:

@@ -981,3 +981,48 @@ def test_merge_rows_retries_past_a_rival_commit(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert got[(900, "gZ")] == 9.0 and got[(1, "g1")] == 111.0
+
+
+def test_merge_rows_prunes_on_composite_keys(spark, tmp_path):
+    """Composite-key pruning intersects per-column kept sets: a batch
+    whose (k1, k2) bounds miss a segment on EITHER covered column
+    drops it; an equi-join match needs every column in range, so the
+    intersection is exact-conservative."""
+    import unittest.mock as mock
+
+    root = str(tmp_path / "t")
+    for i, (lo, hi) in enumerate(((0, 40), (40, 80))):
+        lake.append_segments(
+            spark, root,
+            appends={"t": spark.createDataFrame(
+                [Row(a=j, b=j % 10, v=float(j)) for j in range(lo, hi)],
+                "a bigint, b bigint, v double",
+            ).coalesce(1)},
+            init=(i == 0),
+            zone_cols={"t": ["a", "b"]},
+        )
+    seg_lo, seg_hi = lake.segment_pins(spark, root)["t"]
+    reads: list[list[int]] = []
+    real = lake.read_segments
+
+    def spy(spark_, comp_root, segments, **kw):
+        if comp_root.endswith("/t"):
+            reads.append(sorted(segments))
+        return real(spark_, comp_root, segments, **kw)
+
+    with mock.patch.object(lake, "read_segments", side_effect=spy):
+        rep = lake.merge_rows(
+            spark, root, "t", ["a", "b"],
+            spark.createDataFrame(
+                [Row(a=45, b=5, v=-1.0)], "a bigint, b bigint, v double"
+            ),
+        )
+    assert rep["updated"] == 1
+    assert all(seg_lo not in segs for segs in reads), (
+        f"a=45 misses the 0-39 segment on column a: {reads}"
+    )
+    got = {
+        (r.a, r.b): r.v
+        for r in lake.read_segmented_merged(spark, root, "t", ["a", "b"]).collect()
+    }
+    assert got[(45, 5)] == -1.0 and len(got) == 80
