@@ -3127,6 +3127,57 @@ def _guard_legacy_killall(
         )
 
 
+def _probe_batch_ids(
+    spark, root: str, component: str, ids: DataFrame, idc: list[str],
+    pins: dict, schemas: dict, check: bool,
+) -> int:
+    """The batch's distinct-id count (the pressure-counter delta) AND
+    the legacy kill-all guard in ONE Spark job: when checking is on
+    and the pinned tombstone component can hold stampless rows, the
+    probe left-joins the deduplicated legacy id set and tallies
+    coverage in the same agg; covered batches raise exactly like
+    :func:`_guard_legacy_killall`."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    lg = None
+    mark = _uniq_name("_legacy", set(idc))
+    tomb = _tombstone_component(component)
+    if check and tomb in pins:
+        tdf = read_segments(
+            spark,
+            f"{root.rstrip('/')}/{tomb}",
+            pins[tomb],
+            schema=_schema_from_json(schemas.get(tomb)),
+        )
+        if set(idc) <= set(tdf.columns):
+            legacy = (
+                tdf.filter(F.col(DEAD_BELOW_COL).isNull())
+                if DEAD_BELOW_COL in tdf.columns
+                else tdf
+            )
+            lg = (
+                legacy.select(*idc)
+                .dropDuplicates(idc)
+                .withColumn(mark, F.lit(1))
+            )
+    if lg is None:
+        return ids.count()
+    row = (
+        ids.join(lg, on=idc, how="left")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col(mark)).alias("c"))
+        .collect()[0]
+    )
+    if int(row["c"] or 0):
+        raise RuntimeError(
+            f"upsert/merge into {component!r}: some batch ids are covered "
+            "by LEGACY kill-all tombstones (no dead_below stamp) — the new "
+            "revisions would be silently invisible to every merged read. "
+            "Run apply_tombstones(..., merged=True) first to retire them, "
+            "or pass check_legacy_tombstones=False to accept the loss."
+        )
+    return int(row["n"])
+
+
 def upsert_rows(
     spark,
     root: str,
@@ -3187,16 +3238,21 @@ def upsert_rows(
         ids = ids.coalesce(segment_partitions)
     ids.persist()
     try:
-        n_tomb = ids.count()
+        state = _manifest_state(spark, root)
+        # ONE probe job: the batch's id count (pressure counter delta)
+        # and the legacy kill-all coverage check ride the same pass.
+        # The guard is evaluated against this first read — legacy
+        # (stampless) tombstones can only appear via manual pre-axis
+        # writes, never from a racing modern verb, so a retry needn't
+        # re-probe.
+        n_tomb = _probe_batch_ids(
+            spark, root, component, ids, idc,
+            state[0], state[4], check_legacy_tombstones,
+        )
         ckey = component_tombstone_rows_key(component)
         last_err: BaseException | None = None
         for _attempt in range(max_attempts):
-            state = _manifest_state(spark, root)
             pins, meta, schemas, base = state[0], state[3], state[4], state[5]
-            if check_legacy_tombstones:
-                _guard_legacy_killall(
-                    spark, root, component, ids, idc, pins, schemas
-                )
             seq = base + 1
             stamped = rows.withColumn(
                 UPSERT_SEQ_COL, F.lit(seq).cast("bigint")
@@ -3224,6 +3280,7 @@ def upsert_rows(
                 )
             except ConcurrentCommitError as e:
                 last_err = e  # rival commit: replan; restamp at fresh seq
+                state = _manifest_state(spark, root)
         raise last_err
     finally:
         ids.unpersist()
