@@ -3087,46 +3087,6 @@ DEAD_BELOW_COL = "dead_below"
 _DEAD_ALL_SEQ = 1 << 62
 
 
-def _guard_legacy_killall(
-    spark, root: str, component: str, ids_df: DataFrame, idc: list[str],
-    pins: dict, schemas: dict,
-) -> None:
-    """Fail LOUDLY instead of silently dropping a revision: a
-    stampless legacy tombstone (no ``dead_below`` — written before the
-    revision axis existed) kills EVERY revision of its id, including
-    ones committed later, so an upsert/merge of such an id would
-    commit rows that no merged read ever serves. One tiny probe job
-    over the (pushdown-filtered) tombstone component; escape hatch:
-    ``apply_tombstones(..., merged=True)`` first, which retires the
-    legacy rows."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    tomb = _tombstone_component(component)
-    if tomb not in pins:
-        return
-    tdf = read_segments(
-        spark,
-        f"{root.rstrip('/')}/{tomb}",
-        pins[tomb],
-        schema=_schema_from_json(schemas.get(tomb)),
-    )
-    if not set(idc) <= set(tdf.columns):
-        return  # keyed on a different axis — not this verb's tombstones
-    legacy = (
-        tdf.filter(F.col(DEAD_BELOW_COL).isNull())
-        if DEAD_BELOW_COL in tdf.columns
-        else tdf
-    )
-    if legacy.join(ids_df, on=idc, how="left_semi").limit(1).count():
-        raise RuntimeError(
-            f"upsert/merge into {component!r}: some batch ids are covered "
-            "by LEGACY kill-all tombstones (no dead_below stamp) — the new "
-            "revisions would be silently invisible to every merged read. "
-            "Run apply_tombstones(..., merged=True) first to retire them, "
-            "or pass check_legacy_tombstones=False to accept the loss."
-        )
-
-
 def _probe_batch_ids(
     spark, root: str, component: str, ids: DataFrame, idc: list[str],
     pins: dict, schemas: dict, check: bool,
@@ -3135,8 +3095,10 @@ def _probe_batch_ids(
     the legacy kill-all guard in ONE Spark job: when checking is on
     and the pinned tombstone component can hold stampless rows, the
     probe left-joins the deduplicated legacy id set and tallies
-    coverage in the same agg; covered batches raise exactly like
-    :func:`_guard_legacy_killall`."""
+    coverage in the same agg; covered batches raise loudly — a
+    stampless legacy tombstone (written before the revision axis
+    existed) kills EVERY revision of its id, so the new rows would be
+    silently invisible to every merged read."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     lg = None
@@ -3226,7 +3188,7 @@ def upsert_rows(
     (:func:`component_tombstone_rows_key`) atomically, and — unless
     ``check_legacy_tombstones=False`` — probes for stampless kill-all
     tombstones covering the batch, which would make the new revisions
-    silently invisible (:func:`_guard_legacy_killall`). This verb
+    silently invisible (:func:`_probe_batch_ids`). This verb
     never reads the target's data rows: blind whole-key replace, the
     O(batch) fast path. For conditional / skip-if-unchanged MERGE
     semantics use :func:`merge_rows`."""
@@ -3395,20 +3357,17 @@ def merge_rows(
                 f"merge_rows: no component {component!r} under {root} — "
                 "bootstrap it with append_segments/upsert_rows first"
             )
-        if check_legacy_tombstones:
-            _guard_legacy_killall(
-                spark, root, component,
-                rows.select(*idc).distinct(), idc, pins, schemas,
-            )
+        # ONE probe job over the batch carries BOTH pre-passes:
         # touched-segment pruning (the Delta/Iceberg MERGE file-skip
-        # shape): one tiny agg over the batch bounds each key column's
-        # (min, max), and the target read drops every segment whose
-        # zonemap range cannot intersect it on SOME covered key column
-        # (composite keys intersect per-column kept sets — an equi-join
-        # match needs every column in range) — at 100 TB the merge then
-        # scans only the segments the batch can touch, not the table.
-        # Conservative: stat-less segments stay; uncovered columns and
-        # all-NULL batch columns don't prune.
+        # shape — each covered key column's (min, max) bounds the
+        # target read, per-column kept sets INTERSECT for composite
+        # keys since an equi-join match needs every column in range; at
+        # 100 TB the merge then scans only the segments the batch can
+        # touch, not the table) and the legacy kill-all coverage tally
+        # (a stampless tombstone covering a batch id raises — the
+        # revision would be silently invisible). Conservative pruning:
+        # stat-less segments stay; uncovered columns and all-NULL batch
+        # columns don't prune.
         read_pins = pins
         zones_all = state[1]
         covered = [
@@ -3416,16 +3375,47 @@ def merge_rows(
             for c in idc
             if any(c in zs for zs in zones_all.get(component, {}).values())
         ]
-        if covered:
-            b = rows.agg(
-                *[
-                    x
-                    for c in covered
-                    for x in (
-                        F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")
-                    )
-                ]
-            ).collect()[0]
+        lgmark = _uniq_name("_legacy", set(rows.columns) | set(idc))
+        lg = None
+        if check_legacy_tombstones and _tombstone_component(component) in pins:
+            tdf = read_segments(
+                spark,
+                f"{root.rstrip('/')}/{_tombstone_component(component)}",
+                pins[_tombstone_component(component)],
+                schema=_schema_from_json(
+                    schemas.get(_tombstone_component(component))
+                ),
+            )
+            if set(idc) <= set(tdf.columns):
+                legacy = (
+                    tdf.filter(F.col(DEAD_BELOW_COL).isNull())
+                    if DEAD_BELOW_COL in tdf.columns
+                    else tdf
+                )
+                lg = (
+                    legacy.select(*idc)
+                    .dropDuplicates(idc)
+                    .withColumn(lgmark, F.lit(1))
+                )
+        if covered or lg is not None:
+            probe = rows if lg is None else rows.join(lg, on=idc, how="left")
+            aggs = [
+                x
+                for c in covered
+                for x in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))
+            ]
+            if lg is not None:
+                aggs.append(F.sum(F.col(lgmark)).alias(lgmark))
+            b = probe.agg(*aggs).collect()[0]
+            if lg is not None and int(b[lgmark] or 0):
+                raise RuntimeError(
+                    f"upsert/merge into {component!r}: some batch ids are "
+                    "covered by LEGACY kill-all tombstones (no dead_below "
+                    "stamp) — the new revisions would be silently invisible "
+                    "to every merged read. Run apply_tombstones(..., "
+                    "merged=True) first to retire them, or pass "
+                    "check_legacy_tombstones=False to accept the loss."
+                )
             kept_set: set[int] | None = None
             for c in covered:
                 if b[f"lo_{c}"] is None:
