@@ -2451,7 +2451,7 @@ def read_segment_changes(
         *data_cols,
     ).filter(F.lit(False))
     if pairs:
-        sl, ver = _feed_scan_with_version(
+        sl, ver, _meta_cols = _feed_scan_with_version(
             spark, comp_root, pairs, _schema_from_json(schema_json)
         )
         typed = typed.unionByName(
@@ -2465,14 +2465,20 @@ def read_segment_changes(
     dtypes = dict(base.dtypes)
     dead_all = F.lit(_DEAD_ALL_SEQ).cast("bigint")
     if tpairs:
-        tl, tver = _feed_scan_with_version(
+        tl, tver, tmeta_cols = _feed_scan_with_version(
             spark,
             f"{root.rstrip('/')}/{tomb}",
             tpairs,
             _schema_from_json(tschema_json),
         )
+        # subtract exactly the columns the feed scan ADDED (tag or
+        # fallback version column) — a tombstone key column literally
+        # named 'seg' rides the fallback path and must be served, not
+        # nulled (r14 ADVICE #1)
         id_cols = {
-            c for c in tl.columns if c not in (DEAD_BELOW_COL, _SEG_TAG_COL)
+            c
+            for c in tl.columns
+            if c != DEAD_BELOW_COL and c not in tmeta_cols
         }
         delete_seq = (
             F.coalesce(F.col(DEAD_BELOW_COL), dead_all)
@@ -2501,16 +2507,22 @@ _SEG_TAG_COL = "seg"
 
 
 def _feed_scan_with_version(spark, component_root: str, pairs, schema):
-    """(frame, version Column) for a change-feed window: ONE multi-dir
-    scan over the window's ``(version, segment)`` pairs with the
-    segment id discovered as a hive partition column (``seg=N`` dirs +
-    ``basePath``), and ``_commit_version`` derived through a
-    window-sized seg→version map literal — so the PLAN stays one scan
-    per feed regardless of how many manifest versions the window
-    spans. Components with a data column literally named ``seg``
-    (shadowing the partition dir) fall back to a per-version union.
-    Rename vintages reconcile exactly as :func:`read_segments` does
-    (same shadow plan + coalesce projection)."""
+    """(frame, version Column, meta_cols) for a change-feed window:
+    ONE multi-dir scan over the window's ``(version, segment)`` pairs
+    with the segment id discovered as a hive partition column
+    (``seg=N`` dirs + ``basePath``), and ``_commit_version`` derived
+    through a window-sized seg→version map literal — so the PLAN stays
+    one scan per feed regardless of how many manifest versions the
+    window spans. Components with a data column literally named
+    ``seg`` (shadowing the partition dir) fall back to a per-version
+    union. ``meta_cols`` is the exact set of columns THIS function
+    added to the frame (the ``seg`` tag or the fallback's version
+    column) — callers deriving "the component's own columns" must
+    subtract THESE, never the literal name ``'seg'``: on the fallback
+    path a real data column named ``seg`` is a key column the feed
+    must serve, not a tag to drop (r14 ADVICE #1). Rename vintages
+    reconcile exactly as :func:`read_segments` does (same shadow plan
+    + coalesce projection)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     root = component_root.rstrip("/")
@@ -2539,7 +2551,7 @@ def _feed_scan_with_version(spark, component_root: str, pairs, schema):
                 for x in (s, v)
             ]
         )
-        return df, vm[F.col(_SEG_TAG_COL)].cast("bigint")
+        return df, vm[F.col(_SEG_TAG_COL)].cast("bigint"), {_SEG_TAG_COL}
     # no recorded schema, or a data column shadows the partition dir
     # name: per-version union fallback (correct, window-width plan)
     grouped: dict[int, list[int]] = {}
@@ -2554,7 +2566,7 @@ def _feed_scan_with_version(spark, component_root: str, pairs, schema):
             ver_col, F.lit(v).cast("bigint")
         )
         out = sl if out is None else out.unionByName(sl)
-    return out, F.col(ver_col)
+    return out, F.col(ver_col), {ver_col}
 
 
 def _empty_feed_frame(

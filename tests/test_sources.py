@@ -1251,6 +1251,28 @@ def test_read_segment_changes_typed_feed(spark, tmp_path):
     assert replayed == {k: v for k, v in live.items() if k in window_keys}
 
 
+def test_typed_feed_serves_key_column_named_seg(spark, tmp_path):
+    """A component whose KEY column is literally named ``seg`` shadows
+    the feed scan's hive tag dir, so both feeds take the per-version
+    union fallback — and the delete feed must still SERVE that key
+    column (r14 ADVICE #1: excluding the literal name 'seg' nulled the
+    key, making deletes unmatchable downstream)."""
+    root = str(tmp_path / "ds")
+    batch = spark.range(0, 6).select(
+        F.col("id").alias("seg"), (F.col("id") * 2.0).alias("v")
+    )
+    lake.append_segments(spark, root, {"t": batch}, init=True)  # v1
+    lake.delete_rows(spark, root, "t", "seg", [2, 4])  # v2
+    feed = lake.read_segment_changes(spark, root, "t", 0, include_changes=True)
+    dels = {
+        r["seg"]: r["_commit_version"]
+        for r in feed.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert dels == {2: 2, 4: 2}  # key values populated, not NULL
+    ins = {r["seg"] for r in feed.filter(F.col("_change_type") == "insert").collect()}
+    assert ins == set(range(6))
+
+
 def test_consume_changes_merge_mirrors_upsert_delete_resurrect(
     spark, tmp_path
 ):
