@@ -2540,6 +2540,97 @@ def q_lake_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ------------------------------------- explicit INSERT VALUES clause
+@register(
+    "lake_merge_insert_values",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND(c_acctbal + CASE WHEN c_custkey % 3 = 0
+                                  THEN 100.0 ELSE 0.0 END, 2) AS bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 10000000 AS c_custkey,
+           'NEW' AS c_mktsegment,
+           50.0 AS bal
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def q_lake_merge_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit ``WHEN NOT MATCHED THEN INSERT (cols) VALUES
+    (...)`` clause (lake.merge_rows insert_values — r14 VERDICT #1):
+    ONE narrow keys+delta cadence batch both PATCHES matched keys
+    (``UPDATE SET bal = target.bal + source.delta``) and INSERTS its
+    unmatched keys PROJECTED onto the dimension's recorded schema
+    (keys ride source.<key>, named columns evaluate over source.*,
+    the rest insert NULL) — so the scratch ``delta`` column can NEVER
+    evolve into the dimension, closing the narrow-patch footgun:
+    pinned in-query, the same batch WITHOUT insert_values RAISES
+    (guard), and the recorded schema carries no ``delta`` after the
+    merge. The merged view must hash-match the oracle's algebraic
+    CASE-update + UNION-insert. At 100 TB this is the complete
+    Delta-grammar dimension-upkeep verb: one O(batch) commit, inserts
+    schema-stable by construction."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    dim0 = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+    k = F.col("c_custkey")
+    with tempfile.TemporaryDirectory(prefix="lake_insval_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"dim": dim0}, init=True)
+        patch = (
+            dim0.filter(k % 3 == 0)
+            .select("c_custkey", F.lit(100.0).alias("delta"))
+            .unionByName(
+                dim0.filter(k % 7 == 0).select(
+                    (k + 10000000).alias("c_custkey"),
+                    F.lit(50.0).alias("delta"),
+                )
+            )
+        )
+        # the guard: a scratch-column patch with the DEFAULT raw-insert
+        # path must raise, not null-pad + schema-evolve
+        try:
+            lake.merge_rows(
+                spark, ds, "dim", "c_custkey", patch,
+                update_set={"bal": "round(target.bal + source.delta, 2)"},
+            )
+            raise RuntimeError("narrow-patch guard did not fire")
+        except ValueError:
+            pass
+        rep = lake.merge_rows(
+            spark, ds, "dim", "c_custkey", patch,
+            update_set={"bal": "round(target.bal + source.delta, 2)"},
+            insert_values={
+                "bal": "source.delta",
+                "c_mktsegment": "'NEW'",
+            },
+        )
+        n_upd = dim0.filter(k % 3 == 0).count()
+        n_ins = dim0.filter(k % 7 == 0).count()
+        if (rep["updated"], rep["inserted"]) != (n_upd, n_ins):
+            raise RuntimeError(f"insert_values report off: {rep}")
+        rec = lake.segment_schemas(spark, ds)["dim"]
+        if "delta" in {f["name"] for f in rec["fields"]}:
+            raise RuntimeError("scratch column evolved into the schema")
+        return (
+            lake.read_segmented_merged(spark, ds, "dim", "c_custkey")
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("bal"), 2).alias("bal"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

@@ -3279,6 +3279,7 @@ def merge_rows(
     skip_unchanged: bool = True,
     insert_unmatched: bool = True,
     update_set=None,
+    insert_values=None,
     when_matched_delete=None,
     extra_meta: dict | None = None,
     max_attempts: int = 3,
@@ -3320,6 +3321,24 @@ def merge_rows(
       ``skip_unchanged`` then compares the PATCHED rows against the
       target, so a patch that writes the value already there is a
       no-op. None (default) → whole-key replace by the batch's rows.
+    - ``insert_values``: the explicit ``WHEN NOT MATCHED THEN INSERT
+      (cols) VALUES (...)`` clause — ``{column: expression}`` over
+      ``source.*`` — insert rows are built by PROJECTING the batch
+      onto the target's recorded columns: key columns carry
+      ``source.<key>``, named columns evaluate their expression,
+      every other target column inserts NULL. Inserts can therefore
+      NEVER evolve the component schema (the Delta-grammar answer to
+      the narrow-patch footgun below). Requires
+      ``insert_unmatched=True``; key columns are not rewritable.
+    - **Narrow-patch guard**: ``update_set`` with the default
+      ``insert_unmatched=True`` and no ``insert_values`` RAISES when
+      the batch carries columns outside the target's recorded schema
+      — otherwise a stray unmatched key in a keys+scratch patch frame
+      would silently insert a null-padded row AND schema-evolve the
+      scratch column into the dimension (r14 VERDICT #1). Pass
+      ``insert_unmatched=False`` (patch-only), ``insert_values``
+      (explicit projection), or a batch whose columns are all target
+      columns.
     - ``when_matched_delete``: ``WHEN MATCHED AND <pred> THEN
       DELETE`` — a matched key with SOME (source, target) pair
       satisfying this predicate is TOMBSTONED at this commit's
@@ -3350,6 +3369,11 @@ def merge_rows(
     missing = [c for c in idc if c not in rows.columns]
     if missing:
         raise ValueError(f"merge_rows: batch lacks key column(s) {missing}")
+    if insert_values is not None and not insert_unmatched:
+        raise ValueError(
+            "merge_rows: insert_values is the WHEN NOT MATCHED INSERT "
+            "clause — it requires insert_unmatched=True"
+        )
     pred = (
         F.expr(when_matched)
         if isinstance(when_matched, str)
@@ -3464,6 +3488,52 @@ def merge_rows(
         for f in rows.schema.fields:
             types.setdefault(f.name, f.dataType)
         cmp_cols = [c for c in types if c != UPSERT_SEQ_COL]
+        recorded = [f.name for f in tgt_schema.fields if f.name != UPSERT_SEQ_COL]
+        if insert_values is not None:
+            bad = sorted(set(insert_values) & set(idc))
+            if bad:
+                raise ValueError(
+                    f"merge_rows: insert_values cannot rewrite key "
+                    f"column(s) {bad} (keys carry source.<key>)"
+                )
+            unknown = sorted(
+                c for c in insert_values
+                if c not in recorded or c == UPSERT_SEQ_COL
+            )
+            if unknown:
+                raise ValueError(
+                    f"merge_rows: insert_values targets column(s) {unknown} "
+                    "not in the target's recorded schema — inserts never "
+                    "evolve the schema; append/upsert the new column first"
+                )
+
+            def _ins_expr(c: str):
+                if c in idc:
+                    return F.col(f"source.{c}")
+                e = insert_values.get(c)
+                if e is None:
+                    return F.lit(None)
+                return F.expr(e) if isinstance(e, str) else e
+
+            ins_src = rows.alias("source").select(
+                *[_ins_expr(c).cast(types[c]).alias(c) for c in recorded]
+            )
+        else:
+            if update_set and insert_unmatched:
+                scratch = sorted(
+                    set(rows.columns) - set(recorded) - {UPSERT_SEQ_COL}
+                )
+                if scratch:
+                    raise ValueError(
+                        "merge_rows: update_set with insert_unmatched=True "
+                        f"and a batch carrying non-target column(s) {scratch} "
+                        "— an unmatched key would silently insert a "
+                        "null-padded row and evolve the schema with the "
+                        "patch's scratch columns. Pass "
+                        "insert_unmatched=False, or insert_values={...} to "
+                        "project inserts onto the target schema explicitly."
+                    )
+            ins_src = rows
 
         def _fp(df: DataFrame):
             have = set(df.columns)
@@ -3607,12 +3677,20 @@ def merge_rows(
                     if schemas:
                         mkw["schemas"] = schemas
                     try:
-                        commit_segment_manifest(
+                        # the meta-only flip claims base+1: report THAT
+                        # version (a streaming committer reconciling where
+                        # its batch id landed must not read one behind —
+                        # r14 ADVICE #4)
+                        ver = commit_segment_manifest(
                             spark, root, pins, expected_base=base, **mkw
                         )
                     except ConcurrentCommitError as e:
                         last_err = e
                         continue
+                    return {
+                        **rep, "applied": False, "meta_only": True,
+                        "pins": pins, "version": ver,
+                    }
                 return {**rep, "applied": False, "pins": pins, "version": base}
             seq = base + 1
             parts = []
@@ -3626,7 +3704,7 @@ def merge_rows(
                 )
             if n_ins:
                 parts.append(
-                    rows.join(
+                    ins_src.join(
                         decision.filter(F.col(insc)).select(*idc),
                         on=idc,
                         how="left_semi",

@@ -790,6 +790,102 @@ def test_merge_rows_update_set_partial_column_patch(spark, tmp_path):
         )
 
 
+def test_merge_rows_narrow_patch_guard_and_insert_values(spark, tmp_path):
+    """The r14 VERDICT #1 footgun, closed: update_set with the default
+    insert_unmatched=True RAISES when the batch carries scratch columns
+    outside the target schema (an unmatched key would null-pad an
+    insert AND evolve the schema); insert_values — the explicit WHEN
+    NOT MATCHED THEN INSERT (cols) VALUES (...) clause — projects
+    inserts onto the target's recorded columns so the schema can never
+    evolve from an insert."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    lake.append_segments(
+        spark, root,
+        appends={"dim": spark.createDataFrame(
+            [Row(k=1, g="a", price=10.0, note="n1"),
+             Row(k=2, g="b", price=20.0, note="n2")],
+            "k bigint, g string, price double, note string",
+        )},
+        init=True,
+    )
+    # keys + scratch 'delta' patch with an unmatched key: the old
+    # behavior inserted (k=9, NULLs..., delta=5.0) and evolved 'delta'
+    # into the dimension — now it raises before touching anything
+    scratch_patch = spark.createDataFrame(
+        [Row(k=1, delta=1.5), Row(k=9, delta=5.0)], "k bigint, delta double"
+    )
+    with pytest.raises(ValueError, match="non-target column"):
+        lake.merge_rows(
+            spark, root, "dim", "k", scratch_patch,
+            update_set={"price": "target.price + source.delta"},
+        )
+    rec = lake.segment_schemas(spark, root)["dim"]
+    assert "delta" not in {f["name"] for f in rec["fields"]}  # no evolution
+    # insert_unmatched=False: the documented patch-only path, unchanged
+    rep = lake.merge_rows(
+        spark, root, "dim", "k", scratch_patch,
+        update_set={"price": "target.price + source.delta"},
+        insert_unmatched=False,
+    )
+    assert (rep["updated"], rep["inserted"], rep["skipped"]) == (1, 0, 1)
+    # insert_values: explicit projection — keys ride source.<key>,
+    # named columns evaluate over source.*, the rest insert NULL
+    rep = lake.merge_rows(
+        spark, root, "dim", "k", scratch_patch,
+        update_set={"price": "target.price + source.delta"},
+        insert_values={"price": "source.delta * 10", "g": "'new'"},
+    )
+    assert (rep["updated"], rep["inserted"]) == (1, 1)
+    got = {
+        r.k: (r.g, r.price, r.note)
+        for r in lake.read_segmented_merged(spark, root, "dim", "k").collect()
+    }
+    assert got[1] == ("a", 13.0, "n1")  # 10 + 1.5 + 1.5
+    assert got[9] == ("new", 50.0, None)  # projected insert, no 'delta'
+    rec = lake.segment_schemas(spark, root)["dim"]
+    assert "delta" not in {f["name"] for f in rec["fields"]}
+    # static validation
+    with pytest.raises(ValueError, match="requires insert_unmatched"):
+        lake.merge_rows(
+            spark, root, "dim", "k", scratch_patch,
+            insert_values={"price": "source.delta"}, insert_unmatched=False,
+        )
+    with pytest.raises(ValueError, match="key column"):
+        lake.merge_rows(
+            spark, root, "dim", "k", scratch_patch,
+            insert_values={"k": "source.k + 100"},
+        )
+    with pytest.raises(ValueError, match="not in the target"):
+        lake.merge_rows(
+            spark, root, "dim", "k", scratch_patch,
+            insert_values={"delta": "source.delta"},
+        )
+
+
+def test_merge_rows_noop_with_extra_meta_reports_committed_version(
+    spark, tmp_path
+):
+    """A fully-no-op batch with extra_meta performs a meta-only flip at
+    base+1 — the report must carry THAT version, not the pre-commit
+    base (r14 ADVICE #4: a streaming committer reconciles where its
+    batch id actually landed)."""
+    root = str(tmp_path / "t")
+    _dim(spark, root)
+    v0 = lake.segment_pins_versioned(spark, root)[1]
+    same = spark.createDataFrame(
+        [Row(k1=0, k2="g0", v=0.0)], "k1 bigint, k2 string, v double"
+    )
+    rep = lake.merge_rows(
+        spark, root, "dim", ["k1", "k2"], same, extra_meta={"bid": 7}
+    )
+    assert not rep["applied"] and rep.get("meta_only")
+    assert rep["version"] == v0 + 1
+    assert lake.segment_pins_versioned(spark, root)[1] == rep["version"]
+    assert lake.segment_meta(spark, root)["bid"] == 7
+
+
 def test_merge_rows_when_matched_delete_clause(spark, tmp_path):
     """WHEN MATCHED AND <pred> THEN DELETE: matched keys satisfying the
     predicate tombstone at this commit's sequence (no replacement
