@@ -2631,6 +2631,84 @@ def q_lake_merge_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ---------------------------------------- zero-job DESCRIBE surface
+@register(
+    "lake_describe_segmented",
+    oracle="""
+    SELECT 'fact' AS component,
+           CAST(2 AS BIGINT) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pressure_rows
+    FROM orders
+    UNION ALL
+    SELECT 'fact__tombstones' AS component,
+           CAST(1 AS BIGINT) AS segments,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS pressure_rows
+    FROM orders
+    """,
+)
+def q_lake_describe_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-served DESCRIBE/COUNT(*) surface (r14 VERDICT #2 +
+    stretch #8): per-segment row counts land in the manifest at commit
+    time (driver-side parquet-footer reads — zero jobs), carry through
+    every rewrite, and answer the 100 TB operator's first questions —
+    rows, segments, pressure — from the METADATA PLANE. Pinned
+    in-query: ``describe_segmented`` + ``count_segmented`` schedule
+    ZERO Spark jobs (the counts here cover a 15k-row component — at
+    100 TB the same call is identical manifest work), physical rows
+    stay exact across a logical delete (tombstones are their own
+    component; data files are immutable), and the tombstone-pressure
+    counter equals the deleted-key count. The result frame is built
+    from the zero-job report and must hash-match the oracle's
+    COUNT(*)s."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.session import count_spark_jobs
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    orders = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    with tempfile.TemporaryDirectory(prefix="lake_desc_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(
+            spark, ds, {"fact": orders.filter(k % 2 == 0)}, init=True
+        )
+        lake.append_segments(spark, ds, {"fact": orders.filter(k % 2 == 1)})
+        doomed = [r[0] for r in orders.filter(k % 97 == 0).select(k).collect()]
+        lake.delete_rows(spark, ds, "fact", "o_orderkey", doomed)
+        out: dict = {}
+        jobs = count_spark_jobs(
+            spark, lambda: out.update(lake.describe_segmented(spark, ds))
+        )
+        if jobs != 0:
+            raise RuntimeError(f"describe_segmented scheduled {jobs} jobs")
+        njobs = count_spark_jobs(
+            spark,
+            lambda: out.update(_n=lake.count_segmented(spark, ds, "fact")),
+        )
+        if njobs != 0 or out["_n"] != out["components"]["fact"]["rows"]:
+            raise RuntimeError(
+                f"count_segmented off: {njobs} jobs, {out.get('_n')}"
+            )
+        rows_ = [
+            (
+                name,
+                int(c["segments"]),
+                int(c["rows"]),
+                int(c["tombstone_pressure_rows"]),
+            )
+            for name, c in sorted(out["components"].items())
+        ]
+        return spark.createDataFrame(
+            rows_,
+            "component string, segments bigint, n_rows bigint, "
+            "pressure_rows bigint",
+        )
+
+
 # ------------------------------------------------- maintenance cadence
 @register(
     "lake_maintain_cycle",

@@ -1993,7 +1993,7 @@ def bloom_pruned_pins(
     segments) are kept. Never false-negative by bloom construction.
     Values are probed through the same STRING cast the writer hashed
     (intended for id-like string/integer columns)."""
-    pins, _zones, blooms, _meta, _schemas, _version = _manifest_state(spark, root)
+    pins, _zones, blooms, _meta, _schemas, _version, _counts = _manifest_state(spark, root)
     return bloom_pruned_pins_from_state(
         spark, root, component, col, values, pins, blooms
     )
@@ -2037,7 +2037,7 @@ def read_segments_bloom_pruned(
     pruned pins resolve from ONE manifest snapshot: two separate reads
     could straddle an add-column commit and serve pins newer than the
     schema, silently dropping the fresh column."""
-    pins, _zones, blooms, _meta, schemas, _version = _manifest_state(spark, root)
+    pins, _zones, blooms, _meta, schemas, _version, _counts = _manifest_state(spark, root)
     schema = _schema_from_json(schemas.get(component))
     kept, pinned = bloom_pruned_pins_from_state(
         spark, root, component, col, values, pins, blooms
@@ -2061,10 +2061,20 @@ def commit_segment_manifest(
     meta: dict | None = None,
     blooms: dict[str, dict[int, list[str]]] | None = None,
     schemas: dict[str, dict] | None = None,
+    counts: dict[str, dict[int, int]] | None = None,
 ) -> int:
     """Atomically commit a full component→segment-list pin map as the
     next manifest snapshot (rows of (component, seg)). Returns the
     manifest's own snapshot version.
+
+    ``counts`` (component → segment → exact physical row count, read
+    driver-side from the parquet footers at cover time — zero jobs)
+    rides under the reserved ``"_counts"`` key: the manifest-served
+    COUNT(*) plane (:func:`count_segmented`,
+    :func:`describe_segmented`) and the denominator of the rows-ratio
+    auto-apply policy. Counts are PHYSICAL rows of the pinned files
+    (superseded upsert revisions included), exactly what
+    ``read_segments`` of those pins returns.
 
     ``schemas`` (component → StructType jsonValue) rides under the
     reserved ``"_schemas"`` key: the component's CURRENT logical
@@ -2124,6 +2134,12 @@ def commit_segment_manifest(
         }
     if schemas:
         doc["_schemas"] = {comp: sj for comp, sj in schemas.items() if sj}
+    if counts:
+        doc["_counts"] = {
+            comp: {str(int(s)): int(n) for s, n in cm.items()}
+            for comp, cm in counts.items()
+            if cm
+        }
     payload = json.dumps(doc, sort_keys=True)
     return write_snapshot_blob(
         spark,
@@ -2145,7 +2161,7 @@ def segment_pins_versioned(spark, root: str) -> tuple[dict[str, list[int]], int]
     Version is resolved FIRST and the rows read from that pinned
     snapshot, so the pair is consistent even if a concurrent commit
     lands between the two reads."""
-    pins, _zones, _blooms, _meta, _schemas, version = _manifest_state(spark, root)
+    pins, _zones, _blooms, _meta, _schemas, version, _counts = _manifest_state(spark, root)
     return pins, version
 
 
@@ -2158,11 +2174,14 @@ def _manifest_state(
     dict,
     dict[str, dict],
     int,
+    dict[str, dict[int, int]],
 ]:
-    """(pins, zones, blooms, meta, schemas, manifest_version) from the
-    last committed manifest blob — one filesystem read, consistent
-    across the tuple (version resolved first, blob read at that
-    version).
+    """(pins, zones, blooms, meta, schemas, manifest_version, counts)
+    from the last committed manifest blob — one filesystem read,
+    consistent across the tuple (version resolved first, blob read at
+    that version). ``counts`` sits AFTER the version so every
+    positional ``state[N]`` reader written against the 6-tuple stays
+    valid.
     The resolve-then-read pair can race a rival committer's retention
     (see read_snapshot_blob): a vanished committed blob is re-resolved
     — each retry sees a strictly newer pointer, so the loop converges
@@ -2198,6 +2217,10 @@ def _manifest_state(
         comp: {int(s): list(cols) for s, cols in bm.items()}
         for comp, bm in parsed.get("_blooms", {}).items()
     }
+    counts = {
+        comp: {int(s): int(n) for s, n in cm.items()}
+        for comp, cm in parsed.get("_counts", {}).items()
+    }
     return (
         pins,
         zones,
@@ -2205,6 +2228,7 @@ def _manifest_state(
         parsed.get("_meta", {}),
         parsed.get("_schemas", {}),
         version,
+        counts,
     )
 
 
@@ -2221,6 +2245,7 @@ class ManifestSnapshot(NamedTuple):
     meta: dict
     schemas: dict[str, dict]
     version: int
+    counts: dict[str, dict[int, int]] = {}
 
 
 def manifest_snapshot(spark, root: str) -> ManifestSnapshot:
@@ -2858,12 +2883,13 @@ def _consume_changes_once(
     sink_bloom_cols: Sequence[str] = (),
 ) -> dict:
     try:
-        sink_pins, sink_zones, sink_blooms, sink_meta, sink_schemas, sink_base = (
-            _manifest_state(spark, sink_root)
-        )
+        (
+            sink_pins, sink_zones, sink_blooms,
+            sink_meta, sink_schemas, sink_base, sink_counts,
+        ) = _manifest_state(spark, sink_root)
         sink_init = False
     except FileNotFoundError:
-        sink_pins, sink_zones, sink_blooms = {}, {}, {}
+        sink_pins, sink_zones, sink_blooms, sink_counts = {}, {}, {}, {}
         sink_meta, sink_schemas, sink_base, sink_init = {}, {}, 0, True
     # migration: sinks written before the key carried source_root /
     # sink_component stored a bare per-component mark — adopt it rather
@@ -2923,6 +2949,8 @@ def _consume_changes_once(
             kw["blooms"] = sink_blooms
         if sink_schemas:
             kw["schemas"] = sink_schemas
+        if sink_counts:
+            kw["counts"] = sink_counts
         commit_segment_manifest(
             spark, sink_root, sink_pins, expected_base=sink_base, **kw
         )
@@ -3676,6 +3704,8 @@ def merge_rows(
                         mkw["blooms"] = state[2]
                     if schemas:
                         mkw["schemas"] = schemas
+                    if state[6]:
+                        mkw["counts"] = state[6]
                     try:
                         # the meta-only flip claims base+1: report THAT
                         # version (a streaming committer reconciling where
@@ -3927,7 +3957,7 @@ def _apply_tombstones(
     """(pins, applied) — the race-free form maintain's report uses (a
     rival ingest between two manifest reads must not make a no-op look
     like an apply)."""
-    pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
+    pins, zones, blooms, prior_meta, schemas, base, counts = _manifest_state(spark, root)
     tomb = _tombstone_component(component)
     if tomb not in pins:
         return pins, False
@@ -3990,6 +4020,7 @@ def _apply_tombstones(
         kw["meta"] = marked
     if schemas:
         kw["schemas"] = schemas
+    kw["counts"] = _counts_for_commit(spark, root, counts, new_pins)
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins, True
 
@@ -4026,7 +4057,7 @@ def apply_segment_tombstones(
     maintenance cost class as compaction, amortized the same way."""
     reducers = reducers or {}
     transforms = transforms or {}
-    pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
+    pins, zones, blooms, prior_meta, schemas, base, counts = _manifest_state(spark, root)
     if tombstones not in pins:
         return pins
     tomb_df = read_segments(spark, f"{root}/{tombstones}", pins[tombstones])
@@ -4110,6 +4141,7 @@ def apply_segment_tombstones(
     meta = _mark_rewrites(meta, new_pins, additions)  # see apply_tombstones
     if meta:
         kw["meta"] = meta
+    kw["counts"] = _counts_for_commit(spark, root, counts, new_pins)
     commit_segment_manifest(spark, root, new_pins, expected_base=base, **kw)
     return new_pins
 
@@ -4170,7 +4202,7 @@ def rename_columns(
         raise ValueError("rename_columns: empty mapping")
     last_err: BaseException | None = None
     for _attempt in range(max_attempts):
-        pins, zones, blooms, meta, schemas, base = _manifest_state(spark, root)
+        pins, zones, blooms, meta, schemas, base, counts = _manifest_state(spark, root)
         if component not in pins:
             raise KeyError(f"rename_columns: no pinned component {component!r}")
         sj = schemas.get(component)
@@ -4246,6 +4278,7 @@ def rename_columns(
             kw["blooms"] = new_blooms
         if meta:
             kw["meta"] = meta
+        kw["counts"] = _counts_for_commit(spark, root, counts, pins)
         try:
             return commit_segment_manifest(
                 spark, root, pins, expected_base=base, **kw
@@ -4281,7 +4314,7 @@ def drop_columns(
         raise ValueError("drop_columns: empty column list")
     last_err: BaseException | None = None
     for _attempt in range(max_attempts):
-        pins, zones, blooms, meta, schemas, base = _manifest_state(spark, root)
+        pins, zones, blooms, meta, schemas, base, counts = _manifest_state(spark, root)
         if component not in pins:
             raise KeyError(f"drop_columns: no pinned component {component!r}")
         sj = schemas.get(component)
@@ -4336,6 +4369,7 @@ def drop_columns(
             kw["blooms"] = new_blooms
         if meta:
             kw["meta"] = meta
+        kw["counts"] = _counts_for_commit(spark, root, counts, pins)
         try:
             return commit_segment_manifest(
                 spark, root, pins, expected_base=base, **kw
@@ -4362,6 +4396,85 @@ def segment_blooms(spark, root: str) -> dict[str, dict[int, list[str]]]:
     """The committed manifest's bloom-sidecar coverage map (component
     → segment → columns with a sidecar). A filesystem read, no job."""
     return _manifest_state(spark, root)[2]
+
+
+def segment_counts(spark, root: str) -> dict[str, dict[int, int]]:
+    """The committed manifest's per-segment physical row counts
+    (component → segment → rows, footer-exact). Empty for manifests
+    committed before the counts plane existed — any later commit
+    backfills them (:func:`_counts_for_commit`). A filesystem read,
+    no Spark job."""
+    return _manifest_state(spark, root)[6]
+
+
+def count_segmented(spark, root: str, component: str) -> int:
+    """Manifest-served ``COUNT(*)``: the component's PHYSICAL pinned
+    row count — exactly what ``read_segments(root/component, pins)``
+    would count, with zero Spark jobs. Counts come from the manifest's
+    counts plane; any pinned segment missing one (a pre-counts
+    manifest that hasn't recommitted yet) is footer-read on the spot,
+    still driver-side. NOTE: physical rows include superseded upsert
+    revisions and count tombstone components separately — the LIVE
+    row count of a mutated component is ``read_segmented_merged(...)
+    .count()``; for append-only components the two are equal. At
+    100 TB this is the operator's first question (``table_summary``,
+    pressure ratios, rows-aware tiering) answered from the metadata
+    plane."""
+    state = _manifest_state(spark, root)
+    pins, counts = state[0], state[6]
+    if component not in pins:
+        raise KeyError(f"count_segmented: no component {component!r} in {root}")
+    known = counts.get(component, {})
+    comp_root = f"{root.rstrip('/')}/{component}"
+    return sum(
+        int(known[s])
+        if s in known
+        else _segment_row_count(spark, comp_root, s)
+        for s in pins[component]
+    )
+
+
+def describe_segmented(spark, root: str) -> dict:
+    """The zero-job DESCRIBE surface: one manifest read + driver-side
+    listings answer the operator's first questions about a segmented
+    root — per component: pinned segment count, physical rows (counts
+    plane, footer-backfilled), on-disk bytes, column names (recorded
+    schema; None when the component's writers never evolve), zonemap /
+    bloom coverage (segments covered), and the tombstone-pressure
+    counter. Returns ``{"version": manifest version, "components":
+    {name: {...}}}``. No Spark jobs — the 100 TB metadata plane must
+    not queue behind the data plane."""
+    state = _manifest_state(spark, root)
+    pins, zones, blooms, meta, schemas, version, counts = state
+    out: dict = {"version": version, "components": {}}
+    for name, segs in sorted(pins.items()):
+        comp_root = f"{root.rstrip('/')}/{name}"
+        known = counts.get(name, {})
+        rows_ = sum(
+            int(known[s])
+            if s in known
+            else _segment_row_count(spark, comp_root, s)
+            for s in segs
+        )
+        sj = schemas.get(name)
+        out["components"][name] = {
+            "segments": len(segs),
+            "rows": rows_,
+            "bytes": sum(segment_sizes(spark, root, name, segs).values()),
+            "columns": (
+                [f["name"] for f in sj.get("fields", [])] if sj else None
+            ),
+            "zone_covered_segments": sum(
+                1 for s in segs if zones.get(name, {}).get(s)
+            ),
+            "bloom_covered_segments": sum(
+                1 for s in segs if blooms.get(name, {}).get(s)
+            ),
+            "tombstone_pressure_rows": int(
+                meta.get(component_tombstone_rows_key(name), 0)
+            ),
+        }
+    return out
 
 
 def tombstone_pressure(spark, root: str, max_rows: int) -> bool:
@@ -4422,7 +4535,7 @@ def zone_pruned_pins(
     so timestamps compare chronologically. Row-level filtering still
     belongs to the caller's predicate — zonemaps only bound WHICH
     segments can contain matches."""
-    pins, zones, _blooms, _meta, _schemas, _version = _manifest_state(spark, root)
+    pins, zones, _blooms, _meta, _schemas, _version, _counts = _manifest_state(spark, root)
     return zone_pruned_pins_from_state(component, col, lo, hi, pins, zones)
 
 
@@ -4470,7 +4583,7 @@ def read_segments_zone_pruned(
     drop evolved columns). Schema and pruned pins resolve from ONE
     manifest snapshot — two reads could straddle an add-column commit
     and pair new pins with the pre-evolution schema."""
-    pins, zones, _blooms, _meta, schemas, _version = _manifest_state(spark, root)
+    pins, zones, _blooms, _meta, schemas, _version, _counts = _manifest_state(spark, root)
     kept, pinned = zone_pruned_pins_from_state(component, col, lo, hi, pins, zones)
     schema = _schema_from_json(schemas.get(component))
     comp_root = f"{root.rstrip('/')}/{component}"
@@ -4587,9 +4700,9 @@ def append_segments(
     if set(appends) & set(replaces):
         raise ValueError("append_segments: a component cannot be in both maps")
     if init:
-        pins, zones, blooms, prior_meta, schemas, base = {}, {}, {}, {}, {}, 0
+        pins, zones, blooms, prior_meta, schemas, base, counts = {}, {}, {}, {}, {}, 0, {}
     else:
-        pins, zones, blooms, prior_meta, schemas, base = _manifest_state(spark, root)
+        pins, zones, blooms, prior_meta, schemas, base, counts = _manifest_state(spark, root)
     if expected_base is not None and expected_base != base:
         # fail BEFORE writing any segment file: the caller's payload
         # was derived from a manifest another writer has since replaced
@@ -4673,6 +4786,7 @@ def append_segments(
         new_segs.append((name, seg))
     new_zones = _carry_zones(zones, new_pins)
     new_blooms = _carry_blooms(blooms, new_pins)
+    new_counts = _counts_for_commit(spark, root, counts, new_pins)
     _cover_new_segments(
         spark, root, new_segs, zone_cols, bloom_cols, new_zones, new_blooms,
         schemas=new_schemas,
@@ -4688,6 +4802,8 @@ def append_segments(
         kw["zones"] = new_zones
     if new_blooms:
         kw["blooms"] = new_blooms
+    if new_counts:
+        kw["counts"] = new_counts
     new_meta = meta if meta is not None else prior_meta
     if (
         meta is not None
@@ -4753,6 +4869,77 @@ def _carry_blooms(
         keep = {seg: cols for seg, cols in bm.items() if seg in pinned}
         if keep:
             out[comp] = keep
+    return out
+
+
+def _segment_row_count(spark, component_root: str, seg: int) -> int:
+    """EXACT physical row count of one segment, read DRIVER-SIDE from
+    the parquet footers (``ParquetFileReader.getRecordCount`` summed
+    over the segment dir's part files) — zero Spark jobs, any Hadoop
+    filesystem. This is how the counts plane is populated at cover
+    time and backfilled for pre-counts manifests: the footers already
+    hold the exact answer the data plane would spend a scan on."""
+    jvm, fs = _fs(spark, component_root)
+    jdir = jvm.org.apache.hadoop.fs.Path(
+        _segment_dir(component_root.rstrip("/"), seg)
+    )
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for st in _list_status(jvm, fs, jdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                st, hconf
+            )
+        )
+        try:
+            total += int(rdr.getRecordCount())
+        finally:
+            rdr.close()
+    return total
+
+
+def _carry_counts(
+    counts: dict[str, dict[int, int]],
+    new_pins: dict[str, list[int]],
+) -> dict[str, dict[int, int]]:
+    """Row counts restricted to still-pinned segments — the counts
+    twin of :func:`_carry_zones` (segments are immutable, so a pinned
+    segment's count never changes)."""
+    out: dict[str, dict[int, int]] = {}
+    for comp, cm in counts.items():
+        pinned = set(new_pins.get(comp, []))
+        keep = {seg: n for seg, n in cm.items() if seg in pinned}
+        if keep:
+            out[comp] = keep
+    return out
+
+
+def _counts_for_commit(
+    spark,
+    root: str,
+    prior_counts: dict[str, dict[int, int]],
+    new_pins: dict[str, list[int]],
+) -> dict[str, dict[int, int]]:
+    """The counts plane for the NEXT manifest: carry every still-pinned
+    segment's known count forward and footer-read any pinned segment
+    missing one (fresh segments, and — self-healing — every segment of
+    a pre-counts manifest on its first post-upgrade commit). All
+    driver-side: zero Spark jobs regardless of how many segments need
+    backfill."""
+    out: dict[str, dict[int, int]] = {}
+    for comp, segs in new_pins.items():
+        known = prior_counts.get(comp, {})
+        cm: dict[int, int] = {}
+        for s in segs:
+            n = known.get(s)
+            cm[s] = (
+                int(n)
+                if n is not None
+                else _segment_row_count(spark, f"{root.rstrip('/')}/{comp}", s)
+            )
+        out[comp] = cm
     return out
 
 
@@ -5143,6 +5330,7 @@ def rewrite_components(
             kw["meta"] = commit_meta
         if new_schemas:
             kw["schemas"] = new_schemas
+        kw["counts"] = _counts_for_commit(spark, root, snap.counts, new_pins)
         try:
             commit_segment_manifest(
                 spark, root, new_pins, expected_base=snap.version, **kw
@@ -5250,7 +5438,7 @@ def validate_segmented(spark, root: str, deep: bool = False) -> dict:
     Returns ``{"ok": bool, "errors": [...], "components": {name:
     n_segments}}``; it reports, never repairs."""
     errors: list[str] = []
-    pins, zones, blooms, meta, schemas, version = _manifest_state(spark, root)
+    pins, zones, blooms, meta, schemas, version, counts = _manifest_state(spark, root)
     jvm, fs = _fs(spark, root)
 
     def _exists(path: str) -> bool:
@@ -5301,7 +5489,33 @@ def validate_segmented(spark, root: str, deep: bool = False) -> dict:
     tomb = meta.get(TOMBSTONE_ROWS_KEY)
     if tomb is not None and (not isinstance(tomb, int) or tomb < 0):
         errors.append(f"meta {TOMBSTONE_ROWS_KEY}={tomb!r}: not a non-negative int")
+    for comp, cm in counts.items():
+        stale = set(cm) - set(pins.get(comp, []))
+        if stale:
+            errors.append(
+                f"counts reference unpinned {comp} segments: {sorted(stale)}"
+            )
+        bad = [s for s, n in cm.items() if not isinstance(n, int) or n < 0]
+        if bad:
+            errors.append(
+                f"{comp}: non-int/negative segment counts: {sorted(bad)}"
+            )
     if deep:
+        # counts plane vs footers: a pinned segment with a recorded
+        # count must footer-sum to exactly that count (segments are
+        # immutable; drift means external corruption or a protocol bug)
+        for comp, cm in counts.items():
+            for seg, n in cm.items():
+                if seg not in pins.get(comp, []):
+                    continue
+                if not _exists(_segment_dir(f"{root}/{comp}", seg)):
+                    continue  # already reported above
+                actual = _segment_row_count(spark, f"{root}/{comp}", seg)
+                if actual != int(n):
+                    errors.append(
+                        f"{comp}/seg={seg}: manifest count {n} != footer "
+                        f"count {actual}"
+                    )
         for comp, fields in parsed_schemas.items():
             for seg in pins[comp]:
                 d = _segment_dir(f"{root}/{comp}", seg)
@@ -5351,6 +5565,7 @@ def repair_segmented(
     sweep_orphans: bool = True,
     orphan_grace_sec: float = 24 * 3600,
     dry_run: bool = False,
+    verify_counts: bool = False,
 ) -> dict:
     """Turn :func:`validate_segmented`'s findings into actions — the
     recovery an operator runs after restoring a replicated 100 TB root
@@ -5370,6 +5585,12 @@ def repair_segmented(
       pinned segments MISSING zone stats / bloom advertisements for
       columns their component covers elsewhere get them recomputed —
       pruning coverage returns to uniform.
+    - BACKFILL the counts plane: pinned segments missing a row count
+      (pre-counts manifests) get one from their parquet footers —
+      driver-side, zero jobs. ``verify_counts=True`` additionally
+      footer-checks EVERY pinned entry and corrects mismatches
+      (segments are immutable, so a mismatch is corruption — the
+      restore/audit path, O(files) driver reads).
     - SWEEP orphans (optional): delegates to :func:`expire_segments`
       with the given grace, so unpinned debris past the intent age
       gate is removed under the same provably-stale test every sweep
@@ -5392,7 +5613,7 @@ def repair_segmented(
 
     last_err: BaseException | None = None
     for _attempt in range(3):
-        pins, zones, blooms, meta, schemas, base = _manifest_state(spark, root)
+        pins, zones, blooms, meta, schemas, base, counts = _manifest_state(spark, root)
         actions: dict = {
             "unpinned": {},
             "dropped_components": [],
@@ -5531,6 +5752,27 @@ def repair_segmented(
                         **zm.get(seg, {}),
                         **{c: stats_many[seg][c] for c in missing},
                     }
+        # counts plane: backfill missing, and (opt-in) verify existing
+        new_counts = _carry_counts(counts, new_pins)
+        backfilled: dict[str, list[int]] = {}
+        fixed_counts: dict[str, list[int]] = {}
+        for comp, segs in new_pins.items():
+            cm = new_counts.setdefault(comp, {})
+            for seg in segs:
+                if seg not in cm:
+                    cm[seg] = _segment_row_count(spark, f"{root}/{comp}", seg)
+                    backfilled.setdefault(comp, []).append(seg)
+                elif verify_counts:
+                    actual = _segment_row_count(spark, f"{root}/{comp}", seg)
+                    if actual != cm[seg]:
+                        cm[seg] = actual
+                        fixed_counts.setdefault(comp, []).append(seg)
+        if backfilled:
+            changed = True
+            actions["backfilled_counts"] = backfilled
+        if fixed_counts:
+            changed = True
+            actions["fixed_counts"] = fixed_counts
         if dry_run:
             # same shape as the committing path (callers branch on
             # report["ok"]); the verdict is the CURRENT un-repaired one
@@ -5560,6 +5802,7 @@ def repair_segmented(
             kw["meta"] = meta
         if new_schemas:
             kw["schemas"] = new_schemas
+        kw["counts"] = new_counts
         try:
             commit_segment_manifest(
                 spark, root, new_pins, expected_base=base, **kw
@@ -5636,6 +5879,11 @@ def maintain(
         counter (:func:`component_tombstone_rows_key`, advanced by
         every delete/upsert/merge commit, reset by the apply) has
         reached this many churned keys.
+      * ``"max_rows_ratio"``: float — pressure-counter rows /
+        component PHYSICAL rows (manifest counts plane,
+        footer-backfilled) has reached this fraction — the exact form
+        of the ratio policy: byte ratios lie when tombstone rows are
+        narrow relative to wide data rows (r14 VERDICT #2).
       * ``"max_bytes_ratio"``: float — pinned tombstone-component
         bytes / data-component bytes (``segment_sizes`` listings) has
         reached this fraction — the counter-free fallback for
@@ -5686,6 +5934,24 @@ def maintain(
                         meta_now.get(component_tombstone_rows_key(comp), 0)
                     )
                     fire = n >= int(auto["max_rows"])
+                if not fire and "max_rows_ratio" in auto:
+                    # churned keys / physical component rows, BOTH from
+                    # the metadata plane (pressure counter + counts) —
+                    # byte ratios lie when tombstone rows are narrow
+                    # relative to wide data rows; this one doesn't
+                    n = int(
+                        meta_now.get(component_tombstone_rows_key(comp), 0)
+                    )
+                    known = state_now[6].get(comp, {})
+                    dr = sum(
+                        int(known[s])
+                        if s in known
+                        else _segment_row_count(spark, f"{root}/{comp}", s)
+                        for s in pins_now.get(comp, [])
+                    )
+                    fire = dr > 0 and n / dr >= float(
+                        auto["max_rows_ratio"]
+                    )
                 if not fire and "max_bytes_ratio" in auto:
                     tname = _tombstone_component(comp)
                     tb = sum(

@@ -1403,6 +1403,75 @@ def test_metadata_plane_verbs_schedule_zero_spark_jobs(spark, tmp_path):
     ) == 0
 
 
+def test_counts_plane_lifecycle_and_zero_job_describe(spark, tmp_path):
+    """Per-segment row counts in the manifest (r14 VERDICT #2):
+    collected driver-side from parquet footers at commit time,
+    carried through every rewrite, backfilled on the first commit
+    after a pre-counts manifest — and the whole DESCRIBE/COUNT(*)
+    surface schedules ZERO Spark jobs."""
+    from tests.conftest import count_jobs
+
+    root = str(tmp_path / "ds")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    lake.append_segments(spark, root, {"t": batch(0, 100)}, init=True)
+    lake.append_segments(spark, root, {"t": batch(100, 150)})
+    counts = lake.segment_counts(spark, root)
+    pins = lake.segment_pins(spark, root)
+    assert sorted(counts["t"].values()) == [50, 100]
+    assert set(counts["t"]) == set(pins["t"])
+    # manifest-served COUNT(*) == the physical pinned read, ZERO jobs
+    n = {}
+    jobs = count_jobs(
+        spark, lambda: n.update(t=lake.count_segmented(spark, root, "t"))
+    )
+    assert n["t"] == 150 and jobs == 0
+    d = {}
+    jobs = count_jobs(
+        spark, lambda: d.update(lake.describe_segmented(spark, root))
+    )
+    assert jobs == 0
+    assert d["components"]["t"]["rows"] == 150
+    assert d["components"]["t"]["segments"] == 2
+    assert d["components"]["t"]["columns"] == ["k", "v"]
+    # counts survive a rewrite (compaction) and stay footer-exact
+    lake.compact_segments(spark, root, components=["t"], min_segments=2)
+    assert lake.count_segmented(spark, root, "t") == 150
+    assert lake.validate_segmented(spark, root, deep=True)["ok"]
+    # pre-counts manifest (a bare pin-map commit drops the plane):
+    # count_segmented still answers from footers, and the NEXT commit
+    # backfills the plane for every pinned segment — self-healing
+    pins, v = lake.segment_pins_versioned(spark, root)
+    lake.commit_segment_manifest(spark, root, pins, expected_base=v)
+    assert lake.segment_counts(spark, root) == {}
+    jobs = count_jobs(
+        spark, lambda: n.update(t=lake.count_segmented(spark, root, "t"))
+    )
+    assert n["t"] == 150 and jobs == 0  # footer fallback, still no jobs
+    lake.append_segments(spark, root, {"t": batch(150, 160)})
+    counts = lake.segment_counts(spark, root)
+    assert sum(counts["t"].values()) == 160
+    assert set(counts["t"]) == set(lake.segment_pins(spark, root)["t"])
+    # fsck: a tampered count is caught by deep mode
+    pins, v = lake.segment_pins_versioned(spark, root)
+    bad = {c: dict(m) for c, m in counts.items()}
+    seg0 = next(iter(bad["t"]))
+    bad["t"][seg0] += 7
+    lake.commit_segment_manifest(
+        spark, root, pins, expected_base=v, counts=bad
+    )
+    rep = lake.validate_segmented(spark, root, deep=True)
+    assert not rep["ok"] and any("footer count" in e for e in rep["errors"])
+    # repair(verify_counts=True) footer-corrects the tampered entry
+    rep = lake.repair_segmented(spark, root, verify_counts=True)
+    assert rep["actions"]["fixed_counts"] == {"t": [seg0]}
+    assert lake.validate_segmented(spark, root, deep=True)["ok"]
+
+
 def test_changes_feed_survives_rename_normalization_in_window(
     spark, tmp_path
 ):

@@ -608,6 +608,32 @@ def test_tombstone_pressure_counter_and_auto_apply(spark, tmp_path):
     assert jobs == 0, f"below-pressure gate scheduled {jobs} jobs"
 
 
+def test_auto_apply_rows_ratio_policy(spark, tmp_path):
+    """max_rows_ratio (r14 VERDICT #2): churned keys / physical rows,
+    both from the metadata plane (pressure counter + counts plane) —
+    the exact form of the ratio policy (byte ratios lie when tombstone
+    rows are narrow). Below the bound: zero Spark jobs."""
+    from tests.conftest import count_jobs
+
+    root = str(tmp_path / "t")
+    _corpus(spark, root)  # 80 physical rows
+    lake.delete_rows(spark, root, "docs", "doc_id", [1, 2, 3])  # 3/80
+    policy = {"apply_tombstones": {"docs": {
+        "id_col": "doc_id", "merged": True, "auto": {"max_rows_ratio": 0.1},
+    }}, "repair": False, "expire": False}
+    rep = {}
+    jobs = count_jobs(spark, lambda: rep.update(lake.maintain(spark, root, policy)))
+    assert rep["apply_tombstones"]["docs"] == "below_pressure"
+    assert jobs == 0, f"below-ratio gate scheduled {jobs} jobs"
+    lake.delete_rows(spark, root, "docs", "doc_id", [4, 5, 6, 7, 8])  # 8/80
+    rep = lake.maintain(spark, root, policy)
+    assert rep["apply_tombstones"]["docs"] == "applied"
+    assert lake.segment_meta(spark, root).get(
+        lake.component_tombstone_rows_key("docs"), 0
+    ) == 0
+    assert lake.read_segmented_live(spark, root, "docs", "doc_id").count() == 72
+
+
 def test_auto_apply_bytes_ratio_fallback(spark, tmp_path):
     """max_bytes_ratio fires from segment_sizes listings alone — the
     counter-free path for tombstones that predate the counter."""
