@@ -3315,6 +3315,7 @@ def merge_rows(
     bloom_cols: Sequence[str] = (),
     segment_partitions: int | None = 1,
     check_legacy_tombstones: bool = True,
+    bloom_probe_cap: int = 10_000,
 ) -> dict:
     """The FULL conditional MERGE class on a segmented component —
     ``MERGE INTO target USING rows ON keys WHEN MATCHED [AND pred]
@@ -3376,6 +3377,15 @@ def merge_rows(
     - ``extra_meta``: merged into the sink's manifest meta atomically
       with the commit (the transactional-sink hook — a streaming
       committer records its batch id here, replay-safe).
+    - ``bloom_probe_cap``: bounded-batch bloom pruning (r14 VERDICT
+      #4). Zonemap ranges prune nothing on a scattered point-key
+      batch; when a key column carries bloom sidecars and the batch's
+      distinct keys fit the cap (detected by an approx sketch riding
+      the probe job, then fetched by one tiny ``distinct().limit``
+      job), each segment's bloom is tested DRIVER-SIDE and the target
+      read intersects down to the bloom-hit segments. ``0`` disables.
+      The report's ``"probe"`` entry records ``segments_pinned`` /
+      ``segments_read``.
 
     Unlike :func:`upsert_rows` (the blind O(batch) fast path), this
     verb READS the target's merged view restricted to the batch's keys
@@ -3434,11 +3444,24 @@ def merge_rows(
         # columns don't prune.
         read_pins = pins
         zones_all = state[1]
+        blooms_all = state[2]
         covered = [
             c
             for c in idc
             if any(c in zs for zs in zones_all.get(component, {}).values())
         ]
+        bloom_cov = (
+            [
+                c
+                for c in idc
+                if any(
+                    c in blooms_all.get(component, {}).get(s, [])
+                    for s in pins[component]
+                )
+            ]
+            if bloom_probe_cap
+            else []
+        )
         lgmark = _uniq_name("_legacy", set(rows.columns) | set(idc))
         lg = None
         if check_legacy_tombstones and _tombstone_component(component) in pins:
@@ -3461,12 +3484,20 @@ def merge_rows(
                     .dropDuplicates(idc)
                     .withColumn(lgmark, F.lit(1))
                 )
-        if covered or lg is not None:
+        if covered or bloom_cov or lg is not None:
             probe = rows if lg is None else rows.join(lg, on=idc, how="left")
             aggs = [
                 x
                 for c in covered
                 for x in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))
+            ]
+            # bounded-batch detector for bloom probing: a fixed-size
+            # sketch riding the SAME probe job (never a collect_set —
+            # an unbounded distinct-key set must not materialize in one
+            # agg buffer at 100 TB)
+            aggs += [
+                F.approx_count_distinct(F.col(c)).alias(f"kn_{c}")
+                for c in bloom_cov
             ]
             if lg is not None:
                 aggs.append(F.sum(F.col(lgmark)).alias(lgmark))
@@ -3492,6 +3523,34 @@ def merge_rows(
                     if kept_set is None
                     else kept_set & set(kept_c)
                 )
+            for c in bloom_cov:
+                # zonemap ranges prune nothing on a SCATTERED point-key
+                # batch (uniform ids span every segment's range); for a
+                # bounded batch, test the actual keys against each
+                # segment's bloom sidecar driver-side instead (r14
+                # VERDICT #4). The sketch gates a second tiny job that
+                # fetches at most cap+1 distinct keys; oversized batches
+                # skip (pruning stays conservative).
+                if int(b[f"kn_{c}"] or 0) > bloom_probe_cap:
+                    continue
+                ks = [
+                    r[0]
+                    for r in rows.select(F.col(c).cast("string"))
+                    .where(F.col(c).isNotNull())
+                    .distinct()
+                    .limit(bloom_probe_cap + 1)
+                    .collect()
+                ]
+                if len(ks) > bloom_probe_cap:
+                    continue  # sketch under-estimated: stay conservative
+                kept_c, _pinned = bloom_pruned_pins_from_state(
+                    spark, root, component, c, ks, pins, blooms_all
+                )
+                kept_set = (
+                    set(kept_c)
+                    if kept_set is None
+                    else kept_set & set(kept_c)
+                )
             if kept_set is not None:
                 kept = [s for s in pins[component] if s in kept_set]
                 if kept:
@@ -3499,6 +3558,12 @@ def merge_rows(
                 elif (sch := _schema_from_json(schemas.get(component))) is not None:
                     read_pins = None  # no segment can match: empty target
                     empty_target = spark.createDataFrame([], sch)
+        probe_rep = {
+            "segments_pinned": len(pins[component]),
+            "segments_read": (
+                0 if read_pins is None else len(read_pins[component])
+            ),
+        }
         target = (
             empty_target
             if read_pins is None
@@ -3688,6 +3753,7 @@ def merge_rows(
                 "deleted": n_del,
                 "skipped": n_keys - n_upd - n_ins - n_del,
                 "attempts": attempt + 1,
+                "probe": probe_rep,
             }
             if n_upd == 0 and n_ins == 0 and n_del == 0:
                 # a fully-no-op batch commits NOTHING: no revision, no

@@ -1061,6 +1061,88 @@ def test_merge_rows_prunes_touched_segments_by_zonemap(spark, tmp_path):
     assert got[41] == -41.0 and got[500] == 5.0 and got[50] == 50.0
 
 
+def test_merge_rows_bloom_prunes_scattered_point_batch(spark, tmp_path):
+    """Bloom-backed probe pruning (r14 VERDICT #4): segments whose key
+    RANGES fully overlap (interleaved even/odd ids) defeat zonemap
+    pruning, but a bounded point-key batch tests its actual keys
+    against each segment's bloom sidecar driver-side — the target read
+    drops every bloom-miss segment, and the report says so."""
+    import unittest.mock as mock
+
+    root = str(tmp_path / "t")
+    even = spark.createDataFrame(
+        [Row(doc_id=j, v=float(j)) for j in range(0, 80, 2)],
+        "doc_id bigint, v double",
+    ).coalesce(1)
+    odd = spark.createDataFrame(
+        [Row(doc_id=j, v=float(j)) for j in range(1, 80, 2)],
+        "doc_id bigint, v double",
+    ).coalesce(1)
+    lake.append_segments(
+        spark, root, {"docs": even}, init=True,
+        zone_cols={"docs": ["doc_id"]}, bloom_cols={"docs": ["doc_id"]},
+    )
+    lake.append_segments(
+        spark, root, {"docs": odd},
+        zone_cols={"docs": ["doc_id"]}, bloom_cols={"docs": ["doc_id"]},
+    )
+    seg_even, seg_odd = lake.segment_pins(spark, root)["docs"]
+    reads: list[list[int]] = []
+    real = lake.read_segments
+
+    def spy(spark_, comp_root, segments, **kw):
+        if comp_root.endswith("/docs"):
+            reads.append(sorted(segments))
+        return real(spark_, comp_root, segments, **kw)
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=40, v=-40.0)], "doc_id bigint, v double"
+    )
+    with mock.patch.object(lake, "read_segments", side_effect=spy):
+        rep = lake.merge_rows(
+            spark, root, "docs", "doc_id", batch,
+            zone_cols=["doc_id"], bloom_cols=["doc_id"],
+        )
+    assert rep["updated"] == 1
+    assert rep["probe"] == {"segments_pinned": 2, "segments_read": 1}
+    assert all(seg_odd not in segs for segs in reads), (
+        f"odd segment must be bloom-pruned for an even-key batch: {reads}"
+    )
+    # a batch touching both parities reads both segments (no wrong prune)
+    reads.clear()
+    both = spark.createDataFrame(
+        [Row(doc_id=2, v=-2.0), Row(doc_id=3, v=-3.0)],
+        "doc_id bigint, v double",
+    )
+    with mock.patch.object(lake, "read_segments", side_effect=spy):
+        rep = lake.merge_rows(
+            spark, root, "docs", "doc_id", both,
+            zone_cols=["doc_id"], bloom_cols=["doc_id"],
+        )
+    assert rep["updated"] == 2
+    # even+odd bloom-hit; merge #1's revision segment (doc_id 40 only)
+    # bloom-misses keys {2,3} and is pruned too
+    assert rep["probe"] == {"segments_pinned": 3, "segments_read": 2}
+    # cap 0 disables bloom probing: back to the (useless-here) zonemaps
+    rep = lake.merge_rows(
+        spark, root, "docs", "doc_id",
+        spark.createDataFrame([Row(doc_id=4, v=-4.0)],
+                              "doc_id bigint, v double"),
+        bloom_probe_cap=0,
+    )
+    assert rep["updated"] == 1
+    # zonemaps prune the tight revision segments ([40,40] and [2,3])
+    # but CANNOT prune either overlapping parity segment for key 4 —
+    # exactly the gap bloom probing closes
+    assert rep["probe"] == {"segments_pinned": 4, "segments_read": 2}
+    got = {
+        r.doc_id: r.v
+        for r in lake.read_segmented_merged(spark, root, "docs", "doc_id").collect()
+    }
+    assert got[40] == -40.0 and got[2] == -2.0 and got[3] == -3.0
+    assert got[4] == -4.0 and got[5] == 5.0
+
+
 def test_merge_rows_retries_past_a_rival_commit(spark, tmp_path, monkeypatch):
     """A rival ingest landing mid-merge costs a retry, never a lost
     update or a stale decision: the retry recomputes matched/changed
