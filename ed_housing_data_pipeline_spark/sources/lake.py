@@ -1574,12 +1574,23 @@ def vintage_predicate(schema, name: str, make):
     """A rename-aware PUSHABLE predicate for :func:`read_segments`'
     ``where`` hook: ``make`` builds the predicate from one Column
     (e.g. ``lambda c: c > 5``); the result ORs it across the logical
-    column's current and prior physical names, which is exactly
-    equivalent to the same predicate on the post-read coalesce —
-    every segment serves one vintage and NULLs are falsy — but lands
-    in the parquet scan's ``PushedFilters`` on EVERY vintage, so
-    fleets that keep the lagging-writer grace (normalization OFF) no
-    longer trade it for pushdown. Column-pruning note: the scan reads
+    column's current and prior physical names, each disjunct ANDed
+    with that physical column's ``isNotNull()``, which is exactly
+    equivalent to the same predicate on the post-read coalesce for
+    any NULL-REJECTING ``make`` — every segment serves one vintage,
+    and the guard keeps a null-test predicate from matching the
+    absent-vintage NULLs the other names read as — but lands in the
+    parquet scan's ``PushedFilters`` on EVERY vintage, so fleets that
+    keep the lagging-writer grace (normalization OFF) no longer trade
+    it for pushdown.
+
+    CONTRACT (r14 ADVICE #2): ``make`` must be NULL-rejecting —
+    i.e. ``make(NULL)`` must not evaluate TRUE (``isNull()``,
+    ``eqNullSafe(None)``, ``~isin(...)``-on-NULL are not). A
+    null-accepting predicate cannot be expressed as a pushable
+    per-vintage disjunction at all (the guard makes it under-return
+    instead of leaking cross-vintage rows); filter the coalesced
+    frame post-read for those. Column-pruning note: the scan reads
     current + prior columns for the filter either way (they are the
     same logical column)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -1591,10 +1602,10 @@ def vintage_predicate(schema, name: str, make):
             break
 
     def _where(df: DataFrame):
-        pred = make(F.col(name))
+        pred = make(F.col(name)) & F.col(name).isNotNull()
         for p in priors:
             if p in df.columns:
-                pred = pred | make(F.col(p))
+                pred = pred | (make(F.col(p)) & F.col(p).isNotNull())
         return pred
 
     return _where
@@ -2897,11 +2908,18 @@ def _consume_changes_once(
     # Adoption is RESTRICTED to the same-named sink component (the
     # only consumer shape the pre-keying era could have written), and
     # the legacy key is RETIRED in the same commit that records the
-    # qualified one — so a later consumer with a different source or
-    # sink component can never silently inherit this consumer's
-    # advanced mark and skip its own bootstrap window. The adoption is
-    # surfaced loudly in the report (``adopted_legacy_key``) so fleet
-    # operators can find pre-r13 sinks that inherited a shared history.
+    # qualified one — so a later consumer with a different SINK
+    # COMPONENT can never silently inherit this consumer's advanced
+    # mark and skip its own bootstrap window. Residual ambiguity (r14
+    # ADVICE #5): the legacy key carries no SOURCE identity, so a
+    # first-time consumer from a DIFFERENT source_root but the same
+    # component names still adopts a mark written for another source.
+    # The adoption is surfaced loudly in the report
+    # (``adopted_legacy_key``) so fleet operators can find pre-r13
+    # sinks that inherited a shared history; multi-source fleets
+    # should clear bare ``cdf_watermark:<component>`` keys before
+    # pointing a NEW source at a pre-r13 sink — ``maintain``'s
+    # retire_legacy_watermarks sweep does exactly that on cadence.
     legacy_key = f"cdf_watermark:{component}"
     adopted = False
     if wm_key in sink_meta:
@@ -6160,6 +6178,54 @@ def maintain(
         pkw = {} if pkw is True else dict(pkw)
         pkw["sweep_orphans"] = False
         report["repair"] = repair_segmented(spark, root, dry_run=dry_run, **pkw)
+
+    # ---- 3b) retire inert legacy watermark keys (meta-only flip).
+    # Bare pre-r13 ``cdf_watermark:<component>`` keys carry no source
+    # identity: once ignored by migrated consumers they are junk, and
+    # worse, a FIRST consume from a different source_root with the
+    # same component names would silently adopt one and skip its own
+    # bootstrap window (r14 ADVICE #5). Default ON; fleets still
+    # mid-migration (a same-source consumer that has not run since
+    # r13) pass ``{"retire_legacy_watermarks": False}`` until it has.
+    if policy.get("retire_legacy_watermarks", True) is False:
+        report["retire_legacy_watermarks"] = {"skipped": True}
+    else:
+        retired: list[str] = []
+        for _attempt in range(3):
+            st = _manifest_state(spark, root)
+            meta_now, base_now = st[3], st[5]
+            bare = sorted(
+                k
+                for k in meta_now
+                if k.startswith("cdf_watermark:")
+                and ":" not in k[len("cdf_watermark:"):]
+            )
+            if not bare:
+                break
+            if dry_run:
+                report["retire_legacy_watermarks"] = {"would_retire": bare}
+                break
+            mkw: dict = {
+                "meta": {k: v for k, v in meta_now.items() if k not in bare}
+            }
+            if st[1]:
+                mkw["zones"] = st[1]
+            if st[2]:
+                mkw["blooms"] = st[2]
+            if st[4]:
+                mkw["schemas"] = st[4]
+            if st[6]:
+                mkw["counts"] = st[6]
+            try:
+                commit_segment_manifest(
+                    spark, root, st[0], expected_base=base_now, **mkw
+                )
+                retired = bare
+                break
+            except ConcurrentCommitError:
+                continue  # rival commit: re-read and retry the sweep
+        if "retire_legacy_watermarks" not in report:
+            report["retire_legacy_watermarks"] = {"retired": retired}
 
     # ---- 4) retention + orphan sweep
     ekw = policy.get("expire")

@@ -1068,6 +1068,64 @@ def test_consume_changes_legacy_watermark_adoption_is_restricted_and_retired(
     assert sorted(r.k for r in m2.collect()) == list(range(15))
 
 
+def test_maintain_retires_inert_legacy_watermark_keys(spark, tmp_path):
+    """maintain's retire_legacy_watermarks sweep (r14 VERDICT #7 +
+    ADVICE #5): bare pre-r13 ``cdf_watermark:<component>`` keys are
+    deleted on cadence (meta-only flip, default ON) so a future
+    consumer from a DIFFERENT source can never adopt a mark written
+    for another source; qualified keys and the rest of the meta
+    survive, and a post-sweep same-named consumer bootstraps its own
+    full window instead of adopting."""
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    lake.append_segments(spark, src, {"t": batch(0, 10)}, init=True)
+    lake.consume_changes(spark, src, "t", dst)
+    # forge a pre-r13 sink: a bare legacy key NEXT TO the qualified one
+    state = lake._manifest_state(spark, dst)
+    pins, meta, base = state[0], dict(state[3]), state[5]
+    (qual_key,) = [k for k in meta if k.startswith("cdf_watermark:")]
+    meta["cdf_watermark:t"] = 99
+    meta["other_app_state"] = "keep-me"
+    lake.commit_segment_manifest(
+        spark, dst, pins, expected_base=base, meta=meta,
+        schemas=state[4] or None,
+    )
+    rep = lake.maintain(spark, dst, {"repair": False, "expire": False},
+                        dry_run=True)
+    assert rep["retire_legacy_watermarks"] == {
+        "would_retire": ["cdf_watermark:t"]
+    }
+    assert lake.segment_meta(spark, dst)["cdf_watermark:t"] == 99  # dry
+    rep = lake.maintain(spark, dst, {"repair": False, "expire": False})
+    assert rep["retire_legacy_watermarks"] == {
+        "retired": ["cdf_watermark:t"]
+    }
+    meta_after = lake.segment_meta(spark, dst)
+    assert "cdf_watermark:t" not in meta_after
+    assert meta_after[qual_key] == state[3][qual_key]  # qualified survives
+    assert meta_after["other_app_state"] == "keep-me"
+    # adoption semantics unchanged: the swept key can't be inherited —
+    # a new same-named consumer from ANOTHER source bootstraps cleanly
+    src2 = str(tmp_path / "src2")
+    lake.append_segments(spark, src2, {"t": batch(100, 103)}, init=True)
+    rep = lake.consume_changes(spark, src2, "t", dst, sink_component="t2")
+    assert rep["applied"] and "adopted_legacy_key" not in rep
+    got = lake.read_segmented_components(spark, dst, ["t2"])["t2"]
+    assert sorted(r.k for r in got.collect()) == [100, 101, 102]
+    # opt-out honored, idempotent when nothing is left to retire
+    rep = lake.maintain(
+        spark, dst,
+        {"repair": False, "expire": False, "retire_legacy_watermarks": False},
+    )
+    assert rep["retire_legacy_watermarks"] == {"skipped": True}
+    rep = lake.maintain(spark, dst, {"repair": False, "expire": False})
+    assert rep["retire_legacy_watermarks"] == {"retired": []}
+
+
 def test_typed_feed_rejects_reserved_column_collision(spark, tmp_path):
     """A component with a data column named like one of the three
     reserved change-feed columns raises a CLEAR error from
