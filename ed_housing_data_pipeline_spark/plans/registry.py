@@ -198,7 +198,86 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r14 window. This round's THREE new queries enter
+    # --- r15 window. TWO new queries enter (lake_merge_insert_values
+    # — the explicit WHEN NOT MATCHED THEN INSERT (cols) VALUES clause
+    # + the narrow-patch guard, r14 VERDICT #1; lake_describe_segmented
+    # — the manifest counts plane's zero-job DESCRIBE/COUNT(*) surface,
+    # r14 VERDICT #2 + stretch #8). The lake core was rewired again
+    # this round (counts plane on every commit path, bloom-backed
+    # merge probe pruning, insert_values, rows-ratio auto-apply,
+    # legacy-watermark retirement sweep, feed-scan meta-column fix,
+    # vintage-predicate NULL guard), so its reps stay in-window. The
+    # ENTIRE r11 staleness tail (31 rows — the oldest last-green
+    # cohort per CORRECTNESS_r02..r14, r14 VERDICT #3) fills the
+    # middle; the last 7 slots start draining the r12 tail with
+    # family-spread picks (incl. orders_zorder_box3 — recluster rides
+    # rewrite_components, whose commit now carries counts; and the
+    # schema-evolution pair — rename/drop commits now carry counts).
+    # After a green r15 no registered query's last driver row is older
+    # than r12. Rotated OUT (all r14-green, unchanged, family reps
+    # stay in): the r10 tail r14 closed and the r14 relational/events/
+    # doc battery.
+    #
+    # the flagship (entry()) — never rotates out
+    "rank_sum_top1",
+    # NEW this round
+    "lake_merge_insert_values",
+    "lake_describe_segmented",
+    # rewired-component representatives (see header note)
+    "lake_merge_conditional",
+    "lake_merge_patch",
+    "lake_stream_merge_dim",
+    "lake_upsert_roundtrip",
+    "lake_changes_typed_feed",
+    "lake_cdf_merged_mirror",
+    "lake_mirror_consume",
+    "lake_maintain_cycle",
+    "doc_delete_point_lookup",
+    # the ENTIRE r11 staleness tail
+    "customer_order_gaps",
+    "doc_chunk_plan",
+    "doc_chunk_text",
+    "doc_crosssource_contamination",
+    "doc_dedup_survivors",
+    "doc_lang_confusion",
+    "doc_minhash_estimate_vs_exact",
+    "doc_pack_assignment",
+    "doc_quality_weighted_sample",
+    "doc_repetition_stats",
+    "doc_simhash_neardup",
+    "doc_stratified_sample",
+    "doc_train_split",
+    "doc_word_idf",
+    "embedding_knn_ivf_recall",
+    "embedding_knn_ivfpq_recall",
+    "events_anomaly_zscore",
+    "events_funnel_signup_purchase",
+    "events_stream_dedup_count",
+    "events_stream_enrich_category",
+    "events_stream_join_view_purchase",
+    "events_stream_sliding",
+    "events_stream_state_totals",
+    "events_stream_upsert_sink",
+    "lineitem_numeric_profile",
+    "orders_rollup_after_retraction",
+    "orders_rollup_month_range",
+    "orders_seasonality",
+    "orders_stream_rollup",
+    "priority_revenue_fact_join",
+    "setop_union_by_name",
+    # start of the r12 tail (family-spread picks; the rest rotates in
+    # next round)
+    "lake_schema_evolution",
+    "lake_type_widening",
+    "orders_zorder_box3",
+    "grouped_agg",
+    "events_asof_last_view",
+    "doc_exact_dedup",
+    "embedding_knn_srp",
+)
+
+_PRIORITY_ORDER_R14: tuple[str, ...] = (
+    # --- r14 window (kept for provenance). This round's THREE new queries enter
     # (lake_merge_conditional — the full conditional MERGE class:
     # composite keys, WHEN MATCHED AND pred, skip-if-unchanged;
     # lake_merge_patch — partial-column UPDATE SET over

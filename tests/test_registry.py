@@ -28,18 +28,16 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r14 window: the three r14-new
-    queries enter (lake_merge_conditional — the full conditional MERGE
-    class; lake_merge_patch — partial-column UPDATE SET;
-    lake_stream_merge_dim — the exactly-once streaming merge sink),
-    plus the two r13-born rows that registered after the r13 window
-    froze (lake_upsert_time_travel, lake_stream_mirror_consume — never
-    driver-sampled), every lake-core surface REWIRED in r14 keeps a
-    representative (upsert counter/guard/partitions, consumer watermark
-    adoption, typed-feed flattening, maintain auto step, delete-path
-    counter), the ENTIRE r10 staleness tail fills the middle, and 12
-    r11 rows start draining that tail — after this round no registered
-    query's driver row is older than r11."""
+    prior round's CORRECTNESS file. The r15 window: the two r15-new
+    queries enter (lake_merge_insert_values — the explicit INSERT
+    VALUES clause + narrow-patch guard; lake_describe_segmented — the
+    counts plane's zero-job DESCRIBE/COUNT(*) surface), every
+    lake-core surface REWIRED in r15 keeps a representative (counts on
+    every commit path, bloom-backed merge probe pruning, rows-ratio
+    auto-apply, feed-scan meta columns, watermark retirement sweep),
+    the ENTIRE r11 staleness tail fills the middle, and 7 r12 rows
+    start draining that tail — after this round no registered query's
+    driver row is older than r12."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -47,35 +45,36 @@ def test_driver_window_covers_every_family():
     assert names[:50] == list(_PRIORITY_ORDER)
     window = set(names[:50])
     must_have = {
-        # r14-new — never driver-verified before
-        "lake_merge_conditional",
-        "lake_merge_patch",
-        "lake_stream_merge_dim",
-        # r13-born, never driver-sampled (r13 VERDICT #3 / ADVICE #5)
-        "lake_upsert_time_travel",
-        "lake_stream_mirror_consume",
-        # rewired-in-r14 lake-core representatives
-        "lake_upsert_roundtrip",    # upsert counter/guard/partitions
-        "lake_cdf_merged_mirror",   # consumer loop, adoption restriction
-        "lake_changes_typed_feed",  # one-tagged-scan-per-feed rewrite
-        "lake_mirror_consume",      # exactly-once consumer
-        "lake_changes_feed",        # CDF version walk
-        "lake_maintain_cycle",      # maintain (auto apply step added)
-        "doc_delete_point_lookup",  # delete path now carries the counter
+        # r15-new — never driver-verified before
+        "lake_merge_insert_values",
+        "lake_describe_segmented",
+        # rewired-in-r15 lake-core representatives
+        "lake_merge_conditional",   # merge probe (bloom pruning, report)
+        "lake_merge_patch",         # update_set + the new guard path
+        "lake_stream_merge_dim",    # no-op meta flip version report
+        "lake_upsert_roundtrip",    # append/commit path carries counts
+        "lake_changes_typed_feed",  # feed-scan meta-column fix
+        "lake_cdf_merged_mirror",   # consumer loop carries sink counts
+        "lake_mirror_consume",      # exactly-once consumer + sweep
+        "lake_maintain_cycle",      # maintain (retire sweep added)
+        "doc_delete_point_lookup",  # delete path commits counts
+        "lake_schema_evolution",    # rename/drop commits carry counts
+        "lake_type_widening",
+        "orders_zorder_box3",       # recluster rides rewrite_components
         # the flagship (entry())
         "rank_sum_top1",
-        # staleness tails (r10 fully in -> bound becomes r11)
-        "doc_inverted_search_and",
-        "doc_quality_score",
-        "embedding_norms",
-        "events_retention_cohorts",
-        "horizontal_sum",
-        "schema_introspect",
-        # r11-tail family-spread picks
-        "filter_project",
-        "orders_cube_status_priority",
-        "doc_pii_scrub",
-        "events_stream_sessionize",
+        # staleness tails (r11 fully in -> bound becomes r12)
+        "doc_train_split",
+        "doc_pack_assignment",
+        "events_funnel_signup_purchase",
+        "orders_stream_rollup",
+        "embedding_knn_ivf_recall",
+        "embedding_knn_ivfpq_recall",
+        # r12-tail family-spread picks
+        "grouped_agg",
+        "events_asof_last_view",
+        "doc_exact_dedup",
+        "embedding_knn_srp",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
