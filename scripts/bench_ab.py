@@ -14,8 +14,15 @@ totals. This harness:
   side goes first (odd rounds B-first), timing one end-to-end noop-sink
   execution; the first two runs per side are unrecorded warm-ups
   (plan build + family caches, matching bench.py's amortized model);
-- reports per-query medians, the head/ref ratio, and each side's own
-  min-max spread (the noise band) — a ratio inside the band is noise.
+- POWER (r14 VERDICT #5): sub-second queries are batched — each
+  measurement runs the query ``reps`` times back-to-back so the timed
+  block sits near --target-sec (default 2s, reps capped at 20) and the
+  relative noise band shrinks below the moves worth flagging; reps are
+  sized from the warm-up runs and recorded per query;
+- reports per-query medians, the head/ref ratio, each side's own
+  min-max spread (the noise band — a ratio inside the band is noise),
+  the per-query minimum detectable ratio (1 + band), and the median
+  band across queries (the suite's overall power).
 
 Usage:
     python scripts/bench_ab.py --ref <commit> [--rounds 5]
@@ -78,13 +85,16 @@ for line in sys.stdin:
         print("QUERIES " + json.dumps(sorted(qmap)), flush=True)
         continue
     if parts[0] == "RUN":
-        name = parts[1]
+        rest = parts[1].split()
+        name, reps = rest[0], (int(rest[1]) if len(rest) > 1 else 1)
         try:
             t0 = time.perf_counter()
-            qmap[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            print(f"OK {name} {time.perf_counter() - t0:.4f}", flush=True)
+            for _ in range(reps):
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            dt = (time.perf_counter() - t0) / reps
+            print(f"OK {name} {dt:.6f}", flush=True)
         except Exception as e:  # noqa: BLE001 - report, keep serving
             print(f"ERR {name} {type(e).__name__}", flush=True)
 spark.stop()
@@ -123,8 +133,8 @@ class Worker:
         self.send("LIST")
         return set(json.loads(self._await("QUERIES")[len("QUERIES ") :]))
 
-    def run_checked(self, name: str) -> float | None:
-        self.send(f"RUN {name}")
+    def run_checked(self, name: str, reps: int = 1) -> float | None:
+        self.send(f"RUN {name} {reps}")
         while True:
             line = self.proc.stdout.readline()
             if not line:
@@ -152,6 +162,11 @@ def main() -> int:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_AB.json"))
+    ap.add_argument(
+        "--target-sec", type=float, default=2.0,
+        help="batch sub-second queries until one measurement spans this",
+    )
+    ap.add_argument("--max-reps", type=int, default=20)
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -180,11 +195,22 @@ def main() -> int:
             print(f"skipping (absent in one tree): {missing}", file=sys.stderr)
             names = [q for q in names if q in common]
 
-        # unrecorded warm-ups: cold + one warm run per side
+        # unrecorded warm-ups: cold + one warm run per side; the warm
+        # time sizes the reps batch that lifts each measurement to
+        # ~target-sec (sub-second queries' raw runs swing 2x on this
+        # host, drowning <2x moves — r14 VERDICT #5)
+        reps_for: dict[str, int] = {}
         for name in names:
+            warm = []
             for w in workers.values():
                 w.run_checked(name)
-                w.run_checked(name)
+                t = w.run_checked(name)
+                if t is not None:
+                    warm.append(t)
+            base = max(min(warm), 0.02) if warm else args.target_sec
+            reps_for[name] = max(
+                1, min(args.max_reps, round(args.target_sec / base))
+            )
 
         runs: dict[str, dict[str, list[float]]] = {
             n: {"ref": [], "head": []} for n in names
@@ -194,7 +220,7 @@ def main() -> int:
             order = ["ref", "head"] if rnd % 2 == 0 else ["head", "ref"]
             for name in names:
                 for side in order:
-                    sec = workers[side].run_checked(name)
+                    sec = workers[side].run_checked(name, reps_for[name])
                     if sec is not None:
                         runs[name][side].append(sec)
 
@@ -223,6 +249,8 @@ def main() -> int:
                 "head_median": round(mh, 4),
                 "ratio": round(ratio, 3),
                 "noise_band": round(band, 3),
+                "reps": reps_for[name],
+                "min_detectable_ratio": round(1.0 + band, 3),
                 "ref_runs": [round(x, 4) for x in r],
                 "head_runs": [round(x, 4) for x in h],
             }
@@ -238,12 +266,21 @@ def main() -> int:
         report["total_ratio"] = round(
             tot["head"] / tot["ref"], 3
         ) if tot["ref"] else None
+        bands = [
+            q["noise_band"]
+            for q in report["queries"].values()
+            if "noise_band" in q
+        ]
+        report["median_noise_band"] = (
+            round(statistics.median(bands), 3) if bands else None
+        )
         with open(args.out, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(
             f"A/B vs {ref_sha}: head {tot['head']:.2f}s vs ref "
             f"{tot['ref']:.2f}s (ratio {report['total_ratio']}) over "
-            f"{len(names)} queries x {args.rounds} interleaved rounds"
+            f"{len(names)} queries x {args.rounds} interleaved rounds; "
+            f"median noise band {report['median_noise_band']}"
         )
         for name, ratio in sorted(flagged, key=lambda t: t[1], reverse=True):
             q = report["queries"][name]
