@@ -19,10 +19,18 @@ totals. This harness:
   block sits near --target-sec (default 2s, reps capped at 20) and the
   relative noise band shrinks below the moves worth flagging; reps are
   sized from the warm-up runs and recorded per query;
-- reports per-query medians, the head/ref ratio, each side's own
-  min-max spread (the noise band — a ratio inside the band is noise),
-  the per-query minimum detectable ratio (1 + band), and the median
-  band across queries (the suite's overall power).
+- PAIRED statistic: host-wide contention spikes hit BOTH sides in the
+  same interleaved round (r15 observation: every >1.5x outlier run
+  appeared on head AND ref in the same round), so per-side min-max
+  bands conflate host noise with tree differences. The headline
+  per-query statistic is the MEDIAN OF PER-ROUND RATIOS head_i/ref_i
+  (each pair runs back-to-back, so shared noise cancels), and the band
+  is the spread of the TRIMMED paired ratios (drop the single highest
+  and lowest when rounds >= 5) around their median;
+- reports per-query medians, the paired ratio, the trimmed paired band
+  (a ratio inside the band is noise), the per-query minimum detectable
+  ratio (1 + band), and the median band across queries (the suite's
+  overall power).
 
 Usage:
     python scripts/bench_ab.py --ref <commit> [--rounds 5]
@@ -167,6 +175,13 @@ def main() -> int:
         help="batch sub-second queries until one measurement spans this",
     )
     ap.add_argument("--max-reps", type=int, default=20)
+    ap.add_argument(
+        "--band-floor", type=float, default=0.10,
+        help="minimum effective band: absorbs worker-level systematics "
+        "(JVM/heap asymmetry between the two long-lived workers) that "
+        "paired ratios cannot cancel; calibrate with an A/A run "
+        "(--ref HEAD) — the floor should cover every A/A |ratio-1|",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -239,23 +254,35 @@ def main() -> int:
                 report["queries"][name] = {"error": "missing runs"}
                 continue
             mr, mh = statistics.median(r), statistics.median(h)
-            band = max(
-                (max(r) - min(r)) / mr if mr else 0.0,
-                (max(h) - min(h)) / mh if mh else 0.0,
-            )
-            ratio = mh / mr if mr else float("inf")
+            # paired per-round ratios: shared host noise cancels because
+            # each pair ran back-to-back in the same interleaved round
+            paired = [
+                hi / ri for hi, ri in zip(h, r) if ri
+            ]
+            if paired:
+                ratio = statistics.median(paired)
+                trimmed = (
+                    sorted(paired)[1:-1] if len(paired) >= 5 else paired
+                )
+                mid = statistics.median(trimmed)
+                band = (max(trimmed) - min(trimmed)) / mid if mid else 0.0
+            else:
+                ratio = mh / mr if mr else float("inf")
+                band = 0.0
             entry = {
                 "ref_median": round(mr, 4),
                 "head_median": round(mh, 4),
                 "ratio": round(ratio, 3),
+                "paired_ratios": [round(x, 3) for x in paired],
                 "noise_band": round(band, 3),
                 "reps": reps_for[name],
                 "min_detectable_ratio": round(1.0 + band, 3),
                 "ref_runs": [round(x, 4) for x in r],
                 "head_runs": [round(x, 4) for x in h],
             }
-            # outside the band on either side → a real move, not noise
-            if abs(ratio - 1.0) > band:
+            # outside the effective band → a real move, not noise (the
+            # floor absorbs per-worker systematics the pairing can't)
+            if abs(ratio - 1.0) > max(band, args.band_floor):
                 entry["significant"] = True
                 flagged.append((name, ratio))
             report["queries"][name] = entry
@@ -274,6 +301,7 @@ def main() -> int:
         report["median_noise_band"] = (
             round(statistics.median(bands), 3) if bands else None
         )
+        report["band_floor"] = args.band_floor
         with open(args.out, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(
