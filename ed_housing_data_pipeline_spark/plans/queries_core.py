@@ -2631,6 +2631,92 @@ def q_lake_merge_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ------------------------------- WHEN NOT MATCHED BY SOURCE clauses
+@register(
+    "lake_merge_nmbs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 1 AND c_custkey % 5 <> 0
+                     AND c_custkey % 3 = 0
+                THEN 'STALE' ELSE c_mktsegment END AS c_mktsegment,
+           ROUND(c_acctbal + CASE WHEN c_custkey % 4 = 0
+                                  THEN 10.0 ELSE 0.0 END, 2) AS bal
+    FROM customer
+    WHERE NOT (c_custkey % 2 = 1 AND c_custkey % 5 = 0)
+    """,
+)
+def q_lake_merge_nmbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Delta MERGE clause class — ``WHEN NOT MATCHED BY
+    SOURCE [AND cond] THEN DELETE | UPDATE SET`` (lake.merge_rows):
+    ONE cadence batch carrying only the EVEN keys both refreshes its
+    matched side (%4 keys repriced → update, the rest content-equal →
+    skip) AND acts on the target keys it DIDN'T carry: odd %5 keys
+    retire (tombstoned), odd %3 keys are staleness-marked
+    (``SET c_mktsegment = 'STALE'`` under the clause condition), the
+    delete clause winning any double match. Pinned in-query: the
+    report's updated/skipped/nmbs_updated/nmbs_deleted equal the slice
+    sizes; a FULL replay of the same merge commits NOTHING (the STALE
+    mark is idempotent, so skip_unchanged makes the whole cadence a
+    no-op — version pinned). The merged view must hash-match the
+    oracle's algebraic CASE/WHERE form. At 100 TB this is the
+    dimension-retirement cadence: the one clause class that must read
+    the full target (documented — every unmatched key is a subject),
+    exactly Delta's whenNotMatchedBySource cost model."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    dim0 = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+    k = F.col("c_custkey")
+    with tempfile.TemporaryDirectory(prefix="lake_nmbs_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"dim": dim0}, init=True)
+        batch = dim0.filter(k % 2 == 0).withColumn(
+            "bal",
+            F.when(k % 4 == 0, F.round(F.col("bal") + 10.0, 2)).otherwise(
+                F.col("bal")
+            ),
+        )
+        kw = {
+            "when_not_matched_by_source_delete": "target.c_custkey % 5 = 0",
+            "when_not_matched_by_source_set": {"c_mktsegment": "'STALE'"},
+            "when_not_matched_by_source_condition": "target.c_custkey % 3 = 0",
+        }
+        rep = lake.merge_rows(spark, ds, "dim", "c_custkey", batch, **kw)
+        odd = dim0.filter(k % 2 == 1)
+        want = (
+            batch.filter(k % 4 == 0).count(),
+            batch.filter(k % 4 != 0).count(),
+            odd.filter((k % 5 != 0) & (k % 3 == 0)).count(),
+            odd.filter(k % 5 == 0).count(),
+        )
+        got = (
+            rep["updated"], rep["skipped"],
+            rep["nmbs_updated"], rep["nmbs_deleted"],
+        )
+        if got != want:
+            raise RuntimeError(f"nmbs report off: {got} != {want} ({rep})")
+        # a full replay is a complete no-op: the STALE mark is
+        # idempotent, skip_unchanged absorbs every clause — version pin
+        v = lake.segment_pins_versioned(spark, ds)[1]
+        rep2 = lake.merge_rows(spark, ds, "dim", "c_custkey", batch, **kw)
+        if rep2["applied"] or lake.segment_pins_versioned(spark, ds)[1] != v:
+            raise RuntimeError(f"nmbs replay committed: {rep2}")
+        return (
+            lake.read_segmented_merged(spark, ds, "dim", "c_custkey")
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("bal"), 2).alias("bal"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 # ---------------------------------------- zero-job DESCRIBE surface
 @register(
     "lake_describe_segmented",

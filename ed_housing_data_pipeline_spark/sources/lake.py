@@ -3327,6 +3327,9 @@ def merge_rows(
     update_set=None,
     insert_values=None,
     when_matched_delete=None,
+    when_not_matched_by_source_delete=None,
+    when_not_matched_by_source_set=None,
+    when_not_matched_by_source_condition=None,
     extra_meta: dict | None = None,
     max_attempts: int = 3,
     zone_cols: Sequence[str] = (),
@@ -3392,6 +3395,23 @@ def merge_rows(
       sequence (no replacement rows; a later upsert resurrects).
       Evaluated BEFORE the update clause: a key matching both deletes.
       Completes the MERGE grammar alongside update/insert.
+    - ``when_not_matched_by_source_delete`` / ``_set`` /
+      ``_condition``: the third Delta clause class — act on TARGET
+      keys with NO match in the batch (``WHEN NOT MATCHED BY SOURCE
+      [AND cond] THEN DELETE | UPDATE SET ...``). ``_delete`` is
+      ``True`` (every unmatched target key) or a predicate over
+      ``target.*`` (a key deletes iff SOME live row satisfies it);
+      ``_set`` is ``{column: expression}`` over ``target.*`` applied
+      ROW-WISE to live rows satisfying ``_condition`` (None → all
+      rows) — a key rewrites iff it has such a row, carrying its other
+      rows unchanged; ``skip_unchanged`` still applies (a SET that
+      writes the value already there commits nothing for that key).
+      The delete clause wins a key matching both. COST: these clauses
+      make every target key a candidate, so the touched-segment
+      pruning is disabled and the merge reads the FULL merged view —
+      the same documented full-target-scan cost Delta's
+      whenNotMatchedBySource clauses pay. Use for dimension
+      retirement / staleness-marking cadences, not point lookups.
     - ``extra_meta``: merged into the sink's manifest meta atomically
       with the commit (the transactional-sink hook — a streaming
       committer records its batch id here, replay-safe).
@@ -3440,6 +3460,14 @@ def merge_rows(
         if isinstance(when_matched_delete, str)
         else when_matched_delete
     )
+    nmbs_del = when_not_matched_by_source_delete
+    if isinstance(nmbs_del, str):
+        nmbs_del = F.expr(nmbs_del)
+    nmbs_set = when_not_matched_by_source_set
+    nmbs_cond = when_not_matched_by_source_condition
+    if isinstance(nmbs_cond, str):
+        nmbs_cond = F.expr(nmbs_cond)
+    nmbs_active = nmbs_del is not None or bool(nmbs_set)
     last_err: BaseException | None = None
     for attempt in range(max_attempts):
         state = _manifest_state(spark, root)
@@ -3463,11 +3491,22 @@ def merge_rows(
         read_pins = pins
         zones_all = state[1]
         blooms_all = state[2]
-        covered = [
-            c
-            for c in idc
-            if any(c in zs for zs in zones_all.get(component, {}).values())
-        ]
+        # NOT MATCHED BY SOURCE makes EVERY target key a candidate:
+        # touched-segment pruning must not drop segments the batch
+        # can't match (their unmatched keys are exactly the clause's
+        # subjects) — the merge pays the full-target read Delta's
+        # whenNotMatchedBySource documents
+        covered = (
+            []
+            if nmbs_active
+            else [
+                c
+                for c in idc
+                if any(
+                    c in zs for zs in zones_all.get(component, {}).values()
+                )
+            ]
+        )
         bloom_cov = (
             [
                 c
@@ -3477,7 +3516,7 @@ def merge_rows(
                     for s in pins[component]
                 )
             ]
-            if bloom_probe_cap
+            if bloom_probe_cap and not nmbs_active
             else []
         )
         lgmark = _uniq_name("_legacy", set(rows.columns) | set(idc))
@@ -3746,6 +3785,105 @@ def merge_rows(
             *idc, F.col(nsc), upd.alias(updc), ins.alias(insc),
             dele.alias(delc),
         ).persist()
+        # --- WHEN NOT MATCHED BY SOURCE: target keys absent from the
+        # batch. Key-based mutation cannot address NULL-keyed rows (the
+        # liveness fold joins null-unsafe, same as upsert/delete), so
+        # they are excluded, never silently mis-deleted.
+        nmu = _uniq_name("_nmu", taken)
+        nmd = _uniq_name("_nmd", taken)
+        nmbs_dec = None
+        nmbs_upd_src = None
+        if nmbs_active:
+            if nmbs_set:
+                bad = sorted(set(nmbs_set) & set(idc))
+                if bad:
+                    raise ValueError(
+                        "merge_rows: when_not_matched_by_source_set cannot "
+                        f"rewrite key column(s) {bad}"
+                    )
+                unknown = sorted(
+                    c for c in nmbs_set
+                    if c not in recorded or c == UPSERT_SEQ_COL
+                )
+                if unknown:
+                    raise ValueError(
+                        "merge_rows: when_not_matched_by_source_set targets "
+                        f"column(s) {unknown} not in the target's recorded "
+                        "schema"
+                    )
+            keyed = None
+            for c in idc:
+                nn = F.col(c).isNotNull()
+                keyed = nn if keyed is None else (keyed & nn)
+            tgt_un = (
+                target.filter(keyed)
+                .join(rows.select(*idc).distinct(), on=idc, how="left_anti")
+                .alias("target")
+            )
+            del_keys_n = None
+            if nmbs_del is not None:
+                un_del = (
+                    tgt_un if nmbs_del is True else tgt_un.filter(nmbs_del)
+                )
+                del_keys_n = un_del.select(*idc).distinct()
+            frames_n = []
+            if del_keys_n is not None:
+                frames_n.append(
+                    del_keys_n.withColumn(nmd, F.lit(True)).withColumn(
+                        nmu, F.lit(False)
+                    )
+                )
+            if nmbs_set:
+                upd_base = tgt_un
+                if del_keys_n is not None:  # the delete clause wins
+                    upd_base = upd_base.join(
+                        del_keys_n, on=idc, how="left_anti"
+                    ).alias("target")
+                rowp = nmbs_cond if nmbs_cond is not None else F.lit(True)
+                tcols_n = [c for c in target.columns if c != UPSERT_SEQ_COL]
+
+                def _nm_expr(c: str):
+                    e = nmbs_set.get(c)
+                    if e is None:
+                        return F.col(f"target.{c}")
+                    ee = F.expr(e) if isinstance(e, str) else e
+                    # row-wise: rows not satisfying the condition keep
+                    # their target values but still ride the rewrite
+                    return F.when(rowp, ee.cast(types[c])).otherwise(
+                        F.col(f"target.{c}")
+                    )
+
+                patched_n = upd_base.select(
+                    *[_nm_expr(c).alias(c) for c in tcols_n]
+                )
+                aff = upd_base.filter(rowp).select(*idc).distinct()
+                if skip_unchanged:
+                    live_n = upd_base.select(
+                        *[F.col(f"target.{c}").alias(c) for c in tcols_n]
+                    )
+                    p_fp = patched_n.groupBy(*idc).agg(
+                        F.sort_array(F.collect_list(_fp(patched_n))).alias(sfp)
+                    )
+                    l_fp = live_n.groupBy(*idc).agg(
+                        F.sort_array(F.collect_list(_fp(live_n))).alias(tfp)
+                    )
+                    changed_n = (
+                        p_fp.join(l_fp, on=idc, how="inner")
+                        .filter(F.col(sfp) != F.col(tfp))
+                        .select(*idc)
+                    )
+                    aff = aff.join(changed_n, on=idc, how="left_semi")
+                nmbs_upd_src = patched_n.join(aff, on=idc, how="left_semi")
+                frames_n.append(
+                    aff.withColumn(nmd, F.lit(False)).withColumn(
+                        nmu, F.lit(True)
+                    )
+                )
+            if frames_n:
+                nmbs_dec = frames_n[0]
+                for fr in frames_n[1:]:
+                    nmbs_dec = nmbs_dec.unionByName(fr)
+                nmbs_dec = nmbs_dec.persist()
         try:
             tallies = decision.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -3765,6 +3903,13 @@ def merge_rows(
                     "merge_rows: update_set requires the batch unique per "
                     "key (a multi-row patch is ambiguous)"
                 )
+            n_nmu = n_nmd = 0
+            if nmbs_dec is not None:
+                tn = nmbs_dec.agg(
+                    F.sum(F.col(nmu).cast("int")).alias("u"),
+                    F.sum(F.col(nmd).cast("int")).alias("d"),
+                ).collect()[0]
+                n_nmu, n_nmd = int(tn["u"] or 0), int(tn["d"] or 0)
             rep = {
                 "updated": n_upd,
                 "inserted": n_ins,
@@ -3773,7 +3918,12 @@ def merge_rows(
                 "attempts": attempt + 1,
                 "probe": probe_rep,
             }
-            if n_upd == 0 and n_ins == 0 and n_del == 0:
+            if nmbs_active:
+                rep["nmbs_updated"] = n_nmu
+                rep["nmbs_deleted"] = n_nmd
+            if n_upd == 0 and n_ins == 0 and n_del == 0 and (
+                n_nmu == 0 and n_nmd == 0
+            ):
                 # a fully-no-op batch commits NOTHING: no revision, no
                 # tombstone row, no version flip (the pinned contract)
                 if extra_meta:
@@ -3824,6 +3974,9 @@ def merge_rows(
                         how="left_semi",
                     )
                 )
+            if n_nmu:
+                # nmbs_upd_src is already restricted to its changed keys
+                parts.append(nmbs_upd_src)
             appends: dict[str, DataFrame] = {}
             if parts:
                 write_rows = parts[0]
@@ -3836,16 +3989,20 @@ def merge_rows(
                 )
             ckey = component_tombstone_rows_key(component)
             new_meta = {**meta, **(extra_meta or {})}
-            if n_upd or n_del:
+            if n_upd or n_del or n_nmu or n_nmd:
                 tomb = decision.filter(
                     F.col(updc) | F.col(delc)
                 ).select(*idc)
+                if n_nmu or n_nmd:
+                    tomb = tomb.unionByName(nmbs_dec.select(*idc))
                 if segment_partitions:
                     tomb = tomb.coalesce(segment_partitions)
                 appends[_tombstone_component(component)] = tomb.withColumn(
                     DEAD_BELOW_COL, F.lit(seq).cast("bigint")
                 )
-                new_meta[ckey] = int(meta.get(ckey, 0)) + n_upd + n_del
+                new_meta[ckey] = (
+                    int(meta.get(ckey, 0)) + n_upd + n_del + n_nmu + n_nmd
+                )
             kw: dict = {"meta": new_meta}
             if zone_cols:
                 kw["zone_cols"] = {component: list(zone_cols)}
@@ -3862,6 +4019,8 @@ def merge_rows(
                 last_err = e  # rival commit: replan against fresh state
         finally:
             decision.unpersist()
+            if nmbs_dec is not None:
+                nmbs_dec.unpersist()
     raise last_err
 
 

@@ -7,6 +7,7 @@ removes, apply + retention forget."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from ed_housing_data_pipeline_spark.sources import lake
@@ -968,6 +969,71 @@ def test_merge_rows_when_matched_delete_clause(spark, tmp_path):
                               "k1 bigint, k2 string, v double"),
     )
     assert rep["inserted"] == 1
+
+
+def test_merge_rows_not_matched_by_source_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET
+    (the third Delta clause class): target keys ABSENT from the batch
+    retire or staleness-mark; the delete clause wins a double match;
+    rows not satisfying the SET condition keep their values (row-wise
+    patch); skip_unchanged makes an idempotent SET replay a no-op;
+    NULL-keyed target rows are unaddressable and never mis-deleted;
+    validation raises on key/unknown SET columns."""
+    root = str(tmp_path / "t")
+    dim = spark.createDataFrame(
+        [Row(k=1, g="a", v=1.0), Row(k=2, g="b", v=2.0),
+         Row(k=3, g="c", v=3.0), Row(k=4, g="d", v=4.0),
+         Row(k=None, g="nullkey", v=0.0)],
+        "k bigint, g string, v double",
+    )
+    lake.append_segments(spark, root, {"dim": dim}, init=True)
+    batch = spark.createDataFrame(
+        [Row(k=1, g="a", v=10.0)], "k bigint, g string, v double"
+    )
+    kw = {
+        "when_not_matched_by_source_delete": "target.k = 4",
+        "when_not_matched_by_source_set": {"g": "concat(target.g, '!')"},
+        "when_not_matched_by_source_condition": "target.k >= 3",
+    }
+    rep = lake.merge_rows(spark, root, "dim", "k", batch, **kw)
+    # k=1 updates; k=4 deletes; k=3 marks (k=4 matched both -> delete
+    # wins); k=2 and the NULL-keyed row untouched
+    assert (rep["updated"], rep["nmbs_updated"], rep["nmbs_deleted"]) \
+        == (1, 1, 1)
+    got = {
+        r.k: (r.g, r.v)
+        for r in lake.read_segmented_merged(spark, root, "dim", "k")
+        .collect()
+    }
+    assert got[1] == ("a", 10.0) and got[2] == ("b", 2.0)
+    assert got[3] == ("c!", 3.0) and 4 not in got
+    assert got[None] == ("nullkey", 0.0)  # unaddressable, never deleted
+    # pressure counter: matched update + nmbs update + nmbs delete
+    assert lake.segment_meta(spark, root)[
+        lake.component_tombstone_rows_key("dim")
+    ] == 3
+    # replay with an idempotent SET: complete no-op, version pinned
+    v = lake.segment_pins_versioned(spark, root)[1]
+    rep2 = lake.merge_rows(
+        spark, root, "dim", "k", batch,
+        when_not_matched_by_source_delete="target.k = 4",
+        when_not_matched_by_source_set={"g": "'c!'"},
+        when_not_matched_by_source_condition="target.k = 3",
+    )
+    assert not rep2["applied"]
+    assert rep2["nmbs_updated"] == 0 and rep2["nmbs_deleted"] == 0
+    assert lake.segment_pins_versioned(spark, root)[1] == v
+    # validation: SET on a key column / unknown column raises
+    with pytest.raises(ValueError, match="key column"):
+        lake.merge_rows(
+            spark, root, "dim", "k", batch,
+            when_not_matched_by_source_set={"k": "target.k + 1"},
+        )
+    with pytest.raises(ValueError, match="recorded schema"):
+        lake.merge_rows(
+            spark, root, "dim", "k", batch,
+            when_not_matched_by_source_set={"nope": "1"},
+        )
 
 
 def test_stream_merge_sink_is_replay_safe(spark, tmp_path):
