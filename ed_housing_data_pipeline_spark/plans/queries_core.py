@@ -2717,6 +2717,89 @@ def q_lake_merge_nmbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# ------------------------------------------------ RESTORE TO VERSION
+@register(
+    "lake_restore_version",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice), 2) AS spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def q_lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style RESTORE (lake.restore_segmented): a dimension takes
+    a BAD tail — a fat-fingered delete sweep, a corrupting whole-key
+    merge, and a stray new component — and one zero-job metadata flip
+    rolls the head back to the good version while history stays
+    LINEAR (the bad commits remain time-travelable above it). Pinned
+    in-query: the restore schedules no data rewrite (pins equal the
+    good version's exactly), the stray component drops from the head,
+    the counts plane serves the restored COUNT(*) from the manifest,
+    and the pressure counter rolls back with the data plane. The
+    restored merged view must hash-match the oracle's plain
+    aggregation — as if the bad tail never happened. At 100 TB this
+    is the incident-recovery verb: recovery cost is one manifest
+    write, never a table rewrite."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    dim0 = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="lake_restore_") as root:
+        ds = f"{root}/ds"
+        lake.append_segments(spark, ds, {"dim": dim0}, init=True)
+        good = lake.segment_pins_versioned(spark, ds)[1]
+        n_good = lake.count_segmented(spark, ds, "dim")
+        # the bad tail
+        bad_keys = [
+            r[0]
+            for r in dim0.filter(F.col("o_custkey") % 10 == 0)
+            .select("o_custkey").limit(50).collect()
+        ]
+        lake.delete_rows(spark, ds, "dim", "o_custkey", bad_keys)
+        lake.merge_rows(
+            spark, ds, "dim", "o_custkey",
+            dim0.filter(F.col("o_custkey") % 7 == 0).withColumn(
+                "spend", F.lit(-1.0)
+            ),
+        )
+        lake.append_segments(
+            spark, ds, {"oops": dim0.limit(3).select("o_custkey")}
+        )
+        head = lake.segment_pins_versioned(spark, ds)[1]
+        rep = lake.restore_segmented(spark, ds, good)
+        if rep["version"] != head + 1 or "oops" not in rep[
+            "components_dropped"
+        ]:
+            raise RuntimeError(f"restore report off: {rep}")
+        if lake.segment_pins(spark, ds) != lake.segment_pins_at(
+            spark, ds, good
+        ):
+            raise RuntimeError("restored pins differ from the good version")
+        if lake.count_segmented(spark, ds, "dim") != n_good:
+            raise RuntimeError("counts plane did not restore")
+        if lake.segment_meta(spark, ds).get(
+            lake.component_tombstone_rows_key("dim"), 0
+        ) != 0:
+            raise RuntimeError("pressure counter did not roll back")
+        # the bad head stays time-travelable above the restore
+        if "oops" not in lake.segment_pins_at(spark, ds, head):
+            raise RuntimeError("history no longer linear")
+        return (
+            lake.read_segmented_merged(spark, ds, "dim", "o_custkey")
+            .drop("_useq")
+            .localCheckpoint(eager=True)
+        )
+
+
 # ---------------------------------------- zero-job DESCRIBE surface
 @register(
     "lake_describe_segmented",

@@ -2368,6 +2368,112 @@ def read_segmented_components_at(
     }
 
 
+def restore_segmented(
+    spark, root: str, version: int, dry_run: bool = False
+) -> dict:
+    """Delta-style ``RESTORE TABLE ... TO VERSION AS OF``: re-commit a
+    RETAINED historical manifest version's state as the NEW head —
+    history stays linear (the restore is one more commit, claiming
+    head+1 under optimistic concurrency), nothing is rewritten, and
+    the bad commits remain time-travelable for forensics.
+
+    What rolls back (the DATA PLANE, verbatim from the historical
+    blob): component pins, zonemaps, blooms, schemas, the counts
+    plane, per-component tombstone-pressure counters, and the
+    ``_cdc_rewrites`` marker (all describe the restored pin set).
+    Components born AFTER ``version`` drop from the head (their files
+    stay on disk for time travel until retention collects them).
+
+    What carries FORWARD (the APPLICATION plane): every other current
+    meta key — consumer CDF watermarks, streaming batch ids, adopted
+    legacy marks. Consumer positions must stay monotone: a consumer's
+    next ``consume_changes`` window sees the restore commit's
+    re-exposed segments as genuine changes (they ARE — the table's
+    content changed back), not a replay of its already-consumed
+    history.
+
+    Zero Spark jobs: two blob reads, one driver-side existence listing
+    per restored component (a restore must never commit pins whose
+    files retention already collected — raises before the flip), one
+    blob write. ``dry_run=True`` plans and validates without
+    committing. Returns ``{"version", "restored_from",
+    "components_restored", "components_dropped", "applied"}``."""
+    cur = _manifest_state(spark, root)
+    cur_pins, cur_meta, base = cur[0], cur[3], cur[5]
+    if version > base:
+        raise ValueError(
+            f"restore_segmented: version {version} is ahead of the "
+            f"committed head {base}"
+        )
+    parsed = json.loads(
+        read_snapshot_blob(
+            spark, f"{root.rstrip('/')}/manifest", version=version
+        )
+    )
+    pins = {
+        name: sorted({int(s) for s in segs})
+        for name, segs in parsed.items()
+        if not name.startswith("_")
+    }
+    # a restored pin must exist on disk: retention honors every
+    # RETAINED manifest's pins, but an expired-then-restored version
+    # would commit dangling segments — fail closed, before the flip
+    for comp, segs in pins.items():
+        have = set(segment_numbers(spark, f"{root.rstrip('/')}/{comp}"))
+        gone = [s for s in segs if s not in have]
+        if gone:
+            raise FileNotFoundError(
+                f"restore_segmented: version {version} pins segment(s) "
+                f"{gone} of {comp!r} that no longer exist on disk — the "
+                "version has been expired past restorability"
+            )
+    hist_meta = parsed.get("_meta", {})
+    new_meta = {
+        k: v
+        for k, v in cur_meta.items()
+        if not k.startswith(f"{TOMBSTONE_ROWS_KEY}:")
+        and k != "_cdc_rewrites"
+    }
+    for k, v in hist_meta.items():
+        if k.startswith(f"{TOMBSTONE_ROWS_KEY}:"):
+            new_meta[k] = v
+    if "_cdc_rewrites" in hist_meta:
+        new_meta["_cdc_rewrites"] = hist_meta["_cdc_rewrites"]
+    rep = {
+        "restored_from": version,
+        "components_restored": sorted(pins),
+        "components_dropped": sorted(set(cur_pins) - set(pins)),
+        "applied": not dry_run,
+    }
+    if dry_run:
+        return {**rep, "version": base}
+    kw: dict = {"meta": new_meta}
+    zones = {
+        comp: {int(s): stats for s, stats in zm.items()}
+        for comp, zm in parsed.get("_zones", {}).items()
+    }
+    blooms = {
+        comp: {int(s): list(cols) for s, cols in bm.items()}
+        for comp, bm in parsed.get("_blooms", {}).items()
+    }
+    counts = {
+        comp: {int(s): int(n) for s, n in cm.items()}
+        for comp, cm in parsed.get("_counts", {}).items()
+    }
+    if zones:
+        kw["zones"] = zones
+    if blooms:
+        kw["blooms"] = blooms
+    if parsed.get("_schemas"):
+        kw["schemas"] = parsed["_schemas"]
+    if counts:
+        kw["counts"] = counts
+    ver = commit_segment_manifest(
+        spark, root, pins, expected_base=base, **kw
+    )
+    return {**rep, "version": ver}
+
+
 def _mark_rewrites(
     meta: dict,
     new_pins: dict[str, Sequence[int]],

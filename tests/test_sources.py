@@ -1609,3 +1609,100 @@ def test_upsert_and_mirror_collect_pruning_coverage(spark, tmp_path):
     # window 2's spans [50, 59] — a probe at 900 keeps only window 1
     dkept, dpinned = lake.zone_pruned_pins(spark, dst, "t", "k", 900, 904)
     assert len(dkept) == 1 and len(dpinned) == 2
+
+
+def test_restore_segmented_rolls_back_head_keeping_history_linear(
+    spark, tmp_path
+):
+    """Delta-style RESTORE: a retained historical version re-commits
+    as the NEW head (one more manifest flip — the bad commits stay
+    time-travelable), the data plane (pins, zones, counts, pressure
+    counters, schemas) rolls back verbatim, the application plane
+    (consumer watermarks) carries forward, components born after the
+    restored version drop, and the whole verb schedules ZERO Spark
+    jobs. A version expired past restorability fails CLOSED before
+    the flip."""
+    import shutil
+
+    from tests.conftest import count_jobs
+
+    root = str(tmp_path / "ds")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    lake.append_segments(
+        spark, root, {"t": batch(0, 10)}, init=True,
+        zone_cols={"t": ["k"]},
+    )
+    v1 = lake.segment_pins_versioned(spark, root)[1]
+    good = {(r.k, r.v) for r in lake.read_segmented_merged(
+        spark, root, "t", "k").drop("_useq").collect()}
+    # the "bad" tail: a delete, an upsert, and a new component
+    lake.delete_rows(spark, root, "t", "k", [1, 2, 3])
+    lake.upsert_rows(spark, root, "t", "k", batch(5, 7))
+    lake.append_segments(spark, root, {"born_later": batch(0, 3)})
+    assert lake.segment_meta(spark, root)[
+        lake.component_tombstone_rows_key("t")
+    ] == 5
+    head = lake.segment_pins_versioned(spark, root)[1]
+    # dry run: plans, validates, commits nothing
+    plan = lake.restore_segmented(spark, root, v1, dry_run=True)
+    assert not plan["applied"] and plan["components_dropped"] == [
+        "born_later", lake.tombstone_component("t")
+    ]
+    assert lake.segment_pins_versioned(spark, root)[1] == head
+    # the restore: zero jobs, head+1, data plane back to v1
+    rep = {}
+    jobs = count_jobs(
+        spark, lambda: rep.update(lake.restore_segmented(spark, root, v1))
+    )
+    assert jobs == 0, f"restore scheduled {jobs} Spark jobs"
+    assert rep["version"] == head + 1 and rep["restored_from"] == v1
+    assert {(r.k, r.v) for r in lake.read_segmented_merged(
+        spark, root, "t", "k").drop("_useq").collect()} == good
+    assert lake.segment_pins(spark, root) == lake.segment_pins_at(
+        spark, root, v1
+    )
+    # pressure counter rolled back with the data plane
+    assert lake.segment_meta(spark, root).get(
+        lake.component_tombstone_rows_key("t"), 0
+    ) == 0
+    # zone plane restored (pruning still works)
+    kept, pinned = lake.zone_pruned_pins(spark, root, "t", "k", 100, 200)
+    assert kept == [] and len(pinned) == 1
+    # counts plane restored: zero-job COUNT(*) still serves
+    assert lake.count_segmented(spark, root, "t") == 10
+    # history stays linear: the bad head remains time-travelable
+    assert set(lake.segment_pins_at(spark, root, head)) == {
+        "t", lake.tombstone_component("t"), "born_later"
+    }
+    # ahead-of-head raises
+    with pytest.raises(ValueError, match="ahead of the committed head"):
+        lake.restore_segmented(spark, root, head + 50)
+    # application plane carries forward: an app meta key written AFTER
+    # v1 (a streaming committer's batch id rides this way) survives a
+    # second restore, while the data-plane pressure counter rolls back
+    lake.merge_rows(
+        spark, root, "t", "k",
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        extra_meta={"app_mark": "keepme"},
+    )
+    assert lake.segment_meta(spark, root)[
+        lake.component_tombstone_rows_key("t")
+    ] == 3
+    lake.restore_segmented(spark, root, v1)
+    after = lake.segment_meta(spark, root)
+    assert after.get("app_mark") == "keepme"
+    assert after.get(lake.component_tombstone_rows_key("t"), 0) == 0
+    # expired past restorability: fail closed, nothing committed
+    seg = lake.segment_pins_at(spark, root, head)["born_later"][0]
+    shutil.rmtree(f"{root}/born_later/seg={seg}")
+    vb = lake.segment_pins_versioned(spark, root)[1]
+    with pytest.raises(FileNotFoundError, match="expired past"):
+        lake.restore_segmented(spark, root, head)
+    assert lake.segment_pins_versioned(spark, root)[1] == vb
