@@ -176,11 +176,14 @@ def main() -> int:
     )
     ap.add_argument("--max-reps", type=int, default=20)
     ap.add_argument(
-        "--band-floor", type=float, default=0.10,
+        "--band-floor", type=float, default=0.15,
         help="minimum effective band: absorbs worker-level systematics "
         "(JVM/heap asymmetry between the two long-lived workers) that "
-        "paired ratios cannot cancel; calibrate with an A/A run "
-        "(--ref HEAD) — the floor should cover every A/A |ratio-1|",
+        "paired ratios cannot cancel; calibrated by an r15 A/A run "
+        "(--ref HEAD, 41 queries x 5 rounds): identical trees showed "
+        "|ratio-1| up to 0.135 on sub-second queries, so 0.15 covers "
+        "every A/A false positive while still detecting sub-1.2x moves "
+        "the old per-side bands (median 0.85) never could",
     )
     args = ap.parse_args()
 
