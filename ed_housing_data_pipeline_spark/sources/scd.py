@@ -75,6 +75,7 @@ def scd2_apply(
     key_cols,
     snapshot: DataFrame,
     ts: int,
+    allow_new_columns: bool = False,
     **merge_kwargs,
 ) -> dict:
     """Apply one dimension snapshot at event time ``ts`` (SCD type 2):
@@ -89,7 +90,12 @@ def scd2_apply(
     - a ``ts`` at or before an affected key's current ``valid_from``
       RAISES (out-of-order snapshots would corrupt the intervals);
       keys the snapshot doesn't mention are untouched (a PARTIAL
-      snapshot is a valid cadence).
+      snapshot is a valid cadence);
+    - a snapshot carrying attribute columns the dimension doesn't have
+      RAISES unless ``allow_new_columns=True`` — then the apply
+      EVOLVES the dimension schema (add-column, via the merge's
+      append): prior intervals serve NULL for the new attribute, and
+      a key whose only change is NULL → value still opens a version.
 
     ``merge_kwargs`` pass through to :func:`lake.merge_rows`
     (``zone_cols``/``bloom_cols`` keep the SCD component itself
@@ -122,16 +128,25 @@ def scd2_apply(
     )
     tgt_types = {f.name: f.dataType for f in cur.schema.fields}
     unknown = sorted(c for c in attrs if c not in tgt_types)
-    if unknown:
+    if unknown and not allow_new_columns:
         raise ValueError(
             f"scd2_apply: snapshot column(s) {unknown} not in the SCD "
-            "component — evolve the dimension schema first (scd2_init / "
-            "append_segments add-column evolution)"
+            "component — pass allow_new_columns=True to evolve the "
+            "dimension schema with this apply"
         )
+    for f in snapshot.schema.fields:
+        tgt_types.setdefault(f.name, f.dataType)
 
     def _fp(df: DataFrame):
+        # a column missing on one side (pre-evolution current rows)
+        # compares as NULL at the agreed type, so NULL -> value is a
+        # real version change
+        have = set(df.columns)
         return F.xxhash64(
-            *[F.col(c).cast(tgt_types[c]) for c in sorted(attrs)]
+            *[
+                (F.col(c) if c in have else F.lit(None)).cast(tgt_types[c])
+                for c in sorted(attrs)
+            ]
         )
 
     sfp, cfp = "_scd_src_fp", "_scd_cur_fp"
