@@ -3433,6 +3433,8 @@ def merge_rows(
     update_set=None,
     insert_values=None,
     when_matched_delete=None,
+    when_not_matched_insert=None,
+    source_scratch_cols: Sequence[str] = (),
     when_not_matched_by_source_delete=None,
     when_not_matched_by_source_set=None,
     when_not_matched_by_source_condition=None,
@@ -3501,6 +3503,21 @@ def merge_rows(
       sequence (no replacement rows; a later upsert resurrects).
       Evaluated BEFORE the update clause: a key matching both deletes.
       Completes the MERGE grammar alongside update/insert.
+    - ``when_not_matched_insert``: the conditional-insert clause
+      (``WHEN NOT MATCHED AND <cond> THEN INSERT``) — a predicate over
+      ``source.*``; an unmatched key inserts only if SOME of its batch
+      rows satisfies it. Composes with ``insert_values``. None → every
+      unmatched key inserts (under ``insert_unmatched``).
+    - ``source_scratch_cols``: batch columns that exist ONLY for the
+      clause predicates (a CDC feed's op marker, a delete flag) —
+      visible to ``when_matched`` / ``when_matched_delete`` /
+      ``when_not_matched_insert`` / ``update_set`` expressions, but
+      DROPPED from every written row and excluded from the
+      skip-unchanged fingerprint, so markers can never evolve into the
+      target schema. This is the single-commit CDC-apply shape:
+      ``merge_rows(..., when_matched_delete="source._op = 'D'",
+      when_not_matched_insert="source._op != 'D'",
+      source_scratch_cols=["_op"])``.
     - ``when_not_matched_by_source_delete`` / ``_set`` /
       ``_condition``: the third Delta clause class — act on TARGET
       keys with NO match in the batch (``WHEN NOT MATCHED BY SOURCE
@@ -3574,6 +3591,24 @@ def merge_rows(
     if isinstance(nmbs_cond, str):
         nmbs_cond = F.expr(nmbs_cond)
     nmbs_active = nmbs_del is not None or bool(nmbs_set)
+    ipred = (
+        F.expr(when_not_matched_insert)
+        if isinstance(when_not_matched_insert, str)
+        else when_not_matched_insert
+    )
+    scratch_decl = list(source_scratch_cols)
+    bad_scr = sorted(set(scratch_decl) & set(idc))
+    if bad_scr:
+        raise ValueError(
+            f"merge_rows: source_scratch_cols cannot include key "
+            f"column(s) {bad_scr}"
+        )
+    missing_scr = sorted(c for c in scratch_decl if c not in rows.columns)
+    if missing_scr:
+        raise ValueError(
+            f"merge_rows: source_scratch_cols {missing_scr} not in the "
+            "batch"
+        )
     last_err: BaseException | None = None
     for attempt in range(max_attempts):
         state = _manifest_state(spark, root)
@@ -3743,7 +3778,12 @@ def merge_rows(
         types = {f.name: f.dataType for f in tgt_schema.fields}
         for f in rows.schema.fields:
             types.setdefault(f.name, f.dataType)
-        cmp_cols = [c for c in types if c != UPSERT_SEQ_COL]
+        # scratch markers are predicate-only: never fingerprinted (a
+        # marker flip must not defeat skip-if-unchanged), never written
+        cmp_cols = [
+            c for c in types
+            if c != UPSERT_SEQ_COL and c not in scratch_decl
+        ]
         recorded = [f.name for f in tgt_schema.fields if f.name != UPSERT_SEQ_COL]
         if insert_values is not None:
             bad = sorted(set(insert_values) & set(idc))
@@ -3777,7 +3817,10 @@ def merge_rows(
         else:
             if update_set and insert_unmatched:
                 scratch = sorted(
-                    set(rows.columns) - set(recorded) - {UPSERT_SEQ_COL}
+                    set(rows.columns)
+                    - set(recorded)
+                    - {UPSERT_SEQ_COL}
+                    - set(scratch_decl)
                 )
                 if scratch:
                     raise ValueError(
@@ -3789,7 +3832,7 @@ def merge_rows(
                         "insert_unmatched=False, or insert_values={...} to "
                         "project inserts onto the target schema explicitly."
                     )
-            ins_src = rows
+            ins_src = rows.drop(*scratch_decl) if scratch_decl else rows
 
         def _fp(df: DataFrame):
             have = set(df.columns)
@@ -3846,7 +3889,8 @@ def merge_rows(
             )
             upd_src = patched  # replacement rows for matched keys
         else:
-            upd_src = rows  # whole-key replace by the batch's rows
+            # whole-key replace by the batch's rows (scratch dropped)
+            upd_src = rows.drop(*scratch_decl) if scratch_decl else rows
         src_fp = upd_src.groupBy(*idc).agg(
             F.sort_array(F.collect_list(_fp(upd_src))).alias(sfp)
         )
@@ -3886,6 +3930,19 @@ def merge_rows(
             upd = upd & (F.col(sfp) != F.col(tfp))
         upd = upd & ~dele  # the delete clause wins a double match
         ins = (~matched) & F.lit(bool(insert_unmatched))
+        if ipred is not None:
+            # WHEN NOT MATCHED AND <cond> THEN INSERT: an unmatched key
+            # inserts iff SOME of its source rows satisfies the clause
+            ifl = _uniq_name("_insp", taken)
+            ins_keys = (
+                rows.alias("source")
+                .filter(ipred)
+                .select(*[F.col(f"source.{c}").alias(c) for c in idc])
+                .distinct()
+                .withColumn(ifl, F.lit(True))
+            )
+            decision = decision.join(ins_keys, on=idc, how="left")
+            ins = ins & F.coalesce(F.col(ifl), F.lit(False))
         delc = _uniq_name("_dele", taken)
         decision = decision.select(
             *idc, F.col(nsc), upd.alias(updc), ins.alias(insc),

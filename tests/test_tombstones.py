@@ -1036,6 +1036,70 @@ def test_merge_rows_not_matched_by_source_clauses(spark, tmp_path):
         )
 
 
+def test_merge_rows_cdc_apply_shape(spark, tmp_path):
+    """The single-commit CDC-apply shape: when_not_matched_insert
+    (WHEN NOT MATCHED AND cond THEN INSERT) + source_scratch_cols (the
+    feed's op marker — visible to every clause predicate, dropped from
+    every written row, excluded from the skip-unchanged fingerprint).
+    One merge commit applies a mixed U/D/I feed; markers never evolve
+    the schema; a replay of the same feed is a complete no-op; a
+    delete marker for an absent key does NOT insert a null row."""
+    root = str(tmp_path / "t")
+    lake.append_segments(
+        spark, root,
+        {"t": spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")],
+            "k bigint, v string",
+        )},
+        init=True,
+    )
+    cdc = spark.createDataFrame(
+        [Row(k=1, v="A", _op="U"), Row(k=2, v=None, _op="D"),
+         Row(k=9, v="i", _op="I"), Row(k=8, v=None, _op="D")],
+        "k bigint, v string, _op string",
+    )
+    kw = {
+        "when_matched_delete": "source._op = 'D'",
+        "when_not_matched_insert": "source._op != 'D'",
+        "source_scratch_cols": ["_op"],
+    }
+    rep = lake.merge_rows(spark, root, "t", "k", cdc, **kw)
+    assert (rep["updated"], rep["inserted"], rep["deleted"],
+            rep["skipped"]) == (1, 1, 1, 1)
+    got = sorted(
+        (r.k, r.v)
+        for r in lake.read_segmented_merged(spark, root, "t", "k")
+        .drop("_useq").collect()
+    )
+    assert got == [(1, "A"), (3, "c"), (9, "i")]
+    rec = lake.segment_schemas(spark, root)["t"]
+    assert "_op" not in {f["name"] for f in rec["fields"]}
+    # replay: update content-equal -> skip; dead keys unmatched with a
+    # D marker -> no insert; version pinned
+    v = lake.segment_pins_versioned(spark, root)[1]
+    rep2 = lake.merge_rows(spark, root, "t", "k", cdc, **kw)
+    assert not rep2["applied"] and rep2["skipped"] == 4
+    assert lake.segment_pins_versioned(spark, root)[1] == v
+    # a marker flip alone must not defeat skip-if-unchanged
+    rep3 = lake.merge_rows(
+        spark, root, "t", "k",
+        spark.createDataFrame(
+            [Row(k=1, v="A", _op="UU")], "k bigint, v string, _op string"
+        ),
+        **kw,
+    )
+    assert not rep3["applied"] and rep3["skipped"] == 1
+    # validation: scratch col must exist and not be a key
+    with pytest.raises(ValueError, match="not in the batch"):
+        lake.merge_rows(
+            spark, root, "t", "k", cdc.drop("_op"),
+            source_scratch_cols=["_op"],
+        )
+    with pytest.raises(ValueError, match="key column"):
+        lake.merge_rows(spark, root, "t", "k", cdc,
+                        source_scratch_cols=["k"])
+
+
 def test_stream_merge_sink_is_replay_safe(spark, tmp_path):
     """The foreachBatch merge sink (streaming/lake_merge): the batch id
     rides the merge's own manifest flip — a replayed batch is skipped
