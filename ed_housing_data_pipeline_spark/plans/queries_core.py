@@ -2892,6 +2892,116 @@ def q_lake_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# -------------------------------------- incremental joined-view sync
+@register(
+    "lake_join_view_sync",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice + CASE WHEN o_orderkey % 13 = 0
+                                         THEN 100.0 ELSE 0.0 END, 2)
+                   AS price
+        FROM orders WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey, 50.0
+        FROM orders WHERE o_orderkey % 19 = 0
+    ),
+    d AS (
+        SELECT c_custkey AS o_custkey,
+               CASE WHEN c_custkey % 10 = 0
+                    THEN 'CHURNED' ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 23 <> 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.price, d.seg
+    FROM f LEFT JOIN d ON f.o_custkey = d.o_custkey
+    """,
+)
+def q_lake_join_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally-maintained denormalized JOIN view
+    (sources/join_view.sync_join_view): sink = orders ⋈ customer-dim,
+    bootstrapped once, then ONE sync cycle absorbs BOTH sources'
+    churn — fact updates (%13 repriced), fact deletes (%17), fact
+    inserts (%19 + 20M), a dim relabel (%10 → every order of those
+    customers re-derives) and a dim delete (%23 → left join serves
+    NULL) — discovered from the two CDF feeds, re-deriving ONLY
+    affected fact keys, committed as ONE CDC-shaped merge with both
+    watermarks atomic in extra_meta. Pinned in-query: a pre-churn
+    cycle is a no-op, the churn cycle's report carries real counts,
+    and a REPLAY cycle after it is a no-op again (watermarks advanced
+    atomically). The final view must hash-match the oracle's
+    from-scratch reconstruction. At 100 TB this is the enrichment
+    pipeline: per-cadence cost O(changed fact keys + affected-by-dim
+    fact rows), never a full join recompute — the incremental
+    generalization of the reference's rebuilt-per-run gold join
+    (silver_to_gold.py:73-84)."""
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import join_view, lake
+
+    fact0 = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    dim0 = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    ok = F.col("o_orderkey")
+    with tempfile.TemporaryDirectory(prefix="lake_jv_") as root:
+        fr, dr, sr = f"{root}/fact", f"{root}/dim", f"{root}/sink"
+        lake.append_segments(spark, fr, {"orders": fact0}, init=True)
+        lake.append_segments(spark, dr, {"cust": dim0}, init=True)
+        args = (spark, fr, "orders", "o_orderkey", dr, "cust", "o_custkey", sr)
+        rep = join_view.sync_join_view(*args, how="left")
+        if not rep.get("bootstrapped"):
+            raise RuntimeError(f"bootstrap off: {rep}")
+        rep = join_view.sync_join_view(*args, how="left")
+        if rep["applied"]:
+            raise RuntimeError(f"quiet cycle applied: {rep}")
+        # both sources churn, then ONE cycle
+        lake.upsert_rows(
+            spark, fr, "orders", "o_orderkey",
+            fact0.filter(ok % 13 == 0).withColumn(
+                "price", F.round(F.col("price") + 100.0, 2)
+            ).unionByName(
+                fact0.filter(ok % 19 == 0).select(
+                    (ok + 20000000).alias("o_orderkey"),
+                    "o_custkey",
+                    F.lit(50.0).alias("price"),
+                )
+            ),
+        )
+        del_keys = [
+            r[0] for r in fact0.filter(ok % 17 == 0)
+            .select("o_orderkey").collect()
+        ]
+        lake.delete_rows(spark, fr, "orders", "o_orderkey", del_keys)
+        ck = F.col("o_custkey")
+        lake.upsert_rows(
+            spark, dr, "cust", "o_custkey",
+            dim0.filter(ck % 10 == 0).withColumn("seg", F.lit("CHURNED")),
+        )
+        dim_dels = [
+            r[0] for r in dim0.filter(ck % 23 == 0)
+            .select("o_custkey").collect()
+        ]
+        lake.delete_rows(spark, dr, "cust", "o_custkey", dim_dels)
+        rep = join_view.sync_join_view(*args, how="left")
+        if not rep["applied"] or rep["deleted"] == 0 or rep["inserted"] == 0:
+            raise RuntimeError(f"churn cycle off: {rep}")
+        # replay: both watermarks advanced atomically -> no-op
+        rep2 = join_view.sync_join_view(*args, how="left")
+        if rep2["applied"]:
+            raise RuntimeError(f"replay applied: {rep2}")
+        return (
+            lake.read_segmented_merged(spark, sr, "orders__joined",
+                                       "o_orderkey")
+            .select("o_orderkey", "o_custkey", "price", "seg")
+            .localCheckpoint(eager=True)
+        )
+
+
 # ---------------------------------------- zero-job DESCRIBE surface
 @register(
     "lake_describe_segmented",

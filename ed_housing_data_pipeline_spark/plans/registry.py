@@ -198,7 +198,7 @@ _LOADED = False
 # complementary skipping class) — swaps IN for doc_export_shards
 # (r7-green, unchanged; it stays the cold-only export bench row).
 _PRIORITY_ORDER: tuple[str, ...] = (
-    # --- r15 window. FIVE new queries enter (lake_merge_insert_values
+    # --- r15 window. SIX new queries enter (lake_merge_insert_values
     # — the explicit WHEN NOT MATCHED THEN INSERT (cols) VALUES clause
     # + the narrow-patch guard, r14 VERDICT #1; lake_describe_segmented
     # — the manifest counts plane's zero-job DESCRIBE/COUNT(*) surface,
@@ -207,7 +207,10 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     # UPDATE SET, completing the MERGE grammar; lake_restore_version —
     # Delta-style RESTORE TO VERSION, a zero-job head rollback with
     # linear history; lake_scd2_dimension — SCD type 2 dimension
-    # maintenance composed on merge_rows, sources/scd). The lake core was rewired again
+    # maintenance composed on merge_rows, sources/scd;
+    # lake_join_view_sync — the incrementally-maintained denormalized
+    # join view, sources/join_view, + the CDC-apply merge clauses
+    # when_not_matched_insert / source_scratch_cols). The lake core was rewired again
     # this round (counts plane on every commit path, bloom-backed
     # merge probe pruning, insert_values, rows-ratio auto-apply,
     # legacy-watermark retirement sweep, feed-scan meta-column fix,
@@ -231,6 +234,7 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "lake_merge_nmbs",
     "lake_restore_version",
     "lake_scd2_dimension",
+    "lake_join_view_sync",
     # rewired-component representatives (see header note)
     "lake_merge_conditional",
     "lake_merge_patch",

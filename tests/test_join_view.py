@@ -1,0 +1,131 @@
+"""Incrementally-maintained denormalized join view
+(sources/join_view): the oracle row lake_join_view_sync pins the
+left-join happy path at sf scale; this module pins the edges — inner
+joins deleting dim-orphaned rows, the unbounded-dim-churn fallback
+path, the zero-job maintenance-only cycle, and validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_housing_data_pipeline_spark.sources import join_view, lake
+from tests.conftest import count_jobs
+
+
+def _fixture(spark, tmp_path, how):
+    fr, dr, sr = (str(tmp_path / p) for p in ("f", "d", "s"))
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)],
+        "fk bigint, dk bigint, amt double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], "dk bigint, label string"
+    )
+    lake.append_segments(spark, fr, {"fact": fact}, init=True)
+    lake.append_segments(spark, dr, {"dim": dim}, init=True)
+    args = (spark, fr, "fact", "fk", dr, "dim", "dk", sr)
+    rep = join_view.sync_join_view(*args, how=how)
+    assert rep.get("bootstrapped")
+    return fr, dr, sr, args
+
+
+def _view(spark, sr):
+    return {
+        r.fk: (r.dk, r.amt, r.label)
+        for r in lake.read_segmented_merged(spark, sr, "fact__joined", "fk")
+        .drop("_useq")
+        .collect()
+    }
+
+
+def test_inner_join_deletes_dim_orphans(spark, tmp_path):
+    """Under how='inner', a dim delete ORPHANS its fact rows: they must
+    be DELETED from the view (not served with NULL dim columns), and a
+    fact re-insert under a live dim key resurrects."""
+    fr, dr, sr, args = _fixture(spark, tmp_path, "inner")
+    assert len(_view(spark, sr)) == 12
+    lake.delete_rows(spark, dr, "dim", "dk", [1])
+    rep = join_view.sync_join_view(*args, how="inner")
+    # dk=1 owned fks 1,4,7,10 — all four leave the view
+    assert rep["deleted"] == 4 and rep["inserted"] == 0
+    v = _view(spark, sr)
+    assert len(v) == 8 and not any(dk == 1 for dk, _a, _l in v.values())
+    # fact moves fk=1 under a LIVE dim key: it re-enters the view
+    lake.upsert_rows(
+        spark, fr, "fact", "fk",
+        spark.createDataFrame([(1, 0, 99.0)], "fk bigint, dk bigint, amt double"),
+    )
+    rep = join_view.sync_join_view(*args, how="inner")
+    assert rep["inserted"] == 1
+    assert _view(spark, sr)[1] == (0, 99.0, "zero")
+
+
+def test_unbounded_dim_churn_falls_back_to_semi_join(spark, tmp_path):
+    """dim_probe_cap=0 disables the pushable IN-filter: the affected-
+    by-dim discovery must take the semi-join path and still converge
+    to the same view."""
+    fr, dr, sr, args = _fixture(spark, tmp_path, "left")
+    lake.upsert_rows(
+        spark, dr, "dim", "dk",
+        spark.createDataFrame(
+            [(0, "Z"), (1, "O"), (2, "T")], "dk bigint, label string"
+        ),
+    )
+    rep = join_view.sync_join_view(*args, how="left", dim_probe_cap=0)
+    assert rep["updated"] == 12
+    assert {lab for _dk, _a, lab in _view(spark, sr).values()} == {
+        "Z", "O", "T"
+    }
+    # idempotent relabel replay: every re-derived row content-equal
+    lake.upsert_rows(
+        spark, dr, "dim", "dk",
+        spark.createDataFrame([(0, "Z")], "dk bigint, label string"),
+    )
+    rep = join_view.sync_join_view(*args, how="left", dim_probe_cap=0)
+    # every re-derived row is content-equal -> the merge detects a
+    # fully-no-op batch and the cycle degrades to a meta-only
+    # watermark flip (nothing written, watermarks still advance)
+    assert not rep["applied"] and rep["meta_only"] and rep["skipped"] == 4
+
+
+def test_maintenance_only_cycle_is_meta_only_zero_jobs(spark, tmp_path):
+    fr, _dr, _sr, args = _fixture(spark, tmp_path, "left")
+    # a second fact segment (synced), so compaction has work to do
+    lake.append_segments(
+        spark, fr,
+        {"fact": spark.createDataFrame(
+            [(50, 0, 50.0)], "fk bigint, dk bigint, amt double"
+        )},
+    )
+    assert join_view.sync_join_view(*args, how="left")["applied"]
+    lake.compact_segments(spark, fr)
+    rep = {}
+    jobs = count_jobs(
+        spark, lambda: rep.update(join_view.sync_join_view(*args, how="left"))
+    )
+    assert rep["meta_only"] and not rep["applied"]
+    assert jobs == 0, f"maintenance-only cycle scheduled {jobs} jobs"
+    # and a fully-quiet cycle doesn't even flip
+    v = lake.segment_pins_versioned(spark, args[7])[1]
+    rep = join_view.sync_join_view(*args, how="left")
+    assert not rep["applied"] and "meta_only" not in rep
+    assert lake.segment_pins_versioned(spark, args[7])[1] == v
+
+
+def test_column_collision_and_how_validation(spark, tmp_path):
+    fr, dr, sr = (str(tmp_path / p) for p in ("f", "d", "s"))
+    fact = spark.createDataFrame(
+        [(1, 0, "x")], "fk bigint, dk bigint, label string"
+    )
+    dim = spark.createDataFrame([(0, "zero")], "dk bigint, label string")
+    lake.append_segments(spark, fr, {"fact": fact}, init=True)
+    lake.append_segments(spark, dr, {"dim": dim}, init=True)
+    with pytest.raises(ValueError, match="exist\n?.*in both|in both sources"):
+        join_view.sync_join_view(
+            spark, fr, "fact", "fk", dr, "dim", "dk", sr
+        )
+    with pytest.raises(ValueError, match="left|inner"):
+        join_view.sync_join_view(
+            spark, fr, "fact", "fk", dr, "dim", "dk", sr, how="outer"
+        )
