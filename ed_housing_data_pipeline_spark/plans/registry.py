@@ -278,14 +278,13 @@ _PRIORITY_ORDER: tuple[str, ...] = (
     "priority_revenue_fact_join",
     "setop_union_by_name",
     # start of the r12 tail (family-spread picks; the rest rotates in
-    # next round)
+    # next round — grouped_agg / events_asof_last_view / doc_exact_dedup
+    # / embedding_knn_srp were provisionally here but rotated back out
+    # to make room for the four second-half r15 queries: all four are
+    # r12-green, unchanged, and their families keep in-window reps)
     "lake_schema_evolution",
     "lake_type_widening",
     "orders_zorder_box3",
-    "grouped_agg",
-    "events_asof_last_view",
-    "doc_exact_dedup",
-    "embedding_knn_srp",
 )
 
 _PRIORITY_ORDER_R14: tuple[str, ...] = (

@@ -28,16 +28,22 @@ def test_driver_window_covers_every_family():
     queries; pin the window so every operator family has a hard
     driver-verified row. The window ROTATES between rounds; a name may
     rotate OUT only if it is unchanged and already driver-green in a
-    prior round's CORRECTNESS file. The r15 window: the two r15-new
+    prior round's CORRECTNESS file. The r15 window: the SIX r15-new
     queries enter (lake_merge_insert_values — the explicit INSERT
     VALUES clause + narrow-patch guard; lake_describe_segmented — the
-    counts plane's zero-job DESCRIBE/COUNT(*) surface), every
-    lake-core surface REWIRED in r15 keeps a representative (counts on
-    every commit path, bloom-backed merge probe pruning, rows-ratio
-    auto-apply, feed-scan meta columns, watermark retirement sweep),
-    the ENTIRE r11 staleness tail fills the middle, and 7 r12 rows
-    start draining that tail — after this round no registered query's
-    driver row is older than r12."""
+    counts plane's zero-job DESCRIBE/COUNT(*) surface;
+    lake_merge_nmbs — WHEN NOT MATCHED BY SOURCE; lake_restore_version
+    — Delta-style RESTORE; lake_scd2_dimension — SCD type 2;
+    lake_join_view_sync — the incremental denormalized join view +
+    the CDC-apply merge clauses), every lake-core surface REWIRED in
+    r15 keeps a representative (counts on every commit path,
+    bloom-backed merge probe pruning, rows-ratio auto-apply, feed-scan
+    meta columns, watermark retirement sweep), the ENTIRE r11
+    staleness tail fills the middle, and 3 r12 rows start draining
+    that tail — after this round no registered query's driver row is
+    older than r12 (the four r12-green family-spread picks that were
+    provisionally windowed rotated back out for the second-half
+    queries; their families keep in-window reps)."""
     from ed_housing_data_pipeline_spark.plans.registry import _PRIORITY_ORDER
 
     names = list(query_map())
@@ -48,6 +54,10 @@ def test_driver_window_covers_every_family():
         # r15-new — never driver-verified before
         "lake_merge_insert_values",
         "lake_describe_segmented",
+        "lake_merge_nmbs",
+        "lake_restore_version",
+        "lake_scd2_dimension",
+        "lake_join_view_sync",
         # rewired-in-r15 lake-core representatives
         "lake_merge_conditional",   # merge probe (bloom pruning, report)
         "lake_merge_patch",         # update_set + the new guard path
@@ -71,10 +81,8 @@ def test_driver_window_covers_every_family():
         "embedding_knn_ivf_recall",
         "embedding_knn_ivfpq_recall",
         # r12-tail family-spread picks
-        "grouped_agg",
-        "events_asof_last_view",
-        "doc_exact_dedup",
-        "embedding_knn_srp",
+        "lake_schema_evolution",
+        "lake_type_widening",
     }
     assert must_have <= window, f"family anchors outside window: {must_have - window}"
 
