@@ -962,3 +962,81 @@ def q_lake_stream_merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------- continuous joined-view sync
+@register(
+    "lake_stream_join_view",
+    oracle="""
+    SELECT CASE WHEN c.c_custkey % 10 = 0
+                THEN 'CHURNED' ELSE c.c_mktsegment END AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o.o_totalprice), 2) AS price_sum
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_lake_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental join view driven CONTINUOUSLY
+    (streaming/join_view — the streaming twin of sync_join_view):
+    orders arrive as a stream whose foreachBatch sink commits each
+    micro-batch into the FACT source exactly-once (batch id in the
+    manifest flip) and advances the denormalized view (orders ⋈
+    customer-dim) one sync cycle per batch; after the drain a DIM
+    relabel (%10 → 'CHURNED') committed by an outside writer flows
+    through one more batch cadence, re-deriving ONLY the orders of the
+    churned customers. The view's aggregate must hash-match the
+    oracle's from-scratch join. At 100 TB this is the enrichment
+    stream: O(batch) per micro-batch on the fact ledger, O(affected)
+    per dim cadence, replay-safe on every half independently."""
+    from ed_housing_data_pipeline_spark.sources import join_view, lake  # noqa: PLC0415
+    from ed_housing_data_pipeline_spark.streaming import (  # noqa: PLC0415
+        join_view as sjv,
+    )
+
+    ensure_runtime_confs(spark)
+    dim0 = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_jv_") as tmp:
+        fr, dr, sr = f"{tmp}/fact", f"{tmp}/dim", f"{tmp}/sink"
+        lake.append_segments(spark, dr, {"cust": dim0}, init=True)
+        schema = tables.load_table(spark, sf_dir, "orders").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/orders.parque[t]")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.round(F.col("o_totalprice"), 2).alias("price"),
+            )
+        )
+        sjv.run_stream_join_view(
+            stream, fr, "orders", "o_orderkey",
+            dr, "cust", "o_custkey", sr, f"{tmp}/ckpt", how="left",
+        )
+        # outside dim churn -> one more cadence, affected orders only
+        lake.upsert_rows(
+            spark, dr, "cust", "o_custkey",
+            dim0.filter(F.col("o_custkey") % 10 == 0).withColumn(
+                "seg", F.lit("CHURNED")
+            ),
+        )
+        rep = join_view.sync_join_view(
+            spark, fr, "orders", "o_orderkey",
+            dr, "cust", "o_custkey", sr, how="left",
+        )
+        if not rep["applied"] or rep["inserted"]:
+            raise RuntimeError(f"dim cadence off: {rep}")
+        view = lake.read_segmented_merged(
+            spark, sr, "orders__joined", "o_orderkey"
+        )
+        return (
+            view.groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.sum("price"), 2).alias("price_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
