@@ -3557,7 +3557,9 @@ def merge_rows(
     UPDATED key (inserts never tombstone); pressure counter advanced;
     a fully-no-op batch commits NOTHING (version unchanged). Retries
     from fresh state on a rival commit. Returns ``{"pins", "version",
-    "updated", "inserted", "skipped", "applied", "attempts"}``.
+    "updated", "inserted", "deleted", "skipped", "applied",
+    "attempts", "probe"}`` plus ``nmbs_updated`` / ``nmbs_deleted``
+    when the NOT MATCHED BY SOURCE clauses are given.
 
     Oracle twin: ``lake_merge_conditional`` (plans/queries_core);
     reference parity: the reference's LEA dimension join
