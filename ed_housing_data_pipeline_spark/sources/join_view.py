@@ -231,16 +231,28 @@ def sync_join_view(
         affected = parts[0]
         for p in parts[1:]:
             affected = affected.unionByName(p)
-        affected = affected.distinct()
-        # re-derive: live fact rows for affected keys, joined fresh
-        joined = _join(fact_m.join(affected, on=fkey, how="left_semi"))
-        gone = affected.join(
-            joined.select(*fkey).distinct(), on=fkey, how="left_anti"
-        )
-        batch = joined.withColumn(_GONE, F.lit(False)).unionByName(
-            gone.withColumn(_GONE, F.lit(True)), allowMissingColumns=True
-        )
+        affected = affected.distinct().persist()
         try:
+            # re-derive: live fact rows for affected keys, joined
+            # fresh. A bounded affected set on a single-column key
+            # pushes an IN-filter to the fact scan (symmetric to the
+            # dim-churn path) instead of the semi-join shuffle.
+            fact_live = fact_m.join(affected, on=fkey, how="left_semi")
+            if len(fkey) == 1 and dim_probe_cap:
+                n_aff = affected.limit(dim_probe_cap + 1).count()
+                if n_aff <= dim_probe_cap:
+                    keys = [r[0] for r in affected.collect()]
+                    fact_live = fact_m.filter(
+                        F.col(fkey[0]).isin(keys)
+                    )
+            joined = _join(fact_live)
+            gone = affected.join(
+                joined.select(*fkey).distinct(), on=fkey, how="left_anti"
+            )
+            batch = joined.withColumn(_GONE, F.lit(False)).unionByName(
+                gone.withColumn(_GONE, F.lit(True)),
+                allowMissingColumns=True,
+            )
             mrep = lake.merge_rows(
                 spark, sink_root, sink_component, fkey, batch,
                 when_matched_delete=f"source.{_GONE}",
@@ -253,6 +265,8 @@ def sync_join_view(
         except lake.ConcurrentCommitError as e:
             last_err = e
             continue
+        finally:
+            affected.unpersist()
         keep = ("updated", "inserted", "deleted", "skipped", "applied",
                 "version", "meta_only", "probe")
         return {**rep, **{k: v for k, v in mrep.items() if k in keep},
