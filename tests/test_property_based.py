@@ -752,3 +752,87 @@ def test_upsert_partitions_last_writer_wins_model(spark, batches):
             for r in spark.read.parquet(root).collect()
         }
         assert got == model
+
+
+# ------------------------------------- MERGE grammar model property
+# Model: the component is a dict key -> value (one live row per key,
+# generated batches are unique per key). Each op applies one
+# merge_rows call under a randomly drawn clause combination; the model
+# applies the documented key-level semantics: matched keys update
+# (whole-key replace) unless content-equal (skip_unchanged) or gated
+# off by WHEN MATCHED AND; WHEN MATCHED AND <p> THEN DELETE wins a
+# double match; unmatched batch keys insert under insert_unmatched;
+# WHEN NOT MATCHED BY SOURCE delete/set act on target keys absent
+# from the batch (delete first, then the row-wise SET under its
+# condition, itself skip-if-unchanged). The merged view must equal
+# the model after EVERY op — any clause-interaction bug surfaces as a
+# divergence.
+
+_merge_kinds = st.sampled_from(["plain", "pred", "del", "noins", "nmbs"])
+_merge_ops = st.lists(
+    st.tuples(
+        _merge_kinds,
+        st.dictionaries(
+            st.integers(0, 5), st.integers(-5, 5), min_size=1, max_size=4
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_merge_ops)
+def test_merge_grammar_matches_model(spark, ops):
+    import tempfile
+
+    from ed_housing_data_pipeline_spark.sources import lake
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k bigint, v bigint"
+        )
+
+    with tempfile.TemporaryDirectory(prefix="merge_fuzz_") as tmp:
+        root = f"{tmp}/ds"
+        model = {0: 0, 1: 1, 2: 2}
+        lake.append_segments(spark, root, {"t": frame(model)}, init=True)
+        for kind, batch in ops:
+            kw = {}
+            if kind == "pred":
+                kw["when_matched"] = "source.v > target.v"
+            elif kind == "del":
+                kw["when_matched_delete"] = "source.v < 0"
+            elif kind == "noins":
+                kw["insert_unmatched"] = False
+            elif kind == "nmbs":
+                kw["when_not_matched_by_source_delete"] = "target.v < -2"
+                kw["when_not_matched_by_source_set"] = {"v": "target.v + 10"}
+                kw["when_not_matched_by_source_condition"] = "target.v > 3"
+            lake.merge_rows(spark, root, "t", "k", frame(batch), **kw)
+            # the model, per the documented key-level semantics
+            for k, v in batch.items():
+                matched = k in model
+                if kind == "del" and matched and v < 0:
+                    del model[k]  # delete wins any double match
+                    continue
+                if matched:
+                    if model[k] == v:
+                        continue  # skip_unchanged
+                    if kind == "pred" and not (v > model[k]):
+                        continue  # WHEN MATCHED AND gate
+                    model[k] = v
+                elif kind != "noins":
+                    model[k] = v
+            if kind == "nmbs":
+                for k in [k for k in model if k not in batch]:
+                    if model[k] < -2:
+                        del model[k]
+                    elif model[k] > 3:
+                        model[k] = model[k] + 10
+            got = {
+                r.k: r.v
+                for r in lake.read_segmented_merged(spark, root, "t", "k")
+                .collect()
+            }
+            assert got == model, (kind, batch, got, model)
