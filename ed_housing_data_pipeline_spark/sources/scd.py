@@ -197,6 +197,27 @@ def scd2_apply(
         rep = {"opened": n_chg + n_new, "closed": n_chg,
                "unchanged_keys": n_same}
         if n_chg == 0 and n_new == 0:
+            extra = merge_kwargs.get("extra_meta")
+            if extra:
+                # a streaming committer's batch id must land even on a
+                # fully-unchanged snapshot: meta-only flip, full plane
+                # carry (the same contract merge_rows' no-op path has)
+                snap = lake.manifest_snapshot(spark, root)
+                kw: dict = {"meta": {**snap.meta, **extra}}
+                if snap.zones:
+                    kw["zones"] = snap.zones
+                if snap.blooms:
+                    kw["blooms"] = snap.blooms
+                if snap.schemas:
+                    kw["schemas"] = snap.schemas
+                if snap.counts:
+                    kw["counts"] = snap.counts
+                ver = lake.commit_segment_manifest(
+                    spark, root, snap.pins,
+                    expected_base=snap.version, **kw,
+                )
+                return {**rep, "applied": False, "meta_only": True,
+                        "version": ver}
             base = lake.segment_pins_versioned(spark, root)[1]
             return {**rep, "applied": False, "version": base}
         changed = paired.filter(

@@ -126,3 +126,40 @@ def test_scd2_validation_raises(spark, tmp_path):
         _snap(spark, [Row(k=1, seg="a", v=1.0)]), ts=5,
     )
     assert not rep["applied"]
+
+
+def test_stream_scd2_sink_exactly_once(spark, tmp_path):
+    """The streaming SCD2 sink (streaming/scd): batch 0 bootstraps
+    (id atomic with init), later batches apply as cadences, a REPLAY
+    of an already-recorded id is skipped untouched, and a
+    fully-unchanged snapshot still records its id (meta-only flip) so
+    the replay guard holds across no-op batches."""
+    from ed_housing_data_pipeline_spark.streaming import scd as sscd
+
+    root = str(tmp_path / "d")
+    s1 = _snap(spark, [Row(k=1, seg="a", v=1.0), Row(k=2, seg="b", v=2.0)])
+    s2 = _snap(spark, [Row(k=1, seg="a2", v=1.0), Row(k=2, seg="b", v=2.0)])
+    rep = sscd.sink_scd2_batch(spark, root, "dim", "k", s1, 0)
+    assert rep["bootstrap"] and rep["ts"] == 1
+    rep = sscd.sink_scd2_batch(spark, root, "dim", "k", s2, 1)
+    assert rep["committed"] and rep["closed"] == 1 and rep["ts"] == 2
+    # replay of batch 1: skipped untouched
+    v = lake.segment_pins_versioned(spark, root)[1]
+    rep = sscd.sink_scd2_batch(spark, root, "dim", "k", s2, 1)
+    assert rep["replay"] and lake.segment_pins_versioned(spark, root)[1] == v
+    # fully-unchanged batch 2: meta-only flip records the id
+    rep = sscd.sink_scd2_batch(spark, root, "dim", "k", s2, 2)
+    assert rep["committed"] and rep["meta_only"] and not rep["applied"]
+    assert int(lake.segment_meta(spark, root)[sscd.LAST_BATCH_KEY]) == 2
+    # ... and ITS replay is recognized too
+    rep = sscd.sink_scd2_batch(spark, root, "dim", "k", s2, 2)
+    assert rep["replay"]
+    hist = sorted(
+        (r.k, r.valid_from, r.valid_to, r.is_current)
+        for r in lake.read_segmented_merged(
+            spark, root, "dim", ["k", scd.VALID_FROM]
+        ).collect()
+    )
+    assert hist == [
+        (1, 1, 2, False), (1, 2, None, True), (2, 1, None, True),
+    ]
