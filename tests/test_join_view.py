@@ -129,3 +129,44 @@ def test_column_collision_and_how_validation(spark, tmp_path):
         join_view.sync_join_view(
             spark, fr, "fact", "fk", dr, "dim", "dk", sr, how="outer"
         )
+
+
+def test_composite_fact_key_view(spark, tmp_path):
+    """Composite fact keys ride every path (feeds, affected-key
+    derivation falls back to the semi-join, the merge keys on the
+    tuple)."""
+    fr, dr, sr = (str(tmp_path / p) for p in ("f", "d", "s"))
+    fact = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y", i % 2, float(i)) for i in range(8)],
+        "k1 bigint, k2 string, dk bigint, amt double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "zero"), (1, "one")], "dk bigint, label string"
+    )
+    lake.append_segments(spark, fr, {"fact": fact}, init=True)
+    lake.append_segments(spark, dr, {"dim": dim}, init=True)
+    args = (spark, fr, "fact", ["k1", "k2"], dr, "dim", "dk", sr)
+    assert join_view.sync_join_view(*args, how="left")["bootstrapped"]
+    # fact churn on the composite key + dim relabel, one cycle
+    lake.upsert_rows(
+        spark, fr, "fact", ["k1", "k2"],
+        spark.createDataFrame(
+            [(1, "x", 1, 111.0)], "k1 bigint, k2 string, dk bigint, amt double"
+        ),
+    )
+    lake.upsert_rows(
+        spark, dr, "dim", "dk",
+        spark.createDataFrame([(0, "ZERO")], "dk bigint, label string"),
+    )
+    rep = join_view.sync_join_view(*args, how="left")
+    assert rep["applied"] and rep["updated"] == 5  # (1,x) + the 4 dk=0 rows
+    got = {
+        (r.k1, r.k2): (r.amt, r.label)
+        for r in lake.read_segmented_merged(
+            spark, sr, "fact__joined", ["k1", "k2"]
+        ).collect()
+    }
+    assert got[(1, "x")] == (111.0, "one")
+    assert all(
+        lab == "ZERO" for (k1, _k2), (_a, lab) in got.items() if k1 % 2 == 0
+    )
