@@ -60,6 +60,9 @@ def sync_join_view(
     sink_root: str,
     sink_component: str | None = None,
     how: str = "left",
+    dim_filter=None,
+    dim_merge_key=None,
+    dim_drop=(),
     dim_probe_cap: int = 10_000,
     max_attempts: int = 3,
     **merge_kwargs,
@@ -76,6 +79,24 @@ def sync_join_view(
 
     Non-key column names must be disjoint between fact and dim
     (raises otherwise — project the sources first).
+
+    ``dim_filter`` (SQL string or Column) restricts the dim rows that
+    JOIN, and ``dim_merge_key`` overrides the key the dim's liveness
+    fold uses (default: ``dim_key``). Together they are the SCD2
+    composition: point the view at a type-2 dimension with
+    ``dim_merge_key=[bk, "valid_from"]`` (the dim's real revision key
+    — folding on the bare business key would wrongly kill closed
+    history rows) and ``dim_filter="is_current"`` so facts enrich
+    against the CURRENT version only. Any churn on a dim key still
+    re-derives its facts; the filter applies at join time.
+    ``dim_drop`` drops dim columns after the filter (e.g. the SCD meta
+    columns), keeping the sink's schema lean.
+
+    STAR SCHEMAS chain: the sink is itself a segmented component with
+    a CDF feed (merge commits stamp ``_useq`` + tombstones), so
+    ``fact ⋈ dim1 ⋈ dim2`` is a view over a view — each link
+    maintains its own pair of watermarks and the composition stays
+    exactly-once end to end.
 
     Returns ``{"from_fact", "to_fact", "from_dim", "to_dim",
     "applied", "version", ...merge counts}``."""
@@ -96,10 +117,16 @@ def sync_join_view(
             "sync_join_view: both sources need a committed manifest"
         )
 
+    dflt = F.expr(dim_filter) if isinstance(dim_filter, str) else dim_filter
+    dmk = dim_merge_key if dim_merge_key is not None else dim_key
+
     def _dim_current() -> DataFrame:
-        return lake.read_segmented_merged(
-            spark, dim_root, dim_component, dim_key
+        d = lake.read_segmented_merged(
+            spark, dim_root, dim_component, dmk
         ).drop(lake.UPSERT_SEQ_COL)
+        if dflt is not None:
+            d = d.filter(dflt)
+        return d.drop(*dim_drop) if dim_drop else d
 
     def _fact_merged() -> DataFrame:
         return lake.read_segmented_merged(

@@ -170,3 +170,74 @@ def test_composite_fact_key_view(spark, tmp_path):
     assert all(
         lab == "ZERO" for (k1, _k2), (_a, lab) in got.items() if k1 % 2 == 0
     )
+
+
+def test_scd2_dim_composition_and_chained_star(spark, tmp_path):
+    """The two composition contracts: (1) a view over an SCD TYPE 2
+    dimension (dim_merge_key = the SCD revision key, dim_filter
+    restricts the join to current rows, dim_drop keeps the SCD meta
+    out of the sink) enriches facts against the CURRENT version and
+    follows a version flip; (2) STAR schemas chain — the sink is
+    itself a CDF source, so a second view joins another dim on top and
+    the dim churn propagates through BOTH links."""
+    from ed_housing_data_pipeline_spark.sources import scd
+
+    fr, dr, d2, s1, s2 = (
+        str(tmp_path / p) for p in ("f", "d", "d2", "s1", "s2")
+    )
+    fact = spark.createDataFrame(
+        [(i, i % 2, i % 3, float(i)) for i in range(6)],
+        "fk bigint, dk bigint, ek bigint, amt double",
+    )
+    lake.append_segments(spark, fr, {"fact": fact}, init=True)
+    scd.scd2_init(
+        spark, dr, "dim", "dk",
+        spark.createDataFrame([(0, "zero"), (1, "one")],
+                              "dk bigint, label string"),
+        ts=10,
+    )
+    lake.append_segments(
+        spark, d2,
+        {"dim2": spark.createDataFrame(
+            [(0, "E0"), (1, "E1"), (2, "E2")], "ek bigint, tag string"
+        )},
+        init=True,
+    )
+    scd_kw = {
+        "dim_merge_key": ["dk", "valid_from"],
+        "dim_filter": "is_current",
+        "dim_drop": ("valid_from", "valid_to", "is_current"),
+    }
+    args1 = (spark, fr, "fact", "fk", dr, "dim", "dk", s1)
+    assert join_view.sync_join_view(*args1, how="left", **scd_kw)[
+        "bootstrapped"
+    ]
+    # link 2: the first sink is the fact of the second view
+    args2 = (spark, s1, "fact__joined", "fk", d2, "dim2", "ek", s2)
+    assert join_view.sync_join_view(*args2, how="left")["bootstrapped"]
+    star = {
+        r.fk: (r.label, r.tag)
+        for r in lake.read_segmented_merged(spark, s2,
+                                            "fact__joined__joined", "fk")
+        .collect()
+    }
+    assert star[3] == ("one", "E0") and len(star) == 6
+    # SCD version flip: dk=1 relabels at ts=20 — current changes, the
+    # closed history row must NOT also join (exactly one row per fact)
+    scd.scd2_apply(
+        spark, dr, "dim", "dk",
+        spark.createDataFrame([(1, "ONE")], "dk bigint, label string"),
+        ts=20,
+    )
+    rep = join_view.sync_join_view(*args1, how="left", **scd_kw)
+    assert rep["updated"] == 3  # fks 1,3,5
+    rep2 = join_view.sync_join_view(*args2, how="left")
+    assert rep2["updated"] == 3  # propagated through the chain
+    star = {
+        r.fk: (r.label, r.tag)
+        for r in lake.read_segmented_merged(spark, s2,
+                                            "fact__joined__joined", "fk")
+        .collect()
+    }
+    assert star[3] == ("ONE", "E0") and star[0] == ("zero", "E0")
+    assert len(star) == 6  # one row per fact — history never joins
