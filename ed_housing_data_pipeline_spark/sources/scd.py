@@ -76,6 +76,7 @@ def scd2_apply(
     snapshot: DataFrame,
     ts: int,
     allow_new_columns: bool = False,
+    probe_cap: int = 10_000,
     **merge_kwargs,
 ) -> dict:
     """Apply one dimension snapshot at event time ``ts`` (SCD type 2):
@@ -117,12 +118,59 @@ def scd2_apply(
     ts = int(ts)
     attrs = [c for c in snapshot.columns if c not in bk]
 
-    # current rows for the batch's business keys: a pruned merged read
-    # (bloom/zone sidecars on the business key bound it to touched
-    # segments), NEVER the full dimension
+    # current rows for the batch's business keys: bloom sidecars on a
+    # single-column business key bound the DATA read to the segments
+    # that can contain the batch's keys (driver-side pin pruning, the
+    # same probe shape merge_rows uses internally); composite or
+    # unbounded batches fall back to the full merged read + semi-join
+    cur = None
+    if len(bk) == 1 and probe_cap:
+        snap_st = lake.manifest_snapshot(spark, root)
+        has_bloom = any(
+            bk[0] in cols
+            for cols in snap_st.blooms.get(component, {}).values()
+        )
+        if has_bloom:
+            n = int(
+                snapshot.agg(
+                    F.approx_count_distinct(bk[0]).alias("n")
+                ).collect()[0]["n"] or 0
+            )
+            if n <= probe_cap:
+                keys = [
+                    r[0]
+                    for r in snapshot.select(bk[0])
+                    .where(F.col(bk[0]).isNotNull())
+                    .distinct()
+                    .limit(probe_cap + 1)
+                    .collect()
+                ]
+                if len(keys) <= probe_cap:
+                    kept, _pinned = lake.bloom_pruned_pins_from_state(
+                        spark, root, component, bk[0], keys,
+                        snap_st.pins, snap_st.blooms,
+                    )
+                    read_pins = {**snap_st.pins, component: kept}
+                    if kept:
+                        cur = lake._merged_from_state(
+                            spark, root, component, bk + [VALID_FROM],
+                            read_pins, snap_st.schemas,
+                        )
+                    else:
+                        cur = lake.read_segments(
+                            spark,
+                            f"{root.rstrip('/')}/{component}",
+                            snap_st.pins[component],
+                            schema=lake._schema_from_json(
+                                snap_st.schemas.get(component)
+                            ),
+                        ).limit(0)
+    if cur is None:
+        cur = lake.read_segmented_merged(
+            spark, root, component, bk + [VALID_FROM]
+        )
     cur = (
-        lake.read_segmented_merged(spark, root, component, bk + [VALID_FROM])
-        .drop(lake.UPSERT_SEQ_COL)
+        cur.drop(lake.UPSERT_SEQ_COL)
         .filter(F.col(IS_CURRENT))
         .join(snapshot.select(*bk).distinct(), on=bk, how="left_semi")
     )
