@@ -334,3 +334,51 @@ def scd2_asof(
             & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(ts)))
         )
     )
+
+
+def scd2_validate(
+    spark, root: str, component: str, key_cols
+) -> DataFrame:
+    """Invariant audit of an SCD2 component — returns a frame of
+    violations (empty = healthy), one row per (business key, check):
+
+    - ``multiple_current``: more than one ``is_current`` row for a key;
+    - ``open_not_current`` / ``current_not_open``: ``valid_to IS NULL``
+      must coincide exactly with ``is_current``;
+    - ``overlap``: consecutive intervals (by ``valid_from``) overlap —
+      a closed row's ``valid_to`` exceeds the next row's
+      ``valid_from``;
+    - ``gap_inverted``: an interval closes before it opens
+      (``valid_to < valid_from``).
+
+    One window pass over the component — run it after restores,
+    repairs, or suspected out-of-order applies. The engine's own
+    verbs cannot produce violations (scd2_apply fails closed on
+    ordering), so any row here points at external writes."""
+    from pyspark.sql import Window, functions as F  # noqa: PLC0415
+
+    bk = _bk(key_cols)
+    df = (
+        lake.read_segmented_merged(spark, root, component, bk + [VALID_FROM])
+        .drop(lake.UPSERT_SEQ_COL)
+    )
+    w = Window.partitionBy(*bk).orderBy(VALID_FROM)
+    nxt = F.lead(VALID_FROM).over(w)
+    cur_n = F.sum(F.col(IS_CURRENT).cast("int")).over(
+        Window.partitionBy(*bk)
+    )
+    checks = df.select(
+        *bk,
+        F.col(VALID_FROM),
+        F.when(F.col(IS_CURRENT) & (cur_n > 1), "multiple_current")
+        .when(F.col(VALID_TO).isNull() & ~F.col(IS_CURRENT),
+              "open_not_current")
+        .when(F.col(VALID_TO).isNotNull() & F.col(IS_CURRENT),
+              "current_not_open")
+        .when(F.col(VALID_TO).isNotNull()
+              & (F.col(VALID_TO) < F.col(VALID_FROM)), "gap_inverted")
+        .when(nxt.isNotNull()
+              & (F.coalesce(F.col(VALID_TO), nxt + 1) > nxt), "overlap")
+        .alias("violation"),
+    )
+    return checks.filter(F.col("violation").isNotNull())
