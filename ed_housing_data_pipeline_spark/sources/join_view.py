@@ -133,6 +133,36 @@ def sync_join_view(
             spark, fact_root, fact_component, fkey
         ).drop(lake.UPSERT_SEQ_COL)
 
+    def _fact_merged_bloom_pruned(col: str, keys) -> DataFrame | None:
+        """The fact's merged view with its DATA pins bloom-pruned to
+        the segments that can contain ``keys`` in ``col`` — driver-side
+        whole-segment skipping on top of the IN-filter's row-group
+        stats. None when the fact carries no bloom sidecars for the
+        column (caller falls back to the plain merged read)."""
+        st = lake.manifest_snapshot(spark, fact_root)
+        if not any(
+            col in cols
+            for cols in st.blooms.get(fact_component, {}).values()
+        ):
+            return None
+        kept, _pinned = lake.bloom_pruned_pins_from_state(
+            spark, fact_root, fact_component, col, list(keys),
+            st.pins, st.blooms,
+        )
+        if not kept:
+            return lake.read_segments(
+                spark,
+                f"{fact_root.rstrip('/')}/{fact_component}",
+                st.pins[fact_component],
+                schema=lake._schema_from_json(
+                    st.schemas.get(fact_component)
+                ),
+            ).limit(0).drop(lake.UPSERT_SEQ_COL)
+        return lake._merged_from_state(
+            spark, fact_root, fact_component, fkey,
+            {**st.pins, fact_component: kept}, st.schemas,
+        ).drop(lake.UPSERT_SEQ_COL)
+
     def _join(fact_df: DataFrame) -> DataFrame:
         dim_df = _dim_current()
         clash = (set(fact_df.columns) & set(dim_df.columns)) - {dim_key}
@@ -246,8 +276,13 @@ def sync_join_view(
                 ]
                 if len(keys) <= dim_probe_cap:
                     # bounded churn: a pushable IN-filter beats the
-                    # semi-join shuffle AND reaches the parquet scan
-                    by_dim = fact_m.filter(F.col(dim_key).isin(keys))
+                    # semi-join shuffle AND reaches the parquet scan;
+                    # bloom sidecars on the fact's dim-key column
+                    # additionally skip whole segments driver-side
+                    base = _fact_merged_bloom_pruned(dim_key, keys)
+                    by_dim = (base if base is not None else fact_m).filter(
+                        F.col(dim_key).isin(keys)
+                    )
                 else:
                     by_dim = fact_m.join(
                         changed_d, on=dim_key, how="left_semi"
@@ -269,9 +304,10 @@ def sync_join_view(
                 n_aff = affected.limit(dim_probe_cap + 1).count()
                 if n_aff <= dim_probe_cap:
                     keys = [r[0] for r in affected.collect()]
-                    fact_live = fact_m.filter(
-                        F.col(fkey[0]).isin(keys)
-                    )
+                    base = _fact_merged_bloom_pruned(fkey[0], keys)
+                    fact_live = (
+                        base if base is not None else fact_m
+                    ).filter(F.col(fkey[0]).isin(keys))
             joined = _join(fact_live)
             gone = affected.join(
                 joined.select(*fkey).distinct(), on=fkey, how="left_anti"

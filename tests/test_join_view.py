@@ -241,3 +241,58 @@ def test_scd2_dim_composition_and_chained_star(spark, tmp_path):
     }
     assert star[3] == ("ONE", "E0") and star[0] == ("zero", "E0")
     assert len(star) == 6  # one row per fact — history never joins
+
+
+def test_bloom_sidecars_on_fact_prune_the_rederive_read(spark, tmp_path):
+    """Fact bloom sidecars on both the dim-key and the fact-key column
+    route the bounded re-derive reads through the bloom-pruned merged
+    view (whole-segment skipping); the view still converges exactly."""
+    fr, dr, sr = (str(tmp_path / p) for p in ("f", "d", "s"))
+    lake.append_segments(
+        spark, fr,
+        {"fact": spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(6)],
+            "fk bigint, dk bigint, amt double",
+        )},
+        init=True, bloom_cols={"fact": ["fk", "dk"]},
+    )
+    lake.append_segments(
+        spark, fr,
+        {"fact": spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(100, 106)],
+            "fk bigint, dk bigint, amt double",
+        )},
+        bloom_cols={"fact": ["fk", "dk"]},
+    )
+    lake.append_segments(
+        spark, dr,
+        {"dim": spark.createDataFrame(
+            [(0, "zero"), (1, "one"), (2, "two")],
+            "dk bigint, label string",
+        )},
+        init=True,
+    )
+    args = (spark, fr, "fact", "fk", dr, "dim", "dk", sr)
+    assert join_view.sync_join_view(*args, how="left")["bootstrapped"]
+    # fact churn confined to the SECOND segment + a dim relabel: both
+    # bounded re-derives take the bloom-pruned path
+    lake.upsert_rows(
+        spark, fr, "fact", "fk",
+        spark.createDataFrame(
+            [(101, 1, 999.0)], "fk bigint, dk bigint, amt double"
+        ),
+        bloom_cols=["fk", "dk"],
+    )
+    lake.upsert_rows(
+        spark, dr, "dim", "dk",
+        spark.createDataFrame([(2, "TWO")], "dk bigint, label string"),
+    )
+    rep = join_view.sync_join_view(*args, how="left")
+    # fk=101 re-derived + the three dk=2 rows (2, 5, 104)
+    assert rep["applied"] and rep["updated"] == 4
+    got = _view(spark, sr)
+    assert got[101] == (1, 999.0, "one")
+    assert all(
+        lab == "TWO" for _fk, (dk, _a, lab) in got.items() if dk == 2
+    )
+    assert len(got) == 12
