@@ -312,19 +312,24 @@ def sync_join_view(
             gone = affected.join(
                 joined.select(*fkey).distinct(), on=fkey, how="left_anti"
             )
+            # the merge references its batch many times — persist so
+            # the re-derive join computes once, not per reference
             batch = joined.withColumn(_GONE, F.lit(False)).unionByName(
                 gone.withColumn(_GONE, F.lit(True)),
                 allowMissingColumns=True,
-            )
-            mrep = lake.merge_rows(
-                spark, sink_root, sink_component, fkey, batch,
-                when_matched_delete=f"source.{_GONE}",
-                when_not_matched_insert=f"not source.{_GONE}",
-                source_scratch_cols=[_GONE],
-                extra_meta=marks,
-                max_attempts=1,  # rivals replan HERE, with fresh marks
-                **merge_kwargs,
-            )
+            ).persist()
+            try:
+                mrep = lake.merge_rows(
+                    spark, sink_root, sink_component, fkey, batch,
+                    when_matched_delete=f"source.{_GONE}",
+                    when_not_matched_insert=f"not source.{_GONE}",
+                    source_scratch_cols=[_GONE],
+                    extra_meta=marks,
+                    max_attempts=1,  # rivals replan HERE w/ fresh marks
+                    **merge_kwargs,
+                )
+            finally:
+                batch.unpersist()
         except lake.ConcurrentCommitError as e:
             last_err = e
             continue

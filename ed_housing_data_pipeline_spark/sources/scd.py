@@ -292,10 +292,19 @@ def scd2_apply(
             .withColumn(VALID_TO, F.lit(None).cast("bigint"))
             .withColumn(IS_CURRENT, F.lit(True))
         )
-        batch = closing.unionByName(opening, allowMissingColumns=True)
-        mrep = lake.merge_rows(
-            spark, root, component, bk + [VALID_FROM], batch, **merge_kwargs
-        )
+        # the merge references its batch many times (probe, fingerprints,
+        # decision, writes) — persist so the close/open lineage (itself
+        # a join over the pruned current read) computes once
+        batch = closing.unionByName(
+            opening, allowMissingColumns=True
+        ).persist()
+        try:
+            mrep = lake.merge_rows(
+                spark, root, component, bk + [VALID_FROM], batch,
+                **merge_kwargs,
+            )
+        finally:
+            batch.unpersist()
         return {**rep, **{k: v for k, v in mrep.items()
                           if k in ("applied", "version", "pins", "attempts")}}
     finally:
