@@ -66,6 +66,16 @@ _RAREST_MIN_CORPUS = 1_000_000
 # churn-heavy CDC stream between compactions cannot balloon a
 # broadcast without bound
 _LIVE_BROADCAST_MAX_ROWS = 2_000_000
+# Segment file sizing (guide §6: aim for large output files). A
+# posting-segment write coalesces to ceil(token_total × est-bytes ÷
+# target): a small ingest batch lands as ONE file instead of
+# shuffle-partition-many ~10 KiB files (probes then pay one scan task
+# per segment, not per shuffle partition), while a 100 TB batch still
+# writes thousands of near-target files. 24 B/token approximates the
+# on-disk posting row (hash + id + term + tf + positions, zstd);
+# sizing only affects file granularity, never content.
+_POSTING_BYTES_PER_TOKEN = 24
+_SEGMENT_FILE_TARGET = 128 << 20
 
 
 def posting_table(
@@ -168,6 +178,20 @@ def _commit_batch(
         # zero-token docs keep no doclens row (they can't match a
         # term), but they DID count toward n_docs above
         lens = all_lens.filter(F.col("dl") > 0)
+        # Segment file sizing (r15 opt, guide §6): the posting frame
+        # leaves its aggregation with shuffle-partition-many tiny
+        # files (AQE cannot re-coalesce a persisted plan), so every
+        # probe paid one scan task per file (measured: 3 segments ×
+        # 32 × ~11 KiB files → 64+ scan tasks per search at sf0.1).
+        # Coalesce the WRITE to ceil(estimated bytes / target) — the
+        # count derives from the batch's measured token total, so a
+        # 100 TB ingest still writes hundreds of full-size files while
+        # a small batch writes one. coalesce() never raises the
+        # partition count, so large batches keep their parallelism.
+        n_files = max(
+            1, -(-tot_batch * _POSTING_BYTES_PER_TOKEN // _SEGMENT_FILE_TARGET)
+        )
+        p_write = p.coalesce(int(n_files))
         last_err: Exception | None = None
         for _attempt in range(3):
             if init:
@@ -187,7 +211,7 @@ def _commit_batch(
                     spark,
                     root,
                     appends={
-                        COMPONENT: p.withColumn(
+                        COMPONENT: p_write.withColumn(
                             "useq", F.lit(seq).cast("bigint")
                         ),
                         TERMSTATS: stats,
@@ -581,6 +605,11 @@ def upsert_text_batch(
         n_batch, tot_new = int(row["_n"]), int(row["_tot"])
         n_tomb = int(row["_nid"])
         lens = all_lens.filter(F.col("dl") > 0)
+        # same size-derived segment file count as _commit_batch
+        n_files = max(
+            1, -(-tot_new * _POSTING_BYTES_PER_TOKEN // _SEGMENT_FILE_TARGET)
+        )
+        p_write = p.coalesce(int(n_files))
         ids_df = batch.select(F.col(id_col).alias("doc_id")).distinct()
         last_err: Exception | None = None
         for _attempt in range(3):
@@ -630,7 +659,7 @@ def upsert_text_batch(
                     spark,
                     root,
                     appends={
-                        COMPONENT: p.withColumn(
+                        COMPONENT: p_write.withColumn(
                             "useq", F.lit(seq).cast("bigint")
                         ),
                         TERMSTATS: new_stats.unionByName(neg_stats),

@@ -156,16 +156,27 @@ def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — broadcast under small-SF stats, shuffle at vocab scale,
     either is the right plan); the corpus token total rides a 1-row
     broadcast cross join like the IDF/TF-IDF scalars."""
-    docs = sim.scale_out(t(spark, sf_dir, "documents"))
-    # the word string is a key, never an output: both shuffles ride
-    # its xxhash64 (same payload cut as doc_dup_span_coverage; the
-    # raw-text DuckDB twin would flag a collision instantly)
+    base = t(spark, sf_dir, "documents")
+    # ONE tokenize → tf chain feeds all three consumers (join probe,
+    # vocab fold, corpus-total scalar): before this r15 rewrite the
+    # plan tokenized + exploded the corpus THREE times (tf, vocab, and
+    # the n_total scalar each rebuilt the whole chain — 11 exchanges);
+    # now the tf aggregation's exchange is one runtime-reused AQE
+    # stage (identical canonical subtrees — the explicit
+    # isnotnull(doc_id) mirrors what the final left join infers on the
+    # probe branch, and null-doc_id rows cannot reach the left-join
+    # output). The word string is a key, never an output: shuffles
+    # ride its xxhash64 (the raw-text DuckDB twin would flag a
+    # collision instantly).
+    docs = sim.scale_out(base.filter(F.col("doc_id").isNotNull()))
     w = docs.select(
         "doc_id", F.explode(tokens("text")).alias("word")
     ).select("doc_id", F.xxhash64("word").alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("word").agg(F.sum("tf").alias("wc"))
-    total = vocab.agg(F.sum("wc").alias("n_total"))
+    # Σ tf ≡ Σ vocab.wc (total token occurrences) — same value, one
+    # fewer aggregation hop, and the subtree stays reuse-identical
+    total = tf.agg(F.sum("tf").alias("n_total"))
     surprisal = -F.log2(
         F.col("wc").cast("double") / F.col("n_total").cast("double")
     )
@@ -180,7 +191,9 @@ def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
-    return docs.select("doc_id", "source").join(per, "doc_id", "left")
+    # output spine: plain scan of (doc_id, source) — no scale_out
+    # exchange for a projection this cheap
+    return base.select("doc_id", "source").join(per, "doc_id", "left")
 
 
 # --------------------------- cross-doc duplicated-span coverage audit
@@ -239,38 +252,90 @@ def q_doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explode-×{SPAN_GRAM_N} + distinct count. Two shuffles total,
     no windows, no per-row Python — the suffix-array formulation's
     O(corpus) answer for fixed span length."""
-    docs = sim.scale_out(t(spark, sf_dir, "documents"))
+    base = t(spark, sf_dir, "documents")
     n = SPAN_GRAM_N
-    tk = docs.select("doc_id", tokens("text").alias("w"))
-    gram_arr = F.expr(
-        f"CASE WHEN size(w) >= {n} THEN transform("
-        f"sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
-        f"ELSE array() END"
-    )
-    # the gram STRING never leaves the map stage: both shuffles key on
-    # its xxhash64 (8 bytes vs ~40-byte n-gram text — the shuffle/agg
-    # payload shrinks ~5×; a cross-gram hash collision would need
-    # ~2^32 distinct grams to reach coin-flip odds, and the DuckDB
-    # twin keying on the raw gram text would flag one instantly)
-    gg = tk.select(
-        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
-    ).select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    # n_tokens branch: a single cheap size(tokens) projection — no
+    # scale_out repartition (at real scale the scan is already split;
+    # locally the exchange only added a stage to a ~ms task)
+    tk = base.select("doc_id", tokens("text").alias("w"))
+    # gram branches: explicit isnotnull(doc_id) so BOTH subtrees below
+    # canonicalize identically and the scan + repartition exchange is
+    # computed once (ReusedExchange) — the final left join infers this
+    # filter on the hit branch anyway, and null-doc_id rows are inert
+    # in dup detection (min/max skip NULLs exactly as count distinct
+    # does) and unreachable in the final doc_id equi-join.
+    docs = sim.scale_out(base.filter(F.col("doc_id").isNotNull()))
+    # the gram never materializes as a string (r15 opt, guide §2.3):
+    # each TOKEN is xxhash64'd once, and a gram key is the xxhash64 of
+    # its n consecutive token hashes — n×8 bytes hashed per position
+    # instead of building + hashing a ~40-byte concat_ws string per
+    # position (which re-hashed every token n times). Same key-only
+    # role, same 2^-64 collision class; the DuckDB twin keys on the
+    # raw gram text and would flag a collision instantly.
+    tw = docs.select("doc_id", tokens("text").alias("w"))
+    th = F.transform(F.col("w"), lambda x: F.xxhash64(x))
+    tk_h = tw.select("doc_id", F.size("w").alias("_nw"), th.alias("th"))
+    gram_arr = F.when(
+        F.col("_nw") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nw") - n),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("th"), (i + F.lit(j + 1)).cast("int"))
+                    for j in range(n)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gg = tk_h.select("doc_id", F.posexplode(gram_arr).alias("pos", "gh"))
+    # "appears in >= 2 distinct docs" needs only min(doc) != max(doc),
+    # not an exact distinct count: ONE exchange with map-side partial
+    # min/max instead of the two-exchange countDistinct expansion
+    # (guide §2.4 — before: Exchange(gh, doc_id) + Exchange(gh); after:
+    # Exchange(gh) whose payload is the per-map-partition distinct gh
+    # set). Null doc_ids behave identically (skipped by min/max as by
+    # count distinct; a gram seen only under NULL doc_id is dup in
+    # neither formulation).
     dup = (
         gg.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("gh")
     )
     hit = gg.join(dup, "gh", "left_semi")
+    # covered-token count = |union of [pos, pos+n-1]| over the doc's
+    # dup positions — computed as an interval-union fold over the
+    # SORTED distinct positions (each gap contributes min(n, gap);
+    # the first position contributes n) instead of explode×n +
+    # distinct + count, which shuffled n× the rows through TWO more
+    # exchanges (guide §2.3/§2.4). collect_set partially aggregates
+    # map-side and a doc's position set is bounded by its own token
+    # count, so per-group state is no wider than the token array the
+    # scan already materializes.
     cov = (
-        hit.select(
+        hit.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("_ps"))
+        .select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tp"),
+            F.aggregate(
+                "_ps",
+                F.struct(
+                    F.lit(-2 * n).cast("bigint").alias("prev"),
+                    F.lit(0).cast("bigint").alias("acc"),
+                ),
+                lambda s, p: F.struct(
+                    p.cast("bigint").alias("prev"),
+                    (
+                        s["acc"]
+                        + F.least(
+                            F.lit(n).cast("bigint"),
+                            p.cast("bigint") - s["prev"],
+                        )
+                    ).alias("acc"),
+                ),
+                lambda s: s["acc"],
+            ).alias("n_covered"),
         )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_covered"))
     )
     return (
         tk.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
@@ -580,27 +645,35 @@ def q_doc_word_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("word")
     ).filter(F.length("word") >= 3)
+    # ONE tokenize + word-count aggregation feeds BOTH the exact top-k
+    # and the sketch (r15 opt): the counters sum per-WORD counts
+    # (Σ count(word) grouped by (row, pos) ≡ COUNT(*) over occurrences
+    # — identical integers), so the md5-based hash60 runs once per
+    # DISTINCT word instead of once per occurrence, the heavy explode
+    # crosses the CMS_D rows at vocabulary (not corpus) cardinality,
+    # and the two consumers share the vocab aggregation's exchange
+    # (AQE runtime stage reuse over identical subtrees).
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
     h = hash60(F.col("word"))
-    occ = words.select(
-        sk.cms_h1(h).alias("h1"), sk.cms_h2(h).alias("h2")
-    ).select(
-        "h1",
-        "h2",
-        F.explode(F.sequence(F.lit(0), F.lit(sk.CMS_D - 1))).alias("row"),
-    )
     counters = (
-        occ.withColumn(
+        vocab.select(
+            "exact_n", sk.cms_h1(h).alias("h1"), sk.cms_h2(h).alias("h2")
+        )
+        .select(
+            "exact_n",
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(sk.CMS_D - 1))).alias("row"),
+        )
+        .withColumn(
             "pos", sk.cms_position(F.col("h1"), F.col("h2"), F.col("row"))
         )
         .groupBy("row", "pos")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
-    exact = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("word").asc())
-        .limit(20)
-    )
+    exact = vocab.orderBy(
+        F.col("exact_n").desc(), F.col("word").asc()
+    ).limit(20)
     ph = hash60(F.col("word"))
     probe = exact.select(
         "word",

@@ -521,17 +521,27 @@ def q_events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ed_housing_data_pipeline_spark.functions import sketches as sk
     from ed_housing_data_pipeline_spark.functions.text import hash60
 
-    base = (
+    # ONE distinct-(day, user) pass feeds BOTH sides (r15 opt): the
+    # exact count is a plain count over the deduped pairs (the old
+    # countDistinct expansion re-scanned and re-shuffled the raw
+    # events), the HLL registers are unchanged by dedup (reg/rho are
+    # functions of the user hash, and max(rho) over duplicates ≡ over
+    # distinct users), and the md5-based hash60 now runs once per
+    # distinct (day, user) instead of once per event. The two
+    # consumers share the distinct's exchange (AQE runtime stage reuse
+    # over identical subtrees).
+    d = (
         events_ts(spark, sf_dir)
         .filter(F.col("user_id").isNotNull())
         .select(
             F.unix_seconds(F.date_trunc("day", F.col("ts"))).alias("bucket_s"),
             "user_id",
-            hash60(F.col("user_id").cast("string")).alias("h"),
         )
+        .distinct()
+        .withColumn("h", hash60(F.col("user_id").cast("string")))
     )
     regs = (
-        base.select(
+        d.select(
             "bucket_s",
             sk.hll_register(F.col("h")).alias("reg"),
             sk.hll_rho(F.col("h")).alias("rho"),
@@ -543,8 +553,8 @@ def q_events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_present"),
         F.sum(sk.hll_indicator_term(F.col("mr"))).alias("sum_scaled"),
     )
-    exact = base.groupBy("bucket_s").agg(
-        F.countDistinct("user_id").alias("exact_users")
+    exact = d.groupBy("bucket_s").agg(
+        F.count(F.lit(1)).alias("exact_users")
     )
     return stats.join(exact, "bucket_s").select(
         "bucket_s",

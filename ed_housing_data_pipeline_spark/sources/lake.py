@@ -2160,6 +2160,17 @@ def commit_segment_manifest(
     )
 
 
+def committed_manifest_version(spark, root: str) -> int | None:
+    """The dataset's current committed manifest version, from the
+    write-once ``_LATEST.v<N>`` pointer listing alone — ONE directory
+    listing, no blob read, no job. The cheap freshness probe for
+    version-keyed plan caches (a search service revalidating a
+    memoized probe plan pays this instead of a full manifest parse +
+    bloom load per request); ``None`` when nothing was ever
+    committed."""
+    return _committed_version(spark, f"{root.rstrip('/')}/manifest")
+
+
 def segment_pins(spark, root: str) -> dict[str, list[int]]:
     """The last COMMITTED manifest's component→segment-list map.
     Raises FileNotFoundError when no manifest was ever committed."""
