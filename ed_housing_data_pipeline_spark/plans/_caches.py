@@ -149,6 +149,7 @@ def _evict_session_bound() -> None:
         _safe_unpersist(_SHARED_PAIRS.pop(k))
     _INCR_FRAMES.clear()
     _ANN_FRAMES.clear()
+    _PLAN_MEMO.clear()
 
 
 def _evict_shared(except_sf: str | None = None) -> None:
@@ -178,6 +179,9 @@ def _evict_shared(except_sf: str | None = None) -> None:
             _ANN_PIN.pop(k, None)
             _ANN_FRAMES.pop(k, None)
             tmp.cleanup()
+    for k in list(_PLAN_MEMO):
+        if except_sf is None or k[0] != except_sf:
+            _PLAN_MEMO.pop(k)
 
 
 def release_shared_caches() -> None:
@@ -188,6 +192,32 @@ def release_shared_caches() -> None:
     family query rebuilds."""
     _evict_shared(except_sf=None)
     windows_ops.clear_quantile_cache()
+
+
+# Constructed-plan memo for deterministic probe queries over immutable
+# session fixtures (r15 opt; generalizes queries_ann._FIXED_PLAN_MEMO):
+# several probe queries spend 0.2-0.35s/call of pure DRIVER work —
+# py4j expression building (large literal trees), plan analysis, and
+# for the cluster family a gate-bounded edge collect — rebuilding a
+# DataFrame that is a deterministic function of (sf_dir) plus a
+# session fixture that never mutates after build. The memoized object
+# is an ANALYZED PLAN: every run still executes it from parquet /
+# the persisted family tables, so no results are ever cached. Bypassed
+# under the audit flag and on session change; evicted with the family
+# caches it may reference.
+_PLAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def memo_plan(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    if _audit():
+        return build()
+    key = (sf_dir, name)
+    hit = _PLAN_MEMO.get(key)
+    if hit is not None and not _session_mismatch(hit, spark):
+        return hit
+    df = build()
+    _PLAN_MEMO[key] = df
+    return df
 
 
 def _shared_pair_table(

@@ -69,17 +69,20 @@ QUALIFY rn <= 3
 def q_embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 for 10 query vectors — broadcast queries, one
     corpus pass, no corpus shuffle. The ANN correctness baseline."""
-    emb = emb_t(spark, sf_dir)
-    out = sim.knn_bruteforce(
-        queries=emb.filter(F.col("vec_id") < 10),
-        corpus=emb,
-        vec_col="embedding",
-        id_col="vec_id",
-        k=3,
-    )
-    return out.select(
-        "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn"
-    )
+    def _build() -> DataFrame:
+        emb = emb_t(spark, sf_dir)
+        out = sim.knn_bruteforce(
+            queries=emb.filter(F.col("vec_id") < 10),
+            corpus=emb,
+            vec_col="embedding",
+            id_col="vec_id",
+            k=3,
+        )
+        return out.select(
+            "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn"
+        )
+
+    return _memo_fixed_plan("knn_bruteforce", spark, sf_dir, _build)
 
 
 KNN_BLOCKED_ORACLE = """
@@ -101,18 +104,21 @@ def q_embedding_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked (IVF-style) nearest neighbor — equi-join on the
     block id, exact cosine within block. The 100 TB scale path: never
     a cartesian plan."""
-    emb = emb_t(spark, sf_dir)
-    out = sim.knn_within_block(
-        emb,
-        vec_col="embedding",
-        id_col="vec_id",
-        block_col="label",
-        k=1,
-        query_filter=F.col("q_id") < 20,
-    )
-    return out.select(
-        "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn"
-    )
+    def _build() -> DataFrame:
+        emb = emb_t(spark, sf_dir)
+        out = sim.knn_within_block(
+            emb,
+            vec_col="embedding",
+            id_col="vec_id",
+            block_col="label",
+            k=1,
+            query_filter=F.col("q_id") < 20,
+        )
+        return out.select(
+            "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn"
+        )
+
+    return _memo_fixed_plan("knn_blocked", spark, sf_dir, _build)
 
 
 
@@ -158,17 +164,24 @@ def q_embedding_knn_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 seeded hyperplane projections, exact cosine within bucket — the
     data-independent LSH counterpart of the label-blocked (IVF-style)
     path. Equi-join on bucket id; never a cartesian plan."""
-    emb = emb_t(spark, sf_dir)
-    bucketed = emb.withColumn("srp", sim.srp_bucket("embedding", SRP_PLANES))
-    out = sim.knn_within_block(
-        bucketed,
-        vec_col="embedding",
-        id_col="vec_id",
-        block_col="srp",
-        k=1,
-        query_filter=F.col("q_id") < 20,
-    )
-    return out.select("q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn")
+    def _build() -> DataFrame:
+        emb = emb_t(spark, sf_dir)
+        bucketed = emb.withColumn(
+            "srp", sim.srp_bucket("embedding", SRP_PLANES)
+        )
+        out = sim.knn_within_block(
+            bucketed,
+            vec_col="embedding",
+            id_col="vec_id",
+            block_col="srp",
+            k=1,
+            query_filter=F.col("q_id") < 20,
+        )
+        return out.select(
+            "q_id", "nn_id", F.round(F.col("sim"), 4).alias("sim"), "rn"
+        )
+
+    return _memo_fixed_plan("knn_srp", spark, sf_dir, _build)
 
 
 # ------------------------------------------------- IVF-Flat ANN (e2e)
@@ -556,26 +569,36 @@ def q_embedding_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (bootstrap → append → append → probe) is fully hash-checked,
     not rows-only. Commit protocol + crash/race contracts are pinned
     by tests/test_ann_index.py."""
-    corpus = _ensure_ann_index(spark, sf_dir)
-    out = sim.knn_ivf_pq_encoded(
-        corpus,
-        emb_t(spark, sf_dir),
-        vec_col="embedding",
-        id_col="vec_id",
-        cents=ANN_CENTS,
-        codebooks=PQ_FIXED_CODEBOOKS,
-        k=3,
-        nprobe=PQ_NPROBE,
-        cell_col="cell",
-        codes_col="codes",
-        query_filter=F.col("vec_id") < 20,
-    )
-    return out.select(
-        "q_id",
-        "nn_id",
-        F.round(F.col("adc"), 4).alias("adc"),
-        F.col("rn").cast("bigint").alias("rn"),
-    )
+    def _build() -> DataFrame:
+        corpus = _ensure_ann_index(spark, sf_dir)
+        out = sim.knn_ivf_pq_encoded(
+            corpus,
+            emb_t(spark, sf_dir),
+            vec_col="embedding",
+            id_col="vec_id",
+            cents=ANN_CENTS,
+            codebooks=PQ_FIXED_CODEBOOKS,
+            k=3,
+            nprobe=PQ_NPROBE,
+            cell_col="cell",
+            codes_col="codes",
+            query_filter=F.col("vec_id") < 20,
+        )
+        return out.select(
+            "q_id",
+            "nn_id",
+            F.round(F.col("adc"), 4).alias("adc"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+
+    # the base index is immutable once built (mutating fixtures use
+    # separate roots), so the probe plan memoizes like the fixed-model
+    # searches — through _caches.memo_plan, which is EVICTED with the
+    # family caches, so a released/cleaned index tempdir can never be
+    # served through a stale memoized plan
+    from ed_housing_data_pipeline_spark.plans import _caches  # noqa: PLC0415
+
+    return _caches.memo_plan("embedding_incremental_ann", spark, sf_dir, _build)
 
 
 ANN_DELETE_MOD = 41  # vec_id % 41 == 0 gets GDPR-deleted (~2.4%)

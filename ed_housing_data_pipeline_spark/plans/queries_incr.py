@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ed_housing_data_pipeline_spark.operators import similarity as sim
+from ed_housing_data_pipeline_spark.plans import _caches
 from ed_housing_data_pipeline_spark.plans._caches import (
     _INCR_FRAMES,
     _INCR_INDEX,
@@ -272,31 +273,44 @@ def q_doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index's own precomputed bucket statistics, so no per-probe
     O(index) aggregation either. Exact-Jaccard verification joins the
     batch's shingles against the index's shingle store."""
-    index_bands, index_shingles, stop_bands = _ensure_incr_index(spark, sf_dir)
-    batch_sig = shared_signatures(spark, sf_dir).filter(
-        F.col("source") == INCR_BATCH_SOURCE
-    )
-    probe_bands = sim.band_keys(batch_sig, "doc_id", n_hashes=N_HASHES, bands=BANDS)
-    cand = sim.lsh_probe_pairs(
-        probe_bands,
-        index_bands,
-        "doc_id",
-        stop_bands=stop_bands,
-    )
-    batch_sh = batch_sig.select(
-        F.col("doc_id").alias("batch_id"), F.col("_sh").alias("sh_a")
-    )
-    index_sh = index_shingles.select(
-        F.col("doc_id").alias("corpus_id"), F.col("_sh").alias("sh_b")
-    )
-    return (
-        cand.withColumnRenamed("id_probe", "batch_id")
-        .withColumnRenamed("id_index", "corpus_id")
-        .join(batch_sh, "batch_id")
-        .join(index_sh, "corpus_id")
-        .withColumn("jaccard", sim.jaccard_shingles(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= INCR_THRESHOLD)
-        .select("batch_id", "corpus_id", F.round("jaccard", 4).alias("jaccard"))
-    )
+    def _build() -> DataFrame:
+        index_bands, index_shingles, stop_bands = _ensure_incr_index(
+            spark, sf_dir
+        )
+        batch_sig = shared_signatures(spark, sf_dir).filter(
+            F.col("source") == INCR_BATCH_SOURCE
+        )
+        probe_bands = sim.band_keys(
+            batch_sig, "doc_id", n_hashes=N_HASHES, bands=BANDS
+        )
+        cand = sim.lsh_probe_pairs(
+            probe_bands,
+            index_bands,
+            "doc_id",
+            stop_bands=stop_bands,
+        )
+        batch_sh = batch_sig.select(
+            F.col("doc_id").alias("batch_id"), F.col("_sh").alias("sh_a")
+        )
+        index_sh = index_shingles.select(
+            F.col("doc_id").alias("corpus_id"), F.col("_sh").alias("sh_b")
+        )
+        return (
+            cand.withColumnRenamed("id_probe", "batch_id")
+            .withColumnRenamed("id_index", "corpus_id")
+            .join(batch_sh, "batch_id")
+            .join(index_sh, "corpus_id")
+            .withColumn(
+                "jaccard", sim.jaccard_shingles(F.col("sh_a"), F.col("sh_b"))
+            )
+            .filter(F.col("jaccard") >= INCR_THRESHOLD)
+            .select(
+                "batch_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+            )
+        )
+
+    # memo_plan: probes an immutable session index snapshot; the memo
+    # skips the per-call driver plan build only (see plans/_caches.py)
+    return _caches.memo_plan("doc_incremental_neardup", spark, sf_dir, _build)
 
 
