@@ -546,6 +546,28 @@ def _ensure_ann_cellcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANN_FRAMES[key][1][1]
 
 
+def _clone_base_ann_index(spark: SparkSession, sf_dir: str, prefix: str):
+    """Tempdir preloaded with a byte-copy of the session's base
+    incremental ANN index (r15 opt — same rationale as the text
+    index's _clone_base_index): the three mutation fixtures (vector
+    take-down, cell purge, revision upsert) each diverge from the SAME
+    committed base by one commit but were rebuilding an identical
+    bootstrap + 2 appends apiece. The base still builds ONCE via the
+    production incremental path; the clone is a filesystem copy of
+    immutable committed artifacts (model blob, segments, manifest),
+    and the mutation commit under test runs the full production path
+    on the copy. Final state — and every probe result — is identical
+    to a fresh build."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    _ensure_ann_index(spark, sf_dir)
+    base = _ANN_INDEX[(sf_dir,)].name
+    tmp = tempfile.TemporaryDirectory(prefix=prefix)
+    shutil.copytree(base, tmp.name, dirs_exist_ok=True)
+    return tmp
+
+
 def ensure_ann_index_built(spark: SparkSession, sf_dir: str) -> None:
     """Eagerly build the index snapshot — audit entry points call this
     BEFORE flipping AUDIT_LAZY_PLANS so audited probe plans show the
@@ -631,9 +653,8 @@ def _ensure_deleted_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).withColumnRenamed("id", "vec_id")
         import tempfile  # noqa: PLC0415
 
-        tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_del_")
+        tmp = _clone_base_ann_index(spark, sf_dir, "ann_ivfpq_del_")
         emb = emb_t(spark, sf_dir)
-        _build_base_ann_index(spark, tmp.name, emb)
         # DataFrame-scale take-down: the delete set is a FILTER over
         # the embeddings table, never collected to the driver — the
         # tombstone segment and negative cellcounts are built by joins
@@ -723,9 +744,7 @@ def _ensure_cell_purged_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         import tempfile  # noqa: PLC0415
 
-        tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_purge_")
-        emb = emb_t(spark, sf_dir)
-        _build_base_ann_index(spark, tmp.name, emb)
+        tmp = _clone_base_ann_index(spark, sf_dir, "ann_ivfpq_purge_")
         ann_index.delete_where(
             spark, tmp.name, F.col("cell") == ANN_PURGE_CELL
         )
@@ -828,9 +847,7 @@ def _ensure_updated_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).withColumnRenamed("id", "vec_id")
         import tempfile  # noqa: PLC0415
 
-        tmp = tempfile.TemporaryDirectory(prefix="ann_ivfpq_upd_")
-        emb = emb_t(spark, sf_dir)
-        _build_base_ann_index(spark, tmp.name, emb)
+        tmp = _clone_base_ann_index(spark, sf_dir, "ann_ivfpq_upd_")
         ann_index.upsert_ann_vectors(
             spark,
             tmp.name,

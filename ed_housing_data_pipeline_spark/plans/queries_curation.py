@@ -273,20 +273,22 @@ def q_doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # role, same 2^-64 collision class; the DuckDB twin keys on the
     # raw gram text and would flag a collision instantly.
     tw = docs.select("doc_id", tokens("text").alias("w"))
-    th = F.transform(F.col("w"), lambda x: F.xxhash64(x))
-    tk_h = tw.select("doc_id", F.size("w").alias("_nw"), th.alias("th"))
-    gram_arr = F.when(
-        F.col("_nw") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.col("_nw") - n),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(F.col("th"), (i + F.lit(j + 1)).cast("int"))
-                    for j in range(n)
-                ]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # ONE F.expr parse each instead of nested Column-API lambdas: the
+    # lambda trees cost ~0.3s/call of py4j round-trips to assemble
+    # (guide §7.3 — driver-side plan build is real latency); the SQL
+    # strings parse once JVM-side. Semantics identical (xxhash64's SQL
+    # default seed is the same 42; arr[i] is 0-based).
+    tk_h = tw.select(
+        "doc_id",
+        F.size("w").alias("_nw"),
+        F.expr("transform(w, x -> xxhash64(x))").alias("th"),
+    )
+    gram_hashes = ", ".join(f"th[i + {j}]" for j in range(n))
+    gram_arr = F.expr(
+        f"CASE WHEN _nw >= {n} THEN transform(sequence(0, _nw - {n}), "
+        f"i -> xxhash64({gram_hashes})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
     gg = tk_h.select("doc_id", F.posexplode(gram_arr).alias("pos", "gh"))
     # "appears in >= 2 distinct docs" needs only min(doc) != max(doc),
     # not an exact distinct count: ONE exchange with map-side partial
@@ -317,23 +319,14 @@ def q_doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("pos")).alias("_ps"))
         .select(
             "doc_id",
-            F.aggregate(
-                "_ps",
-                F.struct(
-                    F.lit(-2 * n).cast("bigint").alias("prev"),
-                    F.lit(0).cast("bigint").alias("acc"),
-                ),
-                lambda s, p: F.struct(
-                    p.cast("bigint").alias("prev"),
-                    (
-                        s["acc"]
-                        + F.least(
-                            F.lit(n).cast("bigint"),
-                            p.cast("bigint") - s["prev"],
-                        )
-                    ).alias("acc"),
-                ),
-                lambda s: s["acc"],
+            F.expr(
+                f"aggregate(_ps, "
+                f"struct(CAST({-2 * n} AS BIGINT) AS prev, "
+                f"CAST(0 AS BIGINT) AS acc), "
+                f"(s, p) -> struct(CAST(p AS BIGINT) AS prev, "
+                f"s.acc + least(CAST({n} AS BIGINT), "
+                f"CAST(p AS BIGINT) - s.prev)), "
+                f"s -> s.acc)"
             ).alias("n_covered"),
         )
     )

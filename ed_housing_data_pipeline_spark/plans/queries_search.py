@@ -107,6 +107,28 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     return _TEXT_IDX_DIR[key].name
 
 
+def _clone_base_index(spark: SparkSession, sf_dir: str, prefix: str):
+    """A tempdir preloaded with a byte-copy of the session's base
+    3-batch index (r15 opt): the four mutation fixtures (point delete,
+    bulk delete, predicate purge, revision upsert) all diverge from
+    the SAME committed base by exactly one commit, yet each rebuilt an
+    identical base — 3 ingest commits apiece, ~2/3 of every fixture's
+    cold cost. The base is still built ONCE per session via the real
+    incremental path (_build_3batch_index); the clone copies immutable
+    committed segments + manifest pointers on the filesystem, and the
+    mutation commit under test still runs the full production path on
+    the copy. Final index state (and so every result) is identical to
+    a fresh build — segment content is deterministic and nothing reads
+    segment ids."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    base = _ensure_text_index(spark, sf_dir)
+    tmp = tempfile.TemporaryDirectory(prefix=prefix)
+    shutil.copytree(base, tmp.name, dirs_exist_ok=True)
+    return tmp
+
+
 def _audit_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Job-free logical twin for the plan-shape audit: the posting
     expression over the raw corpus (what the persisted segments hold)."""
@@ -402,9 +424,8 @@ def _ensure_deleted_text_index(spark: SparkSession, sf_dir: str) -> str:
     if tmp is None:
         import tempfile  # noqa: PLC0415
 
-        tmp = tempfile.TemporaryDirectory(prefix="text_index_del_")
+        tmp = _clone_base_index(spark, sf_dir, "text_index_del_")
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        _build_3batch_index(spark, tmp.name, docs)
         dead = [
             r.doc_id
             for r in docs.filter(F.col("doc_id") % DELETE_MOD == 0)
@@ -609,9 +630,7 @@ def _ensure_bulk_deleted_text_index(spark: SparkSession, sf_dir: str) -> str:
     if tmp is None:
         import tempfile  # noqa: PLC0415
 
-        tmp = tempfile.TemporaryDirectory(prefix="text_index_bulkdel_")
-        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        _build_3batch_index(spark, tmp.name, docs)
+        tmp = _clone_base_index(spark, sf_dir, "text_index_bulkdel_")
         dead = (
             t(spark, sf_dir, "documents")
             .filter(F.col("source").isin(*BULK_DELETE_SOURCES))
@@ -673,9 +692,7 @@ def _ensure_term_purged_text_index(spark: SparkSession, sf_dir: str) -> str:
     if tmp is None:
         import tempfile  # noqa: PLC0415
 
-        tmp = tempfile.TemporaryDirectory(prefix="text_index_purge_")
-        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        _build_3batch_index(spark, tmp.name, docs)
+        tmp = _clone_base_index(spark, sf_dir, "text_index_purge_")
         text_index.delete_where(spark, tmp.name, F.col("term") == PURGE_TERM)
         _TEXT_IDX_PURGE_DIR[key] = tmp
     return _TEXT_IDX_PURGE_DIR[key].name
@@ -755,9 +772,7 @@ def _ensure_updated_text_index(spark: SparkSession, sf_dir: str) -> str:
     if tmp is None:
         import tempfile  # noqa: PLC0415
 
-        tmp = tempfile.TemporaryDirectory(prefix="text_index_upd_")
-        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        _build_3batch_index(spark, tmp.name, docs)
+        tmp = _clone_base_index(spark, sf_dir, "text_index_upd_")
         revised = _updated_docs(spark, sf_dir).filter(
             F.col("doc_id") % UPDATE_MOD == 0
         )
