@@ -651,8 +651,6 @@ def _ensure_deleted_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ANN_CENTS,
                 PQ_FIXED_CODEBOOKS,
             ).withColumnRenamed("id", "vec_id")
-        import tempfile  # noqa: PLC0415
-
         tmp = _clone_base_ann_index(spark, sf_dir, "ann_ivfpq_del_")
         emb = emb_t(spark, sf_dir)
         # DataFrame-scale take-down: the delete set is a FILTER over
@@ -742,8 +740,6 @@ def _ensure_cell_purged_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame
             return enc.filter(F.col("cell") != ANN_PURGE_CELL).withColumnRenamed(
                 "id", "vec_id"
             )
-        import tempfile  # noqa: PLC0415
-
         tmp = _clone_base_ann_index(spark, sf_dir, "ann_ivfpq_purge_")
         ann_index.delete_where(
             spark, tmp.name, F.col("cell") == ANN_PURGE_CELL
@@ -845,8 +841,6 @@ def _ensure_updated_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ANN_CENTS,
                 PQ_FIXED_CODEBOOKS,
             ).withColumnRenamed("id", "vec_id")
-        import tempfile  # noqa: PLC0415
-
         tmp = _clone_base_ann_index(spark, sf_dir, "ann_ivfpq_upd_")
         ann_index.upsert_ann_vectors(
             spark,

@@ -422,8 +422,6 @@ def _ensure_deleted_text_index(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir,)
     tmp = _TEXT_IDX_DEL_DIR.get(key)
     if tmp is None:
-        import tempfile  # noqa: PLC0415
-
         tmp = _clone_base_index(spark, sf_dir, "text_index_del_")
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
         dead = [
@@ -628,8 +626,6 @@ def _ensure_bulk_deleted_text_index(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir,)
     tmp = _TEXT_IDX_BULKDEL_DIR.get(key)
     if tmp is None:
-        import tempfile  # noqa: PLC0415
-
         tmp = _clone_base_index(spark, sf_dir, "text_index_bulkdel_")
         dead = (
             t(spark, sf_dir, "documents")
@@ -690,8 +686,6 @@ def _ensure_term_purged_text_index(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir,)
     tmp = _TEXT_IDX_PURGE_DIR.get(key)
     if tmp is None:
-        import tempfile  # noqa: PLC0415
-
         tmp = _clone_base_index(spark, sf_dir, "text_index_purge_")
         text_index.delete_where(spark, tmp.name, F.col("term") == PURGE_TERM)
         _TEXT_IDX_PURGE_DIR[key] = tmp
@@ -770,8 +764,6 @@ def _ensure_updated_text_index(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir,)
     tmp = _TEXT_IDX_UPD_DIR.get(key)
     if tmp is None:
-        import tempfile  # noqa: PLC0415
-
         tmp = _clone_base_index(spark, sf_dir, "text_index_upd_")
         revised = _updated_docs(spark, sf_dir).filter(
             F.col("doc_id") % UPDATE_MOD == 0
