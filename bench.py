@@ -35,6 +35,125 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # --sweep also runs these (skipping SF_DIR itself) for scaling trends.
 SWEEP_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
+# ----------------------------------------------------------------- r16
+# Scale probe (r15 VERDICT #3): at sf0.1 every headline query sits on
+# the ~0.1-0.15s/job AQE dispatch floor — the r15 driver's 8-core run
+# BEAT 32 cores on 4 of 5 top queries, i.e. the headline had stopped
+# measuring executor work. This block times the compute-heaviest
+# queries at SPARK_GRAFT_SCALE_PROBE× the input (default 4×, 0
+# disables): the inputs are regenerated DETERMINISTICALLY from the
+# sf_dir parquet inside every invocation (row replication; doc/vec ids
+# shifted to stay unique; each document replica's text is
+# letter-translated so replicas do not share 5-gram spans — a 4×
+# corpus, not 4 copies of one corpus) into a tempdir that dies with
+# the run, so nothing is precomputed or cached across runs. Results
+# land as separate `scale_probe*` fields — the headline `value` /
+# `queries` keep their exact r1-r15 meaning.
+SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE", "4"))
+SCALE_PROBE_QUERIES = [
+    "doc_dup_span_coverage",     # gram dup + interval-union fold
+    "doc_unigram_surprisal",     # tokenize + tf/vocab/total chain
+    "doc_word_cms_topk",         # CMS counters + exact top-k
+    "doc_quality_score",         # text stats battery
+    "doc_minhash_signature",     # shingles + 8 minhashes
+    "embedding_knn_blocked",     # label-blocked cosine top-k
+    "embedding_knn_srp",         # SRP-LSH bucketed ANN
+    "embedding_knn_ivfpq_fixed", # ADC math, the 100 TB ANN path
+    "events_hll_daily_users",    # distinct pairs + HLL registers
+    "rank_dense_global",         # sharded global window
+    "lineitem_group_histogram_quantiles",  # grouped rank sketch
+]
+# tables the probe queries read; everything else is symlinked as-is
+SCALE_PROBE_TABLES = {
+    "documents": "doc",
+    "embeddings": "vec",
+    "orders": "plain",
+    "lineitem": "plain",
+    "events": "plain",
+}
+
+
+def _materialize_scaled_inputs(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    """Write k× replicas of the probe tables under ``out_dir`` and
+    symlink the rest. Deterministic: replica i of a document shifts
+    doc_id to doc_id*k+i and letter-translates the text (replicas
+    share no tokens, so gram/vocab structures grow with the corpus
+    instead of degenerating into k-way duplicates); embeddings shift
+    vec_id the same way; fact tables replicate rows as-is (the group/
+    window/distinct keys keep their cardinality — the many-rows-per-
+    key shape of a bigger corpus)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    rot = "bcdfghjklmnpqrstvwxyz"  # consonant rotation per replica
+    for name, mode in SCALE_PROBE_TABLES.items():
+        src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        reps = []
+        for i in range(k):
+            r = src
+            if mode == "doc":
+                r = r.withColumn(
+                    "doc_id", F.col("doc_id") * k + F.lit(i)
+                )
+                if i:
+                    r = r.withColumn(
+                        "text",
+                        F.translate(
+                            F.col("text"), rot, rot[i:] + rot[:i]
+                        ),
+                    )
+            elif mode == "vec":
+                r = r.withColumn(
+                    "vec_id", F.col("vec_id") * k + F.lit(i)
+                )
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    for p in _glob.glob(f"{sf_dir}/*.parquet"):
+        base = os.path.basename(p)
+        if base.replace(".parquet", "") not in SCALE_PROBE_TABLES:
+            os.symlink(p, f"{out_dir}/{base}")
+
+
+def run_scale_probe(spark, sf_dir: str, k: int) -> dict:
+    """Time SCALE_PROBE_QUERIES at k× inputs (min of 2 end-to-end
+    noop-sink runs each — at this size executor work dominates
+    dispatch, so two runs bound the noise the amortized model's five
+    exist for). Returns {factor, gen_sec, total, queries}."""
+    import tempfile
+    import time as _time
+
+    from ed_housing_data_pipeline_spark.plans.registry import query_map
+
+    qmap = query_map()
+    with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
+        t0 = _time.perf_counter()
+        _materialize_scaled_inputs(spark, sf_dir, tmp, k)
+        gen_sec = round(_time.perf_counter() - t0, 3)
+        timings: dict[str, float] = {}
+        for name in SCALE_PROBE_QUERIES:
+            if name not in qmap:
+                continue
+            spark.sparkContext.setJobDescription(f"scale_probe {k}x {name}")
+            best = float("inf")
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                qmap[name](spark, tmp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, _time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        spark.sparkContext.setJobDescription(None)
+    return {
+        "factor": k,
+        "gen_sec": gen_sec,
+        "total": round(sum(timings.values()), 3),
+        "queries": timings,
+    }
+
 # One per operator family; heavy hitters (joins, windows, dedup, events,
 # minhash, ANN) all represented so a regression anywhere shows up here.
 HEADLINE = [
@@ -220,18 +339,28 @@ def main() -> int:
     canary_start = run_canary(spark)
     timings, cold = run_suite(spark, SF_DIR)
     canary_end = run_canary(spark)
+    # r16: the scale probe runs AFTER the end canary so the headline's
+    # thermal/JIT context stays identical to r1-r15; see the block
+    # comment at SCALE_PROBE_FACTOR
+    scale_probe = (
+        run_scale_probe(spark, SF_DIR, SCALE_PROBE_FACTOR)
+        if SCALE_PROBE_FACTOR > 0
+        else None
+    )
     detail = {
         # host-drift denominator: the same synthetic job before and
         # after the suite; compare across rounds' BENCH_r{N}.json to
         # separate host slowdown from repo regressions
         "canary": {"start": canary_start, "end": canary_end},
         "sf": _sf_of(SF_DIR),
+        "cpus": int(CPUS),
         # caching model disclosure: "queries" are steady-state (family
         # caches warm, min of 5); "cold_queries" are each query's first
         # run including shared cache/index builds and JIT warm-up
         "caching_model": "queries=min-of-5 amortized; cold_queries=first run",
         "queries": timings,
         "cold_queries": cold,
+        "scale_probe": scale_probe,
     }
     if "--sweep" in sys.argv:
         # Scaling check: same frozen query list at each SF so a
@@ -248,10 +377,16 @@ def main() -> int:
                 "cold_total": round(sum(c.values()), 3),
             }
         detail["sweep"] = sweep
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_detail.json")
     with open(detail_path, "w", encoding="utf-8") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # r15 VERDICT #8: a 32-core and an 8-core run silently overwrote
+    # each other's BENCH_detail.json; keep the canonical name (the JSON
+    # line references it) AND a per-core-count copy
+    with open(
+        os.path.join(here, f"BENCH_detail_c{CPUS}.json"), "w", encoding="utf-8"
+    ) as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     top5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -274,6 +409,12 @@ def main() -> int:
         else None,
         "detail": "BENCH_detail.json",
     }
+    if scale_probe is not None:
+        # executor-work signal (r15 VERDICT #3): the same queries at
+        # SCALE_PROBE_FACTOR× inputs, where compute dominates the
+        # per-job dispatch floor — per-query detail in BENCH_detail
+        result["scale_probe_total"] = scale_probe["total"]
+        result["scale_probe_factor"] = scale_probe["factor"]
     print(json.dumps(result))
     return 0
 

@@ -227,12 +227,11 @@ def append_batch(
     segments, so a crash at any point leaves only unpinned debris.
 
     ``segment_partitions`` caps each segment's file count (a plain
-    ``coalesce``). Micro-batch commits otherwise inherit the session's
-    shuffle parallelism and write 32+ tiny files per component — 5
-    components deep, that is the dominant fixed cost per commit (the
-    parquet committer's per-file temp-rename dance) and a small-file
-    flood for every later reader. ``None`` preserves the upstream
-    partitioning (bulk backfills).
+    ``coalesce``) — an OPTIONAL extra cap since r16: the shared write
+    path already sizes every segment to ~target-size files from the
+    frame's byte estimate (lake.sized_for_segment_write), so a
+    micro-batch lands as one file per component and a bulk backfill
+    keeps its parallelism with ``None``.
 
     The five segment writes run as CONCURRENT Spark jobs (data
     components + the counts→stop chain are mutually independent given

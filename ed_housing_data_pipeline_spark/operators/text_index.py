@@ -210,11 +210,20 @@ def _commit_batch(
                 return lake.append_segments(
                     spark,
                     root,
+                    # TERMSTATS first (writes run in dict order, and a
+                    # commit's components are order-independent): its
+                    # aggregation populates the persisted posting cache
+                    # at the batch's FULL shuffle parallelism, so the
+                    # coalesced postings write that follows merges the
+                    # already-cached partitions instead of squashing
+                    # the posting aggregation itself down to n_files
+                    # tasks (r15 ADVICE #4 — coalesce() propagates
+                    # upstream through an unmaterialized plan).
                     appends={
+                        TERMSTATS: stats,
                         COMPONENT: p_write.withColumn(
                             "useq", F.lit(seq).cast("bigint")
                         ),
-                        TERMSTATS: stats,
                         DOCLENS: lens.withColumn(
                             "useq", F.lit(seq).cast("bigint")
                         ),
@@ -658,11 +667,17 @@ def upsert_text_batch(
                 return lake.append_segments(
                     spark,
                     root,
+                    # TERMSTATS first: the stats union's new_stats leg
+                    # scans the persisted posting frame at full
+                    # parallelism, populating its cache BEFORE the
+                    # coalesced postings write merges the cached
+                    # partitions (same r15 ADVICE #4 fix as
+                    # _commit_batch)
                     appends={
+                        TERMSTATS: new_stats.unionByName(neg_stats),
                         COMPONENT: p_write.withColumn(
                             "useq", F.lit(seq).cast("bigint")
                         ),
-                        TERMSTATS: new_stats.unionByName(neg_stats),
                         DOCLENS: lens.withColumn(
                             "useq", F.lit(seq).cast("bigint")
                         ),

@@ -458,7 +458,6 @@ def _build_base_ann_index(spark: SparkSession, root: str, emb: DataFrame):
         id_col="vec_id",
         cents=ANN_CENTS,
         codebooks=PQ_FIXED_CODEBOOKS,
-        segment_partitions=8,
     )
     pins = None
     for r in ANN_BATCH_MODULI:
@@ -468,7 +467,6 @@ def _build_base_ann_index(spark: SparkSession, root: str, emb: DataFrame):
             emb.filter(F.col("vec_id") % 4 == r),
             vec_col="embedding",
             id_col="vec_id",
-            segment_partitions=8,
         )
     return pins
 
@@ -850,7 +848,6 @@ def _ensure_updated_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             vec_col="embedding",
             id_col="vec_id",
-            segment_partitions=8,
         )
         _ANN_UPD_INDEX[key] = tmp
     tmp = _ANN_UPD_INDEX[key]

@@ -122,7 +122,15 @@ def q_doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_unigram_surprisal",
     oracle=f"""
     WITH w AS (
-        SELECT doc_id, UNNEST({tokens_sql("text")}) AS word FROM documents
+        -- doc_id IS NOT NULL mirrors the engine's pre-filter exactly
+        -- (r15 ADVICE #2): both sides now derive the corpus unigram
+        -- statistics (vocab wc, n_total) over identified documents
+        -- only, by construction — a null-doc_id row can never reach
+        -- the per-doc left-join output on either side, but before
+        -- this it WOULD have shifted every doc's avg_surprisal on the
+        -- oracle side alone (latent: fixtures hold no null doc_ids).
+        SELECT doc_id, UNNEST({tokens_sql("text")}) AS word
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
     vocab AS (SELECT word, SUM(tf) AS wc FROM tf GROUP BY 1),

@@ -209,9 +209,12 @@ def incr_index_ingest(
         max_bucket_width=INCR_MAX_BUCKET,
         keep_manifests=keep_latest,
         orphan_grace_sec=orphan_grace_sec,
-        # ingest batches are small vs the session's parallelism: cap
-        # the per-commit file count (see append_batch's docstring)
-        segment_partitions=8,
+        # no fixed segment_partitions cap (r16): the write path itself
+        # sizes every segment to ~target-size files from the frame's
+        # byte estimate (lake.sized_for_segment_write) — a micro-batch
+        # lands as one file, a 100 TB batch keeps its parallelism; the
+        # old local-tuned 8 forced a repartition shuffle AND was wrong
+        # at both extremes
     )
     _INCR_PIN[key] = pins
     return pins
@@ -309,8 +312,25 @@ def q_doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # memo_plan: probes an immutable session index snapshot; the memo
-    # skips the per-call driver plan build only (see plans/_caches.py)
-    return _caches.memo_plan("doc_incremental_neardup", spark, sf_dir, _build)
+    # memo_plan skips the per-call driver plan build only (see
+    # plans/_caches.py) — but THIS index is mutable within a session
+    # (incr_index_ingest moves the manifest pin; expire_segments sweeps
+    # unpinned stopbands), so the memo is keyed on the committed pin
+    # map: any ingest rebuilds the plan and the probe → ingest → probe
+    # loop always reads the newly committed segments (r16, r15 ADVICE
+    # #1 — the previous "immutable session snapshot" comment was wrong
+    # for this index). First call (index not yet built) passes a None
+    # token; the build memoizes the pin, so the second call re-keys
+    # once and stays memoized until the pin moves.
+    key = (sf_dir, SHINGLE_K, N_HASHES)
+    pins = _INCR_PIN.get(key)
+    token = (
+        None
+        if pins is None
+        else tuple(sorted((c, tuple(s)) for c, s in pins.items()))
+    )
+    return _caches.memo_plan(
+        "doc_incremental_neardup", spark, sf_dir, _build, token=token
+    )
 
 

@@ -71,14 +71,13 @@ def _ensure_rollup(spark: SparkSession, sf_dir: str) -> None:
             ROLLUP_KEYS,
             ROLLUP_MEASURES,
             zone_keys=["month"],
-            segment_partitions=1,
         )
         for a, b in zip(ROLLUP_CUTS, [*ROLLUP_CUTS[1:], None]):
             batch = facts.filter(F.col("_yr") > a)
             if b is not None:
                 batch = batch.filter(F.col("_yr") <= b)
             rollup.append_rollup_batch(
-                spark, tmp.name, batch, segment_partitions=1
+                spark, tmp.name, batch
             )
         # memoize only after the last manifest commit (a failed build
         # must not leave a memo pointing at an unreadable view)
@@ -185,17 +184,26 @@ def q_orders_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ROLLUP_MEASURES,
             )
         )
+    from ed_housing_data_pipeline_spark.plans import _caches  # noqa: PLC0415
+
     lo = ROLLUP_CUTS[0]
     with tempfile.TemporaryDirectory(prefix="stream_rollup_") as tmp:
         root = f"{tmp}/view"
-        rollup.bootstrap_rollup(
-            spark,
+        # session-built base (spec blob + pre-1997 history bootstrap),
+        # copied per run; the streamed fact commits under test run the
+        # production sink path on the copy (r16 VERDICT #5)
+        _caches.clone_stream_base(
+            sf_dir,
+            "stream_rollup",
+            lambda base: rollup.bootstrap_rollup(
+                spark,
+                base,
+                facts.filter((F.col("_yr") <= lo) | F.col("_yr").isNull()),
+                ROLLUP_KEYS,
+                ROLLUP_MEASURES,
+                zone_keys=["month"],
+            ),
             root,
-            facts.filter((F.col("_yr") <= lo) | F.col("_yr").isNull()),
-            ROLLUP_KEYS,
-            ROLLUP_MEASURES,
-            zone_keys=["month"],
-            segment_partitions=1,
         )
         schema = t(spark, sf_dir, "orders").schema
         # glob form: FileStreamSource needs a directory basePath (the
@@ -268,14 +276,13 @@ def _ensure_retracted_rollup(spark: SparkSession, sf_dir: str) -> str:
             ROLLUP_KEYS,
             ROLLUP_MEASURES,
             zone_keys=["month"],
-            segment_partitions=1,
         )
         for a, b in zip(ROLLUP_CUTS, [*ROLLUP_CUTS[1:], None]):
             batch = facts.filter(F.col("_yr") > a)
             if b is not None:
                 batch = batch.filter(F.col("_yr") <= b)
             rollup.append_rollup_batch(
-                spark, tmp.name, batch.drop("o_orderkey"), segment_partitions=1
+                spark, tmp.name, batch.drop("o_orderkey")
             )
         rollup.retract_rollup_batch(
             spark,
@@ -289,7 +296,6 @@ def _ensure_retracted_rollup(spark: SparkSession, sf_dir: str) -> str:
             remaining_facts=facts.filter(
                 F.col("o_orderkey") % RETRACT_MOD != 0
             ).drop("o_orderkey"),
-            segment_partitions=1,
         )
         _ROLLUP_RETRACT_DIR[key] = tmp
     return _ROLLUP_RETRACT_DIR[key].name
@@ -417,14 +423,13 @@ def _ensure_hll_rollup(spark: SparkSession, sf_dir: str) -> str:
             HLL_ROLLUP_KEYS,
             HLL_ROLLUP_MEASURES,
             zone_keys=["bucket_s"],
-            segment_partitions=1,
         )
         for lo, hi in ((10, 20), (20, None)):
             batch = facts.filter(F.col("_dom") > lo)
             if hi is not None:
                 batch = batch.filter(F.col("_dom") <= hi)
             rollup.append_rollup_batch(
-                spark, tmp.name, batch, segment_partitions=1
+                spark, tmp.name, batch
             )
         _HLL_ROLLUP_DIR[key] = tmp
     return _HLL_ROLLUP_DIR[key].name

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ed_housing_data_pipeline_spark.operators import text_index
 from ed_housing_data_pipeline_spark.plans._base import t, tokens_sql
+from ed_housing_data_pipeline_spark.plans import _caches
 from ed_housing_data_pipeline_spark.plans._caches import _session_mismatch
 from ed_housing_data_pipeline_spark.plans.registry import register
 from ed_housing_data_pipeline_spark.sources import lake
@@ -52,6 +53,10 @@ def _audit() -> bool:
 # service does between index commits. Bypassed under the audit flag
 # and on session change.
 _SEARCH_PLAN_MEMO: dict[tuple[str, str], tuple[int | None, DataFrame]] = {}
+# evicted with the family caches (r15 ADVICE #3: stale-session entries
+# keyed by dead tempdir roots accumulated unboundedly, each keeping its
+# defunct SparkSession alive)
+_caches.register_plan_memo(_SEARCH_PLAN_MEMO)
 
 
 def _memo_search_plan(
@@ -68,6 +73,14 @@ def _memo_search_plan(
         and not _session_mismatch(hit[1], spark)
     ):
         return hit[1]
+    # miss path: prune every entry bound to a dead/foreign session —
+    # a restart creates NEW tempdir roots, so stale keys would never
+    # be looked up (and so never individually invalidated) again
+    for k in [
+        k for k, v in _SEARCH_PLAN_MEMO.items()
+        if _session_mismatch(v[1], spark)
+    ]:
+        _SEARCH_PLAN_MEMO.pop(k)
     df = build()
     _SEARCH_PLAN_MEMO[key] = (version, df)
     return df

@@ -554,18 +554,31 @@ def q_doc_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         documents as sd,
     )
 
+    from ed_housing_data_pipeline_spark.plans import _caches  # noqa: PLC0415
+
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
     with tempfile.TemporaryDirectory(prefix="stream_incr_") as tmp:
         root = f"{tmp}/index"
-        sd.bootstrap_doc_index(
-            spark,
-            corpus,
+        # the bootstrap (corpus LSH index, ~2/3 of every run's cold
+        # cost) is a deterministic committed artifact: built ONCE per
+        # session via the production bootstrap path, copied per run —
+        # the streamed micro-batch commits + accepted readback under
+        # test still run the full production path on the copy
+        # (r16 VERDICT #5; the r15 _clone_base_index pattern)
+        _caches.clone_stream_base(
+            sf_dir,
+            "incr_dedup",
+            lambda base: sd.bootstrap_doc_index(
+                spark,
+                corpus,
+                base,
+                n_hashes=N_HASHES,
+                bands=BANDS,
+                shingle_k=SHINGLE_K,
+                max_bucket_width=INCR_MAX_BUCKET,
+            ),
             root,
-            n_hashes=N_HASHES,
-            bands=BANDS,
-            shingle_k=SHINGLE_K,
-            max_bucket_width=INCR_MAX_BUCKET,
         )
         # NO maxFilesPerTrigger: the oracle models ONE ingest batch
         # (whole-batch lowest-id survivor pick), so the drain must
@@ -637,18 +650,29 @@ def q_embedding_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         vectors as sv,
     )
 
+    from ed_housing_data_pipeline_spark.plans import _caches  # noqa: PLC0415
+
     emb = emb_t(spark, sf_dir)
     with tempfile.TemporaryDirectory(prefix="stream_ann_") as tmp:
         root = f"{tmp}/index"
-        ann_index.bootstrap_ann_index(
-            spark,
+        # session-built base (model blob + even-half bootstrap), copied
+        # per run; the streamed odd-half commits under test run the
+        # production path on the copy (r16 VERDICT #5; the fixed
+        # segment_partitions=8 cap dropped — the write path sizes
+        # segment files from the frame's byte estimate now)
+        _caches.clone_stream_base(
+            sf_dir,
+            "ann_ingest",
+            lambda base: ann_index.bootstrap_ann_index(
+                spark,
+                base,
+                emb.filter(F.col("vec_id") % 2 == 0),
+                vec_col="embedding",
+                id_col="vec_id",
+                cents=ANN_CENTS,
+                codebooks=PQ_FIXED_CODEBOOKS,
+            ),
             root,
-            emb.filter(F.col("vec_id") % 2 == 0),
-            vec_col="embedding",
-            id_col="vec_id",
-            cents=ANN_CENTS,
-            codebooks=PQ_FIXED_CODEBOOKS,
-            segment_partitions=8,
         )
         schema = tables.load_table(spark, sf_dir, "embeddings").schema
         # glob form: FileStreamSource needs a directory basePath (same
@@ -726,11 +750,21 @@ def q_doc_stream_search_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ed_housing_data_pipeline_spark.streaming import search as ss  # noqa: PLC0415
 
+    from ed_housing_data_pipeline_spark.plans import _caches  # noqa: PLC0415
+
     ensure_runtime_confs(spark)
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     with tempfile.TemporaryDirectory(prefix="stream_upsert_") as tmp:
         root = f"{tmp}/index"
-        text_index.bootstrap_text_index(spark, root, docs)
+        # session-built base (full-corpus one-shot bootstrap), copied
+        # per run; the streamed revision commits under test run the
+        # production path on the copy (r16 VERDICT #5)
+        _caches.clone_stream_base(
+            sf_dir,
+            "search_upsert",
+            lambda base: text_index.bootstrap_text_index(spark, base, docs),
+            root,
+        )
         schema = tables.load_table(spark, sf_dir, "documents").schema
         stream = (
             spark.readStream.schema(schema)
@@ -764,12 +798,22 @@ def q_doc_stream_search_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ed_housing_data_pipeline_spark.streaming import search as ss  # noqa: PLC0415
 
+    from ed_housing_data_pipeline_spark.plans import _caches  # noqa: PLC0415
+
     ensure_runtime_confs(spark)
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     with tempfile.TemporaryDirectory(prefix="stream_search_") as tmp:
         root = f"{tmp}/index"
-        text_index.bootstrap_text_index(
-            spark, root, docs.filter(F.col("doc_id") % 2 == 0)
+        # session-built base (even-half bootstrap), copied per run;
+        # the streamed odd-half commits under test run the production
+        # path on the copy (r16 VERDICT #5)
+        _caches.clone_stream_base(
+            sf_dir,
+            "search_ingest",
+            lambda base: text_index.bootstrap_text_index(
+                spark, base, docs.filter(F.col("doc_id") % 2 == 0)
+            ),
+            root,
         )
         schema = tables.load_table(spark, sf_dir, "documents").schema
         stream = (

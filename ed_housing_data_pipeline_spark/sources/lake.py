@@ -1411,6 +1411,40 @@ def _next_segment_id() -> int:
         return cand
 
 
+# Segment file sizing (guide §6, r16 — generalizes the text index's
+# r15 token-derived sizing to EVERY segment write): aim for files near
+# this target instead of shuffle-partition-many tiny ones. The file
+# count derives from the optimizer's size-only plan estimate, which is
+# conservative in exactly the safe direction — filters/aggregates do
+# not shrink it (measured at sf0.1: rollup partials est 2.3 MB vs
+# 1.8 KB actual, ANN codes 16x over, band/shingle frames 1.1-1.4x
+# over) — so a frame is never coalesced below its real byte count's
+# worth of files, and since ``coalesce`` can only LOWER a partition
+# count, a 100 TB batch keeps its write parallelism and lands
+# thousands of near-target files while a micro-batch lands one.
+SEGMENT_FILE_TARGET_BYTES = 128 << 20
+
+
+def sized_for_segment_write(df: DataFrame, est_bytes: int | None = None) -> DataFrame:
+    """``df`` coalesced to ``ceil(estimated bytes / target)`` output
+    files for a segment write. ``est_bytes`` lets a caller substitute
+    a better, measured estimate (e.g. the text index's token-derived
+    byte count); default is the optimized logical plan's size-only
+    statistic. Sizing only affects file granularity, never content."""
+    if est_bytes is None:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    n = max(1, -(-est_bytes // SEGMENT_FILE_TARGET_BYTES))
+    if n >= 1 << 20:
+        # size-only estimates of join/union-heavy plans can be
+        # astronomical (products of child sizes, up to 8 EiB — past
+        # java int range); a coalesce to more files than the frame has
+        # partitions is a no-op anyway, so skip it outright
+        return df
+    return df.coalesce(int(n))
+
+
 def write_segment(spark, df: DataFrame, component_root: str) -> int:
     """Write ``df`` as a fresh immutable segment of a component —
     data only, NO commit: a segment is invisible until a manifest pins
@@ -1418,8 +1452,18 @@ def write_segment(spark, df: DataFrame, component_root: str) -> int:
     ``_INTENT.s<N>`` marker (claimed exclusively, written before any
     data) both reserves the id against a concurrent writer and gives
     expire_segments the same provably-stale test write_snapshot's
-    orphan sweep uses."""
+    orphan sweep uses.
+
+    Every segment lands size-coalesced (:func:`sized_for_segment_write`
+    — the r15 text-index small-files fix, promoted to the shared write
+    path): a micro-commit writes ONE file instead of one per shuffle
+    partition, so readers stop paying a scan task per ~10 KiB file,
+    while big batches keep their partitioning (coalesce never raises a
+    partition count). Callers that pre-shape the frame (repartition
+    for upstream-parallelism protection, explicit coalesce caps) are
+    respected: the write only merges further, never splits."""
     root = component_root.rstrip("/")
+    df = sized_for_segment_write(df)
     jvm, fs = _fs(spark, root)
     for _ in range(8):
         seg = _next_segment_id()

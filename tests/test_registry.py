@@ -309,3 +309,81 @@ def test_family_caches_are_session_scoped(spark):
         assert b.sparkSession is other
     finally:
         qll.release_shared_caches()
+
+
+def test_incremental_neardup_probe_reflects_ingest(spark):
+    """Probe → ingest → probe in ONE session must serve a plan over the
+    NEWLY committed pin (r15 ADVICE #1: the plan memo is keyed on the
+    manifest pin map, so any ingest rebuilds it). Folding the probe
+    batch itself into the index makes its docs corpus members, so the
+    next probe must match them to THEMSELVES (jaccard-1.0 self-pairs)
+    — impossible under a stale pre-ingest plan."""
+    from ed_housing_data_pipeline_spark.plans import queries_llm as qll
+
+    sf = "/root/testdata/sf0.001"
+    qll.release_shared_caches()
+    try:
+        fn = query_map()["doc_incremental_neardup"]
+        before = {tuple(r) for r in fn(spark, sf).collect()}
+        assert not any(t[0] == t[1] for t in before)
+        qll.incr_index_ingest(spark, sf)
+        after = {tuple(r) for r in fn(spark, sf).collect()}
+        self_pairs = {t for t in after if t[0] == t[1]}
+        assert self_pairs, "ingested batch invisible to the memoized probe"
+        assert all(t[2] == 1.0 for t in self_pairs)
+    finally:
+        qll.release_shared_caches()
+
+
+def test_search_plan_memo_evicted_with_family_caches(spark):
+    """release_shared_caches() must clear the search-probe plan memo
+    (r15 ADVICE #3: stale-session entries keyed by dead tempdir roots
+    accumulated unboundedly). After release the memo is empty, and the
+    next probe rebuilds against the same committed index and returns
+    identical results — the memo holds plans, never results."""
+    from ed_housing_data_pipeline_spark.plans import queries_llm as qll
+    from ed_housing_data_pipeline_spark.plans import queries_search as qs
+
+    sf = "/root/testdata/sf0.001"
+    fn = query_map()["doc_inverted_search_and"]
+    before = {tuple(r) for r in fn(spark, sf).collect()}
+    assert qs._SEARCH_PLAN_MEMO
+    qll.release_shared_caches()
+    assert not qs._SEARCH_PLAN_MEMO
+    after = {tuple(r) for r in fn(spark, sf).collect()}
+    assert after == before
+
+
+def test_search_plan_memo_revalidates_on_commit(spark):
+    """A memoized search plan must NOT survive an index commit: the
+    memo is keyed on the committed manifest version, so an out-of-band
+    append (version bump) rebuilds the plan and the next probe reads
+    the newly committed segments from storage — pinning the
+    no-result-caching property as a contract, not a convention."""
+    from pyspark.sql import functions as F
+
+    from ed_housing_data_pipeline_spark.operators import text_index
+    from ed_housing_data_pipeline_spark.plans import queries_search as qs
+
+    sf = "/root/testdata/sf0.001"
+    fn = query_map()["doc_inverted_search_and"]
+    try:
+        before = {tuple(r) for r in fn(spark, sf).collect()}
+        root = qs._TEXT_IDX_DIR[(sf,)].name
+        new_id = 10_000_000
+        assert not any(t[0] == new_id for t in before)
+        doc = spark.createDataFrame(
+            [(new_id, " ".join(qs.SEARCH_TERMS))], "doc_id long, text string"
+        )
+        text_index.append_text_batch(spark, root, doc)
+        after = {tuple(r) for r in fn(spark, sf).collect()}
+        hits = {t for t in after if t[0] == new_id}
+        assert hits == {(new_id, len(qs.SEARCH_TERMS))}
+        assert after - hits == before
+    finally:
+        # the session index now diverges from the corpus: drop it so
+        # later tests rebuild a clean one
+        tmp = qs._TEXT_IDX_DIR.pop((sf,), None)
+        if tmp is not None:
+            tmp.cleanup()
+        qs._SEARCH_PLAN_MEMO.clear()

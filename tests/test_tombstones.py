@@ -655,9 +655,13 @@ def test_auto_apply_bytes_ratio_fallback(spark, tmp_path):
 
 
 def test_upsert_segment_partitions_knob(spark, tmp_path):
-    """segment_partitions mirrors delete_rows_from: default 1 file,
-    None preserves the batch's parallelism on the tombstone write
-    (the multi-million-id shape — r13 VERDICT #5)."""
+    """segment_partitions mirrors delete_rows_from: explicit ints are
+    a hard cap; ``None`` defers to the write path's SIZE-DERIVED file
+    count (r16: lake.sized_for_segment_write — a tiny id batch lands
+    as ONE file instead of one per shuffle partition, while the
+    multi-million-id shape of r13 VERDICT #5 keeps its parallelism
+    because the byte estimate exceeds the file target; pinned directly
+    on the sizing helper below)."""
     import glob
 
     root = str(tmp_path / "t")
@@ -670,10 +674,25 @@ def test_upsert_segment_partitions_knob(spark, tmp_path):
     tname = lake.tombstone_component("docs")
     seg = lake.segment_pins(spark, root)[tname][-1]
     files = glob.glob(f"{root}/{tname}/seg={seg}/part-*.parquet")
-    assert len(files) > 1, "None must preserve the frame's partitioning"
+    assert len(files) == 1, "tiny batch must land size-coalesced to 1 file"
     assert lake.read_segmented_merged(
         spark, root, "docs", "doc_id"
     ).filter(F.col("v") == 0.0).count() == 24
+    # the sizing contract itself: a frame whose (estimated) bytes span
+    # N file targets keeps min(N, current) partitions — big deletes
+    # keep their write parallelism, small ones stop flooding files
+    big = spark.range(0, 24).repartition(6)
+    assert lake.sized_for_segment_write(
+        big, est_bytes=3 * lake.SEGMENT_FILE_TARGET_BYTES
+    ).rdd.getNumPartitions() == 3
+    assert lake.sized_for_segment_write(
+        big, est_bytes=1
+    ).rdd.getNumPartitions() == 1
+    # an astronomical estimate (join-product stats) must be a no-op,
+    # not an int overflow
+    assert lake.sized_for_segment_write(
+        big, est_bytes=1 << 62
+    ).rdd.getNumPartitions() == 6
 
 
 def test_legacy_killall_guard_raises_then_apply_unblocks(spark, tmp_path):
