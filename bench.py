@@ -49,7 +49,16 @@ SWEEP_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 # the run, so nothing is precomputed or cached across runs. Results
 # land as separate `scale_probe*` fields — the headline `value` /
 # `queries` keep their exact r1-r15 meaning.
-SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE", "4"))
+# factor 32 (measured upward from 4 and 8, which were still
+# dispatch-bound — 8c/32c ratios 0.6-1.1): at 32× the narrow
+# compute stages dominate for the token/ADC family (dup_span 8c/32c
+# 1.53, ivfpq 1.27, cms 1.21). Queries whose cost is ONE shuffle
+# (unigram's tf exchange) stay core-count-flat even here: their
+# shuffle bytes at 32×sf0.1 still fit a single AQE-coalesced
+# partition, which is the CORRECT at-scale behavior (partition count
+# follows bytes, not cores) — the probe reports the honest ratio
+# rather than forcing partitions
+SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_PROBE", "32"))
 SCALE_PROBE_QUERIES = [
     "doc_dup_span_coverage",     # gram dup + interval-union fold
     "doc_unigram_surprisal",     # tokenize + tf/vocab/total chain

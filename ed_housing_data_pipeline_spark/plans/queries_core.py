@@ -366,16 +366,41 @@ def q_rank_sum_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     customer = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
+    # r16 (guide §2.3/§2.4): pre-aggregate ORDERS per customer before
+    # the join, so the nation rollup is a plain aggregation over one
+    # row per ordering customer. The straight translation grouped the
+    # joined fact rows with a MIXED countDistinct + plain aggs — a
+    # 2-projection Expand (every joined row shuffled TWICE) plus a
+    # second exchange. Equivalences, against the oracle's semantics
+    # over customer×orders rows: COUNT(DISTINCT c_custkey) ≡ COUNT(*)
+    # over per-customer rows (c_custkey is the customer PK; the inner
+    # join keeps exactly the ordering customers); AVG(c_acctbal) over
+    # joined rows ≡ Σ(acctbal·n_orders) / Σ(n_orders counted only
+    # where acctbal is non-null — AVG skips NULLs in numerator AND
+    # denominator); SUM(o_totalprice) ≡ Σ of per-customer sums (SUM
+    # skips NULLs at either level). At scale this shuffles one
+    # map-side-combined pass of distinct custkeys instead of 2× the
+    # joined fact rows.
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("_n_orders"),
+        F.sum("o_totalprice").alias("_spend"),
+    )
     joined = joins.equi_join(
         customer.withColumnRenamed("c_nationkey", "n_nationkey"),
         nation,
         on="n_nationkey",
         broadcast_right=True,
-    ).join(orders.withColumnRenamed("o_custkey", "c_custkey"), on="c_custkey")
+    ).join(per_cust, on="c_custkey")
     metrics = joined.groupBy("n_name").agg(
-        F.countDistinct("c_custkey").alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("c_acctbal") * F.col("_n_orders"))
+            / F.sum(
+                F.when(F.col("c_acctbal").isNotNull(), F.col("_n_orders"))
+            ),
+            6,
+        ).alias("avg_acctbal"),
+        F.round(F.sum("_spend"), 2).alias("total_spend"),
     )
     ranked = windows.ranked(
         metrics,
